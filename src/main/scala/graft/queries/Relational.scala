@@ -1,0 +1,281 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators (SURVEY.md §2 q01–q10).
+  *
+  * These are the workhorses the reference pipeline's pandas merges /
+  * groupbys / melts map onto (reference: src/nbody6/assembler.py). Each
+  * query is a declarative DataFrame plan: Catalyst pushes filters and
+  * projections into the parquet scan, broadcasts the small dimension
+  * side of joins, and does partial (map-side) aggregation before the
+  * shuffle — the properties that keep these plans viable at 100 TB.
+  *
+  * Doubles that pass through a commutative aggregation are rounded at
+  * the final projection (addition order differs across engines and
+  * partition counts); raw column values pass through exactly.
+  */
+object Relational {
+
+  /** q01: grouped aggregation with map-side combine (pricing summary).
+    * Scale note: group-by on low-cardinality keys -> partial agg
+    * reduces shuffle to |groups| x |partitions| rows.
+    */
+  def q01AggSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_extendedprice"), 6).as("avg_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      | round(sum(l_quantity), 4) AS sum_qty,
+      | round(sum(l_extendedprice), 4) AS sum_base_price,
+      | round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+      | round(avg(l_quantity), 6) AS avg_qty,
+      | round(avg(l_extendedprice), 6) AS avg_price,
+      | round(avg(l_discount), 6) AS avg_disc,
+      | count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q02: predicate + projection pushdown. The physical scan must show
+    * PushedFilters on l_quantity and a 4-column ReadSchema.
+    */
+  def q02FilterProject(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_quantity") < 3.0 && col("l_discount") > 0.05)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_quantity < 3.0 AND l_discount > 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q03: multi-way join with broadcast dimensions (region/nation are
+    * tiny at any scale factor -> broadcast; customer joins shuffle).
+    */
+  def q03JoinDims(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 4).as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val q03Sql: String =
+    """SELECT r_name, n_name, count(*) AS n_orders,
+      | round(sum(o_totalprice), 4) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** q04: left-semi join — customers that have at least one
+    * high-priority order (EXISTS without materializing the right side).
+    */
+  def q04SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    t.customer
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  val q04Sql: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q05: left-anti join — customers with no urgent orders (the
+    * reference uses set-difference validation, assembler.py:168).
+    */
+  def q05AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    t.customer
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_nationkey")
+      .orderBy("c_custkey")
+  }
+
+  val q05Sql: String =
+    """SELECT c_custkey, c_name, c_nationkey
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** q06: window functions — per-supplier running quantity and row
+    * number in deterministic ship order (the cumulative-mass pattern of
+    * calc/cluster.py:28 at per-key granularity).
+    */
+  def q06WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    Tables(spark, dir).lineitem
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        row_number().over(w).as("rn"),
+        round(sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).as("running_qty"))
+      .orderBy("l_suppkey", "rn")
+  }
+
+  val q06Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      | row_number() OVER w AS rn,
+      | round(sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |ORDER BY l_suppkey, rn""".stripMargin
+
+  /** q07: top-k per group — 3 priciest orders per priority class
+    * (rank-and-filter; at scale this is a single shuffle + per-key
+    * heap, no global sort).
+    */
+  def q07TopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables(spark, dir).orders
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rk")
+  }
+
+  val q07Sql: String =
+    """SELECT o_orderpriority, rk, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3
+      |ORDER BY o_orderpriority, rk""".stripMargin
+
+  /** q08: exact distinct counting per group (duplicate detection,
+    * assembler.py:130). countDistinct expands to a two-phase aggregate.
+    */
+  def q08DistinctCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("l_returnflag")
+
+  val q08Sql: String =
+    """SELECT l_returnflag,
+      | count(DISTINCT l_partkey) AS n_parts,
+      | count(DISTINCT l_suppkey) AS n_supps,
+      | count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** q09: melt/union — customers and suppliers unified into one party
+    * catalog (the reference melts OUT9 name1/name2 columns into rows,
+    * assembler.py:90).
+    */
+  def q09ExplodeMerge(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val c = t.customer.select(
+      lit("customer").as("role"),
+      col("c_custkey").cast("long").as("party_key"),
+      col("c_nationkey").cast("int").as("nation_key"),
+      col("c_acctbal").as("acctbal"))
+    val s = t.supplier.select(
+      lit("supplier").as("role"),
+      col("s_suppkey").cast("long").as("party_key"),
+      col("s_nationkey").cast("int").as("nation_key"),
+      col("s_acctbal").as("acctbal"))
+    c.unionAll(s).orderBy("role", "party_key")
+  }
+
+  val q09Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'customer' AS role, CAST(c_custkey AS BIGINT) AS party_key,
+      |         CAST(c_nationkey AS INT) AS nation_key, c_acctbal AS acctbal
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'supplier', CAST(s_suppkey AS BIGINT), CAST(s_nationkey AS INT), s_acctbal
+      |  FROM supplier)
+      |ORDER BY role, party_key""".stripMargin
+
+  /** q10: rollup — multi-level aggregation in one pass (the reference
+    * recomputes stats per mask level, snapshot.py:226; ROLLUP computes
+    * the lattice with a single shuffle).
+    */
+  def q10RollupStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 4).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  val q10Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       count(*) AS n,
+      |       round(sum(l_quantity), 4) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_summary" -> (q01AggSummary _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_join_dims" -> (q03JoinDims _),
+    "q04_semi_join" -> (q04SemiJoin _),
+    "q05_anti_join" -> (q05AntiJoin _),
+    "q06_window_running" -> (q06WindowRunning _),
+    "q07_topk_per_group" -> (q07TopkPerGroup _),
+    "q08_distinct_count" -> (q08DistinctCount _),
+    "q09_explode_merge" -> (q09ExplodeMerge _),
+    "q10_rollup_stats" -> (q10RollupStats _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_summary" -> q01Sql,
+    "q02_filter_project" -> q02Sql,
+    "q03_join_dims" -> q03Sql,
+    "q04_semi_join" -> q04Sql,
+    "q05_anti_join" -> q05Sql,
+    "q06_window_running" -> q06Sql,
+    "q07_topk_per_group" -> q07Sql,
+    "q08_distinct_count" -> q08Sql,
+    "q09_explode_merge" -> q09Sql,
+    "q10_rollup_stats" -> q10Sql)
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.queries.Relational
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+
+  test("every relational query has an oracle and runs non-empty") {
+    Relational.queries.foreach { case (name, fn) =>
+      assert(Relational.oracles.contains(name), s"$name missing oracle")
+      val df = fn(spark, sfDir)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q01 aggregates are internally consistent") {
+    val rows = Relational.q01AggSummary(spark, sfDir).collect()
+    rows.foreach { r =>
+      val sumQty = r.getAs[Double]("sum_qty")
+      val avgQty = r.getAs[Double]("avg_qty")
+      val n = r.getAs[Long]("count_order")
+      assert(math.abs(sumQty / n - avgQty) < 1e-3)
+    }
+  }
+
+  test("q02 pushes filter and projection into the scan") {
+    val plan = Relational.q02FilterProject(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"),
+      "expected pushed filter on l_quantity")
+  }
+
+  test("q03 broadcasts the small dims") {
+    val plan = Relational.q03JoinDims(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast join for nation/region")
+  }
+
+  test("q05 anti join excludes urgent-order customers") {
+    val t = Tables(spark, sfDir)
+    val anti = Relational.q05AntiJoin(spark, sfDir)
+    val urgentCust = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    assert(anti.join(urgentCust, Seq("c_custkey"), "inner").count() == 0)
+  }
+
+  test("q06 running sum is monotone per supplier") {
+    val df = Relational.q06WindowRunning(spark, sfDir)
+      .groupBy("l_suppkey")
+      .agg((max("running_qty") === last("running_qty")).as("mono"))
+    assert(df.filter(!col("mono")).count() == 0)
+  }
+
+  test("q07 returns at most 3 per priority") {
+    val df = Relational.q07TopkPerGroup(spark, sfDir)
+      .groupBy("o_orderpriority").count()
+    assert(df.filter(col("count") > 3).count() == 0)
+  }
+
+  test("q10 rollup grand total equals table count") {
+    val total = Relational.q10RollupStats(spark, sfDir)
+      .filter(col("returnflag") === "ALL" && col("linestatus") === "ALL")
+      .select("n").collect().head.getLong(0)
+    assert(total == Tables(spark, sfDir).lineitem.count())
+  }
+}
