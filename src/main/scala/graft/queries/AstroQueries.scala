@@ -1,0 +1,332 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Astro
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Astro computation operators (SURVEY.md §2 q11–q20).
+  *
+  * Each operator re-expresses a computation from the reference's calc
+  * package (reference: src/nbody6/calc/{star,binary,cluster,summary}.py)
+  * as a pure Catalyst expression tree over the driver test tables —
+  * lineitem stands in for the star table (mass = l_quantity, positions
+  * and luminosities derived from price/discount/tax columns). The
+  * physics-column mapping is arbitrary; what the oracle checks is that
+  * the MATH — log-sum-exp, Kepler III, Stefan–Boltzmann, window
+  * cumulative-mass crossing, cross-product inclination — is exact.
+  *
+  * Scale notes: every query is groupBy/window on one key — partial
+  * aggregation before the shuffle, single exchange, whole-stage codegen
+  * throughout (no UDFs). Rounding policy: multi-row AGGREGATES are
+  * rounded (addition order differs per engine/partitioning) but
+  * per-row scalar math is NOT — identical IEEE ops on identical
+  * inputs are bit-equal across engines, whereas round() itself
+  * differs (Spark HALF_UP on exact BigDecimal vs DuckDB float
+  * multiply) and manufactures mismatches on decimal-ish data.
+  */
+object AstroQueries {
+
+  // Shared synthetic "star" columns over lineitem.
+  private def starX: Column = col("l_extendedprice") / 1000.0
+  private def starY: Column = col("l_discount") * 100.0
+  private def starZ: Column = col("l_tax") * 100.0
+  private def starMass: Column = col("l_quantity")
+
+  /** q11: descriptive-stats pack — mean/std/min/q1/median/q3/max per
+    * group in ONE aggregate pass (reference: calc/summary.py:20
+    * calc_summary_stats; pandas .describe()). Spark `percentile` is
+    * exact interpolated == DuckDB `quantile_cont`.
+    */
+  def q11DescriptiveStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("l_extendedprice"), 4).as("mean"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("std"),
+        round(min("l_extendedprice"), 4).as("min"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("q1"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("q3"),
+        round(max("l_extendedprice"), 4).as("max"))
+      .orderBy("l_returnflag")
+
+  val q11Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      | round(avg(l_extendedprice), 4) AS mean,
+      | round(stddev_samp(l_extendedprice), 4) AS std,
+      | round(min(l_extendedprice), 4) AS min,
+      | round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
+      | round(quantile_cont(l_extendedprice, 0.5), 4) AS median,
+      | round(quantile_cont(l_extendedprice, 0.75), 4) AS q3,
+      | round(max(l_extendedprice), 4) AS max
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q12: half-mass radius — sort by radius, running mass sum, first
+    * radius where cumulative mass crosses half the total (reference:
+    * calc/cluster.py:14 calc_half_mass_radius). One window + one
+    * aggregate on the same key: a single shuffle, AQE-coalesced.
+    */
+  def q12HalfMassRadius(spark: SparkSession, dir: String): DataFrame = {
+    val wCum = Window.partitionBy("l_returnflag")
+      .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("l_returnflag")
+    Tables(spark, dir).lineitem
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"),
+        col("l_linenumber"), starMass.as("mass"))
+      .withColumn("cum_mass", sum("mass").over(wCum))
+      .withColumn("total_mass", sum("mass").over(wAll))
+      .filter(col("cum_mass") >= col("total_mass") / 2.0)
+      .groupBy("l_returnflag")
+      .agg(round(min("l_extendedprice"), 4).as("r_half_mass"))
+      .orderBy("l_returnflag")
+  }
+
+  val q12Sql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    sum(l_quantity) OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_mass,
+      |    sum(l_quantity) OVER (PARTITION BY l_returnflag) AS total_mass
+      |  FROM lineitem)
+      |SELECT l_returnflag, round(min(l_extendedprice), 4) AS r_half_mass
+      |FROM c WHERE cum_mass >= total_mass / 2.0
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q13: annular histogram — integer ceil-ring counts + ring mass
+    * (reference: snapshot.py:314 _calc_annular_stats; np.ceil ring id).
+    * groupBy(int ring) -> map-side combine; output |rings| rows.
+    */
+  def q13AnnularHist(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .select(ceil(starX).cast("long").as("ring"), starMass.as("mass"))
+      .groupBy("ring")
+      .agg(count(lit(1)).as("n_stars"), round(sum("mass"), 4).as("ring_mass"))
+      .orderBy("ring")
+
+  val q13Sql: String =
+    """SELECT CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS ring,
+      | count(*) AS n_stars, round(sum(l_quantity), 4) AS ring_mass
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q14: photocentric merge — luminosity-weighted position of a
+    * two-component system (reference: calc/binary.py:43
+    * calc_photocentric_coord). Components = linenumbers 1,2 of an
+    * order, pivoted in one aggregate (no self-join).
+    */
+  def q14Photocentric(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_linenumber") <= 2)
+      .groupBy("l_orderkey")
+      .agg(
+        max(when(col("l_linenumber") === 1, col("l_quantity"))).as("w1"),
+        max(when(col("l_linenumber") === 1, col("l_extendedprice"))).as("x1"),
+        max(when(col("l_linenumber") === 2, col("l_quantity"))).as("w2"),
+        max(when(col("l_linenumber") === 2, col("l_extendedprice"))).as("x2"))
+      .filter(col("w2").isNotNull)
+      .select(col("l_orderkey"),
+        Astro.photocentric(col("w1"), col("w2"), col("x1"), col("x2")).as("photo_x"))
+      .orderBy("l_orderkey")
+
+  val q14Sql: String =
+    """WITH p AS (
+      |  SELECT l_orderkey,
+      |    max(CASE WHEN l_linenumber = 1 THEN l_quantity END) AS w1,
+      |    max(CASE WHEN l_linenumber = 1 THEN l_extendedprice END) AS x1,
+      |    max(CASE WHEN l_linenumber = 2 THEN l_quantity END) AS w2,
+      |    max(CASE WHEN l_linenumber = 2 THEN l_extendedprice END) AS x2
+      |  FROM lineitem WHERE l_linenumber <= 2 GROUP BY l_orderkey)
+      |SELECT l_orderkey, (w1*x1 + w2*x2) / (w1 + w2) AS photo_x
+      |FROM p WHERE w2 IS NOT NULL ORDER BY l_orderkey""".stripMargin
+
+  /** q15: total log-luminosity of a pair via log-sum-exp —
+    * log10(10^a + 10^b) computed stably (reference: calc/binary.py:10
+    * calc_total_log_luminosity).
+    */
+  def q15LogLuminositySum(spark: SparkSession, dir: String): DataFrame = {
+    val a = log10(col("l_extendedprice"))
+    val b = log10(col("l_quantity") * 1000.0)
+    Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Astro.logAdd10(a, b).as("log_l_total"),
+        Astro.logEquivalentRadius(a * 0.5, b * 0.5).as("log_r_equiv"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q15Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      | greatest(a, b) + log10(1.0 + pow(10.0, least(a, b) - greatest(a, b))) AS log_l_total,
+      | (greatest(a, b) + log10(1.0 + pow(10.0, least(a, b) - greatest(a, b)))) * 0.5 AS log_r_equiv
+      |FROM (SELECT l_orderkey, l_linenumber,
+      |        log10(l_extendedprice) AS a, log10(l_quantity * 1000.0) AS b
+      |      FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q16: Kepler third-law semi-major axis from component masses and
+    * period, plus wide/hard classification (reference:
+    * calc/binary.py:57 calc_semi_major_axis, :95 is_wide, :99 is_hard).
+    * Constants spelled identically in the SQL oracle.
+    */
+  def q16KeplerSemiAxis(spark: SparkSession, dir: String): DataFrame = {
+    val m1 = col("l_quantity")
+    val m2 = col("l_tax") * 10.0
+    val period = col("l_extendedprice")          // days
+    val semi = Astro.keplerSemiMajorAxisAu(m1, m2, period)
+    Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        semi.as("semi_au"),
+        Astro.isWideBinary(semi, 80.0).as("is_wide"),
+        Astro.isHardBinary(semi, lit(0.002), lit(5.0)).as("is_hard"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q16Sql: String =
+    s"""SELECT l_orderkey, l_linenumber,
+      | a_au AS semi_au,
+      | a_au > 80.0 AS is_wide,
+      | a_au < 0.002 * ${Astro.PC_AU} / 5.0 AS is_hard
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber,
+      |    pow((l_quantity + l_tax * 10.0) * ${Astro.M_SUN_KG}
+      |        * (l_extendedprice * 86400.0) * (l_extendedprice * 86400.0)
+      |        * (${Astro.G_SI} / (4.0 * pi() * pi())), 1.0/3.0)
+      |      / ${Astro.AU_M} AS a_au
+      |  FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q17: Stefan–Boltzmann effective temperature + equivalent radius
+    * (reference: calc/star.py:12 calc_effective_temperature,
+    * binary.py:26 calc_log_equivalent_radius).
+    */
+  def q17EffectiveTemp(spark: SparkSession, dir: String): DataFrame = {
+    val lum = col("l_extendedprice") / 1000.0
+    val rad = col("l_quantity")
+    Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Astro.effectiveTemperatureK(lum, rad).as("t_eff_k"),
+        Astro.logEffectiveTemperatureK(log10(lum), log10(rad)).as("log_t_eff"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q17Sql: String =
+    s"""SELECT l_orderkey, l_linenumber,
+      | pow((l_extendedprice/1000.0) / (l_quantity*l_quantity), 0.25) * ${Astro.T_SUN_K} AS t_eff_k,
+      | (log10(l_extendedprice/1000.0) - 2.0*log10(l_quantity)) * 0.25 + log10(${Astro.T_SUN_K}) AS log_t_eff
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q18: bolometric + apparent magnitude (reference: calc/star.py:30
+    * calc_bolometric_magnitude, :38 calc_apparent_magnitude).
+    */
+  def q18Magnitudes(spark: SparkSession, dir: String): DataFrame = {
+    val logL = log10(col("l_extendedprice") / 1000.0)
+    val distPc = col("l_quantity") * 100.0
+    val mBol = Astro.bolometricMagnitude(logL)
+    Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        mBol.as("m_bol"),
+        Astro.apparentMagnitude(mBol, distPc).as("m_app"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q18Sql: String =
+    s"""SELECT l_orderkey, l_linenumber,
+      | m_bol AS m_bol,
+      | m_bol + (log10(l_quantity * 100.0) - 1.0) * 5.0 AS m_app
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber, l_quantity,
+      |    -2.5 * log10(l_extendedprice/1000.0)
+      |      + (-2.5 * log10(${Astro.L_SUN_W} / ${Astro.L_BOL0_W})) AS m_bol
+      |  FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q19: orbital-plane inclination — angle between h = r x v and the
+    * z-axis (reference: calc/binary.py:69 calc_inclination,
+    * collect_inclination_stats.py:25). Clamped acos; radial orbits -> 0.
+    */
+  def q19Inclination(spark: SparkSession, dir: String): DataFrame = {
+    val (rx, ry, rz) = (starMass, starX, col("l_discount") * 10.0)
+    val (vx, vy, vz) =
+      (col("l_tax") * 10.0, col("l_linenumber").cast("double"),
+        col("l_discount") * 100.0 - 5.0)
+    Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Astro.orbitalInclinationRad(rx, ry, rz, vx, vy, vz).as("incl_rad"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q19Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      | CASE WHEN hn < 1e-12 THEN 0.0
+      |   ELSE acos(greatest(-1.0, least(1.0, hz / hn))) END AS incl_rad
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber,
+      |    sqrt(hx*hx + hy*hy + hz*hz) AS hn, hz
+      |  FROM (
+      |    SELECT l_orderkey, l_linenumber,
+      |      ry*vz - rz*vy AS hx, rz*vx - rx*vz AS hy, rx*vy - ry*vx AS hz
+      |    FROM (
+      |      SELECT l_orderkey, l_linenumber,
+      |        l_quantity AS rx, l_extendedprice/1000.0 AS ry, l_discount*10.0 AS rz,
+      |        l_tax*10.0 AS vx, CAST(l_linenumber AS DOUBLE) AS vy,
+      |        l_discount*100.0 - 5.0 AS vz
+      |      FROM lineitem)))
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q20: 3-D distance to the density center, normalized by tidal
+    * radius, membership flags (reference: assembler.py:190-204
+    * dist_dc_pc / dist_dc_scaled / is_in_tidal_radius).
+    */
+  def q20DensityCenterDist(spark: SparkSession, dir: String): DataFrame = {
+    val dist = Astro.distToCenter(starMass, starX, starZ, 25.0, 35.0, 4.0)
+    val rTidal = 20.0
+    Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        dist.as("dist_dc"),
+        (dist / rTidal).as("dist_dc_scaled"),
+        (dist <= rTidal).as("in_r_tidal"),
+        (dist <= 2 * rTidal).as("in_2r_tidal"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q20Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      | d AS dist_dc,
+      | d / 20.0 AS dist_dc_scaled,
+      | d <= 20.0 AS in_r_tidal,
+      | d <= 40.0 AS in_2r_tidal
+      |FROM (
+      |  SELECT l_orderkey, l_linenumber,
+      |    sqrt((l_quantity-25.0)*(l_quantity-25.0)
+      |       + (l_extendedprice/1000.0-35.0)*(l_extendedprice/1000.0-35.0)
+      |       + (l_tax*100.0-4.0)*(l_tax*100.0-4.0)) AS d
+      |  FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_descriptive_stats" -> (q11DescriptiveStats _),
+    "q12_half_mass_radius" -> (q12HalfMassRadius _),
+    "q13_annular_hist" -> (q13AnnularHist _),
+    "q14_photocentric" -> (q14Photocentric _),
+    "q15_log_luminosity_sum" -> (q15LogLuminositySum _),
+    "q16_kepler_semi_axis" -> (q16KeplerSemiAxis _),
+    "q17_effective_temp" -> (q17EffectiveTemp _),
+    "q18_magnitudes" -> (q18Magnitudes _),
+    "q19_inclination" -> (q19Inclination _),
+    "q20_density_center_dist" -> (q20DensityCenterDist _))
+
+  val oracles: Map[String, String] = Map(
+    "q11_descriptive_stats" -> q11Sql,
+    "q12_half_mass_radius" -> q12Sql,
+    "q13_annular_hist" -> q13Sql,
+    "q14_photocentric" -> q14Sql,
+    "q15_log_luminosity_sum" -> q15Sql,
+    "q16_kepler_semi_axis" -> q16Sql,
+    "q17_effective_temp" -> q17Sql,
+    "q18_magnitudes" -> q18Sql,
+    "q19_inclination" -> q19Sql,
+    "q20_density_center_dist" -> q20Sql)
+}
