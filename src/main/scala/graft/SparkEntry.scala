@@ -13,7 +13,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.AstroQueries.queries ++
-      graft.queries.Pipeline.queries
+      graft.queries.Pipeline.queries ++
+      graft.queries.LlmText.queries ++
+      graft.queries.DedupOps.queries ++
+      graft.queries.EmbeddingOps.queries ++
+      graft.queries.SessionOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -21,5 +25,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.AstroQueries.oracles ++
-      graft.queries.Pipeline.oracles
+      graft.queries.Pipeline.oracles ++
+      graft.queries.LlmText.oracles ++
+      graft.queries.DedupOps.oracles ++
+      graft.queries.EmbeddingOps.oracles ++
+      graft.queries.SessionOps.oracles
 }

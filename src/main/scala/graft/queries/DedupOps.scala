@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection operators (SURVEY.md §2 q27–q29).
+  *
+  * The scale architecture (SURVEY §4): never O(N²). Candidates come
+  * from hash buckets — MinHash LSH bands (q27) or rare-shingle blocking
+  * (q29) — and only candidates are verified. Explode happens exactly
+  * where a join needs rows; the signature/fingerprint computation is
+  * map-side array math in the scan stage.
+  *
+  * All hashes are md5-derived (engine-portable); `hash()`/`xxhash64`
+  * would be faster in-Spark but are not reproducible in the oracle.
+  */
+object DedupOps {
+
+  val SHINGLE_N = 5
+  val NUM_HASHES = 16
+  val NUM_BANDS = 4
+  val ROWS_PER_BAND = NUM_HASHES / NUM_BANDS
+  val RARE_DF_MAX = 20
+  val JACCARD_MIN = 0.8
+
+  /** Shared DuckDB fragment: distinct char-5 shingle list per doc. */
+  private val duckShingles =
+    s"list_distinct(list_transform(generate_series(1, length(text) - ${SHINGLE_N - 1}), i -> substr(text, i, $SHINGLE_N)))"
+
+  /** q27: MinHash + LSH banding — 16 md5-seeded min-hashes, 4 bands of
+    * 4; docs sharing any band hash become candidate pairs. One explode
+    * (4 rows/doc), one groupable join key (band_idx, band_hash): at
+    * 100 TB the band join shuffles uniformly distributed 16-byte keys,
+    * never document text.
+    */
+  def q27MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), shingles("text", SHINGLE_N).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), NUM_HASHES))
+    val bands = docs.select(col("doc_id"),
+      posexplode(array((0 until NUM_BANDS).map { b =>
+        md5(concat_ws(",",
+          (0 until ROWS_PER_BAND).map(r =>
+            col("sig").getItem(b * ROWS_PER_BAND + r).cast("string")): _*))
+      }: _*)).as(Seq("band_idx", "band_hash")))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q27Sql: String = {
+    val sigDefs = (0 until NUM_HASHES).map { k =>
+      s"list_min(list_transform(sh, s -> CAST('0x' || substr(md5('$k:' || s), 1, 8) AS BIGINT))) AS s$k"
+    }.mkString(",\n    ")
+    val bandRows = (0 until NUM_BANDS).map { b =>
+      val cc = (0 until ROWS_PER_BAND)
+        .map(r => s"CAST(s${b * ROWS_PER_BAND + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band_idx, md5($cc) AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS (
+      |  SELECT doc_id, $duckShingles AS sh FROM documents),
+      |sig AS (
+      |  SELECT doc_id,
+      |    $sigDefs
+      |  FROM sh),
+      |bands AS (
+      |  $bandRows)
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM bands a JOIN bands b
+      |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      | AND a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** q28: SimHash — 32-bit majority-vote fingerprint over shingle
+    * hashes, plus a 16-bit prefix bucket (the near-dup blocking key a
+    * hamming-distance pass would join on).
+    */
+  def q28Simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), shingles("text", SHINGLE_N).as("sh"))
+      .select(col("doc_id"),
+        transform(col("sh"),
+          s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")).as("hashes"))
+      .select(col("doc_id"),
+        simhash(col("hashes"), 32).as("simhash32"))
+      .withColumn("bucket16", shiftright(col("simhash32"), 16))
+      .orderBy("doc_id")
+
+  val q28Sql: String = {
+    val bitTerms = (0 until 32).map { j =>
+      s"CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h >> $j) & 1)) > len(hashes) THEN ${1L << j} ELSE 0 END"
+    }.mkString("\n   + ")
+    s"""SELECT doc_id, simhash32, simhash32 >> 16 AS bucket16
+      |FROM (
+      |  SELECT doc_id,
+      |   $bitTerms AS simhash32
+      |  FROM (
+      |    SELECT doc_id,
+      |      list_transform($duckShingles,
+      |                     s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hashes
+      |    FROM documents))
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q29: verified n-gram Jaccard duplicates — candidates blocked on
+    * RARE shingles (document frequency <= 20) so the candidate join is
+    * bounded; exact Jaccard verified on the full distinct-shingle sets.
+    * Integer-count division is bit-exact across engines, no rounding.
+    */
+  def q29NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(shingles("text", SHINGLE_N)).as("sh"))
+    val sizes = e.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // shingles are per-doc distinct, so count(*) == document frequency
+    val rareShingles = e.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= RARE_DF_MAX).select("sh")
+    val rare = e.join(rareShingles, "sh").select("doc_id", "sh")
+    val cand = rare.as("ra").join(rare.as("rb"),
+        col("ra.sh") === col("rb.sh") && col("ra.doc_id") < col("rb.doc_id"))
+      .select(col("ra.doc_id").as("doc_a"), col("rb.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(e.as("ea"), col("doc_a") === col("ea.doc_id"))
+      .join(e.as("eb"), col("doc_b") === col("eb.doc_id") && col("ea.sh") === col("eb.sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= JACCARD_MIN)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q29Sql: String =
+    s"""WITH e AS (
+      |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM e GROUP BY doc_id),
+      |rare AS (
+      |  SELECT doc_id, sh FROM e
+      |  WHERE sh IN (SELECT sh FROM e GROUP BY sh
+      |               HAVING count(DISTINCT doc_id) <= $RARE_DF_MAX)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+      |inter AS (
+      |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      |  FROM cand c
+      |  JOIN e ea ON ea.doc_id = c.doc_a
+      |  JOIN e eb ON eb.doc_id = c.doc_b AND eb.sh = ea.sh
+      |  GROUP BY c.doc_a, c.doc_b)
+      |SELECT i.doc_a, i.doc_b, i.n_inter,
+      |  CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+      |FROM inter i
+      |JOIN sizes sa ON sa.doc_id = i.doc_a
+      |JOIN sizes sb ON sb.doc_id = i.doc_b
+      |WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= $JACCARD_MIN
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_minhash_lsh" -> (q27MinhashLsh _),
+    "q28_simhash" -> (q28Simhash _),
+    "q29_ngram_jaccard" -> (q29NgramJaccard _))
+
+  val oracles: Map[String, String] = Map(
+    "q27_minhash_lsh" -> q27Sql,
+    "q28_simhash" -> q28Sql,
+    "q29_ngram_jaccard" -> q29Sql)
+}

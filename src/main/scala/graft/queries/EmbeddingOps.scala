@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity-search operators (SURVEY.md §2 q30–q31).
+  *
+  * q30 is the correctness baseline: brute-force cosine top-k for a
+  * bounded query set (query-set x corpus, never corpus x corpus). q31
+  * is the scale path: random-hyperplane LSH buckets the corpus so each
+  * query only scores its own bucket — at 100 TB the bucket id becomes
+  * the shuffle/partition key and the per-bucket join replaces the full
+  * cross product.
+  *
+  * The dot products are higher-order array folds (zip_with + aggregate)
+  * — codegen'd, no UDF. A custom Catalyst expression with doGenCode is
+  * the planned upgrade (SURVEY §7 step 7).
+  */
+object EmbeddingOps {
+
+  val TOP_K = 5
+  val QUERY_MOD = 50          // vec_id % 50 == 0 -> query set
+  val NUM_PLANES = 4          // hyperplanes per hash table (bucket bits)
+  val NUM_TABLES = 8          // independent hash tables (candidate union)
+
+  /** Cosine similarity between two array<float> columns, accumulated
+    * left-to-right in double (same fold order DuckDB's list functions
+    * use, so oracle-comparable).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def fold(c: Column): Column = aggregate(c, lit(0.0), (acc, x) => acc + x)
+    val dot = fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    val na = fold(transform(a, x => x.cast("double") * x.cast("double")))
+    val nb = fold(transform(b, x => x.cast("double") * x.cast("double")))
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** q30: brute-force cosine top-k — every query vector scored against
+    * the full corpus, rank by similarity. The corpus side broadcasts
+    * the (tiny) query set, so the scan is one pass, no shuffle until
+    * the per-query top-k aggregate.
+    */
+  def q30EmbeddingTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val queries = emb.filter(col("vec_id") % QUERY_MOD === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOP_K)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  val q30Sql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+      |  WHERE vec_id % $QUERY_MOD = 0),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      |  FROM embeddings e, q WHERE e.vec_id != q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id AS neighbor_id
+      |FROM ranked WHERE rank <= $TOP_K
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Deterministic pseudo-random hyperplane weight for (table, plane,
+    * dim): md5-derived value in [-1, 1). Portable, no RNG state — every
+    * executor derives the same planes with zero coordination.
+    */
+  private def planeWeight(table: Int, plane: Int, dim: Column): Column =
+    (conv(substring(md5(concat(lit(s"t${table}p$plane:"), dim.cast("string"))), 1, 6), 16, 10)
+      .cast("long") % 2000L - 1000L).cast("double") / 1000.0
+
+  /** Sign bit of v . w_(table,plane) as 0/1. */
+  private def planeBit(emb: Column, table: Int, plane: Int): Column = {
+    val prods = zip_with(emb,
+      expr(s"sequence(0, size(embedding) - 1)"),
+      (x, i) => x.cast("double") * planeWeight(table, plane, i))
+    val dot = aggregate(prods, lit(0.0), (acc, x) => acc + x)
+    when(dot >= 0.0, lit(1L)).otherwise(lit(0L))
+  }
+
+  /** Bucket id of one hash table: NUM_PLANES sign bits packed. */
+  private def tableBucket(emb: Column, table: Int): Column =
+    (0 until NUM_PLANES).map(p => planeBit(emb, table, p) * (1L << p))
+      .reduce[Column](_ + _)
+
+  /** q31: multi-table random-hyperplane LSH ANN — NUM_TABLES
+    * independent bucket ids per vector (array -> posexplode), queries
+    * join candidates per (table, bucket), the candidate union is scored
+    * once, top-k per query. On near-uniform vectors one table has poor
+    * recall; the table union trades candidate-set size for recall
+    * (~0.8 recall scanning ~40% here; tighter on clustered real data).
+    * Scale: the (table, bucket) key is the shuffle key — uniform by
+    * construction; candidate dedup keys on (query, vec), never O(N^2).
+    * Rows-only driver check (no SQL oracle): the spec validates recall
+    * against exact q30 instead.
+    */
+  def q31LshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+      .withColumn("buckets",
+        array((0 until NUM_TABLES).map(t => tableBucket(col("embedding"), t)): _*))
+    val banded = emb.select(col("vec_id"), col("embedding"),
+      posexplode(col("buckets")).as(Seq("table_id", "bucket")))
+    val queries = banded.filter(col("vec_id") % QUERY_MOD === 0)
+      .select(col("vec_id").as("query_id"), col("table_id").as("q_table"),
+        col("bucket").as("q_bucket"))
+    val cand = banded.join(broadcast(queries),
+        col("table_id") === col("q_table") && col("bucket") === col("q_bucket") &&
+        col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id", "embedding")
+      .dropDuplicates("query_id", "vec_id")
+    val qEmb = Tables(spark, dir).embeddings
+      .filter(col("vec_id") % QUERY_MOD === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = cand.join(broadcast(qEmb), "query_id")
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOP_K)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_embedding_topk" -> (q30EmbeddingTopk _),
+    "q31_lsh_ann" -> (q31LshAnn _))
+
+  val oracles: Map[String, String] = Map(
+    "q30_embedding_topk" -> q30Sql)
+}

@@ -1,0 +1,207 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + exact-dedup + multimodal-metadata operators
+  * (SURVEY.md §2 q26, q32–q36) over the `documents` table.
+  *
+  * These are the map-side passes of a training-data pipeline: at 100 TB
+  * every one of them runs inside the scan stage (no shuffle except the
+  * dedup groupBy), whole-stage-codegen'd, and the dedup groupBy keys on
+  * a content hash so the exchange carries (hash, min-id, count) — not
+  * document bodies.
+  */
+object LlmText {
+
+  /** q26: exact deduplication — group by content md5, keep the minimum
+    * doc_id as the canonical copy. The shuffle carries only hashes and
+    * ids; at 100 TB pair this with a semi-join back to fetch kept rows.
+    */
+  def q26DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), md5(col("text")).as("content_md5"))
+      .groupBy("content_md5")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies", "content_md5")
+      .orderBy("keep_id")
+
+  val q26Sql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS content_md5
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
+  /** q32: heuristic language ID — stopword-frequency scores per
+    * language plus a CJK character check; argmax with a deterministic
+    * tie-break order. (The synthetic corpus shares one vocabulary
+    * across lang labels, so the oracle validates the scoring pipeline,
+    * not classifier accuracy.)
+    */
+  def q32LangId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val sEn = stopwordHits(toks, STOP_EN)
+    val sFr = stopwordHits(toks, STOP_FR)
+    val sDe = stopwordHits(toks, STOP_DE)
+    val sEs = stopwordHits(toks, STOP_ES)
+    val hasCjk = col("text").rlike("[\\x{4e00}-\\x{9fff}]")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang").as("actual_lang"),
+        sEn.as("s_en"), sFr.as("s_fr"), sDe.as("s_de"), sEs.as("s_es"),
+        hasCjk.as("has_cjk"))
+      .withColumn("pred_lang",
+        when(col("has_cjk"), "zh")
+          .when(col("s_en") >= greatest(col("s_fr"), col("s_de"), col("s_es")) && col("s_en") > 0, "en")
+          .when(col("s_fr") >= greatest(col("s_de"), col("s_es")) && col("s_fr") > 0, "fr")
+          .when(col("s_de") >= col("s_es") && col("s_de") > 0, "de")
+          .when(col("s_es") > 0, "es")
+          .otherwise("unknown"))
+      .orderBy("doc_id")
+  }
+
+  val q32Sql: String = {
+    def hits(l: String, words: Seq[String]) =
+      s"len(list_filter(toks, t -> t IN (${inList(words)}))) AS s_$l"
+    s"""SELECT doc_id, actual_lang, s_en, s_fr, s_de, s_es, has_cjk,
+      | CASE WHEN has_cjk THEN 'zh'
+      |      WHEN s_en >= greatest(s_fr, s_de, s_es) AND s_en > 0 THEN 'en'
+      |      WHEN s_fr >= greatest(s_de, s_es) AND s_fr > 0 THEN 'fr'
+      |      WHEN s_de >= s_es AND s_de > 0 THEN 'de'
+      |      WHEN s_es > 0 THEN 'es'
+      |      ELSE 'unknown' END AS pred_lang
+      |FROM (
+      |  SELECT doc_id, lang AS actual_lang,
+      |    ${hits("en", STOP_EN)}, ${hits("fr", STOP_FR)},
+      |    ${hits("de", STOP_DE)}, ${hits("es", STOP_ES)},
+      |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk
+      |  FROM (
+      |    SELECT doc_id, lang, text,
+      |      list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '') AS toks
+      |    FROM documents))
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q33: text quality scoring — length, token stats, punctuation and
+    * stopword ratios, composite score. Integer-ratio doubles are exact
+    * across engines (no rounding needed).
+    */
+  def q33TextQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    val nChar = length(col("text"))
+    val nPunct = nChar - length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", ""))
+    val nStop = stopwordHits(toks, STOP_EN)
+    Tables(spark, dir).documents
+      .select(col("doc_id"), nChar.as("n_char"), nTok.as("n_tok"),
+        nPunct.as("n_punct"), nStop.as("n_stop"))
+      .withColumn("mean_tok_len",
+        (col("n_char") - (col("n_tok") - 1)).cast("double") / col("n_tok"))
+      .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_char"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tok"))
+      .withColumn("quality_ok",
+        col("n_tok") >= 10 && col("punct_ratio") < 0.2 && col("stop_ratio") < 0.9)
+      .orderBy("doc_id")
+  }
+
+  val q33Sql: String =
+    s"""SELECT doc_id, n_char, n_tok, n_punct, n_stop,
+      | CAST(n_char - (n_tok - 1) AS DOUBLE) / n_tok AS mean_tok_len,
+      | CAST(n_punct AS DOUBLE) / n_char AS punct_ratio,
+      | CAST(n_stop AS DOUBLE) / n_tok AS stop_ratio,
+      | (n_tok >= 10 AND CAST(n_punct AS DOUBLE)/n_char < 0.2
+      |  AND CAST(n_stop AS DOUBLE)/n_tok < 0.9) AS quality_ok
+      |FROM (
+      |  SELECT doc_id, length(text) AS n_char,
+      |    len(list_filter(toks, t -> t != '')) AS n_tok,
+      |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS n_punct,
+      |    len(list_filter(toks, t -> t IN (${inList(STOP_EN)}))) AS n_stop
+      |  FROM (
+      |    SELECT *, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '') AS toks
+      |    FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** q34: token counting — whitespace tokens and a BPE-ish regex
+    * segmentation (letter runs / digit runs / single other chars), the
+    * standard pre-tokenizer shape.
+    */
+  def q34TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
+          .as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  val q34Sql: String =
+    """SELECT doc_id,
+      | len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '')) AS n_ws_tokens,
+      | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q35: document fingerprint — polynomial rolling hash over the full
+    * text (mod 1e9+7) plus the md5 anchor; the rolling form is what a
+    * streaming chunker would maintain incrementally.
+    */
+  def q35DocFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        rollingHash("text").as("poly_fp"),
+        md5(col("text")).as("content_md5"))
+      .orderBy("doc_id")
+
+  val q35Sql: String =
+    """SELECT doc_id,
+      | list_reduce(
+      |   list_prepend(CAST(0 AS BIGINT),
+      |     list_transform(generate_series(1, length(text)),
+      |                    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+      |   (acc, c) -> (acc * 31 + c) % 1000000007) AS poly_fp,
+      | md5(text) AS content_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q36: multimodal column plumbing — text bytes as the opaque binary
+    * column with typed metadata; the DECODE step is stubbed with a
+    * deterministic fake (SURVEY §6: no media libs in-container), but
+    * the schema/partition/meta shape is the real one. See
+    * graft.operators.MultimodalStub for the mapPartitions decode path.
+    */
+  def q36MultimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val bytes = col("text").cast("binary")
+    val nBytes = octet_length(col("text"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        md5(bytes).as("content_md5"),
+        nBytes.as("n_bytes"),
+        (nBytes % 3).cast("int").as("media_kind"),
+        (nBytes % 640).cast("int").as("fake_width"),
+        (nBytes % 480).cast("int").as("fake_height"))
+      .orderBy("doc_id")
+  }
+
+  val q36Sql: String =
+    """SELECT doc_id, source, md5(text) AS content_md5,
+      | octet_length(encode(text)) AS n_bytes,
+      | CAST(octet_length(encode(text)) % 3 AS INT) AS media_kind,
+      | CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+      | CAST(octet_length(encode(text)) % 480 AS INT) AS fake_height
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_dedup_exact" -> (q26DedupExact _),
+    "q32_lang_id" -> (q32LangId _),
+    "q33_text_quality" -> (q33TextQuality _),
+    "q34_token_count" -> (q34TokenCount _),
+    "q35_doc_fingerprint" -> (q35DocFingerprint _),
+    "q36_multimodal_meta" -> (q36MultimodalMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "q26_dedup_exact" -> q26Sql,
+    "q32_lang_id" -> q32Sql,
+    "q33_text_quality" -> q33Sql,
+    "q34_token_count" -> q34Sql,
+    "q35_doc_fingerprint" -> q35Sql,
+    "q36_multimodal_meta" -> q36Sql)
+}

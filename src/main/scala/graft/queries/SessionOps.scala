@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators (SURVEY.md §2 q37–q38).
+  *
+  * q37 is classic gap-based sessionization as a batch window pass; q38
+  * runs the SAME tumbling-window aggregation through Structured
+  * Streaming (readStream -> window agg -> memory sink) and returns the
+  * sink table — its oracle is the batch-equivalent SQL, which is the
+  * whole point: stream/batch parity on one logical plan.
+  */
+object SessionOps {
+
+  val GAP_MINUTES = 30
+
+  /** q37: gap-based sessionization — lag per user, new-session flag on
+    * gaps > 30 min, running sum -> session index, then per-session
+    * stats. Two window passes + one aggregate, all on user_id: ONE
+    * shuffle at scale (same key throughout).
+    */
+  def q37EventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    Tables(spark, dir).events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > GAP_MINUTES * 60L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_idx", sum("new_sess").over(cum))
+      .groupBy("user_id", "sess_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+        round(sum("value"), 4).as("sum_value"))
+      .orderBy("user_id", "sess_idx")
+  }
+
+  val q37Sql: String =
+    s"""WITH f AS (
+      |  SELECT *,
+      |    CASE WHEN prev_us IS NULL
+      |           OR epoch_us(ts) - prev_us > ${GAP_MINUTES * 60L * 1000000L}
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM (
+      |    SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                                      ORDER BY ts, event_id) AS prev_us
+      |    FROM events)),
+      |s AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+      |  FROM f)
+      |SELECT user_id, sess_idx, count(*) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end,
+      |  round(sum(value), 4) AS sum_value
+      |FROM s GROUP BY user_id, sess_idx
+      |ORDER BY user_id, sess_idx""".stripMargin
+
+  /** q38: Structured Streaming tumbling-window aggregation — the
+    * events parquet replayed as a stream, 1-hour windows per event
+    * type, complete-mode memory sink. The oracle is the identical
+    * batch aggregation: stream/batch parity is the correctness claim.
+    * At scale this is the same plan with a kafka source + watermark
+    * (see graft.streaming.StreamAgg for the watermarked variant).
+    */
+  def q38StreamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamAgg
+    val sinkName = "q38_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val stream = StreamAgg.hourlyTypeAgg(
+      StreamAgg.parquetStream(spark, s"$dir/events.parquet"))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(sinkName).orderBy("event_type", "win_start")
+  }
+
+  val q38Sql: String =
+    """SELECT event_type,
+      |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+      |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events
+      |GROUP BY event_type, date_trunc('hour', ts)
+      |ORDER BY event_type, win_start""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_events_sessionize" -> (q37EventsSessionize _),
+    "q38_stream_window_agg" -> (q38StreamWindowAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "q37_events_sessionize" -> q37Sql,
+    "q38_stream_window_agg" -> q38Sql)
+}
