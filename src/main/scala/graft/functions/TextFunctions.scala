@@ -32,16 +32,37 @@ object TextFunctions {
   def md5Hash32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
-  /** k-th MinHash signature value: min over shingles of the seeded
-    * 32-bit hash (seed folded in as a "k:" prefix).
-    */
-  def minhashK(shingleArr: Column, k: Int): Column =
-    array_min(transform(shingleArr,
-      s => conv(substring(md5(concat(lit(s"$k:"), s)), 1, 8), 16, 10).cast("long")))
+  /** Mersenne prime modulus for the affine MinHash family. */
+  val MINHASH_P = 2147483647L
 
-  /** Full MinHash signature as an array column of `k` values. */
-  def minhashSignature(shingleArr: Column, k: Int): Column =
-    array((0 until k).map(i => minhashK(shingleArr, i)): _*)
+  /** Deterministic affine-family coefficients (a_k, b_k): md5-derived
+    * on the driver, embedded as literals in the plan AND the SQL
+    * oracle. Universal-family rehashing means ONE md5 per shingle
+    * instead of k — the md5 is the cost at scale, not the affine map.
+    */
+  def minhashCoeff(k: Int): (Long, Long) = {
+    def h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    }
+    (h(s"a:$k") % (MINHASH_P - 1) + 1, h(s"b:$k") % MINHASH_P)
+  }
+
+  /** Base shingle hash array: one md5 per shingle, reduced mod p. */
+  def shingleHashes(shingleArr: Column): Column =
+    transform(shingleArr,
+      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long") % MINHASH_P)
+
+  /** Full MinHash signature over the base hash array: sig_k =
+    * min over h of (a_k*h + b_k) mod p. a_k < p and h < p keeps
+    * a_k*h < 2^62 — no 64-bit overflow in either engine.
+    */
+  def minhashSignature(hashArr: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      val (a, b) = minhashCoeff(i)
+      array_min(transform(hashArr, h => (h * a + b) % MINHASH_P))
+    }: _*)
 
   /** SimHash fingerprint over the distinct-shingle hash array: for each
     * of `bits` bit positions, majority vote (strictly more ones than

@@ -1,0 +1,153 @@
+package graft.plans
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused SimHash fingerprint: text -> long in one pass (shingle
+  * rolling hash + per-bit majority vote). Replaces the HOF pipeline
+  * (shingles -> hashes array -> 32 aggregate() folds), which is
+  * interpreted per element and rescans the array per bit. Same rolling
+  * hash family as MinHashSignature, so the DuckDB oracle shares the
+  * `hs` fragment. Votes run over the shingle MULTISET (no distinct):
+  * repeated shingles legitimately weigh more.
+  */
+case class SimHashFingerprint(child: Expression, shingleN: Int, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_fingerprint"
+
+  private val P = TextFunctions.MINHASH_P
+
+  def compute(s: UTF8String): Long = {
+    val cps = s.toString.codePoints().toArray
+    val m = cps.length - shingleN + 1
+    val ones = new Array[Int](bits)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < shingleN) { h = h * 31L + cps(i + j); j += 1 }
+      h %= P
+      j = 0
+      while (j < bits) {
+        if (((h >> j) & 1L) == 1L) ones(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < bits) {
+      if (2 * ones(j) > m) fp |= 1L << j
+      j += 1
+    }
+    fp
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhashExpr", this, classOf[SimHashFingerprint].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashFingerprint =
+    copy(child = newChild)
+}
+
+object SimHashFingerprint {
+  def apply(text: Column, shingleN: Int, bits: Int): Column =
+    GraftBridge.column(
+      SimHashFingerprint(GraftBridge.expression(text), shingleN, bits))
+}
+
+/** Fused polynomial rolling hash of the whole text, mod 1e9+7 — the
+  * O(n) replacement for the HOF fold, whose substring(text, i, 1)
+  * indexing is O(n) per character (O(n^2) per document) on UTF8String.
+  */
+case class PolyHash(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  def compute(s: UTF8String): Long = {
+    val it = s.toString.codePoints().iterator()
+    var acc = 0L
+    while (it.hasNext) acc = (acc * 31L + it.nextInt()) % 1000000007L
+    acc
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("polyHashExpr", this, classOf[PolyHash].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  def apply(text: Column): Column =
+    GraftBridge.column(PolyHash(GraftBridge.expression(text)))
+}
+
+/** Distinct shingle rolling-hash set: text -> array<long> (one fused
+  * pass + open-address dedup). Long keys shuffle ~6x smaller than the
+  * shingle strings they replace in the q29 candidate/intersection
+  * joins; distinctness makes explode output the per-doc shingle SET.
+  */
+case class ShingleHashSet(child: Expression, shingleN: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hash_set"
+
+  private val P = TextFunctions.MINHASH_P
+
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val m = cps.length - shingleN + 1
+    val seen = new java.util.HashSet[Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](math.max(m, 0))
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < shingleN) { h = h * 31L + cps(i + j); j += 1 }
+      h %= P
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashExpr", this, classOf[ShingleHashSet].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =
+    copy(child = newChild)
+}
+
+object ShingleHashSet {
+  def apply(text: Column, shingleN: Int): Column =
+    GraftBridge.column(ShingleHashSet(GraftBridge.expression(text), shingleN))
+}

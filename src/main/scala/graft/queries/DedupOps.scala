@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * where a join needs rows; the signature/fingerprint computation is
   * map-side array math in the scan stage.
   *
-  * All hashes are md5-derived (engine-portable); `hash()`/`xxhash64`
-  * would be faster in-Spark but are not reproducible in the oracle.
+  * Shingle hashing is a fused native expression (graft.plans.*) using
+  * a polynomial rolling hash mod 2^31-1 — reproducible in DuckDB with
+  * plain arithmetic. Engine-native `hash()`/`xxhash64` would also work
+  * at scale but are not reproducible in the oracle; md5 only survives
+  * where strings must collide exactly (band hashes).
   */
 object DedupOps {
 
@@ -25,10 +28,6 @@ object DedupOps {
   val RARE_DF_MAX = 20
   val JACCARD_MIN = 0.8
 
-  /** Shared DuckDB fragment: distinct char-5 shingle list per doc. */
-  private val duckShingles =
-    s"list_distinct(list_transform(generate_series(1, length(text) - ${SHINGLE_N - 1}), i -> substr(text, i, $SHINGLE_N)))"
-
   /** q27: MinHash + LSH banding — 16 md5-seeded min-hashes, 4 bands of
     * 4; docs sharing any band hash become candidate pairs. One explode
     * (4 rows/doc), one groupable join key (band_idx, band_hash): at
@@ -37,8 +36,8 @@ object DedupOps {
     */
   def q27MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
-      .select(col("doc_id"), shingles("text", SHINGLE_N).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), NUM_HASHES))
+      .select(col("doc_id"),
+        graft.plans.MinHashSignature(col("text"), SHINGLE_N, NUM_HASHES).as("sig"))
     val bands = docs.select(col("doc_id"),
       posexplode(array((0 until NUM_BANDS).map { b =>
         md5(concat_ws(",",
@@ -58,7 +57,8 @@ object DedupOps {
 
   val q27Sql: String = {
     val sigDefs = (0 until NUM_HASHES).map { k =>
-      s"list_min(list_transform(sh, s -> CAST('0x' || substr(md5('$k:' || s), 1, 8) AS BIGINT))) AS s$k"
+      val (a, b) = minhashCoeff(k)
+      s"coalesce(list_min(list_transform(hs, h -> (h * $a + $b) % $MINHASH_P)), $MINHASH_P) AS s$k"
     }.mkString(",\n    ")
     val bandRows = (0 until NUM_BANDS).map { b =>
       val cc = (0 until ROWS_PER_BAND)
@@ -67,7 +67,13 @@ object DedupOps {
       s"SELECT doc_id, $b AS band_idx, md5($cc) AS band_hash FROM sig"
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH sh AS (
-      |  SELECT doc_id, $duckShingles AS sh FROM documents),
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, length(text) - ${SHINGLE_N - 1}),
+      |      i -> list_reduce(
+      |             list_transform(generate_series(i, i + ${SHINGLE_N - 1}),
+      |                            j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
+      |             (a, c) -> a * 31 + c) % $MINHASH_P) AS hs
+      |  FROM documents),
       |sig AS (
       |  SELECT doc_id,
       |    $sigDefs
@@ -82,22 +88,29 @@ object DedupOps {
   }
 
   /** q28: SimHash — 32-bit majority-vote fingerprint over shingle
-    * hashes, plus a 16-bit prefix bucket (the near-dup blocking key a
-    * hamming-distance pass would join on).
+    * rolling hashes (fused native expression; bit 31 of the mod-2^31-1
+    * hash is structurally 0), plus a 16-bit prefix bucket (the near-dup
+    * blocking key a hamming-distance pass would join on).
     */
   def q28Simhash(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
-      .select(col("doc_id"), shingles("text", SHINGLE_N).as("sh"))
       .select(col("doc_id"),
-        transform(col("sh"),
-          s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")).as("hashes"))
-      .select(col("doc_id"),
-        simhash(col("hashes"), 32).as("simhash32"))
+        graft.plans.SimHashFingerprint(col("text"), SHINGLE_N, 32).as("simhash32"))
       .withColumn("bucket16", shiftright(col("simhash32"), 16))
       .orderBy("doc_id")
 
+  /** DuckDB fragment: multiset shingle rolling-hash list (shared by
+    * q27/q28 oracles; mirrors the native expressions' hash family).
+    */
+  private val duckShingleHashes =
+    s"""list_transform(generate_series(1, length(text) - ${SHINGLE_N - 1}),
+      |      i -> list_reduce(
+      |             list_transform(generate_series(i, i + ${SHINGLE_N - 1}),
+      |                            j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
+      |             (a, c) -> a * 31 + c) % ${graft.functions.TextFunctions.MINHASH_P})""".stripMargin
+
   val q28Sql: String = {
-    val bitTerms = (0 until 32).map { j =>
+    val bitTerms = (0 until 31).map { j =>
       s"CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h >> $j) & 1)) > len(hashes) THEN ${1L << j} ELSE 0 END"
     }.mkString("\n   + ")
     s"""SELECT doc_id, simhash32, simhash32 >> 16 AS bucket16
@@ -105,9 +118,7 @@ object DedupOps {
       |  SELECT doc_id,
       |   $bitTerms AS simhash32
       |  FROM (
-      |    SELECT doc_id,
-      |      list_transform($duckShingles,
-      |                     s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hashes
+      |    SELECT doc_id, $duckShingleHashes AS hashes
       |    FROM documents))
       |ORDER BY doc_id""".stripMargin
   }
@@ -118,10 +129,17 @@ object DedupOps {
     * Integer-count division is bit-exact across engines, no rounding.
     */
   def q29NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // One fused pass builds the per-doc shingle hash SET; explode once
+    // and persist — the table feeds four downstream consumers (sizes,
+    // df filter, and both sides of the intersection join). Long keys
+    // shuffle ~6x smaller than shingle strings. At 100 TB this is the
+    // "materialize the exploded posting list once" pattern.
     val e = Tables(spark, dir).documents
-      .select(col("doc_id"), explode(shingles("text", SHINGLE_N)).as("sh"))
+      .select(col("doc_id"),
+        explode(graft.plans.ShingleHashSet(col("text"), SHINGLE_N)).as("sh"))
+      .persist()
     val sizes = e.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // shingles are per-doc distinct, so count(*) == document frequency
+    // shingle sets are per-doc distinct, so count(*) == document frequency
     val rareShingles = e.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= RARE_DF_MAX).select("sh")
     val rare = e.join(rareShingles, "sh").select("doc_id", "sh")
@@ -147,7 +165,8 @@ object DedupOps {
 
   val q29Sql: String =
     s"""WITH e AS (
-      |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents),
+      |  SELECT doc_id, unnest(list_distinct($duckShingleHashes)) AS sh
+      |  FROM documents),
       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM e GROUP BY doc_id),
       |rare AS (
       |  SELECT doc_id, sh FROM e

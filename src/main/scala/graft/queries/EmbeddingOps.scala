@@ -25,17 +25,13 @@ object EmbeddingOps {
   val NUM_PLANES = 4          // hyperplanes per hash table (bucket bits)
   val NUM_TABLES = 8          // independent hash tables (candidate union)
 
-  /** Cosine similarity between two array<float> columns, accumulated
-    * left-to-right in double (same fold order DuckDB's list functions
-    * use, so oracle-comparable).
+  /** Cosine similarity between two array<float> columns: the native
+    * codegen'd Catalyst expression (graft.plans.CosineSimilarity).
+    * Double left-to-right accumulation, same fold order as DuckDB's
+    * list functions — oracle-comparable bit-for-bit.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def fold(c: Column): Column = aggregate(c, lit(0.0), (acc, x) => acc + x)
-    val dot = fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
-    val na = fold(transform(a, x => x.cast("double") * x.cast("double")))
-    val nb = fold(transform(b, x => x.cast("double") * x.cast("double")))
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.CosineSimilarity(a, b)
 
   /** q30: brute-force cosine top-k — every query vector scored against
     * the full corpus, rank by similarity. The corpus side broadcasts
@@ -74,19 +70,30 @@ object EmbeddingOps {
       |FROM ranked WHERE rank <= $TOP_K
       |ORDER BY query_id, rank""".stripMargin
 
-  /** Deterministic pseudo-random hyperplane weight for (table, plane,
-    * dim): md5-derived value in [-1, 1). Portable, no RNG state — every
-    * executor derives the same planes with zero coordination.
+  /** Embedding dimensionality of the corpus (driver test tables). */
+  val EMB_DIM = 64
+
+  /** Deterministic pseudo-random hyperplane for (table, plane):
+    * md5-derived weights in [-1, 1), materialized ONCE on the driver
+    * and embedded as a literal array — constant-folded by Catalyst, so
+    * the per-row work is a single zip_with dot product, not EMB_DIM
+    * md5 calls. No RNG state: every executor (and every rerun) gets
+    * identical planes with zero coordination.
     */
-  private def planeWeight(table: Int, plane: Int, dim: Column): Column =
-    (conv(substring(md5(concat(lit(s"t${table}p$plane:"), dim.cast("string"))), 1, 6), 16, 10)
-      .cast("long") % 2000L - 1000L).cast("double") / 1000.0
+  private def planeWeights(table: Int, plane: Int): Seq[Double] = {
+    def w(d: Int): Double = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t${table}p$plane:$d".getBytes("UTF-8"))
+      val v = ((dig(0) & 0xffL) << 16) | ((dig(1) & 0xffL) << 8) | (dig(2) & 0xffL)
+      ((v % 2000) - 1000).toDouble / 1000.0
+    }
+    (0 until EMB_DIM).map(w)
+  }
 
   /** Sign bit of v . w_(table,plane) as 0/1. */
   private def planeBit(emb: Column, table: Int, plane: Int): Column = {
-    val prods = zip_with(emb,
-      expr(s"sequence(0, size(embedding) - 1)"),
-      (x, i) => x.cast("double") * planeWeight(table, plane, i))
+    val prods = zip_with(emb, typedLit(planeWeights(table, plane)),
+      (x, w) => x.cast("double") * w)
     val dot = aggregate(prods, lit(0.0), (acc, x) => acc + x)
     when(dot >= 0.0, lit(1L)).otherwise(lit(0L))
   }

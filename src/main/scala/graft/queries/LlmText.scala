@@ -148,7 +148,7 @@ object LlmText {
   def q35DocFingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"),
-        rollingHash("text").as("poly_fp"),
+        graft.plans.PolyHash(col("text")).as("poly_fp"),
         md5(col("text")).as("content_md5"))
       .orderBy("doc_id")
 
