@@ -17,12 +17,7 @@ object NBody6Demo {
     val coord =
       if (args.length >= 4) (args(1).toDouble, args(2).toDouble, args(3).toDouble)
       else (100.0, 200.0, 300.0)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.getOrCreate("graft-nbody6-demo")
 
     import graft.pipeline.{PseudoObserver, SnapshotAssembler}
     import graft.sources.NBody6
