@@ -151,3 +151,74 @@ object ShingleHashSet {
   def apply(text: Column, shingleN: Int): Column =
     GraftBridge.column(ShingleHashSet(GraftBridge.expression(text), shingleN))
 }
+
+/** All multi-table LSH bucket ids of an embedding in ONE fused pass
+  * (replaces tables x planes separate zip_with/aggregate folds, which
+  * are interpreted per element). The hyperplane weight matrix is
+  * materialized once on the driver and shipped with the expression;
+  * output is array<long> of length numTables.
+  */
+case class HyperplaneBuckets(
+    child: Expression,
+    weights: Array[Array[Double]],   // [tables*planes][dim]
+    numTables: Int,
+    numPlanes: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  def compute(arr: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val buckets = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < numPlanes) {
+        val w = weights(t * numPlanes + p)
+        var dot = 0.0
+        var i = 0
+        val lim = math.min(n, w.length)
+        while (i < lim) { dot += arr.getFloat(i) * w(i); i += 1 }
+        if (dot >= 0.0) bucket |= 1L << p
+        p += 1
+      }
+      buckets(t) = bucket
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(buckets)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshExpr", this, classOf[HyperplaneBuckets].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+
+  // Array fields break case-class equality; compare on config only
+  // (weights are a pure function of tables/planes/dim derivation).
+  override def equals(o: Any): Boolean = o match {
+    case h: HyperplaneBuckets =>
+      h.child == child && h.numTables == numTables && h.numPlanes == numPlanes
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(numTables), Integer.valueOf(numPlanes))
+}
+
+object HyperplaneBuckets {
+  def apply(emb: Column, weights: Array[Array[Double]],
+            numTables: Int, numPlanes: Int): Column =
+    GraftBridge.column(HyperplaneBuckets(
+      GraftBridge.expression(emb), weights, numTables, numPlanes))
+}

@@ -90,18 +90,16 @@ object EmbeddingOps {
     (0 until EMB_DIM).map(w)
   }
 
-  /** Sign bit of v . w_(table,plane) as 0/1. */
-  private def planeBit(emb: Column, table: Int, plane: Int): Column = {
-    val prods = zip_with(emb, typedLit(planeWeights(table, plane)),
-      (x, w) => x.cast("double") * w)
-    val dot = aggregate(prods, lit(0.0), (acc, x) => acc + x)
-    when(dot >= 0.0, lit(1L)).otherwise(lit(0L))
+  /** All table buckets in one fused native pass (tables x planes
+    * separate HOF folds are interpreted per element; the weight matrix
+    * is driver-materialized and shipped once with the expression).
+    */
+  private def allBuckets(emb: Column): Column = {
+    val weights = Array.tabulate(NUM_TABLES * NUM_PLANES) { i =>
+      planeWeights(i / NUM_PLANES, i % NUM_PLANES).toArray
+    }
+    graft.plans.HyperplaneBuckets(emb, weights, NUM_TABLES, NUM_PLANES)
   }
-
-  /** Bucket id of one hash table: NUM_PLANES sign bits packed. */
-  private def tableBucket(emb: Column, table: Int): Column =
-    (0 until NUM_PLANES).map(p => planeBit(emb, table, p) * (1L << p))
-      .reduce[Column](_ + _)
 
   /** q31: multi-table random-hyperplane LSH ANN — NUM_TABLES
     * independent bucket ids per vector (array -> posexplode), queries
@@ -116,8 +114,7 @@ object EmbeddingOps {
     */
   def q31LshAnn(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-      .withColumn("buckets",
-        array((0 until NUM_TABLES).map(t => tableBucket(col("embedding"), t)): _*))
+      .withColumn("buckets", allBuckets(col("embedding")))
     val banded = emb.select(col("vec_id"), col("embedding"),
       posexplode(col("buckets")).as(Seq("table_id", "bucket")))
     val queries = banded.filter(col("vec_id") % QUERY_MOD === 0)
