@@ -28,7 +28,7 @@ final case class Tables(spark: SparkSession, dir: String) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t("events")
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -92,11 +92,61 @@ object SessionOps {
       |GROUP BY event_type, date_trunc('hour', ts)
       |ORDER BY event_type, win_start""".stripMargin
 
+  /** q39: STATEFUL streaming sessionization — the custom-state
+    * counterpart of q37 via flatMapGroupsWithState (see
+    * graft.streaming.StreamSessionize). With no-data micro-batches
+    * disabled the replay is one batch and no event-time timeout fires,
+    * so the emitted set is exactly "every session except each user's
+    * last" — deterministic and SQL-expressible, which is what makes a
+    * stateful streaming operator oracle-checkable at all.
+    */
+  def q39StreamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{StreamAgg, StreamSessionize}
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
+      .withWatermark("ts", "0 seconds")
+    val sinkName = "q39_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = StreamSessionize.sessionize(stream, GAP_MINUTES)
+      .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(sinkName)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
+        round(col("sum_value"), 4).as("sum_value"))
+      .orderBy("user_id", "start_us")
+  }
+
+  val q39Sql: String =
+    s"""WITH f AS (
+      |  SELECT *,
+      |    CASE WHEN prev_us IS NULL
+      |           OR epoch_us(ts) - prev_us > ${GAP_MINUTES * 60L * 1000000L}
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM (
+      |    SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                                      ORDER BY ts, event_id) AS prev_us
+      |    FROM events)),
+      |s AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+      |  FROM f),
+      |agg AS (
+      |  SELECT user_id, sess_idx, count(*) AS n_events,
+      |    min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+      |    round(sum(value), 4) AS sum_value
+      |  FROM s GROUP BY user_id, sess_idx),
+      |a2 AS (SELECT *, max(sess_idx) OVER (PARTITION BY user_id) AS mx FROM agg)
+      |SELECT user_id, start_us, end_us, n_events, sum_value
+      |FROM a2 WHERE sess_idx < mx
+      |ORDER BY user_id, start_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_events_sessionize" -> (q37EventsSessionize _),
-    "q38_stream_window_agg" -> (q38StreamWindowAgg _))
+    "q38_stream_window_agg" -> (q38StreamWindowAgg _),
+    "q39_stream_sessionize" -> (q39StreamSessionize _))
 
   val oracles: Map[String, String] = Map(
     "q37_events_sessionize" -> q37Sql,
-    "q38_stream_window_agg" -> q38Sql)
+    "q38_stream_window_agg" -> q38Sql,
+    "q39_stream_sessionize" -> q39Sql)
 }

@@ -48,6 +48,6 @@ object StreamAgg {
       }
     }
     spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }
