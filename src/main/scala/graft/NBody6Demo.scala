@@ -35,6 +35,18 @@ object NBody6Demo {
     asm.binaries.select("sim_id", "time", "pair", "semi", "is_top_level",
       "is_multi_system").orderBy("sim_id", "time", "pair").show(8, truncate = false)
 
+    import graft.pipeline.SnapshotStats
+    val stats = SnapshotStats.overallStats(asm)
+    println(s"[demo] overall stats rows=${stats.count()} cols=${stats.columns.length}")
+    stats.select("sim_id", "time", "n_star", "n_binary_star", "total_mass",
+      "mass_median", "within_r_tidal_n_star", "n_binary_system")
+      .orderBy("sim_id", "time").show(4, truncate = false)
+    SnapshotStats.annularStats(asm)
+      .orderBy("sim_id", "time", "dist_key", "radius").show(6, truncate = false)
+    SnapshotStats.timeAlign(
+      stats.select("sim_id", "time", "n_star", "total_mass"), step = 1.0)
+      .orderBy("sim_id", "grid_time").show(6, truncate = false)
+
     val obs = PseudoObserver.observe(asm, coord)
     println(s"[demo] observed stars=${obs.stars.count()} " +
       s"(unresolved merged=${obs.stars.filter(org.apache.spark.sql.functions.col("is_unresolved_binary")).count()})")
