@@ -51,6 +51,17 @@ class RelationalSpec extends SparkSpec {
     assert(df.filter(!col("mono")).count() == 0)
   }
 
+  test("q08 approx distinct tracks exact within 5% (SURVEY: exact + approx)") {
+    // approx_count_distinct is NOT oracle-portable (engine HLLs differ),
+    // so the approx half of the q08 inventory line lives here.
+    val t = Tables(spark, sfDir).lineitem
+    val r = t.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).collect().head
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx $approx vs exact $exact")
+  }
+
   test("q07 returns at most 3 per priority") {
     val df = Relational.q07TopkPerGroup(spark, sfDir)
       .groupBy("o_orderpriority").count()
