@@ -170,6 +170,7 @@ object AstroQueries {
       .select(col("l_orderkey"), col("l_linenumber"),
         Astro.logAdd10(a, b).as("log_l_total"),
         Astro.logEquivalentRadius(a * 0.5, b * 0.5).as("log_r_equiv"))
+      .orderBy("l_orderkey", "l_linenumber")
   }
 
   val q15Sql: String =
@@ -196,6 +197,7 @@ object AstroQueries {
         semi.as("semi_au"),
         Astro.isWideBinary(semi, 80.0).as("is_wide"),
         Astro.isHardBinary(semi, lit(0.002), lit(5.0)).as("is_hard"))
+      .orderBy("l_orderkey", "l_linenumber")
   }
 
   val q16Sql: String =
@@ -223,6 +225,7 @@ object AstroQueries {
       .select(col("l_orderkey"), col("l_linenumber"),
         Astro.effectiveTemperatureK(lum, rad).as("t_eff_k"),
         Astro.logEffectiveTemperatureK(log10(lum), log10(rad)).as("log_t_eff"))
+      .orderBy("l_orderkey", "l_linenumber")
   }
 
   val q17Sql: String =
@@ -242,6 +245,7 @@ object AstroQueries {
       .select(col("l_orderkey"), col("l_linenumber"),
         mBol.as("m_bol"),
         Astro.apparentMagnitude(mBol, distPc).as("m_app"))
+      .orderBy("l_orderkey", "l_linenumber")
   }
 
   val q18Sql: String =
@@ -267,6 +271,7 @@ object AstroQueries {
     Tables(spark, dir).lineitem
       .select(col("l_orderkey"), col("l_linenumber"),
         Astro.orbitalInclinationRad(rx, ry, rz, vx, vy, vz).as("incl_rad"))
+      .orderBy("l_orderkey", "l_linenumber")
   }
 
   val q19Sql: String =
@@ -300,6 +305,7 @@ object AstroQueries {
         (dist / rTidal).as("dist_dc_scaled"),
         (dist <= rTidal).as("in_r_tidal"),
         (dist <= 2 * rTidal).as("in_2r_tidal"))
+      .orderBy("l_orderkey", "l_linenumber")
   }
 
   val q20Sql: String =

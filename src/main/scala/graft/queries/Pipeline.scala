@@ -179,6 +179,7 @@ object Pipeline {
         asin(z / r).as("lat_rad"),
         r.as("dist"),
         ((x * vx + y * vy + z * vz) / r).as("rv"))
+      .orderBy("l_orderkey", "l_linenumber")
   }
 
   val q24Sql: String =

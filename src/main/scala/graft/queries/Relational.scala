@@ -145,6 +145,7 @@ object Relational {
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         row_number().over(w).as("rn"),
         round(sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).as("running_qty"))
+      .orderBy("l_suppkey", "rn")
   }
 
   val q06Sql: String =
