@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.Astro
+import graft.functions.{Astro, Exact}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -19,12 +19,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: every query is groupBy/window on one key — partial
   * aggregation before the shuffle, single exchange, whole-stage codegen
-  * throughout (no UDFs). Rounding policy: multi-row AGGREGATES are
-  * rounded (addition order differs per engine/partitioning) but
-  * per-row scalar math is NOT — identical IEEE ops on identical
-  * inputs are bit-equal across engines, whereas round() itself
-  * differs (Spark HALF_UP on exact BigDecimal vs DuckDB float
-  * multiply) and manufactures mismatches on decimal-ish data.
+  * throughout (no UDFs). Parity policy: multi-row sums/means/stddevs
+  * aggregate in DECIMAL (graft.functions.Exact — order-independent,
+  * engine-proof); per-row scalar math passes through unrounded —
+  * identical IEEE ops on identical inputs are bit-equal across
+  * engines, whereas round() itself differs (Spark HALF_UP on exact
+  * BigDecimal vs DuckDB float multiply) and manufactures mismatches
+  * on decimal-ish data.
   */
 object AstroQueries {
 
@@ -59,8 +60,8 @@ object AstroQueries {
     ranked.groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
-        round(avg("v"), 4).as("mean"),
-        round(stddev_samp(col("v")), 4).as("std"),
+        Exact.meanExact(col("v")).as("mean"),
+        round(Exact.stddevExact(col("v")), 4).as("std"),
         round(min("v"), 4).as("min"),
         round(quantile(0.25), 4).as("q1"),
         round(quantile(0.5), 4).as("median"),
@@ -70,9 +71,9 @@ object AstroQueries {
   }
 
   val q11Sql: String =
-    """SELECT l_returnflag, count(*) AS n,
-      | round(avg(l_extendedprice), 4) AS mean,
-      | round(stddev_samp(l_extendedprice), 4) AS std,
+    s"""SELECT l_returnflag, count(*) AS n,
+      | ${Exact.meanSql("l_extendedprice")} AS mean,
+      | round(${Exact.stddevSql("l_extendedprice")}, 4) AS std,
       | round(min(l_extendedprice), 4) AS min,
       | round(quantile_cont(l_extendedprice, 0.25), 4) AS q1,
       | round(quantile_cont(l_extendedprice, 0.5), 4) AS median,
@@ -93,9 +94,9 @@ object AstroQueries {
     Tables(spark, dir).lineitem
       .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"),
         col("l_linenumber"), starMass.as("mass"))
-      .withColumn("cum_mass", sum("mass").over(wCum))
-      .withColumn("total_mass", sum("mass").over(wAll))
-      .filter(col("cum_mass") >= col("total_mass") / 2.0)
+      .withColumn("cum_mass", sum(Exact.dec(col("mass"))).over(wCum))
+      .withColumn("total_mass", sum(Exact.dec(col("mass"))).over(wAll))
+      .filter(col("cum_mass") * 2 >= col("total_mass"))
       .groupBy("l_returnflag")
       .agg(round(min("l_extendedprice"), 4).as("r_half_mass"))
       .orderBy("l_returnflag")
@@ -104,13 +105,13 @@ object AstroQueries {
   val q12Sql: String =
     """WITH c AS (
       |  SELECT l_returnflag, l_extendedprice,
-      |    sum(l_quantity) OVER (PARTITION BY l_returnflag
+      |    sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_returnflag
       |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_mass,
-      |    sum(l_quantity) OVER (PARTITION BY l_returnflag) AS total_mass
+      |    sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_returnflag) AS total_mass
       |  FROM lineitem)
       |SELECT l_returnflag, round(min(l_extendedprice), 4) AS r_half_mass
-      |FROM c WHERE cum_mass >= total_mass / 2.0
+      |FROM c WHERE cum_mass * 2 >= total_mass
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** q13: annular histogram — integer ceil-ring counts + ring mass
@@ -121,12 +122,12 @@ object AstroQueries {
     Tables(spark, dir).lineitem
       .select(ceil(starX).cast("long").as("ring"), starMass.as("mass"))
       .groupBy("ring")
-      .agg(count(lit(1)).as("n_stars"), round(sum("mass"), 4).as("ring_mass"))
+      .agg(count(lit(1)).as("n_stars"), Exact.sumExact(col("mass")).as("ring_mass"))
       .orderBy("ring")
 
   val q13Sql: String =
-    """SELECT CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS ring,
-      | count(*) AS n_stars, round(sum(l_quantity), 4) AS ring_mass
+    s"""SELECT CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS ring,
+      | count(*) AS n_stars, ${Exact.sumSql("l_quantity")} AS ring_mass
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q14: photocentric merge — luminosity-weighted position of a

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.Astro
+import graft.functions.{Astro, Exact}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -33,22 +33,22 @@ object Pipeline {
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n_all"),
-        round(sum("l_quantity"), 4).as("mass_all"),
-        round(avg("l_extendedprice"), 4).as("mean_pos_all"),
+        Exact.sumExact(col("l_quantity")).as("mass_all"),
+        Exact.meanExact(col("l_extendedprice")).as("mean_pos_all"),
         sum(when(inTid, 1L).otherwise(0L)).as("n_tid"),
-        round(sum(when(inTid, col("l_quantity")).otherwise(0.0)), 4).as("mass_tid"),
-        round(avg(when(inTid, col("l_extendedprice"))), 4).as("mean_pos_tid"))
+        Exact.sumExact(when(inTid, col("l_quantity")).otherwise(0.0)).as("mass_tid"),
+        Exact.meanExact(when(inTid, col("l_extendedprice"))).as("mean_pos_tid"))
       .orderBy("l_returnflag")
   }
 
   val q21Sql: String =
-    """SELECT l_returnflag,
+    s"""SELECT l_returnflag,
       | count(*) AS n_all,
-      | round(sum(l_quantity), 4) AS mass_all,
-      | round(avg(l_extendedprice), 4) AS mean_pos_all,
+      | ${Exact.sumSql("l_quantity")} AS mass_all,
+      | ${Exact.meanSql("l_extendedprice")} AS mean_pos_all,
       | sum(CASE WHEN in_tid THEN 1 ELSE 0 END) AS n_tid,
-      | round(sum(CASE WHEN in_tid THEN l_quantity ELSE 0.0 END), 4) AS mass_tid,
-      | round(avg(CASE WHEN in_tid THEN l_extendedprice END), 4) AS mean_pos_tid
+      | ${Exact.sumSql("CASE WHEN in_tid THEN l_quantity ELSE 0.0 END")} AS mass_tid,
+      | ${Exact.meanSql("CASE WHEN in_tid THEN l_extendedprice END")} AS mean_pos_tid
       |FROM (
       |  SELECT *, sqrt((l_quantity-25.0)*(l_quantity-25.0)
       |    + (l_extendedprice/1000.0-35.0)*(l_extendedprice/1000.0-35.0)

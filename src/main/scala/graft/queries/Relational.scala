@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.Exact
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,9 +15,10 @@ import org.apache.spark.sql.functions._
   * side of joins, and does partial (map-side) aggregation before the
   * shuffle — the properties that keep these plans viable at 100 TB.
   *
-  * Doubles that pass through a commutative aggregation are rounded at
-  * the final projection (addition order differs across engines and
-  * partition counts); raw column values pass through exactly.
+  * Doubles that pass through a commutative aggregation are summed in
+  * DECIMAL (graft.functions.Exact) — order-independent and therefore
+  * identical across engines, partition counts, and thread schedules;
+  * raw column values pass through exactly.
   */
 object Relational {
 
@@ -29,25 +31,25 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 4).as("sum_qty"),
-        round(sum("l_extendedprice"), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
-        round(avg("l_quantity"), 6).as("avg_qty"),
-        round(avg("l_extendedprice"), 6).as("avg_price"),
-        round(avg("l_discount"), 6).as("avg_disc"),
+        Exact.sumExact(col("l_quantity")).as("sum_qty"),
+        Exact.sumExact(col("l_extendedprice")).as("sum_base_price"),
+        Exact.sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        Exact.sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+        Exact.meanExact(col("l_quantity")).as("avg_qty"),
+        Exact.meanExact(col("l_extendedprice")).as("avg_price"),
+        Exact.meanExact(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   val q01Sql: String =
-    """SELECT l_returnflag, l_linestatus,
-      | round(sum(l_quantity), 4) AS sum_qty,
-      | round(sum(l_extendedprice), 4) AS sum_base_price,
-      | round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-      | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
-      | round(avg(l_quantity), 6) AS avg_qty,
-      | round(avg(l_extendedprice), 6) AS avg_price,
-      | round(avg(l_discount), 6) AS avg_disc,
+    s"""SELECT l_returnflag, l_linestatus,
+      | ${Exact.sumSql("l_quantity")} AS sum_qty,
+      | ${Exact.sumSql("l_extendedprice")} AS sum_base_price,
+      | ${Exact.sumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+      | ${Exact.sumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+      | ${Exact.meanSql("l_quantity")} AS avg_qty,
+      | ${Exact.meanSql("l_extendedprice")} AS avg_price,
+      | ${Exact.meanSql("l_discount")} AS avg_disc,
       | count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -81,13 +83,13 @@ object Relational {
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 4).as("revenue"))
+        Exact.sumExact(col("o_totalprice")).as("revenue"))
       .orderBy("r_name", "n_name")
   }
 
   val q03Sql: String =
-    """SELECT r_name, n_name, count(*) AS n_orders,
-      | round(sum(o_totalprice), 4) AS revenue
+    s"""SELECT r_name, n_name, count(*) AS n_orders,
+      | ${Exact.sumSql("o_totalprice")} AS revenue
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -144,14 +146,16 @@ object Relational {
       .select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         row_number().over(w).as("rn"),
-        round(sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4).as("running_qty"))
+        sum(Exact.dec(col("l_quantity")))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("running_qty"))
       .orderBy("l_suppkey", "rn")
   }
 
   val q06Sql: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       | row_number() OVER w AS rn,
-      | round(sum(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
       |FROM lineitem
       |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
       |ORDER BY l_suppkey, rn""".stripMargin
@@ -239,7 +243,7 @@ object Relational {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("n"),
-        round(sum("l_quantity"), 4).as("sum_qty"))
+        Exact.sumExact(col("l_quantity")).as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -247,10 +251,10 @@ object Relational {
       .orderBy("returnflag", "linestatus")
 
   val q10Sql: String =
-    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
       |       coalesce(l_linestatus, 'ALL') AS linestatus,
       |       count(*) AS n,
-      |       round(sum(l_quantity), 4) AS sum_qty
+      |       ${Exact.sumSql("l_quantity")} AS sum_qty
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin

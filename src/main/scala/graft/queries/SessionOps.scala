@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.Exact
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -37,7 +38,7 @@ object SessionOps {
         count(lit(1)).as("n_events"),
         date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
         date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
-        round(sum("value"), 4).as("sum_value"))
+        Exact.sumExact(col("value")).as("sum_value"))
       .orderBy("user_id", "sess_idx")
   }
 
@@ -58,7 +59,7 @@ object SessionOps {
       |SELECT user_id, sess_idx, count(*) AS n_events,
       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
       |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end,
-      |  round(sum(value), 4) AS sum_value
+      |  ${Exact.sumSql("value")} AS sum_value
       |FROM s GROUP BY user_id, sess_idx
       |ORDER BY user_id, sess_idx""".stripMargin
 
@@ -85,9 +86,9 @@ object SessionOps {
   }
 
   val q38Sql: String =
-    """SELECT event_type,
+    s"""SELECT event_type,
       |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
-      |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |  count(*) AS n_events, ${Exact.sumSql("value")} AS sum_value
       |FROM events
       |GROUP BY event_type, date_trunc('hour', ts)
       |ORDER BY event_type, win_start""".stripMargin
@@ -112,7 +113,11 @@ object SessionOps {
     finally q.stop()
     spark.table(sinkName)
       .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"),
-        round(col("sum_value"), 4).as("sum_value"))
+        // The state sums doubles in deterministic (ts-sorted) order; the
+        // true per-session sum of 2 dp values is exactly 2 dp, so the
+        // decimal(18,4) snap collapses any 1-ulp drift to the exact value
+        // the oracle's decimal aggregation produces.
+        Exact.dec(col("sum_value")).cast("double").as("sum_value"))
       .orderBy("user_id", "start_us")
   }
 
@@ -133,7 +138,7 @@ object SessionOps {
       |agg AS (
       |  SELECT user_id, sess_idx, count(*) AS n_events,
       |    min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
-      |    round(sum(value), 4) AS sum_value
+      |    ${Exact.sumSql("value")} AS sum_value
       |  FROM s GROUP BY user_id, sess_idx),
       |a2 AS (SELECT *, max(sess_idx) OVER (PARTITION BY user_id) AS mx FROM agg)
       |SELECT user_id, start_us, end_us, n_events, sum_value

@@ -17,7 +17,8 @@ object StreamAgg {
   def hourlyTypeAgg(events: DataFrame): DataFrame =
     events
       .groupBy(col("event_type"), window(col("ts"), "1 hour"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Exact.sumExact(col("value")).as("sum_value"))
       .select(col("event_type"),
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
         col("n_events"), col("sum_value"))

@@ -20,23 +20,46 @@ import pyarrow.parquet as pq
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+# Tolerance calibrated against the r1 driver gate: per-row
+# transcendentals (q15-q19, q24) differ from DuckDB in the last ulps
+# (Java libm vs C libm, ~1e-16 relative) yet PASSED the driver hash,
+# while the q21 round()-flip (~3e-9 relative) FAILED it. A fixed-format
+# string compare can't express that band (any .Ng has its own rounding
+# boundary that 1-ulp pairs can straddle), so rows are aligned on a
+# sort key and floats compared with relative tolerance 1e-9 — strict
+# enough to catch every real drift class we've seen, loose enough to
+# ignore cross-libm noise. (The old .6g compare let real drift through.)
+REL_TOL = 1e-9
+
+
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    vals.append("nan")
-                else:
-                    vals.append(f"{v:.6g}")
-            else:
-                vals.append(str(v))
-        out.append(tuple(vals))
-    out.sort()
+    out = [tuple(r[i] for i in order) for r in rows]
+
+    def key(row):
+        return tuple(
+            f"{v:.6g}" if isinstance(v, float) and not math.isnan(v)
+            else ("nan" if isinstance(v, float) else str(v))
+            for v in row)
+
+    out.sort(key=key)
     return out
+
+
+def vals_equal(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        if a == b:
+            return True
+        return abs(a - b) <= REL_TOL * max(1.0, abs(a), abs(b))
+    return str(a) == str(b)
+
+
+def rows_equal(g, e):
+    return len(g) == len(e) and all(
+        len(a) == len(b) and all(vals_equal(x, y) for x, y in zip(a, b))
+        for a, b in zip(g, e))
 
 
 def main(out_dir, sf_dir):
@@ -76,8 +99,10 @@ def main(out_dir, sf_dir):
             continue
         g = canon(got_rows, got_cols)
         e = canon(exp_rows, exp_cols)
-        if g != e:
-            bad = [(a, b) for a, b in zip(g, e) if a != b][:3]
+        if not rows_equal(g, e):
+            bad = [(a, b) for a, b in zip(g, e)
+                   if not (len(a) == len(b)
+                           and all(vals_equal(x, y) for x, y in zip(a, b)))][:3]
             print(f"FAIL {name}: value mismatch, first diffs: {bad}")
             n_fail += 1
             continue
