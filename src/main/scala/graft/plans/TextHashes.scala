@@ -27,6 +27,11 @@ case class SimHashFingerprint(child: Expression, shingleN: Int, bits: Int)
   def compute(s: UTF8String): Long = {
     val cps = s.toString.codePoints().toArray
     val m = cps.length - shingleN + 1
+    // Texts shorter than one shingle have no votes: return 0 (matches
+    // the HOF variant and the DuckDB oracle). Without this guard the
+    // vote `2 * ones(j) > m` is vacuously true for negative m and the
+    // fingerprint becomes all-ones.
+    if (m <= 0) return 0L
     val ones = new Array[Int](bits)
     var i = 0
     while (i < m) {
@@ -205,15 +210,24 @@ case class HyperplaneBuckets(
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
     copy(child = newChild)
 
-  // Array fields break case-class equality; compare on config only
-  // (weights are a pure function of tables/planes/dim derivation).
+  // Array fields break case-class equality; compare on config AND a
+  // content digest of the weight matrix — nothing enforces that weights
+  // are a pure function of (tables, planes), and two instances that
+  // compare equal with different planes would let Catalyst's
+  // subexpression elimination silently substitute one for the other.
+  private lazy val weightsDigest: Int = java.util.Arrays.deepHashCode(
+    weights.asInstanceOf[Array[AnyRef]])
   override def equals(o: Any): Boolean = o match {
     case h: HyperplaneBuckets =>
-      h.child == child && h.numTables == numTables && h.numPlanes == numPlanes
+      h.child == child && h.numTables == numTables && h.numPlanes == numPlanes &&
+        h.weightsDigest == weightsDigest &&
+        java.util.Arrays.deepEquals(
+          h.weights.asInstanceOf[Array[AnyRef]], weights.asInstanceOf[Array[AnyRef]])
     case _ => false
   }
   override def hashCode(): Int =
-    java.util.Objects.hash(child, Integer.valueOf(numTables), Integer.valueOf(numPlanes))
+    java.util.Objects.hash(child, Integer.valueOf(numTables),
+      Integer.valueOf(numPlanes), Integer.valueOf(weightsDigest))
 }
 
 object HyperplaneBuckets {
