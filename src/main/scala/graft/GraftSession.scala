@@ -22,6 +22,11 @@ object GraftSession {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // The driver's events table carries parquet TIMESTAMP(NANOS),
+      // which Spark 4's vectorized reader rejects; read nanos as long
+      // session-wide (Tables.events truncates to microseconds). Set
+      // here once instead of mutating conf inside a table accessor.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
 

@@ -21,11 +21,13 @@ final case class Tables(spark: SparkSession, dir: String) {
   def lineitem: DataFrame = t("lineitem")
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and truncate to a microsecond
-    * timestamp (matches DuckDB's ns->us truncation).
+    * reader rejects; the session must set
+    * spark.sql.legacy.parquet.nanosAsLong=true (GraftSession does) so
+    * the scan yields nanos as long, truncated here to a microsecond
+    * timestamp (matches DuckDB's ns->us truncation). The accessor
+    * itself is side-effect-free.
     */
   def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t("events")
     import org.apache.spark.sql.functions._
     raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -147,7 +147,6 @@ object AstroQueries {
       .filter(col("w2").isNotNull)
       .select(col("l_orderkey"),
         Astro.photocentric(col("w1"), col("w2"), col("x1"), col("x2")).as("photo_x"))
-      .orderBy("l_orderkey")
 
   val q14Sql: String =
     """WITH p AS (
@@ -171,7 +170,6 @@ object AstroQueries {
       .select(col("l_orderkey"), col("l_linenumber"),
         Astro.logAdd10(a, b).as("log_l_total"),
         Astro.logEquivalentRadius(a * 0.5, b * 0.5).as("log_r_equiv"))
-      .orderBy("l_orderkey", "l_linenumber")
   }
 
   val q15Sql: String =
@@ -198,7 +196,6 @@ object AstroQueries {
         semi.as("semi_au"),
         Astro.isWideBinary(semi, 80.0).as("is_wide"),
         Astro.isHardBinary(semi, lit(0.002), lit(5.0)).as("is_hard"))
-      .orderBy("l_orderkey", "l_linenumber")
   }
 
   val q16Sql: String =
@@ -226,7 +223,6 @@ object AstroQueries {
       .select(col("l_orderkey"), col("l_linenumber"),
         Astro.effectiveTemperatureK(lum, rad).as("t_eff_k"),
         Astro.logEffectiveTemperatureK(log10(lum), log10(rad)).as("log_t_eff"))
-      .orderBy("l_orderkey", "l_linenumber")
   }
 
   val q17Sql: String =
@@ -246,7 +242,6 @@ object AstroQueries {
       .select(col("l_orderkey"), col("l_linenumber"),
         mBol.as("m_bol"),
         Astro.apparentMagnitude(mBol, distPc).as("m_app"))
-      .orderBy("l_orderkey", "l_linenumber")
   }
 
   val q18Sql: String =
@@ -272,7 +267,6 @@ object AstroQueries {
     Tables(spark, dir).lineitem
       .select(col("l_orderkey"), col("l_linenumber"),
         Astro.orbitalInclinationRad(rx, ry, rz, vx, vy, vz).as("incl_rad"))
-      .orderBy("l_orderkey", "l_linenumber")
   }
 
   val q19Sql: String =
@@ -306,7 +300,6 @@ object AstroQueries {
         (dist / rTidal).as("dist_dc_scaled"),
         (dist <= rTidal).as("in_r_tidal"),
         (dist <= 2 * rTidal).as("in_2r_tidal"))
-      .orderBy("l_orderkey", "l_linenumber")
   }
 
   val q20Sql: String =
@@ -327,13 +320,13 @@ object AstroQueries {
     "q11_descriptive_stats" -> (q11DescriptiveStats _),
     "q12_half_mass_radius" -> (q12HalfMassRadius _),
     "q13_annular_hist" -> (q13AnnularHist _),
-    "q14_photocentric" -> (q14Photocentric _),
-    "q15_log_luminosity_sum" -> (q15LogLuminositySum _),
-    "q16_kepler_semi_axis" -> (q16KeplerSemiAxis _),
-    "q17_effective_temp" -> (q17EffectiveTemp _),
-    "q18_magnitudes" -> (q18Magnitudes _),
-    "q19_inclination" -> (q19Inclination _),
-    "q20_density_center_dist" -> (q20DensityCenterDist _))
+    "q14_photocentric" -> Gate.sorted(q14Photocentric _, "l_orderkey"),
+    "q15_log_luminosity_sum" -> Gate.sorted(q15LogLuminositySum _, "l_orderkey", "l_linenumber"),
+    "q16_kepler_semi_axis" -> Gate.sorted(q16KeplerSemiAxis _, "l_orderkey", "l_linenumber"),
+    "q17_effective_temp" -> Gate.sorted(q17EffectiveTemp _, "l_orderkey", "l_linenumber"),
+    "q18_magnitudes" -> Gate.sorted(q18Magnitudes _, "l_orderkey", "l_linenumber"),
+    "q19_inclination" -> Gate.sorted(q19Inclination _, "l_orderkey", "l_linenumber"),
+    "q20_density_center_dist" -> Gate.sorted(q20DensityCenterDist _, "l_orderkey", "l_linenumber"))
 
   val oracles: Map[String, String] = Map(
     "q11_descriptive_stats" -> q11Sql,

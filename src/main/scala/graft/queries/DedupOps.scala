@@ -152,7 +152,7 @@ object DedupOps {
       .join(e.as("eb"), col("doc_b") === col("eb.doc_id") && col("ea.sh") === col("eb.sh"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
-    inter
+    val out = inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
       .withColumn("jaccard",
@@ -161,6 +161,14 @@ object DedupOps {
       .filter(col("jaccard") >= JACCARD_MIN)
       .select("doc_a", "doc_b", "n_inter", "jaccard")
       .orderBy("doc_a", "doc_b")
+    // The verified-pair output is tiny (blocking bounds candidates), so
+    // pin IT via an eager localCheckpoint and release the big posting
+    // list before returning — a bare persist() here leaked cached
+    // blocks into every later query sharing the session (Bench runs
+    // the whole inventory twice).
+    val pinned = out.localCheckpoint(true)
+    e.unpersist()
+    pinned
   }
 
   val q29Sql: String =

@@ -26,7 +26,6 @@ object LlmText {
       .groupBy("content_md5")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies", "content_md5")
-      .orderBy("keep_id")
 
   val q26Sql: String =
     """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS content_md5
@@ -59,7 +58,6 @@ object LlmText {
           .when(col("s_de") >= col("s_es") && col("s_de") > 0, "de")
           .when(col("s_es") > 0, "es")
           .otherwise("unknown"))
-      .orderBy("doc_id")
   }
 
   val q32Sql: String = {
@@ -103,7 +101,6 @@ object LlmText {
       .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tok"))
       .withColumn("quality_ok",
         col("n_tok") >= 10 && col("punct_ratio") < 0.2 && col("stop_ratio") < 0.9)
-      .orderBy("doc_id")
   }
 
   val q33Sql: String =
@@ -133,7 +130,6 @@ object LlmText {
         size(tokens(col("text"))).as("n_ws_tokens"),
         size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
           .as("n_bpe_tokens"))
-      .orderBy("doc_id")
 
   val q34Sql: String =
     """SELECT doc_id,
@@ -150,7 +146,6 @@ object LlmText {
       .select(col("doc_id"),
         graft.plans.PolyHash(col("text")).as("poly_fp"),
         md5(col("text")).as("content_md5"))
-      .orderBy("doc_id")
 
   val q35Sql: String =
     """SELECT doc_id,
@@ -178,7 +173,6 @@ object LlmText {
         (nBytes % 3).cast("int").as("media_kind"),
         (nBytes % 640).cast("int").as("fake_width"),
         (nBytes % 480).cast("int").as("fake_height"))
-      .orderBy("doc_id")
   }
 
   val q36Sql: String =
@@ -190,12 +184,12 @@ object LlmText {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q26_dedup_exact" -> (q26DedupExact _),
-    "q32_lang_id" -> (q32LangId _),
-    "q33_text_quality" -> (q33TextQuality _),
-    "q34_token_count" -> (q34TokenCount _),
-    "q35_doc_fingerprint" -> (q35DocFingerprint _),
-    "q36_multimodal_meta" -> (q36MultimodalMeta _))
+    "q26_dedup_exact" -> Gate.sorted(q26DedupExact _, "keep_id"),
+    "q32_lang_id" -> Gate.sorted(q32LangId _, "doc_id"),
+    "q33_text_quality" -> Gate.sorted(q33TextQuality _, "doc_id"),
+    "q34_token_count" -> Gate.sorted(q34TokenCount _, "doc_id"),
+    "q35_doc_fingerprint" -> Gate.sorted(q35DocFingerprint _, "doc_id"),
+    "q36_multimodal_meta" -> Gate.sorted(q36MultimodalMeta _, "doc_id"))
 
   val oracles: Map[String, String] = Map(
     "q26_dedup_exact" -> q26Sql,

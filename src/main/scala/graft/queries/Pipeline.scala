@@ -139,7 +139,7 @@ object Pipeline {
       col("l_orderkey"), lit(0).as("obj_id"),
       Astro.photocentric(col("w1"), col("w2"), col("x1"), col("x2")).as("pos"),
       (col("w1") + col("w2")).as("lum"))
-    res1.unionAll(res2).unionAll(merged).orderBy("l_orderkey", "obj_id")
+    res1.unionAll(res2).unionAll(merged)
   }
 
   val q23Sql: String =
@@ -179,7 +179,6 @@ object Pipeline {
         asin(z / r).as("lat_rad"),
         r.as("dist"),
         ((x * vx + y * vy + z * vz) / r).as("rv"))
-      .orderBy("l_orderkey", "l_linenumber")
   }
 
   val q24Sql: String =
@@ -213,7 +212,6 @@ object Pipeline {
           .when(col("bucket") < 85, "val")
           .otherwise("test"))
       .select("c_custkey", "c_mktsegment", "bucket", "split")
-      .orderBy("c_custkey")
 
   val q25Sql: String =
     """SELECT c_custkey, c_mktsegment, bucket,
@@ -228,9 +226,9 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_snapshot_stats" -> (q21SnapshotStats _),
     "q22_timegrid_align" -> (q22TimegridAlign _),
-    "q23_unresolved_merge" -> (q23UnresolvedMerge _),
-    "q24_offset_frame" -> (q24OffsetFrame _),
-    "q25_stratified_split" -> (q25StratifiedSplit _))
+    "q23_unresolved_merge" -> Gate.sorted(q23UnresolvedMerge _, "l_orderkey", "obj_id"),
+    "q24_offset_frame" -> Gate.sorted(q24OffsetFrame _, "l_orderkey", "l_linenumber"),
+    "q25_stratified_split" -> Gate.sorted(q25StratifiedSplit _, "c_custkey"))
 
   val oracles: Map[String, String] = Map(
     "q21_snapshot_stats" -> q21Sql,

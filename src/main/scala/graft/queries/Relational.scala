@@ -63,7 +63,6 @@ object Relational {
     Tables(spark, dir).lineitem
       .filter(col("l_quantity") < 3.0 && col("l_discount") > 0.05)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
 
   val q02Sql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -106,7 +105,6 @@ object Relational {
     t.customer
       .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
       .select("c_custkey", "c_mktsegment", "c_acctbal")
-      .orderBy("c_custkey")
   }
 
   val q04Sql: String =
@@ -125,7 +123,6 @@ object Relational {
     t.customer
       .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_nationkey")
-      .orderBy("c_custkey")
   }
 
   val q05Sql: String =
@@ -149,7 +146,6 @@ object Relational {
         sum(Exact.dec(col("l_quantity")))
           .over(w.rowsBetween(Window.unboundedPreceding, 0))
           .cast("double").as("running_qty"))
-      .orderBy("l_suppkey", "rn")
   }
 
   val q06Sql: String =
@@ -221,7 +217,7 @@ object Relational {
       col("s_suppkey").cast("long").as("party_key"),
       col("s_nationkey").cast("int").as("nation_key"),
       col("s_acctbal").as("acctbal"))
-    c.unionAll(s).orderBy("role", "party_key")
+    c.unionAll(s)
   }
 
   val q09Sql: String =
@@ -261,14 +257,14 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_summary" -> (q01AggSummary _),
-    "q02_filter_project" -> (q02FilterProject _),
+    "q02_filter_project" -> Gate.sorted(q02FilterProject _, "l_orderkey", "l_linenumber"),
     "q03_join_dims" -> (q03JoinDims _),
-    "q04_semi_join" -> (q04SemiJoin _),
-    "q05_anti_join" -> (q05AntiJoin _),
-    "q06_window_running" -> (q06WindowRunning _),
+    "q04_semi_join" -> Gate.sorted(q04SemiJoin _, "c_custkey"),
+    "q05_anti_join" -> Gate.sorted(q05AntiJoin _, "c_custkey"),
+    "q06_window_running" -> Gate.sorted(q06WindowRunning _, "l_suppkey", "rn"),
     "q07_topk_per_group" -> (q07TopkPerGroup _),
     "q08_distinct_count" -> (q08DistinctCount _),
-    "q09_explode_merge" -> (q09ExplodeMerge _),
+    "q09_explode_merge" -> Gate.sorted(q09ExplodeMerge _, "role", "party_key"),
     "q10_rollup_stats" -> (q10RollupStats _))
 
   val oracles: Map[String, String] = Map(

@@ -39,7 +39,6 @@ object SessionOps {
         date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
         date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
         Exact.sumExact(col("value")).as("sum_value"))
-      .orderBy("user_id", "sess_idx")
   }
 
   val q37Sql: String =
@@ -146,7 +145,7 @@ object SessionOps {
       |ORDER BY user_id, start_us""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q37_events_sessionize" -> (q37EventsSessionize _),
+    "q37_events_sessionize" -> Gate.sorted(q37EventsSessionize _, "user_id", "sess_idx"),
     "q38_stream_window_agg" -> (q38StreamWindowAgg _),
     "q39_stream_sessionize" -> (q39StreamSessionize _))
 

@@ -71,6 +71,38 @@ class PlanAuditSpec extends SparkSpec {
       "band join degraded to a non-equi join")
   }
 
+  test("library operators do not embed a global sort (gate sorts live in the adapters)") {
+    import graft.queries.{AstroQueries => A, LlmText => L, Pipeline => P, Relational => R, SessionOps => S}
+    val ops: Seq[(String, DataFrame)] = Seq(
+      "q02" -> R.q02FilterProject(spark, sfDir),
+      "q04" -> R.q04SemiJoin(spark, sfDir),
+      "q05" -> R.q05AntiJoin(spark, sfDir),
+      "q06" -> R.q06WindowRunning(spark, sfDir),
+      "q09" -> R.q09ExplodeMerge(spark, sfDir),
+      "q14" -> A.q14Photocentric(spark, sfDir),
+      "q15" -> A.q15LogLuminositySum(spark, sfDir),
+      "q16" -> A.q16KeplerSemiAxis(spark, sfDir),
+      "q17" -> A.q17EffectiveTemp(spark, sfDir),
+      "q18" -> A.q18Magnitudes(spark, sfDir),
+      "q19" -> A.q19Inclination(spark, sfDir),
+      "q20" -> A.q20DensityCenterDist(spark, sfDir),
+      "q23" -> P.q23UnresolvedMerge(spark, sfDir),
+      "q24" -> P.q24OffsetFrame(spark, sfDir),
+      "q25" -> P.q25StratifiedSplit(spark, sfDir),
+      "q26" -> L.q26DedupExact(spark, sfDir),
+      "q32" -> L.q32LangId(spark, sfDir),
+      "q33" -> L.q33TextQuality(spark, sfDir),
+      "q34" -> L.q34TokenCount(spark, sfDir),
+      "q35" -> L.q35DocFingerprint(spark, sfDir),
+      "q36" -> L.q36MultimodalMeta(spark, sfDir),
+      "q37" -> S.q37EventsSessionize(spark, sfDir))
+    ops.foreach { case (name, df) =>
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(!p.contains("Sort ["),
+        s"$name embeds a global sort — a library caller at 100 TB pays a full range exchange for nothing")
+    }
+  }
+
   test("no query in the inventory plans a cartesian product") {
     SparkEntry.queries.filterNot(_._1 == "q38_stream_window_agg")
       .foreach { case (name, fn) =>
