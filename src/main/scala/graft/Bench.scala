@@ -1,27 +1,67 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main: every SparkEntry query against SPARK_GRAFT_SF_DIR,
+  * one JSON line on stdout.
+  *
+  * Methodology: one untimed warmup pass (JVM/JIT/codegen), then
+  * PASSES timed passes; the reported per-query number is the MEDIAN
+  * (with the min alongside), so one contended-machine outlier can't
+  * masquerade as a regression round-to-round. Failures are reported in
+  * a `failed` list and excluded from the total instead of folding a
+  * near-zero elapsed time into it.
+  */
 object Bench {
+
+  val PASSES = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate("graft-bench")
-    def run(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
-            name: String): Double = {
+
+    // noop sink: forces full evaluation of every output column
+    // (count() would let Catalyst prune projection-only work).
+    def once(fn: (SparkSession, String) => DataFrame): Either[Throwable, Double] = {
       val t0 = System.nanoTime()
-      // noop sink: forces full evaluation of every output column
-      // (count() would let Catalyst prune projection-only work).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable => Left(e) }
     }
+
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // two passes, min per query: first pass absorbs JVM/JIT/codegen
-    // warmup so numbers reflect steady-state throughput.
-    ordered.foreach { case (name, fn) => run(fn, name) }
-    val results = ordered.map { case (name, fn) => name -> run(fn, name) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    ordered.foreach { case (_, fn) => once(fn) }          // warmup
+
+    val samples: Seq[(String, Seq[Either[Throwable, Double]])] =
+      (1 to PASSES).map { _ =>
+        ordered.map { case (name, fn) => name -> once(fn) }
+      }.flatten.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+
+    val ok = samples.collect {
+      case (name, rs) if rs.forall(_.isRight) =>
+        val ts = rs.collect { case Right(t) => t }
+        (name, median(ts), ts.min)
+    }
+    val failed = samples.collect {
+      case (name, rs) if rs.exists(_.isLeft) =>
+        rs.collectFirst { case Left(e) =>
+          System.err.println(s"[bench] $name: $e")
+          name
+        }.get
+    }
+
+    def fmt(pairs: Seq[(String, Double)]): String =
+      pairs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    val qs = fmt(ok.map(t => t._1 -> t._2))
+    val qsMin = fmt(ok.map(t => t._1 -> t._3))
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"failed":$failedJson,"passes":$PASSES,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

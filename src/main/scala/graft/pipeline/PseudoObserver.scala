@@ -202,4 +202,31 @@ object PseudoObserver {
         .unionByName(shape(mergedStars)),
       binaries = binaries)
   }
+
+  /** Observe every snapshot from EVERY coordinate — the reference's
+    * SnapshotSeriesCollection layer (collection.py:84-126
+    * iter_by_coordinate; observer.py observe(coordinates)). Each
+    * coordinate's observation is tagged with the SURVEY §3 partition
+    * column `obs_coord` plus the reference's galactic_x/y/z triple
+    * (collection.py:207-210) and unioned into one table, so downstream
+    * stats group by (obs_coord, sim_id, time) in a single pass instead
+    * of looping coordinates. Scale note: coordinates multiply the data
+    * N_coords times exactly like the reference's per-coordinate series
+    * dict — but here each coordinate's branch shares the one assembled
+    * scan and the union is partition-parallel.
+    */
+  def observeAll(assembled: Assembled,
+                 coords: Seq[(Double, Double, Double)]): Observed = {
+    require(coords.nonEmpty, "observeAll needs at least one coordinate")
+    def tag(df: DataFrame, c: (Double, Double, Double)): DataFrame = df
+      .withColumn("obs_coord", lit(s"${c._1},${c._2},${c._3}"))
+      .withColumn("galactic_x", lit(c._1))
+      .withColumn("galactic_y", lit(c._2))
+      .withColumn("galactic_z", lit(c._3))
+    coords.map { c =>
+      val o = observe(assembled, c)
+      Observed(tag(o.stars, c), tag(o.binaries, c))
+    }.reduce((a, b) => Observed(
+      a.stars.unionByName(b.stars), a.binaries.unionByName(b.binaries)))
+  }
 }

@@ -11,6 +11,22 @@ import org.apache.spark.sql.functions._
   */
 final case class Assembled(stars: DataFrame, binaries: DataFrame, headers: DataFrame)
 
+object Assembled {
+  /** Read back tables written by SnapshotStats.writePartitioned — the
+    * parquet replacement for the reference's pickle round-trip
+    * (snapshot.py:98 to_pickle / :145 from_pickle, SURVEY §6). The
+    * scans are plain partitioned-parquet reads, so sim_id predicates
+    * prune partitions and time predicates prune row groups; every
+    * SnapshotStats/PseudoObserver pass runs on a loaded Assembled
+    * exactly as on a freshly assembled one.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Assembled =
+    Assembled(
+      stars = spark.read.parquet(s"$path/stars"),
+      binaries = spark.read.parquet(s"$path/binaries"),
+      headers = spark.read.parquet(s"$path/headers"))
+}
+
 /** Spark-native snapshot assembly (reference: assembler.py:516
   * _assemble). The reference loops timestamps serially and assembles
   * each snapshot in pandas; here EVERY step is a join/aggregation keyed
@@ -43,17 +59,25 @@ object SnapshotAssembler {
   }
 
   /** Attribute union (reference: assembler.py:110 _build_attr_df):
-    * fort.82 component columns melted to rows, deduped, unioned with
-    * fort.83 singles.
+    * fort.82 component columns melted to rows, deduped with comp1
+    * precedence, unioned with fort.83 singles. The survivor must be
+    * DETERMINISTIC — dropDuplicates keeps an arbitrary row, so a name
+    * appearing in both components with different attribute values would
+    * make the stars table nondeterministic run-to-run; the reference
+    * keeps the first occurrence, i.e. comp1 (assembler.py:115-123).
     */
   def buildAttrs(f82d: DataFrame, f83d: DataFrame): DataFrame = {
     def comp(i: Int) = f82d.select(
       col("sim_id"), col("time"),
       col(s"name$i").as("name"), col(s"mass$i").as("mass"),
       col(s"zlum$i").as("zlum"), col(s"rad$i").as("rad"),
-      col(s"tempe$i").as("tempe"))
+      col(s"tempe$i").as("tempe"), lit(i).as("comp_priority"))
+    val wFirst = Window.partitionBy("sim_id", "time", "name")
+      .orderBy("comp_priority")
     comp(1).unionAll(comp(2))
-      .dropDuplicates("sim_id", "time", "name")
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") === 1)
+      .drop("rn", "comp_priority")
       .unionByName(f83d.select(col("sim_id"), col("time"), col("name"),
         col("mass"), col("zlum"), col("rad"), col("tempe")))
   }

@@ -36,39 +36,66 @@ object SnapshotStats {
     ("within_r_tidal_", "is_within_r_tidal"),
     ("within_2x_r_tidal_", "is_within_2x_r_tidal"))
 
+  private def starAggs: Seq[Column] = MASKS.flatMap { case (pre, m) =>
+    val mask = expr(m)
+    Seq(
+      sum(when(mask, 1L).otherwise(0L)).as(s"${pre}n_star"),
+      sum(when(mask && col("is_binary"), 1L).otherwise(0L)).as(s"${pre}n_binary_star"),
+      sum(when(mask, col("mass")).otherwise(0.0)).as(s"${pre}total_mass")) ++
+      maskedDescriptive("mass", m, pre, "mass")
+  }
+
+  /** Binary-system aggregates; `binTypes` mirrors the reference's
+    * bin_sys_type_cols (snapshot.py:214-222) — assembled tables have
+    * wide/hard, pseudo-observed tables add unresolved.
+    */
+  private def binAggs(binTypes: Seq[String]): Seq[Column] = MASKS.flatMap { case (pre, m) =>
+    val mask = expr(m)
+    (sum(when(mask, 1L).otherwise(0L)).as(s"${pre}n_binary_system") +:
+      binTypes.map(t =>
+        sum(when(mask && col(s"is_${t}_binary_system"), 1L).otherwise(0L))
+          .as(s"${pre}n_${t}_binary_system"))) ++
+      Seq("ecc", "semi", "log_period_days").flatMap(c =>
+        maskedDescriptive(c, m, pre, c))
+  }
+
+  private def overallStatsFrom(
+      stars: DataFrame, binaries: DataFrame, headers: DataFrame,
+      key: Seq[String], binTypes: Seq[String]): DataFrame = {
+    val sa = starAggs
+    val starStats = stars.groupBy(key.map(col): _*).agg(sa.head, sa.tail: _*)
+    val ba = binAggs(binTypes)
+    val binStats = binaries.groupBy(key.map(col): _*).agg(ba.head, ba.tail: _*)
+    starStats.join(binStats, key, "left")
+      .join(headers.select(col("sim_id"), col("time"),
+        col("r_tidal"), col("r_half_mass")), KEY)
+  }
+
   /** Per-snapshot overall statistics with the reference's three mask
     * levels (all / within r_tidal / within 2 r_tidal) computed in ONE
     * pass per table via conditional aggregation — the reference
     * recomputes per mask (snapshot.py:226).
     */
-  def overallStats(assembled: Assembled): DataFrame = {
-    val starAggs: Seq[Column] = MASKS.flatMap { case (pre, m) =>
-      val mask = expr(m)
-      Seq(
-        sum(when(mask, 1L).otherwise(0L)).as(s"${pre}n_star"),
-        sum(when(mask && col("is_binary"), 1L).otherwise(0L)).as(s"${pre}n_binary_star"),
-        sum(when(mask, col("mass")).otherwise(0.0)).as(s"${pre}total_mass")) ++
-        maskedDescriptive("mass", m, pre, "mass")
-    }
-    val starStats = assembled.stars.groupBy(KEY.map(col): _*)
-      .agg(starAggs.head, starAggs.tail: _*)
+  def overallStats(assembled: Assembled): DataFrame =
+    overallStatsFrom(assembled.stars, assembled.binaries, assembled.headers,
+      KEY, Seq("wide", "hard"))
 
-    val binAggs: Seq[Column] = MASKS.flatMap { case (pre, m) =>
-      val mask = expr(m)
-      Seq(sum(when(mask, 1L).otherwise(0L)).as(s"${pre}n_binary_system"),
-        sum(when(mask && col("is_wide_binary_system"), 1L).otherwise(0L))
-          .as(s"${pre}n_wide_binary_system"),
-        sum(when(mask && col("is_hard_binary_system"), 1L).otherwise(0L))
-          .as(s"${pre}n_hard_binary_system")) ++
-        Seq("ecc", "semi", "log_period_days").flatMap(c =>
-          maskedDescriptive(c, m, pre, c))
-    }
-    val binStats = assembled.binaries.groupBy(KEY.map(col): _*)
-      .agg(binAggs.head, binAggs.tail: _*)
-
-    starStats.join(binStats, KEY, "left")
-      .join(assembled.headers.select(col("sim_id"), col("time"),
-        col("r_tidal"), col("r_half_mass")), KEY)
+  /** Overall statistics over PSEUDO-OBSERVED tables (the reference runs
+    * _calc_stats on PseudoObservedSnapshot too, snapshot.py:450):
+    * same mask levels, plus n_unresolved_binary_system counts
+    * (bin_sys_type_cols includes "unresolved", snapshot.py:219). When
+    * the tables came from observeAll, the multi-coordinate key columns
+    * (obs_coord, galactic_x/y/z) join the group key, so one pass
+    * produces the whole collection's statistics table
+    * (collection.py:202 _calc_stats with coordinate columns).
+    */
+  def overallStats(observed: Observed, headers: DataFrame): DataFrame = {
+    val key =
+      if (observed.stars.columns.contains("obs_coord"))
+        Seq("obs_coord", "galactic_x", "galactic_y", "galactic_z") ++ KEY
+      else KEY
+    overallStatsFrom(observed.stars, observed.binaries, headers,
+      key, Seq("wide", "hard", "unresolved"))
   }
 
   /** Integer-ring annular histogram for both normalized distance keys
@@ -156,6 +183,24 @@ object SnapshotStats {
         ignoreNulls = true).over(ff))
       .select((Seq(col("sim_id"), col("grid_time")) ++
         valueCols.filterNot(_ == "grid_time").map(c => col(s"snap.$c").as(c))): _*)
+  }
+
+  /** Per-sim timestamp diagnostics over any (sim_id, time)-keyed table
+    * (reference: calc/summary.py:7 summarize_timestamp_stats,
+    * loader.py:48 — count/min/max/mean-step of the adaptive output
+    * grid, step rounded to 2 dp like the reference). One window + one
+    * aggregate on sim_id.
+    */
+  def timestampStats(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("sim_id").orderBy("time")
+    df.select("sim_id", "time").distinct()
+      .withColumn("d", col("time") - lag("time", 1).over(w))
+      .groupBy("sim_id")
+      .agg(
+        count(lit(1)).as("count"),
+        min("time").as("min"),
+        max("time").as("max"),
+        round(avg("d"), 2).as("step"))
   }
 
   /** Write the assembled tables partitioned by sim_id — the 100 TB

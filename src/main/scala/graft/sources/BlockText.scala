@@ -95,25 +95,32 @@ object BlockText {
       StructField("sim_id", StringType) :: StructField("time", DoubleType) ::
         cfg.data.map(f => StructField(f.name, sparkType(f.kind))).toList)
 
+    def blockTime(h: Array[String]): Double =
+      math.rint(cfg.header.find(_.name == "time")
+        .map(f => convert(h, f).asInstanceOf[Double]).getOrElse(0.0) * 100) / 100
+
     val files = spark.sparkContext.wholeTextFiles(glob)
     val parsed = files.map { case (path, content) =>
       val simId =
         path.stripSuffix("/").split('/').dropRight(1).lastOption.getOrElse("sim")
-      (simId, blocks(content, cfg).toSeq)
+      // Keep only the LAST block per rounded timestamp, like the
+      // reference's overwrite-with-warning (base.py:215-229): a dirty
+      // file with duplicate times would otherwise fan out every
+      // downstream (sim_id, time) join and silently double-count.
+      val byTime =
+        scala.collection.mutable.LinkedHashMap[Double, (Array[String], Seq[Array[String]])]()
+      blocks(content, cfg).foreach(b => byTime(blockTime(b._1)) = b)
+      (simId, byTime.toSeq)
     }
 
     val headerRows = parsed.flatMap { case (simId, bs) =>
-      bs.map { case (h, _) =>
-        val time = math.rint(cfg.header.find(_.name == "time")
-          .map(f => convert(h, f).asInstanceOf[Double]).getOrElse(0.0) * 100) / 100
+      bs.map { case (time, (h, _)) =>
         Row.fromSeq(simId :: time ::
           cfg.header.filter(_.name != "time").map(f => convert(h, f)).toList)
       }
     }
     val dataRows = parsed.flatMap { case (simId, bs) =>
-      bs.flatMap { case (h, rows) =>
-        val time = math.rint(cfg.header.find(_.name == "time")
-          .map(f => convert(h, f).asInstanceOf[Double]).getOrElse(0.0) * 100) / 100
+      bs.flatMap { case (time, (_, rows)) =>
         rows.map(r => Row.fromSeq(simId :: time :: cfg.data.map(f => convert(r, f)).toList))
       }
     }

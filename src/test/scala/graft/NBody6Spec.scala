@@ -226,6 +226,58 @@ class NBody6Spec extends SparkSpec {
     assert(out.stars.filter(col("time") === 25.0).count() == 0)
   }
 
+  test("duplicate block timestamps keep the LAST block (reference overwrite)") {
+    // two OUT34 blocks with the same rounded time but different row data
+    val d = Files.createTempDirectory("nbody6_dupts").resolve("simDup")
+    Files.createDirectories(d)
+    def hdr(t: Double): String = {
+      val tk = Array.fill(28)("0.0"); tk(5) = "2"; tk(7) = t.toString
+      "# " + tk.mkString(" ")
+    }
+    val block1 = Seq(hdr(12.5), "1.0 0 0 0 0 0 0.5 1 1").mkString("\n")
+    val block2 = Seq(hdr(12.5), "9.0 0 0 0 0 0 0.5 1 1", "9.5 0 0 0 0 0 0.6 2 1").mkString("\n")
+    Files.writeString(d.resolve("OUT34"), block1 + "\n" + block2 + "\n")
+    val (h, rows) = NBody6.readOut34(spark, s"${d.getParent}/*/OUT34")
+    assert(h.count() == 1, "duplicate-time header blocks must collapse to one")
+    val xs = rows.select("x").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(xs == Seq(9.0, 9.5), "the surviving block must be the LAST one")
+  }
+
+  test("fort.82 attribute melt keeps comp1 values on conflicting names") {
+    import spark.implicits._
+    // name 7 appears as comp1 of one pair AND comp2 of another, with
+    // different attribute values — the comp1 row must win deterministically
+    val f82d = Seq(
+      ("simA", 12.5, 7L, 8L, 1.0, 1.1, 0.5, 0.6, 0.1, 0.2, 3.7, 3.8),
+      ("simA", 12.5, 9L, 7L, 2.0, 2.2, 0.7, 0.8, 0.3, 0.4, 3.9, 4.0))
+      .toDF("sim_id", "time", "name1", "name2", "mass1", "mass2",
+        "zlum1", "zlum2", "rad1", "rad2", "tempe1", "tempe2")
+    val f83d = Seq.empty[(String, Double, Long, Double, Double, Double, Double)]
+      .toDF("sim_id", "time", "name", "mass", "zlum", "rad", "tempe")
+    val attrs = SnapshotAssembler.buildAttrs(f82d, f83d)
+    val r7 = attrs.filter(col("name") === 7L).collect()
+    assert(r7.length == 1)
+    assert(r7.head.getAs[Double]("mass") == 1.0 &&
+      r7.head.getAs[Double]("zlum") == 0.5,
+      "comp1 occurrence must survive, not comp2's")
+  }
+
+  test("loader validation reports missing and empty files per sim dir") {
+    import graft.sources.Loader
+    val root = Files.createTempDirectory("nbody6_validate")
+    NBody6Fixtures.write(root)                       // two valid sims
+    val bad = root.resolve("simBad")
+    Files.createDirectories(bad)
+    Files.writeString(bad.resolve("OUT34"), "")      // empty
+    // (all other files missing)
+    val problems = Loader.validate(root)
+    assert(!problems.contains("simA") && !problems.contains("simB"))
+    val ps = problems("simBad")
+    assert(ps.contains("empty file: OUT34"))
+    assert(ps.count(_.startsWith("missing file:")) == Loader.REQUIRED_FILES.size - 1)
+    intercept[IllegalStateException](Loader.validate(root, strict = true))
+  }
+
   test("duplicate attribute detection flags doubled names") {
     val (_, f82d) = NBody6.readFort82(spark, s"$root/*/fort.82")
     val (_, f83d) = NBody6.readFort83(spark, s"$root/*/fort.83")

@@ -92,6 +92,41 @@ class ObserverSpec extends SparkSpec {
       Seq("11", "11+12", "5+(11+12)"))
   }
 
+  test("observeAll: per-coordinate slices equal per-call observe, keyed by obs_coord") {
+    val coords = Seq(COORD, (-150.0, 50.0, 80.0))
+    val all = PseudoObserver.observeAll(assembled, coords)
+    assert(Seq("obs_coord", "galactic_x", "galactic_y", "galactic_z")
+      .forall(all.stars.columns.contains))
+    // collect-and-compare with tolerance: a DataFrame exceptAll would
+    // re-execute the heavy observe DAG per direction AND demand
+    // bit-exact doubles across two differently-shaped plans
+    val allRows = all.stars.collect()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => ((r.getAs[String]("sim_id"), r.getAs[Double]("time"),
+        r.getAs[String]("obj_label")), r)).toMap
+    coords.foreach { c =>
+      val tag = s"${c._1},${c._2},${c._3}"
+      val direct = PseudoObserver.observe(assembled, c).stars
+      val dRows = keyed(direct.collect())
+      val sRows = keyed(allRows.filter(_.getAs[String]("obs_coord") == tag))
+      assert(sRows.keySet == dRows.keySet, s"object sets differ for $tag")
+      sRows.foreach { case (k, sr) =>
+        val dr = dRows(k)
+        direct.columns.foreach { cn =>
+          (sr.getAs[Any](cn), dr.getAs[Any](cn)) match {
+            case (a: Double, b: Double) =>
+              assert(a == b || math.abs(a - b) <=
+                1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b))),
+                s"$tag $k $cn: $a != $b")
+            case (a: scala.collection.Seq[_], b: scala.collection.Seq[_]) =>
+              assert(a.toSeq == b.toSeq, s"$tag $k $cn differs")
+            case (a, b) => assert(a == b, s"$tag $k $cn: $a != $b")
+          }
+        }
+      }
+    }
+  }
+
   test("every observed star has finite observables") {
     val bad = observed.stars.filter(
       isnan(col("lon_deg")) || isnan(col("lat_deg")) || isnan(col("dist_pc")) ||

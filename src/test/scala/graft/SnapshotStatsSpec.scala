@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{SnapshotAssembler, SnapshotStats}
+import graft.pipeline.{PseudoObserver, SnapshotAssembler, SnapshotStats}
 import graft.sources.NBody6
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
@@ -37,6 +37,36 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(q == q.sorted)
   }
 
+  test("observed-snapshot stats carry unresolved counts (single coordinate)") {
+    val obs = PseudoObserver.observe(assembled, (100.0, 200.0, 300.0))
+    val s = SnapshotStats.overallStats(obs, assembled.headers)
+    assert(!s.columns.contains("obs_coord"))
+    assert(s.count() == SIMS.size * TIMES.size)
+    val r = s.filter(col("sim_id") === "simA" && col("time") === 12.5).collect().head
+    // at ~374 pc only the tight regularized pair is unresolved (ObserverSpec)
+    assert(r.getAs[Long]("n_unresolved_binary_system") == 1L)
+    assert(r.getAs[Long]("n_binary_system") == 3L)
+    // observed star catalog: 6 singles + 5 resolved members + 1 merged
+    assert(r.getAs[Long]("n_star") == 12L)
+    assert(r.getAs[Long]("within_r_tidal_n_star") <= r.getAs[Long]("n_star"))
+  }
+
+  test("observed-snapshot stats group per coordinate under observeAll") {
+    val coords = Seq((100.0, 200.0, 300.0), (10000.0, 0.0, 0.0))
+    val obs = PseudoObserver.observeAll(assembled, coords)
+    val s = SnapshotStats.overallStats(obs, assembled.headers)
+    assert(s.count() == coords.size * SIMS.size * TIMES.size)
+    def unresolvedAt(tag: String): Long =
+      s.filter(col("obs_coord") === tag &&
+        col("sim_id") === "simA" && col("time") === 12.5)
+        .collect().head.getAs[Long]("n_unresolved_binary_system")
+    val near = unresolvedAt("100.0,200.0,300.0")
+    val far = unresolvedAt("10000.0,0.0,0.0")
+    assert(near == 1L)
+    // moving the observer 27x farther can only blur more systems together
+    assert(far >= near)
+  }
+
   test("annular stats: ring counts per dist key sum to star count") {
     val a = SnapshotStats.annularStats(assembled)
     val sums = a.groupBy("sim_id", "time", "dist_key").agg(sum("n_star").as("n"))
@@ -68,15 +98,50 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(v == 11L)
   }
 
-  test("partitioned write round-trips and prunes partitions") {
+  test("partitioned write round-trips through Assembled.load with pruning") {
+    import graft.pipeline.Assembled
     val out = Files.createTempDirectory("graft_partitioned").toString
     SnapshotStats.writePartitioned(assembled, out)
-    val stars = spark.read.parquet(s"$out/stars")
-    assert(stars.count() == assembled.stars.count())
-    val pruned = stars.filter(col("sim_id") === "simA")
+    val loaded = Assembled.load(spark, out)
+    assert(loaded.stars.count() == assembled.stars.count())
+    assert(loaded.binaries.count() == assembled.binaries.count())
+    assert(loaded.headers.count() == assembled.headers.count())
+    val pruned = loaded.stars.filter(col("sim_id") === "simA")
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("sim_id"),
       "expected partition pruning on sim_id")
     assert(pruned.count() == assembled.stars.filter(col("sim_id") === "simA").count())
+    // stats over the loaded tables == stats over the original tables
+    // (tolerance compare: streaming stddev merges are partition-order
+    // sensitive in the last ulps, so bit-exact exceptAll would flake)
+    val a = SnapshotStats.overallStats(assembled)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select(a.columns.map(col): _*).collect()
+        .map(r => (r.getAs[String]("sim_id"), r.getAs[Double]("time")) -> r).toMap
+    val aRows = keyed(a)
+    val bRows = keyed(SnapshotStats.overallStats(loaded))
+    assert(aRows.keySet == bRows.keySet)
+    aRows.foreach { case (k, ar) =>
+      val br = bRows(k)
+      a.columns.foreach { cn =>
+        (ar.getAs[Any](cn), br.getAs[Any](cn)) match {
+          case (x: Double, y: Double) =>
+            assert(x == y || math.abs(x - y) <=
+              1e-9 * math.max(1.0, math.max(math.abs(x), math.abs(y))),
+              s"$k $cn: $x != $y after round-trip")
+          case (x, y) => assert(x == y, s"$k $cn: $x != $y after round-trip")
+        }
+      }
+    }
+  }
+
+  test("timestamp stats: count/min/max/mean-step per sim") {
+    val ts = SnapshotStats.timestampStats(assembled.headers)
+    assert(ts.count() == SIMS.size)
+    val r = ts.filter(col("sim_id") === "simA").collect().head
+    assert(r.getAs[Long]("count") == TIMES.size.toLong)
+    assert(r.getAs[Double]("min") == TIMES.min)
+    assert(r.getAs[Double]("max") == TIMES.max)
+    assert(r.getAs[Double]("step") == 12.5)   // mean diff of (12.5, 25.0)
   }
 }
