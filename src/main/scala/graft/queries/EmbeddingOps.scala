@@ -199,11 +199,187 @@ object EmbeddingOps {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Similarity threshold for q40 embedding near-dup pairs. */
+  val NEARDUP_MIN_SIM = 0.42
+  /** q41 IVF parameters: coarse cells (deterministic seed centroids =
+    * the first IVF_CELLS corpus vectors) and probed cells per query.
+    * A production index would k-means the centroids; the INDEX SHAPE
+    * (assign -> probe -> exact-verify inside cells) is what scales.
+    */
+  val IVF_CELLS = 8
+  val IVF_PROBES = 2
+
+  /** q40: embedding-cosine NEAR-DUP pairs — the fifth dedup family
+    * (exact/minhash/simhash/ngram are q26-q29): candidate pairs from
+    * the shared hyperplane LSH buckets, exact cosine verification at
+    * NEARDUP_MIN_SIM. The (table, bucket) self-join is an equi-join on
+    * a uniform key — never all-pairs — and verification touches only
+    * bucket-colliding pairs, so the plan survives corpus x corpus at
+    * 100 TB where a threshold scan cannot.
+    */
+  def q40EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+      .withColumn("buckets", allBuckets(col("embedding")))
+    val banded = emb.select(col("vec_id"),
+      posexplode(col("buckets")).as(Seq("table_id", "bucket")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val ea = Tables(spark, dir).embeddings
+      .select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val eb = Tables(spark, dir).embeddings
+      .select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    cand.join(ea, "vec_a").join(eb, "vec_b")
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= NEARDUP_MIN_SIM)
+      .select("vec_a", "vec_b", "sim")
+  }
+
+  /** q40 oracle: same bucket partition replicated from the literal
+    * hyperplanes (see q31Sql), exact cosine verify — candidate-set
+    * parity by construction.
+    */
+  val q40Sql: String = {
+    val planeRows = (for {
+      t <- 0 until NUM_TABLES
+      p <- 0 until NUM_PLANES
+    } yield s"($t, $p, ${planeWeights(t, p).map(_.toString).mkString("[", ", ", "]")})")
+      .mkString(",\n|    ")
+    s"""WITH planes(table_id, plane, wts) AS (
+      |  VALUES $planeRows),
+      |bits AS (
+      |  SELECT e.vec_id, p.table_id, p.plane,
+      |    CASE WHEN list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * p.wts[i])) >= 0
+      |    THEN 1 ELSE 0 END AS bit
+      |  FROM embeddings e CROSS JOIN planes p),
+      |buckets AS (
+      |  SELECT vec_id, table_id, sum(bit << plane) AS bucket
+      |  FROM bits GROUP BY vec_id, table_id),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM buckets a
+      |  JOIN buckets b ON a.table_id = b.table_id AND a.bucket = b.bucket
+      |                AND a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b,
+      |  list_sum(list_transform(generate_series(1, len(ea.embedding)),
+      |    i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      |FROM cand
+      |JOIN embeddings ea ON ea.vec_id = cand.vec_a
+      |JOIN embeddings eb ON eb.vec_id = cand.vec_b
+      |WHERE list_sum(list_transform(generate_series(1, len(ea.embedding)),
+      |    i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= $NEARDUP_MIN_SIM
+      |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** q41: IVF approximate NN — the coarse-quantizer scale path beside
+    * LSH (q31): every vector is assigned to its max-cosine cell
+    * (deterministic argmax via a partial-aggregable max(struct), no
+    * window shuffle over the corpus), queries probe their IVF_PROBES
+    * nearest cells, and only those cells' members are exact-scored.
+    * At 100 TB the cell id is the partition key: assignment is one
+    * broadcast-join scan, the probe join touches |probes|/|cells| of
+    * the corpus, and centroids (a k-means output in production) stay
+    * O(IVF_CELLS * dim) broadcast.
+    */
+  def q41IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val cents = emb.filter(col("vec_id") < IVF_CELLS)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+
+    // cell assignment: argmax cosine, ties to the smaller cent_id
+    val scoredCells = emb.join(broadcast(cents))
+      .withColumn("sim_c", cosine(col("c_emb"), col("embedding")))
+    val assigned = scoredCells
+      .groupBy("vec_id")
+      .agg(
+        max(struct(col("sim_c"), (-col("cent_id")).as("neg_cent"))).as("best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), (-col("best.neg_cent")).cast("long").as("cell"),
+        col("embedding"))
+
+    // query probes: the IVF_PROBES nearest cells per query
+    val probes = scoredCells.filter(col("vec_id") < NUM_QUERIES)
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("sim_c").desc, col("cent_id").asc)))
+      .filter(col("pr") <= IVF_PROBES)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("cell"))
+
+    val cand = assigned.join(broadcast(probes), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+    val qEmb = emb.filter(col("vec_id") < NUM_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = cand.join(broadcast(qEmb), "query_id")
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      // a vector can sit in two probed cells' union only once
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOP_K)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
+  val q41Sql: String =
+    s"""WITH cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
+      |  WHERE vec_id < $IVF_CELLS),
+      |scored_cells AS (
+      |  SELECT e.vec_id, c.cent_id,
+      |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |      i -> CAST(c.c_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(c.c_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim_c
+      |  FROM embeddings e CROSS JOIN cents c),
+      |assigned AS (
+      |  SELECT vec_id, cent_id AS cell FROM (
+      |    SELECT vec_id, cent_id,
+      |      row_number() OVER (PARTITION BY vec_id
+      |                         ORDER BY sim_c DESC, cent_id ASC) AS rn
+      |    FROM scored_cells) WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS query_id, cent_id AS cell FROM (
+      |    SELECT vec_id, cent_id,
+      |      row_number() OVER (PARTITION BY vec_id
+      |                         ORDER BY sim_c DESC, cent_id ASC) AS pr
+      |    FROM scored_cells WHERE vec_id < $NUM_QUERIES) WHERE pr <= $IVF_PROBES),
+      |cand AS (
+      |  SELECT DISTINCT p.query_id, a.vec_id
+      |  FROM probes p JOIN assigned a ON a.cell = p.cell
+      |  WHERE a.vec_id != p.query_id),
+      |scored AS (
+      |  SELECT cand.query_id, cand.vec_id,
+      |    list_sum(list_transform(generate_series(1, len(ce.embedding)),
+      |      i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(ce.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      |  FROM cand
+      |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+      |  JOIN embeddings ce ON ce.vec_id = cand.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id AS neighbor_id
+      |FROM ranked WHERE rank <= $TOP_K
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_embedding_topk" -> (q30EmbeddingTopk _),
-    "q31_lsh_ann" -> (q31LshAnn _))
+    "q31_lsh_ann" -> (q31LshAnn _),
+    "q40_embedding_neardup" -> Gate.sorted(q40EmbeddingNeardup _, "vec_a", "vec_b"),
+    "q41_ivf_ann" -> Gate.sorted(q41IvfAnn _, "query_id", "rank"))
 
   val oracles: Map[String, String] = Map(
     "q30_embedding_topk" -> q30Sql,
-    "q31_lsh_ann" -> q31Sql)
+    "q31_lsh_ann" -> q31Sql,
+    "q40_embedding_neardup" -> q40Sql,
+    "q41_ivf_ann" -> q41Sql)
 }

@@ -6,14 +6,23 @@ import org.apache.spark.sql.functions._
 
 class LlmOpsSpec extends SparkSpec {
 
-  test("every llm query has an oracle (except rows-only q31) and runs non-empty") {
+  test("every llm query has an oracle and runs non-empty") {
     val all = LlmText.queries ++ DedupOps.queries ++ EmbeddingOps.queries ++ SessionOps.queries
     val oracles = LlmText.oracles ++ DedupOps.oracles ++ EmbeddingOps.oracles ++ SessionOps.oracles
     all.foreach { case (name, fn) =>
-      if (name != "q31_lsh_ann")
-        assert(oracles.contains(name), s"$name missing oracle")
+      assert(oracles.contains(name), s"$name missing oracle")
       assert(fn(spark, sfDir).count() > 0, s"$name returned no rows")
     }
+  }
+
+  test("simhash of texts shorter than one shingle is 0, not all-ones") {
+    import spark.implicits._
+    val df = Seq("ab", "", "x", "1234").toDF("text")       // all < SHINGLE_N = 5
+    val fps = df.select(
+      graft.plans.SimHashFingerprint(col("text"), DedupOps.SHINGLE_N, 32).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fps.forall(_ == 0L),
+      "short text must fingerprint to 0 (matches HOF variant and oracle)")
   }
 
   test("q26 keeps one id per content hash and covers all docs") {
@@ -73,6 +82,47 @@ class LlmOpsSpec extends SparkSpec {
     }
     val mean = recalls.sum / recalls.size
     assert(mean > 0.5, f"mean recall@5 $mean%.2f too low for 8-table LSH")
+  }
+
+  test("q40 near-dup pairs are exactly the bucket-colliding pairs above threshold") {
+    val got = EmbeddingOps.q40EmbeddingNeardup(spark, sfDir).collect()
+    assert(got.nonEmpty, "expected some near-dup pairs at the chosen threshold")
+    // every emitted pair really is above threshold with correct exact cosine
+    val emb = Tables(spark, sfDir).embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    got.foreach { r =>
+      val (a, b) = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      assert(a < b, "pairs must be ordered")
+      val sim = cos(emb(a), emb(b))
+      assert(math.abs(sim - r.getAs[Double]("sim")) < 1e-9)
+      assert(sim >= EmbeddingOps.NEARDUP_MIN_SIM)
+    }
+  }
+
+  test("q41 IVF neighbors come from probed cells and rank by true cosine") {
+    val got = EmbeddingOps.q41IvfAnn(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    // per query: ranks are 1..k dense and no self-matches
+    got.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val ranks = rows.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.size), s"ranks not dense for query $q")
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != q))
+    }
+    // IVF recall vs exact top-k: probing 2 of 8 cells must find a
+    // nontrivial share of the true neighbors
+    val exact = EmbeddingOps.q30EmbeddingTopk(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = got.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall > 0.2, s"IVF recall@5 $recall too low")
   }
 
   test("q37 session gaps never exceed threshold inside a session") {
