@@ -100,31 +100,51 @@ object SnapshotStats {
 
   /** Integer-ring annular histogram for both normalized distance keys
     * (reference: snapshot.py:314 — ceil ring ids, rings with stars
-    * only; star/binary-star/single/system counts per ring).
+    * only; star/binary-star/single/system counts per ring; binTypes
+    * mirror bin_sys_type_cols, so observed tables also ring-count
+    * unresolved systems).
     */
-  def annularStats(assembled: Assembled): DataFrame = {
+  private def annularStatsFrom(
+      stars: DataFrame, binaries: DataFrame,
+      key: Seq[String], binTypes: Seq[String]): DataFrame = {
     def ringed(df: DataFrame, distCol: String): DataFrame =
       df.withColumn("dist_key", lit(distCol))
         .withColumn("radius",
           ceil(greatest(col(distCol), lit(0.0))).cast("long"))
+    val sysCols = "n_binary_system" +: binTypes.map(t => s"n_${t}_binary_system")
     def starsFor(distCol: String): DataFrame =
-      ringed(assembled.stars, distCol)
-        .groupBy((KEY ++ Seq("dist_key", "radius")).map(col): _*)
+      ringed(stars, distCol)
+        .groupBy((key ++ Seq("dist_key", "radius")).map(col): _*)
         .agg(count(lit(1)).as("n_star"),
           sum(col("is_binary").cast("long")).as("n_binary_star"))
-    def binsFor(distCol: String): DataFrame =
-      ringed(assembled.binaries, distCol)
-        .groupBy((KEY ++ Seq("dist_key", "radius")).map(col): _*)
-        .agg(count(lit(1)).as("n_binary_system"),
-          sum(col("is_wide_binary_system").cast("long")).as("n_wide_binary_system"),
-          sum(col("is_hard_binary_system").cast("long")).as("n_hard_binary_system"))
-    val keys = KEY ++ Seq("dist_key", "radius")
+    def binsFor(distCol: String): DataFrame = {
+      val aggs = count(lit(1)).as("n_binary_system") +: binTypes.map(t =>
+        sum(col(s"is_${t}_binary_system").cast("long")).as(s"n_${t}_binary_system"))
+      ringed(binaries, distCol)
+        .groupBy((key ++ Seq("dist_key", "radius")).map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    val keys = key ++ Seq("dist_key", "radius")
     Seq("dist_dc_r_tidal", "dist_dc_r_half_mass").map { dc =>
       starsFor(dc).join(binsFor(dc), keys, "left")
-        .na.fill(0L, Seq("n_binary_system", "n_wide_binary_system", "n_hard_binary_system"))
+        .na.fill(0L, sysCols)
     }.reduce(_ unionByName _)
       .withColumn("n_single", col("n_star") - col("n_binary_star"))
       .filter(col("n_star") > 0)
+  }
+
+  def annularStats(assembled: Assembled): DataFrame =
+    annularStatsFrom(assembled.stars, assembled.binaries, KEY, Seq("wide", "hard"))
+
+  /** Annular rings over pseudo-observed tables, incl. unresolved-system
+    * counts; groups per obs_coord when the tables came from observeAll.
+    */
+  def annularStats(observed: Observed): DataFrame = {
+    val key =
+      if (observed.stars.columns.contains("obs_coord")) "obs_coord" +: KEY
+      else KEY
+    annularStatsFrom(observed.stars, observed.binaries,
+      key, Seq("wide", "hard", "unresolved"))
   }
 
   /** Orbital-plane inclinations of binaries whose two sides are atomic

@@ -1,7 +1,17 @@
 package graft.sources
 
 import java.nio.file.{Files, Path}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
+
+/** Cross-file timestamp alignment result: `report` holds one row per
+  * inconsistent (sim_id, rank) — missing files or spread beyond
+  * tolerance; `mapping` holds (sim_id, file, time, ref_time) rewrites
+  * onto the reference file's grid for the aligned ranks.
+  */
+final case class TimestampAlignment(report: DataFrame, mapping: DataFrame)
 
 /** Pre-flight validation of NBODY6 simulation directories (reference:
   * src/nbody6/loader.py:75 _validate_file — every required output file
@@ -50,5 +60,70 @@ object Loader {
           .map { case (sim, ps) => s"  $sim: ${ps.mkString("; ")}" }
           .mkString("\n"))
     problems
+  }
+
+  /** Cross-file timestamp alignment (reference: loader.py:140-200):
+    * the i-th block of every file in a sim must carry the same
+    * timestamp within `tolerance`; the unified value is the reference
+    * file's (OUT34, like the reference). Strict mode = caller asserts
+    * `report` is empty (the reference raises); trim mode = use only
+    * the aligned ranks in `mapping` (ranks where a file is missing a
+    * block or the spread exceeds tolerance are reported, not mapped).
+    *
+    * One shuffle per input on (sim_id, file) for the rank window, one
+    * grouped pass on (sim_id, rank) — scales over sims, exactly like
+    * every other pipeline stage.
+    */
+  def alignTimestamps(
+      headers: Map[String, DataFrame],
+      refFile: String = "OUT34",
+      tolerance: Double = 2e-2): TimestampAlignment = {
+    require(headers.contains(refFile), s"reference file '$refFile' not among inputs")
+    val nFiles = headers.size
+    val tagged = headers.map { case (name, df) =>
+      df.select(col("sim_id"), col("time")).distinct()
+        .withColumn("file", lit(name))
+    }.reduce(_ unionByName _)
+    val ranked = tagged.withColumn("rank", row_number().over(
+      Window.partitionBy("sim_id", "file").orderBy("time")))
+    val perRank = ranked.groupBy("sim_id", "rank").agg(
+      count(lit(1)).as("n_files"),
+      min("time").as("t_min"),
+      max("time").as("t_max"),
+      max(when(col("file") === refFile, col("time"))).as("ref_time"),
+      collect_list(struct(col("file"), col("time"))).as("entries"))
+    val report = perRank.filter(
+      col("n_files") =!= nFiles ||
+        col("t_max") - col("t_min") > tolerance ||
+        col("ref_time").isNull)
+      .withColumn("reason",
+        when(col("n_files") =!= nFiles, "missing_in_some_files")
+          .otherwise("spread_exceeds_tolerance"))
+      .select("sim_id", "rank", "n_files", "t_min", "t_max", "reason")
+    val mapping = perRank.filter(
+      col("n_files") === nFiles &&
+        col("t_max") - col("t_min") <= tolerance &&
+        col("ref_time").isNotNull)
+      .select(col("sim_id"), col("ref_time"),
+        explode(col("entries")).as("e"))
+      .select(col("sim_id"), col("e.file").as("file"),
+        col("e.time").as("time"), col("ref_time"))
+      .filter(col("time") =!= col("ref_time"))
+    TimestampAlignment(report, mapping)
+  }
+
+  /** Rewrite one table's `time` onto the unified grid using the
+    * alignment mapping for its file (reference: parser
+    * update_timestamp calls, loader.py:197-200). Tables already on the
+    * grid pass through unchanged (left join on the sparse mapping).
+    */
+  def applyAlignment(df: DataFrame, mapping: DataFrame, file: String): DataFrame = {
+    val m = mapping.filter(col("file") === file)
+      .select(col("sim_id").as("m_sim_id"), col("time").as("m_time"),
+        col("ref_time"))
+    df.join(broadcast(m),
+        df("sim_id") === col("m_sim_id") && df("time") === col("m_time"), "left")
+      .withColumn("time", coalesce(col("ref_time"), df("time")))
+      .drop("m_sim_id", "m_time", "ref_time")
   }
 }

@@ -278,6 +278,33 @@ class NBody6Spec extends SparkSpec {
     intercept[IllegalStateException](Loader.validate(root, strict = true))
   }
 
+  test("timestamp alignment: strict report + mapping onto OUT34 grid") {
+    import graft.sources.Loader
+    import spark.implicits._
+    val out34 = Seq(("s1", 0.0), ("s1", 12.5), ("s1", 25.0), ("s2", 0.0))
+      .toDF("sim_id", "time")
+    val f19 = Seq(("s1", 0.0), ("s1", 12.51), ("s1", 25.0), ("s2", 0.5))
+      .toDF("sim_id", "time")   // 12.51 within tolerance; s2 0.5 is not
+    val f82 = Seq(("s1", 0.0), ("s1", 12.5), ("s2", 0.0))
+      .toDF("sim_id", "time")   // s1 missing its third block
+    val a = Loader.alignTimestamps(
+      Map("OUT34" -> out34, "fort.19" -> f19, "fort.82" -> f82))
+    val rep = a.report.collect()
+      .map(r => (r.getAs[String]("sim_id"), r.getAs[Int]("rank")) ->
+        r.getAs[String]("reason")).toMap
+    assert(rep == Map(
+      ("s1", 3) -> "missing_in_some_files",
+      ("s2", 1) -> "spread_exceeds_tolerance"))
+    val m = a.mapping.collect()
+    assert(m.length == 1)
+    assert(m.head.getAs[String]("file") == "fort.19" &&
+      m.head.getAs[Double]("time") == 12.51 &&
+      m.head.getAs[Double]("ref_time") == 12.5)
+    val fixed = Loader.applyAlignment(f19, a.mapping, "fort.19")
+    assert(fixed.filter(col("sim_id") === "s1")
+      .select("time").collect().map(_.getDouble(0)).toSet == Set(0.0, 12.5, 25.0))
+  }
+
   test("duplicate attribute detection flags doubled names") {
     val (_, f82d) = NBody6.readFort82(spark, s"$root/*/fort.82")
     val (_, f83d) = NBody6.readFort83(spark, s"$root/*/fort.83")

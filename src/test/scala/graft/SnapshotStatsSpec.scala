@@ -67,6 +67,16 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(far >= near)
   }
 
+  test("annular stats over observed tables count unresolved systems") {
+    val obs = PseudoObserver.observe(assembled, (100.0, 200.0, 300.0))
+    val a = SnapshotStats.annularStats(obs)
+    assert(a.columns.contains("n_unresolved_binary_system"))
+    val tot = a.filter(col("sim_id") === "simA" && col("time") === 12.5 &&
+      col("dist_key") === "dist_dc_r_tidal")
+      .agg(sum("n_unresolved_binary_system")).collect().head.getLong(0)
+    assert(tot == 1L)   // the tight 11+12 pair (ObserverSpec)
+  }
+
   test("annular stats: ring counts per dist key sum to star count") {
     val a = SnapshotStats.annularStats(assembled)
     val sums = a.groupBy("sim_id", "time", "dist_key").agg(sum("n_star").as("n"))
