@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + exact-dedup + multimodal-metadata operators
@@ -183,7 +184,74 @@ object LlmText {
       | CAST(octet_length(encode(text)) % 480 AS INT) AS fake_height
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q42 vocabulary size; q43 chunker geometry (chars). */
+  val VOCAB_TOP_K = 100
+  val CHUNK_SIZE = 200
+  val CHUNK_STRIDE = 150
+
+  /** q42: corpus vocabulary top-k — explode tokens, global counts,
+    * k heaviest hitters with deterministic (count desc, token asc)
+    * ranking. The token count groupBy gets map-side combine, so the
+    * shuffle carries |vocab| partial counts per partition, not corpus
+    * tokens; the final top-k is a single-partition sort of |vocab|
+    * rows (at a real 100 TB vocab, swap the tail for an approximate
+    * heavy-hitters sketch and keep the same contract).
+    */
+  def q42VocabTopk(spark: SparkSession, dir: String): DataFrame = {
+    val counted = Tables(spark, dir).documents
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("token").asc)
+    counted.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= VOCAB_TOP_K)
+      .select("rank", "token", "n")
+  }
+
+  val q42Sql: String =
+    s"""SELECT rank, token, n FROM (
+      |  SELECT token, count(*) AS n,
+      |    row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rank
+      |  FROM (
+      |    SELECT unnest(list_filter(
+      |      regexp_split_to_array(lower(text), '\\s+'), t -> t != '')) AS token
+      |    FROM documents)
+      |  GROUP BY token)
+      |WHERE rank <= $VOCAB_TOP_K
+      |ORDER BY rank""".stripMargin
+
+  /** q43: document chunking — fixed-size sliding chunks (CHUNK_SIZE
+    * chars, CHUNK_STRIDE step, so consecutive chunks overlap by
+    * size-stride) with a content hash per chunk, the standard
+    * pre-training tokenize-and-pack precursor. Pure per-row generator
+    * (sequence + posexplode) inside the scan stage: no shuffle at all
+    * until a consumer aggregates.
+    */
+  def q43DocChunks(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"),
+        explode(expr(
+          s"sequence(0, cast(greatest(ceil(length(text) / $CHUNK_STRIDE.0), 1) as int) - 1)"))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        substring(col("text"), col("chunk_idx") * CHUNK_STRIDE + 1, lit(CHUNK_SIZE)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(col("chunk")).as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+
+  val q43Sql: String =
+    s"""SELECT doc_id, i AS chunk_idx,
+      | length(substr(text, i * $CHUNK_STRIDE + 1, $CHUNK_SIZE)) AS chunk_len,
+      | md5(substr(text, i * $CHUNK_STRIDE + 1, $CHUNK_SIZE)) AS chunk_md5
+      |FROM (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(0,
+      |      CAST(greatest(ceil(length(text) / $CHUNK_STRIDE.0), 1) AS INT) - 1)) AS i
+      |  FROM documents)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_vocab_topk" -> (q42VocabTopk _),
+    "q43_doc_chunks" -> Gate.sorted(q43DocChunks _, "doc_id", "chunk_idx"),
     "q26_dedup_exact" -> Gate.sorted(q26DedupExact _, "keep_id"),
     "q32_lang_id" -> Gate.sorted(q32LangId _, "doc_id"),
     "q33_text_quality" -> Gate.sorted(q33TextQuality _, "doc_id"),
@@ -192,6 +260,8 @@ object LlmText {
     "q36_multimodal_meta" -> Gate.sorted(q36MultimodalMeta _, "doc_id"))
 
   val oracles: Map[String, String] = Map(
+    "q42_vocab_topk" -> q42Sql,
+    "q43_doc_chunks" -> q43Sql,
     "q26_dedup_exact" -> q26Sql,
     "q32_lang_id" -> q32Sql,
     "q33_text_quality" -> q33Sql,
