@@ -31,42 +31,47 @@ final case class BlockConfig(
   */
 object BlockText {
 
-  /** Iterate (headerTokens, dataRows) blocks of one file's content —
+  /** Iterate (headerTokens, dataRows) blocks over a LINE stream —
     * faithful to the reference: blank lines skipped, footer lines
     * skipped, N header lines concatenated, a new header starts the
-    * next block, partial trailing header is an error.
+    * next block, partial trailing header is an error. Incremental: one
+    * block is materialized at a time, so a task never holds a whole
+    * multi-GB file's text (the raw bytes stream straight from the
+    * input; see `read`).
     */
-  def blocks(content: String, cfg: BlockConfig): Iterator[(Array[String], Seq[Array[String]])] = {
-    val lines = content.linesIterator.map(_.trim).filter(_.nonEmpty)
+  def blockIter(raw: Iterator[String], cfg: BlockConfig): Iterator[(Array[String], Seq[Array[String]])] = {
+    val it = raw.map(_.trim).filter(_.nonEmpty)
       .filterNot(l => cfg.footerPrefix.exists(l.startsWith))
-      .toArray
+      .buffered
     def isHeader(l: String): Boolean =
       cfg.headerPrefix.isEmpty || l.startsWith(cfg.headerPrefix)
-    val out = scala.collection.mutable.ArrayBuffer[(Array[String], Seq[Array[String]])]()
-    var i = 0
-    while (i < lines.length) {
-      val headerLines = scala.collection.mutable.ArrayBuffer[String]()
-      while (headerLines.size < cfg.headerLength) {
-        if (i >= lines.length)
-          throw new IllegalArgumentException("Incomplete header at end of file.")
-        val l = lines(i)
-        if (!isHeader(l))
-          throw new IllegalArgumentException(s"Expected a header line, got: '$l'")
-        headerLines += l
-        i += 1
+    new Iterator[(Array[String], Seq[Array[String]])] {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): (Array[String], Seq[Array[String]]) = {
+        val headerLines = scala.collection.mutable.ArrayBuffer[String]()
+        while (headerLines.size < cfg.headerLength) {
+          if (!it.hasNext)
+            throw new IllegalArgumentException("Incomplete header at end of file.")
+          val l = it.next()
+          if (!isHeader(l))
+            throw new IllegalArgumentException(s"Expected a header line, got: '$l'")
+          headerLines += l
+        }
+        val dataRows = scala.collection.mutable.ArrayBuffer[Array[String]]()
+        // empty prefix (densCentre): every line is a header -> no data rows
+        while (it.hasNext && !isHeader(it.head)) {
+          dataRows += it.next().split("\\s+")
+        }
+        val headerTokens = headerLines.toArray
+          .flatMap(_.stripPrefix(cfg.headerPrefix).trim.split("\\s+"))
+        (headerTokens, dataRows.toSeq)
       }
-      val dataRows = scala.collection.mutable.ArrayBuffer[Array[String]]()
-      // empty prefix (densCentre): every line is a header -> no data rows
-      while (i < lines.length && !isHeader(lines(i))) {
-        dataRows += lines(i).split("\\s+")
-        i += 1
-      }
-      val headerTokens = headerLines.toArray
-        .flatMap(_.stripPrefix(cfg.headerPrefix).trim.split("\\s+"))
-      out += ((headerTokens, dataRows.toSeq))
     }
-    out.iterator
   }
+
+  /** Blocks of one in-memory string (test/fixture convenience). */
+  def blocks(content: String, cfg: BlockConfig): Iterator[(Array[String], Seq[Array[String]])] =
+    blockIter(content.linesIterator, cfg)
 
   private def sparkType(kind: String): DataType = kind match {
     case "double" => DoubleType
@@ -99,8 +104,14 @@ object BlockText {
       math.rint(cfg.header.find(_.name == "time")
         .map(f => convert(h, f).asInstanceOf[Double]).getOrElse(0.0) * 100) / 100
 
-    val files = spark.sparkContext.wholeTextFiles(glob)
-    val parsed = files.map { case (path, content) =>
+    // binaryFiles streams bytes instead of materializing each file as
+    // one String (wholeTextFiles): with the incremental blockIter a
+    // task's footprint is one PARSED block set, not 2x the raw text —
+    // the robust shape for an occasional multi-GB run file. The
+    // parallel unit stays the file, so block boundaries never straddle
+    // a split.
+    val files = spark.sparkContext.binaryFiles(glob)
+    val parsed = files.map { case (path, pds) =>
       val simId =
         path.stripSuffix("/").split('/').dropRight(1).lastOption.getOrElse("sim")
       // Keep only the LAST block per rounded timestamp, like the
@@ -109,7 +120,13 @@ object BlockText {
       // downstream (sim_id, time) join and silently double-count.
       val byTime =
         scala.collection.mutable.LinkedHashMap[Double, (Array[String], Seq[Array[String]])]()
-      blocks(content, cfg).foreach(b => byTime(blockTime(b._1)) = b)
+      val in = pds.open()
+      try {
+        val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+          in, java.nio.charset.StandardCharsets.UTF_8))
+        val lines = Iterator.continually(reader.readLine()).takeWhile(_ != null)
+        blockIter(lines, cfg).foreach(b => byTime(blockTime(b._1)) = b)
+      } finally in.close()
       (simId, byTime.toSeq)
     }
 

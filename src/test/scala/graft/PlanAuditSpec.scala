@@ -65,6 +65,24 @@ class PlanAuditSpec extends SparkSpec {
       "native CosineSimilarity expression missing from plan")
   }
 
+  test("q40: bucket self-join and embedding fetches stay equi-joins") {
+    val p = plan(graft.queries.EmbeddingOps.q40EmbeddingNeardup(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "near-dup candidate generation degraded to a non-equi join")
+  }
+
+  test("q41: centroids broadcast for assignment; candidates join on the cell key") {
+    val p = plan(graft.queries.EmbeddingOps.q41IvfAnn(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroid table should broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q42: token counts aggregate partially before the exchange") {
+    val p = executedPlan(graft.queries.LlmText.q42VocabTopk(spark, sfDir))
+    assert(p.contains("partial_"), "expected map-side combine on token counts")
+  }
+
   test("q27: band join is an equi-join (hash or sort-merge), never cartesian") {
     val p = plan(graft.queries.DedupOps.q27MinhashLsh(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
