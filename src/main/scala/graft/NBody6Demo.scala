@@ -53,6 +53,27 @@ object NBody6Demo {
     obs.stars.select("sim_id", "time", "obj_label", "is_binary",
       "is_unresolved_binary", "lon_deg", "lat_deg", "dist_pc", "rv_kms")
       .orderBy("sim_id", "time", "obj_label").show(8, truncate = false)
+
+    // pre-flight + diagnostics (reference loader surface)
+    import graft.sources.Loader
+    val problems = Loader.validate(java.nio.file.Paths.get(root))
+    println(s"[demo] sim-dir validation problems: $problems")
+    SnapshotStats.timestampStats(asm.headers).orderBy("sim_id")
+      .show(4, truncate = false)
+
+    // multi-coordinate collection: stats per observer coordinate
+    val all = PseudoObserver.observeAll(asm,
+      Seq(coord, (coord._1 * 10, coord._2 * 10, coord._3 * 10)))
+    SnapshotStats.overallStats(all, asm.headers)
+      .select("obs_coord", "sim_id", "time", "n_star",
+        "n_binary_system", "n_unresolved_binary_system")
+      .orderBy("obs_coord", "sim_id", "time").show(8, truncate = false)
+
+    // parquet round-trip: write partitioned, load, same stats
+    val tmp = java.nio.file.Files.createTempDirectory("graft_demo_rt").toString
+    SnapshotStats.writePartitioned(asm, tmp)
+    val loaded = graft.pipeline.Assembled.load(spark, tmp)
+    println(s"[demo] round-trip stars=${loaded.stars.count()} (== ${asm.stars.count()})")
     spark.stop()
   }
 }

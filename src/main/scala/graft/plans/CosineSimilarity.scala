@@ -77,12 +77,39 @@ object CosineSimilarity {
 /** Session extension registering graft's native functions for SQL use:
   * `spark.sql.extensions=graft.plans.GraftExtensions` or
   * `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  *
+  * SQL surface: cosine_similarity(a, b), poly_hash(text),
+  * shingle_hash_set(text, n), simhash_fingerprint(text, n, bits),
+  * minhash_signature(text, n, k) — the int parameters must be
+  * literals (they size driver-materialized state).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("cosine_similarity"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    def reg(name: String, clazz: Class[_])(b: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (children: Seq[Expression]) => b(children)))
+
+    reg("cosine_similarity", classOf[CosineSimilarity]) { c =>
+      CosineSimilarity(c(0), c(1))
+    }
+    reg("poly_hash", classOf[PolyHash])(c => PolyHash(c.head))
+    reg("shingle_hash_set", classOf[ShingleHashSet]) { c =>
+      ShingleHashSet(c(0), intLit(c(1), "shingle size"))
+    }
+    reg("simhash_fingerprint", classOf[SimHashFingerprint]) { c =>
+      SimHashFingerprint(c(0), intLit(c(1), "shingle size"), intLit(c(2), "bits"))
+    }
+    reg("minhash_signature", classOf[MinHashSignature]) { c =>
+      MinHashSignature(c(0), intLit(c(1), "shingle size"), intLit(c(2), "num hashes"))
+    }
   }
 }

@@ -130,12 +130,25 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
-  test("cosine_similarity is registered as a SQL function via extensions") {
+  test("native expressions are registered as SQL functions via extensions") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
     df.createOrReplaceTempView("cosreg_probe")
     val sim = spark.sql("SELECT cosine_similarity(a, b) AS s FROM cosreg_probe")
       .collect().head.getDouble(0)
     assert(math.abs(sim - 1.0) < 1e-12)
+    Seq("hello world of spark").toDF("text").createOrReplaceTempView("txt_probe")
+    val r = spark.sql(
+      """SELECT poly_hash(text) AS ph,
+        |  size(shingle_hash_set(text, 5)) AS nsh,
+        |  simhash_fingerprint(text, 5, 32) AS sh,
+        |  size(minhash_signature(text, 5, 16)) AS nmh
+        |FROM txt_probe""".stripMargin).collect().head
+    assert(r.getAs[Long]("ph") > 0L)
+    assert(r.getAs[Int]("nsh") > 0 && r.getAs[Int]("nmh") == 16)
+    assert(r.getAs[Long]("sh") != 0L)
+    // non-literal size parameters are rejected, not silently mis-planned
+    intercept[Exception](spark.sql(
+      "SELECT simhash_fingerprint(text, length(text), 32) FROM txt_probe").collect())
   }
 }
