@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.LlmText.queries ++
       graft.queries.DedupOps.queries ++
       graft.queries.EmbeddingOps.queries ++
-      graft.queries.SessionOps.queries
+      graft.queries.SessionOps.queries ++
+      graft.queries.JoinOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.LlmText.oracles ++
       graft.queries.DedupOps.oracles ++
       graft.queries.EmbeddingOps.oracles ++
-      graft.queries.SessionOps.oracles
+      graft.queries.SessionOps.oracles ++
+      graft.queries.JoinOps.oracles
 }

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Exact
+import graft.operators.{AsOfJoin, RangeJoin}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Temporal/interval join operators (SURVEY.md §2 q44–q45) — the two
+  * join shapes Spark's built-ins don't express scalably, re-expressed
+  * as library operators (graft.operators.AsOfJoin / RangeJoin) with
+  * native-engine oracles: DuckDB's ASOF JOIN and inequality join
+  * verify the Spark formulations row-for-row.
+  */
+object JoinOps {
+
+  /** q44: as-of enrichment — every event joined to its user's latest
+    * hourly value-checkpoint at or before the event (AsOfJoin: one
+    * shuffle on user_id, no inequality join). The checkpoint table is
+    * unique per (user_id, hour) by construction, which is what makes
+    * the as-of match well-defined in both engines.
+    */
+  def q44AsofEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val hourly = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(Exact.sumExact(col("value")).as("hour_value"))
+    val enriched = AsOfJoin.latestBefore(
+      ev.select("event_id", "user_id", "ts"), hourly,
+      key = Seq("user_id"), lTime = "ts", rTime = "hour",
+      rValues = Seq("hour", "hour_value"))
+    enriched.select(
+      col("event_id"), col("user_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+      date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("asof_hour"),
+      col("hour_value"))
+  }
+
+  val q44Sql: String =
+    s"""WITH h AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour,
+      |    ${Exact.sumSql("value")} AS hour_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id,
+      |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+      |  strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS asof_hour,
+      |  h.hour_value
+      |FROM events e
+      |ASOF LEFT JOIN h ON e.user_id = h.user_id AND e.ts >= h.hour
+      |ORDER BY e.user_id, e.event_id""".stripMargin
+
+  /** q45: range join — points (lineitem prices) to the synthetic
+    * supplier score intervals containing them, grid-cell equi-ized
+    * (RangeJoin: explode intervals to covered cells, hash-join on the
+    * cell, exact post-filter — never a nested-loop inequality join).
+    */
+  val RANGE_CELL = 1000.0
+  val RANGE_WIDTH = 2000.0
+
+  def q45RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val points = t.lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val intervals = t.supplier.select(
+      col("s_suppkey"),
+      ((col("s_acctbal") + 1000.0) * 5.0).as("lo"),
+      ((col("s_acctbal") + 1000.0) * 5.0 + RANGE_WIDTH).as("hi"))
+    RangeJoin.pointInInterval(points, "l_extendedprice",
+        intervals, "lo", "hi", RANGE_CELL)
+      .select("l_orderkey", "l_linenumber", "s_suppkey")
+  }
+
+  val q45Sql: String =
+    """SELECT l_orderkey, l_linenumber, s_suppkey
+      |FROM lineitem, supplier
+      |WHERE l_extendedprice >= (s_acctbal + 1000.0) * 5.0
+      |  AND l_extendedprice <= (s_acctbal + 1000.0) * 5.0 + 2000.0
+      |ORDER BY l_orderkey, l_linenumber, s_suppkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_asof_enrich" -> Gate.sorted(q44AsofEnrich _, "user_id", "event_id"),
+    "q45_range_join" -> Gate.sorted(q45RangeJoin _,
+      "l_orderkey", "l_linenumber", "s_suppkey"))
+
+  val oracles: Map[String, String] = Map(
+    "q44_asof_enrich" -> q44Sql,
+    "q45_range_join" -> q45Sql)
+}
