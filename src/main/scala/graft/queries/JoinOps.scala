@@ -52,10 +52,13 @@ object JoinOps {
   /** q45: range join — points (lineitem prices) to the synthetic
     * supplier score intervals containing them, grid-cell equi-ized
     * (RangeJoin: explode intervals to covered cells, hash-join on the
-    * cell, exact post-filter — never a nested-loop inequality join).
+    * cell, exact post-filter — never a nested-loop inequality join),
+    * then aggregated per interval. The per-interval rollup is the
+    * realistic consumer shape AND keeps the gate dump O(|intervals|)
+    * instead of materializing every matched pair.
     */
-  val RANGE_CELL = 1000.0
-  val RANGE_WIDTH = 2000.0
+  val RANGE_CELL = 250.0
+  val RANGE_WIDTH = 500.0
 
   def q45RangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -66,20 +69,24 @@ object JoinOps {
       ((col("s_acctbal") + 1000.0) * 5.0 + RANGE_WIDTH).as("hi"))
     RangeJoin.pointInInterval(points, "l_extendedprice",
         intervals, "lo", "hi", RANGE_CELL)
-      .select("l_orderkey", "l_linenumber", "s_suppkey")
+      .groupBy("s_suppkey")
+      .agg(
+        count(lit(1)).as("n_points"),
+        Exact.sumExact(col("l_extendedprice")).as("sum_price"))
   }
 
   val q45Sql: String =
-    """SELECT l_orderkey, l_linenumber, s_suppkey
+    s"""SELECT s_suppkey, count(*) AS n_points,
+      | ${Exact.sumSql("l_extendedprice")} AS sum_price
       |FROM lineitem, supplier
       |WHERE l_extendedprice >= (s_acctbal + 1000.0) * 5.0
-      |  AND l_extendedprice <= (s_acctbal + 1000.0) * 5.0 + 2000.0
-      |ORDER BY l_orderkey, l_linenumber, s_suppkey""".stripMargin
+      |  AND l_extendedprice <= (s_acctbal + 1000.0) * 5.0 + 500.0
+      |GROUP BY s_suppkey
+      |ORDER BY s_suppkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_asof_enrich" -> Gate.sorted(q44AsofEnrich _, "user_id", "event_id"),
-    "q45_range_join" -> Gate.sorted(q45RangeJoin _,
-      "l_orderkey", "l_linenumber", "s_suppkey"))
+    "q45_range_join" -> Gate.sorted(q45RangeJoin _, "s_suppkey"))
 
   val oracles: Map[String, String] = Map(
     "q44_asof_enrich" -> q44Sql,
