@@ -55,13 +55,19 @@ object Bench {
         }.get
     }
 
+    // The driver captures only a bounded TAIL of stdout and parses the
+    // JSON line out of it: round 2's line (45 medians + 45 mins at full
+    // double precision, ~3.5 KB) was front-truncated and parsed as null.
+    // Keep the line SHORT: medians only, 3 decimals (~1.3 KB for 45
+    // queries). The per-query min is a local diagnostic; print it to
+    // stderr instead.
+    def r3(v: Double): String = f"$v%.3f"
     def fmt(pairs: Seq[(String, Double)]): String =
-      pairs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      pairs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val qs = fmt(ok.map(t => t._1 -> t._2))
-    val qsMin = fmt(ok.map(t => t._1 -> t._3))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"failed":$failedJson,"passes":$PASSES,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"passes":$PASSES,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

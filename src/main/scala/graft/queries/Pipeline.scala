@@ -46,7 +46,7 @@ object Pipeline {
       | count(*) AS n_all,
       | ${Exact.sumSql("l_quantity")} AS mass_all,
       | ${Exact.meanSql("l_extendedprice")} AS mean_pos_all,
-      | sum(CASE WHEN in_tid THEN 1 ELSE 0 END) AS n_tid,
+      | CAST(sum(CASE WHEN in_tid THEN 1 ELSE 0 END) AS BIGINT) AS n_tid,
       | ${Exact.sumSql("CASE WHEN in_tid THEN l_quantity ELSE 0.0 END")} AS mass_tid,
       | ${Exact.meanSql("CASE WHEN in_tid THEN l_extendedprice END")} AS mean_pos_tid
       |FROM (

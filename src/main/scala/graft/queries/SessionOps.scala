@@ -55,7 +55,7 @@ object SessionOps {
       |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
       |  FROM f)
-      |SELECT user_id, sess_idx, count(*) AS n_events,
+      |SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx, count(*) AS n_events,
       |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
       |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end,
       |  ${Exact.sumSql("value")} AS sum_value

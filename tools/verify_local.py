@@ -85,12 +85,31 @@ def main(out_dir, sf_dir):
             res = con.execute(sql)
             exp_cols = [d[0] for d in res.description]
             exp_rows = res.fetchall()
+            # Driver-fetch dtype parity: a pandas/arrow-based driver
+            # converts DuckDB HUGEINT (e.g. bare sum(int)) to float64,
+            # so '5' hashes as '5.0' even when fetchall() values are
+            # identical ints. This killed q21/q37 in rounds 1 AND 2.
+            # Compare pandas dtype KINDS of both sides and fail on any
+            # int-vs-float (or other) divergence.
+            duck_df = con.execute(sql).df()
+            spark_df = spark_tbl.to_pandas()
+            kind_diff = [
+                (c, spark_df[c].dtype.kind, duck_df[c].dtype.kind)
+                for c in exp_cols
+                if c in spark_df.columns
+                and spark_df[c].dtype.kind != duck_df[c].dtype.kind]
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: schema {sorted(got_cols)} != {sorted(exp_cols)}")
+            n_fail += 1
+            continue
+        if kind_diff:
+            print(f"FAIL {name}: pandas dtype kind mismatch "
+                  f"(col, spark, duck): {kind_diff} — CAST the oracle "
+                  f"column (HUGEINT sums -> BIGINT)")
             n_fail += 1
             continue
         if len(got_rows) != len(exp_rows):
