@@ -38,37 +38,25 @@ object AstroQueries {
   /** q11: descriptive-stats pack — mean/std/min/q1/median/q3/max per
     * group (reference: calc/summary.py:20 calc_summary_stats; pandas
     * .describe()). Exact interpolated quantiles (== DuckDB
-    * quantile_cont) via a sort-based window + conditional aggregation:
-    * Spark's `percentile` is an interpreted ImperativeAggregate that
-    * hash-maps every value; rank arithmetic over one per-group sort is
-    * codegen-friendly and reuses the groupBy shuffle partitioning —
-    * one exchange total, ~4x faster at sf0.1.
+    * quantile_cont) via graft.operators.DistributedQuantile: a
+    * bucket-histogram prune instead of one per-group total sort, so a
+    * low-cardinality group key (or a single global group) no longer
+    * serializes the whole table through a handful of window tasks —
+    * every pass is map-side-combined and only ~1/256 of each group is
+    * ever sorted. The moments pack is the usual single partial-agg
+    * pass; the two tiny results join at |groups| rows.
     */
-  def q11DescriptiveStats(spark: SparkSession, dir: String): DataFrame = {
-    val byFlag = Window.partitionBy("l_returnflag")
-    val ranked = Tables(spark, dir).lineitem
-      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-      .withColumn("rn", row_number().over(byFlag.orderBy("v")) - 1)
-      .withColumn("n", count(lit(1)).over(byFlag))
-    def quantile(q: Double): org.apache.spark.sql.Column = {
-      val pos = (col("n") - 1) * q                      // exact for q in {.25,.5,.75}
-      val loVal = max(when(col("rn") === floor(pos), col("v")))
-      val hiVal = max(when(col("rn") === ceil(pos), col("v")))
-      val frac = (max("n") - 1) * q - floor((max("n") - 1) * q)
-      loVal + (hiVal - loVal) * frac
-    }
-    ranked.groupBy("l_returnflag")
-      .agg(
-        count(lit(1)).as("n"),
-        Exact.meanExact(col("v")).as("mean"),
-        round(Exact.stddevExact(col("v")), 4).as("std"),
-        round(min("v"), 4).as("min"),
-        round(quantile(0.25), 4).as("q1"),
-        round(quantile(0.5), 4).as("median"),
-        round(quantile(0.75), 4).as("q3"),
-        round(max("v"), 4).as("max"))
+  def q11DescriptiveStats(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DistributedQuantile.describe(
+      Tables(spark, dir).lineitem
+        .select(col("l_returnflag"), col("l_extendedprice").as("v")),
+      Seq("l_returnflag"), "v",
+      Seq("q1" -> 0.25, "median" -> 0.5, "q3" -> 0.75))
+      .select(col("l_returnflag"), col("n"), col("mean"),
+        round(col("std"), 4).as("std"), round(col("min"), 4).as("min"),
+        round(col("q1"), 4).as("q1"), round(col("median"), 4).as("median"),
+        round(col("q3"), 4).as("q3"), round(col("max"), 4).as("max"))
       .orderBy("l_returnflag")
-  }
 
   val q11Sql: String =
     s"""SELECT l_returnflag, count(*) AS n,
@@ -81,26 +69,23 @@ object AstroQueries {
       | round(max(l_extendedprice), 4) AS max
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** q12: half-mass radius — sort by radius, running mass sum, first
-    * radius where cumulative mass crosses half the total (reference:
-    * calc/cluster.py:14 calc_half_mass_radius). One window + one
-    * aggregate on the same key: a single shuffle, AQE-coalesced.
+  /** q12: half-mass radius — the first radius where the running mass
+    * sum crosses half the total (reference: calc/cluster.py:14
+    * calc_half_mass_radius), via DistributedQuantile.weightedCrossing:
+    * a bucketed mass histogram locates the crossing bucket, then only
+    * that bucket's rows (~1/256 of the group) pay the ordered cumsum —
+    * no per-group total sort. Mass prefix sums are DECIMAL-exact, so
+    * the crossing row matches the oracle's global-window formulation.
     */
-  def q12HalfMassRadius(spark: SparkSession, dir: String): DataFrame = {
-    val wCum = Window.partitionBy("l_returnflag")
-      .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy("l_returnflag")
-    Tables(spark, dir).lineitem
-      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"),
-        col("l_linenumber"), starMass.as("mass"))
-      .withColumn("cum_mass", sum(Exact.dec(col("mass"))).over(wCum))
-      .withColumn("total_mass", sum(Exact.dec(col("mass"))).over(wAll))
-      .filter(col("cum_mass") * 2 >= col("total_mass"))
-      .groupBy("l_returnflag")
-      .agg(round(min("l_extendedprice"), 4).as("r_half_mass"))
+  def q12HalfMassRadius(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DistributedQuantile.weightedCrossing(
+      Tables(spark, dir).lineitem
+        .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"), starMass.as("mass")),
+      Seq("l_returnflag"), "l_extendedprice",
+      Seq("l_orderkey", "l_linenumber"), col("mass"))
+      .select(col("l_returnflag"), round(col("crossing"), 4).as("r_half_mass"))
       .orderBy("l_returnflag")
-  }
 
   val q12Sql: String =
     """WITH c AS (

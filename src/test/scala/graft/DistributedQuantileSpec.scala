@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.DistributedQuantile
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The bucket-prune order statistics must equal the naive one-sort
+  * formulation exactly — same ranks, same interpolation arithmetic —
+  * on skewed, duplicate-heavy, and degenerate inputs.
+  */
+class DistributedQuantileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naiveQuantile(
+      rows: Seq[(String, Double)], q: Double): Map[String, Double] =
+    rows.groupBy(_._1).map { case (g, vs) =>
+      val s = vs.map(_._2).sorted
+      val pos = (s.size - 1) * q
+      val lo = s(math.floor(pos).toInt)
+      val hi = s(math.ceil(pos).toInt)
+      g -> (lo + (hi - lo) * (pos - math.floor(pos)))
+    }
+
+  test("quantiles match the naive sort on skewed data, few buckets") {
+    val rng = new scala.util.Random(7)
+    // heavy skew: one group with exponential-ish tail, one tiny group,
+    // one group of all-equal values
+    val rows =
+      (1 to 5000).map(i => ("big", math.exp(rng.nextDouble() * 8))) ++
+        (1 to 3).map(i => ("tiny", i.toDouble)) ++
+        (1 to 100).map(_ => ("const", 42.0))
+    val df = rows.toDF("g", "v")
+    // numBuckets=4 forces multi-row buckets -> exercises local ranks
+    val got = DistributedQuantile
+      .quantiles(df, Seq("g"), "v", Seq("q1" -> 0.25, "med" -> 0.5, "q3" -> 0.75), 4)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    for ((qn, q) <- Seq(("q1", 0.25), ("med", 0.5), ("q3", 0.75))) {
+      val want = naiveQuantile(rows, q)
+      for ((g, _) <- want) {
+        val gotV = qn match {
+          case "q1" => got(g)._1; case "med" => got(g)._2; case _ => got(g)._3
+        }
+        assert(gotV === want(g), s"group $g quantile $qn")
+      }
+    }
+  }
+
+  test("quantiles ignore nulls and handle a single-row group") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)), ("b", Some(9.0)))
+      .toDF("g", "v")
+    val got = DistributedQuantile.quantiles(df, Seq("g"), "v", Seq("med" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("a") === 2.0)
+    assert(got("b") === 9.0)
+  }
+
+  test("weightedCrossing equals the global-window half-mass formulation") {
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 4000).map { i =>
+      (if (i % 3 == 0) "x" else "y", rng.nextInt(100000) / 100.0, i.toLong,
+        (1 + rng.nextInt(5000)) / 100.0)
+    }
+    val df = rows.toDF("g", "r", "id", "m")
+    val got = DistributedQuantile
+      .weightedCrossing(df, Seq("g"), "r", Seq("id"), col("m"), scale = 4)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+
+    val wCum = Window.partitionBy("g").orderBy("r", "id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("g")
+    val want = df
+      .withColumn("cw", sum(functions.Exact.dec(col("m"))).over(wCum))
+      .withColumn("tw", sum(functions.Exact.dec(col("m"))).over(wAll))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy("g").agg(min("r").as("r"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(got === want)
+  }
+
+  test("plan has no cartesian product and no full-group sort of the base data") {
+    val df = Tables(spark, sfDir).lineitem
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+    val q = DistributedQuantile.quantiles(df, Seq("g"), "v", Seq("med" -> 0.5))
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian")
+    q.collect() // must run green end-to-end
+  }
+}
