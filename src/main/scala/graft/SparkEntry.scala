@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.DedupOps.queries ++
       graft.queries.EmbeddingOps.queries ++
       graft.queries.SessionOps.queries ++
-      graft.queries.JoinOps.queries
+      graft.queries.JoinOps.queries ++
+      graft.queries.TrainPrep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.DedupOps.oracles ++
       graft.queries.EmbeddingOps.oracles ++
       graft.queries.SessionOps.oracles ++
-      graft.queries.JoinOps.oracles
+      graft.queries.JoinOps.oracles ++
+      graft.queries.TrainPrep.oracles
 }

@@ -131,8 +131,12 @@ case class ShingleHashSet(child: Expression, shingleN: Int)
     while (i < m) {
       var h = 0L
       var j = 0
-      while (j < shingleN) { h = h * 31L + cps(i + j); j += 1 }
-      h %= P
+      // Mod INSIDE the fold: identical to the end-mod form wherever that
+      // form doesn't overflow (mod is a ring homomorphism), and keeps
+      // h*31+cp < 2^36 for ANY shingleN — the end-mod form silently
+      // wraps Long for shingleN >= 12 and diverges from the SQL oracle
+      // (where the same fold raises an int64 overflow error instead).
+      while (j < shingleN) { h = (h * 31L + cps(i + j)) % P; j += 1 }
       if (seen.add(h)) out += h
       i += 1
     }

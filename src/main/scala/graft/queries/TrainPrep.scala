@@ -1,0 +1,172 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions.tokens
+import graft.operators.{RegexScrub, SeqPack}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-corpus preparation operators (q46–q48): sequence packing,
+  * PII/canary scrubbing, and benchmark decontamination — the batching
+  * and hygiene passes that sit between a deduplicated corpus and the
+  * tokenizer.
+  *
+  * Scale notes: q46's only shuffle is the per-shard window (shard count
+  * = write parallelism, no task ever sees more than one shard); q47 is
+  * pure scan-stage codegen with zero shuffle; q48 broadcasts only the
+  * benchmark shingle set, which is bounded by the benchmark suite size
+  * (fixed, tiny vs corpus) — the corpus side streams through a
+  * broadcast-hash semi-join, never shuffling text.
+  */
+object TrainPrep {
+
+  /** Shard count for q46. In production this is the write parallelism
+    * (thousands); small here so sf0.001 still has multi-doc shards.
+    */
+  val PACK_SHARDS = 8
+
+  /** Context-window token budget for q46 (~10 synthetic docs). */
+  val PACK_CTX = 512
+
+  /** q47 scrub rules: the standard PII shapes (which this synthetic
+    * corpus cannot contain — they prove the plumbing and cost model)
+    * plus a sensitive-term canary list drawn from the corpus
+    * vocabulary so redaction demonstrably fires.
+    */
+  val SCRUB_RULES: Seq[RegexScrub.Rule] = Seq(
+    RegexScrub.EMAIL,
+    RegexScrub.URL,
+    RegexScrub.LONG_DIGITS,
+    RegexScrub.Rule("n_canary", "\\b(secret|canary|hash|merge)\\b", "<CANARY>"))
+
+  /** q48 character-shingle width. ~5 words of this corpus — the
+    * char-level analogue of the 13-token n-gram overlap rule; chosen
+    * where benchmark overlap separates true near-dups (10 docs) from
+    * vocabulary noise (all 450 at width 12).
+    */
+  val DECON_N = 30
+
+  /** q48 benchmark slice: doc_id < 50 stands in for the external
+    * benchmark suite. Fixed-size by construction — it does NOT grow
+    * with the corpus, so the broadcast stays O(benchmark).
+    */
+  val DECON_BENCH_DOCS = 50
+
+  /** q46: concat-and-cut sequence packing — documents laid end to end
+    * per shard in doc_id order, cut every PACK_CTX whitespace tokens;
+    * reported per context window. See [[graft.operators.SeqPack]].
+    */
+  def q46SeqPack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+    SeqPack.assignPacks(docs, pmod(col("doc_id"), lit(PACK_SHARDS)),
+        Seq("doc_id"), col("n_tok"), PACK_CTX)
+      .groupBy(col("_shard").as("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_tok").as("pack_tokens"),
+        min("doc_id").as("first_doc"))
+  }
+
+  val q46Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, doc_id % $PACK_SHARDS AS shard,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |                         t -> t != '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |pref AS (
+      |  SELECT *, CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+      |  FROM toks)
+      |SELECT shard, prefix // $PACK_CTX AS pack_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+      |  min(doc_id) AS first_doc
+      |FROM pref GROUP BY shard, pack_id
+      |ORDER BY shard, pack_id""".stripMargin
+
+  /** q47: one-pass PII/canary scrub — per-rule match counts plus the
+    * md5 and length of the fully redacted text. Patterns stay in the
+    * Java-regex/RE2 common subset so the oracle runs them verbatim.
+    */
+  def q47RegexScrub(spark: SparkSession, dir: String): DataFrame =
+    RegexScrub.scrub(Tables(spark, dir).documents, col("text"), SCRUB_RULES)
+      .select(col("doc_id") +:
+        SCRUB_RULES.map(r => col(r.name).cast("long")) :+
+        md5(col("redacted")).as("redacted_md5") :+
+        length(col("redacted")).cast("long").as("n_redacted_chars"): _*)
+
+  val q47Sql: String = {
+    val redacted = SCRUB_RULES.foldLeft("text") { (c, r) =>
+      s"regexp_replace($c, '${r.regex}', '${r.repl}', 'g')"
+    }
+    val counts = SCRUB_RULES.map { r =>
+      s"CAST(len(regexp_extract_all(text, '${r.regex}')) AS BIGINT) AS ${r.name}"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id,
+      |  $counts,
+      |  md5($redacted) AS redacted_md5,
+      |  CAST(length($redacted) AS BIGINT) AS n_redacted_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** q48: benchmark decontamination — flag every training document
+    * (doc_id >= DECON_BENCH_DOCS) sharing at least one DECON_N-char
+    * shingle with the benchmark slice, with the overlap count. The
+    * benchmark shingle set is distinct'd then broadcast; the corpus
+    * side never shuffles.
+    */
+  def q48Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val shingled = docs.select(col("doc_id"),
+      explode(graft.plans.ShingleHashSet(col("text"), DECON_N)).as("sh"))
+    val bench = shingled.filter(col("doc_id") < DECON_BENCH_DOCS)
+      .select("sh").distinct()
+    val hits = shingled.filter(col("doc_id") >= DECON_BENCH_DOCS)
+      .join(broadcast(bench), "sh")
+      // ShingleHashSet emits the per-doc DISTINCT set, so this count is
+      // the distinct contaminated-shingle count.
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    docs.filter(col("doc_id") >= DECON_BENCH_DOCS).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit_shingles"),
+        (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** DuckDB shingle fragment mirroring ShingleHashSet at DECON_N with
+    * the mod INSIDE the fold — required above width 11, where the
+    * end-mod fold overflows int64.
+    */
+  private val duckShinglesN30 =
+    s"""list_transform(generate_series(1, length(text) - ${DECON_N - 1}),
+      |      i -> list_reduce(
+      |             list_transform(generate_series(i, i + ${DECON_N - 1}),
+      |                            j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
+      |             (a, c) -> (a * 31 + c) % ${graft.functions.TextFunctions.MINHASH_P}))""".stripMargin
+
+  val q48Sql: String =
+    s"""WITH e AS (
+      |  SELECT doc_id, unnest(list_distinct($duckShinglesN30)) AS sh
+      |  FROM documents),
+      |bench AS (SELECT DISTINCT sh FROM e WHERE doc_id < $DECON_BENCH_DOCS),
+      |hits AS (
+      |  SELECT e.doc_id, count(*) AS n_hit
+      |  FROM e JOIN bench USING (sh)
+      |  WHERE e.doc_id >= $DECON_BENCH_DOCS GROUP BY e.doc_id)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit_shingles,
+      |  coalesce(h.n_hit, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+      |WHERE d.doc_id >= $DECON_BENCH_DOCS
+      |ORDER BY d.doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_seq_pack" -> Gate.sorted(q46SeqPack _, "shard", "pack_id"),
+    "q47_regex_scrub" -> Gate.sorted(q47RegexScrub _, "doc_id"),
+    "q48_decontaminate" -> Gate.sorted(q48Decontaminate _, "doc_id"))
+
+  val oracles: Map[String, String] = Map(
+    "q46_seq_pack" -> q46Sql,
+    "q47_regex_scrub" -> q47Sql,
+    "q48_decontaminate" -> q48Sql)
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.{RegexScrub, SeqPack}
+import graft.queries.TrainPrep
+import org.apache.spark.sql.functions._
+
+/** Training-prep operators: packing arithmetic, scrub counts/redaction,
+  * and decontamination flags on planted fixtures.
+  */
+class TrainPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SeqPack cuts at the token budget with per-shard prefix sums") {
+    // one shard; tokens 100,200,300,250 at ctx=256:
+    // prefixes 0,100,300,600 -> packs 0,0,1,2
+    val df = Seq((0L, 100), (1L, 200), (2L, 300), (3L, 250))
+      .toDF("doc_id", "n_tok")
+    val got = SeqPack.assignPacks(df, lit(0), Seq("doc_id"), col("n_tok"), 256)
+      .select("doc_id", "pack_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("SeqPack shards pack independently") {
+    val df = Seq((0L, 10), (1L, 10), (2L, 10), (3L, 10))
+      .toDF("doc_id", "n_tok")
+    val got = SeqPack
+      .assignPacks(df, pmod(col("doc_id"), lit(2)), Seq("doc_id"), col("n_tok"), 15)
+      .select("doc_id", "pack_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shard 0: docs 0,2 at prefixes 0,10 -> packs 0,0; same for shard 1
+    assert(got === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("RegexScrub counts and redacts every rule in order") {
+    val df = Seq(
+      (1L, "mail a@b.com twice a@b.org see https://x.y/z id 12345678 the hash"),
+      (2L, "clean text only")).toDF("doc_id", "text")
+    val got = RegexScrub.scrub(df, col("text"), TrainPrep.SCRUB_RULES)
+      .orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert(r1.getAs[Int]("n_email") === 2)
+    assert(r1.getAs[Int]("n_url") === 1)
+    assert(r1.getAs[Int]("n_digits") === 1)
+    assert(r1.getAs[Int]("n_canary") === 1)
+    assert(r1.getAs[String]("redacted") ===
+      "mail <EMAIL> twice <EMAIL> see <URL> id <NUM> the <CANARY>")
+    val r2 = got(1)
+    assert(Seq("n_email", "n_url", "n_digits", "n_canary")
+      .forall(c => r2.getAs[Int](c) === 0))
+    assert(r2.getAs[String]("redacted") === "clean text only")
+  }
+
+  test("q48 flags a planted benchmark near-dup and only that") {
+    // doc 10 is in the benchmark slice; doc 100 shares a >=30-char span
+    // with it, doc 101 does not.
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (10L, s"benchmark item: $shared end"),
+      (100L, s"training copy — $shared — with extra words"),
+      (101L, "completely different content with no overlapping span here at all"))
+      .toDF("doc_id", "text")
+    val shingled = docs.select(col("doc_id"),
+      explode(graft.plans.ShingleHashSet(col("text"), TrainPrep.DECON_N)).as("sh"))
+    val bench = shingled.filter(col("doc_id") < 50).select("sh").distinct()
+    val hits = shingled.filter(col("doc_id") >= 50)
+      .join(broadcast(bench), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(100L) && hits(100L) > 0)
+    assert(!hits.contains(101L))
+  }
+
+  test("q46/q47/q48 run end-to-end on the fixture tables") {
+    for (q <- Seq("q46_seq_pack", "q47_regex_scrub", "q48_decontaminate")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      assert(df.count() > 0, q)
+    }
+    // q48 at sf0.001: contamination is consistent between flag and count
+    val q48 = SparkEntry.queries("q48_decontaminate")(spark, sfDir)
+    val bad = q48.filter(
+      (col("contaminated") && col("n_hit_shingles") === 0) ||
+        (!col("contaminated") && col("n_hit_shingles") > 0)).count()
+    assert(bad === 0)
+  }
+}
