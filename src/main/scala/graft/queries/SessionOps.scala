@@ -144,13 +144,50 @@ object SessionOps {
       |FROM a2 WHERE sess_idx < mx
       |ORDER BY user_id, start_us""".stripMargin
 
+  /** Epoch microseconds of 2024-01-01 UTC — the packed order key's
+    * baseline. Subtracting it keeps (ts_offset << 20 | event_id) well
+    * inside int64 for this dataset's one-month window.
+    */
+  val ORD_EPOCH_US = 1704067200000000L
+
+  /** q49: log/CDC compaction — latest event per user via max_by on a
+    * packed (timestamp, event_id) order key: deterministic even under
+    * timestamp ties, partial-aggregated, no per-key sort. See
+    * [[graft.operators.Compaction]].
+    */
+  def q49LatestByKey(spark: SparkSession, dir: String): DataFrame = {
+    val ord = (unix_micros(col("ts")) - lit(ORD_EPOCH_US)) * lit(1048576L) +
+      col("event_id")
+    graft.operators.Compaction
+      .latestByKey(Tables(spark, dir).events, Seq("user_id"), ord,
+        Seq("ts", "event_type", "value", "event_id"))
+      .select(col("user_id"),
+        date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_ts"),
+        col("last_event_type"), col("last_value"), col("last_event_id"),
+        col("n_rows").as("n_events"))
+  }
+
+  val q49Sql: String =
+    s"""SELECT user_id,
+      |  strftime(arg_max(ts, ord), '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+      |  arg_max(event_type, ord) AS last_event_type,
+      |  arg_max(value, ord) AS last_value,
+      |  arg_max(event_id, ord) AS last_event_id,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM (
+      |  SELECT *, (epoch_us(ts) - $ORD_EPOCH_US) * 1048576 + event_id AS ord
+      |  FROM events)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_events_sessionize" -> Gate.sorted(q37EventsSessionize _, "user_id", "sess_idx"),
     "q38_stream_window_agg" -> (q38StreamWindowAgg _),
-    "q39_stream_sessionize" -> (q39StreamSessionize _))
+    "q39_stream_sessionize" -> (q39StreamSessionize _),
+    "q49_latest_by_key" -> Gate.sorted(q49LatestByKey _, "user_id"))
 
   val oracles: Map[String, String] = Map(
     "q37_events_sessionize" -> q37Sql,
     "q38_stream_window_agg" -> q38Sql,
-    "q39_stream_sessionize" -> q39Sql)
+    "q39_stream_sessionize" -> q39Sql,
+    "q49_latest_by_key" -> q49Sql)
 }

@@ -160,13 +160,52 @@ object TrainPrep {
       |WHERE d.doc_id >= $DECON_BENCH_DOCS
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q50 domain-mixing weights: keep-percentage per source family.
+    * Production passes measured per-domain quality/size targets here.
+    */
+  val MIX_FULL: Seq[String] = (0 to 9).map(i => s"src$i")
+  val MIX_HALF: Seq[String] = (10 to 14).map(i => s"src$i")
+  val MIX_DEFAULT_PCT = 20
+
+  /** q50: deterministic weighted corpus mixing — per-source keep
+    * fraction via md5 bucketing (the q25 split primitive, pointed at
+    * domain re-weighting). No RNG, no shuffle: a scan-stage filter
+    * whose keep decision is reproducible per (source, doc_id) on any
+    * cluster layout — re-runs and backfills select identical rows.
+    */
+  def q50CorpusMix(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("source"), lit(":"),
+          col("doc_id").cast("string"))), 1, 6), 16, 10).cast("long") % 100)
+      .withColumn("mix_weight",
+        when(col("source").isin(MIX_FULL: _*), 100)
+          .when(col("source").isin(MIX_HALF: _*), 50)
+          .otherwise(MIX_DEFAULT_PCT))
+      .filter(col("bucket") < col("mix_weight"))
+      .select("doc_id", "source", "bucket", "mix_weight")
+
+  val q50Sql: String = {
+    def in(xs: Seq[String]) = xs.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id, source, bucket, mix_weight FROM (
+      |  SELECT doc_id, source,
+      |    CAST('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 AS bucket,
+      |    CASE WHEN source IN (${in(MIX_FULL)}) THEN 100
+      |         WHEN source IN (${in(MIX_HALF)}) THEN 50
+      |         ELSE $MIX_DEFAULT_PCT END AS mix_weight
+      |  FROM documents)
+      |WHERE bucket < mix_weight ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_seq_pack" -> Gate.sorted(q46SeqPack _, "shard", "pack_id"),
     "q47_regex_scrub" -> Gate.sorted(q47RegexScrub _, "doc_id"),
-    "q48_decontaminate" -> Gate.sorted(q48Decontaminate _, "doc_id"))
+    "q48_decontaminate" -> Gate.sorted(q48Decontaminate _, "doc_id"),
+    "q50_corpus_mix" -> Gate.sorted(q50CorpusMix _, "doc_id"))
 
   val oracles: Map[String, String] = Map(
     "q46_seq_pack" -> q46Sql,
     "q47_regex_scrub" -> q47Sql,
-    "q48_decontaminate" -> q48Sql)
+    "q48_decontaminate" -> q48Sql,
+    "q50_corpus_mix" -> q50Sql)
 }

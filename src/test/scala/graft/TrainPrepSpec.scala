@@ -71,8 +71,33 @@ class TrainPrepSpec extends SparkSpec {
     assert(!hits.contains(101L))
   }
 
-  test("q46/q47/q48 run end-to-end on the fixture tables") {
-    for (q <- Seq("q46_seq_pack", "q47_regex_scrub", "q48_decontaminate")) {
+  test("Compaction.latestByKey survives timestamp ties deterministically") {
+    import org.apache.spark.sql.functions.col
+    // user 1: ts tie at 100 — packed ord must pick the higher event_id
+    val df = Seq(
+      (1L, 100L, 7L, "a"), (1L, 100L, 9L, "b"), (1L, 50L, 8L, "c"),
+      (2L, 10L, 1L, "d"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val ord = col("ts_us") * 1048576L + col("event_id")
+    val got = graft.operators.Compaction
+      .latestByKey(df, Seq("user_id"), ord, Seq("event_type", "event_id"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(1L -> (("b", 9L, 3L)), 2L -> (("d", 1L, 1L))))
+  }
+
+  test("q50 keeps exactly the rows under their source weight, deterministically") {
+    val a = SparkEntry.queries("q50_corpus_mix")(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    assert(a.forall(r => r.getAs[Long]("bucket") < r.getAs[Int]("mix_weight")))
+    val b = SparkEntry.queries("q50_corpus_mix")(spark, sfDir).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+  }
+
+  test("q46/q47/q48/q49 run end-to-end on the fixture tables") {
+    for (q <- Seq("q46_seq_pack", "q47_regex_scrub", "q48_decontaminate",
+        "q49_latest_by_key")) {
       val df = SparkEntry.queries(q)(spark, sfDir)
       assert(df.count() > 0, q)
     }
