@@ -113,12 +113,40 @@ class PlanAuditSpec extends SparkSpec {
       "q34" -> L.q34TokenCount(spark, sfDir),
       "q35" -> L.q35DocFingerprint(spark, sfDir),
       "q36" -> L.q36MultimodalMeta(spark, sfDir),
-      "q37" -> S.q37EventsSessionize(spark, sfDir))
+      "q37" -> S.q37EventsSessionize(spark, sfDir),
+      "q47" -> graft.queries.TrainPrep.q47RegexScrub(spark, sfDir),
+      "q49" -> S.q49LatestByKey(spark, sfDir),
+      "q50" -> graft.queries.TrainPrep.q50CorpusMix(spark, sfDir))
     ops.foreach { case (name, df) =>
       val p = df.queryExecution.optimizedPlan.toString
       assert(!p.contains("Sort ["),
         s"$name embeds a global sort — a library caller at 100 TB pays a full range exchange for nothing")
     }
+  }
+
+  test("q47: scrub runs in the scan stage — zero exchanges, codegen") {
+    val p = executedPlan(graft.queries.TrainPrep.q47RegexScrub(spark, sfDir))
+    assert(!p.contains("Exchange"), "scrub should not shuffle")
+    assert(hasCodegen(p), "scrub fell out of codegen")
+  }
+
+  test("q48: benchmark shingle set broadcasts; corpus side never shuffles text") {
+    val p = plan(graft.queries.TrainPrep.q48Decontaminate(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast of the benchmark set")
+  }
+
+  test("q46: packing needs exactly one exchange (shard window feeds the pack agg)") {
+    // AQE echoes the same exchange under "== Initial Plan ==" — count
+    // the final plan only.
+    val p = executedPlan(graft.queries.TrainPrep.q46SeqPack(spark, sfDir))
+      .split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 1, s"expected at most one shuffle, saw $n:\n$p")
+  }
+
+  test("q49: compaction partial-aggregates before the exchange") {
+    val p = executedPlan(graft.queries.SessionOps.q49LatestByKey(spark, sfDir))
+    assert(p.contains("partial_"), "expected map-side combine")
   }
 
   test("no query in the inventory plans a cartesian product") {
