@@ -179,15 +179,45 @@ object SessionOps {
       |  FROM events)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q51: streaming exact dedup — first event per (user_id, event_type)
+    * via tombstone state (see [[graft.streaming.StreamDedup]]). The
+    * driver replays the file as ONE micro-batch, where "first" is
+    * deterministically min by (event time, event_id) — exactly the
+    * batch arg_min the oracle computes.
+    */
+  def q51StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{StreamAgg, StreamDedup}
+    val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
+    val sinkName = "q51_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = StreamDedup.dedup(stream)
+      .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(sinkName).orderBy("user_id", "event_type")
+  }
+
+  val q51Sql: String =
+    s"""WITH o AS (
+      |  SELECT *, (epoch_us(ts) - $ORD_EPOCH_US) * 1048576 + event_id AS ord
+      |  FROM events)
+      |SELECT user_id, event_type,
+      |  arg_min(epoch_us(ts), ord) AS first_us,
+      |  arg_min(event_id, ord) AS first_event_id,
+      |  arg_min(value, ord) AS first_value
+      |FROM o GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_events_sessionize" -> Gate.sorted(q37EventsSessionize _, "user_id", "sess_idx"),
     "q38_stream_window_agg" -> (q38StreamWindowAgg _),
     "q39_stream_sessionize" -> (q39StreamSessionize _),
-    "q49_latest_by_key" -> Gate.sorted(q49LatestByKey _, "user_id"))
+    "q49_latest_by_key" -> Gate.sorted(q49LatestByKey _, "user_id"),
+    "q51_stream_dedup" -> (q51StreamDedup _))
 
   val oracles: Map[String, String] = Map(
     "q37_events_sessionize" -> q37Sql,
     "q38_stream_window_agg" -> q38Sql,
     "q39_stream_sessionize" -> q39Sql,
-    "q49_latest_by_key" -> q49Sql)
+    "q49_latest_by_key" -> q49Sql,
+    "q51_stream_dedup" -> q51Sql)
 }
