@@ -4,17 +4,18 @@ import org.apache.spark.sql.SparkSession
 
 /** Opinionated SparkSession builder for graft (SURVEY §7 step 1).
   *
-  * Local parallelism comes from SPARK_GRAFT_CPUS (default 4) and is
-  * used for BOTH the master thread count and shuffle partitions — on a
-  * real cluster, drop `master` and size `spark.sql.shuffle.partitions`
-  * to ~2-3x total executor cores instead. AQE (on by default in Spark
-  * 4) re-coalesces and handles skew at runtime. Graft's native SQL
-  * functions (cosine_similarity, ...) are registered via
-  * GraftExtensions.
+  * Local parallelism comes from SPARK_GRAFT_CPUS (default: the
+  * machine's cores, capped at 32) and is used for BOTH the master
+  * thread count and shuffle partitions — on a real cluster, drop
+  * `master` and size `spark.sql.shuffle.partitions` to ~2-3x total
+  * executor cores instead. AQE (on by default in Spark 4) re-coalesces
+  * and handles skew at runtime. Graft's native SQL functions
+  * (cosine_similarity, ...) are registered via GraftExtensions.
   */
 object GraftSession {
 
-  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+    math.min(Runtime.getRuntime.availableProcessors, 32).toString)
 
   def builder(appName: String = "graft"): SparkSession.Builder =
     SparkSession.builder()
