@@ -111,5 +111,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("minhash_signature", classOf[MinHashSignature]) { c =>
       MinHashSignature(c(0), intLit(c(1), "shingle size"), intLit(c(2), "num hashes"))
     }
+    reg("repetition_stats", classOf[RepetitionStats])(c => RepetitionStats(c.head))
   }
 }

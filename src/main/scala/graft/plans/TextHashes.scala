@@ -240,3 +240,57 @@ object HyperplaneBuckets {
     GraftBridge.column(HyperplaneBuckets(
       GraftBridge.expression(emb), weights, numTables, numPlanes))
 }
+
+/** Fused bigram-repetition statistics: text ->
+  * struct(n_bigrams: long, max_rep: long) in one tokenize-and-count
+  * pass (whitespace tokens, lowercased — same token definition as
+  * TextFunctions.tokens). The O(n) native replacement for the
+  * sort + equal-run HOF fold, which evaluates interpreted per array
+  * element and dominated the q52 scan.
+  */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_bigrams", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("max_rep", LongType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = s.toString.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    val m = toks.length - 1
+    if (m <= 0) {
+      org.apache.spark.sql.catalyst.InternalRow(0L, 0L)
+    } else {
+      val counts = new java.util.HashMap[String, Long](m * 2)
+      var best = 0L
+      var i = 0
+      while (i < m) {
+        val bg = toks(i) + " " + toks(i + 1)
+        val c = counts.merge(bg, 1L, (a, b) => a + b)
+        if (c > best) best = c
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.InternalRow(m.toLong, best)
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("repStatsExpr", this, classOf[RepetitionStats].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  def apply(text: Column): Column =
+    GraftBridge.column(RepetitionStats(GraftBridge.expression(text)))
+}

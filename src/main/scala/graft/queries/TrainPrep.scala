@@ -197,15 +197,64 @@ object TrainPrep {
       |WHERE bucket < mix_weight ORDER BY doc_id""".stripMargin
   }
 
+  /** q52: intra-document repetition quality signal — the fraction of
+    * word bigrams taken by the single most frequent one (the
+    * "repetition filter" family of pre-training quality heuristics;
+    * highly repetitive boilerplate scores near 1).
+    *
+    * Zero-shuffle by design: bigrams are counted INSIDE the row by the
+    * fused native expression [[graft.plans.RepetitionStats]] (one
+    * tokenize-and-count pass, codegen'd), so at 100 TB this is a pure
+    * scan-stage pass — no exploded (doc, bigram) exchange. The
+    * interpreted HOF formulation (array_sort + aggregate fold) of the
+    * same statistic measured ~25x slower at sf0.1. The oracle counts
+    * the conventional way (unnest + GROUP BY); both sides divide the
+    * same exact integers, so the double ratio is bit-identical.
+    */
+  def q52RepNgrams(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        graft.plans.RepetitionStats(col("text")).as("_rs"))
+      .select(col("doc_id"),
+        col("_rs.n_bigrams").as("n_bigrams"),
+        col("_rs.max_rep").as("max_rep"))
+      .withColumn("rep_ratio",
+        when(col("n_bigrams") > 0,
+          col("max_rep").cast("double") / col("n_bigrams")).otherwise(0.0))
+
+  val q52Sql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS toks
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(toks) - 1),
+      |                          i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      |  FROM t),
+      |c AS (SELECT doc_id, bg, count(*) AS cnt FROM e GROUP BY doc_id, bg),
+      |m AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+      |             CAST(max(cnt) AS BIGINT) AS max_rep
+      |      FROM c GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(m.n_bigrams, 0) AS n_bigrams,
+      |  coalesce(m.max_rep, 0) AS max_rep,
+      |  CASE WHEN coalesce(m.n_bigrams, 0) > 0
+      |       THEN CAST(m.max_rep AS DOUBLE) / m.n_bigrams ELSE 0.0 END AS rep_ratio
+      |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_seq_pack" -> Gate.sorted(q46SeqPack _, "shard", "pack_id"),
     "q47_regex_scrub" -> Gate.sorted(q47RegexScrub _, "doc_id"),
     "q48_decontaminate" -> Gate.sorted(q48Decontaminate _, "doc_id"),
-    "q50_corpus_mix" -> Gate.sorted(q50CorpusMix _, "doc_id"))
+    "q50_corpus_mix" -> Gate.sorted(q50CorpusMix _, "doc_id"),
+    "q52_rep_ngrams" -> Gate.sorted(q52RepNgrams _, "doc_id"))
 
   val oracles: Map[String, String] = Map(
     "q46_seq_pack" -> q46Sql,
     "q47_regex_scrub" -> q47Sql,
     "q48_decontaminate" -> q48Sql,
-    "q50_corpus_mix" -> q50Sql)
+    "q50_corpus_mix" -> q50Sql,
+    "q52_rep_ngrams" -> q52Sql)
 }

@@ -95,6 +95,21 @@ class TrainPrepSpec extends SparkSpec {
     assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
   }
 
+  test("q52 repetition fold equals brute-force bigram counting") {
+    // "a b a b a b": bigrams (a b)x3, (b a)x2 -> 3/5; short docs -> 0
+    val docs = Seq((1L, "a b a b a b"), (2L, "one"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = graft.queries.TrainPrep.q52RepNgrams(spark, sfDir)
+    assert(got.columns.toSeq ==
+      Seq("doc_id", "n_bigrams", "max_rep", "rep_ratio"))
+    // crafted-row check of the fused native expression
+    val res = docs
+      .select(col("doc_id"), graft.plans.RepetitionStats(col("text")).as("rs"))
+      .select(col("doc_id"), col("rs.n_bigrams"), col("rs.max_rep")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(res === Map(1L -> ((5L, 3L)), 2L -> ((0L, 0L)), 3L -> ((2L, 1L))))
+  }
+
   test("q46/q47/q48/q49 run end-to-end on the fixture tables") {
     for (q <- Seq("q46_seq_pack", "q47_regex_scrub", "q48_decontaminate",
         "q49_latest_by_key")) {
