@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.{RegexScrub, SeqPack}
+import graft.queries.TrainPrep
+import org.apache.spark.sql.functions._
+
+/** Executable corpus-preparation pipeline: the full pass a pre-training
+  * corpus takes from raw documents to packed context windows, composed
+  * from the library operators —
+  *
+  *   1. exact dedup (content-hash groupBy, keep min id)
+  *   2. benchmark decontamination (shingle overlap vs a held-out slice)
+  *   3. repetition quality filter (most-frequent-bigram fraction)
+  *   4. PII/canary scrub (one-pass regex redaction)
+  *   5. weighted corpus mixing (deterministic md5 keep fraction)
+  *   6. sequence packing (concat-and-cut to a token budget)
+  *
+  * Each stage is a DataFrame -> DataFrame pass with the scale shape
+  * documented on its operator; the composition here is what a 100 TB
+  * corpus job would submit, modulo table paths and weights.
+  *
+  * Usage: runMain graft.TrainPrepDemo [sfDir]
+  */
+object TrainPrepDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = GraftSession.getOrCreate("graft-train-prep-demo")
+    val docs = Tables(spark, sfDir).documents
+    val n0 = docs.count()
+
+    // 1. exact dedup: canonical doc per content hash
+    val keep = docs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+    val deduped = docs.join(keep.select("doc_id"), "doc_id")
+    val n1 = deduped.count()
+
+    // 2. decontaminate vs the benchmark slice (broadcast shingle set)
+    val shingled = deduped.select(col("doc_id"),
+      explode(graft.plans.ShingleHashSet(col("text"), TrainPrep.DECON_N)).as("sh"))
+    val benchSh = shingled
+      .filter(col("doc_id") < TrainPrep.DECON_BENCH_DOCS)
+      .select("sh").distinct()
+    val contaminated = shingled
+      .filter(col("doc_id") >= TrainPrep.DECON_BENCH_DOCS)
+      .join(broadcast(benchSh), "sh").select("doc_id").distinct()
+    val clean = deduped
+      .filter(col("doc_id") >= TrainPrep.DECON_BENCH_DOCS)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val n2 = clean.count()
+
+    // 3. repetition quality gate (drop boilerplate-heavy docs)
+    val quality = clean
+      .withColumn("_rs", graft.plans.RepetitionStats(col("text")))
+      .withColumn("_rep",
+        when(col("_rs.n_bigrams") > 0,
+          col("_rs.max_rep").cast("double") / col("_rs.n_bigrams"))
+          .otherwise(0.0))
+      .filter(col("_rep") < 0.2)
+      .drop("_rs", "_rep")
+    val n3 = quality.count()
+
+    // 4. scrub PII/canary spans in one codegen pass
+    val scrubbed = RegexScrub
+      .scrub(quality, col("text"), TrainPrep.SCRUB_RULES)
+      .withColumn("text", col("redacted"))
+    val sumCols = TrainPrep.SCRUB_RULES.map(r => sum(col(r.name)).as(r.name))
+    val redactions = scrubbed.agg(sumCols.head, sumCols.tail: _*).collect().head
+
+    // 5. deterministic per-source mixing
+    val mixed = scrubbed
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("source"), lit(":"),
+          col("doc_id").cast("string"))), 1, 6), 16, 10).cast("long") % 100)
+      .withColumn("w",
+        when(col("source").isin(TrainPrep.MIX_FULL: _*), 100)
+          .when(col("source").isin(TrainPrep.MIX_HALF: _*), 50)
+          .otherwise(TrainPrep.MIX_DEFAULT_PCT))
+      .filter(col("bucket") < col("w"))
+    val n5 = mixed.count()
+
+    // 6. pack into context windows (per-shard prefix sums)
+    val packed = SeqPack.assignPacks(
+      mixed.select(col("doc_id"), col("text"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tok")),
+      pmod(col("doc_id"), lit(TrainPrep.PACK_SHARDS)),
+      Seq("doc_id"), col("n_tok"), TrainPrep.PACK_CTX)
+    val nPacks = packed.select("_shard", "pack_id").distinct().count()
+
+    println(s"[demo] corpus-prep: raw=$n0 deduped=$n1 decontaminated=$n2 " +
+      s"quality=$n3 mixed=$n5 packs=$nPacks " +
+      s"redactions=${TrainPrep.SCRUB_RULES.map(r => s"${r.name}=${redactions.getAs[Long](r.name)}").mkString(",")}")
+    spark.stop()
+  }
+}
