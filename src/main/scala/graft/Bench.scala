@@ -61,11 +61,18 @@ object Bench {
     // Keep the line SHORT: medians only, 3 decimals (~1.3 KB for 45
     // queries). The per-query min is a local diagnostic; print it to
     // stderr instead.
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator is default-locale-sensitive and a
+    // comma decimal separator would make the line invalid JSON.
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v))
     def fmt(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val qs = fmt(ok.map(t => t._1 -> t._2))
+    // per-query min is the local noise diagnostic; stderr keeps it out
+    // of the driver's bounded stdout-tail JSON parse
+    System.err.println("[bench] mins: " +
+      ok.map(t => s"${t._1}=${r3(t._3)}").mkString(" "))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"passes":$PASSES,"sf":"$sfDir"}""")
     spark.stop()

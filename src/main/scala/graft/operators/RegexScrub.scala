@@ -25,6 +25,11 @@ object RegexScrub {
 
   /** Adds one `n_<rule>` count column per rule plus `redacted` — the
     * text with every rule's matches replaced, applied in rule order.
+    *
+    * Counts are DETECTION counts over the original text; redaction is
+    * sequential, so a span matched by two rules (a digit run inside a
+    * URL) is counted by both but redacted by the first. The SQL oracle
+    * replicates exactly this convention.
     */
   def scrub(df: DataFrame, textCol: Column, rules: Seq[Rule]): DataFrame = {
     val counted = rules.foldLeft(df) { (d, r) =>

@@ -59,7 +59,7 @@ object AstroQueries {
       .orderBy("l_returnflag")
 
   val q11Sql: String =
-    s"""SELECT l_returnflag, count(*) AS n,
+    s"""SELECT l_returnflag, count(l_extendedprice) AS n,
       | ${Exact.meanSql("l_extendedprice")} AS mean,
       | round(${Exact.stddevSql("l_extendedprice")}, 4) AS std,
       | round(min(l_extendedprice), 4) AS min,

@@ -145,10 +145,12 @@ object SessionOps {
       |ORDER BY user_id, start_us""".stripMargin
 
   /** Epoch microseconds of 2024-01-01 UTC — the packed order key's
-    * baseline. Subtracting it keeps (ts_offset << 20 | event_id) well
-    * inside int64 for this dataset's one-month window.
+    * baseline (canonical definition + bounds:
+    * [[graft.streaming.StreamDedup.ORD_EPOCH_US]]). Subtracting it
+    * keeps (ts_offset << 20 | event_id) well inside int64 for this
+    * dataset's one-month window.
     */
-  val ORD_EPOCH_US = 1704067200000000L
+  val ORD_EPOCH_US: Long = graft.streaming.StreamDedup.ORD_EPOCH_US
 
   /** q49: log/CDC compaction — latest event per user via max_by on a
     * packed (timestamp, event_id) order key: deterministic even under
@@ -188,7 +190,10 @@ object SessionOps {
   def q51StreamDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.{StreamAgg, StreamDedup}
     val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
-    val sinkName = "q51_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    // fixed sink name, prior run's table dropped: repeated invocations
+    // (Bench runs every query 4x) must not accumulate memory sinks
+    val sinkName = "q51_sink"
+    spark.catalog.dropTempView(sinkName)
     val q = StreamDedup.dedup(stream)
       .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
     try q.processAllAvailable()

@@ -38,6 +38,24 @@ object StreamDedup {
   def tsUs(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
+  /** Epoch microseconds of 2024-01-01 UTC — baseline for the packed
+    * (timestamp, sequence) order key shared with the q49/q51 oracles.
+    * The packing assumes event_id < 2^20 and a timestamp span under
+    * ~100 days past the baseline (else the product leaves int64);
+    * widen the multiplier/baseline together with the oracle if either
+    * bound moves.
+    */
+  val ORD_EPOCH_US = 1704067200000000L
+
+  /** The packed total-order key: defines "first" identically in Spark
+    * and in the SQL oracle (DuckDB arg_min cannot order by a struct,
+    * so BOTH sides must use the same scalar packing — a lexicographic
+    * (ts, id) minBy here would disagree with the oracle once event_id
+    * reaches 2^20).
+    */
+  def packedOrd(e: DedupEvent): Long =
+    (tsUs(e.ts) - ORD_EPOCH_US) * 1048576L + e.event_id
+
   /** Apply to a (possibly streaming) events DataFrame with `user_id`,
     * `event_type`, `ts`, `event_id`, `value` columns.
     */
@@ -55,7 +73,7 @@ object StreamDedup {
         (key: (Long, String), it: Iterator[DedupEvent], state: GroupState[Boolean]) =>
           if (state.exists) Iterator.empty
           else {
-            val first = it.minBy(e => (tsUs(e.ts), e.event_id))
+            val first = it.minBy(packedOrd)
             state.update(true)
             Iterator(DedupOut(key._1, key._2, tsUs(first.ts),
               first.event_id, first.value))

@@ -46,6 +46,17 @@ def canon(rows, cols):
     return out
 
 
+def denan(rows):
+    """NULL normalization: pandas (the single-execution oracle fetch)
+    renders SQL NULL doubles as NaN while parquet pylist gives None —
+    fold both (and genuine NaN, which the old compare already treated
+    as self-equal) to None so sort keys and value compares align."""
+    return [
+        tuple(None if isinstance(v, float) and math.isnan(v) else v
+              for v in r)
+        for r in rows]
+
+
 def vals_equal(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
@@ -82,16 +93,18 @@ def main(out_dir, sf_dir):
             spark_tbl = pq.read_table(pdir)
             got_cols = spark_tbl.column_names
             got_rows = [tuple(r.values()) for r in spark_tbl.to_pylist()]
-            res = con.execute(sql)
-            exp_cols = [d[0] for d in res.description]
-            exp_rows = res.fetchall()
+            # Single execution: the pandas frame supplies column names,
+            # rows, AND dtype kinds (heavy oracles like q27/q48 would
+            # otherwise run twice).
+            duck_df = con.execute(sql).df()
+            exp_cols = list(duck_df.columns)
+            exp_rows = [tuple(r) for r in duck_df.itertuples(index=False)]
             # Driver-fetch dtype parity: a pandas/arrow-based driver
             # converts DuckDB HUGEINT (e.g. bare sum(int)) to float64,
             # so '5' hashes as '5.0' even when fetchall() values are
             # identical ints. This killed q21/q37 in rounds 1 AND 2.
             # Compare pandas dtype KINDS of both sides and fail on any
             # int-vs-float (or other) divergence.
-            duck_df = con.execute(sql).df()
             spark_df = spark_tbl.to_pandas()
             kind_diff = [
                 (c, spark_df[c].dtype.kind, duck_df[c].dtype.kind)
@@ -116,8 +129,8 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: rows {len(got_rows)} != {len(exp_rows)}")
             n_fail += 1
             continue
-        g = canon(got_rows, got_cols)
-        e = canon(exp_rows, exp_cols)
+        g = canon(denan(got_rows), got_cols)
+        e = canon(denan(exp_rows), exp_cols)
         if not rows_equal(g, e):
             bad = [(a, b) for a, b in zip(g, e)
                    if not (len(a) == len(b)
