@@ -35,18 +35,13 @@ object TrainPrepDemo {
     val deduped = docs.join(keep.select("doc_id"), "doc_id")
     val n1 = deduped.count()
 
-    // 2. decontaminate vs the benchmark slice (broadcast shingle set)
-    val shingled = deduped.select(col("doc_id"),
-      explode(graft.plans.ShingleHashSet(col("text"), TrainPrep.DECON_N)).as("sh"))
-    val benchSh = shingled
-      .filter(col("doc_id") < TrainPrep.DECON_BENCH_DOCS)
-      .select("sh").distinct()
-    val contaminated = shingled
-      .filter(col("doc_id") >= TrainPrep.DECON_BENCH_DOCS)
-      .join(broadcast(benchSh), "sh").select("doc_id").distinct()
+    // 2. decontaminate vs the benchmark slice (broadcast shingle set);
+    // persisted — every later stage count re-reads this lineage
     val clean = deduped
       .filter(col("doc_id") >= TrainPrep.DECON_BENCH_DOCS)
-      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(TrainPrep.contaminationHits(deduped).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .persist()
     val n2 = clean.count()
 
     // 3. repetition quality gate (drop boilerplate-heavy docs)
@@ -68,15 +63,7 @@ object TrainPrepDemo {
     val redactions = scrubbed.agg(sumCols.head, sumCols.tail: _*).collect().head
 
     // 5. deterministic per-source mixing
-    val mixed = scrubbed
-      .withColumn("bucket",
-        conv(substring(md5(concat(col("source"), lit(":"),
-          col("doc_id").cast("string"))), 1, 6), 16, 10).cast("long") % 100)
-      .withColumn("w",
-        when(col("source").isin(TrainPrep.MIX_FULL: _*), 100)
-          .when(col("source").isin(TrainPrep.MIX_HALF: _*), 50)
-          .otherwise(TrainPrep.MIX_DEFAULT_PCT))
-      .filter(col("bucket") < col("w"))
+    val mixed = TrainPrep.mixKeep(scrubbed).persist()
     val n5 = mixed.count()
 
     // 6. pack into context windows (per-shard prefix sums)
@@ -90,6 +77,8 @@ object TrainPrepDemo {
     println(s"[demo] corpus-prep: raw=$n0 deduped=$n1 decontaminated=$n2 " +
       s"quality=$n3 mixed=$n5 packs=$nPacks " +
       s"redactions=${TrainPrep.SCRUB_RULES.map(r => s"${r.name}=${redactions.getAs[Long](r.name)}").mkString(",")}")
+    mixed.unpersist()
+    clean.unpersist()
     spark.stop()
   }
 }

@@ -115,19 +115,27 @@ object TrainPrep {
     * benchmark shingle set is distinct'd then broadcast; the corpus
     * side never shuffles.
     */
-  def q48Decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
+  /** Per-training-doc benchmark-shingle overlap counts (doc_id, n_hit)
+    * — the reusable core of q48: benchmark side distinct'd + broadcast,
+    * corpus side streaming through a broadcast-hash join. Docs without
+    * overlap are absent (join back for the zero rows).
+    */
+  def contaminationHits(docs: DataFrame): DataFrame = {
     val shingled = docs.select(col("doc_id"),
       explode(graft.plans.ShingleHashSet(col("text"), DECON_N)).as("sh"))
     val bench = shingled.filter(col("doc_id") < DECON_BENCH_DOCS)
       .select("sh").distinct()
-    val hits = shingled.filter(col("doc_id") >= DECON_BENCH_DOCS)
+    shingled.filter(col("doc_id") >= DECON_BENCH_DOCS)
       .join(broadcast(bench), "sh")
       // ShingleHashSet emits the per-doc DISTINCT set, so this count is
       // the distinct contaminated-shingle count.
       .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+  }
+
+  def q48Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
     docs.filter(col("doc_id") >= DECON_BENCH_DOCS).select("doc_id")
-      .join(hits, Seq("doc_id"), "left")
+      .join(contaminationHits(docs), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit_shingles"),
         (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
@@ -173,8 +181,12 @@ object TrainPrep {
     * whose keep decision is reproducible per (source, doc_id) on any
     * cluster layout — re-runs and backfills select identical rows.
     */
-  def q50CorpusMix(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
+  /** Deterministic weighted keep-filter (the reusable core of q50):
+    * adds `bucket` and `mix_weight` and keeps rows under their
+    * source's keep fraction. Pure scan-stage filter, no shuffle.
+    */
+  def mixKeep(docs: DataFrame): DataFrame =
+    docs
       .withColumn("bucket",
         conv(substring(md5(concat(col("source"), lit(":"),
           col("doc_id").cast("string"))), 1, 6), 16, 10).cast("long") % 100)
@@ -183,6 +195,9 @@ object TrainPrep {
           .when(col("source").isin(MIX_HALF: _*), 50)
           .otherwise(MIX_DEFAULT_PCT))
       .filter(col("bucket") < col("mix_weight"))
+
+  def q50CorpusMix(spark: SparkSession, dir: String): DataFrame =
+    mixKeep(Tables(spark, dir).documents)
       .select("doc_id", "source", "bucket", "mix_weight")
 
   val q50Sql: String = {
