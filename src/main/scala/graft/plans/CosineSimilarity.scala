@@ -112,5 +112,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashSignature(c(0), intLit(c(1), "shingle size"), intLit(c(2), "num hashes"))
     }
     reg("repetition_stats", classOf[RepetitionStats])(c => RepetitionStats(c.head))
+    reg("normalize_nfc", classOf[NormalizeNfc])(c => NormalizeNfc(c.head))
   }
 }

@@ -28,17 +28,18 @@ object DedupOps {
   val RARE_DF_MAX = 20
   val JACCARD_MIN = 0.8
 
-  /** q27: MinHash + LSH banding — 16 md5-seeded min-hashes, 4 bands of
-    * 4; docs sharing any band hash become candidate pairs. One explode
+  /** MinHash + LSH candidate pairs — the reusable core of q27 and the
+    * edge list of q53: 16 md5-seeded min-hashes, 4 bands of 4; docs
+    * sharing any band hash become candidate pairs. One explode
     * (4 rows/doc), one groupable join key (band_idx, band_hash): at
     * 100 TB the band join shuffles uniformly distributed 16-byte keys,
     * never document text.
     */
-  def q27MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents
+  def candidatePairs(docs: DataFrame): DataFrame = {
+    val sigs = docs
       .select(col("doc_id"),
         graft.plans.MinHashSignature(col("text"), SHINGLE_N, NUM_HASHES).as("sig"))
-    val bands = docs.select(col("doc_id"),
+    val bands = sigs.select(col("doc_id"),
       posexplode(array((0 until NUM_BANDS).map { b =>
         md5(concat_ws(",",
           (0 until ROWS_PER_BAND).map(r =>
@@ -52,10 +53,40 @@ object DedupOps {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
-  val q27Sql: String = {
+  /** q27: the candidate-pair list itself (gate adds the dump sort). */
+  def q27MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    candidatePairs(Tables(spark, dir).documents)
+
+  /** q53: duplicate-CLUSTER resolution — connected components over the
+    * q27 candidate pairs, then one canonical survivor per component
+    * (min doc_id). Pairs alone under-delete: A~B and B~C must collapse
+    * all three docs into ONE cluster even though (A,C) never shared a
+    * band. Output is the full per-doc keep/drop decision table.
+    * See [[graft.operators.ConnectedComponents]] for the scale shape.
+    */
+  def q53DupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val comp = graft.operators.ConnectedComponents
+      .components(candidatePairs(docs), "doc_a", "doc_b")
+      .withColumnRenamed("node", "doc_id")
+    val labeled = docs.select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+    val sizes = labeled.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
+  }
+
+  /** Shared DuckDB CTE chain producing the LSH candidate pairs —
+    * q27 selects them directly, q53 feeds them into a recursive
+    * transitive closure.
+    */
+  private val pairCtes: String = {
     val sigDefs = (0 until NUM_HASHES).map { k =>
       val (a, b) = minhashCoeff(k)
       s"coalesce(list_min(list_transform(hs, h -> (h * $a + $b) % $MINHASH_P)), $MINHASH_P) AS s$k"
@@ -66,7 +97,7 @@ object DedupOps {
         .mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band_idx, md5($cc) AS band_hash FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH sh AS (
+    s"""sh AS (
       |  SELECT doc_id,
       |    list_transform(generate_series(1, length(text) - ${SHINGLE_N - 1}),
       |      i -> list_reduce(
@@ -79,13 +110,49 @@ object DedupOps {
       |    $sigDefs
       |  FROM sh),
       |bands AS (
-      |  $bandRows)
-      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |FROM bands a JOIN bands b
-      |  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-      | AND a.doc_id < b.doc_id
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |  $bandRows),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      |   AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  val q27Sql: String =
+    s"""WITH $pairCtes
+      |SELECT doc_a, doc_b FROM pairs
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q53 oracle: transitive closure over the symmetric pair graph via a
+    * recursive CTE (UNION dedups, so the recursion terminates), then
+    * component = min reachable node, then sizes. Quadratic in component
+    * size — fine for an oracle, which is why the engine side uses label
+    * propagation instead.
+    */
+  val q53Sql: String =
+    s"""WITH RECURSIVE $pairCtes,
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION
+      |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (
+      |  SELECT a AS doc_id, min(b) AS min_reach FROM reach GROUP BY a),
+      |lab AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN c.min_reach IS NULL THEN d.doc_id
+      |         ELSE least(d.doc_id, c.min_reach) END AS cluster_id
+      |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+      |sz AS (
+      |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      |  FROM lab GROUP BY cluster_id)
+      |SELECT l.doc_id, l.cluster_id, s.cluster_size,
+      |  l.doc_id = l.cluster_id AS keep
+      |FROM lab l JOIN sz s USING (cluster_id)
+      |ORDER BY l.doc_id""".stripMargin
 
   /** q28: SimHash — 32-bit majority-vote fingerprint over shingle
     * rolling hashes (fused native expression; bit 31 of the mod-2^31-1
@@ -198,12 +265,14 @@ object DedupOps {
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q27_minhash_lsh" -> (q27MinhashLsh _),
+    "q27_minhash_lsh" -> Gate.sorted(q27MinhashLsh _, "doc_a", "doc_b"),
     "q28_simhash" -> (q28Simhash _),
-    "q29_ngram_jaccard" -> (q29NgramJaccard _))
+    "q29_ngram_jaccard" -> (q29NgramJaccard _),
+    "q53_dup_clusters" -> Gate.sorted(q53DupClusters _, "doc_id"))
 
   val oracles: Map[String, String] = Map(
     "q27_minhash_lsh" -> q27Sql,
     "q28_simhash" -> q28Sql,
-    "q29_ngram_jaccard" -> q29Sql)
+    "q29_ngram_jaccard" -> q29Sql,
+    "q53_dup_clusters" -> q53Sql)
 }

@@ -249,6 +249,85 @@ object LlmText {
       |  FROM documents)
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** q55 keywords kept per document. */
+  val KEYWORDS_K = 3
+
+  /** q54: text normalization — Unicode NFC (native codegen expression
+    * [[graft.plans.NormalizeNfc]], DuckDB parity via `nfc_normalize`),
+    * control characters to spaces, whitespace runs collapsed, ends
+    * trimmed. The canonical first cleaning pass before any hashing or
+    * dedup (byte-different but canonically-equal strings must collide).
+    * Zero shuffle: pure scan-stage codegen at 100 TB. Patterns stay in
+    * the Java-regex/RE2 common subset (explicit byte ranges, `\s`).
+    */
+  def q54TextNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(
+      graft.plans.NormalizeNfc(col("text")),
+      "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "))
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(norm).cast("long").as("n_chars_norm"),
+        md5(norm).as("norm_md5"),
+        (norm =!= col("text")).as("changed"))
+  }
+
+  val q54Sql: String =
+    """WITH n AS (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+      |      '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+      |  CAST(length(norm) AS BIGINT) AS n_chars_norm,
+      |  md5(norm) AS norm_md5,
+      |  norm != text AS changed
+      |FROM n ORDER BY doc_id""".stripMargin
+
+  /** q55: per-document keyword extraction — the most distinctive terms
+    * per doc ranked by (term frequency DESC, document frequency ASC,
+    * term ASC). The integer-only rank avoids cross-engine libm (no
+    * log-idf double in the gated output; a caller wanting tf-idf scores
+    * computes `tf * ln(N/df)` from these exact integers). Shape at
+    * 100 TB: token explode feeds a map-side-combined (doc, term) count;
+    * the document-frequency table derives from those counts (one more
+    * combine on term) and joins back on term — AQE handles the natural
+    * vocabulary skew; the final top-k is a per-doc window, partitioned
+    * on doc_id, never a global sort.
+    */
+  def q55DocKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KEYWORDS_K)
+      .select("doc_id", "rank", "term", "tf", "df")
+  }
+
+  val q55Sql: String =
+    s"""WITH e AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '\\s+'), t -> t != '')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM e GROUP BY doc_id, term),
+      |df AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df
+      |  FROM tf GROUP BY term)
+      |SELECT doc_id, rank, term, tf, df FROM (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+      |  FROM tf JOIN df USING (term))
+      |WHERE rank <= $KEYWORDS_K
+      |ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_vocab_topk" -> (q42VocabTopk _),
     "q43_doc_chunks" -> Gate.sorted(q43DocChunks _, "doc_id", "chunk_idx"),
@@ -257,7 +336,9 @@ object LlmText {
     "q33_text_quality" -> Gate.sorted(q33TextQuality _, "doc_id"),
     "q34_token_count" -> Gate.sorted(q34TokenCount _, "doc_id"),
     "q35_doc_fingerprint" -> Gate.sorted(q35DocFingerprint _, "doc_id"),
-    "q36_multimodal_meta" -> Gate.sorted(q36MultimodalMeta _, "doc_id"))
+    "q36_multimodal_meta" -> Gate.sorted(q36MultimodalMeta _, "doc_id"),
+    "q54_text_normalize" -> Gate.sorted(q54TextNormalize _, "doc_id"),
+    "q55_doc_keywords" -> Gate.sorted(q55DocKeywords _, "doc_id", "rank"))
 
   val oracles: Map[String, String] = Map(
     "q42_vocab_topk" -> q42Sql,
@@ -267,5 +348,7 @@ object LlmText {
     "q33_text_quality" -> q33Sql,
     "q34_token_count" -> q34Sql,
     "q35_doc_fingerprint" -> q35Sql,
-    "q36_multimodal_meta" -> q36Sql)
+    "q36_multimodal_meta" -> q36Sql,
+    "q54_text_normalize" -> q54Sql,
+    "q55_doc_keywords" -> q55Sql)
 }

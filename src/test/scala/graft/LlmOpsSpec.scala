@@ -125,6 +125,84 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall > 0.2, s"IVF recall@5 $recall too low")
   }
 
+  test("connected components label multi-hop chains with the component min") {
+    import spark.implicits._
+    // 1-2-3-4 is a diameter-3 chain (forces >1 propagation round);
+    // 10-11 a separate component; 7-7 a self-loop singleton.
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (7L, 7L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.operators.ConnectedComponents
+      .components(edges, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 7L -> 7L))
+  }
+
+  test("q53 clusters are transitively consistent with q27 pairs") {
+    val pairs = DedupOps.q27MinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = DedupOps.q53DupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every candidate pair landed in one cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster ids are component minima: the label is a member and <= all members
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keySet.contains(cid) && members.keySet.min == cid)
+    }
+    // exactly one keep per cluster, sizes partition the corpus
+    val rows = DedupOps.q53DupClusters(spark, sfDir).collect()
+    val keeps = rows.filter(_.getBoolean(3)).map(_.getLong(1))
+    assert(keeps.toSet == clusters.values.toSet && keeps.length == keeps.toSet.size)
+    assert(rows.length == Tables(spark, sfDir).documents.count())
+  }
+
+  test("q54 NFC collapses canonically-equal strings to one hash") {
+    import spark.implicits._
+    val composed = "caf\u00e9"            // e-acute precomposed
+    val decomposed = "cafe\u0301"         // e + combining acute
+    val df = Seq(composed, decomposed, "a\tb\u0000c", " x  y ").toDF("text")
+    val out = df.select(
+      graft.plans.NormalizeNfc(col("text")).as("nfc"),
+      trim(regexp_replace(regexp_replace(
+        graft.plans.NormalizeNfc(col("text")),
+        "[\\x00-\\x1f\\x7f]", " "), "\\s+", " ")).as("norm"))
+      .collect()
+    assert(out(0).getString(0) == out(1).getString(0),
+      "NFC must unify composed and decomposed forms")
+    assert(out(0).getString(0) == composed)
+    assert(out(2).getString(1) == "a b c")
+    assert(out(3).getString(1) == "x y")
+  }
+
+  test("q55 keywords rank by tf desc with df and term tie-breaks") {
+    val rows = LlmText.q55DocKeywords(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val ranks = rs.map(_.getInt(1)).sorted.toSeq
+      assert(ranks == (1 to ranks.size) && ranks.size <= LlmText.KEYWORDS_K,
+        s"doc $doc ranks $ranks not dense/bounded")
+      val ordered = rs.sortBy(_.getInt(1))
+      ordered.zip(ordered.tail).foreach { case (hi, lo) =>
+        val cmp = (hi.getLong(3) compare lo.getLong(3), // tf desc
+          lo.getLong(4) compare hi.getLong(4),           // df asc
+          lo.getString(2) compare hi.getString(2))       // term asc
+        assert(cmp._1 > 0 || (cmp._1 == 0 && (cmp._2 > 0 || (cmp._2 == 0 && cmp._3 > 0))),
+          s"doc $doc keyword order violated: $hi before $lo")
+      }
+    }
+    // spot-check one doc against a driver-side count
+    val doc0 = Tables(spark, sfDir).documents
+      .filter(col("doc_id") === 0L).select("text").head.getString(0)
+    val tf0 = doc0.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.filter(_.getLong(0) == 0L).foreach { r =>
+      assert(tf0(r.getString(2)) == r.getLong(3),
+        s"tf mismatch for doc 0 term ${r.getString(2)}")
+    }
+  }
+
   test("q37 session gaps never exceed threshold inside a session") {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
