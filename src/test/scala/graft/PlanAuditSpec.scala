@@ -116,7 +116,9 @@ class PlanAuditSpec extends SparkSpec {
       "q37" -> S.q37EventsSessionize(spark, sfDir),
       "q47" -> graft.queries.TrainPrep.q47RegexScrub(spark, sfDir),
       "q49" -> S.q49LatestByKey(spark, sfDir),
-      "q50" -> graft.queries.TrainPrep.q50CorpusMix(spark, sfDir))
+      "q50" -> graft.queries.TrainPrep.q50CorpusMix(spark, sfDir),
+      "q54" -> L.q54TextNormalize(spark, sfDir),
+      "q55" -> L.q55DocKeywords(spark, sfDir))
     ops.foreach { case (name, df) =>
       val p = df.queryExecution.optimizedPlan.toString
       assert(!p.contains("Sort ["),
@@ -149,6 +151,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), "expected map-side combine")
   }
 
+  test("q54: normalization runs in the scan stage — zero exchanges, codegen") {
+    val p = executedPlan(graft.queries.LlmText.q54TextNormalize(spark, sfDir))
+    assert(!p.contains("Exchange"), "normalize should not shuffle")
+    assert(hasCodegen(p), "normalize fell out of codegen")
+  }
+
+  test("q55: term counts aggregate partially; top-k window partitions on doc_id") {
+    val p = executedPlan(graft.queries.LlmText.q55DocKeywords(spark, sfDir))
+    assert(p.contains("partial_"), "expected map-side combine on term counts")
+    assert(!p.contains("Sort [term"), "df join must not force a global sort")
+  }
+
   test("no query in the inventory plans a cartesian product") {
     SparkEntry.queries.filterNot(_._1 == "q38_stream_window_agg")
       .foreach { case (name, fn) =>
@@ -175,6 +189,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(r.getAs[Long]("ph") > 0L)
     assert(r.getAs[Int]("nsh") > 0 && r.getAs[Int]("nmh") == 16)
     assert(r.getAs[Long]("sh") != 0L)
+    val nfc = spark.sql("SELECT normalize_nfc('cafe\\u0301') AS s")
+      .collect().head.getString(0)
+    assert(nfc == "caf\u00e9", "normalize_nfc not registered or wrong form")
     // non-literal size parameters are rejected, not silently mis-planned
     intercept[Exception](spark.sql(
       "SELECT simhash_fingerprint(text, length(text), 32) FROM txt_probe").collect())
