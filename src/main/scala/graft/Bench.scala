@@ -57,10 +57,11 @@ object Bench {
 
     // The driver captures only a bounded TAIL of stdout and parses the
     // JSON line out of it: round 2's line (45 medians + 45 mins at full
-    // double precision, ~3.5 KB) was front-truncated and parsed as null.
-    // Keep the line SHORT: medians only, 3 decimals (~1.3 KB for 45
-    // queries). The per-query min is a local diagnostic; print it to
-    // stderr instead.
+    // double precision, ~3.5 KB) was front-truncated and parsed as
+    // null. Keep the line SHORT — medians only, 3 decimals, and the
+    // qNN prefix as the key (full names run the 55-query line back
+    // over 2.3 KB; the prefix is unique in the inventory). Per-query
+    // mins (full names) go to stderr as a local noise diagnostic.
     // Locale.ROOT: the f-interpolator is default-locale-sensitive and a
     // comma decimal separator would make the line invalid JSON.
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
@@ -68,13 +69,16 @@ object Bench {
     def fmt(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    val qs = fmt(ok.map(t => t._1 -> t._2))
-    // per-query min is the local noise diagnostic; stderr keeps it out
-    // of the driver's bounded stdout-tail JSON parse
+    val qs = fmt(ok.map(t => t._1.takeWhile(_ != '_') -> t._2))
     System.err.println("[bench] mins: " +
       ok.map(t => s"${t._1}=${r3(t._3)}").mkString(" "))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"passes":$PASSES,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"passes":$PASSES,"sf":"$sfDir"}"""
+    // stop() BEFORE the final println so late executor/SparkContext
+    // shutdown warnings cannot land between the JSON and end-of-stream
+    // inside the driver's bounded tail.
     spark.stop()
+    println(line)
   }
 }

@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * corpus takes from raw documents to packed context windows, composed
   * from the library operators —
   *
+  *   0. text normalization (NFC + control strip + whitespace collapse)
   *   1. exact dedup (content-hash groupBy, keep min id)
+  *   1b. near-dup CLUSTER dedup (MinHash LSH pairs -> connected
+  *       components -> keep each component's min id)
   *   2. benchmark decontamination (shingle overlap vs a held-out slice)
   *   3. repetition quality filter (most-frequent-bigram fraction)
   *   4. PII/canary scrub (one-pass regex redaction)
@@ -25,15 +28,31 @@ object TrainPrepDemo {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = GraftSession.getOrCreate("graft-train-prep-demo")
-    val docs = Tables(spark, sfDir).documents
-    val n0 = docs.count()
+    val raw = Tables(spark, sfDir).documents
+    val n0 = raw.count()
+
+    // 0. normalize first: canonically-equal texts must collide in every
+    // hash below (exact dedup, shingles, scrub input)
+    val docs = raw.withColumn("text",
+      graft.functions.TextFunctions.normalizeText(col("text")))
 
     // 1. exact dedup: canonical doc per content hash
     val keep = docs
       .select(col("doc_id"), md5(col("text")).as("h"))
       .groupBy("h").agg(min("doc_id").as("doc_id"))
-    val deduped = docs.join(keep.select("doc_id"), "doc_id")
-    val n1 = deduped.count()
+    val exactDeduped = docs.join(keep.select("doc_id"), "doc_id")
+    val n1 = exactDeduped.count()
+
+    // 1b. near-dup clusters: LSH candidate pairs -> connected
+    // components -> one survivor per component
+    val comp = graft.operators.ConnectedComponents
+      .components(graft.queries.DedupOps.candidatePairs(exactDeduped),
+        "doc_a", "doc_b")
+      .withColumnRenamed("node", "doc_id")
+    val deduped = exactDeduped.join(comp, Seq("doc_id"), "left")
+      .filter(col("comp").isNull || col("comp") === col("doc_id"))
+      .drop("comp")
+    val n1b = deduped.count()
 
     // 2. decontaminate vs the benchmark slice (broadcast shingle set);
     // persisted — every later stage count re-reads this lineage
@@ -74,7 +93,7 @@ object TrainPrepDemo {
       Seq("doc_id"), col("n_tok"), TrainPrep.PACK_CTX)
     val nPacks = packed.select("_shard", "pack_id").distinct().count()
 
-    println(s"[demo] corpus-prep: raw=$n0 deduped=$n1 decontaminated=$n2 " +
+    println(s"[demo] corpus-prep: raw=$n0 exact_deduped=$n1 cluster_deduped=$n1b decontaminated=$n2 " +
       s"quality=$n3 mixed=$n5 packs=$nPacks " +
       s"redactions=${TrainPrep.SCRUB_RULES.map(r => s"${r.name}=${redactions.getAs[Long](r.name)}").mkString(",")}")
     mixed.unpersist()

@@ -81,6 +81,16 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
+  /** Canonical cleaning transform (q54 and the corpus-prep demo):
+    * Unicode NFC (native expression), control characters to spaces,
+    * whitespace runs collapsed, ends trimmed. Regex patterns stay in
+    * the Java/RE2 common subset for oracle parity.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      graft.plans.NormalizeNfc(text),
+      "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "))
+
   /** Number of tokens belonging to a stopword list. Counts repeats —
     * frequency matters for language scoring.
     */

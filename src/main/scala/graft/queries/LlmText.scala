@@ -261,9 +261,7 @@ object LlmText {
     * the Java-regex/RE2 common subset (explicit byte ranges, `\s`).
     */
   def q54TextNormalize(spark: SparkSession, dir: String): DataFrame = {
-    val norm = trim(regexp_replace(regexp_replace(
-      graft.plans.NormalizeNfc(col("text")),
-      "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "))
+    val norm = normalizeText(col("text"))
     Tables(spark, dir).documents
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars_raw"),
