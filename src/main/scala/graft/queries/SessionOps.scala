@@ -212,17 +212,44 @@ object SessionOps {
       |FROM o GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** q56: stream-static enrichment — the events stream joined to the
+    * static customer dimension (broadcast per micro-batch), aggregated
+    * per (market segment, event type) in a complete-mode memory sink.
+    * Oracle = the identical batch join+agg: stream/batch parity again.
+    * See [[graft.streaming.StreamEnrich]] for the scale shape.
+    */
+  def q56StreamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{StreamAgg, StreamEnrich}
+    val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
+    val sinkName = "q56_sink"
+    spark.catalog.dropTempView(sinkName)
+    val q = StreamEnrich.segmentTypeAgg(stream, Tables(spark, dir).customer)
+      .writeStream.format("memory").queryName(sinkName).outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(sinkName).orderBy("segment", "event_type")
+  }
+
+  val q56Sql: String =
+    s"""SELECT c_mktsegment AS segment, event_type,
+      |  count(*) AS n_events, ${Exact.sumSql("value")} AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment, event_type
+      |ORDER BY segment, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_events_sessionize" -> Gate.sorted(q37EventsSessionize _, "user_id", "sess_idx"),
     "q38_stream_window_agg" -> (q38StreamWindowAgg _),
     "q39_stream_sessionize" -> (q39StreamSessionize _),
     "q49_latest_by_key" -> Gate.sorted(q49LatestByKey _, "user_id"),
-    "q51_stream_dedup" -> (q51StreamDedup _))
+    "q51_stream_dedup" -> (q51StreamDedup _),
+    "q56_stream_enrich" -> (q56StreamEnrich _))
 
   val oracles: Map[String, String] = Map(
     "q37_events_sessionize" -> q37Sql,
     "q38_stream_window_agg" -> q38Sql,
     "q39_stream_sessionize" -> q39Sql,
     "q49_latest_by_key" -> q49Sql,
-    "q51_stream_dedup" -> q51Sql)
+    "q51_stream_dedup" -> q51Sql,
+    "q56_stream_enrich" -> q56Sql)
 }

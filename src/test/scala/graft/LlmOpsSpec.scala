@@ -240,4 +240,14 @@ class LlmOpsSpec extends SparkSpec {
     val streamed = SessionOps.q38StreamWindowAgg(spark, sfDir)
     assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
   }
+
+  test("stream-static enrichment matches the batch join+agg (q56 parity)") {
+    val t = Tables(spark, sfDir)
+    val batch = graft.streaming.StreamEnrich.segmentTypeAgg(t.events, t.customer)
+    val streamed = SessionOps.q56StreamEnrich(spark, sfDir)
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+    // the enrichment must not drop events: every user_id resolves
+    val total = streamed.agg(sum("n_events")).collect().head.getLong(0)
+    assert(total == t.events.count(), "stream-static join dropped events")
+  }
 }
