@@ -10,14 +10,15 @@ import org.apache.spark.sql.functions._
   * follows any LSH dedup; pairs alone under-delete (A~B, B~C must drop
   * both B and C, not just one of each pair).
   *
-  * Algorithm: iterative min-label propagation. Every node starts
-  * labeled with the min of itself and its direct neighbors; each round
-  * every node takes the min label over its neighborhood. Converges in
-  * O(graph diameter) rounds. Duplicate clusters are band-overlap
-  * graphs — near-cliques of tiny diameter — so 2-3 rounds settle real
-  * corpora (the alternating large-star/small-star formulation converges
-  * in O(log n) rounds on adversarial chains; same join shape per round,
-  * so it can be swapped in without changing callers).
+  * Algorithm: iterative min-label propagation with pointer jumping.
+  * Every node starts labeled with the min of itself and its direct
+  * neighbors; each round every node takes the min of (its label, its
+  * neighbors' labels, its label's label). The last term — label
+  * indirection, comp(comp(n)) — is the pointer-jumping shortcut that
+  * doubles the distance a minimum travels per round, so adversarial
+  * long chains converge in O(log diameter) rounds, not O(diameter).
+  * Duplicate clusters are band-overlap graphs — near-cliques — so 1-2
+  * rounds settle real corpora.
   *
   * Scale shape (100 TB): each round is ONE hash-shuffle join of the
   * symmetric edge list against the label table on node id, followed by
@@ -68,16 +69,23 @@ object ConnectedComponents {
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      // Propagate: each node takes the min label over its neighborhood
-      // (neighbors' labels + its own). Inner joins are total: every
-      // node is an `a` and a `b` in the symmetric list.
-      val next = sym
+      // Propagate: each node takes the min over its neighbors' labels,
+      // its own, and its label's label (pointer jump — every label is
+      // itself a node id, so the indirection join is total). The
+      // neighbor join is total too: every node is an `a` and a `b` in
+      // the symmetric list.
+      val nbrMin = sym
         .join(labels.withColumnRenamed("node", "b"), "b")
         .groupBy("a")
         .agg(min(col("comp")).as("nbr_comp"))
-        .join(labels.withColumnRenamed("node", "a"), "a")
+      val jump = labels
+        .join(labels.select(col("node").as("comp"), col("comp").as("jump_comp")),
+          "comp")
+        .select(col("node").as("a"), col("comp"), col("jump_comp"))
+      val next = jump
+        .join(nbrMin, "a")
         .select(col("a").as("node"),
-          least(col("comp"), col("nbr_comp")).as("comp"))
+          least(col("comp"), col("nbr_comp"), col("jump_comp")).as("comp"))
         .localCheckpoint(true)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
