@@ -259,7 +259,78 @@ object TrainPrep {
       |FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q57 shard count; q58 per-source document quota. */
+  val MANIFEST_SHARDS = 16
+  val QUOTA_PER_SOURCE = 15
+
+  /** q57: reproducible shard manifest — the dataset-versioning record a
+    * training run pins: every doc is assigned a deterministic shard by
+    * md5(doc_id), and each shard reports doc/token counts plus an
+    * ORDER-INDEPENDENT content hash (sum of per-doc 32-bit md5
+    * prefixes). Because the hash is a plain sum, the whole manifest is
+    * one map-side-combined aggregation — no collect_list, no per-shard
+    * sort, no row order dependence on cluster layout: two runs over the
+    * same corpus produce byte-identical manifests on any partitioning.
+    * (Per-doc prefix < 2^32 keeps the BIGINT sum exact up to ~2^31 docs
+    * per shard; at beyond that, sum in DECIMAL(38,0).)
+    */
+  def q57ShardManifest(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long"), lit(MANIFEST_SHARDS.toLong)).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum("h").as("content_hash_sum"))
+
+  val q57Sql: String =
+    s"""SELECT
+      |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+      |    % $MANIFEST_SHARDS AS shard,
+      |  count(*) AS n_docs,
+      |  CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |                           t -> t != ''))) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)) AS BIGINT)
+      |    AS content_hash_sum
+      |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
+
+  /** q58: per-source quota capping (domain capping) — keep at most
+    * QUOTA_PER_SOURCE docs per source, chosen by deterministic md5
+    * order so re-runs and backfills keep the identical subset. One
+    * shuffle on source for the per-group window; a pathologically hot
+    * domain is exactly the case the cap exists for — its window input
+    * is already bounded by reading only (source, doc_id, rank inputs),
+    * and the q07-style two-phase threshold join handles it if a single
+    * group ever exceeds a task.
+    */
+  def q58SourceQuota(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("pick"), col("doc_id"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"),
+        md5(concat(col("source"), lit("#"), col("doc_id").cast("string")))
+          .as("pick"))
+      .withColumn("quota_rank", row_number().over(w))
+      .filter(col("quota_rank") <= QUOTA_PER_SOURCE)
+      .drop("pick")
+  }
+
+  val q58Sql: String =
+    s"""SELECT doc_id, source, quota_rank FROM (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(source || '#' || CAST(doc_id AS VARCHAR)), doc_id)
+      |      AS quota_rank
+      |  FROM documents)
+      |WHERE quota_rank <= $QUOTA_PER_SOURCE
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_shard_manifest" -> Gate.sorted(q57ShardManifest _, "shard"),
+    "q58_source_quota" -> Gate.sorted(q58SourceQuota _, "doc_id"),
     "q46_seq_pack" -> Gate.sorted(q46SeqPack _, "shard", "pack_id"),
     "q47_regex_scrub" -> Gate.sorted(q47RegexScrub _, "doc_id"),
     "q48_decontaminate" -> Gate.sorted(q48Decontaminate _, "doc_id"),
@@ -267,6 +338,8 @@ object TrainPrep {
     "q52_rep_ngrams" -> Gate.sorted(q52RepNgrams _, "doc_id"))
 
   val oracles: Map[String, String] = Map(
+    "q57_shard_manifest" -> q57Sql,
+    "q58_source_quota" -> q58Sql,
     "q46_seq_pack" -> q46Sql,
     "q47_regex_scrub" -> q47Sql,
     "q48_decontaminate" -> q48Sql,

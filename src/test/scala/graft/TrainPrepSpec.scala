@@ -110,6 +110,46 @@ class TrainPrepSpec extends SparkSpec {
     assert(res === Map(1L -> ((5L, 3L)), 2L -> ((0L, 0L)), 3L -> ((2L, 1L))))
   }
 
+  test("q57 manifest is invariant to partitioning and covers every doc") {
+    val base = TrainPrep.q57ShardManifest(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // totals partition the corpus
+    val nDocs = Tables(spark, sfDir).documents.count()
+    assert(base.values.map(_._1).sum == nDocs)
+    assert(base.keySet.subsetOf((0L until TrainPrep.MANIFEST_SHARDS).toSet))
+    // the order-independent hash: same manifest from a reshuffled input
+    val reshuffled = Tables(spark, sfDir).documents.repartition(7)
+      .select(
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long"), lit(TrainPrep.MANIFEST_SHARDS.toLong)).as("shard"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tok"),
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("h"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum("h").as("content_hash_sum"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(reshuffled == base, "manifest depends on partitioning")
+  }
+
+  test("q58 caps every source at the quota with deterministic picks") {
+    val got = TrainPrep.q58SourceQuota(spark, sfDir)
+    val perSource = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource.values.forall(_ <= TrainPrep.QUOTA_PER_SOURCE))
+    // sources with >= quota docs are filled exactly to the quota
+    val totals = Tables(spark, sfDir).documents.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (s, n) =>
+      assert(perSource.getOrElse(s, 0L) ==
+        math.min(n, TrainPrep.QUOTA_PER_SOURCE.toLong), s"source $s")
+    }
+    // determinism: two runs pick the identical subset
+    val a = got.collect().map(_.getLong(0)).sorted.toSeq
+    val b = TrainPrep.q58SourceQuota(spark, sfDir).collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+
   test("q46/q47/q48/q49 run end-to-end on the fixture tables") {
     for (q <- Seq("q46_seq_pack", "q47_regex_scrub", "q48_decontaminate",
         "q49_latest_by_key")) {
