@@ -237,13 +237,45 @@ object SessionOps {
       |GROUP BY c_mktsegment, event_type
       |ORDER BY segment, event_type""".stripMargin
 
+  /** q59 attribution window. */
+  val ATTRIB_HOURS = 2
+
+  /** q59: stream-stream event-time interval join — every purchase
+    * attributed to each same-user click in the preceding 2 hours, both
+    * sides live streams with watermarks (state eviction derived from
+    * the interval bound). One micro-batch replay makes the emitted set
+    * exactly the batch interval join. See [[graft.streaming.StreamJoin]].
+    */
+  def q59StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{StreamAgg, StreamJoin}
+    val clicks = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
+    val purchases = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
+    val sinkName = "q59_sink"
+    spark.catalog.dropTempView(sinkName)
+    val q = StreamJoin.clickPurchase(clicks, purchases, ATTRIB_HOURS)
+      .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(sinkName).orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  val q59Sql: String =
+    s"""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL $ATTRIB_HOURS HOUR
+      |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_events_sessionize" -> Gate.sorted(q37EventsSessionize _, "user_id", "sess_idx"),
     "q38_stream_window_agg" -> (q38StreamWindowAgg _),
     "q39_stream_sessionize" -> (q39StreamSessionize _),
     "q49_latest_by_key" -> Gate.sorted(q49LatestByKey _, "user_id"),
     "q51_stream_dedup" -> (q51StreamDedup _),
-    "q56_stream_enrich" -> (q56StreamEnrich _))
+    "q56_stream_enrich" -> (q56StreamEnrich _),
+    "q59_stream_stream_join" -> (q59StreamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
     "q37_events_sessionize" -> q37Sql,
@@ -251,5 +283,6 @@ object SessionOps {
     "q39_stream_sessionize" -> q39Sql,
     "q49_latest_by_key" -> q49Sql,
     "q51_stream_dedup" -> q51Sql,
-    "q56_stream_enrich" -> q56Sql)
+    "q56_stream_enrich" -> q56Sql,
+    "q59_stream_stream_join" -> q59Sql)
 }

@@ -241,6 +241,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-stream interval join matches the batch interval join (q59 parity)") {
+    val ev = Tables(spark, sfDir).events
+    val batch = graft.streaming.StreamJoin
+      .clickPurchase(ev, ev, SessionOps.ATTRIB_HOURS)
+    val streamed = SessionOps.q59StreamStreamJoin(spark, sfDir)
+    assert(streamed.count() > 0, "expected attribution pairs in the fixture window")
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+    // every emitted lag is inside [0, window)
+    val lags = streamed.select("lag_us").collect().map(_.getLong(0))
+    assert(lags.forall(l => l >= 0 && l < SessionOps.ATTRIB_HOURS * 3600L * 1000000L))
+  }
+
   test("stream-static enrichment matches the batch join+agg (q56 parity)") {
     val t = Tables(spark, sfDir)
     val batch = graft.streaming.StreamEnrich.segmentTypeAgg(t.events, t.customer)
