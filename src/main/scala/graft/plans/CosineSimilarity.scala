@@ -80,8 +80,9 @@ object CosineSimilarity {
   *
   * SQL surface: cosine_similarity(a, b), poly_hash(text),
   * shingle_hash_set(text, n), simhash_fingerprint(text, n, bits),
-  * minhash_signature(text, n, k) — the int parameters must be
-  * literals (they size driver-materialized state).
+  * minhash_signature(text, n, k), repetition_stats(text),
+  * normalize_nfc(text) — the int parameters must be literals (they
+  * size driver-materialized state).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
