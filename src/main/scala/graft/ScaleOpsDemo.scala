@@ -1,10 +1,11 @@
 package graft
 
-import graft.operators.{Bucketing, Skew}
+import graft.operators.{BloomPrune, Bucketing, Skew}
 import org.apache.spark.sql.functions._
 
 /** Executable example of the scale utilities: bucketed co-located
-  * joins (no shuffle) and salted joins for skewed keys.
+  * joins (no shuffle), salted joins for skewed keys, and bloom-filter
+  * join pruning (fact-side scan-stage reduction).
   *
   * Usage: runMain graft.ScaleOpsDemo [sfDir]
   */
@@ -37,6 +38,17 @@ object ScaleOpsDemo {
     val plain = big.join(small, "k").count()
     val salted = Skew.saltedJoin(big, small, "k", factor = 16).count()
     println(s"[demo] salted join rows=$salted plain=$plain equal=${salted == plain}")
+
+    // --- bloom prune: the selective-dim drop moves into the scan ----
+    val t = Tables(spark, sfDir)
+    val dim = t.supplier.filter(col("s_suppkey") % 10 === 0)
+    val fact = t.lineitem
+    val pruned = BloomPrune.prune(fact, col("l_suppkey"), dim, col("s_suppkey"),
+      expectedItems = 1000)
+    val exact = fact.join(dim.select("s_suppkey"),
+      col("l_suppkey") === col("s_suppkey"), "left_semi").count()
+    println(s"[demo] bloom prune fact=${fact.count()} pruned=${pruned.count()} " +
+      s"exact_semi=$exact (prune is a scan-stage filter, no exchange)")
 
     spark.sql("DROP TABLE IF EXISTS demo_bucketed_qty")
     spark.sql("DROP TABLE IF EXISTS demo_bucketed_price")
