@@ -326,7 +326,30 @@ object LlmText {
       |WHERE rank <= $KEYWORDS_K
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** q60: the q42 statistic through the SKETCH path — per-partition
+    * Misra-Gries summaries, merged candidate cut, exact recount (see
+    * [[graft.operators.HeavyHitters]]). The recount makes the output
+    * exact, so the oracle is the plain SQL top-k: the gate verifies
+    * that the bounded-memory path loses nothing on a real vocabulary.
+    */
+  def q60SketchTopk(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(explode(tokens(col("text"))).as("token"))
+    graft.operators.HeavyHitters.topK(toks, "token", VOCAB_TOP_K)
+      .withColumnRenamed("item", "token")
+  }
+
+  val q60Sql: String =
+    s"""SELECT token, count(*) AS n
+      |FROM (
+      |  SELECT unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '\\s+'), t -> t != '')) AS token
+      |  FROM documents)
+      |GROUP BY token
+      |ORDER BY n DESC, token LIMIT $VOCAB_TOP_K""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_sketch_topk" -> (q60SketchTopk _),
     "q42_vocab_topk" -> (q42VocabTopk _),
     "q43_doc_chunks" -> Gate.sorted(q43DocChunks _, "doc_id", "chunk_idx"),
     "q26_dedup_exact" -> Gate.sorted(q26DedupExact _, "keep_id"),
@@ -339,6 +362,7 @@ object LlmText {
     "q55_doc_keywords" -> Gate.sorted(q55DocKeywords _, "doc_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q60_sketch_topk" -> q60Sql,
     "q42_vocab_topk" -> q42Sql,
     "q43_doc_chunks" -> q43Sql,
     "q26_dedup_exact" -> q26Sql,
