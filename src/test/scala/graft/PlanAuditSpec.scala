@@ -163,6 +163,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Sort [term"), "df join must not force a global sort")
   }
 
+  test("q57: manifest is one map-side-combined aggregation") {
+    val p = executedPlan(graft.queries.TrainPrep.q57ShardManifest(spark, sfDir))
+    assert(p.contains("partial_"), "expected map-side combine on shard stats")
+    val n = "Exchange hashpartitioning".r
+      .findAllIn(p.split("== Initial Plan ==").head).size
+    assert(n <= 1, s"manifest should need exactly one exchange, saw $n")
+  }
+
+  test("q60: sketch pass is mapPartitions; recount joins a broadcast candidate set") {
+    val p = executedPlan(graft.queries.LlmText.q60SketchTopk(spark, sfDir))
+    assert(p.contains("MapPartitions"), "Misra-Gries pass missing from plan")
+    assert(p.contains("BroadcastHashJoin"), "candidate recount should broadcast")
+  }
+
   test("no query in the inventory plans a cartesian product") {
     SparkEntry.queries.filterNot(_._1 == "q38_stream_window_agg")
       .foreach { case (name, fn) =>
