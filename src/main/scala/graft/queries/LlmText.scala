@@ -326,6 +326,64 @@ object LlmText {
       |WHERE rank <= $KEYWORDS_K
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** q61 vocabulary size: small enough that the synthetic corpus has
+    * genuine OOV tokens (its vocab is ~31 words).
+    */
+  val ENCODE_VOCAB_K = 20
+
+  /** q61: vocabulary encoding — the tokenize-to-ids step between
+    * corpus prep and packing: tokens map to ids 0..K-1 by frequency
+    * rank (count desc, token asc — the q42 order), out-of-vocabulary
+    * to -1. The trained vocab is a bounded top-K table collected once
+    * to the driver (O(K), like the LSH query set) and shipped as a
+    * broadcast map LITERAL, so encoding itself is a zero-shuffle
+    * scan-stage transform — the corpus never shuffles to be encoded.
+    * Gated on (n_tok, n_oov, md5 of the id sequence), which pins the
+    * full id array without dumping it.
+    */
+  def q61VocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val vocab: Map[String, Int] = docs
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(ENCODE_VOCAB_K)
+      .collect().zipWithIndex
+      .map { case (r, i) => r.getString(0) -> i }.toMap
+    val vmap = typedLit(vocab)
+    val ids = transform(tokens(col("text")),
+      t => coalesce(element_at(vmap, t), lit(-1)))
+    docs.select(col("doc_id"), ids.as("_ids"))
+      .select(col("doc_id"),
+        size(col("_ids")).cast("long").as("n_tok"),
+        size(filter(col("_ids"), i => i === -1)).cast("long").as("n_oov"),
+        md5(concat_ws(",", transform(col("_ids"), _.cast("string")))).as("ids_md5"))
+  }
+
+  val q61Sql: String =
+    s"""WITH cnt AS (
+      |  SELECT token, count(*) AS n FROM (
+      |    SELECT unnest(list_filter(
+      |      regexp_split_to_array(lower(text), '\\s+'), t -> t != '')) AS token
+      |    FROM documents)
+      |  GROUP BY token),
+      |vocab AS (
+      |  SELECT list(token ORDER BY n DESC, token ASC) AS vl FROM (
+      |    SELECT * FROM cnt ORDER BY n DESC, token LIMIT $ENCODE_VOCAB_K)),
+      |enc AS (
+      |  SELECT d.doc_id,
+      |    list_transform(
+      |      list_filter(regexp_split_to_array(lower(d.text), '\\s+'), t -> t != ''),
+      |      t -> coalesce(list_position(v.vl, t), 0) - 1) AS ids
+      |  FROM documents d CROSS JOIN vocab v)
+      |SELECT doc_id,
+      |  CAST(len(ids) AS BIGINT) AS n_tok,
+      |  CAST(len(list_filter(ids, i -> i = -1)) AS BIGINT) AS n_oov,
+      |  md5(coalesce(list_aggregate(
+      |    list_transform(ids, i -> CAST(i AS VARCHAR)), 'string_agg', ','), ''))
+      |    AS ids_md5
+      |FROM enc ORDER BY doc_id""".stripMargin
+
   /** q60: the q42 statistic through the SKETCH path — per-partition
     * Misra-Gries summaries, merged candidate cut, exact recount (see
     * [[graft.operators.HeavyHitters]]). The recount makes the output
@@ -349,6 +407,7 @@ object LlmText {
       |ORDER BY n DESC, token LIMIT $VOCAB_TOP_K""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_vocab_encode" -> Gate.sorted(q61VocabEncode _, "doc_id"),
     "q60_sketch_topk" -> (q60SketchTopk _),
     "q42_vocab_topk" -> (q42VocabTopk _),
     "q43_doc_chunks" -> Gate.sorted(q43DocChunks _, "doc_id", "chunk_idx"),
@@ -362,6 +421,7 @@ object LlmText {
     "q55_doc_keywords" -> Gate.sorted(q55DocKeywords _, "doc_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q61_vocab_encode" -> q61Sql,
     "q60_sketch_topk" -> q60Sql,
     "q42_vocab_topk" -> q42Sql,
     "q43_doc_chunks" -> q43Sql,

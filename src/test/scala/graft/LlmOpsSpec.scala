@@ -203,6 +203,31 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q61 encodes in-vocab tokens by frequency rank and flags OOV") {
+    val out = LlmText.q61VocabEncode(spark, sfDir).collect()
+    assert(out.length == Tables(spark, sfDir).documents.count())
+    // n_oov <= n_tok, and with K=20 on a ~31-word vocab some OOV exists
+    assert(out.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(out.map(_.getLong(2)).sum > 0, "expected OOV tokens at K=20")
+    // cross-check one doc by hand
+    val vocab = Tables(spark, sfDir).documents
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(LlmText.ENCODE_VOCAB_K)
+      .zipWithIndex.map { case ((t, _), i) => t -> i }.toMap
+    val doc0 = Tables(spark, sfDir).documents
+      .filter(col("doc_id") === 0L).select("text").head.getString(0)
+    val ids0 = doc0.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .map(t => vocab.getOrElse(t, -1))
+    val row0 = out.find(_.getLong(0) == 0L).get
+    assert(row0.getLong(1) == ids0.length && row0.getLong(2) == ids0.count(_ == -1))
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(ids0.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(row0.getString(3) == md, "id-sequence hash mismatch for doc 0")
+  }
+
   test("q37 session gaps never exceed threshold inside a session") {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
