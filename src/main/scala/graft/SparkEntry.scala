@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.EmbeddingOps.queries ++
       graft.queries.SessionOps.queries ++
       graft.queries.JoinOps.queries ++
-      graft.queries.TrainPrep.queries
+      graft.queries.TrainPrep.queries ++
+      graft.queries.VectorOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.EmbeddingOps.oracles ++
       graft.queries.SessionOps.oracles ++
       graft.queries.JoinOps.oracles ++
-      graft.queries.TrainPrep.oracles
+      graft.queries.TrainPrep.oracles ++
+      graft.queries.VectorOps.oracles
 }

@@ -1,0 +1,232 @@
+package graft.queries
+
+import graft.Tables
+import graft.queries.EmbeddingOps.{cosine, NUM_QUERIES, TOP_K}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector scale paths beyond LSH/IVF (q31/q41): int8 quantization and
+  * embedding-space semantic deduplication.
+  *
+  * q62 is the memory-bandwidth scale path every production ANN system
+  * layers under its index: store int8-quantized vectors (4x smaller
+  * than float32), generate candidates with an integer dot product over
+  * the quantized corpus, and exact-rerank only the candidate cut with
+  * full-precision cosine. At 100 TB the quantized scan reads a quarter
+  * of the bytes and the float vectors are fetched for ~RERANK_CAND rows
+  * per query, not the corpus.
+  *
+  * q63 is SemDeDup-shaped semantic deduplication (reference analogue of
+  * q53's cluster resolution, lifted from text shingles to embedding
+  * space): coarse-quantize the corpus into IVF cells, verify cosine
+  * near-duplicates only WITHIN a cell, and resolve the resulting pair
+  * graph into clusters with one canonical survivor. The cell id bounds
+  * the pairwise work — the self-join key at 100 TB is the cell, never
+  * the corpus — and the component step reuses the distributed
+  * label-propagation operator (graft.operators.ConnectedComponents).
+  */
+object VectorOps {
+
+  /** int8 quantization scale: floor(x * Q_SCALE) clamped to [-128, 127].
+    * floor (not round) because IEEE floor is exactly portable across
+    * engines while round-half ties differ; the float->double promotion
+    * and the *127 product are both exact, so Spark and DuckDB quantize
+    * bit-identically by construction.
+    */
+  val Q_SCALE = 127
+
+  /** Candidate cut reranked with exact cosine per query. */
+  val RERANK_CAND = 32
+
+  /** Quantize an array<float> column to int8 codes (as longs — the
+    * arithmetic stays in int64, no overflow at any dim).
+    */
+  def quantize(e: Column): Column =
+    transform(e, x =>
+      greatest(lit(-128L), least(lit(127L),
+        floor(x.cast("double") * Q_SCALE).cast("long"))))
+
+  /** Integer dot product of two quantized vectors. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** q62: quantized candidate generation + exact rerank — the first
+    * pass scores the int8 corpus against the (broadcast) int8 query
+    * set and keeps the top RERANK_CAND per query by integer dot
+    * product; only those candidates' float vectors are fetched and
+    * reranked by exact cosine for the final top-k.
+    */
+  def q62QuantizedAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val quant = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val qQuant = quant.filter(col("vec_id") < NUM_QUERIES)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"))
+    val wCand = Window.partitionBy("query_id")
+      .orderBy(col("idot").desc, col("vec_id").asc)
+    val cand = quant.join(broadcast(qQuant), col("vec_id") =!= col("query_id"))
+      .withColumn("idot", intDot(col("q_qv"), col("qv")))
+      .withColumn("rn", row_number().over(wCand))
+      .filter(col("rn") <= RERANK_CAND)
+      .select("query_id", "vec_id")
+    // rerank: fetch float vectors for the candidate cut only
+    val ce = emb.select(col("vec_id"), col("embedding"))
+    val qe = emb.filter(col("vec_id") < NUM_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cand.join(ce, "vec_id").join(broadcast(qe), "query_id")
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TOP_K)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
+  /** DuckDB cosine over two embeddings-table aliases (same fold order
+    * as the native expression — see EmbeddingOps.q30Sql).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($a.embedding)),
+      |      i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform($a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform($b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  val q62Sql: String =
+    s"""WITH qv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> greatest(-128, least(127,
+      |      CAST(floor(CAST(x AS DOUBLE) * $Q_SCALE) AS BIGINT)))) AS qv
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id AS query_id, qv AS q_qv FROM qv
+      |  WHERE vec_id < $NUM_QUERIES),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    list_sum(list_transform(generate_series(1, len(e.qv)),
+      |      i -> q.q_qv[i] * e.qv[i])) AS idot
+      |  FROM qv e, q WHERE e.vec_id != q.query_id),
+      |cand AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |                         ORDER BY idot DESC, vec_id ASC) AS rn
+      |    FROM scored) WHERE rn <= $RERANK_CAND),
+      |rerank AS (
+      |  SELECT cand.query_id, cand.vec_id,
+      |    ${cosSql("qe", "ce")} AS sim
+      |  FROM cand
+      |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+      |  JOIN embeddings ce ON ce.vec_id = cand.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY sim DESC, vec_id ASC) AS rank
+      |  FROM rerank)
+      |SELECT query_id, rank, vec_id AS neighbor_id
+      |FROM ranked WHERE rank <= $TOP_K
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** q63 coarse cells (same deterministic seed centroids as q41) and
+    * the semantic near-duplicate threshold.
+    */
+  val SEM_CELLS = 8
+  val SEM_MIN_SIM = 0.42
+
+  /** Cell assignment: argmax-cosine against the broadcast centroids,
+    * ties to the smaller cent_id — partial-aggregable max(struct), no
+    * corpus-wide window.
+    */
+  private def assignCells(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val cents = emb.filter(col("vec_id") < SEM_CELLS)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    emb.join(broadcast(cents))
+      .withColumn("sim_c", cosine(col("c_emb"), col("embedding")))
+      .groupBy("vec_id")
+      .agg(
+        max(struct(col("sim_c"), (-col("cent_id")).as("neg_cent"))).as("best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), (-col("best.neg_cent")).cast("long").as("cell"),
+        col("embedding"))
+  }
+
+  /** q63: semantic dedup — within-cell cosine >= SEM_MIN_SIM pairs,
+    * connected components, one canonical survivor (min vec_id) per
+    * cluster. Output is the per-vector keep/drop decision table.
+    */
+  def q63SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = assignCells(spark, dir)
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("sim") >= SEM_MIN_SIM)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val comp = graft.operators.ConnectedComponents
+      .components(pairs, "vec_a", "vec_b")
+      .withColumnRenamed("node", "vec_id")
+    val labeled = Tables(spark, dir).embeddings.select("vec_id")
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("cluster_id"))
+    val sizes = labeled.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        (col("vec_id") === col("cluster_id")).as("keep"))
+  }
+
+  val q63Sql: String =
+    s"""WITH RECURSIVE cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
+      |  WHERE vec_id < $SEM_CELLS),
+      |scored_cells AS (
+      |  SELECT e.vec_id, c.cent_id,
+      |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |      i -> CAST(c.c_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(c.c_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim_c
+      |  FROM embeddings e CROSS JOIN cents c),
+      |assigned AS (
+      |  SELECT vec_id, cent_id AS cell FROM (
+      |    SELECT vec_id, cent_id,
+      |      row_number() OVER (PARTITION BY vec_id
+      |                         ORDER BY sim_c DESC, cent_id ASC) AS rn
+      |    FROM scored_cells) WHERE rn = 1),
+      |pairs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM assigned a
+      |  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+      |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+      |  WHERE ${cosSql("ea", "eb")} >= $SEM_MIN_SIM),
+      |edges AS (
+      |  SELECT vec_a AS a, vec_b AS b FROM pairs
+      |  UNION
+      |  SELECT vec_b AS a, vec_a AS b FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (
+      |  SELECT a AS vec_id, min(b) AS min_reach FROM reach GROUP BY a),
+      |lab AS (
+      |  SELECT v.vec_id,
+      |    CASE WHEN c.min_reach IS NULL THEN v.vec_id
+      |         ELSE least(v.vec_id, c.min_reach) END AS cluster_id
+      |  FROM embeddings v LEFT JOIN comp c ON c.vec_id = v.vec_id),
+      |sz AS (
+      |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      |  FROM lab GROUP BY cluster_id)
+      |SELECT l.vec_id, l.cluster_id, s.cluster_size,
+      |  l.vec_id = l.cluster_id AS keep
+      |FROM lab l JOIN sz s USING (cluster_id)
+      |ORDER BY l.vec_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_quantized_ann" -> Gate.sorted(q62QuantizedAnn _, "query_id", "rank"),
+    "q63_semantic_dedup" -> Gate.sorted(q63SemanticDedup _, "vec_id"))
+
+  val oracles: Map[String, String] = Map(
+    "q62_quantized_ann" -> q62Sql,
+    "q63_semantic_dedup" -> q63Sql)
+}

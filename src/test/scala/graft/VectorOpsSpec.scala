@@ -1,0 +1,79 @@
+package graft
+
+import graft.queries.{EmbeddingOps, VectorOps}
+import org.apache.spark.sql.functions._
+
+class VectorOpsSpec extends SparkSpec {
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("q62 quantization codes stay within int8 and preserve sign") {
+    val bad = Tables(spark, sfDir).embeddings
+      .select(explode(zip_with(
+        VectorOps.quantize(col("embedding")),
+        col("embedding"),
+        (q, x) => struct(q.as("q"), x.as("x")))).as("p"))
+      .filter(col("p.q") < -128 || col("p.q") > 127 ||
+        (col("p.x") >= 0 && col("p.q") < 0) ||
+        (col("p.x") < 0 && col("p.q") >= 0))
+    assert(bad.count() == 0)
+  }
+
+  test("q62 has an entry and oracle, returns TOP_K rows per query") {
+    assert(VectorOps.oracles.contains("q62_quantized_ann"))
+    val d = VectorOps.q62QuantizedAnn(spark, sfDir)
+    val perQuery = d.groupBy("query_id").count().collect()
+    assert(perQuery.length == EmbeddingOps.NUM_QUERIES)
+    assert(perQuery.forall(_.getLong(1) == EmbeddingOps.TOP_K))
+  }
+
+  test("q62 recall vs exact brute-force top-k is high") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(EmbeddingOps.q30EmbeddingTopk(spark, sfDir))
+    val quant = pairs(VectorOps.q62QuantizedAnn(spark, sfDir))
+    val recall = (exact & quant).size.toDouble / exact.size
+    // int8 candidates + exact rerank should recover nearly all true
+    // neighbors; the cut only loses pairs the integer dot misranks
+    // past RERANK_CAND
+    assert(recall > 0.9, s"quantized rerank recall $recall too low")
+  }
+
+  test("q63 clusters contain only genuinely similar members (precision)") {
+    val emb = Tables(spark, sfDir).embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val rows = VectorOps.q63SemanticDedup(spark, sfDir)
+      .filter(col("cluster_size") > 1).collect()
+    assert(rows.nonEmpty, "expected at least one semantic dup cluster")
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      val ids = members.map(_.getLong(0))
+      assert(ids.min == cid, s"canonical survivor of $cid is not min id")
+      // every member joined the cluster through a >= SEM_MIN_SIM edge
+      // chain; direct similarity to SOME other member must hold
+      ids.foreach { id =>
+        val best = ids.filter(_ != id).map(o => cos(emb(id), emb(o))).max
+        assert(best >= VectorOps.SEM_MIN_SIM - 1e-9,
+          s"vec $id in cluster $cid has max in-cluster sim $best")
+      }
+    }
+  }
+
+  test("q63 keep flags mark exactly one survivor per cluster") {
+    val d = VectorOps.q63SemanticDedup(spark, sfDir)
+    val perCluster = d.groupBy("cluster_id")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+    assert(perCluster.filter(col("n_keep") =!= 1L).count() == 0)
+    assert(d.count() == Tables(spark, sfDir).embeddings.count())
+  }
+}
