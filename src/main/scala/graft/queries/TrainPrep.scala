@@ -2,8 +2,9 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions.tokens
-import graft.operators.{RegexScrub, SeqPack}
+import graft.operators.{BpeTrainer, DistributedQuantile, RegexScrub, SeqPack}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-corpus preparation operators (q46–q48): sequence packing,
@@ -328,6 +329,80 @@ object TrainPrep {
       |WHERE quota_rank <= $QUOTA_PER_SOURCE
       |ORDER BY doc_id""".stripMargin
 
+  /** q64 merge-candidate table size. */
+  val BPE_TOP = 50
+
+  /** q64: the BPE pair-count pass — the argmax table of one tokenizer
+    * merge round (see [[graft.operators.BpeTrainer]]), cut to the top
+    * BPE_TOP adjacent character pairs by weighted count. The corpus
+    * collapses to the vocabulary-sized word table first, so the
+    * exploded pair aggregation is bounded by vocabulary, not corpus;
+    * the rank window runs AFTER the top-50 cut, over 50 rows.
+    */
+  def q64BpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val words = BpeTrainer.wordTable(Tables(spark, dir).documents, "text")
+    val top = BpeTrainer.pairCounts(BpeTrainer.toSymbols(words))
+      .withColumnRenamed("left", "sym_left")
+      .withColumnRenamed("right", "sym_right")
+      .orderBy(col("cnt").desc, col("sym_left").asc, col("sym_right").asc)
+      .limit(BPE_TOP)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("sym_left").asc, col("sym_right").asc))
+        .cast("long"))
+      .select("rank", "sym_left", "sym_right", "cnt")
+  }
+
+  val q64Sql: String =
+    s"""WITH words AS (
+      |  SELECT w AS word, CAST(count(*) AS BIGINT) AS wc FROM (
+      |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |                              t -> t != '')) AS w
+      |    FROM documents) GROUP BY 1),
+      |pairs AS (
+      |  SELECT substr(word, i, 1) AS sym_left, substr(word, i + 1, 1) AS sym_right, wc
+      |  FROM words, unnest(generate_series(1, length(word) - 1)) AS t(i)
+      |  WHERE length(word) > 1),
+      |agg AS (
+      |  SELECT sym_left, sym_right, CAST(sum(wc) AS BIGINT) AS cnt
+      |  FROM pairs GROUP BY 1, 2)
+      |SELECT rank, sym_left, sym_right, cnt FROM (
+      |  SELECT sym_left, sym_right, cnt,
+      |    CAST(row_number() OVER (ORDER BY cnt DESC, sym_left, sym_right)
+      |         AS BIGINT) AS rank
+      |  FROM agg)
+      |WHERE rank <= $BPE_TOP ORDER BY rank""".stripMargin
+
+  /** q65: per-source token-length profile — the corpus-diagnostics
+    * report data curation runs before mixing (q50) and quota decisions
+    * (q58): document count, exact mean and p10/p50/p90 token counts
+    * per source, via the bucket-prune distributed quantile (no
+    * per-source total sort — see [[graft.operators.DistributedQuantile]]).
+    */
+  def q65SourceTokenProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("source"), size(tokens(col("text"))).cast("double").as("n_tok"))
+    DistributedQuantile.describe(docs, Seq("source"), "n_tok",
+        Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9))
+      .select(col("source"), col("n"), col("mean"),
+        col("min").cast("long").as("min_tok"),
+        col("p10"), col("p50"), col("p90"),
+        col("max").cast("long").as("max_tok"))
+  }
+
+  val q65Sql: String =
+    s"""WITH t AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |                         x -> x != '')) AS DOUBLE) AS n_tok
+      |  FROM documents)
+      |SELECT source, count(*) AS n, ${graft.functions.Exact.meanSql("n_tok")} AS mean,
+      |  CAST(min(n_tok) AS BIGINT) AS min_tok,
+      |  quantile_cont(n_tok, 0.1) AS p10,
+      |  quantile_cont(n_tok, 0.5) AS p50,
+      |  quantile_cont(n_tok, 0.9) AS p90,
+      |  CAST(max(n_tok) AS BIGINT) AS max_tok
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_shard_manifest" -> Gate.sorted(q57ShardManifest _, "shard"),
     "q58_source_quota" -> Gate.sorted(q58SourceQuota _, "doc_id"),
@@ -335,7 +410,9 @@ object TrainPrep {
     "q47_regex_scrub" -> Gate.sorted(q47RegexScrub _, "doc_id"),
     "q48_decontaminate" -> Gate.sorted(q48Decontaminate _, "doc_id"),
     "q50_corpus_mix" -> Gate.sorted(q50CorpusMix _, "doc_id"),
-    "q52_rep_ngrams" -> Gate.sorted(q52RepNgrams _, "doc_id"))
+    "q52_rep_ngrams" -> Gate.sorted(q52RepNgrams _, "doc_id"),
+    "q64_bpe_pairs" -> Gate.sorted(q64BpePairs _, "rank"),
+    "q65_source_token_profile" -> Gate.sorted(q65SourceTokenProfile _, "source"))
 
   val oracles: Map[String, String] = Map(
     "q57_shard_manifest" -> q57Sql,
@@ -344,5 +421,7 @@ object TrainPrep {
     "q47_regex_scrub" -> q47Sql,
     "q48_decontaminate" -> q48Sql,
     "q50_corpus_mix" -> q50Sql,
-    "q52_rep_ngrams" -> q52Sql)
+    "q52_rep_ngrams" -> q52Sql,
+    "q64_bpe_pairs" -> q64Sql,
+    "q65_source_token_profile" -> q65Sql)
 }
