@@ -264,15 +264,73 @@ object DedupOps {
       |WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= $JACCARD_MIN
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q67 deterministic split fractions (train/val/test percent bounds
+    * on the md5 bucket).
+    */
+  val SPLIT_TRAIN_PCT = 80
+  val SPLIT_VAL_PCT = 90
+
+  /** Deterministic 80/10/10 document split: md5(doc_id) bucket in
+    * [0,100) — the q25/q50 split primitive pointed at documents.
+    * Content-independent, reproducible on any partitioning.
+    */
+  def docSplit(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long"), lit(100L)).as("bucket"))
+      .select(col("doc_id"),
+        when(col("bucket") < SPLIT_TRAIN_PCT, "train")
+          .when(col("bucket") < SPLIT_VAL_PCT, "val")
+          .otherwise("test").as("split"))
+
+  /** q67: split-leakage audit — near-duplicate pairs (q27's LSH
+    * candidates) that STRADDLE a train/val/test boundary. A held-out
+    * set contaminated by near-copies of training docs silently
+    * inflates eval; this is the check a pipeline runs after q25-style
+    * splitting. The pair list is dup-rate-sized, so the two split
+    * lookups are joins of a small table against the (doc_id, split)
+    * projection — hash joins on doc_id, never corpus x corpus.
+    */
+  def q67SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val sp = docSplit(docs)
+    candidatePairs(docs)
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select("doc_a", "doc_b", "split_a", "split_b")
+  }
+
+  val q67Sql: String =
+    s"""WITH $pairCtes,
+      |splits AS (
+      |  SELECT doc_id,
+      |    CASE WHEN b < $SPLIT_TRAIN_PCT THEN 'train'
+      |         WHEN b < $SPLIT_VAL_PCT THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM (
+      |    SELECT doc_id,
+      |      CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+      |        % 100 AS b
+      |    FROM documents))
+      |SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+      |FROM pairs p
+      |JOIN splits sa ON sa.doc_id = p.doc_a
+      |JOIN splits sb ON sb.doc_id = p.doc_b
+      |WHERE sa.split != sb.split
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_minhash_lsh" -> Gate.sorted(q27MinhashLsh _, "doc_a", "doc_b"),
     "q28_simhash" -> (q28Simhash _),
     "q29_ngram_jaccard" -> (q29NgramJaccard _),
-    "q53_dup_clusters" -> Gate.sorted(q53DupClusters _, "doc_id"))
+    "q53_dup_clusters" -> Gate.sorted(q53DupClusters _, "doc_id"),
+    "q67_split_leakage" -> Gate.sorted(q67SplitLeakage _, "doc_a", "doc_b"))
 
   val oracles: Map[String, String] = Map(
     "q27_minhash_lsh" -> q27Sql,
     "q28_simhash" -> q28Sql,
     "q29_ngram_jaccard" -> q29Sql,
-    "q53_dup_clusters" -> q53Sql)
+    "q53_dup_clusters" -> q53Sql,
+    "q67_split_leakage" -> q67Sql)
 }

@@ -268,6 +268,60 @@ object SessionOps {
       | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL $ATTRIB_HOURS HOUR
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
+  /** q66 snapshot cutoff: the "old" state is the log compacted up to
+    * here, the "new" state is the full log.
+    */
+  val DIFF_CUTOFF = "2024-01-15 00:00:00"
+
+  /** q66: CDC snapshot diff — compact the log at two points in time
+    * (q49's latest-by-key at a cutoff vs at head) and report every key
+    * whose latest record appeared or changed between them. Both states
+    * and the diff join hash on user_id — one co-partitioned shuffle
+    * chain, each state is |keys|-sized regardless of log length, and
+    * appended-only logs cannot produce removals (so the diff statuses
+    * are added/changed).
+    */
+  def q66StateDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val ord = (unix_micros(col("ts")) - lit(ORD_EPOCH_US)) * lit(1048576L) +
+      col("event_id")
+    def state(df: DataFrame): DataFrame =
+      graft.operators.Compaction.latestByKey(df, Seq("user_id"), ord, Seq("event_id"))
+    val old = state(ev.filter(col("ts") < lit(DIFF_CUTOFF).cast("timestamp")))
+      .select(col("user_id"), col("last_event_id").as("old_event_id"))
+    val nw = state(ev)
+      .select(col("user_id"), col("last_event_id").as("new_event_id"))
+    nw.join(old, Seq("user_id"), "left")
+      .withColumn("status",
+        when(col("old_event_id").isNull, "added")
+          .when(col("old_event_id") =!= col("new_event_id"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col("user_id"),
+        coalesce(col("old_event_id"), lit(-1L)).as("old_event_id"),
+        col("new_event_id"), col("status"))
+  }
+
+  val q66Sql: String =
+    s"""WITH o AS (
+      |  SELECT user_id,
+      |    arg_max(event_id, (epoch_us(ts) - $ORD_EPOCH_US) * 1048576 + event_id)
+      |      AS old_event_id
+      |  FROM events WHERE ts < TIMESTAMP '$DIFF_CUTOFF'
+      |  GROUP BY user_id),
+      |n AS (
+      |  SELECT user_id,
+      |    arg_max(event_id, (epoch_us(ts) - $ORD_EPOCH_US) * 1048576 + event_id)
+      |      AS new_event_id
+      |  FROM events GROUP BY user_id)
+      |SELECT n.user_id,
+      |  CAST(coalesce(o.old_event_id, -1) AS BIGINT) AS old_event_id,
+      |  n.new_event_id,
+      |  CASE WHEN o.old_event_id IS NULL THEN 'added' ELSE 'changed' END AS status
+      |FROM n LEFT JOIN o USING (user_id)
+      |WHERE o.old_event_id IS NULL OR o.old_event_id != n.new_event_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_events_sessionize" -> Gate.sorted(q37EventsSessionize _, "user_id", "sess_idx"),
     "q38_stream_window_agg" -> (q38StreamWindowAgg _),
@@ -275,7 +329,8 @@ object SessionOps {
     "q49_latest_by_key" -> Gate.sorted(q49LatestByKey _, "user_id"),
     "q51_stream_dedup" -> (q51StreamDedup _),
     "q56_stream_enrich" -> (q56StreamEnrich _),
-    "q59_stream_stream_join" -> (q59StreamStreamJoin _))
+    "q59_stream_stream_join" -> (q59StreamStreamJoin _),
+    "q66_state_diff" -> Gate.sorted(q66StateDiff _, "user_id"))
 
   val oracles: Map[String, String] = Map(
     "q37_events_sessionize" -> q37Sql,
@@ -284,5 +339,6 @@ object SessionOps {
     "q49_latest_by_key" -> q49Sql,
     "q51_stream_dedup" -> q51Sql,
     "q56_stream_enrich" -> q56Sql,
-    "q59_stream_stream_join" -> q59Sql)
+    "q59_stream_stream_join" -> q59Sql,
+    "q66_state_diff" -> q66Sql)
 }
