@@ -379,8 +379,14 @@ object TrainPrep {
     * per-source total sort — see [[graft.operators.DistributedQuantile]]).
     */
   def q65SourceTokenProfile(spark: SparkSession, dir: String): DataFrame = {
+    // the quantile operator scans its input three times (bounds,
+    // histogram, located buckets); pin the 16-byte-per-doc projection
+    // so the regex tokenization of the full text runs ONCE, not 3x —
+    // at 100 TB that is the difference between one and three passes
+    // over the corpus text
     val docs = Tables(spark, dir).documents
       .select(col("source"), size(tokens(col("text"))).cast("double").as("n_tok"))
+      .localCheckpoint(true)
     DistributedQuantile.describe(docs, Seq("source"), "n_tok",
         Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9))
       .select(col("source"), col("n"), col("mean"),

@@ -118,7 +118,11 @@ class PlanAuditSpec extends SparkSpec {
       "q49" -> S.q49LatestByKey(spark, sfDir),
       "q50" -> graft.queries.TrainPrep.q50CorpusMix(spark, sfDir),
       "q54" -> L.q54TextNormalize(spark, sfDir),
-      "q55" -> L.q55DocKeywords(spark, sfDir))
+      "q55" -> L.q55DocKeywords(spark, sfDir),
+      "q62" -> graft.queries.VectorOps.q62QuantizedAnn(spark, sfDir),
+      "q65" -> graft.queries.TrainPrep.q65SourceTokenProfile(spark, sfDir),
+      "q66" -> S.q66StateDiff(spark, sfDir),
+      "q67" -> graft.queries.DedupOps.q67SplitLeakage(spark, sfDir))
     ops.foreach { case (name, df) =>
       val p = df.queryExecution.optimizedPlan.toString
       assert(!p.contains("Sort ["),
@@ -175,6 +179,25 @@ class PlanAuditSpec extends SparkSpec {
     val p = executedPlan(graft.queries.LlmText.q60SketchTopk(spark, sfDir))
     assert(p.contains("MapPartitions"), "Misra-Gries pass missing from plan")
     assert(p.contains("BroadcastHashJoin"), "candidate recount should broadcast")
+  }
+
+  test("q62: int8 query set broadcasts; rerank touches only the candidate cut") {
+    val p = executedPlan(graft.queries.VectorOps.q62QuantizedAnn(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "quantized query set should broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q64: pair counts aggregate partially; top-k is a bounded TakeOrdered") {
+    val p = executedPlan(graft.queries.TrainPrep.q64BpePairs(spark, sfDir))
+    assert(p.contains("partial_"), "expected map-side combine on pair counts")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k cut should be TakeOrdered, not a global sort")
+  }
+
+  test("q66: both compacted states partial-aggregate before the key join") {
+    val p = executedPlan(graft.queries.SessionOps.q66StateDiff(spark, sfDir))
+    assert(p.contains("partial_"), "expected partial aggregation")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("no query in the inventory plans a cartesian product") {
