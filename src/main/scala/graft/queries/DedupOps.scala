@@ -35,16 +35,24 @@ object DedupOps {
     * 100 TB the band join shuffles uniformly distributed 16-byte keys,
     * never document text.
     */
-  def candidatePairs(docs: DataFrame): DataFrame = {
+  /** LSH band table: (doc_id, band_idx, band_hash) — the probe/index
+    * rows shared by q27/q53 (self-join) and q68 (new-batch probe of a
+    * persisted corpus index).
+    */
+  def bandTable(docs: DataFrame): DataFrame = {
     val sigs = docs
       .select(col("doc_id"),
         graft.plans.MinHashSignature(col("text"), SHINGLE_N, NUM_HASHES).as("sig"))
-    val bands = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
       posexplode(array((0 until NUM_BANDS).map { b =>
         md5(concat_ws(",",
           (0 until ROWS_PER_BAND).map(r =>
             col("sig").getItem(b * ROWS_PER_BAND + r).cast("string")): _*))
       }: _*)).as(Seq("band_idx", "band_hash")))
+  }
+
+  def candidatePairs(docs: DataFrame): DataFrame = {
+    val bands = bandTable(docs)
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b,
@@ -86,7 +94,10 @@ object DedupOps {
     * q27 selects them directly, q53 feeds them into a recursive
     * transitive closure.
     */
-  private val pairCtes: String = {
+  /** DuckDB CTE chain up to the band table (doc_id, band_idx,
+    * band_hash) — shared by the pair queries and q68's probe.
+    */
+  private val bandCtes: String = {
     val sigDefs = (0 until NUM_HASHES).map { k =>
       val (a, b) = minhashCoeff(k)
       s"coalesce(list_min(list_transform(hs, h -> (h * $a + $b) % $MINHASH_P)), $MINHASH_P) AS s$k"
@@ -110,7 +121,11 @@ object DedupOps {
       |    $sigDefs
       |  FROM sh),
       |bands AS (
-      |  $bandRows),
+      |  $bandRows)""".stripMargin
+  }
+
+  private val pairCtes: String = {
+    s"""$bandCtes,
       |pairs AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b
@@ -320,17 +335,66 @@ object DedupOps {
       |WHERE sa.split != sb.split
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q68 ingest split: the newest INGEST_FRACTION of doc_ids stand in
+    * for the incoming batch; the rest are the already-ingested corpus.
+    */
+  val INGEST_FRACTION = 0.8
+
+  /** q68: INCREMENTAL ingest dedup — the production mode of q27: the
+    * corpus's band table is a persisted index (written once, e.g.
+    * through CorpusSink), and each incoming batch computes only ITS
+    * OWN bands and probes the index with a hash join on (band_idx,
+    * band_hash). Nothing re-scans the corpus text; cost per batch is
+    * O(batch + collisions). Output: each new doc that collides with
+    * the corpus, its canonical duplicate (min colliding corpus doc)
+    * and the collision fan-out.
+    */
+  def q68IngestDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    // deterministic split: floor(max_id * fraction) — one metadata-
+    // sized action; a real pipeline splits by ingest batch id instead
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val cut = math.floor(maxId * INGEST_FRACTION).toLong
+    val bands = bandTable(docs)
+    val corpusIdx = bands.filter(col("doc_id") < cut)
+      .select(col("doc_id").as("old_doc_id"), col("band_idx"), col("band_hash"))
+    val newBands = bands.filter(col("doc_id") >= cut)
+      .select(col("doc_id").as("new_doc_id"), col("band_idx"), col("band_hash"))
+    newBands.join(corpusIdx, Seq("band_idx", "band_hash"))
+      .groupBy("new_doc_id")
+      .agg(min("old_doc_id").as("dup_of"),
+        countDistinct("old_doc_id").as("n_cand"))
+  }
+
+  val q68Sql: String =
+    s"""WITH $bandCtes,
+      |mx AS (
+      |  SELECT CAST(floor(max(doc_id) * $INGEST_FRACTION) AS BIGINT) AS cut
+      |  FROM documents),
+      |cand AS (
+      |  SELECT n.doc_id AS new_doc_id, o.doc_id AS old_doc_id
+      |  FROM bands n
+      |  JOIN bands o ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+      |  CROSS JOIN mx
+      |  WHERE n.doc_id >= mx.cut AND o.doc_id < mx.cut)
+      |SELECT new_doc_id, min(old_doc_id) AS dup_of,
+      |  CAST(count(DISTINCT old_doc_id) AS BIGINT) AS n_cand
+      |FROM cand GROUP BY new_doc_id
+      |ORDER BY new_doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_minhash_lsh" -> Gate.sorted(q27MinhashLsh _, "doc_a", "doc_b"),
     "q28_simhash" -> (q28Simhash _),
     "q29_ngram_jaccard" -> (q29NgramJaccard _),
     "q53_dup_clusters" -> Gate.sorted(q53DupClusters _, "doc_id"),
-    "q67_split_leakage" -> Gate.sorted(q67SplitLeakage _, "doc_a", "doc_b"))
+    "q67_split_leakage" -> Gate.sorted(q67SplitLeakage _, "doc_a", "doc_b"),
+    "q68_ingest_dedup" -> Gate.sorted(q68IngestDedup _, "new_doc_id"))
 
   val oracles: Map[String, String] = Map(
     "q27_minhash_lsh" -> q27Sql,
     "q28_simhash" -> q28Sql,
     "q29_ngram_jaccard" -> q29Sql,
     "q53_dup_clusters" -> q53Sql,
-    "q67_split_leakage" -> q67Sql)
+    "q67_split_leakage" -> q67Sql,
+    "q68_ingest_dedup" -> q68Sql)
 }
