@@ -222,11 +222,68 @@ object VectorOps {
       |FROM lab l JOIN sz s USING (cluster_id)
       |ORDER BY l.vec_id""".stripMargin
 
+  /** q69: one k-means refinement step for the IVF coarse quantizer —
+    * how the q41/q63 seed centroids become real centroids in
+    * production: assign every vector to its argmax-cosine cell (the
+    * broadcast-join scan q41 uses), then recompute each cell's
+    * centroid as the per-dimension mean of its members. The mean is a
+    * DECIMAL-exact sum over an exploded (cell, dim) key — map-side
+    * combined, order-independent, so the refined centroids are
+    * bit-identical on any partitioning (and match the SQL oracle).
+    * Output: (cell, dim, centroid value, member count) — SEM_CELLS x
+    * EMB_DIM rows, broadcastable back as the next iteration's
+    * centroids.
+    */
+  def q69KmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = assignCells(spark, dir)
+    assigned
+      .select(col("cell"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg(
+        (graft.functions.Exact.sumExact(col("x").cast("double"), 8) /
+          count(lit(1))).as("centroid"),
+        count(lit(1)).as("n_members"))
+      .select(col("cell"), col("dim").cast("long").as("dim"),
+        col("centroid"), col("n_members"))
+  }
+
+  val q69Sql: String =
+    s"""WITH cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
+      |  WHERE vec_id < $SEM_CELLS),
+      |scored_cells AS (
+      |  SELECT e.vec_id, c.cent_id,
+      |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |      i -> CAST(c.c_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(c.c_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim_c
+      |  FROM embeddings e CROSS JOIN cents c),
+      |assigned AS (
+      |  SELECT vec_id, cent_id AS cell FROM (
+      |    SELECT vec_id, cent_id,
+      |      row_number() OVER (PARTITION BY vec_id
+      |                         ORDER BY sim_c DESC, cent_id ASC) AS rn
+      |    FROM scored_cells) WHERE rn = 1),
+      |exploded AS (
+      |  SELECT a.cell, CAST(i - 1 AS BIGINT) AS dim,
+      |    CAST(e.embedding[i] AS DOUBLE) AS x
+      |  FROM assigned a
+      |  JOIN embeddings e ON e.vec_id = a.vec_id
+      |  CROSS JOIN unnest(generate_series(1, len(e.embedding))) AS t(i))
+      |SELECT cell, dim,
+      |  CAST(sum(CAST(x AS DECIMAL(18,8))) AS DOUBLE) / count(*) AS centroid,
+      |  count(*) AS n_members
+      |FROM exploded GROUP BY cell, dim
+      |ORDER BY cell, dim""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_quantized_ann" -> Gate.sorted(q62QuantizedAnn _, "query_id", "rank"),
-    "q63_semantic_dedup" -> Gate.sorted(q63SemanticDedup _, "vec_id"))
+    "q63_semantic_dedup" -> Gate.sorted(q63SemanticDedup _, "vec_id"),
+    "q69_kmeans_step" -> Gate.sorted(q69KmeansStep _, "cell", "dim"))
 
   val oracles: Map[String, String] = Map(
     "q62_quantized_ann" -> q62Sql,
-    "q63_semantic_dedup" -> q63Sql)
+    "q63_semantic_dedup" -> q63Sql,
+    "q69_kmeans_step" -> q69Sql)
 }

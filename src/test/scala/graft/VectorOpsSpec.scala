@@ -69,6 +69,20 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("q69 refines a full centroid per non-empty cell, covering all vectors") {
+    val rows = VectorOps.q69KmeansStep(spark, sfDir).collect()
+    val byCell = rows.groupBy(_.getLong(0))
+    byCell.foreach { case (cell, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (0L until 64L),
+        s"cell $cell missing dimensions")
+      assert(rs.map(_.getLong(3)).distinct.length == 1,
+        s"cell $cell member count must not vary by dimension")
+      rs.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
+    }
+    val totalMembers = byCell.values.map(_.head.getLong(3)).sum
+    assert(totalMembers == Tables(spark, sfDir).embeddings.count())
+  }
+
   test("q63 keep flags mark exactly one survivor per cluster") {
     val d = VectorOps.q63SemanticDedup(spark, sfDir)
     val perCluster = d.groupBy("cluster_id")
