@@ -322,6 +322,36 @@ object SessionOps {
       |WHERE o.old_event_id IS NULL OR o.old_event_id != n.new_event_id
       |ORDER BY user_id""".stripMargin
 
+  /** q70: exact windowed distinct-user counts as a CHAINED stateful
+    * streaming query — dropDuplicates state feeding a windowed
+    * aggregation (see [[graft.streaming.StreamDistinct]]). Append mode
+    * emits a window once the watermark passes its end; no-data
+    * micro-batches are explicitly enabled (q39/q51 disable them
+    * session-wide) so the final watermark advance flushes every closed
+    * window, leaving exactly the still-open tail unemitted — the
+    * deterministic set the batch oracle reproduces.
+    */
+  def q70StreamDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{StreamAgg, StreamDistinct}
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
+    val sinkName = "q70_sink"
+    spark.catalog.dropTempView(sinkName)
+    val q = StreamDistinct.windowedDistinct(stream)
+      .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(sinkName).orderBy("win_start", "event_type")
+  }
+
+  val q70Sql: String =
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+      |  event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+      |FROM events
+      |GROUP BY date_trunc('hour', ts), event_type
+      |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+      |ORDER BY win_start, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_events_sessionize" -> Gate.sorted(q37EventsSessionize _, "user_id", "sess_idx"),
     "q38_stream_window_agg" -> (q38StreamWindowAgg _),
@@ -330,7 +360,8 @@ object SessionOps {
     "q51_stream_dedup" -> (q51StreamDedup _),
     "q56_stream_enrich" -> (q56StreamEnrich _),
     "q59_stream_stream_join" -> (q59StreamStreamJoin _),
-    "q66_state_diff" -> Gate.sorted(q66StateDiff _, "user_id"))
+    "q66_state_diff" -> Gate.sorted(q66StateDiff _, "user_id"),
+    "q70_stream_distinct" -> (q70StreamDistinct _))
 
   val oracles: Map[String, String] = Map(
     "q37_events_sessionize" -> q37Sql,
@@ -340,5 +371,6 @@ object SessionOps {
     "q51_stream_dedup" -> q51Sql,
     "q56_stream_enrich" -> q56Sql,
     "q59_stream_stream_join" -> q59Sql,
-    "q66_state_diff" -> q66Sql)
+    "q66_state_diff" -> q66Sql,
+    "q70_stream_distinct" -> q70Sql)
 }
