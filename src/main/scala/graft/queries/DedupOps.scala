@@ -382,13 +382,50 @@ object DedupOps {
       |FROM cand GROUP BY new_doc_id
       |ORDER BY new_doc_id""".stripMargin
 
+  /** q72: MinHash similarity ESTIMATION — score every LSH candidate
+    * pair from the signatures alone (fraction of equal min-hashes is
+    * an unbiased Jaccard estimator). This is how verification works at
+    * 100 TB when re-reading document text per pair (q29's exact path)
+    * is too expensive: the signature table is NUM_HASHES longs per
+    * doc, the pair join touches no text, and the estimate's error
+    * (~1/sqrt(16) here) is tunable by signature width. Integer
+    * equality counts + a divide-by-2^k make the output bit-portable.
+    */
+  def q72MinhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val sigs = docs.select(col("doc_id"),
+      graft.plans.MinHashSignature(col("text"), SHINGLE_N, NUM_HASHES).as("sig"))
+    candidatePairs(docs)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("n_equal",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, x) => a + x))
+      .withColumn("est_jaccard", col("n_equal") / lit(NUM_HASHES.toDouble))
+      .select("doc_a", "doc_b", "n_equal", "est_jaccard")
+  }
+
+  val q72Sql: String = {
+    val eqTerms = (0 until NUM_HASHES)
+      .map(k => s"CASE WHEN a.s$k = b.s$k THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $pairCtes
+      |SELECT p.doc_a, p.doc_b,
+      |  CAST($eqTerms AS BIGINT) AS n_equal,
+      |  CAST($eqTerms AS BIGINT) / $NUM_HASHES.0 AS est_jaccard
+      |FROM pairs p
+      |JOIN sig a ON a.doc_id = p.doc_a
+      |JOIN sig b ON b.doc_id = p.doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_minhash_lsh" -> Gate.sorted(q27MinhashLsh _, "doc_a", "doc_b"),
     "q28_simhash" -> (q28Simhash _),
     "q29_ngram_jaccard" -> (q29NgramJaccard _),
     "q53_dup_clusters" -> Gate.sorted(q53DupClusters _, "doc_id"),
     "q67_split_leakage" -> Gate.sorted(q67SplitLeakage _, "doc_a", "doc_b"),
-    "q68_ingest_dedup" -> Gate.sorted(q68IngestDedup _, "new_doc_id"))
+    "q68_ingest_dedup" -> Gate.sorted(q68IngestDedup _, "new_doc_id"),
+    "q72_minhash_estimate" -> Gate.sorted(q72MinhashEstimate _, "doc_a", "doc_b"))
 
   val oracles: Map[String, String] = Map(
     "q27_minhash_lsh" -> q27Sql,
@@ -396,5 +433,6 @@ object DedupOps {
     "q29_ngram_jaccard" -> q29Sql,
     "q53_dup_clusters" -> q53Sql,
     "q67_split_leakage" -> q67Sql,
-    "q68_ingest_dedup" -> q68Sql)
+    "q68_ingest_dedup" -> q68Sql,
+    "q72_minhash_estimate" -> q72Sql)
 }

@@ -409,6 +409,40 @@ object TrainPrep {
       |  CAST(max(n_tok) AS BIGINT) AS max_tok
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  /** q71 report columns (documents table). */
+  val STATS_COLS = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** q71: ANALYZE-style table statistics — the per-ingest data-quality
+    * report (row/null/distinct counts, min/max) a pipeline publishes
+    * next to every corpus snapshot. One aggregation per column; each
+    * scan reads ONLY its column (columnar pruning), so the report
+    * costs one pass over each column's pages, not five over the table.
+    * Exact distinct counts here (gate-checkable); at 100 TB swap in
+    * the mergeable HLL sketches (operators/DistinctSketch) and keep
+    * the same report schema.
+    */
+  def q71TableStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    STATS_COLS.map { c =>
+      docs.select(
+        lit(c).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_val"),
+        max(col(c)).cast("string").as("max_val"))
+    }.reduce(_ unionAll _)
+  }
+
+  val q71Sql: String = STATS_COLS.map { c =>
+    s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+      |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+      |  CAST(min($c) AS VARCHAR) AS min_val,
+      |  CAST(max($c) AS VARCHAR) AS max_val
+      |FROM documents""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_shard_manifest" -> Gate.sorted(q57ShardManifest _, "shard"),
     "q58_source_quota" -> Gate.sorted(q58SourceQuota _, "doc_id"),
@@ -418,7 +452,8 @@ object TrainPrep {
     "q50_corpus_mix" -> Gate.sorted(q50CorpusMix _, "doc_id"),
     "q52_rep_ngrams" -> Gate.sorted(q52RepNgrams _, "doc_id"),
     "q64_bpe_pairs" -> Gate.sorted(q64BpePairs _, "rank"),
-    "q65_source_token_profile" -> Gate.sorted(q65SourceTokenProfile _, "source"))
+    "q65_source_token_profile" -> Gate.sorted(q65SourceTokenProfile _, "source"),
+    "q71_table_stats" -> Gate.sorted(q71TableStats _, "col_name"))
 
   val oracles: Map[String, String] = Map(
     "q57_shard_manifest" -> q57Sql,
@@ -429,5 +464,6 @@ object TrainPrep {
     "q50_corpus_mix" -> q50Sql,
     "q52_rep_ngrams" -> q52Sql,
     "q64_bpe_pairs" -> q64Sql,
-    "q65_source_token_profile" -> q65Sql)
+    "q65_source_token_profile" -> q65Sql,
+    "q71_table_stats" -> q71Sql)
 }

@@ -45,6 +45,40 @@ class TrainAuditSpec extends SparkSpec {
     }
   }
 
+  test("q71 reports one exact stats row per column") {
+    val rows = graft.queries.TrainPrep.q71TableStats(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq ==
+      graft.queries.TrainPrep.STATS_COLS.sorted)
+    val n = Tables(spark, sfDir).documents.count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == 0L, s"${r.getString(0)}: unexpected nulls")
+      assert(r.getLong(3) <= n)
+    }
+    val byCol = rows.map(r => r.getString(0) -> r).toMap
+    assert(byCol("doc_id").getLong(3) == n, "doc_id must be unique")
+  }
+
+  test("q72 signature estimates track exact jaccard on verified near-dups") {
+    val est = DedupOps.q72MinhashEstimate(spark, sfDir).collect()
+    assert(est.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      DedupOps.q27MinhashLsh(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet,
+      "q72 must score exactly the candidate pairs")
+    est.foreach { r =>
+      val (nEq, e) = (r.getLong(2), r.getDouble(3))
+      assert(nEq >= 0 && nEq <= DedupOps.NUM_HASHES)
+      assert(e == nEq.toDouble / DedupOps.NUM_HASHES)
+    }
+    val verified = DedupOps.q29NgramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val estMap = est.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    verified.foreach { p =>
+      assert(estMap(p) >= 0.5,
+        s"pair $p verified >= ${DedupOps.JACCARD_MIN} but estimated ${estMap(p)}")
+    }
+  }
+
   test("docSplit fractions are roughly 80/10/10 and deterministic") {
     val sp = DedupOps.docSplit(Tables(spark, sfDir).documents)
     val counts = sp.groupBy("split").count().collect()

@@ -44,28 +44,33 @@ class ZOrderLayoutSpec extends SparkSpec {
     li.repartitionByRange(16, col("a")).sortWithinPartitions("a")
       .write.mode("overwrite").parquet(s"$base/bya")
 
-    // box query selecting ~1/16 of each dimension's range
+    // narrow filters, one per dimension (~1/16 of each range).
+    // Boundaries come from range-partitioner SAMPLING (seeded by rdd
+    // id, so they shift run to run) — assert the workload-level
+    // property that holds for EVERY boundary set, not per-file luck:
+    // across one filter on each dimension, the z-layout touches fewer
+    // total files, because the single-column layout prunes one
+    // dimension perfectly and the other not at all.
     val (qaLo, qaHi) = (loA, loA + (hiA - loA) / 16)
     val (qbLo, qbHi) = (loB, loB + (hiB - loB) / 16)
-    def hit(boxes: Array[(Long, Long, Long, Long)]): Int =
-      boxes.count { case (mna, mxa, mnb, mxb) =>
-        mna <= qaHi && mxa >= qaLo && mnb <= qbHi && mxb >= qbLo }
+    def hitA(boxes: Array[(Long, Long, Long, Long)]): Int =
+      boxes.count { case (mna, mxa, _, _) => mna <= qaHi && mxa >= qaLo }
+    def hitB(boxes: Array[(Long, Long, Long, Long)]): Int =
+      boxes.count { case (_, _, mnb, mxb) => mnb <= qbHi && mxb >= qbLo }
 
     val zBoxes = fileBoxes(s"$base/z", "a", "b")
     val aBoxes = fileBoxes(s"$base/bya", "a", "b")
     assert(zBoxes.length >= 8 && aBoxes.length >= 8, "expected multi-file layouts")
 
-    // single-column layout prunes on a but every file spans all of b;
-    // the box query on (a AND b) must touch strictly fewer z-files
-    val (zHits, aHits) = (hit(zBoxes), hit(aBoxes))
-    assert(zHits < aHits,
-      s"z-order should touch fewer files: z=$zHits vs single-col=$aHits")
-    // and a b-only filter prunes z-files while the a-layout reads all
-    def hitB(boxes: Array[(Long, Long, Long, Long)]): Int =
-      boxes.count { case (_, _, mnb, mxb) => mnb <= qbHi && mxb >= qbLo }
+    // a b-only filter prunes z-files while the a-layout reads ALL files
     assert(hitB(zBoxes) < zBoxes.length,
-      "z-order must allow pruning on the second dimension too")
+      "z-order must allow pruning on the second dimension")
     assert(hitB(aBoxes) == aBoxes.length,
       "sanity: single-column layout cannot prune on b")
+    // combined workload: one narrow filter per dimension
+    val zTotal = hitA(zBoxes) + hitB(zBoxes)
+    val aTotal = hitA(aBoxes) + hitB(aBoxes)
+    assert(zTotal < aTotal,
+      s"z-order should touch fewer files across both filters: z=$zTotal vs single-col=$aTotal")
   }
 }
