@@ -17,6 +17,8 @@ import org.apache.spark.sql.functions._
   *   4. PII/canary scrub (one-pass regex redaction)
   *   5. weighted corpus mixing (deterministic md5 keep fraction)
   *   6. sequence packing (concat-and-cut to a token budget)
+  *   7. tokenizer bootstrap (first BPE merges over the final corpus)
+  *   8. publish: per-column stats report + split-leakage audit
   *
   * Each stage is a DataFrame -> DataFrame pass with the scale shape
   * documented on its operator; the composition here is what a 100 TB
@@ -93,9 +95,26 @@ object TrainPrepDemo {
       Seq("doc_id"), col("n_tok"), TrainPrep.PACK_CTX)
     val nPacks = packed.select("_shard", "pack_id").distinct().count()
 
+    // 7. tokenizer bootstrap: learn the first merges on the corpus
+    // that will actually be trained on
+    val (merges, _) = graft.operators.BpeTrainer.train(
+      graft.operators.BpeTrainer.wordTable(mixed, "text"), 3)
+
+    // 8. publish-time audit: near-dup pairs must not straddle the
+    // train/val/test split of the FINAL corpus (post-dedup this
+    // should be zero or near it)
+    val sp = graft.queries.DedupOps.docSplit(mixed)
+    val leaks = graft.queries.DedupOps.candidatePairs(mixed)
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .count()
+
     println(s"[demo] corpus-prep: raw=$n0 exact_deduped=$n1 cluster_deduped=$n1b decontaminated=$n2 " +
       s"quality=$n3 mixed=$n5 packs=$nPacks " +
-      s"redactions=${TrainPrep.SCRUB_RULES.map(r => s"${r.name}=${redactions.getAs[Long](r.name)}").mkString(",")}")
+      s"redactions=${TrainPrep.SCRUB_RULES.map(r => s"${r.name}=${redactions.getAs[Long](r.name)}").mkString(",")} " +
+      s"bpe_merges=${merges.map(m => m.left + m.right).mkString("|")} " +
+      s"split_leaks=$leaks")
     mixed.unpersist()
     clean.unpersist()
     spark.stop()
