@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.SessionOps.queries ++
       graft.queries.JoinOps.queries ++
       graft.queries.TrainPrep.queries ++
-      graft.queries.VectorOps.queries
+      graft.queries.VectorOps.queries ++
+      graft.queries.EventAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.SessionOps.oracles ++
       graft.queries.JoinOps.oracles ++
       graft.queries.TrainPrep.oracles ++
-      graft.queries.VectorOps.oracles
+      graft.queries.VectorOps.oracles ++
+      graft.queries.EventAnalytics.oracles
 }

@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Exact
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-analytics operators (q73–q75): the funnel / cohort / feature
+  * passes a product-analytics or ML-feature pipeline runs over the
+  * same event log the sessionization family (q37–q39, q49, q51)
+  * consumes. All three shuffle ONCE on user_id and stay there — the
+  * same key as every other per-user pass, so at 100 TB they
+  * co-partition with sessionization for free.
+  */
+object EventAnalytics {
+
+  /** q73 funnel window: a purchase converts a click if it follows
+    * within this bound (same user).
+    */
+  val FUNNEL_HOURS = 2
+
+  /** q73: conversion funnel — per user, the click/purchase counts and
+    * the number of CONVERTED purchases (a same-user click in the
+    * preceding FUNNEL_HOURS). The "preceding click" test is a running
+    * last-click-timestamp window — one pass, no self-join, in contrast
+    * to q59's interval-join formulation of the same predicate (both
+    * shapes are useful; the window wins when the log is already
+    * user-partitioned).
+    */
+  def q73Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Tables(spark, dir).events
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", unix_micros(col("ts"))))
+          .over(byUser))
+      .withColumn("converted",
+        col("event_type") === "purchase" && col("last_click_us").isNotNull &&
+          unix_micros(col("ts")) - col("last_click_us") <=
+            FUNNEL_HOURS * 3600L * 1000000L)
+    ev.groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+      .filter(col("n_clicks") > 0 || col("n_purchases") > 0)
+  }
+
+  val q73Sql: String =
+    s"""WITH w AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us,
+      |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' AND last_click_us IS NOT NULL
+      |                 AND us - last_click_us <= ${FUNNEL_HOURS * 3600L * 1000000L}
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+      |FROM w GROUP BY user_id
+      |HAVING n_clicks > 0 OR n_purchases > 0
+      |ORDER BY user_id""".stripMargin
+
+  /** q74: retention cohorts — users grouped by first-seen day, the
+    * classic (cohort_day, day_offset) -> active-user matrix. Two
+    * aggregations on user_id then one on the (cohort, offset) pair;
+    * the cohort table is |users|-sized, the matrix |days|² — both
+    * shrink monotonically along the pipeline, nothing rescans the log.
+    */
+  def q74RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.dropDuplicates("user_id", "day")
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .select(col("cohort_day").cast("string").as("cohort_day"),
+        col("day_offset").cast("long").as("day_offset"), col("n_active"))
+  }
+
+  val q74Sql: String =
+    s"""WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |cohort AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+      |SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+      |  CAST(ud.day - c.cohort_day AS BIGINT) AS day_offset,
+      |  CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_active
+      |FROM ud JOIN cohort c USING (user_id)
+      |GROUP BY c.cohort_day, ud.day - c.cohort_day
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** q75 rolling-feature frame: the previous N events. */
+  val ROLL_N = 3
+
+  /** q75: per-event rolling features — the feature-engineering pass an
+    * ML pipeline materializes next to the raw log: for every event,
+    * the count and DECIMAL-exact sum of the user's previous ROLL_N
+    * event values plus the gap to the previous event. Decimal window
+    * sums make the sliding frame order-independent (Spark's
+    * incremental add/remove vs DuckDB's per-frame fold would otherwise
+    * drift in float).
+    */
+  def q75RollingFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val frame = byUser.rowsBetween(-ROLL_N, -1)
+    Tables(spark, dir).events
+      .withColumn("prev_n", count(lit(1)).over(frame))
+      .withColumn("prev_sum",
+        coalesce(sum(Exact.dec(col("value"))).over(frame),
+          lit(java.math.BigDecimal.ZERO)).cast("double"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+      .select(col("event_id"), col("user_id"), col("prev_n"),
+        col("prev_sum"), coalesce(col("gap_us"), lit(-1L)).as("gap_us"))
+  }
+
+  val q75Sql: String =
+    s"""SELECT event_id, user_id,
+      |  CAST(count(*) OVER prev AS BIGINT) AS prev_n,
+      |  CAST(coalesce(sum(CAST(value AS DECIMAL(18,4))) OVER prev, 0) AS DOUBLE) AS prev_sum,
+      |  coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id), -1) AS gap_us
+      |FROM events
+      |WINDOW prev AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN $ROLL_N PRECEDING AND 1 PRECEDING)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_funnel" -> Gate.sorted(q73Funnel _, "user_id"),
+    "q74_retention_cohorts" -> Gate.sorted(q74RetentionCohorts _, "cohort_day", "day_offset"),
+    "q75_rolling_features" -> Gate.sorted(q75RollingFeatures _, "user_id", "event_id"))
+
+  val oracles: Map[String, String] = Map(
+    "q73_funnel" -> q73Sql,
+    "q74_retention_cohorts" -> q74Sql,
+    "q75_rolling_features" -> q75Sql)
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.queries.EventAnalytics
+import org.apache.spark.sql.functions._
+
+class EventAnalyticsSpec extends SparkSpec {
+
+  test("q73 conversions are bounded by purchases and require a prior click") {
+    val rows = EventAnalytics.q73Funnel(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (clicks, purchases, converted) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(converted <= purchases)
+      if (clicks == 0) assert(converted == 0)
+    }
+    assert(rows.exists(_.getLong(3) > 0), "expected some conversions in the log")
+  }
+
+  test("q73 matches a per-user sequential replay") {
+    val ev = Tables(spark, sfDir).events
+      .select("user_id", "event_type", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).getTime * 1000L, r.getLong(3)))
+    val bound = EventAnalytics.FUNNEL_HOURS * 3600L * 1000000L
+    val expected = ev.groupBy(_._1).map { case (u, es) =>
+      var lastClick = Long.MinValue
+      var converted = 0L
+      es.sortBy(e => (e._3, e._4)).foreach { e =>
+        if (e._2 == "click") lastClick = e._3
+        else if (e._2 == "purchase" && lastClick != Long.MinValue &&
+          e._3 - lastClick <= bound) converted += 1
+      }
+      u -> converted
+    }
+    val got = EventAnalytics.q73Funnel(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    expected.filter { case (_, c) => c > 0 }
+      .foreach { case (u, c) => assert(got(u) == c, s"user $u") }
+  }
+
+  test("q74 cohort matrix: offset-0 row covers the whole cohort") {
+    val rows = EventAnalytics.q74RetentionCohorts(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val day0 = rows.filter(_._2 == 0L).map(t => t._1 -> t._3).toMap
+    // every user is active on their cohort day by definition, so the
+    // offset-0 count per cohort equals the cohort's size, and no other
+    // offset can exceed it
+    rows.foreach { case (c, off, n) =>
+      assert(n <= day0(c), s"cohort $c offset $off exceeds cohort size")
+    }
+    assert(day0.values.sum ==
+      Tables(spark, sfDir).events.select("user_id").distinct().count())
+  }
+
+  test("q75 rolling features: frame counts bounded, first event has no gap") {
+    val rows = EventAnalytics.q75RollingFeatures(spark, sfDir)
+    assert(rows.filter(col("prev_n") > EventAnalytics.ROLL_N).count() == 0)
+    val firsts = rows.filter(col("gap_us") === -1L).count()
+    assert(firsts ==
+      Tables(spark, sfDir).events.select("user_id").distinct().count(),
+      "exactly one frameless first event per user")
+    assert(rows.filter(col("prev_n") === 0 && col("prev_sum") =!= 0.0).count() == 0)
+  }
+}
