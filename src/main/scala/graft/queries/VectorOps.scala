@@ -155,7 +155,10 @@ object VectorOps {
     * cluster. Output is the per-vector keep/drop decision table.
     */
   def q63SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val assigned = assignCells(spark, dir)
+    // pin the assignment: the pair self-join references it twice, and
+    // recomputing means two corpus scans + two broadcast assignments
+    // (production persists the assigned table next to the index)
+    val assigned = assignCells(spark, dir).localCheckpoint(true)
     val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", cosine(col("a.embedding"), col("b.embedding")))
@@ -277,13 +280,54 @@ object VectorOps {
       |FROM exploded GROUP BY cell, dim
       |ORDER BY cell, dim""".stripMargin
 
+  /** q76: ANN QUALITY EVAL — recall@k of the LSH scale path (q31)
+    * against the exact brute-force baseline (q30), per query vector,
+    * as one declarative plan. The eval an index rollout gates on runs
+    * as the same kind of pipeline as the index itself: two neighbor
+    * lists, one join on (query, neighbor), one count ratio. Both
+    * inputs are bounded (NUM_QUERIES x TOP_K rows), so the eval is
+    * driver-free and composes with any corpus scale.
+    */
+  def q76AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = EmbeddingOps.q30EmbeddingTopk(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = EmbeddingOps.q31LshAnn(spark, dir)
+      .select(col("query_id"), col("neighbor_id").as("approx_neighbor"))
+    exact.join(approx,
+        exact("query_id") === approx("query_id") &&
+          col("neighbor_id") === col("approx_neighbor"), "left")
+      .groupBy(exact("query_id").as("query_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("approx_neighbor").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / col("k"))
+  }
+
+  /** q76 oracle: the q30 and q31 pipelines verbatim as CTE-wrapped
+    * subqueries, joined on (query, neighbor).
+    */
+  val q76Sql: String =
+    s"""WITH exact_topk AS (${EmbeddingOps.q30Sql}),
+      |approx_topk AS (${EmbeddingOps.q31Sql})
+      |SELECT e.query_id, count(*) AS k,
+      |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_hit,
+      |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+      |       AS DOUBLE) / count(*) AS recall
+      |FROM exact_topk e
+      |LEFT JOIN approx_topk a
+      |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      |GROUP BY e.query_id
+      |ORDER BY e.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_quantized_ann" -> Gate.sorted(q62QuantizedAnn _, "query_id", "rank"),
     "q63_semantic_dedup" -> Gate.sorted(q63SemanticDedup _, "vec_id"),
-    "q69_kmeans_step" -> Gate.sorted(q69KmeansStep _, "cell", "dim"))
+    "q69_kmeans_step" -> Gate.sorted(q69KmeansStep _, "cell", "dim"),
+    "q76_ann_recall" -> Gate.sorted(q76AnnRecall _, "query_id"))
 
   val oracles: Map[String, String] = Map(
     "q62_quantized_ann" -> q62Sql,
     "q63_semantic_dedup" -> q63Sql,
-    "q69_kmeans_step" -> q69Sql)
+    "q69_kmeans_step" -> q69Sql,
+    "q76_ann_recall" -> q76Sql)
 }

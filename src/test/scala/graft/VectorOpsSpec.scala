@@ -83,6 +83,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(totalMembers == Tables(spark, sfDir).embeddings.count())
   }
 
+  test("q76 recall eval agrees with a direct set comparison of q30/q31") {
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = sets(EmbeddingOps.q30EmbeddingTopk(spark, sfDir))
+    val approx = sets(EmbeddingOps.q31LshAnn(spark, sfDir))
+    val got = VectorOps.q76AnnRecall(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (q, (k, hit, recall)) =>
+      assert(k == EmbeddingOps.TOP_K)
+      assert(hit == (exact(q) & approx.getOrElse(q, Set.empty)).size)
+      assert(recall == hit.toDouble / k)
+    }
+    val mean = got.values.map(_._3).sum / got.size
+    assert(mean > 0.5, s"LSH mean recall $mean should exceed 0.5 (q31 spec bound)")
+  }
+
   test("q63 keep flags mark exactly one survivor per cluster") {
     val d = VectorOps.q63SemanticDedup(spark, sfDir)
     val perCluster = d.groupBy("cluster_id")
