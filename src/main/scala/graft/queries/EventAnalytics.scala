@@ -71,11 +71,14 @@ object EventAnalytics {
     * shrink monotonically along the pipeline, nothing rescans the log.
     */
   def q74RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    // one full-log shuffle: the user_id window partitioning also
+    // satisfies the (user_id, day) dedup's clustering (subset key), so
+    // cohort tagging and dedup share the exchange — no cohort join
     val ev = Tables(spark, dir).events
       .select(col("user_id"), to_date(col("ts")).as("day"))
-    val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
-    ev.dropDuplicates("user_id", "day")
-      .join(cohort, "user_id")
+    ev.withColumn("cohort_day",
+        min("day").over(Window.partitionBy("user_id")))
+      .dropDuplicates("user_id", "day")
       .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
       .agg(countDistinct("user_id").as("n_active"))
       .select(col("cohort_day").cast("string").as("cohort_day"),

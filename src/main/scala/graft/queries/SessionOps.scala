@@ -273,25 +273,27 @@ object SessionOps {
     */
   val DIFF_CUTOFF = "2024-01-15 00:00:00"
 
-  /** q66: CDC snapshot diff — compact the log at two points in time
-    * (q49's latest-by-key at a cutoff vs at head) and report every key
-    * whose latest record appeared or changed between them. Both states
-    * and the diff join hash on user_id — one co-partitioned shuffle
-    * chain, each state is |keys|-sized regardless of log length, and
-    * appended-only logs cannot produce removals (so the diff statuses
-    * are added/changed).
+  /** q66: CDC snapshot diff — the compacted state at a cutoff vs at
+    * head (q49's latest-by-key semantics), reporting every key whose
+    * latest record appeared or changed between them. Computed as one
+    * conditional aggregation, the state table is |keys|-sized
+    * regardless of log length, and append-only logs cannot produce
+    * removals (so the diff statuses are added/changed).
     */
   def q66StateDiff(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
     val ord = (unix_micros(col("ts")) - lit(ORD_EPOCH_US)) * lit(1048576L) +
       col("event_id")
-    def state(df: DataFrame): DataFrame =
-      graft.operators.Compaction.latestByKey(df, Seq("user_id"), ord, Seq("event_id"))
-    val old = state(ev.filter(col("ts") < lit(DIFF_CUTOFF).cast("timestamp")))
-      .select(col("user_id"), col("last_event_id").as("old_event_id"))
-    val nw = state(ev)
-      .select(col("user_id"), col("last_event_id").as("new_event_id"))
-    nw.join(old, Seq("user_id"), "left")
+    // both states in ONE conditional-aggregation pass: max_by ignores
+    // rows whose ordering expression is null, so gating the order key
+    // on the cutoff yields the old state for free alongside the new —
+    // one scan and one shuffle where compact-twice-and-join pays two
+    ev.groupBy("user_id")
+      .agg(
+        max_by(col("event_id"), ord).as("new_event_id"),
+        max_by(col("event_id"),
+          when(col("ts") < lit(DIFF_CUTOFF).cast("timestamp"), ord))
+          .as("old_event_id"))
       .withColumn("status",
         when(col("old_event_id").isNull, "added")
           .when(col("old_event_id") =!= col("new_event_id"), "changed")

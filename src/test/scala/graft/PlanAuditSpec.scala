@@ -194,10 +194,15 @@ class PlanAuditSpec extends SparkSpec {
       "top-k cut should be TakeOrdered, not a global sort")
   }
 
-  test("q66: both compacted states partial-aggregate before the key join") {
+  test("q66: one conditional-aggregation pass, no state join") {
     val p = executedPlan(graft.queries.SessionOps.q66StateDiff(spark, sfDir))
     assert(p.contains("partial_"), "expected partial aggregation")
-    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Join"), "diff must not join two compacted states")
+  }
+
+  test("q74: cohort window and dedup share one exchange, no cohort join") {
+    val p = executedPlan(graft.queries.EventAnalytics.q74RetentionCohorts(spark, sfDir))
+    assert(!p.contains("Join"), "cohort tagging must not join")
   }
 
   test("no query in the inventory plans a cartesian product") {
