@@ -1,11 +1,13 @@
 package graft
 
-import graft.operators.{BloomPrune, Bucketing, Skew}
+import graft.operators.{BloomPrune, Bucketing, DistinctSketch, Skew, ZOrderLayout}
 import org.apache.spark.sql.functions._
 
 /** Executable example of the scale utilities: bucketed co-located
-  * joins (no shuffle), salted joins for skewed keys, and bloom-filter
-  * join pruning (fact-side scan-stage reduction).
+  * joins (no shuffle), salted joins for skewed keys, bloom-filter
+  * join pruning (fact-side scan-stage reduction), z-order layout
+  * (2-D file skipping), and mergeable HLL distinct sketches (rollups
+  * without base-data rescans).
   *
   * Usage: runMain graft.ScaleOpsDemo [sfDir]
   */
@@ -49,6 +51,28 @@ object ScaleOpsDemo {
       col("l_suppkey") === col("s_suppkey"), "left_semi").count()
     println(s"[demo] bloom prune fact=${fact.count()} pruned=${pruned.count()} " +
       s"exact_semi=$exact (prune is a scan-stage filter, no exchange)")
+
+    // --- z-order layout: per-file 2-D bounding boxes -----------------
+    val zdir = java.nio.file.Files.createTempDirectory("demo_z").toString
+    val keyed = li.select(col("l_orderkey").cast("long").as("a"),
+      col("l_partkey").cast("long").as("b"))
+    val bounds = keyed.agg(min("a"), max("a"), min("b"), max("b")).head
+    ZOrderLayout.layout(keyed,
+        "a", bounds.getLong(0).toDouble, bounds.getLong(1).toDouble,
+        "b", bounds.getLong(2).toDouble, bounds.getLong(3).toDouble, 16)
+      .write.mode("overwrite").parquet(zdir)
+    val nFiles = new java.io.File(zdir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    println(s"[demo] z-order wrote $nFiles files, each a compact (a,b) box " +
+      "(footer stats prune filters on either column)")
+
+    // --- HLL sketches: rollup without rescanning the base table ------
+    val sketches = DistinctSketch.sketchBy(t.events, "user_id", "event_type")
+    val global = DistinctSketch.rollup(sketches)
+      .select("n_distinct_est").head.getLong(0)
+    val exactD = t.events.select("user_id").distinct().count()
+    println(s"[demo] hll rollup est=$global exact=$exactD " +
+      s"(merged from ${sketches.count()} per-type sketches, no rescan)")
 
     spark.sql("DROP TABLE IF EXISTS demo_bucketed_qty")
     spark.sql("DROP TABLE IF EXISTS demo_bucketed_price")
