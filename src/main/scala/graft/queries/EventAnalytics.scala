@@ -133,13 +133,47 @@ object EventAnalytics {
       |                ROWS BETWEEN $ROLL_N PRECEDING AND 1 PRECEDING)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** q77 pivot columns — explicit, so the pivot plans ONE aggregation
+    * pass (omitting the values list costs an extra distinct scan to
+    * discover them, and unbounded-cardinality pivots don't belong at
+    * 100 TB anyway).
+    */
+  val PIVOT_TYPES = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q77: pivot — per-user event counts with one column per event
+    * type (the wide feature/report shape). Equivalent to conditional
+    * aggregation (which is exactly what the oracle spells out), but
+    * expressed through the relational PIVOT operator.
+    */
+  def q77PivotTypes(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables(spark, dir).events
+      .groupBy("user_id")
+      .pivot("event_type", PIVOT_TYPES)
+      .agg(count(lit(1)))
+      .na.fill(0L, PIVOT_TYPES)
+    wide.select(col("user_id") +:
+      PIVOT_TYPES.map(t => col(t).as(s"n_$t")): _*)
+  }
+
+  val q77Sql: String = {
+    val cols = PIVOT_TYPES.map(t =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+      .mkString(",\n  ")
+    s"""SELECT user_id,
+      |  $cols
+      |FROM events GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> Gate.sorted(q73Funnel _, "user_id"),
+    "q77_pivot" -> Gate.sorted(q77PivotTypes _, "user_id"),
     "q74_retention_cohorts" -> Gate.sorted(q74RetentionCohorts _, "cohort_day", "day_offset"),
     "q75_rolling_features" -> Gate.sorted(q75RollingFeatures _, "user_id", "event_id"))
 
   val oracles: Map[String, String] = Map(
     "q73_funnel" -> q73Sql,
+    "q77_pivot" -> q77Sql,
     "q74_retention_cohorts" -> q74Sql,
     "q75_rolling_features" -> q75Sql)
 }

@@ -53,6 +53,19 @@ class EventAnalyticsSpec extends SparkSpec {
       Tables(spark, sfDir).events.select("user_id").distinct().count())
   }
 
+  test("q77 pivot columns sum back to the event totals") {
+    val rows = EventAnalytics.q77PivotTypes(spark, sfDir)
+    val ev = Tables(spark, sfDir).events
+    assert(rows.count() == ev.select("user_id").distinct().count())
+    val colSums = EventAnalytics.PIVOT_TYPES.map(t =>
+      rows.agg(sum(s"n_$t")).head.getLong(0))
+    val typeCounts = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    EventAnalytics.PIVOT_TYPES.zip(colSums).foreach { case (t, s) =>
+      assert(s == typeCounts.getOrElse(t, 0L), s"pivot column $t")
+    }
+  }
+
   test("q75 rolling features: frame counts bounded, first event has no gap") {
     val rows = EventAnalytics.q75RollingFeatures(spark, sfDir)
     assert(rows.filter(col("prev_n") > EventAnalytics.ROLL_N).count() == 0)
