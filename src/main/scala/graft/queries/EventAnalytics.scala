@@ -165,8 +165,35 @@ object EventAnalytics {
       |ORDER BY user_id""".stripMargin
   }
 
+  /** q78: CUBE — the full grouping-sets lattice over (event type,
+    * day): per-combination, per-type, per-day, and grand totals in ONE
+    * aggregation pass (q10 covers the hierarchical ROLLUP; CUBE is the
+    * cross-dimensional report shape). Spark expands the lattice
+    * map-side — 4 grouping sets here — and partial-aggregates each, so
+    * the shuffle carries |types| x |days| x 4 rows, not the log.
+    */
+  def q78CubeStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_type"), to_date(col("ts")).cast("string").as("day"),
+        col("value"))
+      .cube(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), Exact.sumExact(col("value")).as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"),
+        col("n"), col("sum_value"))
+
+  val q78Sql: String =
+    s"""SELECT coalesce(event_type, 'ALL') AS event_type,
+      |  coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS day,
+      |  count(*) AS n, ${Exact.sumSql("value")} AS sum_value
+      |FROM events
+      |GROUP BY CUBE (event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_funnel" -> Gate.sorted(q73Funnel _, "user_id"),
+    "q78_cube_stats" -> Gate.sorted(q78CubeStats _, "event_type", "day"),
     "q77_pivot" -> Gate.sorted(q77PivotTypes _, "user_id"),
     "q74_retention_cohorts" -> Gate.sorted(q74RetentionCohorts _, "cohort_day", "day_offset"),
     "q75_rolling_features" -> Gate.sorted(q75RollingFeatures _, "user_id", "event_id"))
@@ -174,6 +201,7 @@ object EventAnalytics {
   val oracles: Map[String, String] = Map(
     "q73_funnel" -> q73Sql,
     "q77_pivot" -> q77Sql,
+    "q78_cube_stats" -> q78Sql,
     "q74_retention_cohorts" -> q74Sql,
     "q75_rolling_features" -> q75Sql)
 }

@@ -66,6 +66,20 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q78 cube lattice: totals agree at every grouping level") {
+    val ev = Tables(spark, sfDir).events
+    val rows = EventAnalytics.q78CubeStats(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val total = ev.count()
+    assert(rows.find(r => r._1 == "ALL" && r._2 == "ALL").get._3 == total)
+    val typeTotals = rows.filter(r => r._1 != "ALL" && r._2 == "ALL")
+    assert(typeTotals.map(_._3).sum == total)
+    val dayTotals = rows.filter(r => r._1 == "ALL" && r._2 != "ALL")
+    assert(dayTotals.map(_._3).sum == total)
+    val cells = rows.filter(r => r._1 != "ALL" && r._2 != "ALL")
+    assert(cells.map(_._3).sum == total)
+  }
+
   test("q75 rolling features: frame counts bounded, first event has no gap") {
     val rows = EventAnalytics.q75RollingFeatures(spark, sfDir)
     assert(rows.filter(col("prev_n") > EventAnalytics.ROLL_N).count() == 0)
