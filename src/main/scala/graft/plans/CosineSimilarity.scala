@@ -114,5 +114,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     reg("repetition_stats", classOf[RepetitionStats])(c => RepetitionStats(c.head))
     reg("normalize_nfc", classOf[NormalizeNfc])(c => NormalizeNfc(c.head))
+
+    // Whole-operator path: planner strategy for graft's custom logical
+    // nodes (TopKPerGroup -> TopKPerGroupExec).
+    ext.injectPlannerStrategy(_ => GraftStrategies)
+    // Optimizer rule: graft-specific expression simplification
+    // (NFC normalization is idempotent).
+    ext.injectOptimizerRule(_ => SimplifyGraftExpressions)
   }
 }

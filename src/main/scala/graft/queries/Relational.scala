@@ -255,6 +255,31 @@ object Relational {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** q79: top-k per group through the NATIVE whole-operator path
+    * (graft.plans.TopKPerGroupExec via GraftStrategies) — same
+    * semantics as q07's window formulation, but the physical plan is
+    * one hash exchange + a one-pass bounded heap per key: no
+    * per-partition sort of the input, O(n log k) instead of
+    * O(n log n). The oracle stays the row_number() formulation, so the
+    * gate pins the custom exec to the declarative semantics.
+    */
+  def q79NativeTopk(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TopK.perGroup(
+      Tables(spark, dir).orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+      keys = Seq(col("o_custkey")),
+      order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      k = 3)
+
+  val q79Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      |  FROM orders)
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg_summary" -> (q01AggSummary _),
     "q02_filter_project" -> Gate.sorted(q02FilterProject _, "l_orderkey", "l_linenumber"),
@@ -265,7 +290,8 @@ object Relational {
     "q07_topk_per_group" -> (q07TopkPerGroup _),
     "q08_distinct_count" -> (q08DistinctCount _),
     "q09_explode_merge" -> Gate.sorted(q09ExplodeMerge _, "role", "party_key"),
-    "q10_rollup_stats" -> (q10RollupStats _))
+    "q10_rollup_stats" -> (q10RollupStats _),
+    "q79_native_topk" -> Gate.sorted(q79NativeTopk _, "o_custkey", "o_orderkey"))
 
   val oracles: Map[String, String] = Map(
     "q01_agg_summary" -> q01Sql,
@@ -277,5 +303,6 @@ object Relational {
     "q07_topk_per_group" -> q07Sql,
     "q08_distinct_count" -> q08Sql,
     "q09_explode_merge" -> q09Sql,
-    "q10_rollup_stats" -> q10Sql)
+    "q10_rollup_stats" -> q10Sql,
+    "q79_native_topk" -> q79Sql)
 }

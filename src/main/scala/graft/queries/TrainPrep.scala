@@ -443,6 +443,128 @@ object TrainPrep {
       |FROM documents""".stripMargin
   }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  /** q80 sub-document unit: non-overlapping whitespace-token segments
+    * of this width. Real corpora would split on newlines (RefinedWeb/
+    * CCNet line dedup); this synthetic corpus has no newlines, so a
+    * fixed token window stands in — the operator shape (explode units,
+    * global first-occurrence-wins, reassemble in order) is identical.
+    */
+  val SEG_TOKENS = 12
+
+  /** q80: sub-document (line-level) exact dedup. Every document is cut
+    * into SEG_TOKENS-token segments; a segment survives only in its
+    * globally FIRST occurrence (min packed (doc_id, seg_idx) key) and
+    * is dropped everywhere else — including later repeats inside the
+    * same document. Per doc: segment counts and the md5 of the
+    * deduplicated reassembly.
+    *
+    * Scale shape: one segment-level explode (|tokens|/SEG_TOKENS rows,
+    * ~same bytes as the corpus), one map-side-combined aggregation on
+    * the 16-byte segment md5 to find first keys, and one
+    * co-partitioned hash join back on that md5 — no sorts, no window
+    * over the corpus, and AQE handles hot segments (boilerplate lines)
+    * as ordinary join skew.
+    */
+  def q80SegmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, cast(ceil(size(toks) / $SEG_TOKENS.0) as int) - 1),
+           |  i -> array_join(slice(toks, i * $SEG_TOKENS + 1, $SEG_TOKENS), ' '))"""
+          .stripMargin)).as(Seq("seg_idx", "seg")))
+      .select(col("doc_id"), col("seg_idx"), col("seg"),
+        md5(col("seg")).as("seg_md5"),
+        (col("doc_id") * 100000 + col("seg_idx")).as("k"))
+    val firsts = segs.groupBy("seg_md5").agg(min(col("k")).as("first_key"))
+    segs.join(firsts, "seg_md5")
+      .withColumn("kept", col("k") === col("first_key"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("seg_idx"), col("seg"))))),
+            s => s.getField("seg")),
+          " ")).as("kept_md5"))
+  }
+
+  val q80Sql: String =
+    s"""WITH segs AS (
+      |  SELECT doc_id, i AS seg_idx,
+      |    array_to_string(list_slice(toks, i * $SEG_TOKENS + 1, i * $SEG_TOKENS + $SEG_TOKENS), ' ') AS seg
+      |  FROM (
+      |    SELECT doc_id, toks,
+      |      unnest(generate_series(0, CAST(ceil(len(toks) / $SEG_TOKENS.0) AS INT) - 1)) AS i
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+      |), keyed AS (
+      |  SELECT doc_id, seg_idx, seg, md5(seg) AS seg_md5,
+      |    doc_id * 100000 + seg_idx AS k
+      |  FROM segs
+      |), firsts AS (
+      |  SELECT seg_md5, min(k) AS first_key FROM keyed GROUP BY seg_md5
+      |)
+      |SELECT k.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_segs,
+      |  CAST(sum(CASE WHEN k.k = f.first_key THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  md5(coalesce(string_agg(CASE WHEN k.k = f.first_key THEN k.seg END, ' ' ORDER BY k.seg_idx), '')) AS kept_md5
+      |FROM keyed k JOIN firsts f USING (seg_md5)
+      |GROUP BY k.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** q81 rule thresholds (Gopher-style document shape rules). */
+  val QR_MIN_WORDS = 30
+  val QR_MAX_WORDS = 100000
+  val QR_MIN_MEAN_LEN = 2.0
+  val QR_MAX_MEAN_LEN = 10.0
+  val QR_MAX_DUP_FRAC = 0.9
+
+  /** q81: Gopher-style quality/repetition rules — per-document word
+    * count, distinct-word count, duplicate-word fraction, mean word
+    * length, long-word fraction, and the composite keep flag. (The
+    * top-bigram repetition rule is q52's native expression; this query
+    * covers the word-shape family.)
+    *
+    * Zero shuffle: every rule is array/HOF math on the split tokens in
+    * the scan stage — the filter runs at ingest cost even at 100 TB.
+    * Ratios are emitted as ONE int/int division each (bit-identical
+    * IEEE across engines); nothing re-aggregates them.
+    */
+  def q81QualityRules(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        size(expr("filter(toks, t -> length(t) >= 8)")).cast("long").as("n_long"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_chars_nospace"))
+      .withColumn("dup_frac",
+        (col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
+      .withColumn("mean_word_len",
+        col("n_chars_nospace").cast("double") / col("n_words"))
+      .withColumn("keep",
+        (col("n_words") >= QR_MIN_WORDS && col("n_words") <= QR_MAX_WORDS &&
+          col("mean_word_len") >= QR_MIN_MEAN_LEN &&
+          col("mean_word_len") <= QR_MAX_MEAN_LEN &&
+          col("dup_frac") <= QR_MAX_DUP_FRAC).cast("long"))
+
+  val q81Sql: String =
+    s"""SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_words,
+      |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |  CAST(len(list_filter(toks, t -> length(t) >= 8)) AS BIGINT) AS n_long,
+      |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_nospace,
+      |  (len(toks) - len(list_distinct(toks))) / CAST(len(toks) AS DOUBLE) AS dup_frac,
+      |  length(replace(text, ' ', '')) / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+      |  CAST(CASE WHEN len(toks) BETWEEN $QR_MIN_WORDS AND $QR_MAX_WORDS
+      |        AND length(replace(text, ' ', '')) / CAST(len(toks) AS DOUBLE) BETWEEN $QR_MIN_MEAN_LEN AND $QR_MAX_MEAN_LEN
+      |        AND (len(toks) - len(list_distinct(toks))) / CAST(len(toks) AS DOUBLE) <= $QR_MAX_DUP_FRAC
+      |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_shard_manifest" -> Gate.sorted(q57ShardManifest _, "shard"),
     "q58_source_quota" -> Gate.sorted(q58SourceQuota _, "doc_id"),
@@ -453,7 +575,9 @@ object TrainPrep {
     "q52_rep_ngrams" -> Gate.sorted(q52RepNgrams _, "doc_id"),
     "q64_bpe_pairs" -> Gate.sorted(q64BpePairs _, "rank"),
     "q65_source_token_profile" -> Gate.sorted(q65SourceTokenProfile _, "source"),
-    "q71_table_stats" -> Gate.sorted(q71TableStats _, "col_name"))
+    "q71_table_stats" -> Gate.sorted(q71TableStats _, "col_name"),
+    "q80_segment_dedup" -> Gate.sorted(q80SegmentDedup _, "doc_id"),
+    "q81_quality_rules" -> Gate.sorted(q81QualityRules _, "doc_id"))
 
   val oracles: Map[String, String] = Map(
     "q57_shard_manifest" -> q57Sql,
@@ -465,5 +589,7 @@ object TrainPrep {
     "q52_rep_ngrams" -> q52Sql,
     "q64_bpe_pairs" -> q64Sql,
     "q65_source_token_profile" -> q65Sql,
-    "q71_table_stats" -> q71Sql)
+    "q71_table_stats" -> q71Sql,
+    "q80_segment_dedup" -> q80Sql,
+    "q81_quality_rules" -> q81Sql)
 }

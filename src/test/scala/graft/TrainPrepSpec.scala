@@ -150,6 +150,47 @@ class TrainPrepSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("q80 drops later occurrences of a repeated segment, keeps the first") {
+    import spark.implicits._
+    // 12-token segment A repeated: doc 0 (first, kept), doc 2 (dropped),
+    // and twice inside doc 3 (second in-doc copy dropped too).
+    val segA = (1 to 12).map(i => s"w$i").mkString(" ")
+    val segB = (1 to 12).map(i => s"x$i").mkString(" ")
+    val segC = (1 to 12).map(i => s"y$i").mkString(" ")
+    Seq(
+      (0L, s"$segA $segB"),
+      (1L, segC),
+      (2L, s"$segA $segC"),
+      (3L, s"$segB $segB"))
+      .toDF("doc_id", "text").createOrReplaceTempView("q80fix")
+    val docs = spark.table("q80fix")
+    // run the library query against a temp parquet dir
+    val tmp = java.nio.file.Files.createTempDirectory("q80fix").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TrainPrep.q80SegmentDedup(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) == ((2L, 2L)))   // both segments are first occurrences
+    assert(out(1L) == ((1L, 1L)))
+    assert(out(2L) == ((2L, 0L)))   // segA seen in doc 0, segC seen in doc 1
+    assert(out(3L) == ((2L, 0L)))   // both copies of segB already seen (doc 0)
+  }
+
+  test("q81 rules: zero-shuffle plan and sane flag on the fixture corpus") {
+    val df = TrainPrep.q81QualityRules(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"q81 should be scan-stage only:\n$p")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nWords = r.getLong(1); val nDistinct = r.getLong(2)
+      assert(nDistinct <= nWords)
+      val dup = r.getDouble(5)
+      assert(dup >= 0.0 && dup < 1.0)
+    }
+  }
+
   test("q46/q47/q48/q49 run end-to-end on the fixture tables") {
     for (q <- Seq("q46_seq_pack", "q47_regex_scrub", "q48_decontaminate",
         "q49_latest_by_key")) {
