@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global row numbering.
+  *
+  * `row_number() OVER (ORDER BY ...)` with no PARTITION BY moves every
+  * row to ONE partition — the classic single-task scale killer for
+  * global ranks, percentiles-by-rank, and ntile feature binning. This
+  * operator produces the identical 1-based global row number with
+  * bounded per-task work:
+  *
+  *  1. range-repartition + sort within partitions on the rank keys
+  *     (the same machinery a global ORDER BY uses — parallel),
+  *  2. count rows per partition (O(partitions) driver data),
+  *  3. broadcast-join each partition's prefix offset and add it to the
+  *     per-partition row_number (windows partitioned by the physical
+  *     partition id — parallel again).
+  *
+  * The ranked input is pinned with an eager localCheckpoint so the
+  * count pass and the window pass see the SAME range partitioning
+  * (range boundaries are sampled and would otherwise be recomputed —
+  * legally differently — per action). Output ranks are nevertheless
+  * partitioning-independent: offsets are derived from actual counts,
+  * so any boundary placement yields the same global numbering as long
+  * as the keys totally order rows (pass a unique tie-breaker).
+  */
+object GlobalRank {
+
+  /** Adds `outCol` = 1-based global row number by `keys` (which must
+    * totally order the rows — include a unique tie-breaker).
+    */
+  def withRowNumber(df: DataFrame, outCol: String, keys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranged = df
+      .repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = ranged.groupBy("__pid").count().as[(Int, Long)].collect()
+      .sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _))
+      .toSeq.toDF("__pid", "__offset")
+    val w = Window.partitionBy("__pid").orderBy(keys: _*)
+    ranged.join(broadcast(offsets), "__pid")
+      .withColumn(outCol, row_number().over(w).cast("long") + col("__offset"))
+      .drop("__pid", "__offset")
+  }
+}

@@ -418,9 +418,81 @@ object DedupOps {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** q83 SimHash-pair parameters: the 32-bit fingerprint split into
+    * SIM_BANDS bands of SIM_BAND_BITS bits; Hamming radius HAM_MAX.
+    * Pigeonhole: two fingerprints within Hamming distance HAM_MAX <
+    * SIM_BANDS differ in at most HAM_MAX bands, so at least one band
+    * matches exactly — banding finds every such pair. Two 16-bit bands
+    * (one of them is exactly q28's published bucket16) keep the
+    * candidate join an order of magnitude tighter than 8-bit bands
+    * would on this clustered synthetic corpus.
+    */
+  val SIM_BANDS = 2
+  val SIM_BAND_BITS = 16
+  val HAM_MAX = 1
+
+  /** q83: SimHash near-dup PAIRS — the verification pass q28's
+    * fingerprints exist for: band the 32-bit fingerprint into two
+    * 16-bit halves, self-join on (band, value) for candidates
+    * (exhaustive within Hamming <= HAM_MAX by pigeonhole), verify with
+    * popcount of the XOR. The band value is a uniform small key so the
+    * self-join is bucketed, never all-pairs; verification is two ALU
+    * ops per candidate — no text is re-read (contrast q29's
+    * exact-Jaccard verify, which re-reads shingle sets).
+    */
+  def q83SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        graft.plans.SimHashFingerprint(col("text"), SHINGLE_N, 32).as("fp"))
+    val bandCols = (0 until SIM_BANDS).map(j =>
+      shiftright(col("fp"), j * SIM_BAND_BITS)
+        .bitwiseAND(lit((1L << SIM_BAND_BITS) - 1)))
+    val banded = fp.select(col("doc_id"), col("fp"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "band_val")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("hamming") <= HAM_MAX)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  val q83Sql: String = {
+    val bitTerms = (0 until 31).map { j =>
+      s"CASE WHEN 2 * list_sum(list_transform(hashes, h -> (h >> $j) & 1)) > len(hashes) THEN ${1L << j} ELSE 0 END"
+    }.mkString("\n   + ")
+    s"""WITH fp AS (
+      |  SELECT doc_id,
+      |   $bitTerms AS fp
+      |  FROM (
+      |    SELECT doc_id, $duckShingleHashes AS hashes
+      |    FROM documents)),
+      |banded AS (
+      |  SELECT doc_id, fp, b.band,
+      |    (fp >> (b.band * $SIM_BAND_BITS)) & ${(1L << SIM_BAND_BITS) - 1} AS band_val
+      |  FROM fp CROSS JOIN
+      |    (SELECT unnest(generate_series(0, ${SIM_BANDS - 1})) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    a.fp AS fp_a, b.fp AS fp_b
+      |  FROM banded a
+      |  JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
+      |               AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $HAM_MAX
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_minhash_lsh" -> Gate.sorted(q27MinhashLsh _, "doc_a", "doc_b"),
     "q28_simhash" -> (q28Simhash _),
+    "q83_simhash_pairs" -> Gate.sorted(q83SimhashPairs _, "doc_a", "doc_b"),
     "q29_ngram_jaccard" -> (q29NgramJaccard _),
     "q53_dup_clusters" -> Gate.sorted(q53DupClusters _, "doc_id"),
     "q67_split_leakage" -> Gate.sorted(q67SplitLeakage _, "doc_a", "doc_b"),
@@ -430,6 +502,7 @@ object DedupOps {
   val oracles: Map[String, String] = Map(
     "q27_minhash_lsh" -> q27Sql,
     "q28_simhash" -> q28Sql,
+    "q83_simhash_pairs" -> q83Sql,
     "q29_ngram_jaccard" -> q29Sql,
     "q53_dup_clusters" -> q53Sql,
     "q67_split_leakage" -> q67Sql,

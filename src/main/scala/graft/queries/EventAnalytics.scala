@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Exact
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -191,7 +191,115 @@ object EventAnalytics {
       |GROUP BY CUBE (event_type, CAST(CAST(ts AS DATE) AS VARCHAR))
       |ORDER BY event_type, day""".stripMargin
 
+  /** q84: SESSION PATH transitions — the Markov-chain view of the
+    * event log: for every (from -> to) consecutive pair WITHIN a
+    * session (q37's 30-min gap rule), the transition count and the
+    * number of distinct sessions exhibiting it. Computed entirely
+    * inside the single user_id window pass: the successor row is
+    * `lead`, and a transition is intra-session iff the successor's
+    * new-session flag is 0 — no second (user, session) exchange, no
+    * self-join. The output is |event_types|² rows.
+    */
+  def q84SessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    Tables(spark, dir).events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") >
+            SessionOps.GAP_MINUTES * 60L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_idx", sum("new_sess").over(cum))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .withColumn("next_new", lead(col("new_sess"), 1).over(byUser))
+      .filter(col("next_type").isNotNull && col("next_new") === 0L)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id"), col("sess_idx")).as("n_sessions"))
+  }
+
+  val q84Sql: String =
+    s"""WITH f AS (
+      |  SELECT *,
+      |    CASE WHEN prev_us IS NULL
+      |           OR epoch_us(ts) - prev_us > ${SessionOps.GAP_MINUTES * 60L * 1000000L}
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM (
+      |    SELECT user_id, event_id, ts, event_type,
+      |      lag(epoch_us(ts)) OVER w AS prev_us
+      |    FROM events
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))),
+      |s AS (
+      |  SELECT *,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx,
+      |    lead(event_type) OVER w AS next_type,
+      |    lead(new_sess) OVER w AS next_new
+      |  FROM f
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_type AS from_type, next_type AS to_type,
+      |  count(*) AS n_transitions,
+      |  CAST(count(DISTINCT (user_id, sess_idx)) AS BIGINT) AS n_sessions
+      |FROM s WHERE next_type IS NOT NULL AND next_new = 0
+      |GROUP BY event_type, next_type
+      |ORDER BY from_type, to_type""".stripMargin
+
+  /** q85 feature-binning width. */
+  val N_BINS = 10
+
+  /** q85: GLOBAL FEATURE BINNING — per-user spend features with their
+    * global decile and percent-rank, the normalization step of an ML
+    * feature pipeline. The naive formulation is `ntile(10) OVER (ORDER
+    * BY ...)` — a no-partition window that funnels every row through
+    * ONE task. Here the global rank comes from
+    * graft.operators.GlobalRank (range-repartition + per-partition
+    * offsets — fully parallel), and ntile/percent_rank are integer
+    * arithmetic on (rank, n): bucket sizes follow the SQL-standard
+    * remainder-to-front rule, so the output is identical to the window
+    * builtin the oracle uses.
+    */
+  def q85FeatureBinning(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables(spark, dir).events
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        Exact.sumExact(col("value")).as("total_value"))
+    val ranked = graft.operators.GlobalRank.withRowNumber(
+      perUser, "r", col("total_value"), col("user_id"))
+    val n = ranked.agg(max("r")).head.getLong(0)
+    val base = n / N_BINS
+    val rem = n % N_BINS
+    val cut = rem * (base + 1)
+    // ceil(a/b) over positive longs, in exact integer arithmetic
+    def ceilDiv(a: Column, b: Long): Column =
+      floor((a + lit(b - 1)) / lit(b.toDouble)).cast("long")
+    val decile =
+      if (base == 0) col("r") // degenerate n < N_BINS: one row per bin
+      else when(col("r") <= cut, ceilDiv(col("r"), base + 1))
+        .otherwise(lit(rem) + ceilDiv(col("r") - lit(cut), base))
+    val pct =
+      if (n == 1) lit(0.0)
+      else (col("r") - lit(1L)).cast("double") / lit((n - 1).toDouble)
+    ranked
+      .withColumn("decile", decile)
+      .withColumn("pct_rank", pct)
+      .select("user_id", "n_events", "total_value", "decile", "pct_rank")
+  }
+
+  val q85Sql: String =
+    s"""WITH pu AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |    ${Exact.sumSql("value")} AS total_value
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n_events, total_value,
+      |  CAST(ntile($N_BINS) OVER (ORDER BY total_value, user_id) AS BIGINT)
+      |    AS decile,
+      |  percent_rank() OVER (ORDER BY total_value, user_id) AS pct_rank
+      |FROM pu ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_session_paths" -> Gate.sorted(q84SessionPaths _, "from_type", "to_type"),
+    "q85_feature_binning" -> Gate.sorted(q85FeatureBinning _, "user_id"),
     "q73_funnel" -> Gate.sorted(q73Funnel _, "user_id"),
     "q78_cube_stats" -> Gate.sorted(q78CubeStats _, "event_type", "day"),
     "q77_pivot" -> Gate.sorted(q77PivotTypes _, "user_id"),
@@ -199,6 +307,8 @@ object EventAnalytics {
     "q75_rolling_features" -> Gate.sorted(q75RollingFeatures _, "user_id", "event_id"))
 
   val oracles: Map[String, String] = Map(
+    "q84_session_paths" -> q84Sql,
+    "q85_feature_binning" -> q85Sql,
     "q73_funnel" -> q73Sql,
     "q77_pivot" -> q77Sql,
     "q78_cube_stats" -> q78Sql,

@@ -565,7 +565,72 @@ object TrainPrep {
       |FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** q86 skip-gram window and reporting cut. */
+  val COOC_WINDOW = 2
+  val COOC_MIN = 5
+
+  /** q86: WORD CO-OCCURRENCE / collocation statistics — the corpus
+    * association table embedding and tokenizer pipelines derive from
+    * raw text: for every ordered token pair within COOC_WINDOW
+    * positions, the pair count and its lift
+    * (P(pair) / (P(w1) * P(w2)), the exp of PMI — computed as one
+    * integer-exact ratio, no cross-engine libm in the gate).
+    *
+    * The window pairing is an EQUI-join on (doc_id, pos + d) with d
+    * exploded 1..COOC_WINDOW — linear in corpus size, never tokens²
+    * per doc; the aggregated pair table is bounded by vocabulary², so
+    * the unigram joins and the total-token broadcast are index-sized
+    * at any corpus scale.
+    */
+  def q86WordCoocc(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val left = toks
+      .withColumn("d", explode(sequence(lit(1), lit(COOC_WINDOW))))
+      .select(col("doc_id"), (col("pos") + col("d")).as("pos2"),
+        col("tok").as("w1"))
+    val right = toks.select(col("doc_id"), col("pos").as("pos2"),
+      col("tok").as("w2"))
+    val pairCounts = left.join(right, Seq("doc_id", "pos2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= COOC_MIN)
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("n_uni"))
+    val total = uni.agg(sum("n_uni").as("n_total"))
+    pairCounts
+      .join(broadcast(uni.select(col("tok").as("w1"), col("n_uni").as("n1"))), "w1")
+      .join(broadcast(uni.select(col("tok").as("w2"), col("n_uni").as("n2"))), "w2")
+      .crossJoin(broadcast(total))
+      .withColumn("lift",
+        col("n_pair").cast("double") * col("n_total") / (col("n1") * col("n2")))
+      .select("w1", "w2", "n_pair", "lift")
+  }
+
+  val q86Sql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |                x -> x != '') AS tk
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, t.i AS pos, tk[t.i] AS tok
+      |  FROM d, unnest(generate_series(1, len(tk))) AS t(i)),
+      |pc AS (
+      |  SELECT a.tok AS w1, b.tok AS w2, count(*) AS n_pair
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+      |   AND b.pos - a.pos BETWEEN 1 AND $COOC_WINDOW
+      |  GROUP BY 1, 2 HAVING count(*) >= $COOC_MIN),
+      |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks)
+      |SELECT w1, w2, n_pair,
+      |  CAST(n_pair AS DOUBLE) * n_total / (u1.n * u2.n) AS lift
+      |FROM pc
+      |JOIN uni u1 ON u1.tok = pc.w1
+      |JOIN uni u2 ON u2.tok = pc.w2
+      |CROSS JOIN tot
+      |ORDER BY w1, w2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_word_coocc" -> Gate.sorted(q86WordCoocc _, "w1", "w2"),
     "q57_shard_manifest" -> Gate.sorted(q57ShardManifest _, "shard"),
     "q58_source_quota" -> Gate.sorted(q58SourceQuota _, "doc_id"),
     "q46_seq_pack" -> Gate.sorted(q46SeqPack _, "shard", "pack_id"),
@@ -580,6 +645,7 @@ object TrainPrep {
     "q81_quality_rules" -> Gate.sorted(q81QualityRules _, "doc_id"))
 
   val oracles: Map[String, String] = Map(
+    "q86_word_coocc" -> q86Sql,
     "q57_shard_manifest" -> q57Sql,
     "q58_source_quota" -> q58Sql,
     "q46_seq_pack" -> q46Sql,

@@ -319,15 +319,179 @@ object VectorOps {
       |GROUP BY e.query_id
       |ORDER BY e.query_id""".stripMargin
 
+  /** q82 product-quantization parameters: PQ_M subspaces of PQ_SUB dims
+    * (PQ_M * PQ_SUB = EmbeddingOps.EMB_DIM), PQ_K codewords per
+    * subspace. Codebooks are the sub-slices of the first PQ_K corpus
+    * vectors — the same deterministic seed convention as the IVF
+    * centroids (q41/q63); q69 is the refinement step that would turn
+    * them into real k-means codebooks in production.
+    */
+  val PQ_M = 8
+  val PQ_SUB = 8
+  val PQ_K = 16
+  /** ADC candidate cut reranked with exact cosine per query. */
+  val PQ_RERANK = 48
+
+  /** Squared L2 distance between two sub-vectors — left-to-right fold,
+    * the same element order DuckDB's list_sum walks.
+    */
+  private def subL2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** Dot product of two sub-vectors (same fold-order contract). */
+  private def subDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** q82: PRODUCT-QUANTIZATION ANN — the third index family next to
+    * LSH (q31) and IVF (q41), and the one real vector stores pair with
+    * IVF at scale: each vector is encoded as PQ_M small codes (here
+    * 8 codes x 16 codewords = 32 bits per 256-byte vector), queries
+    * precompute a per-subspace lookup table of dot products against the
+    * codebooks, and the corpus is scored by table lookups only
+    * (asymmetric distance computation) — no float vector is touched
+    * until the exact rerank of the PQ_RERANK cut.
+    *
+    * Scale shape: encoding is one broadcast-join scan (codebooks are
+    * O(PQ_M * PQ_K * PQ_SUB) — constant); the LUT is
+    * O(queries * PQ_M * PQ_K) — broadcast; the ADC scan reads 32-bit
+    * codes instead of 256-byte vectors (a ~64x byte reduction at 100
+    * TB); only PQ_RERANK * |queries| float vectors are ever fetched.
+    * The ADC sum folds the M lookups in subspace order, so it is
+    * bit-identical across partitionings and engines.
+    */
+  def q82PqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    // (vec_id, m, sub): every vector split into its PQ_M sub-vectors
+    val subs = emb
+      .withColumn("m", explode(sequence(lit(0), lit(PQ_M - 1))))
+      .select(col("vec_id"), col("m"),
+        slice(col("embedding"), col("m") * PQ_SUB + 1, lit(PQ_SUB)).as("sub"))
+    val codebook = subs.filter(col("vec_id") < PQ_K)
+      .select(col("m").as("cb_m"), col("vec_id").as("code"), col("sub").as("c_sub"))
+    // encode: argmin-L2 codeword per (vector, subspace) — a
+    // partial-aggregable min(struct), then the codes assembled into a
+    // subspace-ordered array (sort_array fixes collect_list's order)
+    val codes = subs.join(broadcast(codebook), col("m") === col("cb_m"))
+      .withColumn("d2", subL2(col("sub"), col("c_sub")))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .groupBy("vec_id")
+      .agg(transform(
+        sort_array(collect_list(struct(col("m"),
+          col("best").getField("code").as("code")))),
+        s => s.getField("code")).as("codes"))
+    // per-query ADC lookup tables: dot(query sub, codeword) for every
+    // (m, code) — a nested [m][code] array, O(PQ_M * PQ_K) per query
+    val lut = subs.filter(col("vec_id") < NUM_QUERIES)
+      .select(col("vec_id").as("query_id"), col("m"), col("sub").as("q_sub"))
+      .join(broadcast(codebook), col("m") === col("cb_m"))
+      .withColumn("dot", subDot(col("q_sub"), col("c_sub")))
+      .groupBy("query_id", "m")
+      .agg(transform(sort_array(collect_list(struct(col("code"), col("dot")))),
+        s => s.getField("dot")).as("dots"))
+      .groupBy("query_id")
+      .agg(transform(sort_array(collect_list(struct(col("m"), col("dots")))),
+        s => s.getField("dots")).as("luts"))
+    // ADC scan: approximate dot = sum over subspaces of LUT[m][code[m]]
+    // — pure table lookups over the broadcast LUT, folded in m order
+    val adc = codes.join(broadcast(lut), col("vec_id") =!= col("query_id"))
+      .withColumn("adc",
+        aggregate(
+          zip_with(col("codes"), col("luts"),
+            (c, arr) => element_at(arr, c.cast("int") + 1)),
+          lit(0.0), (acc, t) => acc + t))
+    val wCand = Window.partitionBy("query_id")
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val cand = adc.withColumn("rn", row_number().over(wCand))
+      .filter(col("rn") <= PQ_RERANK)
+      .select("query_id", "vec_id")
+    // exact rerank: float vectors fetched for the candidate cut only
+    val ce = emb.select(col("vec_id"), col("embedding"))
+    val qe = emb.filter(col("vec_id") < NUM_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cand.join(ce, "vec_id").join(broadcast(qe), "query_id")
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TOP_K)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
+  val q82Sql: String =
+    s"""WITH ms AS (SELECT unnest(generate_series(0, ${PQ_M - 1})) AS m),
+      |subs AS (
+      |  SELECT e.vec_id, ms.m,
+      |    list_transform(generate_series(1, $PQ_SUB),
+      |      i -> CAST(e.embedding[ms.m * $PQ_SUB + i] AS DOUBLE)) AS sub
+      |  FROM embeddings e CROSS JOIN ms),
+      |cb AS (
+      |  SELECT m AS cb_m, vec_id AS code, sub AS c_sub FROM subs
+      |  WHERE vec_id < $PQ_K),
+      |enc AS (
+      |  SELECT vec_id, m, code FROM (
+      |    SELECT s.vec_id, s.m, cb.code,
+      |      row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+      |        list_sum(list_transform(generate_series(1, $PQ_SUB),
+      |          i -> (s.sub[i] - cb.c_sub[i]) * (s.sub[i] - cb.c_sub[i]))) ASC,
+      |        cb.code ASC) AS rn
+      |    FROM subs s JOIN cb ON cb.cb_m = s.m) WHERE rn = 1),
+      |enc_arr AS (
+      |  SELECT vec_id, list(code ORDER BY m) AS codes FROM enc GROUP BY vec_id),
+      |lut AS (
+      |  SELECT s.vec_id AS query_id, s.m, cb.code,
+      |    list_sum(list_transform(generate_series(1, $PQ_SUB),
+      |      i -> s.sub[i] * cb.c_sub[i])) AS dot
+      |  FROM subs s JOIN cb ON cb.cb_m = s.m WHERE s.vec_id < $NUM_QUERIES),
+      |lut_m AS (
+      |  SELECT query_id, m, list(dot ORDER BY code) AS dots
+      |  FROM lut GROUP BY query_id, m),
+      |lut_arr AS (
+      |  SELECT query_id, list(dots ORDER BY m) AS luts
+      |  FROM lut_m GROUP BY query_id),
+      |adc AS (
+      |  SELECT l.query_id, ea.vec_id,
+      |    list_sum(list_transform(generate_series(1, $PQ_M),
+      |      m -> l.luts[m][ea.codes[m] + 1])) AS adc
+      |  FROM enc_arr ea CROSS JOIN lut_arr l WHERE ea.vec_id != l.query_id),
+      |cand AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |                         ORDER BY adc DESC, vec_id ASC) AS rn
+      |    FROM adc) WHERE rn <= $PQ_RERANK),
+      |rerank AS (
+      |  SELECT cand.query_id, cand.vec_id,
+      |    ${cosSql("qe", "ce")} AS sim
+      |  FROM cand
+      |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+      |  JOIN embeddings ce ON ce.vec_id = cand.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY sim DESC, vec_id ASC) AS rank
+      |  FROM rerank)
+      |SELECT query_id, rank, vec_id AS neighbor_id
+      |FROM ranked WHERE rank <= $TOP_K
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q62_quantized_ann" -> Gate.sorted(q62QuantizedAnn _, "query_id", "rank"),
     "q63_semantic_dedup" -> Gate.sorted(q63SemanticDedup _, "vec_id"),
     "q69_kmeans_step" -> Gate.sorted(q69KmeansStep _, "cell", "dim"),
-    "q76_ann_recall" -> Gate.sorted(q76AnnRecall _, "query_id"))
+    "q76_ann_recall" -> Gate.sorted(q76AnnRecall _, "query_id"),
+    "q82_pq_ann" -> Gate.sorted(q82PqAnn _, "query_id", "rank"))
 
   val oracles: Map[String, String] = Map(
     "q62_quantized_ann" -> q62Sql,
     "q63_semantic_dedup" -> q63Sql,
     "q69_kmeans_step" -> q69Sql,
-    "q76_ann_recall" -> q76Sql)
+    "q76_ann_recall" -> q76Sql,
+    "q82_pq_ann" -> q82Sql)
 }

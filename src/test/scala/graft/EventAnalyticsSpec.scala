@@ -89,4 +89,35 @@ class EventAnalyticsSpec extends SparkSpec {
       "exactly one frameless first event per user")
     assert(rows.filter(col("prev_n") === 0 && col("prev_sum") =!= 0.0).count() == 0)
   }
+
+  test("q84 transition totals equal events minus session starts") {
+    // every event except the first of each session is the TARGET of
+    // exactly one intra-session transition
+    val sessions = graft.queries.SessionOps.q37EventsSessionize(spark, sfDir)
+    val nSessions = sessions.count()
+    val nEvents = Tables(spark, sfDir).events.count()
+    val paths = EventAnalytics.q84SessionPaths(spark, sfDir)
+    val nTransitions = paths.agg(sum("n_transitions")).head.getLong(0)
+    assert(nTransitions == nEvents - nSessions,
+      s"$nTransitions transitions != $nEvents events - $nSessions sessions")
+    assert(paths.filter(col("n_sessions") > col("n_transitions")).count() == 0)
+  }
+
+  test("q85 deciles follow the SQL-standard ntile distribution") {
+    val rows = EventAnalytics.q85FeatureBinning(spark, sfDir).collect()
+    val n = rows.length
+    val k = EventAnalytics.N_BINS
+    val sizes = rows.groupBy(_.getLong(3)).view.mapValues(_.length).toMap
+    assert(sizes.keySet == (1L to k).toSet, s"expected $k deciles, got ${sizes.keySet}")
+    val (base, rem) = (n / k, n % k)
+    (1 to k).foreach { b =>
+      val want = if (b <= rem) base + 1 else base
+      assert(sizes(b.toLong) == want, s"decile $b size ${sizes(b.toLong)} != $want")
+    }
+    // percent rank spans [0, 1] and orders with total_value
+    val byPct = rows.sortBy(_.getDouble(4))
+    assert(byPct.head.getDouble(4) == 0.0 && byPct.last.getDouble(4) == 1.0)
+    assert(byPct.map(_.getDouble(2)).sliding(2).forall(p => p(0) <= p(1)),
+      "pct_rank order must agree with total_value order")
+  }
 }

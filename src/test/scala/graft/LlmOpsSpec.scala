@@ -54,6 +54,21 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q83 finds exactly the brute-force Hamming<=HAM_MAX pairs") {
+    val fp = DedupOps.q28Simhash(spark, sfDir)
+      .select("doc_id", "simhash32").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // brute-force truth over all pairs (500 docs at spec scale)
+    val truth = (for {
+      (a, fa) <- fp; (b, fb) <- fp if a < b
+      if java.lang.Long.bitCount(fa ^ fb) <= DedupOps.HAM_MAX
+    } yield (a, b, java.lang.Long.bitCount(fa ^ fb).toLong)).toSet
+    val got = DedupOps.q83SimhashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == truth,
+      s"banding must be exhaustive: missing ${truth -- got}, extra ${got -- truth}")
+  }
+
   test("q30 neighbors are ranked by true cosine similarity") {
     val emb = Tables(spark, sfDir).embeddings.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap

@@ -204,4 +204,34 @@ class TrainPrepSpec extends SparkSpec {
         (!col("contaminated") && col("n_hit_shingles") > 0)).count()
     assert(bad === 0)
   }
+
+  test("q86 pair counts match a driver-side brute force") {
+    val texts = Tables(spark, sfDir).documents
+      .select("text").collect().map(_.getString(0))
+    val truth = scala.collection.mutable.Map.empty[(String, String), Long]
+    var nTok = 0L
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { t =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      nTok += ws.length
+      ws.foreach(w => uni(w) = uni.getOrElse(w, 0L) + 1)
+      for {
+        i <- ws.indices
+        d <- 1 to TrainPrep.COOC_WINDOW if i + d < ws.length
+      } {
+        val k = (ws(i), ws(i + d))
+        truth(k) = truth.getOrElse(k, 0L) + 1
+      }
+    }
+    val want = truth.filter(_._2 >= TrainPrep.COOC_MIN)
+    val got = TrainPrep.q86WordCoocc(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, n) =>
+      assert(got(k)._1 == n, s"pair $k count ${got(k)._1} != $n")
+      val lift = n.toDouble * nTok / (uni(k._1) * uni(k._2))
+      assert(math.abs(got(k)._2 - lift) < 1e-12 * lift, s"pair $k lift off")
+    }
+  }
 }

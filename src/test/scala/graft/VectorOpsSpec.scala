@@ -109,4 +109,28 @@ class VectorOpsSpec extends SparkSpec {
     assert(perCluster.filter(col("n_keep") =!= 1L).count() == 0)
     assert(d.count() == Tables(spark, sfDir).embeddings.count())
   }
+
+  test("q82 has an entry and oracle, returns TOP_K ranked rows per query") {
+    assert(VectorOps.oracles.contains("q82_pq_ann"))
+    val rows = VectorOps.q82PqAnn(spark, sfDir).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == EmbeddingOps.NUM_QUERIES)
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to EmbeddingOps.TOP_K),
+        s"query $q ranks must be 1..TOP_K")
+      assert(rs.forall(_.getLong(2) != q), s"query $q must not match itself")
+    }
+  }
+
+  test("q82 PQ codes + exact rerank recover most true neighbors") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(EmbeddingOps.q30EmbeddingTopk(spark, sfDir))
+    val pq = pairs(VectorOps.q82PqAnn(spark, sfDir))
+    val recall = (exact & pq).size.toDouble / exact.size
+    // 12-bit codes are a coarse sketch; the ADC cut + exact rerank
+    // should still recover a solid majority of the true top-k
+    assert(recall > 0.5, s"PQ recall $recall too low")
+  }
 }
