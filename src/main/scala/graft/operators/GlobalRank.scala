@@ -50,4 +50,34 @@ object GlobalRank {
       .withColumn(outCol, row_number().over(w).cast("long") + col("__offset"))
       .drop("__pid", "__offset")
   }
+
+  /** Adds `outCol` = inclusive global running sum of the LONG `value`
+    * column in `keys` order — the same machinery as [[withRowNumber]]
+    * (an ORDER-BY-only running-sum window is the identical
+    * one-partition scale killer), with the per-partition offsets being
+    * partition value totals instead of row counts. Integer values
+    * only: partition-order independence of the offsets relies on
+    * associative addition.
+    */
+  def withRunningSum(df: DataFrame, outCol: String, value: Column,
+      keys: Column*): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranged = df
+      .repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__v", value.cast("long"))
+      .localCheckpoint(true)
+    val sums = ranged.groupBy("__pid").agg(sum("__v").as("s"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val offsets = sums.map(_._1)
+      .zip(sums.map(_._2).scanLeft(0L)(_ + _))
+      .toSeq.toDF("__pid", "__offset")
+    val w = Window.partitionBy("__pid").orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsets), "__pid")
+      .withColumn(outCol, sum(col("__v")).over(w) + col("__offset"))
+      .drop("__pid", "__offset", "__v")
+  }
 }

@@ -297,7 +297,79 @@ object EventAnalytics {
       |  percent_rank() OVER (ORDER BY total_value, user_id) AS pct_rank
       |FROM pu ORDER BY user_id""".stripMargin
 
+  /** q88: PEAK CONCURRENT SESSIONS per day — the interval-overlap
+    * maximum a capacity planner asks of the session table: each q37
+    * session becomes a +1 delta at its start and a -1 delta just after
+    * its (inclusive) end, the deltas are swept in global time order
+    * with a running sum, and each day reports its maximum. The sweep
+    * is the textbook case for an ORDER-BY-only window — and therefore
+    * runs through GlobalRank.withRunningSum (range repartition +
+    * per-partition offsets), not a one-task global window. The -1
+    * sorts before the +1 at equal timestamps (delta ascending), so a
+    * session starting the instant after another expires never
+    * double-counts.
+    */
+  def q88PeakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    val sess = Tables(spark, dir).events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") >
+            SessionOps.GAP_MINUTES * 60L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_idx", sum("new_sess").over(cum))
+      .groupBy("user_id", "sess_idx")
+      .agg(min("us").as("start_us"), max("us").as("end_us"))
+    val deltas = sess
+      .select(col("user_id"), col("sess_idx"),
+        col("start_us").as("us"), lit(1L).as("delta"))
+      .unionAll(sess.select(col("user_id"), col("sess_idx"),
+        (col("end_us") + 1L).as("us"), lit(-1L).as("delta")))
+    graft.operators.GlobalRank
+      .withRunningSum(deltas, "conc", col("delta"),
+        col("us"), col("delta"), col("user_id"), col("sess_idx"))
+      .groupBy(date_format(timestamp_micros(col("us")), "yyyy-MM-dd").as("day"))
+      .agg(max("conc").as("peak_concurrency"), count(lit(1)).as("n_deltas"))
+  }
+
+  val q88Sql: String =
+    s"""WITH f AS (
+      |  SELECT *,
+      |    CASE WHEN prev_us IS NULL
+      |           OR us - prev_us > ${SessionOps.GAP_MINUTES * 60L * 1000000L}
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM (
+      |    SELECT user_id, event_id, epoch_us(ts) AS us,
+      |      lag(epoch_us(ts)) OVER w AS prev_us
+      |    FROM events
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))),
+      |s AS (
+      |  SELECT *,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+      |  FROM f),
+      |sess AS (
+      |  SELECT user_id, sess_idx, min(us) AS start_us, max(us) AS end_us
+      |  FROM s GROUP BY user_id, sess_idx),
+      |deltas AS (
+      |  SELECT user_id, sess_idx, start_us AS us, 1 AS delta FROM sess
+      |  UNION ALL
+      |  SELECT user_id, sess_idx, end_us + 1 AS us, -1 AS delta FROM sess),
+      |sweep AS (
+      |  SELECT us,
+      |    sum(delta) OVER (ORDER BY us, delta, user_id, sess_idx
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      |  FROM deltas)
+      |SELECT strftime(make_timestamp(us), '%Y-%m-%d') AS day,
+      |  CAST(max(conc) AS BIGINT) AS peak_concurrency,
+      |  count(*) AS n_deltas
+      |FROM sweep GROUP BY 1 ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_peak_concurrency" -> Gate.sorted(q88PeakConcurrency _, "day"),
     "q84_session_paths" -> Gate.sorted(q84SessionPaths _, "from_type", "to_type"),
     "q85_feature_binning" -> Gate.sorted(q85FeatureBinning _, "user_id"),
     "q73_funnel" -> Gate.sorted(q73Funnel _, "user_id"),
@@ -307,6 +379,7 @@ object EventAnalytics {
     "q75_rolling_features" -> Gate.sorted(q75RollingFeatures _, "user_id", "event_id"))
 
   val oracles: Map[String, String] = Map(
+    "q88_peak_concurrency" -> q88Sql,
     "q84_session_paths" -> q84Sql,
     "q85_feature_binning" -> q85Sql,
     "q73_funnel" -> q73Sql,

@@ -280,7 +280,58 @@ object Relational {
       |WHERE rk <= 3
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** q87 parameters: market segment, order/ship cutoff, result size. */
+  val Q87_SEGMENT = "BUILDING"
+  val Q87_CUTOFF = "1998-06-01"
+  val Q87_TOP = 10
+
+  /** q87: SHIPPING-PRIORITY report (TPC-H Q3 shape) — the classic
+    * 3-way star join + grouped revenue + global top-k, the most common
+    * "real" analytics plan over this schema: filter the customer dim
+    * by segment (broadcast — it is the smallest side), filter orders
+    * and lineitem by date AT THE SCAN (both predicates push to
+    * parquet), join on the fact keys, aggregate revenue in DECIMAL,
+    * and take the top Q87_TOP by revenue. The final cut is an
+    * orderBy+limit, which Spark plans as TakeOrderedAndProject —
+    * per-partition heaps + one driver merge of Q87_TOP rows, never a
+    * full global sort.
+    */
+  def q87ShipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cutoff = lit(Q87_CUTOFF).cast("timestamp")
+    val cust = t.customer.filter(col("c_mktsegment") === Q87_SEGMENT)
+      .select("c_custkey")
+    val ord = t.orders.filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = t.lineitem.filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(Exact.sumExact(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+      .limit(Q87_TOP)
+  }
+
+  val q87Sql: String =
+    s"""SELECT l_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+      |  ${Exact.sumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = '$Q87_SEGMENT'
+      |  AND o_orderdate < TIMESTAMP '$Q87_CUTOFF'
+      |  AND l_shipdate > TIMESTAMP '$Q87_CUTOFF'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT $Q87_TOP""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_ship_priority" -> Gate.sorted(q87ShipPriority _, "l_orderkey"),
     "q01_agg_summary" -> (q01AggSummary _),
     "q02_filter_project" -> Gate.sorted(q02FilterProject _, "l_orderkey", "l_linenumber"),
     "q03_join_dims" -> (q03JoinDims _),
@@ -294,6 +345,7 @@ object Relational {
     "q79_native_topk" -> Gate.sorted(q79NativeTopk _, "o_custkey", "o_orderkey"))
 
   val oracles: Map[String, String] = Map(
+    "q87_ship_priority" -> q87Sql,
     "q01_agg_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_join_dims" -> q03Sql,

@@ -103,6 +103,48 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(paths.filter(col("n_sessions") > col("n_transitions")).count() == 0)
   }
 
+  test("q88 peak concurrency is consistent with a driver-side sweep") {
+    // rebuild sessions from the raw log (microsecond-exact, unlike
+    // q37's second-formatted output strings)
+    val gapUs = graft.queries.SessionOps.GAP_MINUTES * 60L * 1000000L
+    val sess = Tables(spark, sfDir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).values.flatMap { evs =>
+        val sorted = evs.sortBy(e => (e._2, e._3)).map(_._2)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var start = sorted.head; var last = sorted.head
+        sorted.tail.foreach { us =>
+          if (us - last > gapUs) { out += ((start, last)); start = us }
+          last = us
+        }
+        out += ((start, last))
+        out
+      }.toArray
+    val deltas = (sess.map(s => (s._1, 1L)) ++ sess.map(s => (s._2 + 1L, -1L)))
+      .sortBy(d => (d._1, d._2))
+    var conc = 0L
+    val peakByDay = scala.collection.mutable.Map.empty[String, Long]
+    deltas.foreach { case (us, d) =>
+      conc += d
+      val day = java.time.Instant.ofEpochMilli(us / 1000)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+      peakByDay(day) = math.max(peakByDay.getOrElse(day, Long.MinValue), conc)
+    }
+    val got = EventAnalytics.q88PeakConcurrency(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == peakByDay.toMap,
+      s"sweep mismatch: ${(got.toSet diff peakByDay.toSet) ++ (peakByDay.toSet diff got.toSet)}")
+  }
+
+  test("q87 ship-priority rows are revenue-ranked and within the cut") {
+    val rows = graft.queries.Relational.q87ShipPriority(spark, sfDir).collect()
+    assert(rows.length <= graft.queries.Relational.Q87_TOP && rows.nonEmpty)
+    val revs = rows.map(_.getDouble(3))
+    assert(revs.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "rows must be ordered by revenue desc")
+  }
+
   test("q85 deciles follow the SQL-standard ntile distribution") {
     val rows = EventAnalytics.q85FeatureBinning(spark, sfDir).collect()
     val n = rows.length

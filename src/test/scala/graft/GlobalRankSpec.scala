@@ -18,6 +18,18 @@ class GlobalRankSpec extends SparkSpec {
     assert(got.except(want).count() == 0 && want.except(got).count() == 0)
   }
 
+  test("distributed running sum equals the single-partition window") {
+    import spark.implicits._
+    val df = (1 to 3000).map(i => ((i * 31) % 211, i.toLong, (i % 7 - 3).toLong))
+      .toDF("k", "id", "v").repartition(11)
+    val got = GlobalRank.withRunningSum(df, "rs", col("v"), col("k"), col("id"))
+      .select("k", "id", "v", "rs")
+    val want = df.withColumn("rs",
+      sum("v").over(Window.orderBy("k", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+  }
+
   test("global rank plan has no single-partition global window") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i % 10, i.toLong)).toDF("k", "id")
