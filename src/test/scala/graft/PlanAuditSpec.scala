@@ -214,6 +214,42 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("q87: date filters pushed to both fact scans; dim broadcasts; top-k is TakeOrdered") {
+    val df = graft.queries.Relational.q87ShipPriority(spark, sfDir)
+    val p0 = plan(df)
+    assert(p0.contains("PushedFilters") &&
+      (p0.contains("LessThan(o_orderdate") || p0.contains("GreaterThan(l_shipdate")),
+      "expected the date predicates in PushedFilters")
+    val p = executedPlan(df)
+    assert(p.contains("BroadcastHashJoin"), "segment dim should broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k cut should be TakeOrdered, not a global sort")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q85/q88: no ORDER-BY-only window — every window partitions on __pid or a key") {
+    for (df <- Seq(
+        graft.queries.EventAnalytics.q85FeatureBinning(spark, sfDir),
+        graft.queries.EventAnalytics.q88PeakConcurrency(spark, sfDir))) {
+      val p = df.queryExecution.executedPlan.toString
+      // Spark prints an empty partition spec as "windowspecdefinition(<sort cols>...)"
+      // with no partition expressions; both operators route global
+      // numbering through GlobalRank, so every window spec must carry
+      // either the __pid or the user_id partition key.
+      "windowspecdefinition\\(([^,)]+)".r.findAllMatchIn(p).foreach { m =>
+        val first = m.group(1)
+        assert(first.startsWith("__pid") || first.startsWith("user_id"),
+          s"window not partitioned by __pid/user_id: ${m.matched}")
+      }
+    }
+  }
+
+  test("q82: codes and LUT build on broadcast codebooks; rerank joins are equi") {
+    val p = executedPlan(graft.queries.VectorOps.q82PqAnn(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "codebook should broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("native expressions are registered as SQL functions via extensions") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f))).toDF("a", "b")
