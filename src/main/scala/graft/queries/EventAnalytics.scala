@@ -368,7 +368,93 @@ object EventAnalytics {
       |  count(*) AS n_deltas
       |FROM sweep GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** q89 rolling-window width in days (window = [end-6, end]). */
+  val ROLL_DAYS = 7
+
+  /** q89: ROLLING 7-DAY DISTINCT USERS — the sliding-window unique
+    * count behind every DAU/WAU dashboard, computed exactly: each
+    * (user, active day) pair is fanned out to the ROLL_DAYS window
+    * ends it contributes to (a BOUNDED explode — the window width,
+    * not the data), then one distinct count per window end. The log
+    * first collapses to |users x days| before the fanout, so the
+    * exploded table is window-width x that — never window-width x
+    * events. Exact by construction at any scale; the HLL-sketch
+    * variant for wider windows is operators/DistinctSketch.
+    */
+  def q89RollingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables(spark, dir).events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val maxDay = broadcast(ud.agg(max("day").as("max_day")))
+    ud.withColumn("win_end",
+        explode(sequence(col("day"), date_add(col("day"), ROLL_DAYS - 1),
+          expr("interval 1 day"))))
+      .crossJoin(maxDay)
+      .filter(col("win_end") <= col("max_day"))
+      .groupBy(col("win_end").cast("string").as("win_end"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
+  val q89Sql: String =
+    s"""WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |mx AS (SELECT max(day) AS max_day FROM ud),
+      |fan AS (
+      |  SELECT ud.user_id, CAST(w.win_end AS DATE) AS win_end
+      |  FROM ud
+      |  CROSS JOIN unnest(generate_series(ud.day,
+      |    ud.day + INTERVAL '${ROLL_DAYS - 1} days',
+      |    INTERVAL '1 day')) AS w(win_end)
+      |  CROSS JOIN mx
+      |  WHERE CAST(w.win_end AS DATE) <= mx.max_day)
+      |SELECT CAST(win_end AS VARCHAR) AS win_end,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM fan GROUP BY win_end
+      |ORDER BY win_end""".stripMargin
+
+  /** q90: ORDER-TO-SHIP LATENCY percentiles per order priority — the
+    * operational-SLA report: days between order and line-item ship
+    * date, summarized as n/mean/p50/p90/p99/min/max through the
+    * bucket-prune distributed quantile (no per-group total sort; see
+    * operators/DistributedQuantile). The fact-fact join shuffles on
+    * the order key — the natural co-partition key for both tables at
+    * 100 TB (and a bucketed layout makes it exchange-free).
+    */
+  def q90ShipLatency(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val lat = t.lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate"))
+          .cast("double").as("lat_days"))
+    graft.operators.DistributedQuantile
+      .describe(lat, Seq("o_orderpriority"), "lat_days",
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+      .select(col("o_orderpriority"), col("n"), col("mean"),
+        col("min").cast("long").as("min_days"),
+        col("p50"), col("p90"), col("p99"),
+        col("max").cast("long").as("max_days"))
+  }
+
+  val q90Sql: String =
+    s"""WITH lat AS (
+      |  SELECT o_orderpriority,
+      |    CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE) AS lat_days
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |SELECT o_orderpriority, count(*) AS n,
+      |  ${Exact.meanSql("lat_days")} AS mean,
+      |  CAST(min(lat_days) AS BIGINT) AS min_days,
+      |  quantile_cont(lat_days, 0.5) AS p50,
+      |  quantile_cont(lat_days, 0.9) AS p90,
+      |  quantile_cont(lat_days, 0.99) AS p99,
+      |  CAST(max(lat_days) AS BIGINT) AS max_days
+      |FROM lat GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_rolling_distinct" -> Gate.sorted(q89RollingDistinct _, "win_end"),
+    "q90_ship_latency" -> Gate.sorted(q90ShipLatency _, "o_orderpriority"),
     "q88_peak_concurrency" -> Gate.sorted(q88PeakConcurrency _, "day"),
     "q84_session_paths" -> Gate.sorted(q84SessionPaths _, "from_type", "to_type"),
     "q85_feature_binning" -> Gate.sorted(q85FeatureBinning _, "user_id"),
@@ -379,6 +465,8 @@ object EventAnalytics {
     "q75_rolling_features" -> Gate.sorted(q75RollingFeatures _, "user_id", "event_id"))
 
   val oracles: Map[String, String] = Map(
+    "q89_rolling_distinct" -> q89Sql,
+    "q90_ship_latency" -> q90Sql,
     "q88_peak_concurrency" -> q88Sql,
     "q84_session_paths" -> q84Sql,
     "q85_feature_binning" -> q85Sql,

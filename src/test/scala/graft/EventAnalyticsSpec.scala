@@ -145,6 +145,34 @@ class EventAnalyticsSpec extends SparkSpec {
       "rows must be ordered by revenue desc")
   }
 
+  test("q89 rolling distinct equals a driver-side window recount") {
+    val ud = Tables(spark, sfDir).events
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1))))
+    val maxDay = ud.map(_._2).max
+    val want = ud.flatMap { case (u, d) =>
+      (0 until EventAnalytics.ROLL_DAYS).map(i => (u, d.plusDays(i.toLong)))
+    }.filter(!_._2.isAfter(maxDay))
+      .groupBy(_._2).view.mapValues(_.map(_._1).distinct.length.toLong).toMap
+      .map { case (d, n) => d.toString -> n }
+    val got = EventAnalytics.q89RollingDistinct(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("q90 latency profile covers every lineitem and orders percentiles") {
+    val rows = EventAnalytics.q90ShipLatency(spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables(spark, sfDir).lineitem.count())
+    rows.foreach { r =>
+      val (lo, p50, p90, p99, hi) =
+        (r.getLong(3).toDouble, r.getDouble(4), r.getDouble(5), r.getDouble(6),
+          r.getLong(7).toDouble)
+      assert(lo <= p50 && p50 <= p90 && p90 <= p99 && p99 <= hi,
+        s"percentiles out of order for ${r.getString(0)}")
+    }
+  }
+
   test("q85 deciles follow the SQL-standard ntile distribution") {
     val rows = EventAnalytics.q85FeatureBinning(spark, sfDir).collect()
     val n = rows.length
