@@ -354,7 +354,43 @@ object SessionOps {
       |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
       |ORDER BY win_start, event_type""".stripMargin
 
+  /** q91: STREAMING FUNNEL ATTRIBUTION — q73's running-last-click
+    * window as stateful streaming (the seventh streaming family:
+    * last-value-per-key state driving per-event emission decisions).
+    * One long of state per user; each purchase within the window of
+    * the user's most recent click is emitted as a conversion. The
+    * driver replays the file as one time-sorted batch, where the
+    * emitted set equals the batch window formulation exactly (see
+    * [[graft.streaming.StreamFunnel]]).
+    */
+  def q91StreamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{StreamAgg, StreamFunnel}
+    val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
+    val sinkName = "q91_sink"
+    spark.catalog.dropTempView(sinkName)
+    val q = StreamFunnel.attribute(stream, ATTRIB_HOURS * 3600L * 1000000L)
+      .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(sinkName).orderBy("user_id", "event_id")
+  }
+
+  val q91Sql: String =
+    s"""WITH w AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_us
+      |  FROM events)
+      |SELECT user_id, event_id, us AS purchase_us, click_us,
+      |  us - click_us AS lag_us
+      |FROM w
+      |WHERE event_type = 'purchase' AND click_us IS NOT NULL
+      |  AND us - click_us <= ${ATTRIB_HOURS * 3600L * 1000000L}
+      |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q91_stream_funnel" -> (q91StreamFunnel _),
     "q37_events_sessionize" -> Gate.sorted(q37EventsSessionize _, "user_id", "sess_idx"),
     "q38_stream_window_agg" -> (q38StreamWindowAgg _),
     "q39_stream_sessionize" -> (q39StreamSessionize _),
@@ -366,6 +402,7 @@ object SessionOps {
     "q70_stream_distinct" -> (q70StreamDistinct _))
 
   val oracles: Map[String, String] = Map(
+    "q91_stream_funnel" -> q91Sql,
     "q37_events_sessionize" -> q37Sql,
     "q38_stream_window_agg" -> q38Sql,
     "q39_stream_sessionize" -> q39Sql,
