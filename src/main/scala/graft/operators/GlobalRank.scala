@@ -32,7 +32,15 @@ object GlobalRank {
   /** Adds `outCol` = 1-based global row number by `keys` (which must
     * totally order the rows — include a unique tie-breaker).
     */
-  def withRowNumber(df: DataFrame, outCol: String, keys: Column*): DataFrame = {
+  def withRowNumber(df: DataFrame, outCol: String, keys: Column*): DataFrame =
+    withRowNumberAndCount(df, outCol, keys: _*)._1
+
+  /** [[withRowNumber]], also returning the TOTAL row count — already
+    * known from the per-partition counts, so rank-arithmetic callers
+    * (ntile, percent_rank) don't pay a second scan just for n.
+    */
+  def withRowNumberAndCount(df: DataFrame, outCol: String,
+      keys: Column*): (DataFrame, Long) = {
     val spark = df.sparkSession
     import spark.implicits._
     val ranged = df
@@ -46,9 +54,10 @@ object GlobalRank {
       .zip(counts.map(_._2).scanLeft(0L)(_ + _))
       .toSeq.toDF("__pid", "__offset")
     val w = Window.partitionBy("__pid").orderBy(keys: _*)
-    ranged.join(broadcast(offsets), "__pid")
+    val ranked = ranged.join(broadcast(offsets), "__pid")
       .withColumn(outCol, row_number().over(w).cast("long") + col("__offset"))
       .drop("__pid", "__offset")
+    (ranked, counts.map(_._2).sum)
   }
 
   /** Adds `outCol` = inclusive global running sum of the LONG `value`

@@ -264,9 +264,8 @@ object EventAnalytics {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         Exact.sumExact(col("value")).as("total_value"))
-    val ranked = graft.operators.GlobalRank.withRowNumber(
+    val (ranked, n) = graft.operators.GlobalRank.withRowNumberAndCount(
       perUser, "r", col("total_value"), col("user_id"))
-    val n = ranked.agg(max("r")).head.getLong(0)
     val base = n / N_BINS
     val rem = n % N_BINS
     val cut = rem * (base + 1)
@@ -323,11 +322,14 @@ object EventAnalytics {
       .withColumn("sess_idx", sum("new_sess").over(cum))
       .groupBy("user_id", "sess_idx")
       .agg(min("us").as("start_us"), max("us").as("end_us"))
+    // both deltas from ONE pass over the session table (a union of two
+    // selects would recompute the windowed sessionization twice)
     val deltas = sess
       .select(col("user_id"), col("sess_idx"),
-        col("start_us").as("us"), lit(1L).as("delta"))
-      .unionAll(sess.select(col("user_id"), col("sess_idx"),
-        (col("end_us") + 1L).as("us"), lit(-1L).as("delta")))
+        explode(array(
+          struct(col("start_us").as("us"), lit(1L).as("delta")),
+          struct((col("end_us") + 1L).as("us"), lit(-1L).as("delta")))).as("d"))
+      .select(col("user_id"), col("sess_idx"), col("d.us"), col("d.delta"))
     graft.operators.GlobalRank
       .withRunningSum(deltas, "conc", col("delta"),
         col("us"), col("delta"), col("user_id"), col("sess_idx"))
@@ -422,12 +424,16 @@ object EventAnalytics {
     */
   def q90ShipLatency(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // the quantile operator scans its input three times (bounds,
+    // histogram, located buckets); pin the ~16-byte projection so the
+    // fact-fact join runs ONCE, not 3x (same reasoning as q65)
     val lat = t.lineitem.select(col("l_orderkey"), col("l_shipdate"))
       .join(t.orders.select(col("o_orderkey"), col("o_orderdate"),
         col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderpriority"),
         datediff(col("l_shipdate"), col("o_orderdate"))
           .cast("double").as("lat_days"))
+      .localCheckpoint(true)
     graft.operators.DistributedQuantile
       .describe(lat, Seq("o_orderpriority"), "lat_days",
         Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
