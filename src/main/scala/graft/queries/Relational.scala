@@ -330,7 +330,97 @@ object Relational {
       |ORDER BY revenue DESC, o_orderdate, l_orderkey
       |LIMIT $Q87_TOP""".stripMargin
 
+  /** q92: MONTH-OVER-MONTH revenue growth per market segment — the
+    * time-series report layer: one DECIMAL-exact aggregation collapses
+    * the log to |months x segments| rows, and the lag/growth window
+    * runs over that tiny table (partitioned by segment — never a
+    * log-sized window). The growth ratio is one IEEE division of two
+    * decimal-exact sums — bit-identical across engines; months with no
+    * predecessor report NULL growth.
+    */
+  def q92RevenueGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val monthly = t.orders
+      .join(broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(Exact.sumExact(col("o_totalprice")).as("revenue"))
+    val bySeg = Window.partitionBy("segment").orderBy("month")
+    monthly
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(bySeg))
+      .withColumn("growth", col("revenue") / col("prev_revenue"))
+      .select("segment", "month", "revenue", "prev_revenue", "growth")
+  }
+
+  val q92Sql: String =
+    s"""WITH m AS (
+      |  SELECT c_mktsegment AS segment, strftime(o_orderdate, '%Y-%m') AS month,
+      |    ${Exact.sumSql("o_totalprice")} AS revenue
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2)
+      |SELECT segment, month, revenue,
+      |  lag(revenue) OVER (PARTITION BY segment ORDER BY month) AS prev_revenue,
+      |  revenue / lag(revenue) OVER (PARTITION BY segment ORDER BY month)
+      |    AS growth
+      |FROM m ORDER BY segment, month""".stripMargin
+
+  /** q93 minimum co-purchase support. */
+  val Q93_MIN_SUPPORT = 2
+
+  /** q93: MARKET-BASKET affinity — parts bought together in the same
+    * order, with support and lift: the association-rule mining pass of
+    * a recommender pipeline. The pair fanout is the WITHIN-ORDER
+    * self-join — bounded by lines-per-order (single digits), so the
+    * candidate table is O(|orders| x basket²), linear in the log, never
+    * |parts|². Lift is an integer-count ratio (support x order count /
+    * product of item supports) — deterministic in both engines.
+    */
+  def q93BasketAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    val nOrders = broadcast(
+      t.orders.agg(count(lit(1)).as("n_orders")))
+    val supp = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= Q93_MIN_SUPPORT)
+    pairs
+      .join(supp.select(col("l_partkey").as("part_a"), col("supp").as("supp_a")), "part_a")
+      .join(supp.select(col("l_partkey").as("part_b"), col("supp").as("supp_b")), "part_b")
+      .crossJoin(nOrders)
+      .withColumn("lift",
+        col("n_both").cast("double") * col("n_orders") /
+          (col("supp_a") * col("supp_b")))
+      .select("part_a", "part_b", "n_both", "supp_a", "supp_b", "lift")
+  }
+
+  val q93Sql: String =
+    s"""WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |supp AS (
+      |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS supp FROM li GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_orders FROM orders),
+      |pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |    count(*) AS n_both
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= $Q93_MIN_SUPPORT)
+      |SELECT part_a, part_b, n_both, sa.supp AS supp_a, sb.supp AS supp_b,
+      |  CAST(n_both AS DOUBLE) * n.n_orders / (sa.supp * sb.supp) AS lift
+      |FROM pairs
+      |JOIN supp sa ON sa.l_partkey = part_a
+      |JOIN supp sb ON sb.l_partkey = part_b
+      |CROSS JOIN n
+      |ORDER BY part_a, part_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q92_revenue_growth" -> Gate.sorted(q92RevenueGrowth _, "segment", "month"),
+    "q93_basket_affinity" -> Gate.sorted(q93BasketAffinity _, "part_a", "part_b"),
     "q87_ship_priority" -> Gate.sorted(q87ShipPriority _, "l_orderkey"),
     "q01_agg_summary" -> (q01AggSummary _),
     "q02_filter_project" -> Gate.sorted(q02FilterProject _, "l_orderkey", "l_linenumber"),
@@ -345,6 +435,8 @@ object Relational {
     "q79_native_topk" -> Gate.sorted(q79NativeTopk _, "o_custkey", "o_orderkey"))
 
   val oracles: Map[String, String] = Map(
+    "q92_revenue_growth" -> q92Sql,
+    "q93_basket_affinity" -> q93Sql,
     "q87_ship_priority" -> q87Sql,
     "q01_agg_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,

@@ -74,4 +74,37 @@ class RelationalSpec extends SparkSpec {
       .select("n").collect().head.getLong(0)
     assert(total == Tables(spark, sfDir).lineitem.count())
   }
+
+  test("q92 monthly revenue sums back to the order total; growth = rev/prev") {
+    val rows = Relational.q92RevenueGrowth(spark, sfDir).collect()
+    val total = rows.map(_.getDouble(2)).sum
+    val want = Tables(spark, sfDir).orders
+      .agg(graft.functions.Exact.sumExact(col("o_totalprice")))
+      .collect().head.getDouble(0)
+    assert(math.abs(total - want) < 1e-6 * want)
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getDouble(4) == r.getDouble(2) / r.getDouble(3))
+    }
+    assert(rows.count(_.isNullAt(3)) ==
+      rows.map(_.getString(0)).distinct.length,
+      "exactly one month without a predecessor per segment")
+  }
+
+  test("q93 pair supports match a driver-side basket recount") {
+    val baskets = Tables(spark, sfDir).lineitem
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val truth = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    baskets.values.foreach { parts =>
+      for (i <- parts.indices; j <- i + 1 until parts.length) {
+        val k = (parts(i), parts(j))
+        truth(k) = truth.getOrElse(k, 0L) + 1
+      }
+    }
+    val want = truth.filter(_._2 >= Relational.Q93_MIN_SUPPORT)
+    val got = Relational.q93BasketAffinity(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want.toMap)
+  }
 }
