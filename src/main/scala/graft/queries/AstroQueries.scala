@@ -301,7 +301,41 @@ object AstroQueries {
       |  FROM lineitem)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** q95 synthetic radial velocity (same shared star-column
+    * convention as starX/starY/starZ).
+    */
+  private def starVr: Column = col("l_tax") * 100.0 - col("l_discount") * 50.0
+
+  /** q95: VELOCITY-DISPERSION PROFILE — per integer radial ring
+    * (q13's annular bucketing), the star count, mean radial velocity,
+    * and velocity dispersion sigma (reference analogue: the kinematic
+    * profile a cluster-dynamics notebook derives from the same rings
+    * it histograms; dispersion is the observable tied to virial mass).
+    * One map-side-combined aggregation; mean and sigma come from
+    * DECIMAL-exact sums (graft.functions.Exact), so the doubles are
+    * engine- and partitioning-identical with no rounding. Rings with a
+    * single star are dropped (sample dispersion undefined).
+    */
+  def q95VelocityDispersion(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .select(ceil(starX).cast("long").as("ring"), starVr.as("vr"))
+      .groupBy("ring")
+      .agg(count(lit(1)).as("n"),
+        Exact.meanExact(col("vr")).as("mean_vr"),
+        Exact.stddevExact(col("vr")).as("sigma_vr"))
+      .filter(col("n") >= 2)
+
+  val q95Sql: String =
+    s"""SELECT CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS ring,
+      | count(*) AS n,
+      | ${Exact.meanSql("vr")} AS mean_vr,
+      | ${Exact.stddevSql("vr")} AS sigma_vr
+      |FROM (SELECT l_extendedprice, l_tax * 100 - l_discount * 50 AS vr
+      |      FROM lineitem)
+      |GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_velocity_dispersion" -> Gate.sorted(q95VelocityDispersion _, "ring"),
     "q11_descriptive_stats" -> (q11DescriptiveStats _),
     "q12_half_mass_radius" -> (q12HalfMassRadius _),
     "q13_annular_hist" -> (q13AnnularHist _),
@@ -314,6 +348,7 @@ object AstroQueries {
     "q20_density_center_dist" -> Gate.sorted(q20DensityCenterDist _, "l_orderkey", "l_linenumber"))
 
   val oracles: Map[String, String] = Map(
+    "q95_velocity_dispersion" -> q95Sql,
     "q11_descriptive_stats" -> q11Sql,
     "q12_half_mass_radius" -> q12Sql,
     "q13_annular_hist" -> q13Sql,

@@ -406,7 +406,47 @@ object LlmText {
       |GROUP BY token
       |ORDER BY n DESC, token LIMIT $VOCAB_TOP_K""".stripMargin
 
+  /** q94: MEDIA DECODE through the stubbed codec path — q36's binary
+    * records pushed through [[graft.operators.MultimodalStub.decode]]
+    * (typed Dataset -> mapPartitions with once-per-partition codec
+    * init -> typed Dataset), gated on the integer-stable decode
+    * outputs. The stub's "decode" derives dimensions and frame counts
+    * from a rolling byte hash, which the oracle replicates over the
+    * ASCII bytes — so the WHOLE mapPartitions plumbing (record
+    * construction, encoder round-trip, per-partition iteration) is
+    * hash-gated, not just spec'd; swapping the fake for a real codec
+    * changes nothing upstream of `fakeDecode`.
+    */
+  def q94MediaDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        (octet_length(col("text")) % 3).cast("int").as("media_kind"),
+        col("text").cast("binary").as("bytes"))
+      .as[graft.operators.MediaRecord]
+    graft.operators.MultimodalStub.decode(media)
+      .select(col("doc_id"), col("media_kind"), col("n_bytes"),
+        col("width"), col("height"), col("n_frames"))
+  }
+
+  val q94Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(octet_length(encode(text)) % 3 AS INT) AS media_kind,
+      |    octet_length(encode(text)) AS n,
+      |    list_reduce(list_transform(generate_series(1, length(text)),
+      |      j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
+      |      (a, c) -> (a * 31 + c) % 1000000007) AS h
+      |  FROM documents)
+      |SELECT doc_id, media_kind, CAST(n AS INT) AS n_bytes,
+      |  CAST(n % 640 + 1 AS INT) AS width,
+      |  CAST(n % 480 + 1 AS INT) AS height,
+      |  CAST(CASE WHEN media_kind = 2 THEN h % 16 + 1 ELSE 1 END AS INT)
+      |    AS n_frames
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_media_decode" -> Gate.sorted(q94MediaDecode _, "doc_id"),
     "q61_vocab_encode" -> Gate.sorted(q61VocabEncode _, "doc_id"),
     "q60_sketch_topk" -> (q60SketchTopk _),
     "q42_vocab_topk" -> (q42VocabTopk _),
@@ -421,6 +461,7 @@ object LlmText {
     "q55_doc_keywords" -> Gate.sorted(q55DocKeywords _, "doc_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q94_media_decode" -> q94Sql,
     "q61_vocab_encode" -> q61Sql,
     "q60_sketch_topk" -> q60Sql,
     "q42_vocab_topk" -> q42Sql,

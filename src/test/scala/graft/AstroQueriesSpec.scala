@@ -95,4 +95,27 @@ class AstroQueriesSpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(math.abs(t - Astro.T_SUN_K) < 1e-9)
   }
+
+  test("q95 dispersion profile: sigma matches a driver-side two-pass recount") {
+    val byRing = Tables(spark, sfDir).lineitem
+      .select((ceil(col("l_extendedprice") / 1000.0)).cast("long").as("ring"),
+        (col("l_tax") * 100.0 - col("l_discount") * 50.0).as("vr"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = AstroQueries.q95VelocityDispersion(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == byRing.filter(_._2.length >= 2).keySet)
+    got.foreach { case (ring, (n, mean, sigma)) =>
+      val vs = byRing(ring)
+      assert(n == vs.length)
+      val m = vs.sum / vs.length
+      val s = math.sqrt(vs.map(v => (v - m) * (v - m)).sum / (vs.length - 1))
+      assert(math.abs(mean - m) < 1e-9 * math.max(1.0, math.abs(m)),
+        s"ring $ring mean")
+      if (s.isNaN) assert(sigma.isNaN, s"ring $ring sigma NaN parity")
+      else assert(math.abs(sigma - s) < 1e-6 * math.max(1.0, s),
+        s"ring $ring sigma")
+    }
+  }
 }

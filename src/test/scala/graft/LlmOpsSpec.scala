@@ -54,6 +54,20 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q94 decode output equals a driver-side fakeDecode replay") {
+    val want = Tables(spark, sfDir).documents
+      .select("doc_id", "text").collect().map { r =>
+        val bytes = r.getString(1).getBytes("UTF-8")
+        val d = MultimodalStub.fakeDecode(
+          MediaRecord(r.getLong(0), bytes.length % 3, bytes))
+        (d.doc_id, d.media_kind, d.n_bytes, d.width, d.height, d.n_frames)
+      }.toSet
+    val got = LlmText.q94MediaDecode(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5))).toSet
+    assert(got == want)
+  }
+
   test("q83 finds exactly the brute-force Hamming<=HAM_MAX pairs") {
     val fp = DedupOps.q28Simhash(spark, sfDir)
       .select("doc_id", "simhash32").collect()
