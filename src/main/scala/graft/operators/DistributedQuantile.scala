@@ -215,6 +215,75 @@ object DistributedQuantile {
       .agg(min("_v").as("crossing"))
   }
 
+  /** Multi-fraction `weightedCrossing` in the SAME number of passes:
+    * all fractions share the one bucket-histogram scan, and the fine
+    * pass touches only the union of located buckets (at most one per
+    * fraction, usually fewer — adjacent fractions often share one).
+    * Returns one row per group with a double column per fraction name
+    * — e.g. Lagrangian radii r10..r90 (reference: calc/cluster.py:14
+    * generalizes its half-mass crossing to any mass fraction).
+    */
+  def weightedCrossings(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      tieCols: Seq[String],
+      weight: Column,
+      fracs: Seq[(String, Int, Int)],
+      scale: Int = 4,
+      numBuckets: Int = 256): DataFrame = {
+    val g = groupCols.map(col)
+    val base = df
+      .select(g ++ Seq(col(valueCol).cast("double").as("_v"),
+        graft.functions.Exact.dec(weight, scale).as("_w")) ++ tieCols.map(col): _*)
+      .filter(col("_v").isNotNull)
+    val bucketed = assignBuckets(base, groupCols, numBuckets)
+
+    val stats = bucketed.groupBy(g :+ col("_b"): _*).agg(sum("_w").as("_bw"))
+    val wB = Window.partitionBy(g: _*).orderBy("_b")
+    val wAll = Window.partitionBy(g: _*)
+    val cum = stats
+      .withColumn("_cumw", sum("_bw").over(wB))
+      .withColumn("_beforew", col("_cumw") - col("_bw"))
+      .withColumn("_total", sum("_bw").over(wAll))
+
+    // Per fraction: first bucket whose inclusive cumulative weight
+    // reaches num/den of the total. |groups| x numBuckets x |fracs|
+    // rows — tiny.
+    val farr = array(fracs.map { case (n, nu, de) =>
+      struct(lit(n).as("fn"), lit(nu).as("nu"), lit(de).as("de")) }: _*)
+    val crossing = cum
+      .select(g ++ Seq(col("_b"), col("_cumw"), col("_total"),
+        explode(farr).as("_f")): _*)
+      .filter(col("_cumw") * col("_f.de") >= col("_total") * col("_f.nu"))
+      .groupBy(g ++ Seq(col("_f.fn").as("_fn"), col("_f.nu").as("_nu"),
+        col("_f.de").as("_de")): _*)
+      .agg(min("_b").as("_cb"))
+
+    // Survivors of any located bucket, fine-ranked once per bucket.
+    val pre = crossing.join(
+      cum.select(g ++ Seq(col("_b"), col("_beforew"), col("_total")): _*),
+      groupCols).filter(col("_b") === col("_cb"))
+    val needed = pre.select(g :+ col("_cb").as("_b"): _*).distinct()
+    val wFine = Window.partitionBy(g :+ col("_b"): _*)
+      .orderBy(("_v" +: tieCols).map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fine = bucketed
+      .join(broadcast(needed), groupCols :+ "_b")
+      .withColumn("_cwb", sum("_w").over(wFine))
+    val hits = fine
+      .join(broadcast(pre.select(g ++ Seq(col("_cb").as("_b"), col("_fn"),
+        col("_nu"), col("_de"), col("_beforew"), col("_total")): _*)),
+        groupCols :+ "_b")
+      .filter((col("_cwb") + col("_beforew")) * col("_de") >=
+        col("_total") * col("_nu"))
+      .groupBy(g :+ col("_fn"): _*)
+      .agg(min("_v").as("_qv"))
+    val aggCols = fracs.map { case (n, _, _) =>
+      max(when(col("_fn") === n, col("_qv"))).as(n) }
+    hits.groupBy(g: _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
   /** Broadcast per-group min/max back onto the rows and assign each a
     * fixed-width bucket in [0, numBuckets). Weakly monotone in `_v`.
     */

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-radius 3-D neighbor join — the spatial primitive behind
+  * local-density estimation (Casertano-Hut style) and neighbor-list
+  * builds over star positions (reference analogue: the density-center
+  * input the reference READS from densCentre.txt is produced by
+  * exactly this neighbor search upstream; parser/density_center.py).
+  *
+  * A naive `dist(l, r) <= R` join plans as a nested loop (O(L*R)
+  * compares). Grid equi-ization instead: space is cut into cubic cells
+  * of side `radius`; the LEFT (query) side explodes to its own cell
+  * plus the 26 adjacent cells — a constant 27x fanout of the side the
+  * caller knows is smaller — while the right side maps to exactly ONE
+  * cell; the join runs on the integer cell key and an exact Euclidean
+  * post-filter removes same-neighborhood near-misses. Exact by
+  * construction: |Δx| <= R implies the per-axis cell indices differ by
+  * at most 1, so every true neighbor pair shares an exploded cell.
+  *
+  * At 100 TB both sides hash-shuffle on the 24-byte cell key (or the
+  * bounded query side broadcasts); per-cell population is bounded by
+  * physical density, so no task sees more than ~27 cells' worth of
+  * candidates per query point.
+  */
+object SpatialNeighbors {
+
+  /** All (left, right) pairs within `radius`, with a `dist` column.
+    * Column names must be disjoint across the two inputs (rename on
+    * the query side). Pairs are NOT deduplicated or self-filtered —
+    * callers exclude identity rows with their own key predicate.
+    */
+  def withinRadius(
+      left: DataFrame, lx: String, ly: String, lz: String,
+      right: DataFrame, rx: String, ry: String, rz: String,
+      radius: Double): DataFrame = {
+    require(radius > 0, "radius must be positive")
+    def cell(c: Column): Column = floor(c / radius).cast("long")
+    val offsets = for {
+      dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1
+    } yield struct(lit(dx).as("dx"), lit(dy).as("dy"), lit(dz).as("dz"))
+    val l = left
+      .withColumn("__o", explode(array(offsets: _*)))
+      .withColumn("__cx", cell(col(lx)) + col("__o.dx"))
+      .withColumn("__cy", cell(col(ly)) + col("__o.dy"))
+      .withColumn("__cz", cell(col(lz)) + col("__o.dz"))
+      .drop("__o")
+    val r = right
+      .withColumn("__cx", cell(col(rx)))
+      .withColumn("__cy", cell(col(ry)))
+      .withColumn("__cz", cell(col(rz)))
+    val d = sqrt(
+      (col(rx) - col(lx)) * (col(rx) - col(lx)) +
+      (col(ry) - col(ly)) * (col(ry) - col(ly)) +
+      (col(rz) - col(lz)) * (col(rz) - col(lz)))
+    l.join(r, Seq("__cx", "__cy", "__cz"))
+      .withColumn("dist", d)
+      .filter(col("dist") <= radius)
+      .drop("__cx", "__cy", "__cz")
+  }
+}

@@ -334,7 +334,103 @@ object AstroQueries {
       |      FROM lineitem)
       |GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""".stripMargin
 
+  /** q96: LAGRANGIAN RADII — the radii enclosing 10/25/50/75/90% of
+    * the total mass per group (reference: calc/cluster.py:14's
+    * half-mass crossing generalized to the standard Lagrangian-radius
+    * set every cluster-evolution plot uses). All five fractions share
+    * ONE bucket-histogram scan and one fine pass over only the located
+    * buckets (operators/DistributedQuantile.weightedCrossings) — the
+    * naive shape would be five per-group total sorts. Mass prefix sums
+    * are DECIMAL-exact, so each crossing row matches the oracle's
+    * global-window formulation bit-for-bit.
+    */
+  def q96LagrangianRadii(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.DistributedQuantile.weightedCrossings(
+      Tables(spark, dir).lineitem
+        .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"), starMass.as("mass")),
+      Seq("l_returnflag"), "l_extendedprice",
+      Seq("l_orderkey", "l_linenumber"), col("mass"),
+      Seq(("r10", 1, 10), ("r25", 1, 4), ("r50", 1, 2), ("r75", 3, 4),
+        ("r90", 9, 10)))
+      .select(col("l_returnflag"),
+        round(col("r10"), 4).as("r10"), round(col("r25"), 4).as("r25"),
+        round(col("r50"), 4).as("r50"), round(col("r75"), 4).as("r75"),
+        round(col("r90"), 4).as("r90"))
+      .orderBy("l_returnflag")
+
+  val q96Sql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_mass,
+      |    sum(CAST(l_quantity AS DECIMAL(18,4))) OVER (PARTITION BY l_returnflag) AS total_mass
+      |  FROM lineitem)
+      |SELECT l_returnflag,
+      |  round(min(CASE WHEN cum_mass * 10 >= total_mass THEN l_extendedprice END), 4) AS r10,
+      |  round(min(CASE WHEN cum_mass * 4 >= total_mass THEN l_extendedprice END), 4) AS r25,
+      |  round(min(CASE WHEN cum_mass * 2 >= total_mass THEN l_extendedprice END), 4) AS r50,
+      |  round(min(CASE WHEN cum_mass * 4 >= total_mass * 3 THEN l_extendedprice END), 4) AS r75,
+      |  round(min(CASE WHEN cum_mass * 10 >= total_mass * 9 THEN l_extendedprice END), 4) AS r90
+      |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q97: MASS-FUNCTION SLOPE — the power-law index of the stellar
+    * mass function per group, fit by least squares over the log-count
+    * histogram (the reference's notebooks derive the present-day mass
+    * function from the same per-snapshot mass column;
+    * snapshot.py:226's stats feed it). Two map-side-combined
+    * aggregations: |masses| -> |bins| -> |groups|.
+    *
+    * Cross-engine determinism: the regression runs in INTEGER space —
+    * x is the bin index, y is floor(ln(count)*1e6 + 0.5) (ln on
+    * identical integer inputs is bit-equal across engines, floor makes
+    * it an exact BIGINT) — so every sum in the normal equations is
+    * exact and order-independent; only the final one-op division
+    * happens in doubles.
+    */
+  def q97MassFunctionSlope(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables(spark, dir).lineitem
+      .select(col("l_returnflag"),
+        floor(log(10.0, starMass) * 10.0).cast("long").as("bin"))
+      .groupBy("l_returnflag", "bin")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"), col("bin"),
+        floor(log(col("cnt").cast("double")) * 1e6 + 0.5).cast("long").as("yq"))
+    binned.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_bins"),
+        sum("bin").as("sx"), sum("yq").as("sy"),
+        sum(col("bin") * col("yq")).as("sxy"),
+        sum(col("bin") * col("bin")).as("sxx"))
+      .select(col("l_returnflag"), col("n_bins"),
+        ((col("n_bins") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          ((col("n_bins") * col("sxx") - col("sx") * col("sx")) * 100000.0))
+          .as("slope_dex"))
+      .orderBy("l_returnflag")
+  }
+
+  val q97Sql: String =
+    """WITH h AS (
+      |  SELECT l_returnflag, CAST(floor(log10(l_quantity) * 10.0) AS BIGINT) AS bin,
+      |    count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |b AS (
+      |  SELECT l_returnflag, bin,
+      |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS yq
+      |  FROM h),
+      |s AS (
+      |  SELECT l_returnflag, count(*) AS n_bins,
+      |    sum(bin) AS sx, sum(yq) AS sy,
+      |    sum(bin * yq) AS sxy, sum(bin * bin) AS sxx
+      |  FROM b GROUP BY 1)
+      |SELECT l_returnflag, n_bins,
+      |  CAST(n_bins * sxy - sx * sy AS DOUBLE)
+      |    / ((n_bins * sxx - sx * sx) * 100000.0) AS slope_dex
+      |FROM s ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_lagrangian_radii" -> (q96LagrangianRadii _),
+    "q97_mass_function_slope" -> (q97MassFunctionSlope _),
     "q95_velocity_dispersion" -> Gate.sorted(q95VelocityDispersion _, "ring"),
     "q11_descriptive_stats" -> (q11DescriptiveStats _),
     "q12_half_mass_radius" -> (q12HalfMassRadius _),
@@ -348,6 +444,8 @@ object AstroQueries {
     "q20_density_center_dist" -> Gate.sorted(q20DensityCenterDist _, "l_orderkey", "l_linenumber"))
 
   val oracles: Map[String, String] = Map(
+    "q96_lagrangian_radii" -> q96Sql,
+    "q97_mass_function_slope" -> q97Sql,
     "q95_velocity_dispersion" -> q95Sql,
     "q11_descriptive_stats" -> q11Sql,
     "q12_half_mass_radius" -> q12Sql,

@@ -458,7 +458,105 @@ object EventAnalytics {
       |FROM lat GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q98: A/B EXPERIMENT READOUT — Welch's t statistic on event value
+    * between two deterministic variants (user_id parity standing in
+    * for the assignment hash), per event type. One map-side-combined
+    * conditional aggregation over the log — counts and sums only cross
+    * the shuffle, |types| rows out.
+    *
+    * Cross-engine determinism: means and variances derive from
+    * DECIMAL-exact conditional sums of value and value² (the same
+    * pattern as Exact.stddevExact), so the final t is a short fixed
+    * sequence of IEEE ops on bit-identical inputs.
+    */
+  def q98AbWelch(spark: SparkSession, dir: String): DataFrame = {
+    val isB = col("user_id") % 2 === 1
+    def n(v: Boolean) = sum(when(if (v) isB else !isB, 1L).otherwise(0L))
+    def s1(v: Boolean) =
+      sum(when(if (v) isB else !isB, Exact.dec(col("value")))).cast("double")
+    def s2(v: Boolean) =
+      sum(when(if (v) isB else !isB, Exact.dec(col("value") * col("value"))))
+        .cast("double")
+    Tables(spark, dir).events
+      .groupBy("event_type")
+      .agg(n(false).as("n_a"), n(true).as("n_b"),
+        s1(false).as("_s1a"), s1(true).as("_s1b"),
+        s2(false).as("_s2a"), s2(true).as("_s2b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        (col("_s1a") / col("n_a")).as("mean_a"),
+        (col("_s1b") / col("n_b")).as("mean_b"),
+        ((col("_s1a") / col("n_a") - col("_s1b") / col("n_b")) /
+          sqrt(
+            (col("_s2a") - col("_s1a") * col("_s1a") / col("n_a")) /
+              (col("n_a") - 1) / col("n_a") +
+            (col("_s2b") - col("_s1b") * col("_s1b") / col("n_b")) /
+              (col("n_b") - 1) / col("n_b"))).as("t_welch"))
+  }
+
+  val q98Sql: String =
+    """WITH s AS (
+      |  SELECT event_type,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS s1a,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS s1b,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST(value * value AS DECIMAL(18,4)) END) AS DOUBLE) AS s2a,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN CAST(value * value AS DECIMAL(18,4)) END) AS DOUBLE) AS s2b
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n_a, n_b,
+      |  s1a / n_a AS mean_a, s1b / n_b AS mean_b,
+      |  (s1a / n_a - s1b / n_b) /
+      |    sqrt((s2a - s1a * s1a / n_a) / (n_a - 1) / n_a
+      |       + (s2b - s1b * s1b / n_b) / (n_b - 1) / n_b) AS t_welch
+      |FROM s ORDER BY event_type""".stripMargin
+
+  /** q99: DAILY ANOMALY SCAN — per event type, each day's count
+    * z-scored against that type's own daily mean/std; |z| > 2 flags
+    * the anomaly. The log collapses to |types x days| rows in one
+    * map-side-combined count; the mean/std window runs on that tiny
+    * table, never the log. All inputs to the z are integers (counts),
+    * so mean/std/z are IEEE-deterministic with no decimal machinery.
+    */
+  def q99AnomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val byType = Window.partitionBy("event_type")
+    daily
+      .withColumn("_nd", count(lit(1)).over(byType))
+      .withColumn("_s1", sum("n_events").over(byType))
+      .withColumn("_s2", sum(col("n_events") * col("n_events")).over(byType))
+      .withColumn("_mean", col("_s1").cast("double") / col("_nd"))
+      .withColumn("_std", sqrt(
+        (col("_s2") - col("_s1").cast("double") * col("_s1") / col("_nd")) /
+          (col("_nd") - 1)))
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("n_events"),
+        ((col("n_events") - col("_mean")) / col("_std")).as("z"),
+        (abs((col("n_events") - col("_mean")) / col("_std")) > 2.0)
+          .as("is_anomaly"))
+  }
+
+  val q99Sql: String =
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT event_type, day, n_events,
+      |    count(*) OVER (PARTITION BY event_type) AS nd,
+      |    sum(n_events) OVER (PARTITION BY event_type) AS s1,
+      |    sum(n_events * n_events) OVER (PARTITION BY event_type) AS s2
+      |  FROM d)
+      |SELECT event_type, CAST(day AS VARCHAR) AS day, n_events,
+      |  (n_events - CAST(s1 AS DOUBLE) / nd) /
+      |    sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / nd) / (nd - 1)) AS z,
+      |  abs((n_events - CAST(s1 AS DOUBLE) / nd) /
+      |    sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / nd) / (nd - 1))) > 2.0 AS is_anomaly
+      |FROM w ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_ab_welch" -> Gate.sorted(q98AbWelch _, "event_type"),
+    "q99_anomaly_zscore" -> Gate.sorted(q99AnomalyZscore _, "event_type", "day"),
     "q89_rolling_distinct" -> Gate.sorted(q89RollingDistinct _, "win_end"),
     "q90_ship_latency" -> Gate.sorted(q90ShipLatency _, "o_orderpriority"),
     "q88_peak_concurrency" -> Gate.sorted(q88PeakConcurrency _, "day"),
@@ -471,6 +569,8 @@ object EventAnalytics {
     "q75_rolling_features" -> Gate.sorted(q75RollingFeatures _, "user_id", "event_id"))
 
   val oracles: Map[String, String] = Map(
+    "q98_ab_welch" -> q98Sql,
+    "q99_anomaly_zscore" -> q99Sql,
     "q89_rolling_distinct" -> q89Sql,
     "q90_ship_latency" -> q90Sql,
     "q88_peak_concurrency" -> q88Sql,

@@ -84,11 +84,78 @@ object JoinOps {
       |GROUP BY s_suppkey
       |ORDER BY s_suppkey""".stripMargin
 
+  /** q100 bounded query set: stars of orders with key <= this constant
+    * — O(K) regardless of corpus size (same boundedness contract as
+    * the ANN query sets, VERDICT r1 #2).
+    */
+  val KNN_MAX_QUERY_ORDERKEY = 200L
+
+  /** q100 neighbor radius in the synthetic position space. */
+  val KNN_RADIUS = 1.0
+
+  /** q100: FIXED-RADIUS SPATIAL NEIGHBORS — per query star, the count
+    * and mean distance of all stars within KNN_RADIUS in the 3-D
+    * position space (the local-density estimate feeding a
+    * Casertano-Hut density center; see operators/SpatialNeighbors).
+    * Grid-cell equi-join (27x fanout of the bounded query side only),
+    * exact Euclidean post-filter — never a nested-loop distance join.
+    *
+    * Cross-engine determinism: dist is one fixed IEEE op sequence
+    * (mul/add/sqrt are all correctly rounded), and the mean comes from
+    * an integer sum of floor(dist*1e6 + 0.5) — exact and
+    * order-independent — divided back out in two IEEE ops.
+    */
+  def q100RadiusNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables(spark, dir).lineitem.select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice") / 1000.0).as("x"),
+      (col("l_discount") * 100.0).as("y"),
+      (col("l_tax") * 100.0).as("z"))
+    val queries = pts
+      .filter(col("l_orderkey") <= KNN_MAX_QUERY_ORDERKEY)
+      .select(col("l_orderkey").as("q_orderkey"),
+        col("l_linenumber").as("q_linenumber"),
+        col("x").as("qx"), col("y").as("qy"), col("z").as("qz"))
+    graft.operators.SpatialNeighbors
+      .withinRadius(queries, "qx", "qy", "qz", pts, "x", "y", "z", KNN_RADIUS)
+      .filter(!(col("l_orderkey") === col("q_orderkey") &&
+        col("l_linenumber") === col("q_linenumber")))
+      .groupBy("q_orderkey", "q_linenumber")
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(floor(col("dist") * 1e6 + 0.5).cast("long")).as("_sd"))
+      .select(col("q_orderkey"), col("q_linenumber"), col("n_neighbors"),
+        (col("_sd").cast("double") / 1e6 / col("n_neighbors")).as("mean_dist"))
+  }
+
+  val q100Sql: String =
+    s"""WITH pts AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    l_extendedprice / 1000.0 AS x, l_discount * 100.0 AS y,
+      |    l_tax * 100.0 AS z
+      |  FROM lineitem),
+      |q AS (SELECT * FROM pts WHERE l_orderkey <= $KNN_MAX_QUERY_ORDERKEY),
+      |pairs AS (
+      |  SELECT q.l_orderkey AS q_orderkey, q.l_linenumber AS q_linenumber,
+      |    sqrt((p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
+      |       + (p.z - q.z) * (p.z - q.z)) AS dist
+      |  FROM q JOIN pts p
+      |    ON NOT (p.l_orderkey = q.l_orderkey
+      |            AND p.l_linenumber = q.l_linenumber))
+      |SELECT q_orderkey, q_linenumber, count(*) AS n_neighbors,
+      |  CAST(sum(CAST(floor(dist * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 1e6 / count(*) AS mean_dist
+      |FROM pairs WHERE dist <= $KNN_RADIUS
+      |GROUP BY q_orderkey, q_linenumber
+      |ORDER BY q_orderkey, q_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_asof_enrich" -> Gate.sorted(q44AsofEnrich _, "user_id", "event_id"),
-    "q45_range_join" -> Gate.sorted(q45RangeJoin _, "s_suppkey"))
+    "q45_range_join" -> Gate.sorted(q45RangeJoin _, "s_suppkey"),
+    "q100_radius_neighbors" ->
+      Gate.sorted(q100RadiusNeighbors _, "q_orderkey", "q_linenumber"))
 
   val oracles: Map[String, String] = Map(
     "q44_asof_enrich" -> q44Sql,
-    "q45_range_join" -> q45Sql)
+    "q45_range_join" -> q45Sql,
+    "q100_radius_neighbors" -> q100Sql)
 }

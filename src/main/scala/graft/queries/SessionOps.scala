@@ -212,6 +212,40 @@ object SessionOps {
       |FROM o GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** q102: streaming dedup via the engine's own watermark-bounded
+    * state — `dropDuplicatesWithinWatermark` on (user_id, event_type,
+    * minute), the built-in counterpart of q51's custom tombstone state
+    * (the built-in keeps arrival-order winners and evicts key state
+    * once the watermark passes the dedup horizon — the production
+    * at-least-once-source dedup). Because the WINNING ROW is
+    * arrival-order-dependent, the gated output projects only the key
+    * columns: the emitted KEY SET is deterministic (one row per
+    * distinct key) and equals the batch DISTINCT the oracle computes.
+    */
+  def q102StreamDropdupWm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamAgg
+    val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
+    val sinkName = "q102_sink"
+    spark.catalog.dropTempView(sinkName)
+    val deduped = stream
+      .withColumn("minute", date_trunc("minute", col("ts")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
+      .select(col("user_id"), col("event_type"),
+        date_format(col("minute"), "yyyy-MM-dd HH:mm:ss").as("minute"))
+    val q = deduped.writeStream
+      .format("memory").queryName(sinkName).outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(sinkName).orderBy("user_id", "event_type", "minute")
+  }
+
+  val q102Sql: String =
+    """SELECT DISTINCT user_id, event_type,
+      |  strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute
+      |FROM events
+      |ORDER BY user_id, event_type, minute""".stripMargin
+
   /** q56: stream-static enrichment — the events stream joined to the
     * static customer dimension (broadcast per micro-batch), aggregated
     * per (market segment, event type) in a complete-mode memory sink.
@@ -399,7 +433,8 @@ object SessionOps {
     "q56_stream_enrich" -> (q56StreamEnrich _),
     "q59_stream_stream_join" -> (q59StreamStreamJoin _),
     "q66_state_diff" -> Gate.sorted(q66StateDiff _, "user_id"),
-    "q70_stream_distinct" -> (q70StreamDistinct _))
+    "q70_stream_distinct" -> (q70StreamDistinct _),
+    "q102_stream_dropdup_wm" -> (q102StreamDropdupWm _))
 
   val oracles: Map[String, String] = Map(
     "q91_stream_funnel" -> q91Sql,
@@ -411,5 +446,6 @@ object SessionOps {
     "q56_stream_enrich" -> q56Sql,
     "q59_stream_stream_join" -> q59Sql,
     "q66_state_diff" -> q66Sql,
-    "q70_stream_distinct" -> q70Sql)
+    "q70_stream_distinct" -> q70Sql,
+    "q102_stream_dropdup_wm" -> q102Sql)
 }

@@ -629,7 +629,68 @@ object TrainPrep {
       |CROSS JOIN tot
       |ORDER BY w1, w2""".stripMargin
 
+  /** q101: BIGRAM LM QUALITY SCORE — each document scored by the mean
+    * conditional log-probability of its own bigrams under the
+    * corpus-wide bigram model (the KenLM-style perplexity filter of a
+    * training-data pipeline, self-trained on the corpus: low scores =
+    * disfluent/boilerplate text). Three bounded stages: the corpus
+    * collapses to a vocabulary²-bounded bigram-count table and a
+    * vocabulary-bounded unigram table (both map-side combined); each
+    * bigram OCCURRENCE then joins its counts back on the (w1, w2) key
+    * — linear in corpus size, index-sized build side.
+    *
+    * Cross-engine determinism: ln runs on identical doubles (exact
+    * int->double conversions + one exact division), per-row results
+    * are quantized to integer micro-nats (floor(lp*1e6 + 0.5)) and
+    * summed exactly, so the per-doc mean is order-independent.
+    */
+  def q101BigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val bigrams = toks
+      .select(col("doc_id"), (col("pos") + 1).as("pos2"), col("tok").as("w1"))
+      .join(toks.select(col("doc_id"), col("pos").as("pos2"),
+        col("tok").as("w2")), Seq("doc_id", "pos2"))
+    val bc = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("n1"))
+    bigrams
+      .join(bc, Seq("w1", "w2"))
+      .join(broadcast(uni.select(col("tok").as("w1"), col("n1"))), "w1")
+      .select(col("doc_id"),
+        floor(log(col("nb").cast("double") / col("n1")) * 1e6 + 0.5)
+          .cast("long").as("_lpq"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("_lpq").as("_s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("_s").cast("double") / 1e6 / col("n_bigrams")).as("avg_logprob"))
+  }
+
+  val q101Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                x -> x != '') AS tk
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, t.i AS pos, tk[t.i] AS tok
+      |  FROM d, unnest(generate_series(1, len(tk))) AS t(i)),
+      |bo AS (
+      |  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+      |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      |bc AS (SELECT w1, w2, count(*) AS nb FROM bo GROUP BY 1, 2),
+      |uni AS (SELECT tok, count(*) AS n1 FROM toks GROUP BY 1)
+      |SELECT bo.doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(CAST(floor(ln(CAST(bc.nb AS DOUBLE) / uni.n1) * 1e6 + 0.5)
+      |                AS BIGINT)) AS DOUBLE)
+      |    / 1e6 / count(*) AS avg_logprob
+      |FROM bo
+      |JOIN bc ON bc.w1 = bo.w1 AND bc.w2 = bo.w2
+      |JOIN uni ON uni.tok = bo.w1
+      |GROUP BY bo.doc_id
+      |ORDER BY bo.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_bigram_lm_score" -> Gate.sorted(q101BigramLmScore _, "doc_id"),
     "q86_word_coocc" -> Gate.sorted(q86WordCoocc _, "w1", "w2"),
     "q57_shard_manifest" -> Gate.sorted(q57ShardManifest _, "shard"),
     "q58_source_quota" -> Gate.sorted(q58SourceQuota _, "doc_id"),
@@ -645,6 +706,7 @@ object TrainPrep {
     "q81_quality_rules" -> Gate.sorted(q81QualityRules _, "doc_id"))
 
   val oracles: Map[String, String] = Map(
+    "q101_bigram_lm_score" -> q101Sql,
     "q86_word_coocc" -> q86Sql,
     "q57_shard_manifest" -> q57Sql,
     "q58_source_quota" -> q58Sql,

@@ -118,4 +118,42 @@ class AstroQueriesSpec extends SparkSpec {
         s"ring $ring sigma")
     }
   }
+
+  test("q96 Lagrangian radii are monotone and r50 equals the half-mass radius") {
+    val lag = AstroQueries.q96LagrangianRadii(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(lag.nonEmpty)
+    lag.values.foreach { case (r10, r25, r50, r75, r90) =>
+      assert(r10 <= r25 && r25 <= r50 && r50 <= r75 && r75 <= r90,
+        "Lagrangian radii must be monotone in the mass fraction")
+    }
+    val half = AstroQueries.q12HalfMassRadius(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    lag.foreach { case (flag, (_, _, r50, _, _)) =>
+      assert(r50 == half(flag), s"flag $flag: r50 != q12 half-mass radius")
+    }
+  }
+
+  test("q97 mass-function slope matches a driver-side histogram fit") {
+    val masses = Tables(spark, sfDir).lineitem
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val expected = masses.groupBy(_._1).map { case (flag, ms) =>
+      val hist = ms.groupBy(m => math.floor(math.log10(m._2) * 10.0).toLong)
+        .view.mapValues(_.length).toMap
+      val pts = hist.toSeq.map { case (b, c) =>
+        (b, math.floor(math.log(c.toDouble) * 1e6 + 0.5).toLong) }
+      val n = pts.length.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      flag -> ((n * sxy - sx * sy).toDouble / ((n * sxx - sx * sx) * 100000.0))
+    }
+    val got = AstroQueries.q97MassFunctionSlope(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    expected.foreach { case (flag, slope) =>
+      assert(math.abs(got(flag) - slope) < 1e-12, s"flag $flag slope")
+    }
+  }
 }

@@ -190,4 +190,42 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(byPct.map(_.getDouble(2)).sliding(2).forall(p => p(0) <= p(1)),
       "pct_rank order must agree with total_value order")
   }
+
+  test("q98 Welch t matches a driver-side recompute per event type") {
+    val ev = Tables(spark, sfDir).events
+      .select("event_type", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expected = ev.groupBy(_._1).map { case (t, rows) =>
+      val (a, b) = rows.partition(_._2 % 2 == 0)
+      def stats(xs: Array[(String, Long, Double)]) = {
+        val n = xs.length.toDouble
+        val m = xs.map(_._3).sum / n
+        val v = xs.map(x => (x._3 - m) * (x._3 - m)).sum / (n - 1)
+        (n, m, v)
+      }
+      val (na, ma, va) = stats(a); val (nb, mb, vb) = stats(b)
+      t -> ((ma - mb) / math.sqrt(va / na + vb / nb))
+    }
+    val got = EventAnalytics.q98AbWelch(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(got.nonEmpty && got.keySet == expected.keySet)
+    expected.foreach { case (t, w) =>
+      assert(math.abs(got(t) - w) < 1e-6 * math.max(1.0, math.abs(w)),
+        s"type $t t_welch")
+    }
+  }
+
+  test("q99 z-scores have zero mean per type and flags agree with |z|") {
+    val rows = EventAnalytics.q99AnomalyZscore(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, z, flag) =>
+      assert(flag == (math.abs(z) > 2.0))
+    }
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val meanZ = rs.map(_._4).sum / rs.length
+      assert(math.abs(meanZ) < 1e-9, s"type $t mean z should be ~0")
+    }
+  }
 }

@@ -58,4 +58,15 @@ class StreamDedupSpec extends SparkSpec {
     // batches are time-ordered, so the per-key first equals batch truth
     assert(streamed.toSet == expectedFirsts())
   }
+
+  test("q102 dropDuplicatesWithinWatermark emits exactly the distinct key set") {
+    val got = graft.queries.SessionOps.q102StreamDropdupWm(spark, sfDir)
+    val expected = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_type"),
+        date_format(date_trunc("minute", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("minute"))
+      .distinct()
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.{RegexScrub, SeqPack}
 import graft.queries.TrainPrep
+import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 /** Training-prep operators: packing arithmetic, scrub counts/redaction,
@@ -233,5 +234,38 @@ class TrainPrepSpec extends SparkSpec {
       val lift = n.toDouble * nTok / (uni(k._1) * uni(k._2))
       assert(math.abs(got(k)._2 - lift) < 1e-12 * lift, s"pair $k lift off")
     }
+  }
+
+  test("q101 bigram scores: nonpositive, bounded rows, unigram-only docs dropped") {
+    val docs = Tables(spark, sfDir).documents
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text"))
+        .as("toks")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val rows = TrainPrep.q101BigramLmScore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expectedDocs = docs.filter(_._2.length >= 2).map(_._1).toSet
+    assert(rows.map(_._1).toSet == expectedDocs)
+    rows.foreach { case (id, nb, score) =>
+      val nTok = docs.toMap.apply(id).length
+      assert(nb == nTok - 1, s"doc $id bigram count")
+      assert(score <= 1e-12, s"doc $id: log-prob must be <= 0")
+    }
+  }
+
+  test("q101 a repeated-phrase doc outscores a unique-word doc") {
+    // the model is self-trained, so the odd doc must REUSE corpus
+    // words in unseen orders (novel bigrams over frequent unigrams
+    // score ln(1/n1)); a doc of globally-unique words would get
+    // conditional probability 1 everywhere and score 0
+    import spark.implicits._
+    val corpus = (Seq.fill(20)("the cat sat") ++ Seq("cat the sat the"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val tmp = Files.createTempDirectory("q101").toString
+    corpus.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val scores = TrainPrep.q101BigramLmScore(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(0L) > scores(20L),
+      "frequent-pattern doc must outscore the unique-words doc")
   }
 }
