@@ -554,7 +554,85 @@ object EventAnalytics {
       |    sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / nd) / (nd - 1))) > 2.0 AS is_anomaly
       |FROM w ORDER BY event_type, day""".stripMargin
 
+  /** q104 activity-interval length (microseconds): an event keeps its
+    * user "active" for this long.
+    */
+  val ACTIVE_WINDOW_US: Long = 30L * 60L * 1000000L
+
+  /** q104: INTERVAL-UNION ACTIVE TIME — per user, the total length of
+    * the union of per-event activity intervals [ts, ts+30min): the
+    * "time actually spent" metric that naive (last-first) spans
+    * overstate and event counts understate. Because every interval has
+    * the SAME length, the union telescopes into one lead() window pass
+    * — each event contributes min(gap_to_next, window) and the last
+    * contributes the full window; all integer microseconds, exact in
+    * both engines.
+    */
+  def q104ActiveTime(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables(spark, dir).events
+      .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("covered",
+        when(col("next_us").isNull, ACTIVE_WINDOW_US)
+          .otherwise(least(col("next_us") - unix_micros(col("ts")),
+            lit(ACTIVE_WINDOW_US))))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("covered").as("active_us"))
+  }
+
+  val q104Sql: String =
+    s"""WITH g AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                             ORDER BY ts, event_id) AS next_us
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN next_us IS NULL THEN $ACTIVE_WINDOW_US
+      |       ELSE least(next_us - us, $ACTIVE_WINDOW_US) END) AS BIGINT)
+      |    AS active_us
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q105: BEHAVIORAL ENTROPY — Shannon entropy of each user's
+    * event-type distribution (the engagement-diversity feature of a
+    * churn/recommendation model). The log collapses to |users x types|
+    * counts in one map-side-combined pass; entropy sums micro-nat
+    * integer terms floor(c*ln(n/c)/n*1e6 + 0.5) — ln on identical
+    * doubles (exact int->double casts, one exact division), so the
+    * result is engine- and order-independent.
+    */
+  def q105UserEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir).events
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+    val byUser = Window.partitionBy("user_id")
+    counts
+      .withColumn("n", sum("c").over(byUser))
+      .withColumn("_t",
+        floor(col("c") * log(col("n").cast("double") / col("c")) / col("n")
+          * 1e6 + 0.5).cast("long"))
+      .groupBy("user_id")
+      .agg(sum("c").as("n_events"), count(lit(1)).as("n_types"),
+        sum("_t").as("_s"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        (col("_s").cast("double") / 1e6).as("entropy_nats"))
+  }
+
+  val q105Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_type, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT user_id, c, sum(c) OVER (PARTITION BY user_id) AS n
+      |  FROM c)
+      |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+      |  count(*) AS n_types,
+      |  CAST(sum(CAST(floor(c * ln(CAST(n AS DOUBLE) / c) / n * 1e6 + 0.5)
+      |                AS BIGINT)) AS DOUBLE) / 1e6 AS entropy_nats
+      |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_active_time" -> Gate.sorted(q104ActiveTime _, "user_id"),
+    "q105_user_entropy" -> Gate.sorted(q105UserEntropy _, "user_id"),
     "q98_ab_welch" -> Gate.sorted(q98AbWelch _, "event_type"),
     "q99_anomaly_zscore" -> Gate.sorted(q99AnomalyZscore _, "event_type", "day"),
     "q89_rolling_distinct" -> Gate.sorted(q89RollingDistinct _, "win_end"),
@@ -569,6 +647,8 @@ object EventAnalytics {
     "q75_rolling_features" -> Gate.sorted(q75RollingFeatures _, "user_id", "event_id"))
 
   val oracles: Map[String, String] = Map(
+    "q104_active_time" -> q104Sql,
+    "q105_user_entropy" -> q105Sql,
     "q98_ab_welch" -> q98Sql,
     "q99_anomaly_zscore" -> q99Sql,
     "q89_rolling_distinct" -> q89Sql,

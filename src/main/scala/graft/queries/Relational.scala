@@ -368,6 +368,81 @@ object Relational {
   /** q93 minimum co-purchase support. */
   val Q93_MIN_SUPPORT = 2
 
+  /** q103 power-iteration rounds. */
+  val PAGERANK_ITERS = 5
+
+  /** q103: PAGERANK over the co-purchase graph — part importance via
+    * PAGERANK_ITERS power-iteration rounds on q93's affinity edges
+    * (the graph-centrality pass of a recommender pipeline). Each round
+    * is one shuffle join (ranks x edges on src) + one aggregation on
+    * dst — the canonical distributed PageRank; the edge table is
+    * eagerly checkpointed so the basket self-join runs once, not once
+    * per round.
+    *
+    * Cross-engine determinism: ranks live in INTEGER micro-units
+    * (1e9 = rank 1.0) and each contribution is the integer division
+    * (85 * rank) div (100 * deg) — truncation is identical in both
+    * engines on nonnegative operands, and integer sums are exact, so
+    * after any number of rounds the ranks are bit-equal to the
+    * oracle's unrolled-CTE formulation.
+    */
+  def q103PartPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select("l_orderkey", "l_partkey").distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= Q93_MIN_SUPPORT)
+    val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"))
+      .union(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesD = edges.join(deg, "src").localCheckpoint(true)
+    var ranks = deg.select(col("src").as("node"),
+      lit(1000000000L).as("rank"))
+    for (_ <- 1 to PAGERANK_ITERS) {
+      ranks = edgesD.join(ranks, edgesD("src") === ranks("node"))
+        .select(col("dst"),
+          expr("(85 * rank) div (100 * deg)").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("in_rank"))
+        .select(col("dst").as("node"),
+          (lit(150000000L) + col("in_rank")).as("rank"))
+    }
+    ranks.select(col("node").as("part"), col("rank").as("pr_micro"))
+  }
+
+  val q103Sql: String = {
+    val iter = (1 to PAGERANK_ITERS).map { i =>
+      s"""r$i AS (
+        |  SELECT e.dst AS node,
+        |    CAST(150000000 + sum((85 * r.rank) // (100 * e.deg)) AS BIGINT)
+        |      AS rank
+        |  FROM ed e JOIN r${i - 1} r ON r.node = e.src
+        |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= $Q93_MIN_SUPPORT),
+      |edges AS (
+      |  SELECT part_a AS src, part_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT part_b AS src, part_a AS dst FROM pairs),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+      |        FROM edges GROUP BY 1),
+      |ed AS (SELECT e.src, e.dst, d.deg FROM edges e
+      |       JOIN deg d ON d.src = e.src),
+      |r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS rank
+      |       FROM deg),
+      |$iter
+      |SELECT node AS part, rank AS pr_micro FROM r$PAGERANK_ITERS
+      |ORDER BY part""".stripMargin
+  }
+
   /** q93: MARKET-BASKET affinity — parts bought together in the same
     * order, with support and lift: the association-rule mining pass of
     * a recommender pipeline. The pair fanout is the WITHIN-ORDER
@@ -421,6 +496,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_revenue_growth" -> Gate.sorted(q92RevenueGrowth _, "segment", "month"),
     "q93_basket_affinity" -> Gate.sorted(q93BasketAffinity _, "part_a", "part_b"),
+    "q103_part_pagerank" -> Gate.sorted(q103PartPagerank _, "part"),
     "q87_ship_priority" -> Gate.sorted(q87ShipPriority _, "l_orderkey"),
     "q01_agg_summary" -> (q01AggSummary _),
     "q02_filter_project" -> Gate.sorted(q02FilterProject _, "l_orderkey", "l_linenumber"),
@@ -437,6 +513,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q92_revenue_growth" -> q92Sql,
     "q93_basket_affinity" -> q93Sql,
+    "q103_part_pagerank" -> q103Sql,
     "q87_ship_priority" -> q87Sql,
     "q01_agg_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,

@@ -228,7 +228,10 @@ object SessionOps {
     val sinkName = "q102_sink"
     spark.catalog.dropTempView(sinkName)
     val deduped = stream
-      .withColumn("minute", date_trunc("minute", col("ts")))
+      // project BEFORE the dedup: state stores whole rows, so carrying
+      // value/props/event_id through would multiply the state size
+      .select(col("user_id"), col("event_type"), col("ts"),
+        date_trunc("minute", col("ts")).as("minute"))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
       .select(col("user_id"), col("event_type"),

@@ -112,6 +112,59 @@ object Loader {
     TimestampAlignment(report, mapping)
   }
 
+  /** One discovered simulation: initial-condition attributes parsed
+    * from the directory convention, the path, and the canonical label.
+    */
+  final case class SimRoot(
+      attrs: Map[String, Int], path: Path, label: String)
+
+  /** The survey directory convention the reference walks:
+    * Rad<gc_radius>/zmet<metallicity>/M<mass_lv>/<position> (reference:
+    * src/utils.py:57 fetch_sim_root, SIM_ATTR_PATTERN).
+    */
+  private val SimAttrPattern =
+    raw"Rad(\d+)/zmet(\d+)/M(\d+)/(\d+)".r
+
+  /** Discover every simulation directory under `base` whose last four
+    * path segments match the survey convention, with its
+    * initial-condition attributes and canonical label, sorted by
+    * init_mass_lv (reference: utils.py:57-83 — the batch driver
+    * schedules heavy-mass sims first/last by this key). Driver-side
+    * directory walk: metadata only, no file reads.
+    */
+  def fetchSimRoot(base: Path): Seq[SimRoot] = {
+    require(Files.isDirectory(base), s"base path '$base' is not a directory")
+    val found = Files.walk(base).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .flatMap { p =>
+        val parts = p.iterator().asScala.map(_.toString).toSeq
+        if (parts.length < 4) None
+        else parts.takeRight(4).mkString("/") match {
+          case SimAttrPattern(rad, zmet, mass, pos) =>
+            Some(SimRoot(
+              Map(
+                "init_gc_radius" -> rad.toInt,
+                "init_metallicity" -> zmet.toInt,
+                "init_mass_lv" -> mass.toInt,
+                "init_pos" -> pos.toInt),
+              p,
+              f"Rad${rad.toInt}%02d-zmet${zmet.toInt}%04d-M${mass.toInt}-${pos.toInt}%04d"))
+          case _ => None
+        }
+      }.toSeq
+    found.sortBy(s => (s.attrs("init_mass_lv"), s.label))
+  }
+
+  /** Prepend a sim's initial-condition attribute columns to a stats
+    * frame (reference: collect_simulation_stats.py:122-125 inserts
+    * sim_attr_dict into every exported stats df). Literal columns —
+    * no shuffle, survives any downstream concat/union.
+    */
+  def withSimAttrs(df: DataFrame, attrs: Map[String, Int]): DataFrame =
+    attrs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (k, v)) =>
+      d.withColumn(k, lit(v))
+    }
+
   /** Rewrite one table's `time` onto the unified grid using the
     * alignment mapping for its file (reference: parser
     * update_timestamp calls, loader.py:197-200). Tables already on the

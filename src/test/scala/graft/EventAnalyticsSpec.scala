@@ -228,4 +228,50 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(math.abs(meanZ) < 1e-9, s"type $t mean z should be ~0")
     }
   }
+
+  test("q104 active time equals a per-user sequential interval union") {
+    val ev = Tables(spark, sfDir).events
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val win = EventAnalytics.ACTIVE_WINDOW_US
+    val expected = ev.groupBy(_._1).map { case (u, es) =>
+      val ts = es.sortBy(e => (e._2, e._3)).map(_._2)
+      // union of same-length intervals = pairwise min(gap, win) + win
+      val covered = ts.sliding(2).collect {
+        case Array(a, b) => math.min(b - a, win)
+      }.sum + win
+      u -> (es.length.toLong, covered)
+    }
+    val got = EventAnalytics.q104ActiveTime(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (u, e) => assert(got(u) == e, s"user $u") }
+    // sanity: union never exceeds n * window, never less than one window
+    got.values.foreach { case (n, active) =>
+      assert(active <= n * win && active >= win)
+    }
+  }
+
+  test("q105 entropy: zero for single-type users, ln(k) bound, recount parity") {
+    val ev = Tables(spark, sfDir).events
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = ev.groupBy(_._1).map { case (u, es) =>
+      val counts = es.groupBy(_._2).values.map(_.size.toLong)
+      val n = counts.sum
+      val s = counts.map(c =>
+        math.floor(c * math.log(n.toDouble / c) / n * 1e6 + 0.5).toLong).sum
+      u -> (n, counts.size.toLong, s.toDouble / 1e6)
+    }
+    val got = EventAnalytics.q105UserEntropy(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (u, (n, k, h)) =>
+      assert(got(u)._1 == n && got(u)._2 == k, s"user $u counts")
+      assert(got(u)._3 == h, s"user $u entropy")
+      assert(h >= 0.0 && h <= math.log(k.toDouble) + 1e-6, s"user $u bounds")
+      if (k == 1) assert(h == 0.0)
+    }
+  }
 }

@@ -314,4 +314,30 @@ class NBody6Spec extends SparkSpec {
     val dup = SnapshotAssembler.buildAttrs(f82d, f83d.unionAll(f83d))
     assert(SnapshotAssembler.duplicateAttrNames(dup).count() > 0)
   }
+
+  test("fetchSimRoot discovers the survey convention with attrs and labels") {
+    import graft.sources.Loader
+    val root = Files.createTempDirectory("nbody6_simroot")
+    Files.createDirectories(root.resolve("Rad12/zmet14/M8/0509"))
+    Files.createDirectories(root.resolve("Rad4/zmet140/M3/7"))
+    Files.createDirectories(root.resolve("Rad4/zmet140/notasim/7"))
+    Files.createDirectories(root.resolve("unrelated/dir"))
+    val sims = Loader.fetchSimRoot(root)
+    assert(sims.length == 2)
+    // sorted by init_mass_lv ascending
+    assert(sims.map(_.attrs("init_mass_lv")) == Seq(3, 8))
+    assert(sims.head.label == "Rad04-zmet0140-M3-0007")
+    assert(sims.last.label == "Rad12-zmet0014-M8-0509")
+    assert(sims.last.attrs == Map(
+      "init_gc_radius" -> 12, "init_metallicity" -> 14,
+      "init_mass_lv" -> 8, "init_pos" -> 509))
+
+    import spark.implicits._
+    val stats = Seq((0.0, 10L)).toDF("time", "n")
+    val withAttrs = Loader.withSimAttrs(stats, sims.head.attrs)
+    assert(withAttrs.columns.toSet ==
+      Set("time", "n", "init_gc_radius", "init_metallicity",
+        "init_mass_lv", "init_pos"))
+    assert(withAttrs.collect().head.getAs[Int]("init_mass_lv") == 3)
+  }
 }

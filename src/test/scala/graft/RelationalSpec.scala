@@ -107,4 +107,30 @@ class RelationalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == want.toMap)
   }
+
+  test("q103 integer pagerank matches a driver-side power iteration") {
+    import graft.queries.Relational
+    val li = Tables(spark, sfDir).lineitem
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).values
+    val pairCounts = byOrder.flatMap { rows =>
+      val ps = rows.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 >= Relational.Q93_MIN_SUPPORT).keys.toSeq
+    val edges = pairCounts.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var ranks = deg.keys.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to Relational.PAGERANK_ITERS) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => (85L * ranks(src)) / (100L * deg(src)) }.sum
+      }
+      ranks = in.map { case (n, s) => n -> (150000000L + s) }
+    }
+    val got = Relational.q103PartPagerank(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got.keySet == ranks.keySet)
+    ranks.foreach { case (n, r) => assert(got(n) == r, s"part $n rank") }
+  }
 }
