@@ -223,6 +223,35 @@ object SnapshotStats {
         round(avg("d"), 2).as("step"))
   }
 
+  /** Cross-run ENSEMBLE statistics (reference:
+    * notebooks/filtered_annular_stats.ipynb `aggregated_df` — per-sim
+    * stats concatenated across realizations, then mean/std/median per
+    * (initial-condition attrs, radius, timestamp) group, averaging
+    * over init_pos). Input = any stats frame (overall or annular)
+    * already tagged with its sim attribute columns
+    * (graft.sources.Loader.withSimAttrs); output = one row per group
+    * with `<metric>_mean/_std/_median` columns.
+    *
+    * Stats frames are |snapshots x rings|-sized — orders of magnitude
+    * smaller than the star tables — so one grouped aggregation with
+    * exact percentile is the right shape at any survey size; means and
+    * stds use DECIMAL-exact sums (graft.functions.Exact) for
+    * partitioning-independent results.
+    */
+  def ensembleStats(
+      stats: DataFrame,
+      keyCols: Seq[String],
+      metricCols: Seq[String],
+      scale: Int = 4): DataFrame = {
+    val aggs = metricCols.flatMap { m =>
+      Seq(
+        graft.functions.Exact.meanExact(col(m), scale).as(s"${m}_mean"),
+        graft.functions.Exact.stddevExact(col(m), scale, scale).as(s"${m}_std"),
+        expr(s"percentile($m, 0.5)").as(s"${m}_median"))
+    }
+    stats.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Write the assembled tables partitioned by sim_id — the 100 TB
     * layout (SURVEY §3/§4): partition pruning on sim_id, row-group
     * min/max pruning on time within each file.

@@ -398,7 +398,11 @@ object Relational {
     val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"))
       .union(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val edgesD = edges.join(deg, "src").localCheckpoint(true)
+    // hash-partition on src BEFORE the eager checkpoint: LogicalRDD
+    // keeps the partitioning, so every iteration's ranks join reuses
+    // it and only the |nodes|-sized ranks side shuffles per round
+    val edgesD = edges.join(deg, "src")
+      .repartition(col("src")).localCheckpoint(true)
     var ranks = deg.select(col("src").as("node"),
       lit(1000000000L).as("rank"))
     for (_ <- 1 to PAGERANK_ITERS) {

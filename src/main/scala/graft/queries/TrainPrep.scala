@@ -645,12 +645,18 @@ object TrainPrep {
     * summed exactly, so the per-doc mean is order-independent.
     */
   def q101BigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    // pin the exploded token table: it feeds the bigram self-join (2x)
+    // and the unigram counts, and the bigram table feeds both the
+    // count build and the occurrence join — without the checkpoints
+    // the documents scan + tokenize would run five times
     val toks = Tables(spark, dir).documents
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .localCheckpoint(true)
     val bigrams = toks
       .select(col("doc_id"), (col("pos") + 1).as("pos2"), col("tok").as("w1"))
       .join(toks.select(col("doc_id"), col("pos").as("pos2"),
         col("tok").as("w2")), Seq("doc_id", "pos2"))
+      .localCheckpoint(true)
     val bc = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("nb"))
     val uni = toks.groupBy("tok").agg(count(lit(1)).as("n1"))
     bigrams

@@ -154,4 +154,32 @@ class SnapshotStatsSpec extends SparkSpec {
     assert(r.getAs[Double]("max") == TIMES.max)
     assert(r.getAs[Double]("step") == 12.5)   // mean diff of (12.5, 25.0)
   }
+
+  test("ensembleStats aggregates realizations per attr group like the notebook") {
+    import spark.implicits._
+    import graft.sources.Loader
+    // two mass levels x three realizations, one metric
+    val perSim = Seq(
+      (8, 1, 0.0, 10.0), (8, 2, 0.0, 12.0), (8, 3, 0.0, 14.0),
+      (3, 1, 0.0, 2.0), (3, 2, 0.0, 4.0), (3, 3, 0.0, 6.0))
+      .toDF("init_mass_lv", "init_pos", "time", "n_star")
+    val agg = SnapshotStats.ensembleStats(
+      perSim, Seq("init_mass_lv", "time"), Seq("n_star"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(agg(8)._1 == 12.0 && agg(3)._1 == 4.0)
+    assert(math.abs(agg(8)._2 - 2.0) < 1e-12, "sample std of 10,12,14 is 2")
+    assert(agg(8)._3 == 12.0 && agg(3)._3 == 4.0, "median")
+
+    // attrs flow: withSimAttrs output feeds ensembleStats directly
+    val sims = Seq(
+      (Map("init_mass_lv" -> 8, "init_pos" -> 1), 10.0),
+      (Map("init_mass_lv" -> 8, "init_pos" -> 2), 12.0))
+    val tagged = sims.map { case (attrs, v) =>
+      Loader.withSimAttrs(Seq((0.0, v)).toDF("time", "n_star"), attrs)
+    }.reduce(_ unionByName _)
+    val out = SnapshotStats.ensembleStats(
+      tagged, Seq("init_mass_lv", "time"), Seq("n_star")).collect()
+    assert(out.length == 1 && out.head.getDouble(2) == 11.0)
+  }
 }
