@@ -74,6 +74,23 @@ object BpeTrainer {
           .otherwise(concat(acc, array(x))))
   }
 
+  /** ENCODE with a learned merge list: apply every merge in training
+    * order to a symbol column (the tokenizer-apply step, q61's
+    * id-mapping upstream). Pure column fold — each merge is the same
+    * codegen'd `mergePair` rewrite used in training, so
+    * encode(train(corpus).merges) over the training corpus reproduces
+    * the trainer's final symbol table exactly. Zero-shuffle: the whole
+    * chain runs in the scan stage of whatever table it is applied to.
+    */
+  def encode(word: Column, merges: Seq[Merge]): Column = {
+    val init = transform(
+      sequence(lit(1), length(word)),
+      i => word.substr(i, lit(1)))
+    merges.sortBy(_.step).foldLeft(init: Column) { (syms, m) =>
+      mergePair(syms, m.left, m.right)
+    }
+  }
+
   /** Learn `nMerges` merges from a word table. Returns the merge list
     * (the tokenizer artifact) and the final symbol table. Stops early
     * if no adjacent pair remains.

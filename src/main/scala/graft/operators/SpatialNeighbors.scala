@@ -34,7 +34,7 @@ object SpatialNeighbors {
   def withinRadius(
       left: DataFrame, lx: String, ly: String, lz: String,
       right: DataFrame, rx: String, ry: String, rz: String,
-      radius: Double): DataFrame = {
+      radius: Double, keys: Seq[String] = Nil): DataFrame = {
     require(radius > 0, "radius must be positive")
     def cell(c: Column): Column = floor(c / radius).cast("long")
     val offsets = for {
@@ -54,9 +54,47 @@ object SpatialNeighbors {
       (col(rx) - col(lx)) * (col(rx) - col(lx)) +
       (col(ry) - col(ly)) * (col(ry) - col(ly)) +
       (col(rz) - col(lz)) * (col(rz) - col(lz)))
-    l.join(r, Seq("__cx", "__cy", "__cz"))
+    l.join(r, keys ++ Seq("__cx", "__cy", "__cz"))
       .withColumn("dist", d)
       .filter(col("dist") <= radius)
       .drop("__cx", "__cy", "__cz")
+  }
+
+  /** DENSITY CENTER per snapshot — the Casertano-Hut-style
+    * density-weighted mean position, with each star's local density
+    * estimated as the total neighbor mass within `radius` (the
+    * quantity the reference pipeline only READS pre-computed from
+    * densCentre.txt; parser/density_center.py). The corpus-x-corpus
+    * neighbor pass is the grid equi-join above keyed by the snapshot
+    * columns, so each (sim_id, time) group computes independently in
+    * one shuffle — the reference's per-snapshot serial loop becomes
+    * one plan.
+    *
+    * Input needs key columns, position columns x/y/z, and a mass
+    * column; a star's own mass counts toward its density (self-pair at
+    * distance 0), matching the "mass inside the sphere" definition.
+    */
+  def densityCenter(
+      stars: DataFrame, keys: Seq[String],
+      x: String, y: String, z: String, mass: String,
+      radius: Double): DataFrame = {
+    val k = keys.map(col)
+    val q = stars.select(
+      k ++ Seq(col(x).as("__qx"), col(y).as("__qy"), col(z).as("__qz")): _*)
+      .withColumn("__qid", monotonically_increasing_id())
+    val pairs = withinRadius(
+      q, "__qx", "__qy", "__qz",
+      stars.select(k ++ Seq(col(x), col(y), col(z),
+        col(mass).as("__m")): _*),
+      x, y, z, radius, keys)
+    val rho = pairs.groupBy(k :+ col("__qid"): _*)
+      .agg(first(col("__qx")).as("__qx"), first(col("__qy")).as("__qy"),
+        first(col("__qz")).as("__qz"), sum("__m").as("__rho"))
+    rho.groupBy(k: _*)
+      .agg(
+        (sum(col("__qx") * col("__rho")) / sum("__rho")).as("dc_x"),
+        (sum(col("__qy") * col("__rho")) / sum("__rho")).as("dc_y"),
+        (sum(col("__qz") * col("__rho")) / sum("__rho")).as("dc_z"),
+        count(lit(1)).as("n_stars"))
   }
 }

@@ -489,7 +489,100 @@ object DedupOps {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** q106 winnowing parameters: k-gram length and hash-window size.
+    * Guarantee: any shared substring of length >= WINNOW_K+WINNOW_W-1
+    * contributes at least one shared fingerprint.
+    */
+  val WINNOW_K = 8
+  val WINNOW_W = 8
+
+  /** q106: ROBUST WINNOWING fingerprints (the MOSS document-
+    * fingerprinting scheme): per k-gram window, select the rightmost
+    * minimal hash; the selected (position, hash) set is the document's
+    * fingerprint, with density ~2/(w+1) and the shared-substring
+    * guarantee above — the substring-granular complement to q27's
+    * whole-document MinHash.
+    *
+    * Shape: the gram table is a scan-stage explode (document-local,
+    * linear); window selection is a W-fold fanout equi-join on
+    * (doc_id, pos) — never a self-join on content. Hashes are md5 hex
+    * STRINGS, so the min is a lexicographic compare identical in both
+    * engines; the gate output digests each doc's fingerprint list in
+    * position order.
+    */
+  def q106WinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= WINNOW_K + WINNOW_W - 1)
+    val grams = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - WINNOW_K + 1)).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        md5(expr(s"substring(text, pos, $WINNOW_K)")).as("h"))
+      .localCheckpoint(true)
+    val m = grams.groupBy("doc_id").agg(max("pos").as("m"))
+    val starts = grams.select(col("doc_id"), col("pos").as("s"))
+      .join(m, "doc_id")
+      .filter(col("s") <= col("m") - WINNOW_W + 1)
+      .select("doc_id", "s")
+    val win = starts
+      .withColumn("d", explode(sequence(lit(0), lit(WINNOW_W - 1))))
+      .select(col("doc_id"), col("s"), (col("s") + col("d")).as("pos"))
+    val joined = win.join(grams, Seq("doc_id", "pos"))
+    val wmin = joined.groupBy("doc_id", "s").agg(min("h").as("wmin"))
+    val sel = joined.join(wmin, Seq("doc_id", "s"))
+      .filter(col("h") === col("wmin"))
+      .groupBy("doc_id", "s")
+      .agg(max("pos").as("sel_pos"), max("h").as("h"))
+    val fps = sel.select(col("doc_id"), col("sel_pos"), col("h")).distinct()
+    fps.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        md5(array_join(
+          transform(
+            sort_array(collect_list(struct(col("sel_pos"), col("h")))),
+            e => concat(e.getField("sel_pos").cast("string"), lit(":"),
+              e.getField("h"))),
+          ",")).as("fp_digest"))
+      .join(m, "doc_id")
+      .select(col("doc_id"), col("m").cast("long").as("n_grams"),
+        col("n_fp"), col("fp_digest"))
+  }
+
+  val q106Sql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE length(text) >= ${WINNOW_K + WINNOW_W - 1}),
+      |g AS (
+      |  SELECT doc_id, t.i AS pos, md5(substring(text, t.i, $WINNOW_K)) AS h
+      |  FROM d, unnest(generate_series(1, length(text) - $WINNOW_K + 1)) AS t(i)),
+      |mm AS (SELECT doc_id, max(pos) AS m FROM g GROUP BY 1),
+      |st AS (
+      |  SELECT g.doc_id, g.pos AS s FROM g JOIN mm USING (doc_id)
+      |  WHERE g.pos <= mm.m - $WINNOW_W + 1),
+      |win AS (
+      |  SELECT st.doc_id, st.s, st.s + o.d AS pos
+      |  FROM st, unnest(generate_series(0, ${WINNOW_W - 1})) AS o(d)),
+      |j AS (
+      |  SELECT w.doc_id, w.s, w.pos, g.h
+      |  FROM win w JOIN g ON g.doc_id = w.doc_id AND g.pos = w.pos),
+      |wm AS (SELECT doc_id, s, min(h) AS wmin FROM j GROUP BY 1, 2),
+      |sel AS (
+      |  SELECT j.doc_id, j.s, max(j.pos) AS sel_pos, max(j.h) AS h
+      |  FROM j JOIN wm ON wm.doc_id = j.doc_id AND wm.s = j.s
+      |    AND j.h = wm.wmin
+      |  GROUP BY 1, 2),
+      |fp AS (SELECT DISTINCT doc_id, sel_pos, h FROM sel)
+      |SELECT f.doc_id, CAST(mm.m AS BIGINT) AS n_grams,
+      |  count(*) AS n_fp,
+      |  md5(string_agg(f.sel_pos || ':' || f.h, ',' ORDER BY f.sel_pos))
+      |    AS fp_digest
+      |FROM fp f JOIN mm ON mm.doc_id = f.doc_id
+      |GROUP BY f.doc_id, mm.m
+      |ORDER BY f.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_winnow_fingerprint" -> Gate.sorted(q106WinnowFingerprint _, "doc_id"),
     "q27_minhash_lsh" -> Gate.sorted(q27MinhashLsh _, "doc_a", "doc_b"),
     "q28_simhash" -> (q28Simhash _),
     "q83_simhash_pairs" -> Gate.sorted(q83SimhashPairs _, "doc_a", "doc_b"),
@@ -500,6 +593,7 @@ object DedupOps {
     "q72_minhash_estimate" -> Gate.sorted(q72MinhashEstimate _, "doc_a", "doc_b"))
 
   val oracles: Map[String, String] = Map(
+    "q106_winnow_fingerprint" -> q106Sql,
     "q27_minhash_lsh" -> q27Sql,
     "q28_simhash" -> q28Sql,
     "q83_simhash_pairs" -> q83Sql,

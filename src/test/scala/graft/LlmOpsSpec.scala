@@ -316,4 +316,53 @@ class LlmOpsSpec extends SparkSpec {
     val total = streamed.agg(sum("n_events")).collect().head.getLong(0)
     assert(total == t.events.count(), "stream-static join dropped events")
   }
+
+  test("q106 winnowing matches a driver-side reference implementation") {
+    import graft.queries.DedupOps
+    val docs = Tables(spark, sfDir).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (k, w) = (DedupOps.WINNOW_K, DedupOps.WINNOW_W)
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val expected = docs.filter(_._2.length >= k + w - 1).map { case (id, t) =>
+      val hs = (1 to t.length - k + 1).map(p => p -> md5hex(t.substring(p - 1, p - 1 + k)))
+      val sel = (1 to hs.length - w + 1).map { s0 =>
+        val win = hs.slice(s0 - 1, s0 - 1 + w)
+        val mn = win.map(_._2).min
+        win.filter(_._2 == mn).map(_._1).max -> mn
+      }.distinct.sortBy(_._1)
+      val digest = md5hex(sel.map { case (p, h) => s"$p:$h" }.mkString(","))
+      id -> (hs.length.toLong, sel.length.toLong, digest)
+    }.toMap
+    val got = DedupOps.q106WinnowFingerprint(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    expected.foreach { case (id, e) => assert(got(id) == e, s"doc $id") }
+    // winnowing density guarantee: ~2/(w+1), never more than 1 per window
+    got.foreach { case (id, (m, nfp, _)) =>
+      assert(nfp <= m - w + 1, s"doc $id: more fingerprints than windows")
+      assert(nfp >= (m - w + 1 + w - 1) / w, s"doc $id: too few fingerprints")
+    }
+  }
+
+  test("BPE encode with learned merges reproduces the trainer's symbol table") {
+    import spark.implicits._
+    import graft.operators.BpeTrainer
+    val corpus = Seq("low lower lowest low low", "newer newest new")
+      .toDF("text")
+    val words = BpeTrainer.wordTable(corpus, "text")
+    val (merges, finalSyms) = BpeTrainer.train(words, 6)
+    assert(merges.nonEmpty)
+    val reEncoded = words
+      .select(BpeTrainer.encode(col("word"), merges).as("syms"), col("wc"))
+    val a = reEncoded.collect().map(r => (r.getSeq[String](0).toList, r.getLong(1)))
+      .sortBy(_.toString)
+    val b = finalSyms.collect().map(r => (r.getSeq[String](0).toList, r.getLong(1)))
+      .sortBy(_.toString)
+    assert(a.toSeq == b.toSeq)
+  }
 }
