@@ -20,18 +20,42 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; the session must set
-    * spark.sql.legacy.parquet.nanosAsLong=true (GraftSession does) so
-    * the scan yields nanos as long, truncated here to a microsecond
-    * timestamp (matches DuckDB's ns->us truncation). The accessor
-    * itself is side-effect-free.
+  /** Schema-adaptive `ts` normalization: upstream test data has shipped
+    * `events.ts` both as parquet TIMESTAMP(NANOS) (surfaced as a nanos
+    * long under spark.sql.legacy.parquet.nanosAsLong, which GraftSession
+    * sets and which is harmless for other encodings) and as
+    * TIMESTAMP(MICROS) (surfaced as TIMESTAMP_NTZ). Rather than
+    * hard-coding one physical encoding, branch on the scanned schema so
+    * either file decodes to the same session-TZ `timestamp` column.
+    * GraftSession pins spark.sql.session.timeZone=UTC, so the NTZ→TZ
+    * cast is epoch-preserving and unix_micros matches DuckDB epoch_us.
     */
-  def events: DataFrame = {
-    val raw = t("events")
-    import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  def events: DataFrame = Tables.normalizeTs(t("events"))
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+
+  /** Normalize an event-stream `ts` column to a session-TZ timestamp
+    * regardless of the file's physical encoding. Works on batch AND
+    * streaming DataFrames (schema-only dispatch, no data inspection):
+    *  - long        → nanos-as-long (legacy TIMESTAMP(NANOS) under
+    *                  spark.sql.legacy.parquet.nanosAsLong), truncated
+    *                  to micros exactly as DuckDB truncates ns→us;
+    *  - timestamp   → already session-TZ, pass through;
+    *  - anything else (TIMESTAMP_NTZ micros, string) → cast; the cast
+    *    is epoch-preserving because GraftSession pins the session time
+    *    zone to UTC, keeping unix_micros aligned with DuckDB epoch_us.
+    */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+    }
+  }
 }

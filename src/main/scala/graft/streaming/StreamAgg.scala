@@ -48,7 +48,8 @@ object StreamAgg {
         d.toString
       }
     }
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Schema-adaptive ts normalization — the upstream file has shipped
+    // as both TIMESTAMP(NANOS)-as-long and TIMESTAMP(MICROS)/NTZ.
+    graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(dir))
   }
 }
