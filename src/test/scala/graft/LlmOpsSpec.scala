@@ -25,6 +25,22 @@ class LlmOpsSpec extends SparkSpec {
       "short text must fingerprint to 0 (matches HOF variant and oracle)")
   }
 
+  test("HyperplaneBuckets equality includes the weight matrix") {
+    // Catalyst subexpression elimination substitutes expressions that
+    // compare equal; two instances with identical (tables, planes)
+    // config but DIFFERENT hyperplanes must not be interchangeable.
+    import graft.plans.HyperplaneBuckets
+    val child = org.apache.spark.sql.GraftBridge.expression(col("emb"))
+    val w1 = Array(Array(1.0, 2.0), Array(3.0, 4.0))
+    val w2 = Array(Array(1.0, 2.0), Array(3.0, -4.0))
+    val a = HyperplaneBuckets(child, w1, 1, 2)
+    val b = HyperplaneBuckets(child, w1.map(_.clone()), 1, 2)
+    val c = HyperplaneBuckets(child, w2, 1, 2)
+    assert(a == b && a.hashCode == b.hashCode,
+      "content-equal weights must compare equal (by value, not identity)")
+    assert(a != c, "differing weights must break equality")
+  }
+
   test("q26 keeps one id per content hash and covers all docs") {
     val d = LlmText.q26DedupExact(spark, sfDir)
     val total = d.agg(sum("n_copies")).collect().head.getLong(0)
