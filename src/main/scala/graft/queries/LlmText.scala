@@ -415,7 +415,11 @@ object LlmText {
     * ASCII bytes — so the WHOLE mapPartitions plumbing (record
     * construction, encoder round-trip, per-partition iteration) is
     * hash-gated, not just spec'd; swapping the fake for a real codec
-    * changes nothing upstream of `fakeDecode`.
+    * changes nothing upstream of `fakeDecode`. The feature vector is
+    * gated too: each float is (code/255 - 0.5) for a byte-sized code,
+    * so `round((f + 0.5) * 255)` recovers the codes exactly (float
+    * error ~1e-5 << 0.5) and both engines compare integer strings, no
+    * cross-engine float formatting.
     */
   def q94MediaDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -426,7 +430,10 @@ object LlmText {
       .as[graft.operators.MediaRecord]
     graft.operators.MultimodalStub.decode(media)
       .select(col("doc_id"), col("media_kind"), col("n_bytes"),
-        col("width"), col("height"), col("n_frames"))
+        col("width"), col("height"), col("n_frames"),
+        expr("array_join(transform(features," +
+          " f -> cast(round((cast(f as double) + 0.5d) * 255d) as int)), ',')")
+          .as("feat_codes"))
   }
 
   val q94Sql: String =
@@ -442,7 +449,9 @@ object LlmText {
       |  CAST(n % 640 + 1 AS INT) AS width,
       |  CAST(n % 480 + 1 AS INT) AS height,
       |  CAST(CASE WHEN media_kind = 2 THEN h % 16 + 1 ELSE 1 END AS INT)
-      |    AS n_frames
+      |    AS n_frames,
+      |  array_to_string(list_transform(generate_series(0, 7),
+      |    k -> (h >> (k * 4)) & 255), ',') AS feat_codes
       |FROM d ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

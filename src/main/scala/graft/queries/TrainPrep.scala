@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions.tokens
 import graft.operators.{BpeTrainer, DistributedQuantile, RegexScrub, SeqPack}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -417,18 +417,26 @@ object TrainPrep {
     * next to every corpus snapshot. One aggregation per column; each
     * scan reads ONLY its column (columnar pruning), so the report
     * costs one pass over each column's pages, not five over the table.
-    * Exact distinct counts here (gate-checkable); at 100 TB swap in
-    * the mergeable HLL sketches (operators/DistinctSketch) and keep
-    * the same report schema.
+    * Exact distinct counts by default (gate-checkable); at 100 TB pass
+    * approxDistinct=true to swap in the mergeable HLL sketch path
+    * (operators/DistinctSketch.LG_K registers, ~1.6% standard error) —
+    * same report schema, one sketch instead of a shuffled exact
+    * distinct per column. The gated q71 runs the exact form.
     */
-  def q71TableStats(spark: SparkSession, dir: String): DataFrame = {
+  def q71TableStats(spark: SparkSession, dir: String,
+                    approxDistinct: Boolean = false): DataFrame = {
     val docs = Tables(spark, dir).documents
+    def distinctAgg(c: String): Column =
+      if (approxDistinct)
+        hll_sketch_estimate(
+          hll_sketch_agg(col(c), lit(graft.operators.DistinctSketch.LG_K)))
+      else countDistinct(col(c))
     STATS_COLS.map { c =>
       docs.select(
         lit(c).as("col_name"),
         count(lit(1)).as("n_rows"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
-        countDistinct(col(c)).as("n_distinct"),
+        distinctAgg(c).as("n_distinct"),
         min(col(c)).cast("string").as("min_val"),
         max(col(c)).cast("string").as("max_val"))
     }.reduce(_ unionAll _)
@@ -707,7 +715,8 @@ object TrainPrep {
     "q52_rep_ngrams" -> Gate.sorted(q52RepNgrams _, "doc_id"),
     "q64_bpe_pairs" -> Gate.sorted(q64BpePairs _, "rank"),
     "q65_source_token_profile" -> Gate.sorted(q65SourceTokenProfile _, "source"),
-    "q71_table_stats" -> Gate.sorted(q71TableStats _, "col_name"),
+    "q71_table_stats" -> Gate.sorted(
+      (s: SparkSession, d: String) => q71TableStats(s, d), "col_name"),
     "q80_segment_dedup" -> Gate.sorted(q80SegmentDedup _, "doc_id"),
     "q81_quality_rules" -> Gate.sorted(q81QualityRules _, "doc_id"))
 

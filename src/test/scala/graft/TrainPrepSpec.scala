@@ -111,6 +111,22 @@ class TrainPrepSpec extends SparkSpec {
     assert(res === Map(1L -> ((5L, 3L)), 2L -> ((0L, 0L)), 3L -> ((2L, 1L))))
   }
 
+  test("q71 HLL path keeps the report schema and estimates within sketch error") {
+    val exact = TrainPrep.q71TableStats(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = TrainPrep.q71TableStats(spark, sfDir, approxDistinct = true)
+    assert(approx.columns.toSeq ==
+      Seq("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val"))
+    val est = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(est.keySet == exact.keySet)
+    // lgK=12 -> ~1.6% standard error; allow 5 sigma plus small-count slack
+    est.foreach { case (c, e) =>
+      val x = exact(c).toDouble
+      assert(math.abs(e - x) <= math.max(3.0, 0.08 * x),
+        s"$c: HLL estimate $e too far from exact ${exact(c)}")
+    }
+  }
+
   test("q57 manifest is invariant to partitioning and covers every doc") {
     val base = TrainPrep.q57ShardManifest(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
