@@ -17,8 +17,8 @@ final case class Tables(spark: SparkSession, dir: String) {
   def customer: DataFrame = t("customer")
   def supplier: DataFrame = t("supplier")
   def part: DataFrame = t("part")
-  def orders: DataFrame = t("orders")
-  def lineitem: DataFrame = t("lineitem")
+  def orders: DataFrame = Tables.normalizeTs(t("orders"), "o_orderdate")
+  def lineitem: DataFrame = Tables.normalizeTs(t("lineitem"), "l_shipdate")
 
   /** Schema-adaptive `ts` normalization: upstream test data has shipped
     * `events.ts` both as parquet TIMESTAMP(NANOS) (surfaced as a nanos

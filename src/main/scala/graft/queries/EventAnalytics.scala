@@ -630,7 +630,43 @@ object EventAnalytics {
       |                AS BIGINT)) AS DOUBLE) / 1e6 AS entropy_nats
       |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q107: SEMI-STRUCTURED EXTRACTION — the JSON `props` payload
+    * parsed with an EXPLICIT schema (`from_json(props, "k INT")`), then
+    * aggregated per event type. Schema-on-read done the scale-right
+    * way: a declared schema keeps the parse inside whole-stage codegen
+    * and makes malformed payloads a countable column (null k), whereas
+    * `schema_of_json` over the data is a full extra scan and a string
+    * regex surfaces no type errors. One map-side-combined aggregation;
+    * the log is scanned once reading only (event_type, props).
+    */
+  def q107JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").cast("long").as("k"))
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("n_with_k"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+  }
+
+  val q107Sql: String =
+    """WITH x AS (
+      |  SELECT event_type, CAST(props ->> 'k' AS BIGINT) AS k FROM events)
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_with_k,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  min(k) AS min_k, max(k) AS max_k,
+      |  count(DISTINCT k) AS n_distinct_k
+      |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_json_extract" -> Gate.sorted(q107JsonExtract _, "event_type"),
     "q104_active_time" -> Gate.sorted(q104ActiveTime _, "user_id"),
     "q105_user_entropy" -> Gate.sorted(q105UserEntropy _, "user_id"),
     "q98_ab_welch" -> Gate.sorted(q98AbWelch _, "event_type"),
@@ -647,6 +683,7 @@ object EventAnalytics {
     "q75_rolling_features" -> Gate.sorted(q75RollingFeatures _, "user_id", "event_id"))
 
   val oracles: Map[String, String] = Map(
+    "q107_json_extract" -> q107Sql,
     "q104_active_time" -> q104Sql,
     "q105_user_entropy" -> q105Sql,
     "q98_ab_welch" -> q98Sql,

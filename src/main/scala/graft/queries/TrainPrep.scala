@@ -703,7 +703,80 @@ object TrainPrep {
       |GROUP BY bo.doc_id
       |ORDER BY bo.doc_id""".stripMargin
 
+  /** q108 sample size. */
+  val WSAMPLE_K = 100
+
+  /** q108: WEIGHTED SAMPLING WITHOUT REPLACEMENT (Efraimidis–Spirakis
+    * A-ES): each doc draws a deterministic pseudo-uniform u from an
+    * md5-derived 24-bit integer and competes with key u^(1/w), weight w
+    * = n_chars — the quality/length-weighted corpus subsample every
+    * mixing pipeline runs. Selection is the global top-K by key, which
+    * Spark executes as TakeOrderedAndProject: per-partition top-K then
+    * a driver merge of K x partitions rows — ONE scan, ZERO shuffles,
+    * no global sort, the only sane shape at 100 TB. Keys are rounded
+    * to integer nano-units so the top-K boundary is bit-portable
+    * across engines (doc_id tie-break).
+    */
+  def q108WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(
+      md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+      .cast("double") + 0.5) / 16777216.0
+    val w = greatest(col("n_chars"), lit(1)).cast("double")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("n_chars"),
+        floor(pow(u, lit(1.0) / w) * 1e9 + 0.5).cast("long").as("key_nano"))
+      .orderBy(col("key_nano").desc, col("doc_id"))
+      .limit(WSAMPLE_K)
+  }
+
+  val q108Sql: String =
+    s"""SELECT * FROM (
+      |  SELECT doc_id, n_chars,
+      |    CAST(floor(power(
+      |      (CAST('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 6)
+      |         AS BIGINT) + 0.5) / 16777216.0,
+      |      1.0 / greatest(n_chars, 1)) * 1e9 + 0.5) AS BIGINT) AS key_nano
+      |  FROM documents
+      |  ORDER BY key_nano DESC, doc_id LIMIT $WSAMPLE_K)
+      |ORDER BY doc_id""".stripMargin
+
+  /** q109 shard width (docs per training shard). */
+  val SHUFFLE_SHARD_DOCS = 64
+
+  /** q109: DETERMINISTIC GLOBAL SHUFFLE — the reproducible random
+    * permutation + shard/offset assignment a training run reads the
+    * corpus in. Order key is md5("shuf:"+doc_id) (seeded, stable across
+    * runs and engines); the global 1-based position comes from
+    * [[graft.operators.GlobalRank]] — range-repartition + per-partition
+    * offsets — NOT `row_number() OVER (ORDER BY ...)`, whose empty
+    * PARTITION BY moves the corpus to one task. Emits (shard, offset)
+    * so a trainer can read any shard independently and still see the
+    * exact global order.
+    */
+  def q109GlobalShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("skey"))
+    graft.operators.GlobalRank
+      .withRowNumber(docs, "ord", col("skey"), col("doc_id"))
+      .select(col("doc_id"), col("ord"),
+        expr(s"(ord - 1) div $SHUFFLE_SHARD_DOCS").as("shard_id"),
+        ((col("ord") - 1) % SHUFFLE_SHARD_DOCS).as("offset_in_shard"))
+  }
+
+  val q109Sql: String =
+    s"""WITH r AS (
+      |  SELECT doc_id,
+      |    row_number() OVER (
+      |      ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)), doc_id) AS ord
+      |  FROM documents)
+      |SELECT doc_id, ord, (ord - 1) // $SHUFFLE_SHARD_DOCS AS shard_id,
+      |  (ord - 1) % $SHUFFLE_SHARD_DOCS AS offset_in_shard
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_weighted_sample" -> Gate.sorted(q108WeightedSample _, "doc_id"),
+    "q109_global_shuffle" -> Gate.sorted(q109GlobalShuffle _, "doc_id"),
     "q101_bigram_lm_score" -> Gate.sorted(q101BigramLmScore _, "doc_id"),
     "q86_word_coocc" -> Gate.sorted(q86WordCoocc _, "w1", "w2"),
     "q57_shard_manifest" -> Gate.sorted(q57ShardManifest _, "shard"),
@@ -721,6 +794,8 @@ object TrainPrep {
     "q81_quality_rules" -> Gate.sorted(q81QualityRules _, "doc_id"))
 
   val oracles: Map[String, String] = Map(
+    "q108_weighted_sample" -> q108Sql,
+    "q109_global_shuffle" -> q109Sql,
     "q101_bigram_lm_score" -> q101Sql,
     "q86_word_coocc" -> q86Sql,
     "q57_shard_manifest" -> q57Sql,

@@ -5,6 +5,26 @@ import org.apache.spark.sql.functions._
 
 class EventAnalyticsSpec extends SparkSpec {
 
+  test("q107 parses every well-formed payload and counts malformed as null") {
+    val rows = EventAnalytics.q107JsonExtract(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // synthetic props are always {"k": N}: full coverage, k in [0, 99]
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables(spark, sfDir).events.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_with_k") == r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("min_k") >= 0L && r.getAs[Long]("max_k") <= 99L)
+    }
+    // malformed payloads must yield null k, not a job failure
+    import spark.implicits._
+    val bad = Seq("""{"k": 7}""", "not json", """{"other": 1}""").toDF("props")
+      .select(from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+        .getField("k").as("k"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(bad.toSeq == Seq(Some(7), None, None))
+  }
+
   test("q73 conversions are bounded by purchases and require a prior click") {
     val rows = EventAnalytics.q73Funnel(spark, sfDir).collect()
     assert(rows.nonEmpty)

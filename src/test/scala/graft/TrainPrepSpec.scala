@@ -268,6 +268,37 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("q108 weighted sample is deterministic, K-sized, and length-biased") {
+    val a = TrainPrep.q108WeightedSample(spark, sfDir).collect()
+    assert(a.length == TrainPrep.WSAMPLE_K)
+    val b = TrainPrep.q108WeightedSample(spark, sfDir).collect()
+    assert(a.map(_.getLong(0)).sorted.toSeq == b.map(_.getLong(0)).sorted.toSeq)
+    // A-ES with w = n_chars must bias the sample toward longer docs
+    val sampleMean = a.map(_.getAs[Long]("n_chars").toDouble).sum / a.length
+    val corpus = Tables(spark, sfDir).documents
+      .agg(avg("n_chars")).collect().head.getDouble(0)
+    assert(sampleMean > corpus,
+      s"weighted sample mean $sampleMean must exceed corpus mean $corpus")
+  }
+
+  test("q109 global shuffle is a permutation with dense shard packing") {
+    val rows = TrainPrep.q109GlobalShuffle(spark, sfDir).collect()
+    val n = Tables(spark, sfDir).documents.count()
+    assert(rows.length == n)
+    val ords = rows.map(_.getAs[Long]("ord")).sorted
+    assert(ords.toSeq == (1L to n).toSeq, "ord must be a 1..N permutation")
+    val byShard = rows.groupBy(_.getAs[Long]("shard_id"))
+    val full = TrainPrep.SHUFFLE_SHARD_DOCS
+    byShard.foreach { case (sid, rs) =>
+      assert(rs.length <= full)
+      if (sid < byShard.keys.max) assert(rs.length == full,
+        s"non-final shard $sid must hold exactly $full docs")
+      // offsets within a shard are dense 0..len-1
+      assert(rs.map(_.getAs[Long]("offset_in_shard")).sorted.toSeq ==
+        (0L until rs.length).toSeq)
+    }
+  }
+
   test("q101 a repeated-phrase doc outscores a unique-word doc") {
     // the model is self-trained, so the odd doc must REUSE corpus
     // words in unseen orders (novel bigrams over frequent unigrams
