@@ -241,6 +241,111 @@ object HyperplaneBuckets {
       GraftBridge.expression(emb), weights, numTables, numPlanes))
 }
 
+/** Fused robust-winnowing fingerprint: text ->
+  * struct(n_grams, n_fp, fp_digest) in ONE document-local pass — the
+  * zero-shuffle replacement for the window formulation of q106 (even a
+  * single sliding-frame window pass shuffles the ~|corpus|-sized gram
+  * table on doc_id; winnowing is document-local, so the scale-right
+  * plan never leaves the scan stage).
+  *
+  * Semantics are identical to the SQL oracle: k-gram hashes are
+  * lowercase md5 hex of the UTF-8 bytes of each k-codepoint substring
+  * (string compare = lexicographic in both engines); each of the
+  * m-w+1 complete windows selects its RIGHTMOST minimal hash (robust
+  * winnowing, via a monotonic deque with <=-pops — O(m) total);
+  * repeated selections collapse (selected positions are monotone, so
+  * a last-position check equals DISTINCT); fp_digest = md5 hex of the
+  * "pos:hash" list joined with "," in position order (1-based pos).
+  * Texts with fewer than w grams select nothing: n_fp = 0 and
+  * fp_digest = md5("") — callers gate on length >= k+w-1 as the SQL
+  * formulation did via its starts filter.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_grams", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_fp", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("fp_digest", StringType, nullable = false)))
+  override def prettyName: String = "winnow_fingerprint"
+
+  private def hex(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(Character.forDigit((bytes(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(bytes(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val cps = s.toString.codePoints().toArray
+    val m = cps.length - k + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    if (m <= 0) {
+      return org.apache.spark.sql.catalyst.InternalRow(0L, 0L,
+        UTF8String.fromString(hex(md.digest(Array.emptyByteArray))))
+    }
+    val hashes = new Array[String](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      hashes(i) = hex(md.digest(
+        new String(cps, i, k).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      i += 1
+    }
+    val dq = new java.util.ArrayDeque[Integer]()
+    val sb = new java.lang.StringBuilder
+    var nSel = 0L
+    var lastSel = -1
+    var j = 0
+    while (j < m) {
+      // <=-pop keeps the LATEST index among equal minima = rightmost rule
+      while (!dq.isEmpty && hashes(j).compareTo(hashes(dq.peekLast)) <= 0)
+        dq.pollLast()
+      dq.addLast(j)
+      val start = j - w + 1
+      if (start >= 0) {
+        while (dq.peekFirst < start) dq.pollFirst()
+        val sel = dq.peekFirst
+        if (sel != lastSel) {
+          if (lastSel >= 0) sb.append(',')
+          sb.append(sel + 1).append(':').append(hashes(sel))
+          lastSel = sel
+          nSel += 1
+        }
+      }
+      j += 1
+    }
+    md.reset()
+    val dig = hex(md.digest(
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    org.apache.spark.sql.catalyst.InternalRow(m.toLong, nSel,
+      UTF8String.fromString(dig))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowExpr", this, classOf[WinnowFingerprint].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+}
+
+object WinnowFingerprint {
+  def apply(text: Column, k: Int, w: Int): Column =
+    GraftBridge.column(
+      WinnowFingerprint(GraftBridge.expression(text), k, w))
+}
+
 /** Fused bigram-repetition statistics: text ->
   * struct(n_bigrams: long, max_rep: long) in one tokenize-and-count
   * pass (whitespace tokens, lowercased — same token definition as

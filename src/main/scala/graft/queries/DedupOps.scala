@@ -503,52 +503,38 @@ object DedupOps {
     * guarantee above — the substring-granular complement to q27's
     * whole-document MinHash.
     *
-    * Shape: the gram table is a scan-stage explode (document-local,
-    * linear); window selection is ONE sliding-frame window pass —
-    * `min(struct(h, -pos))` over rows [current, W-1 following] gives
-    * the rightmost minimal hash per window directly (struct compare is
-    * h-first; for tied h the most-negative pos wins = rightmost),
-    * so the whole query is a single shuffle on doc_id with no fanout
-    * and no self-joins (the r3 explode+2-join plan was 2W× the gram
-    * table through two exchanges — 52 s at sf0.1 vs ~1 s now).
-    * Trailing truncated windows (start > m-W+1) are excluded to match
-    * the fixed-window definition. The gram count m comes from the text
-    * length, not an aggregation. Hashes are md5 hex STRINGS, so the
-    * min is a lexicographic compare identical in both engines; the
-    * gate output digests each doc's fingerprint list in position
-    * order.
+    * Shape: winnowing is DOCUMENT-LOCAL, so the scale-right plan never
+    * leaves the scan stage — the fused native
+    * [[graft.plans.WinnowFingerprint]] expression (monotonic-deque
+    * sliding min, O(m) per doc, codegen'd) computes each document's
+    * whole fingerprint set in one pass: ZERO shuffles, nothing but the
+    * dump-time gate sort. (History: the r3 plan was a W-fold explode +
+    * two (doc_id,pos) shuffle joins at 52 s/sf0.1; the intermediate r4
+    * form was one sliding-frame window pass at 7 s — still shuffling
+    * the ~|corpus|-sized gram table on doc_id. This form is ~1 s.)
+    * Hashes are md5 hex STRINGS, so the min is a lexicographic compare
+    * identical in both engines; the gate output digests each doc's
+    * fingerprint list in position order, rightmost-min tie rule as
+    * before.
     */
   def q106WinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir).documents
-      .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= WINNOW_K + WINNOW_W - 1)
-    val grams = docs
+      .select(col("doc_id"), col("text"))
+    // CPU-bound per-doc compute parallelizes only as far as the scan's
+    // input splits. A production corpus has thousands of row groups and
+    // this branch is a no-op; the local test file is ONE row group, so
+    // without it every md5 runs on one core. The repartition moves raw
+    // (doc_id, text) bytes once — strictly less data than any gram
+    // fanout — and only when the scan is narrower than the cluster.
+    val par = spark.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    spread
       .select(col("doc_id"),
-        (length(col("text")) - WINNOW_K + 1).as("m"),
-        explode(sequence(lit(1), length(col("text")) - WINNOW_K + 1)).as("pos"),
-        col("text"))
-      .select(col("doc_id"), col("m"), col("pos"),
-        md5(expr(s"substring(text, pos, $WINNOW_K)")).as("h"))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.currentRow, WINNOW_W - 1)
-    val fps = grams
-      .withColumn("sel", min(struct(col("h"), (-col("pos")).as("np"))).over(w))
-      .filter(col("pos") <= col("m") - WINNOW_W + 1)
-      .select(col("doc_id"), col("m"),
-        (-col("sel").getField("np")).as("sel_pos"),
-        col("sel").getField("h").as("h"))
-      .distinct()
-    fps.groupBy("doc_id", "m")
-      .agg(count(lit(1)).as("n_fp"),
-        md5(array_join(
-          transform(
-            sort_array(collect_list(struct(col("sel_pos"), col("h")))),
-            e => concat(e.getField("sel_pos").cast("string"), lit(":"),
-              e.getField("h"))),
-          ",")).as("fp_digest"))
-      .select(col("doc_id"), col("m").cast("long").as("n_grams"),
-        col("n_fp"), col("fp_digest"))
+        graft.plans.WinnowFingerprint(col("text"), WINNOW_K, WINNOW_W).as("wf"))
+      .select(col("doc_id"), col("wf.n_grams"), col("wf.n_fp"),
+        col("wf.fp_digest"))
   }
 
   val q106Sql: String =

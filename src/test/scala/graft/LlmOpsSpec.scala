@@ -25,6 +25,41 @@ class LlmOpsSpec extends SparkSpec {
       "short text must fingerprint to 0 (matches HOF variant and oracle)")
   }
 
+  test("winnow_fingerprint equals a brute-force window scan incl. rightmost ties") {
+    import spark.implicits._
+    val k = 3
+    val w = 4
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def brute(t: String): (Long, Long, String) = {
+      val m = t.length - k + 1
+      val grams = (0 until m).map(i => md5hex(t.substring(i, i + k)))
+      val sels = (0 to m - w).map { s =>
+        val win = (s until s + w)
+        val minH = win.map(grams).min
+        val sel = win.filter(i => grams(i) == minH).max // rightmost minimal
+        (sel + 1, grams(sel))
+      }.distinct.sortBy(_._1)
+      val dig = md5hex(sels.map { case (p, h) => s"$p:$h" }.mkString(","))
+      (m.toLong, sels.size.toLong, dig)
+    }
+    val texts = Seq(
+      "abcabcabcabc",  // repeated grams: the rightmost-min tie rule decides
+      "zyxwvutsrqpon", // distinct grams
+      "aaaaaaaaaa",    // ALL grams equal: every window picks its last slot
+      "abcdef")        // exactly k+w-1 chars -> a single window
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), graft.plans.WinnowFingerprint(col("text"), k, w).as("wf"))
+      .select(col("id"), col("wf.n_grams"), col("wf.n_fp"), col("wf.fp_digest"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === brute(t), s"text #$i: '$t'")
+    }
+  }
+
   test("HyperplaneBuckets equality includes the weight matrix") {
     // Catalyst subexpression elimination substitutes expressions that
     // compare equal; two instances with identical (tables, planes)
