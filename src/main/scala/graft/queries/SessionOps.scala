@@ -62,6 +62,23 @@ object SessionOps {
       |FROM s GROUP BY user_id, sess_idx
       |ORDER BY user_id, sess_idx""".stripMargin
 
+  /** Micro-batch replay parallelism: every stateful streaming operator
+    * commits one state store per shuffle partition per micro-batch, so
+    * the replay harness's tiny batches are dominated by state-store
+    * overhead at the session's scan-sized partition count (measured:
+    * q70 drops ~3.5x going 32 -> 8 partitions at sf0.1). Production
+    * streams size shuffle partitions to state volume ONCE — the count
+    * is baked into the checkpoint for the query's lifetime — so a
+    * deliberate, smaller-than-batch setting is the realistic shape.
+    * Scoped to the query; the session value is restored afterward.
+    */
+  private def withStreamParallelism[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, math.min(8, prev.toInt).toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** q38: Structured Streaming tumbling-window aggregation — the
     * events parquet replayed as a stream, 1-hour windows per event
     * type, complete-mode memory sink. The oracle is the identical
@@ -69,7 +86,8 @@ object SessionOps {
     * At scale this is the same plan with a kafka source + watermark
     * (see graft.streaming.StreamAgg for the watermarked variant).
     */
-  def q38StreamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+  def q38StreamWindowAgg(spark: SparkSession, dir: String): DataFrame =
+      withStreamParallelism(spark) {
     import graft.streaming.StreamAgg
     val sinkName = "q38_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val stream = StreamAgg.hourlyTypeAgg(
@@ -100,7 +118,8 @@ object SessionOps {
     * last" — deterministic and SQL-expressible, which is what makes a
     * stateful streaming operator oracle-checkable at all.
     */
-  def q39StreamSessionize(spark: SparkSession, dir: String): DataFrame = {
+  def q39StreamSessionize(spark: SparkSession, dir: String): DataFrame =
+      withStreamParallelism(spark) {
     import graft.streaming.{StreamAgg, StreamSessionize}
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
@@ -187,7 +206,8 @@ object SessionOps {
     * deterministically min by (event time, event_id) — exactly the
     * batch arg_min the oracle computes.
     */
-  def q51StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+  def q51StreamDedup(spark: SparkSession, dir: String): DataFrame =
+      withStreamParallelism(spark) {
     import graft.streaming.{StreamAgg, StreamDedup}
     val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
     // fixed sink name, prior run's table dropped: repeated invocations
@@ -222,7 +242,8 @@ object SessionOps {
     * columns: the emitted KEY SET is deterministic (one row per
     * distinct key) and equals the batch DISTINCT the oracle computes.
     */
-  def q102StreamDropdupWm(spark: SparkSession, dir: String): DataFrame = {
+  def q102StreamDropdupWm(spark: SparkSession, dir: String): DataFrame =
+      withStreamParallelism(spark) {
     import graft.streaming.StreamAgg
     val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
     val sinkName = "q102_sink"
@@ -255,7 +276,8 @@ object SessionOps {
     * Oracle = the identical batch join+agg: stream/batch parity again.
     * See [[graft.streaming.StreamEnrich]] for the scale shape.
     */
-  def q56StreamEnrich(spark: SparkSession, dir: String): DataFrame = {
+  def q56StreamEnrich(spark: SparkSession, dir: String): DataFrame =
+      withStreamParallelism(spark) {
     import graft.streaming.{StreamAgg, StreamEnrich}
     val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
     val sinkName = "q56_sink"
@@ -283,7 +305,8 @@ object SessionOps {
     * the interval bound). One micro-batch replay makes the emitted set
     * exactly the batch interval join. See [[graft.streaming.StreamJoin]].
     */
-  def q59StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+  def q59StreamStreamJoin(spark: SparkSession, dir: String): DataFrame =
+      withStreamParallelism(spark) {
     import graft.streaming.{StreamAgg, StreamJoin}
     val clicks = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
     val purchases = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
@@ -370,7 +393,8 @@ object SessionOps {
     * window, leaving exactly the still-open tail unemitted — the
     * deterministic set the batch oracle reproduces.
     */
-  def q70StreamDistinct(spark: SparkSession, dir: String): DataFrame = {
+  def q70StreamDistinct(spark: SparkSession, dir: String): DataFrame =
+      withStreamParallelism(spark) {
     import graft.streaming.{StreamAgg, StreamDistinct}
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
@@ -400,7 +424,8 @@ object SessionOps {
     * emitted set equals the batch window formulation exactly (see
     * [[graft.streaming.StreamFunnel]]).
     */
-  def q91StreamFunnel(spark: SparkSession, dir: String): DataFrame = {
+  def q91StreamFunnel(spark: SparkSession, dir: String): DataFrame =
+      withStreamParallelism(spark) {
     import graft.streaming.{StreamAgg, StreamFunnel}
     val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
     val sinkName = "q91_sink"
