@@ -89,6 +89,30 @@ class PlanAuditSpec extends SparkSpec {
       "band join degraded to a non-equi join")
   }
 
+  test("q106: fingerprinting never shuffles — no Window, no Join, no agg exchange") {
+    val p = plan(graft.queries.DedupOps.q106WinnowFingerprint(spark, sfDir))
+    assert(p.toLowerCase.contains("winnow_fingerprint"),
+      "native WinnowFingerprint expression missing from plan")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "document-local fingerprinting must not window or join")
+    assert(!p.contains("hashpartitioning"),
+      "unexpected hash exchange in a scan-stage operator")
+  }
+
+  test("q108: weighted sampling is a TakeOrdered, not a global sort") {
+    val p = plan(graft.queries.TrainPrep.q108WeightedSample(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-K should plan as TakeOrderedAndProject")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "top-K must not range-shuffle the corpus")
+  }
+
+  test("q107: JSON extraction aggregates partially and stays in codegen") {
+    val p = executedPlan(graft.queries.EventAnalytics.q107JsonExtract(spark, sfDir))
+    assert(p.contains("partial_"), "expected map-side combine")
+    assert(p.contains("from_json"), "explicit-schema from_json missing")
+  }
+
   test("library operators do not embed a global sort (gate sorts live in the adapters)") {
     import graft.queries.{AstroQueries => A, LlmText => L, Pipeline => P, Relational => R, SessionOps => S}
     val ops: Seq[(String, DataFrame)] = Seq(
