@@ -665,7 +665,63 @@ object EventAnalytics {
       |  count(DISTINCT k) AS n_distinct_k
       |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q110: SCD TYPE-2 HISTORY — the events log read as a CDC stream of
+    * per-user attribute changes (the JSON payload's k), compacted into
+    * the classic slowly-changing-dimension shape: one row per attribute
+    * VERSION with [valid_from, valid_to) bounds, open row flagged
+    * current. Consecutive no-op changes collapse via lag(); version
+    * close times come from lead() over the change rows. Both windows
+    * share ONE user_id shuffle (the second runs on the filtered change
+    * set, which preserves the clustering), and the output is
+    * |versions|-sized — the log never leaves its partitioning. The
+    * q49/q66 compaction family's missing third member: latest-by-key,
+    * snapshot diff, and now full history.
+    */
+  def q110Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").cast("long").as("attr"))
+    val changes = ev
+      .withColumn("prev", lag("attr", 1).over(byUser))
+      .filter(col("prev").isNull || col("attr") =!= col("prev"))
+    changes
+      .withColumn("next_us", lead("us", 1).over(byUser))
+      .select(col("user_id"), col("attr"), col("us").as("valid_from_us"),
+        // open rows close at the conventional SCD2 sentinel instead of
+        // NULL: a nullable BIGINT crosses the pandas fetch as float64
+        // and would break the int-exact gate compare
+        coalesce(col("next_us"), lit(SCD2_OPEN_US)).as("valid_to_us"),
+        col("next_us").isNull.as("is_current"))
+  }
+
+  /** SCD2 open-row sentinel: 9999-12-31T23:59:59Z in epoch micros. */
+  val SCD2_OPEN_US = 253402300799000000L
+
+  val q110Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CAST(props ->> 'k' AS BIGINT) AS attr
+      |  FROM events),
+      |c AS (
+      |  SELECT *, lag(attr) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |    AS prev
+      |  FROM e),
+      |ch AS (
+      |  SELECT user_id, event_id, attr, us FROM c
+      |  WHERE prev IS NULL OR attr <> prev)
+      |SELECT user_id, attr, us AS valid_from_us,
+      |  coalesce(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id),
+      |           253402300799000000) AS valid_to_us,
+      |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+      |    AS is_current
+      |FROM ch ORDER BY user_id, valid_from_us, attr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_scd2_history" ->
+      Gate.sorted(q110Scd2History _, "user_id", "valid_from_us", "attr"),
     "q107_json_extract" -> Gate.sorted(q107JsonExtract _, "event_type"),
     "q104_active_time" -> Gate.sorted(q104ActiveTime _, "user_id"),
     "q105_user_entropy" -> Gate.sorted(q105UserEntropy _, "user_id"),
@@ -683,6 +739,7 @@ object EventAnalytics {
     "q75_rolling_features" -> Gate.sorted(q75RollingFeatures _, "user_id", "event_id"))
 
   val oracles: Map[String, String] = Map(
+    "q110_scd2_history" -> q110Sql,
     "q107_json_extract" -> q107Sql,
     "q104_active_time" -> q104Sql,
     "q105_user_entropy" -> q105Sql,

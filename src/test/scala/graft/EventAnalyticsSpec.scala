@@ -5,6 +5,29 @@ import org.apache.spark.sql.functions._
 
 class EventAnalyticsSpec extends SparkSpec {
 
+  test("q110 versions tile each user's timeline with one open row") {
+    val rows = EventAnalytics.q110Scd2History(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_.getAs[Long]("valid_from_us"))
+      // exactly one current row per user, and it is the LAST version
+      assert(vs.count(_.getAs[Boolean]("is_current")) == 1, s"user $u")
+      assert(sorted.last.getAs[Boolean]("is_current"), s"user $u")
+      // [from, to) intervals tile without gap or overlap
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_us") == b.getAs[Long]("valid_from_us"),
+            s"user $u: versions must close exactly at the next open")
+          assert(a.getAs[Long]("attr") != b.getAs[Long]("attr"),
+            s"user $u: consecutive versions must differ (no-op not collapsed)")
+        case _ =>
+      }
+      assert(sorted.last.getAs[Long]("valid_to_us") ==
+        EventAnalytics.SCD2_OPEN_US, s"user $u: open row sentinel")
+    }
+  }
+
   test("q107 parses every well-formed payload and counts malformed as null") {
     val rows = EventAnalytics.q107JsonExtract(spark, sfDir).collect()
     assert(rows.nonEmpty)
