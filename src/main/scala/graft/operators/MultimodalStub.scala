@@ -65,4 +65,43 @@ object MultimodalStub {
       // production: val codec = Codec.acquire() here, once per partition
       it.map(fakeDecode)
     }
+
+  implicit val frameEncoder: Encoder[SampledFrame] = Encoders.product[SampledFrame]
+
+  /** Frame sampling: every `stride`-th frame of each medium, emitted as
+    * one record per sampled frame — the bounded 1->N expansion a video
+    * pipeline runs between decode and per-frame feature extraction.
+    * Same mapPartitions shape as [[decode]] (codec init once per
+    * partition, iterator flatMap, no partition-sized buffering); the
+    * fanout is bounded by the decoder's frame count, so output bytes
+    * are a small multiple of input records, never of input bytes. The
+    * stub derives each frame's hash from the medium's rolling hash so
+    * the whole expansion is oracle-checkable; a real pipeline would put
+    * decoded frame tensors (or their features) in its place.
+    */
+  def frameSample(ds: Dataset[MediaRecord], stride: Int): Dataset[SampledFrame] =
+    ds.mapPartitions { it =>
+      // production: val codec = Codec.acquire() here, once per partition
+      it.flatMap { r =>
+        val n = r.bytes.length
+        var h = 0L
+        var i = 0
+        while (i < n) { h = (h * 31 + (r.bytes(i) & 0xff)) % 1000000007L; i += 1 }
+        val nFrames = if (r.media_kind == 2) (h % 16L).toInt + 1 else 1
+        (0 until nFrames by stride).map { f =>
+          SampledFrame(r.doc_id, r.media_kind, nFrames, f,
+            (h * 31 + f) % 1000000007L)
+        }
+      }
+    }
 }
+
+/** One sampled frame of a decoded medium (stubbed: `frame_hash` stands
+  * in for the decoded frame's feature payload).
+  */
+final case class SampledFrame(
+    doc_id: Long,
+    media_kind: Int,
+    n_frames: Int,
+    frame_idx: Int,
+    frame_hash: Long)

@@ -454,7 +454,50 @@ object LlmText {
       |    k -> (h >> (k * 4)) & 255), ',') AS feat_codes
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** q111 frame-sampling stride. */
+  val FRAME_STRIDE = 3
+
+  /** q111: MEDIA FRAME SAMPLING — q94's records pushed through
+    * [[graft.operators.MultimodalStub.frameSample]]: every
+    * FRAME_STRIDE-th frame emitted as its own row (bounded 1->N
+    * expansion, mapPartitions with once-per-partition codec init). The
+    * gate covers the full expansion: per-frame rows with the stub's
+    * deterministic frame hashes, which the oracle rebuilds from the
+    * same rolling byte hash as q94.
+    */
+  def q111MediaFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        (octet_length(col("text")) % 3).cast("int").as("media_kind"),
+        col("text").cast("binary").as("bytes"))
+      .as[graft.operators.MediaRecord]
+    graft.operators.MultimodalStub.frameSample(media, FRAME_STRIDE)
+      .select(col("doc_id"), col("media_kind"), col("n_frames"),
+        col("frame_idx"), col("frame_hash"))
+  }
+
+  val q111Sql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(octet_length(encode(text)) % 3 AS INT) AS media_kind,
+      |    list_reduce(list_transform(generate_series(1, length(text)),
+      |      j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
+      |      (a, c) -> (a * 31 + c) % 1000000007) AS h
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, media_kind, h,
+      |    CAST(CASE WHEN media_kind = 2 THEN h % 16 + 1 ELSE 1 END AS INT)
+      |      AS n_frames
+      |  FROM d)
+      |SELECT doc_id, media_kind, n_frames,
+      |  CAST(f.i AS INT) AS frame_idx,
+      |  (h * 31 + f.i) % 1000000007 AS frame_hash
+      |FROM n, unnest(generate_series(0, n_frames - 1, $FRAME_STRIDE)) AS f(i)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q111_media_frames" -> Gate.sorted(q111MediaFrames _, "doc_id", "frame_idx"),
     "q94_media_decode" -> Gate.sorted(q94MediaDecode _, "doc_id"),
     "q61_vocab_encode" -> Gate.sorted(q61VocabEncode _, "doc_id"),
     "q60_sketch_topk" -> (q60SketchTopk _),
@@ -470,6 +513,7 @@ object LlmText {
     "q55_doc_keywords" -> Gate.sorted(q55DocKeywords _, "doc_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q111_media_frames" -> q111Sql,
     "q94_media_decode" -> q94Sql,
     "q61_vocab_encode" -> q61Sql,
     "q60_sketch_topk" -> q60Sql,

@@ -25,6 +25,20 @@ class LlmOpsSpec extends SparkSpec {
       "short text must fingerprint to 0 (matches HOF variant and oracle)")
   }
 
+  test("q111 samples stride-spaced frames within each medium's bound") {
+    val rows = LlmText.q111MediaFrames(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (kind, n, f) = (r.getAs[Int]("media_kind"),
+        r.getAs[Int]("n_frames"), r.getAs[Int]("frame_idx"))
+      assert(f < n && f % LlmText.FRAME_STRIDE == 0)
+      if (kind != 2) assert(n == 1 && f == 0, "non-video media are one frame")
+    }
+    // every medium contributes its frame 0
+    val docs = Tables(spark, sfDir).documents.count()
+    assert(rows.count(_.getAs[Int]("frame_idx") == 0) == docs)
+  }
+
   test("winnow_fingerprint equals a brute-force window scan incl. rightmost ties") {
     import spark.implicits._
     val k = 3
