@@ -330,6 +330,63 @@ object Relational {
       |ORDER BY revenue DESC, o_orderdate, l_orderkey
       |LIMIT $Q87_TOP""".stripMargin
 
+  /** q112 date band (one year, TPC-H Q5 convention). */
+  val Q112_FROM = "1996-01-01 00:00:00"
+  val Q112_TO = "1997-01-01 00:00:00"
+  val Q112_REGION = "ASIA"
+
+  /** q112: TPC-H Q5-shaped LOCAL-SUPPLIER REVENUE — revenue per nation
+    * within one region and one order-date year, counting only line
+    * items whose supplier sits in the customer's own nation. The
+    * multi-hop dimension chain (region -> nation -> customer, and
+    * nation -> supplier) stays entirely broadcast — the fact table
+    * shuffles once for the orders join and never for a dimension; the
+    * date filter pushes to the orders scan; the n_name aggregation runs
+    * on |nations| keys. The c_nationkey = s_nationkey condition rides
+    * the join as an equi-conjunct, not a post-filter.
+    */
+  def q112RegionalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val nations = t.nation
+      .join(broadcast(t.region.filter(col("r_name") === Q112_REGION)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val cust = t.customer.join(broadcast(nations),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val supp = t.supplier.select("s_suppkey", "s_nationkey")
+    val ord = t.orders
+      .filter(col("o_orderdate") >= lit(Q112_FROM).cast("timestamp") &&
+        col("o_orderdate") < lit(Q112_TO).cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        Exact.sumExact(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
+  val q112Sql: String =
+    s"""SELECT n_name, count(*) AS n_items,
+      |  ${Exact.sumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = '$Q112_REGION'
+      |  AND o_orderdate >= TIMESTAMP '$Q112_FROM'
+      |  AND o_orderdate < TIMESTAMP '$Q112_TO'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   /** q92: MONTH-OVER-MONTH revenue growth per market segment — the
     * time-series report layer: one DECIMAL-exact aggregation collapses
     * the log to |months x segments| rows, and the lag/growth window
@@ -502,6 +559,7 @@ object Relational {
     "q93_basket_affinity" -> Gate.sorted(q93BasketAffinity _, "part_a", "part_b"),
     "q103_part_pagerank" -> Gate.sorted(q103PartPagerank _, "part"),
     "q87_ship_priority" -> Gate.sorted(q87ShipPriority _, "l_orderkey"),
+    "q112_regional_revenue" -> Gate.sorted(q112RegionalRevenue _, "n_name"),
     "q01_agg_summary" -> (q01AggSummary _),
     "q02_filter_project" -> Gate.sorted(q02FilterProject _, "l_orderkey", "l_linenumber"),
     "q03_join_dims" -> (q03JoinDims _),
@@ -519,6 +577,7 @@ object Relational {
     "q93_basket_affinity" -> q93Sql,
     "q103_part_pagerank" -> q103Sql,
     "q87_ship_priority" -> q87Sql,
+    "q112_regional_revenue" -> q112Sql,
     "q01_agg_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_join_dims" -> q03Sql,

@@ -89,6 +89,14 @@ class PlanAuditSpec extends SparkSpec {
       "band join degraded to a non-equi join")
   }
 
+  test("q112: every dimension broadcasts; the date filter reaches the orders scan") {
+    val p = plan(graft.queries.Relational.q112RegionalRevenue(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast dimension joins")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      "order-date band not pushed to the orders scan")
+  }
+
   test("q106: fingerprinting never shuffles — no Window, no Join, no agg exchange") {
     val p = plan(graft.queries.DedupOps.q106WinnowFingerprint(spark, sfDir))
     assert(p.toLowerCase.contains("winnow_fingerprint"),
