@@ -451,7 +451,55 @@ object SessionOps {
       |  AND us - click_us <= ${ATTRIB_HOURS * 3600L * 1000000L}
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** q113: STREAMING SCD TYPE-2 — the ninth streaming family: per-user
+    * CDC attribute state (the JSON payload's k) via
+    * flatMapGroupsWithState; each change closes the open version and
+    * emits its [valid_from, valid_to) row (see
+    * [[graft.streaming.StreamScd2]]). State is one (attr, since) pair
+    * per user — bounded by |users|, no timeout needed. The whole-log
+    * replay emits exactly the closed rows of the batch q110
+    * formulation, which is the oracle.
+    */
+  def q113StreamScd2(spark: SparkSession, dir: String): DataFrame =
+      withStreamParallelism(spark) {
+    import graft.streaming.{StreamAgg, StreamScd2}
+    val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").cast("long").as("attr"))
+    val sinkName = "q113_sink"
+    spark.catalog.dropTempView(sinkName)
+    val q = StreamScd2.closedVersions(stream)
+      .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(sinkName).orderBy("user_id", "valid_from_us", "attr")
+  }
+
+  val q113Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CAST(props ->> 'k' AS BIGINT) AS attr
+      |  FROM events),
+      |c AS (
+      |  SELECT *, lag(attr) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |    AS prev
+      |  FROM e),
+      |ch AS (
+      |  SELECT user_id, event_id, attr, us FROM c
+      |  WHERE prev IS NULL OR attr <> prev),
+      |v AS (
+      |  SELECT user_id, attr, us AS valid_from_us,
+      |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS valid_to_us
+      |  FROM ch)
+      |SELECT user_id, attr, valid_from_us, valid_to_us FROM v
+      |WHERE valid_to_us IS NOT NULL
+      |ORDER BY user_id, valid_from_us, attr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_stream_scd2" -> (q113StreamScd2 _),
     "q91_stream_funnel" -> (q91StreamFunnel _),
     "q37_events_sessionize" -> Gate.sorted(q37EventsSessionize _, "user_id", "sess_idx"),
     "q38_stream_window_agg" -> (q38StreamWindowAgg _),
@@ -466,6 +514,7 @@ object SessionOps {
 
   val oracles: Map[String, String] = Map(
     "q91_stream_funnel" -> q91Sql,
+    "q113_stream_scd2" -> q113Sql,
     "q37_events_sessionize" -> q37Sql,
     "q38_stream_window_agg" -> q38Sql,
     "q39_stream_sessionize" -> q39Sql,

@@ -59,6 +59,51 @@ class StreamDedupSpec extends SparkSpec {
     assert(streamed.toSet == expectedFirsts())
   }
 
+  test("scd2 stream: two-batch replay equals the whole-log version history") {
+    import graft.streaming.{ClosedVersion, StreamScd2}
+    val dir = Files.createTempDirectory("scd2_stream").toString
+    val ev = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").cast("long").as("attr"))
+    val mid = ev.agg(expr("percentile(unix_micros(ts), 0.5)"))
+      .collect().head.getDouble(0).toLong
+    ev.filter(unix_micros(col("ts")) <= mid).coalesce(1).write.parquet(s"$dir/b1")
+    ev.filter(unix_micros(col("ts")) > mid).coalesce(1).write.parquet(s"$dir/b2")
+    val flat = Files.createTempDirectory("scd2_flat").toString
+    var i = 0
+    Seq("b1", "b2").foreach { b =>
+      java.nio.file.Files.list(java.nio.file.Paths.get(dir, b)).forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          java.nio.file.Files.copy(p,
+            java.nio.file.Paths.get(flat, f"part$i%02d.parquet"))
+          i += 1
+        }
+      }
+    }
+    val schema = spark.read.parquet(flat).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat)
+    val sink = "scd2_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = StreamScd2.closedVersions(stream)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val streamed = spark.table(sink).collect()
+      .map(r => ClosedVersion(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // batch truth over the whole log: the closed rows of the q110 history
+    val batch = graft.queries.EventAnalytics.q110Scd2History(spark, sfDir)
+      .filter(!col("is_current"))
+      .collect()
+      .map(r => ClosedVersion(r.getLong(0), r.getAs[Long]("attr"),
+        r.getAs[Long]("valid_from_us"), r.getAs[Long]("valid_to_us"))).toSet
+    // versions OPEN at the batch boundary must close correctly in batch 2
+    assert(streamed == batch,
+      "two-batch streamed versions differ from the whole-log history")
+  }
+
   test("q102 dropDuplicatesWithinWatermark emits exactly the distinct key set") {
     val got = graft.queries.SessionOps.q102StreamDropdupWm(spark, sfDir)
     val expected = Tables(spark, sfDir).events
