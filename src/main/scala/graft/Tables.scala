@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
 
 /** Thin accessors for the driver-generated test tables (TESTDATA.md).
   *
@@ -8,17 +9,47 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * prunes columns down to the scan, so callers should NOT pre-select or
   * cache here. At production scale these would be partitioned tables;
   * the API surface is identical.
+  *
+  * Each accessor CONFORMS the scan to the table's canonical schema
+  * (Tables.conform): upstream regenerations have already flipped
+  * physical encodings once (events.ts TIMESTAMP(NANOS) ->
+  * TIMESTAMP(MICROS), which killed every events query for a round), so
+  * integer widths, float widths, and timestamp encodings are normalized
+  * by schema-dispatch instead of assumed. When the file already matches,
+  * conform returns the scan UNTOUCHED — no cast nodes, pushdown and
+  * pruning intact.
   */
 final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
-  def region: DataFrame = t("region")
-  def nation: DataFrame = t("nation")
-  def customer: DataFrame = t("customer")
-  def supplier: DataFrame = t("supplier")
-  def part: DataFrame = t("part")
-  def orders: DataFrame = Tables.normalizeTs(t("orders"), "o_orderdate")
-  def lineitem: DataFrame = Tables.normalizeTs(t("lineitem"), "l_shipdate")
+  def region: DataFrame = Tables.conform(t("region"),
+    "r_regionkey" -> IntegerType, "r_name" -> StringType)
+  def nation: DataFrame = Tables.conform(t("nation"),
+    "n_nationkey" -> IntegerType, "n_name" -> StringType,
+    "n_regionkey" -> IntegerType)
+  def customer: DataFrame = Tables.conform(t("customer"),
+    "c_custkey" -> LongType, "c_name" -> StringType,
+    "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+    "c_mktsegment" -> StringType)
+  def supplier: DataFrame = Tables.conform(t("supplier"),
+    "s_suppkey" -> LongType, "s_name" -> StringType,
+    "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType)
+  def part: DataFrame = Tables.conform(t("part"),
+    "p_partkey" -> LongType, "p_name" -> StringType,
+    "p_brand" -> StringType, "p_type" -> StringType,
+    "p_size" -> IntegerType, "p_retailprice" -> DoubleType)
+  def orders: DataFrame = Tables.conform(
+    Tables.normalizeTs(t("orders"), "o_orderdate"),
+    "o_orderkey" -> LongType, "o_custkey" -> LongType,
+    "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+    "o_orderpriority" -> StringType)
+  def lineitem: DataFrame = Tables.conform(
+    Tables.normalizeTs(t("lineitem"), "l_shipdate"),
+    "l_orderkey" -> LongType, "l_partkey" -> LongType,
+    "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+    "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+    "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+    "l_returnflag" -> StringType, "l_linestatus" -> StringType)
 
   /** Schema-adaptive `ts` normalization: upstream test data has shipped
     * `events.ts` both as parquet TIMESTAMP(NANOS) (surfaced as a nanos
@@ -30,9 +61,16 @@ final case class Tables(spark: SparkSession, dir: String) {
     * GraftSession pins spark.sql.session.timeZone=UTC, so the NTZ→TZ
     * cast is epoch-preserving and unix_micros matches DuckDB epoch_us.
     */
-  def events: DataFrame = Tables.normalizeTs(t("events"))
-  def documents: DataFrame = t("documents")
-  def embeddings: DataFrame = t("embeddings")
+  def events: DataFrame = Tables.conform(Tables.normalizeTs(t("events")),
+    "event_id" -> LongType, "user_id" -> LongType,
+    "event_type" -> StringType, "value" -> DoubleType,
+    "props" -> StringType)
+  def documents: DataFrame = Tables.conform(t("documents"),
+    "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+    "source" -> StringType, "n_chars" -> LongType)
+  def embeddings: DataFrame = Tables.conform(t("embeddings"),
+    "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
+    "label" -> IntegerType)
 }
 
 object Tables {
@@ -50,12 +88,32 @@ object Tables {
     */
   def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types._
     df.schema(tsCol).dataType match {
       case LongType =>
         df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
       case TimestampType => df
       case _ => df.withColumn(tsCol, col(tsCol).cast(TimestampType))
     }
+  }
+
+  /** Cast any drifted columns to their canonical types; a no-op (the
+    * exact input plan, no cast nodes, pushdown intact) when the file
+    * already matches. Columns absent from the file or from `canonical`
+    * pass through untouched — schema-dispatch, no data inspection, so
+    * it works on batch and streaming frames alike.
+    */
+  def conform(df: DataFrame, canonical: (String, DataType)*): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val want = canonical.toMap
+    val present = df.schema.fields
+    val drifted = present.exists(f =>
+      want.get(f.name).exists(_ != f.dataType))
+    if (!drifted) df
+    else df.select(present.map { f =>
+      want.get(f.name) match {
+        case Some(t) if t != f.dataType => col(f.name).cast(t).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
   }
 }

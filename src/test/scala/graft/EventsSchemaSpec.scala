@@ -73,6 +73,32 @@ class EventsSchemaSpec extends SparkSpec {
     assert(micros === epochUs)
   }
 
+  test("integer/float width drift conforms to the canonical schema") {
+    val dir = Files.createTempDirectory("events-drift").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "events.parquet").getAbsolutePath
+    import spark.implicits._
+    // user_id int32, value float32 — plausible upstream regenerations
+    Seq((1, 2L, 0.5f, "click", """{"k": 3}"""))
+      .toDF("user_id", "event_id", "value", "event_type", "props")
+      .withColumn("ts", timestamp_micros(lit(epochUs)))
+      .write.mode("overwrite").parquet(path)
+    val ev = Tables(spark, dir.getAbsolutePath).events
+    assert(ev.schema("user_id").dataType === LongType)
+    assert(ev.schema("value").dataType === DoubleType)
+    val row = ev.select("user_id", "value").head()
+    assert(row.getLong(0) === 1L && math.abs(row.getDouble(1) - 0.5) < 1e-12)
+  }
+
+  test("conform is a strict no-op on already-canonical files") {
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    val conformed = Tables.conform(raw,
+      "doc_id" -> org.apache.spark.sql.types.LongType,
+      "text" -> org.apache.spark.sql.types.StringType)
+    assert(conformed eq raw,
+      "matching schema must return the untouched scan (no cast nodes)")
+  }
+
   test("driver test data reads as non-null timestamps") {
     val ev = Tables(spark, sfDir).events
     assert(ev.schema("ts").dataType === TimestampType)
