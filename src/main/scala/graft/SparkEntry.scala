@@ -21,7 +21,10 @@ object SparkEntry {
       graft.queries.JoinOps.queries ++
       graft.queries.TrainPrep.queries ++
       graft.queries.VectorOps.queries ++
-      graft.queries.EventAnalytics.queries
+      graft.queries.EventAnalytics.queries ++
+      graft.queries.Retrieval.queries ++
+      graft.queries.GraphOps.queries ++
+      graft.queries.StatsOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -37,5 +40,8 @@ object SparkEntry {
       graft.queries.JoinOps.oracles ++
       graft.queries.TrainPrep.oracles ++
       graft.queries.VectorOps.oracles ++
-      graft.queries.EventAnalytics.oracles
+      graft.queries.EventAnalytics.oracles ++
+      graft.queries.Retrieval.oracles ++
+      graft.queries.GraphOps.oracles ++
+      graft.queries.StatsOps.oracles
 }

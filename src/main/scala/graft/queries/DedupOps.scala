@@ -569,7 +569,62 @@ object DedupOps {
       |GROUP BY f.doc_id, mm.m
       |ORDER BY f.doc_id""".stripMargin
 
+  /** q119: CLUSTER SURVIVOR POLICY — the production refinement of q53:
+    * instead of keeping the min-id document of each duplicate cluster,
+    * keep the BEST one (longest text, ties to the lower doc_id) — the
+    * "keep the most complete copy" rule real dedup pipelines apply.
+    * Same cluster assignment as q53 (LSH pairs -> distributed connected
+    * components); the policy is one max(struct(quality, -doc_id))
+    * aggregate per cluster joined back — both on the cluster_id key the
+    * labeling already shuffled on.
+    */
+  def q119ClusterKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val comp = graft.operators.ConnectedComponents
+      .components(candidatePairs(docs), "doc_a", "doc_b")
+      .withColumnRenamed("node", "doc_id")
+    val labeled = docs.select(col("doc_id"), col("n_chars"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+    val best = labeled.groupBy("cluster_id")
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nd"))).as("b"))
+    labeled.join(best, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+        (col("n_chars") === col("b").getField("n_chars") &&
+          col("doc_id") === -col("b").getField("nd")).as("keep"))
+  }
+
+  /** q119 oracle: q53's recursive transitive closure for the cluster
+    * labels, then rank by (n_chars desc, doc_id) within each cluster.
+    */
+  val q119Sql: String =
+    s"""WITH RECURSIVE $pairCtes,
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION
+      |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (
+      |  SELECT a AS doc_id, min(b) AS min_reach FROM reach GROUP BY a),
+      |lab AS (
+      |  SELECT d.doc_id, d.n_chars,
+      |    CASE WHEN c.min_reach IS NULL THEN d.doc_id
+      |         ELSE least(d.doc_id, c.min_reach) END AS cluster_id
+      |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+      |r AS (
+      |  SELECT doc_id, cluster_id, n_chars,
+      |    row_number() OVER (PARTITION BY cluster_id
+      |                       ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM lab)
+      |SELECT doc_id, cluster_id, n_chars, rn = 1 AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_cluster_keep_best" -> Gate.sorted(q119ClusterKeepBest _, "doc_id"),
     "q106_winnow_fingerprint" -> Gate.sorted(q106WinnowFingerprint _, "doc_id"),
     "q27_minhash_lsh" -> Gate.sorted(q27MinhashLsh _, "doc_a", "doc_b"),
     "q28_simhash" -> (q28Simhash _),
@@ -581,6 +636,7 @@ object DedupOps {
     "q72_minhash_estimate" -> Gate.sorted(q72MinhashEstimate _, "doc_a", "doc_b"))
 
   val oracles: Map[String, String] = Map(
+    "q119_cluster_keep_best" -> q119Sql,
     "q106_winnow_fingerprint" -> q106Sql,
     "q27_minhash_lsh" -> q27Sql,
     "q28_simhash" -> q28Sql,

@@ -719,7 +719,72 @@ object EventAnalytics {
       |    AS is_current
       |FROM ch ORDER BY user_id, valid_from_us, attr""".stripMargin
 
+  /** q118 bot rule thresholds: flagged = at least BOT_MIN_EVENTS events
+    * AND a median inter-event gap at or under BOT_MAX_MED_GAP_US.
+    */
+  val BOT_MIN_EVENTS = 60L
+  val BOT_MAX_MED_GAP_US = 21600000000L // 6 hours
+
+  /** q118: BOT / ABUSE SCORING — the rule-based automation filter a
+    * training-data pipeline runs before ingesting user-generated
+    * content: per user, event volume, type diversity, active span,
+    * exact median inter-event gap, and event rate, with a flag from
+    * fixed volume+cadence thresholds. One user_id shuffle (the shared
+    * per-user key of the whole event family): a lead() window for the
+    * gaps, then one aggregate. The median is Spark's exact interpolated
+    * percentile == DuckDB quantile_cont (integer micros in, dyadic
+    * .0/.5 values out — exact in both engines); the rate is quantized
+    * to integer milli-events-per-minute.
+    */
+  def q118BotScore(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+    val byUser = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val agg = ev.withColumn("nxt", lead("tus", 1).over(byUser))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        min("tus").as("t0"), max("tus").as("t1"),
+        percentile(col("nxt") - col("tus"), lit(0.5)).as("med_gap_us"))
+    // single-event users have no gaps: med/rate are pinned to -1/0
+    // sentinels instead of NULL (a nullable BIGINT degrades to float64
+    // in the gate's pandas fetch — the q110 lesson)
+    agg.select(col("user_id"), col("n_events"), col("n_types"),
+      expr("(t1 - t0) div 1000000").as("span_sec"),
+      coalesce(col("med_gap_us"), lit(-1.0)).as("med_gap_us"),
+      when(col("t1") > col("t0"),
+        floor(col("n_events") * lit(6e7) / (col("t1") - col("t0")) * lit(1e3) + lit(0.5))
+          .cast("long")).otherwise(lit(0L)).as("events_per_min_milli"),
+      (col("n_events") >= BOT_MIN_EVENTS &&
+        coalesce(col("med_gap_us"), lit(-1.0)) <= lit(BOT_MAX_MED_GAP_US.toDouble) &&
+        col("med_gap_us").isNotNull).as("is_bot"))
+  }
+
+  val q118Sql: String =
+    s"""WITH o AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
+      |  FROM events),
+      |a AS (
+      |  SELECT user_id,
+      |    CAST(count(*) AS BIGINT) AS n_events,
+      |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+      |    min(tus) AS t0, max(tus) AS t1,
+      |    quantile_cont(nxt - tus, 0.5) AS med_gap_us
+      |  FROM o GROUP BY user_id)
+      |SELECT user_id, n_events, n_types,
+      |  (t1 - t0) // 1000000 AS span_sec,
+      |  coalesce(med_gap_us, -1.0) AS med_gap_us,
+      |  CASE WHEN t1 > t0
+      |    THEN CAST(floor(n_events * 6e7 / (t1 - t0) * 1e3 + 0.5) AS BIGINT)
+      |    ELSE 0 END AS events_per_min_milli,
+      |  n_events >= $BOT_MIN_EVENTS AND med_gap_us IS NOT NULL
+      |    AND med_gap_us <= ${BOT_MAX_MED_GAP_US}.0 AS is_bot
+      |FROM a ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_bot_score" -> Gate.sorted(q118BotScore _, "user_id"),
     "q110_scd2_history" ->
       Gate.sorted(q110Scd2History _, "user_id", "valid_from_us", "attr"),
     "q107_json_extract" -> Gate.sorted(q107JsonExtract _, "event_type"),
@@ -739,6 +804,7 @@ object EventAnalytics {
     "q75_rolling_features" -> Gate.sorted(q75RollingFeatures _, "user_id", "event_id"))
 
   val oracles: Map[String, String] = Map(
+    "q118_bot_score" -> q118Sql,
     "q110_scd2_history" -> q110Sql,
     "q107_json_extract" -> q107Sql,
     "q104_active_time" -> q104Sql,

@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the co-purchase graph (SURVEY.md §2 q117),
+  * complementing q103's PageRank and q53/q63's connected components.
+  */
+object GraphOps {
+
+  /** Minimum co-purchase count for an edge — the standard graph-
+    * cleaning step that drops one-off co-occurrences; also what keeps
+    * the edge set |E| far below the C(basket,2) raw pair volume.
+    */
+  val TRIANGLE_MIN_SUPPORT = 2
+
+  /** q117: TRIANGLE COUNTING per node over the part co-purchase graph
+    * (clustering-coefficient numerator — the classic cohesion metric).
+    *
+    * Scale shape is the degree-ORIENTED wedge join: every undirected
+    * edge is directed from its lower (degree, id) endpoint to the
+    * higher, wedges are generated only at each edge's LOW endpoint,
+    * and a wedge closes by probing the oriented edge set. Out-degrees
+    * under this orientation are O(sqrt(|E|)), so wedge volume is
+    * O(|E|^1.5) — the arboricity bound — instead of sum(deg^2) that an
+    * id-ordered join pays on skewed degree distributions (a hub of
+    * degree d generates d^2 wedges id-ordered but only O(|E|) total
+    * degree-ordered). Each triangle is counted exactly once; the
+    * per-node counts are the exploded corners of the closed wedges.
+    *
+    * The (degree, id) order is packed into one long key (deg<<32 | id;
+    * ids here are < 2^32 — wider id spaces would compare a struct
+    * instead). The DuckDB oracle uses the id-ordered formulation —
+    * both enumerate the same triangle set, so the per-node counts are
+    * identical.
+    */
+  def q117TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem.select(col("l_orderkey"), col("l_partkey"))
+    // undirected edge set, bounded by basket size per order (the q93
+    // within-order self-join), thinned by min support; checkpointed —
+    // it feeds degrees, orientation, and the closing-edge probe
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= TRIANGLE_MIN_SUPPORT)
+      .select("u", "v")
+      .localCheckpoint(true)
+    val deg = edges.select(col("u").as("n"))
+      .union(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val keyed = edges
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(col("u"), col("v"),
+        (col("du") * lit(4294967296L) + col("u")).as("ku"),
+        (col("dv") * lit(4294967296L) + col("v")).as("kv"))
+    val oriented = keyed.select(
+        when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
+        when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
+        greatest(col("ku"), col("kv")).as("kd"))
+      .localCheckpoint(true)
+    val wedges = oriented.select(col("src"), col("dst").as("n1"), col("kd").as("k1"))
+      .join(oriented.select(col("src"), col("dst").as("n2"), col("kd").as("k2")), Seq("src"))
+      .filter(col("k1") < col("k2"))
+    // the closing edge n1—n2 is oriented n1 -> n2 because k1 < k2
+    val closed = wedges.join(
+      oriented.select(col("src").as("n1"), col("dst").as("n2")), Seq("n1", "n2"))
+    closed.select(explode(array(col("src"), col("n1"), col("n2"))).as("p_partkey"))
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val q117Sql: String =
+    s"""WITH e AS (
+      |  SELECT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= $TRIANGLE_MIN_SUPPORT),
+      |t AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1
+      |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+      |pn AS (
+      |  SELECT x AS node FROM t
+      |  UNION ALL SELECT y FROM t
+      |  UNION ALL SELECT z FROM t)
+      |SELECT node AS p_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM pn GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_triangle_count" -> Gate.sorted(q117TriangleCount _, "p_partkey"))
+
+  val oracles: Map[String, String] = Map(
+    "q117_triangle_count" -> q117Sql)
+}

@@ -148,14 +148,100 @@ object JoinOps {
       |GROUP BY q_orderkey, q_linenumber
       |ORDER BY q_orderkey, q_linenumber""".stripMargin
 
+  /** q116: FUZZY (edit-distance) JOIN — entity-resolution matching of
+    * the distinct part-name vocabulary against itself at Levenshtein
+    * distance <= 1, via the SymSpell DELETION-NEIGHBORHOOD index: each
+    * name expands to its |name|+1 single-deletion variants (plus
+    * itself), and two names within distance 1 MUST share a variant
+    * (substitution -> delete the differing position from both;
+    * insertion/deletion -> delete the inserted char), so the candidate
+    * set from the variant equi-join is complete. Candidates are then
+    * verified with the exact levenshtein — which both engines define
+    * identically (unit-cost edits).
+    *
+    * Scale shape: O(N * L) index rows and a hash equi-join on short
+    * strings — never the O(N^2) cross product a naive fuzzy join pays.
+    * The name table here is the distinct dim-side vocabulary (the
+    * realistic entity-resolution input); fact rows would join back by
+    * exact name afterwards.
+    */
+  def q116FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables(spark, dir).part.select(col("p_name").as("name")).distinct()
+    val variants = names.select(col("name"), explode(array_append(expr(
+        "transform(sequence(1, length(name)), i -> concat(substring(name, 1, i - 1), substring(name, i + 1, length(name))))"),
+      col("name"))).as("var"))
+    val cand = variants.as("a").join(variants.as("b"),
+        col("a.var") === col("b.var") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+    cand.filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+  }
+
+  val q116Sql: String =
+    """WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+      |v AS (
+      |  SELECT name, unnest(list_append(
+      |    list_transform(generate_series(1, length(name)),
+      |      i -> substr(name, 1, i - 1) || substr(name, i + 1, length(name))),
+      |    name)) AS var
+      |  FROM n),
+      |cand AS (
+      |  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+      |  FROM v a JOIN v b ON a.var = b.var AND a.name < b.name)
+      |SELECT name_a, name_b,
+      |  CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+      |FROM cand
+      |WHERE levenshtein(name_a, name_b) <= 1
+      |ORDER BY name_a, name_b""".stripMargin
+
+  /** q120 salt factor — replicates the dim side 8x to split each hot
+    * fact key into 8 uniform sub-keys.
+    */
+  val SALT_FACTOR = 8
+
+  /** q120: SKEW-SALTED JOIN, gated — the lineitem->orders equi-join
+    * executed through operators/Skew.saltedJoin (fact side salted into
+    * SALT_FACTOR sub-keys via a full-row xxhash64, dim side exploded to
+    * match) and aggregated to per-priority revenue. The result is
+    * definitionally identical to the plain join — the oracle IS the
+    * plain join — only the physical key distribution changes, which is
+    * the point: at 100 TB a handful of hot orderkeys would otherwise
+    * pin single shuffle tasks. The dim side carries a merge hint so the
+    * salted exchange actually executes (a broadcast would bypass it at
+    * test scale and defeat what the gate exercises).
+    */
+  def q120SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val big = t.lineitem.select(col("l_orderkey").as("okey"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val small = t.orders.select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+    graft.operators.Skew.saltedJoin(big, small.hint("merge"), "okey", SALT_FACTOR)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), Exact.sumExact(col("rev")).as("revenue"))
+  }
+
+  val q120Sql: String =
+    s"""SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  ${Exact.sumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_asof_enrich" -> Gate.sorted(q44AsofEnrich _, "user_id", "event_id"),
     "q45_range_join" -> Gate.sorted(q45RangeJoin _, "s_suppkey"),
     "q100_radius_neighbors" ->
-      Gate.sorted(q100RadiusNeighbors _, "q_orderkey", "q_linenumber"))
+      Gate.sorted(q100RadiusNeighbors _, "q_orderkey", "q_linenumber"),
+    "q116_fuzzy_join" -> Gate.sorted(q116FuzzyJoin _, "name_a", "name_b"),
+    "q120_salted_join" -> Gate.sorted(q120SaltedJoin _, "o_orderpriority"))
 
   val oracles: Map[String, String] = Map(
     "q44_asof_enrich" -> q44Sql,
     "q45_range_join" -> q45Sql,
-    "q100_radius_neighbors" -> q100Sql)
+    "q100_radius_neighbors" -> q100Sql,
+    "q116_fuzzy_join" -> q116Sql,
+    "q120_salted_join" -> q120Sql)
 }

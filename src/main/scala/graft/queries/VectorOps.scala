@@ -481,7 +481,67 @@ object VectorOps {
       |FROM ranked WHERE rank <= $TOP_K
       |ORDER BY query_id, rank""".stripMargin
 
+  /** q122 projection geometry: 64-dim embeddings down to 16. */
+  val JL_D = 64
+  val JL_K = 16
+
+  /** Deterministic Rademacher sign s(d, k) in {-1, +1} from md5 parity
+    * — built on the driver, embedded as literals in BOTH the Spark plan
+    * and the oracle SQL (the minhashCoeff idiom).
+    */
+  def jlSign(d: Int, k: Int): Long = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"jl:$d:$k".getBytes("UTF-8"))
+    if ((dig(0) & 1) == 0) 1L else -1L
+  }
+
+  /** q122: JOHNSON–LINDENSTRAUSS RANDOM PROJECTION — compress each
+    * embedding from 64 to 16 dims with a deterministic Rademacher (+-1)
+    * projection (the cheap JL construction: inner products against 16
+    * sign vectors; distances are preserved to 1+-eps in expectation).
+    * This is the embedding-compression step in front of a coarse ANN
+    * index: at 100 TB it is a zero-shuffle scan-stage map (one
+    * zip_with + aggregate fold per output dim, whole-stage codegen),
+    * 4x fewer vector bytes downstream.
+    *
+    * Determinism: per-dim values are quantized to integer micro-units
+    * FIRST (float -> double is exact; floor(x*1e6+0.5) is one IEEE op),
+    * so each output coordinate is an exact 64-term signed integer sum —
+    * order-independent, bit-equal in both engines.
+    */
+  def q122JlProjection(spark: SparkSession, dir: String): DataFrame = {
+    val quantized = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+    val coords: Seq[Column] = (0 until JL_K).map { k =>
+      val sk = typedLit((0 until JL_D).map(d => jlSign(d, k)))
+      aggregate(zip_with(col("q"), sk, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+    }
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), quantized.as("q"))
+      .select(col("vec_id"), posexplode(array(coords: _*)).as(Seq("k", "coord")))
+  }
+
+  val q122Sql: String = {
+    val branches = (0 until JL_K).map { k =>
+      val signs = (0 until JL_D).map(d => jlSign(d, k)).mkString("[", ", ", "]")
+      s"""SELECT vec_id, $k AS k,
+         |    CAST(list_sum(list_transform(generate_series(1, $JL_D),
+         |      i -> q[i] * ($signs)[i])) AS BIGINT) AS coord
+         |  FROM qv""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH qv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS q
+      |  FROM embeddings)
+      |SELECT * FROM (
+      |  $branches)
+      |ORDER BY vec_id, k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_jl_projection" -> Gate.sorted(q122JlProjection _, "vec_id", "k"),
     "q62_quantized_ann" -> Gate.sorted(q62QuantizedAnn _, "query_id", "rank"),
     "q63_semantic_dedup" -> Gate.sorted(q63SemanticDedup _, "vec_id"),
     "q69_kmeans_step" -> Gate.sorted(q69KmeansStep _, "cell", "dim"),
@@ -489,6 +549,7 @@ object VectorOps {
     "q82_pq_ann" -> Gate.sorted(q82PqAnn _, "query_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q122_jl_projection" -> q122Sql,
     "q62_quantized_ann" -> q62Sql,
     "q63_semantic_dedup" -> q63Sql,
     "q69_kmeans_step" -> q69Sql,

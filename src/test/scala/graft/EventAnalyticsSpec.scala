@@ -317,4 +317,36 @@ class EventAnalyticsSpec extends SparkSpec {
       if (k == 1) assert(h == 0.0)
     }
   }
+
+  test("q118 bot scores match a driver-side per-user recompute") {
+    val ev = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).map { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._4, r._2)).toSeq
+      val gaps = sorted.sliding(2).collect {
+        case Seq(a, b) => (b._4 - a._4).toDouble
+      }.toSeq.sorted
+      val med =
+        if (gaps.isEmpty) -1.0
+        else if (gaps.length % 2 == 1) gaps(gaps.length / 2)
+        else (gaps(gaps.length / 2 - 1) + gaps(gaps.length / 2)) / 2.0
+      val t0 = sorted.head._4; val t1 = sorted.last._4
+      val n = rows.length.toLong
+      val rate =
+        if (t1 > t0) math.floor(n * 6e7 / (t1 - t0) * 1e3 + 0.5).toLong else 0L
+      val isBot = n >= graft.queries.EventAnalytics.BOT_MIN_EVENTS &&
+        gaps.nonEmpty &&
+        med <= graft.queries.EventAnalytics.BOT_MAX_MED_GAP_US.toDouble
+      u -> (n, rows.map(_._3).distinct.length.toLong,
+        (t1 - t0) / 1000000L, med, rate, isBot)
+    }
+    val got = EventAnalytics.q118BotScore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getBoolean(6))).toMap
+    assert(got.keySet == expected.keySet && got.nonEmpty)
+    expected.foreach { case (u, e) => assert(got(u) == e, s"user $u: ${got(u)} vs $e") }
+  }
 }

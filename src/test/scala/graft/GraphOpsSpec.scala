@@ -1,0 +1,52 @@
+package graft
+
+import graft.queries.GraphOps
+import org.apache.spark.sql.functions._
+
+/** q117 degree-oriented triangle counting vs a driver-side brute-force
+  * recount over the same (support-thinned) edge set.
+  */
+class GraphOpsSpec extends SparkSpec {
+
+  private def edgeSet(): Set[(Long, Long)] = {
+    val li = Tables(spark, sfDir).lineitem.select("l_orderkey", "l_partkey")
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= GraphOps.TRIANGLE_MIN_SUPPORT)
+      .select("u", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("q117 per-node triangle counts match a brute-force recount") {
+    val edges = edgeSet()
+    val adj: Map[Long, Set[Long]] = (edges.toSeq.flatMap { case (u, v) =>
+      Seq((u, v), (v, u))
+    }).groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toSet) }
+    val counts = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      (u, v) <- edges
+      w <- adj(u).intersect(adj(v)) if u < w && v < w
+    } {
+      counts(u) += 1; counts(v) += 1; counts(w) += 1
+    }
+    val expected = counts.toMap.filter(_._2 > 0)
+    val got = GraphOps.q117TriangleCount(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+  }
+
+  test("q117 counts every triangle exactly once (corner sum divisible by 3)") {
+    val total = GraphOps.q117TriangleCount(spark, sfDir)
+      .agg(sum("n_triangles")).collect()(0).getLong(0)
+    assert(total % 3 == 0, s"corner sum $total not divisible by 3")
+  }
+
+  test("q117 plan has no cartesian product") {
+    val p = GraphOps.q117TriangleCount(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
+  }
+}

@@ -85,4 +85,57 @@ class JoinOpsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "radius join must be grid-cell equi-ized")
   }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("q116 deletion-neighborhood join finds exactly the distance<=1 pairs") {
+    val names = Tables(spark, sfDir).part
+      .select("p_name").distinct().collect().map(_.getString(0))
+    val expected = (for {
+      a <- names; b <- names
+      if a < b && lev(a, b) <= 1
+    } yield (a, b, lev(a, b))).sortBy(p => (p._1, p._2)).toSeq
+    val got = graft.queries.JoinOps.q116FuzzyJoin(spark, sfDir)
+      .orderBy("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("q116 plan: variant equi-join, no cross product over the vocabulary") {
+    val p = graft.queries.JoinOps.q116FuzzyJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "fuzzy join must block on deletion variants")
+  }
+
+  test("q120 salted join equals the plain join exactly") {
+    val t = Tables(spark, sfDir)
+    val li = t.lineitem
+    val ord = t.orders
+    val plain = li
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        graft.functions.Exact.sumExact(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val got = graft.queries.JoinOps.q120SaltedJoin(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == plain && got.nonEmpty)
+  }
+
+  test("q120 plan: the salted join is a shuffle join on the salted key, not a broadcast") {
+    val p = graft.queries.JoinOps.q120SaltedJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "expected the salted exchange to execute as a shuffle join")
+  }
 }

@@ -252,6 +252,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows.length == Tables(spark, sfDir).documents.count())
   }
 
+  test("q119 keeps exactly the best (longest, then lowest-id) doc per cluster") {
+    val rows = DedupOps.q119ClusterKeepBest(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // same cluster assignment as q53
+    val q53 = DedupOps.q53DupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (doc, cl, _, _) => assert(q53(doc) == cl) }
+    // exactly one keep per cluster, and it is the (n_chars desc, doc_id) max
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      val keeps = members.filter(_._4)
+      assert(keeps.length == 1, s"cluster $cl has ${keeps.length} keeps")
+      val best = members.minBy { case (doc, _, nc, _) => (-nc, doc) }
+      assert(keeps.head._1 == best._1, s"cluster $cl kept ${keeps.head._1}, best is ${best._1}")
+    }
+  }
+
   test("q54 NFC collapses canonically-equal strings to one hash") {
     import spark.implicits._
     val composed = "caf\u00e9"            // e-acute precomposed

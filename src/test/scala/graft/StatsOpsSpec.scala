@@ -1,0 +1,68 @@
+package graft
+
+import graft.queries.StatsOps
+import org.apache.spark.sql.functions._
+
+class StatsOpsSpec extends SparkSpec {
+
+  test("q121 one-pass correlation matrix matches a driver-side recompute") {
+    val cols = StatsOps.CORR_COLS
+    val rows = Tables(spark, sfDir).lineitem
+      .select(cols.map(col): _*).collect()
+      .map(r => cols.indices.map(r.getDouble))
+    val n = rows.length.toLong
+    // mirror Exact.dec: the double expression is rounded to DECIMAL(18,4)
+    // HALF_UP per row, then summed exactly
+    def dec4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    def s(i: Int) = rows.map(r => dec4(r(i))).sum.toDouble
+    def s2(i: Int, j: Int) =
+      rows.map(r => dec4(r(i) * r(j))).sum.toDouble
+    val expected = (for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield {
+      val c = (n * s2(i, j) - s(i) * s(j)) /
+        (math.sqrt(n * s2(i, i) - s(i) * s(i)) * math.sqrt(n * s2(j, j) - s(j) * s(j)))
+      ((cols(i), cols(j)), (n, math.floor(c * 1e6 + 0.5).toLong))
+    }).toMap
+    val got = StatsOps.q121CorrMatrix(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected && got.size == 6)
+    // correlations are genuine: all within [-1, 1] micro-bounds
+    got.values.foreach { case (_, c) => assert(c >= -1000000L && c <= 1000000L) }
+  }
+
+  test("q121 plan: a single scan with one partial aggregate, no join") {
+    val df = StatsOps.q121CorrMatrix(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), "correlation matrix must not join")
+    assert(p.contains("partial_"), "expected map-side partial aggregation")
+  }
+
+  test("q123 Zipf fit matches a driver-side regression over the ranked vocab") {
+    val toks = Tables(spark, sfDir).documents
+      .select("text").collect()
+      .flatMap(_.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val ranked = toks.groupBy(identity).map { case (t, v) => (t, v.length.toLong) }
+      .toSeq.sortBy { case (t, c) => (-c, t) }.zipWithIndex
+      .map { case ((_, c), idx) => (idx + 1L, c) }
+    val xy = ranked.map { case (r, c) =>
+      (math.floor(math.log(r.toDouble) * 1e6 + 0.5).toLong,
+        math.floor(math.log(c.toDouble) * 1e6 + 0.5).toLong)
+    }
+    val m = xy.length.toLong
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum; val sxy = xy.map(p => p._1 * p._2).sum
+    val slope = (m * sxy - sx * sy).toDouble / (m * sxx - sx * sx)
+    val expSlope = math.floor(slope * 1e6 + 0.5).toLong
+    val expInter = math.floor((sy - slope * sx) / m + 0.5).toLong
+    val r = StatsOps.q123ZipfSlope(spark, sfDir).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == m)
+    assert(r(0).getLong(1) == expSlope, s"slope ${r(0).getLong(1)} vs $expSlope")
+    assert(r(0).getLong(2) == expInter, s"intercept ${r(0).getLong(2)} vs $expInter")
+    // a frequency-ranked corpus always fits with negative slope
+    assert(expSlope < 0)
+  }
+}

@@ -133,4 +133,35 @@ class VectorOpsSpec extends SparkSpec {
     // should still recover a solid majority of the true top-k
     assert(recall > 0.5, s"PQ recall $recall too low")
   }
+
+  test("q122 JL projection matches a driver-side recompute and preserves geometry") {
+    val vecs = Tables(spark, sfDir).embeddings
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val expected = vecs.flatMap { case (id, v) =>
+      val q = v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+      (0 until VectorOps.JL_K).map { k =>
+        ((id, k), q.indices.map(d => q(d) * VectorOps.jlSign(d, k)).sum)
+      }
+    }.toMap
+    val got = VectorOps.q122JlProjection(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(got == expected)
+    // JL property sanity on a small sample: projected squared distances
+    // (scaled by 1/K) track the original within a loose factor
+    val sample = vecs.take(20)
+    val proj: Map[Long, Array[Double]] = sample.map { case (id, _) =>
+      id -> (0 until VectorOps.JL_K).map(k => got((id, k)).toDouble / 1e6).toArray
+    }.toMap
+    val ratios = for {
+      (ia, va) <- sample; (ib, vb) <- sample if ia < ib
+    } yield {
+      val d2 = va.zip(vb).map { case (a, b) => (a - b) * (a - b) }.sum.toDouble
+      val p2 = proj(ia).zip(proj(ib)).map { case (a, b) => (a - b) * (a - b) }.sum /
+        VectorOps.JL_K
+      p2 / d2
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.5 && mean < 2.0, s"JL distortion off: mean ratio $mean")
+  }
 }
