@@ -17,38 +17,58 @@ object StatsOps {
     Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax")
 
   /** q121: ONE-PASS PEARSON CORRELATION MATRIX — all C(4,2) pairwise
-    * correlations from a single aggregate over the fact table (4 sums,
-    * 4 sums of squares, 6 cross sums, one count — 15 partial-agg
-    * columns in ONE map-side-combined pass), in contrast to
-    * df.stat.corr which scans once PER PAIR. All moments are exact
-    * DECIMAL(18,4) sums (2-decimal inputs make every product exact at
-    * scale 4 — the Exact contract), so the double-space correlation
-    * formula evaluates bit-identically in both engines; results are
-    * quantized to integer micro-units. The matrix rows are exploded
-    * from the single 1-row aggregate — no second scan, no join.
+    * correlations from a single aggregate over the fact table, in
+    * contrast to df.stat.corr which scans once PER PAIR.
+    *
+    * Moments are EXACT without decimal aggregation: every input has
+    * <= 2 decimals, so per-row values quantize losslessly-deterministic
+    * to integer 1e4-units (floor(x*1e4+0.5) — one IEEE op, identical
+    * in both engines, all columns non-negative). A plain long sum of
+    * the squared-price units would overflow 2^63 at bench scale
+    * already, so each product moment is summed as a SPLIT ACCUMULATOR:
+    * hi = sum(v >> 20), lo = sum(v & (2^20-1)) — two primitive long
+    * sums per moment, overflow-safe past 1000x the bench volume, fully
+    * inside whole-stage codegen. (The DECIMAL(18,4) Exact idiom is
+    * bit-equal but its 28-digit sum buffer leaves Spark's long-backed
+    * decimal fast path — measured ~6x slower on this 15-moment pass.)
+    * The exact total hi*2^20 + lo is reconstructed in double (two IEEE
+    * ops on identical integers — deterministic), and the correlation
+    * formula and micro-unit quantization follow identically in both
+    * engines. The matrix rows are exploded from the single 1-row
+    * aggregate — no second scan, no join.
     */
   def q121CorrMatrix(spark: SparkSession, dir: String): DataFrame = {
     val pairs = for {
       i <- CORR_COLS.indices; j <- CORR_COLS.indices if i <= j
     } yield (i, j)
+    // per-row integer units: singles in 1e2-units, products in 1e4-units
+    val unitCols: Seq[Column] =
+      CORR_COLS.zipWithIndex.map { case (c, i) =>
+        floor(col(c) * lit(1e2) + lit(0.5)).cast("long").as(s"v$i")
+      } ++ pairs.map { case (i, j) =>
+        floor(col(CORR_COLS(i)) * col(CORR_COLS(j)) * lit(1e4) + lit(0.5))
+          .cast("long").as(s"v${i}_$j")
+      }
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("n")) ++
-        CORR_COLS.zipWithIndex.map { case (c, i) =>
-          sum(Exact.dec(col(c))).cast("double").as(s"s$i")
-        } ++
-        pairs.map { case (i, j) =>
-          sum(Exact.dec(col(CORR_COLS(i)) * col(CORR_COLS(j))))
-            .cast("double").as(s"s${i}_$j")
+        CORR_COLS.indices.map(i => sum(col(s"v$i")).as(s"u$i")) ++
+        pairs.flatMap { case (i, j) =>
+          Seq(sum(shiftrightunsigned(col(s"v${i}_$j"), 20)).as(s"h${i}_$j"),
+            sum(col(s"v${i}_$j").bitwiseAND(lit(1048575L))).as(s"l${i}_$j"))
         }
     val m = Tables(spark, dir).lineitem
-      .select(CORR_COLS.map(col): _*)
+      .select(unitCols: _*)
       .agg(aggs.head, aggs.tail: _*)
+    def s1(i: Int): Column = col(s"u$i").cast("double") / lit(1e2)
+    def s2(i: Int, j: Int): Column =
+      (col(s"h${i}_$j").cast("double") * lit(1048576.0) +
+        col(s"l${i}_$j").cast("double")) / lit(1e4)
     val entries = pairs.filter { case (i, j) => i < j }.map { case (i, j) =>
       struct(
         lit(CORR_COLS(i)).as("col_a"), lit(CORR_COLS(j)).as("col_b"),
-        floor((col("n") * col(s"s${i}_$j") - col(s"s$i") * col(s"s$j")) /
-          (sqrt(col("n") * col(s"s${i}_$i") - col(s"s$i") * col(s"s$i")) *
-            sqrt(col("n") * col(s"s${j}_$j") - col(s"s$j") * col(s"s$j")))
+        floor((col("n") * s2(i, j) - s1(i) * s1(j)) /
+          (sqrt(col("n") * s2(i, i) - s1(i) * s1(i)) *
+            sqrt(col("n") * s2(j, j) - s1(j) * s1(j)))
           * lit(1e6) + lit(0.5)).cast("long").as("corr_micro"))
     }
     m.select(col("n"), explode(array(entries: _*)).as("e"))
@@ -57,24 +77,37 @@ object StatsOps {
   }
 
   val q121Sql: String = {
-    val sums =
+    val units =
       CORR_COLS.zipWithIndex.map { case (c, i) =>
-        s"${Exact.sumSql(c)} AS s$i"
+        s"CAST(floor($c * 1e2 + 0.5) AS BIGINT) AS v$i"
       } ++ (for {
         i <- CORR_COLS.indices; j <- CORR_COLS.indices if i <= j
-      } yield s"${Exact.sumSql(s"${CORR_COLS(i)} * ${CORR_COLS(j)}")} AS s${i}_$j")
+      } yield s"CAST(floor(${CORR_COLS(i)} * ${CORR_COLS(j)} * 1e4 + 0.5) AS BIGINT) AS v${i}_$j")
+    val sums =
+      CORR_COLS.indices.map(i => s"CAST(sum(v$i) AS BIGINT) AS u$i") ++
+        (for {
+          i <- CORR_COLS.indices; j <- CORR_COLS.indices if i <= j
+        } yield
+          s"CAST(sum(v${i}_$j >> 20) AS BIGINT) AS h${i}_$j, " +
+            s"CAST(sum(v${i}_$j & 1048575) AS BIGINT) AS l${i}_$j")
+    def s1(i: Int) = s"(CAST(u$i AS DOUBLE) / 1e2)"
+    def s2(i: Int, j: Int) =
+      s"((CAST(h${i}_$j AS DOUBLE) * 1048576.0 + CAST(l${i}_$j AS DOUBLE)) / 1e4)"
     val rows = (for {
       i <- CORR_COLS.indices; j <- CORR_COLS.indices if i < j
     } yield
       s"""SELECT '${CORR_COLS(i)}' AS col_a, '${CORR_COLS(j)}' AS col_b, n,
-         |  CAST(floor((n*s${i}_$j - s$i*s$j)
-         |    / (sqrt(n*s${i}_$i - s$i*s$i) * sqrt(n*s${j}_$j - s$j*s$j))
+         |  CAST(floor((n*${s2(i, j)} - ${s1(i)}*${s1(j)})
+         |    / (sqrt(n*${s2(i, i)} - ${s1(i)}*${s1(i)}) * sqrt(n*${s2(j, j)} - ${s1(j)}*${s1(j)}))
          |    * 1e6 + 0.5) AS BIGINT) AS corr_micro FROM m""".stripMargin)
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH m AS (
+    s"""WITH v AS (
+      |  SELECT ${units.mkString(",\n    ")}
+      |  FROM lineitem),
+      |m AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n,
       |    ${sums.mkString(",\n    ")}
-      |  FROM lineitem)
+      |  FROM v)
       |SELECT * FROM (
       |  $rows)
       |ORDER BY col_a, col_b""".stripMargin

@@ -11,13 +11,18 @@ class StatsOpsSpec extends SparkSpec {
       .select(cols.map(col): _*).collect()
       .map(r => cols.indices.map(r.getDouble))
     val n = rows.length.toLong
-    // mirror Exact.dec: the double expression is rounded to DECIMAL(18,4)
-    // HALF_UP per row, then summed exactly
-    def dec4(x: Double) =
-      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-    def s(i: Int) = rows.map(r => dec4(r(i))).sum.toDouble
-    def s2(i: Int, j: Int) =
-      rows.map(r => dec4(r(i) * r(j))).sum.toDouble
+    // mirror the split-accumulator moments: per-row integer units,
+    // hi/lo long sums, double reconstruction in the same op order
+    def s(i: Int) = {
+      val u = rows.map(r => math.floor(r(i) * 1e2 + 0.5).toLong).sum
+      u.toDouble / 1e2
+    }
+    def s2(i: Int, j: Int) = {
+      val vs = rows.map(r => math.floor(r(i) * r(j) * 1e4 + 0.5).toLong)
+      val hi = vs.map(_ >>> 20).sum
+      val lo = vs.map(_ & 1048575L).sum
+      (hi.toDouble * 1048576.0 + lo.toDouble) / 1e4
+    }
     val expected = (for {
       i <- cols.indices; j <- cols.indices if i < j
     } yield {
