@@ -498,7 +498,65 @@ object SessionOps {
       |WHERE valid_to_us IS NOT NULL
       |ORDER BY user_id, valid_from_us, attr""".stripMargin
 
+  /** q124: INCREMENTAL MATERIALIZED VIEW (10th streaming family) — the
+    * events log replayed as FOUR micro-batches (maxFilesPerTrigger=1
+    * over a 4-file copy), each batch folding its own partial aggregate
+    * (per type/day count + exact decimal value sum) into a parquet view
+    * through [[graft.streaming.ExactlyOnceSink]]'s idempotent
+    * per-batch-id partition overwrite; the query returns the view
+    * COMPACTED (sum of partials). This is the production lambda shape:
+    * at-least-once redelivery converges to exactly-once content with
+    * no transaction log, readers fold |batches| x |groups| partial
+    * rows instead of the log, and a compaction job (q49's operator)
+    * can collapse the partition history at leisure. Oracle = the batch
+    * aggregation of the whole log: partial decimal sums are associative,
+    * so the fold is EXACTLY the batch result regardless of how the
+    * replay chunked the data.
+    */
+  def q124StreamIncrView(spark: SparkSession, dir: String): DataFrame =
+      withStreamParallelism(spark) {
+    import graft.functions.Exact
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q124")
+    tmp.toFile.deleteOnExit()
+    val src = tmp.resolve("src").toString
+    val view = tmp.resolve("view").toString
+    Tables(spark, dir).events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(4).write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val partial = batch
+          .groupBy(col("event_type"),
+            date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(Exact.dec(col("value"))).as("sum_dec"))
+        graft.streaming.ExactlyOnceSink.writeBatch(partial, batchId, view)
+      }
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.read.parquet(view)
+      .groupBy("event_type", "day")
+      .agg(sum("n_events").as("n_events"),
+        sum("sum_dec").cast("double").as("sum_value"))
+      .orderBy("event_type", "day")
+  }
+
+  val q124Sql: String =
+    s"""SELECT event_type,
+      |  strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  ${Exact.sumSql("value")} AS sum_value
+      |FROM events
+      |GROUP BY event_type, date_trunc('day', ts)
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_stream_incr_view" -> (q124StreamIncrView _),
     "q113_stream_scd2" -> (q113StreamScd2 _),
     "q91_stream_funnel" -> (q91StreamFunnel _),
     "q37_events_sessionize" -> Gate.sorted(q37EventsSessionize _, "user_id", "sess_idx"),
@@ -513,6 +571,7 @@ object SessionOps {
     "q102_stream_dropdup_wm" -> (q102StreamDropdupWm _))
 
   val oracles: Map[String, String] = Map(
+    "q124_stream_incr_view" -> q124Sql,
     "q91_stream_funnel" -> q91Sql,
     "q113_stream_scd2" -> q113Sql,
     "q37_events_sessionize" -> q37Sql,

@@ -41,4 +41,21 @@ class ExactlyOnceSinkSpec extends SparkSpec {
     assert(sums1 == sums0, "redelivered batches must overwrite, not append")
     assert(after.select("event_id").distinct().count() == ev.count())
   }
+
+  test("q124 incremental view equals the batch aggregate after a multi-batch replay") {
+    import graft.functions.Exact
+    val got = graft.queries.SessionOps.q124StreamIncrView(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val expected = Tables(spark, sfDir).events
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"), Exact.sumExact(col("value")).as("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == expected && got.nonEmpty,
+      "folded partials must equal the batch aggregation exactly")
+  }
 }
