@@ -32,11 +32,18 @@ import org.apache.spark.sql.types.BinaryType
   */
 object BloomPrune {
 
-  /** The serialized filter over xxhash64(key) of `keys` rows. */
+  /** The serialized filter over xxhash64(key) of `keys` rows. An empty
+    * build side yields a valid always-false filter (stat.bloomFilter
+    * itself NPEs on zero rows — the partial-aggregate merge starts from
+    * null), so pruning against an empty dimension correctly drops
+    * everything instead of crashing.
+    */
   def buildFilter(dim: DataFrame, dimKey: Column,
                   expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
-    val bf = dim.select(xxhash64(dimKey).as("_bloom_key"))
-      .stat.bloomFilter("_bloom_key", expectedItems, fpp)
+    val keyed = dim.select(xxhash64(dimKey).as("_bloom_key"))
+    val bf =
+      if (keyed.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(1, fpp)
+      else keyed.stat.bloomFilter("_bloom_key", expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray

@@ -230,7 +230,51 @@ object JoinOps {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q127 build-side selector: suppliers of one nation — the selective
+    * dimension predicate whose semi-join the bloom filter accelerates.
+    */
+  val BLOOM_NATION = 3
+
+  /** q127: BLOOM-PRUNED SEMI JOIN, gated — the q87-class star-join
+    * pattern with the fact-side reduction moved INTO the scan stage:
+    * a bloom filter built from the selective dimension's keys
+    * (operators/BloomPrune — driver-aggregated sketch, codegen'd
+    * might_contain predicate, a Filter not a join) drops ~95% of the
+    * fact table before any exchange, and the exact broadcast semi-join
+    * then eliminates the sketch's false positives. The result is
+    * definitionally the plain semi-join — the oracle IS the plain
+    * semi-join — the bloom changes WHERE rows die, which at 100 TB is
+    * the difference between shuffling the whole fact table and
+    * shuffling a few percent of it.
+    */
+  def q127BloomSemi(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val dim = t.supplier.filter(col("s_nationkey") === BLOOM_NATION)
+      .select(col("s_suppkey"))
+    val pruned = graft.operators.BloomPrune.prune(
+      t.lineitem, col("l_suppkey"), dim, col("s_suppkey"),
+      expectedItems = 1024)
+    pruned
+      .join(broadcast(dim.withColumnRenamed("s_suppkey", "l_suppkey")),
+        Seq("l_suppkey"), "left_semi")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_items"),
+        Exact.sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+  }
+
+  val q127Sql: String =
+    s"""SELECT l_suppkey,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  ${Exact.sumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+      |FROM lineitem
+      |WHERE l_suppkey IN (
+      |  SELECT s_suppkey FROM supplier WHERE s_nationkey = $BLOOM_NATION)
+      |GROUP BY l_suppkey
+      |ORDER BY l_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_bloom_semi" -> Gate.sorted(q127BloomSemi _, "l_suppkey"),
     "q44_asof_enrich" -> Gate.sorted(q44AsofEnrich _, "user_id", "event_id"),
     "q45_range_join" -> Gate.sorted(q45RangeJoin _, "s_suppkey"),
     "q100_radius_neighbors" ->
@@ -239,6 +283,7 @@ object JoinOps {
     "q120_salted_join" -> Gate.sorted(q120SaltedJoin _, "o_orderpriority"))
 
   val oracles: Map[String, String] = Map(
+    "q127_bloom_semi" -> q127Sql,
     "q44_asof_enrich" -> q44Sql,
     "q45_range_join" -> q45Sql,
     "q100_radius_neighbors" -> q100Sql,

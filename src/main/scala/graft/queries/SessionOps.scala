@@ -555,7 +555,73 @@ object SessionOps {
       |GROUP BY event_type, date_trunc('day', ts)
       |ORDER BY event_type, day""".stripMargin
 
+  /** q126: CDC MERGE APPLY — the MERGE INTO semantics every lakehouse
+    * ingestion job runs: a base snapshot (latest state per key before
+    * the q66 cutoff) plus a change batch (everything after), where
+    * 'error' events are DELETEs and everything else UPSERTs; the
+    * result is the NEW snapshot. Like q66, both sides come from ONE
+    * conditional-aggregation pass — max_by ignores null order keys, so
+    * gating the packed (ts, event_id) order key on the cutoff yields
+    * the snapshot row and the last change op side by side in a single
+    * |keys|-sized shuffle. Delete-last keys drop out; change-only keys
+    * are 'added'; untouched keys carry the snapshot forward. No join,
+    * no second scan — at 100 TB this is one pass over the log however
+    * long the history.
+    */
+  def q126CdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val cutoff = lit(DIFF_CUTOFF).cast("timestamp")
+    val ord = (unix_micros(col("ts")) - lit(ORD_EPOCH_US)) * lit(1048576L) +
+      col("event_id")
+    val snapOrd = when(col("ts") < cutoff, ord)
+    val opOrd = when(col("ts") >= cutoff, ord)
+    ev.groupBy("user_id")
+      .agg(
+        max_by(col("event_id"), snapOrd).as("snap_event_id"),
+        max_by(col("value"), snapOrd).as("snap_value"),
+        max_by(col("event_id"), opOrd).as("op_event_id"),
+        max_by(col("value"), opOrd).as("op_value"),
+        max_by(col("event_type"), opOrd).as("op_type"))
+      .filter(col("op_type").isNull || col("op_type") =!= "error")
+      .select(col("user_id"),
+        coalesce(col("op_event_id"), col("snap_event_id")).as("event_id"),
+        coalesce(col("op_value"), col("snap_value")).as("value"),
+        when(col("op_event_id").isNull, "carried")
+          .when(col("snap_event_id").isNull, "added")
+          .otherwise("upserted").as("src"))
+  }
+
+  val q126Sql: String =
+    s"""WITH m AS (
+      |  SELECT user_id,
+      |    arg_max(event_id, CASE WHEN ts < TIMESTAMP '$DIFF_CUTOFF'
+      |      THEN (epoch_us(ts) - $ORD_EPOCH_US) * 1048576 + event_id END)
+      |      AS snap_event_id,
+      |    arg_max(value, CASE WHEN ts < TIMESTAMP '$DIFF_CUTOFF'
+      |      THEN (epoch_us(ts) - $ORD_EPOCH_US) * 1048576 + event_id END)
+      |      AS snap_value,
+      |    arg_max(event_id, CASE WHEN ts >= TIMESTAMP '$DIFF_CUTOFF'
+      |      THEN (epoch_us(ts) - $ORD_EPOCH_US) * 1048576 + event_id END)
+      |      AS op_event_id,
+      |    arg_max(value, CASE WHEN ts >= TIMESTAMP '$DIFF_CUTOFF'
+      |      THEN (epoch_us(ts) - $ORD_EPOCH_US) * 1048576 + event_id END)
+      |      AS op_value,
+      |    arg_max(event_type, CASE WHEN ts >= TIMESTAMP '$DIFF_CUTOFF'
+      |      THEN (epoch_us(ts) - $ORD_EPOCH_US) * 1048576 + event_id END)
+      |      AS op_type
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id,
+      |  coalesce(op_event_id, snap_event_id) AS event_id,
+      |  coalesce(op_value, snap_value) AS value,
+      |  CASE WHEN op_event_id IS NULL THEN 'carried'
+      |       WHEN snap_event_id IS NULL THEN 'added'
+      |       ELSE 'upserted' END AS src
+      |FROM m
+      |WHERE op_type IS NULL OR op_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_cdc_merge" -> Gate.sorted(q126CdcMerge _, "user_id"),
     "q124_stream_incr_view" -> (q124StreamIncrView _),
     "q113_stream_scd2" -> (q113StreamScd2 _),
     "q91_stream_funnel" -> (q91StreamFunnel _),
@@ -571,6 +637,7 @@ object SessionOps {
     "q102_stream_dropdup_wm" -> (q102StreamDropdupWm _))
 
   val oracles: Map[String, String] = Map(
+    "q126_cdc_merge" -> q126Sql,
     "q124_stream_incr_view" -> q124Sql,
     "q91_stream_funnel" -> q91Sql,
     "q113_stream_scd2" -> q113Sql,

@@ -173,11 +173,66 @@ object StatsOps {
       |    AS BIGINT) AS intercept_micro
       |FROM s""".stripMargin
 
+  /** q125 release policy: cells below K_ANON are suppressed outright;
+    * released counts carry Laplace(DP_B) noise.
+    */
+  val K_ANON = 5L
+  val DP_B = 10.0
+
+  /** q125: PRIVACY-PRESERVING RELEASE — the (event_type, day) usage
+    * rollup prepared for EXTERNAL publication: cells smaller than
+    * K_ANON are suppressed (k-anonymity), surviving counts carry
+    * Laplace noise via the inverse CDF over a SEEDED md5 uniform.
+    * Deterministic noise per cell is deliberate and production-real:
+    * re-releasing the same cell must yield the SAME noisy value, or an
+    * observer averages repeated releases and cancels the noise. The
+    * noise addition runs on the |types x days| rollup, never the log;
+    * one shuffle (the rollup's own), everything after is scan-stage.
+    * Noise is quantized to integers (counts stay counts), with the
+    * ln/sign arithmetic on bit-identical doubles in both engines.
+    */
+  def q125PrivateRelease(spark: SparkSession, dir: String): DataFrame = {
+    val rollup = Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val u = (conv(substring(
+      md5(concat(lit("dp:"), col("event_type"), lit(":"), col("day"))), 1, 6),
+      16, 10).cast("double") + lit(0.5)) / lit(16777216.0)
+    val lap = when(u < 0.5, lit(DP_B) * log(lit(2.0) * u))
+      .otherwise(-lit(DP_B) * log(lit(2.0) * (lit(1.0) - u)))
+    rollup
+      .filter(col("n") >= K_ANON)
+      .select(col("event_type"), col("day"),
+        (col("n") + floor(lap + lit(0.5)).cast("long")).as("noisy_count"))
+  }
+
+  val q125Sql: String =
+    s"""WITH r AS (
+      |  SELECT event_type,
+      |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT *,
+      |    (CAST('0x' || substr(md5('dp:' || event_type || ':' || day), 1, 6)
+      |       AS BIGINT) + 0.5) / 16777216.0 AS u
+      |  FROM r)
+      |SELECT event_type, day,
+      |  n + CAST(floor(
+      |    CASE WHEN u < 0.5 THEN $DP_B * ln(2.0 * u)
+      |         ELSE -$DP_B * ln(2.0 * (1.0 - u)) END + 0.5) AS BIGINT)
+      |    AS noisy_count
+      |FROM w WHERE n >= $K_ANON
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_corr_matrix" -> Gate.sorted(q121CorrMatrix _, "col_a", "col_b"),
-    "q123_zipf_slope" -> ((s, d) => q123ZipfSlope(s, d)))
+    "q123_zipf_slope" -> ((s, d) => q123ZipfSlope(s, d)),
+    "q125_private_release" -> Gate.sorted(q125PrivateRelease _, "event_type", "day"))
 
   val oracles: Map[String, String] = Map(
     "q121_corr_matrix" -> q121Sql,
-    "q123_zipf_slope" -> q123Sql)
+    "q123_zipf_slope" -> q123Sql,
+    "q125_private_release" -> q125Sql)
 }

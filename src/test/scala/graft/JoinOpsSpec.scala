@@ -138,4 +138,29 @@ class JoinOpsSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
       "expected the salted exchange to execute as a shuffle join")
   }
+
+  test("q127 bloom-pruned semi join equals the plain semi join") {
+    val t = Tables(spark, sfDir)
+    val keys = t.supplier
+      .filter(col("s_nationkey") === graft.queries.JoinOps.BLOOM_NATION)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val expected = t.lineitem
+      .filter(col("l_suppkey").isin(keys.toSeq: _*))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Exact.sumExact(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val got = graft.queries.JoinOps.q127BloomSemi(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expected && got.nonEmpty)
+    assert(got.keySet.subsetOf(keys), "semi join leaked non-dimension keys")
+  }
+
+  test("q127 plan: the bloom predicate is a scan-stage filter, not a join") {
+    val df = graft.queries.JoinOps.q127BloomSemi(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), "expected the bloom might_contain predicate")
+    assert(p.contains("BroadcastHashJoin"), "exact verify should broadcast the dim")
+  }
 }

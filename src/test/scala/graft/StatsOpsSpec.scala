@@ -70,4 +70,33 @@ class StatsOpsSpec extends SparkSpec {
     // a frequency-ranked corpus always fits with negative slope
     assert(expSlope < 0)
   }
+
+  test("q125 suppresses small cells and adds the deterministic seeded noise") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cells = Tables(spark, sfDir).events
+      .select(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    assert(cells.values.exists(_ < StatsOps.K_ANON),
+      "fixture must exercise suppression")
+    assert(cells.values.exists(_ >= StatsOps.K_ANON),
+      "fixture must exercise release")
+    val expected = cells.filter(_._2 >= StatsOps.K_ANON).map { case ((t, d), n) =>
+      val u = (java.lang.Long.parseLong(md5hex(s"dp:$t:$d").take(6), 16) + 0.5) /
+        16777216.0
+      val lap = if (u < 0.5) StatsOps.DP_B * math.log(2.0 * u)
+        else -StatsOps.DP_B * math.log(2.0 * (1.0 - u))
+      ((t, d), n + math.floor(lap + 0.5).toLong)
+    }
+    val got = StatsOps.q125PrivateRelease(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got == expected)
+    // the noise is bounded enough that released counts stay plausible
+    got.foreach { case (k, noisy) =>
+      assert(math.abs(noisy - cells(k)) <= 200, s"$k noise unreasonable")
+    }
+  }
 }

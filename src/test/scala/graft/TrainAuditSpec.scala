@@ -89,4 +89,36 @@ class TrainAuditSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     sp.collect().foreach(r => assert(again(r.getLong(0)) == r.getString(1)))
   }
+
+  test("q126 merge applies upserts, deletes, and carries untouched keys") {
+    import org.apache.spark.sql.functions._
+    val cutoff = java.sql.Timestamp.valueOf(
+      graft.queries.SessionOps.DIFF_CUTOFF.replace(" ", " "))
+    val ev = Tables(spark, sfDir).events
+      .select("user_id", "event_id", "event_type", "value", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getTimestamp(4)))
+    val byUser = ev.groupBy(_._1)
+    val expected = byUser.flatMap { case (u, rows) =>
+      def us(t: java.sql.Timestamp): Long =
+        t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+      def last(pred: ((Long, Long, String, Double, java.sql.Timestamp)) => Boolean) = {
+        val c = rows.filter(pred)
+        if (c.isEmpty) None
+        else Some(c.maxBy(r => (us(r._5), r._2)))
+      }
+      val snap = last(_._5.before(cutoff))
+      val op = last(!_._5.before(cutoff))
+      op match {
+        case Some(o) if o._3 == "error" => None // deleted
+        case Some(o) =>
+          Some(u -> (o._2, o._4, if (snap.isEmpty) "added" else "upserted"))
+        case None => snap.map(s => u -> (s._2, s._4, "carried"))
+      }
+    }
+    val got = graft.queries.SessionOps.q126CdcMerge(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getString(3)))
+      .toMap
+    assert(got == expected && got.nonEmpty)
+  }
 }
