@@ -35,6 +35,26 @@ object GlobalRank {
   def withRowNumber(df: DataFrame, outCol: String, keys: Column*): DataFrame =
     withRowNumberAndCount(df, outCol, keys: _*)._1
 
+  /** Adds `outCol` = SQL-standard `ntile(buckets)` in `keys` order —
+    * integer arithmetic on the distributed (rank, n), bucket sizes
+    * follow the remainder-to-front rule, so the result is identical to
+    * the one-task `ntile() OVER (ORDER BY ...)` window builtin.
+    */
+  def withNtile(df: DataFrame, outCol: String, buckets: Int,
+                keys: Column*): DataFrame = {
+    val (ranked, n) = withRowNumberAndCount(df, "__ntile_r", keys: _*)
+    val base = n / buckets
+    val rem = n % buckets
+    val cut = rem * (base + 1)
+    def ceilDiv(a: Column, b: Long): Column =
+      floor((a + lit(b - 1)) / lit(b.toDouble)).cast("long")
+    val tile =
+      if (base == 0) col("__ntile_r")
+      else when(col("__ntile_r") <= cut, ceilDiv(col("__ntile_r"), base + 1))
+        .otherwise(lit(rem) + ceilDiv(col("__ntile_r") - lit(cut), base))
+    ranked.withColumn(outCol, tile).drop("__ntile_r")
+  }
+
   /** [[withRowNumber]], also returning the TOTAL row count — already
     * known from the per-partition counts, so rank-arithmetic callers
     * (ntile, percent_rank) don't pay a second scan just for n.

@@ -496,7 +496,53 @@ object LlmText {
       |FROM n, unnest(generate_series(0, n_frames - 1, $FRAME_STRIDE)) AS f(i)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** q129 hashed feature-space width. */
+  val FEATURE_HASH_B = 64
+
+  /** q129: FEATURE HASHING (the hashing trick) — signed token-count
+    * features in a fixed FEATURE_HASH_B-bucket space: bucket =
+    * md5-hash(token) mod B, sign from an independent hash bit, value =
+    * signed count. The point at 100 TB is what it REMOVES: unlike
+    * q61's vocabulary encoding there is NO vocabulary build pass, no
+    * broadcast dictionary, no OOV — the feature space is fixed before
+    * any data is seen, so the whole transform is the token explode
+    * plus one (doc, bucket) partial-aggregated shuffle. Output is the
+    * sparse long format (only non-zero buckets).
+    */
+  def q129FeatureHash(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5Hash32(concat(lit("fh:"), col("tok")))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), (h % FEATURE_HASH_B).as("bucket"),
+        when(shiftright(h, 8).bitwiseAND(lit(1L)) === 0, lit(1L))
+          .otherwise(lit(-1L)).as("sign"))
+      .groupBy("doc_id", "bucket")
+      .agg(sum(col("sign")).as("val"), count(lit(1)).as("n_tokens"))
+      .filter(col("val") =!= 0)
+  }
+
+  val q129Sql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |           x -> x != '')) AS tok
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5('fh:' || tok), 1, 8) AS BIGINT) AS hv
+      |  FROM t),
+      |s AS (
+      |  SELECT doc_id, hv % $FEATURE_HASH_B AS bucket,
+      |    CASE WHEN (hv >> 8) & 1 = 0 THEN 1 ELSE -1 END AS sign
+      |  FROM h)
+      |SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS val,
+      |  CAST(count(*) AS BIGINT) AS n_tokens
+      |FROM s GROUP BY doc_id, bucket
+      |HAVING sum(sign) <> 0
+      |ORDER BY doc_id, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_feature_hash" -> Gate.sorted(q129FeatureHash _, "doc_id", "bucket"),
     "q111_media_frames" -> Gate.sorted(q111MediaFrames _, "doc_id", "frame_idx"),
     "q94_media_decode" -> Gate.sorted(q94MediaDecode _, "doc_id"),
     "q61_vocab_encode" -> Gate.sorted(q61VocabEncode _, "doc_id"),
@@ -513,6 +559,7 @@ object LlmText {
     "q55_doc_keywords" -> Gate.sorted(q55DocKeywords _, "doc_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q129_feature_hash" -> q129Sql,
     "q111_media_frames" -> q111Sql,
     "q94_media_decode" -> q94Sql,
     "q61_vocab_encode" -> q61Sql,

@@ -554,7 +554,66 @@ object Relational {
       |CROSS JOIN n
       |ORDER BY part_a, part_b""".stripMargin
 
+  /** q130 quartile count — RFM scores are 1..4 per dimension. */
+  val RFM_TILES = 4
+
+  /** q130: RFM CUSTOMER SEGMENTATION — per customer: last order date
+    * (Recency), order count (Frequency), exact decimal spend
+    * (Monetary), each scored into global quartiles, concatenated into
+    * the classic 3-digit segment code (score 4 = most
+    * recent / most frequent / highest spend). The naive formulation is
+    * three `ntile(4) OVER (ORDER BY ...)` no-partition windows — three
+    * one-task funnels; here each score comes from
+    * GlobalRank.withNtile (range-repartition + integer tile
+    * arithmetic, identical output to the SQL-standard builtin the
+    * oracle uses). Three |customers|-sized range exchanges after one
+    * fact-table aggregate.
+    */
+  def q130RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.GlobalRank
+    val perCust = Tables(spark, dir).orders
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("n_orders"),
+        Exact.sumExact(col("o_totalprice")).as("total_spent"))
+    val r = GlobalRank.withNtile(perCust, "r_score", RFM_TILES,
+      col("last_order"), col("c_custkey"))
+    val f = GlobalRank.withNtile(r, "f_score", RFM_TILES,
+      col("n_orders"), col("c_custkey"))
+    val m = GlobalRank.withNtile(f, "m_score", RFM_TILES,
+      col("total_spent"), col("c_custkey"))
+    m.select(col("c_custkey"),
+      date_format(col("last_order"), "yyyy-MM-dd").as("last_order"),
+      col("n_orders"), col("total_spent"),
+      col("r_score"), col("f_score"), col("m_score"),
+      (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .as("segment"))
+  }
+
+  val q130Sql: String =
+    s"""WITH c AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    max(o_orderdate) AS last_order,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    ${Exact.sumSql("o_totalprice")} AS total_spent
+      |  FROM orders GROUP BY o_custkey),
+      |s AS (
+      |  SELECT c_custkey, last_order, n_orders, total_spent,
+      |    CAST(ntile($RFM_TILES) OVER (ORDER BY last_order, c_custkey) AS BIGINT)
+      |      AS r_score,
+      |    CAST(ntile($RFM_TILES) OVER (ORDER BY n_orders, c_custkey) AS BIGINT)
+      |      AS f_score,
+      |    CAST(ntile($RFM_TILES) OVER (ORDER BY total_spent, c_custkey) AS BIGINT)
+      |      AS m_score
+      |  FROM c)
+      |SELECT c_custkey,
+      |  strftime(last_order, '%Y-%m-%d') AS last_order,
+      |  n_orders, total_spent, r_score, f_score, m_score,
+      |  r_score * 100 + f_score * 10 + m_score AS segment
+      |FROM s ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_rfm_segments" -> Gate.sorted(q130RfmSegments _, "c_custkey"),
     "q92_revenue_growth" -> Gate.sorted(q92RevenueGrowth _, "segment", "month"),
     "q93_basket_affinity" -> Gate.sorted(q93BasketAffinity _, "part_a", "part_b"),
     "q103_part_pagerank" -> Gate.sorted(q103PartPagerank _, "part"),
@@ -573,6 +632,7 @@ object Relational {
     "q79_native_topk" -> Gate.sorted(q79NativeTopk _, "o_custkey", "o_orderkey"))
 
   val oracles: Map[String, String] = Map(
+    "q130_rfm_segments" -> q130Sql,
     "q92_revenue_growth" -> q92Sql,
     "q93_basket_affinity" -> q93Sql,
     "q103_part_pagerank" -> q103Sql,

@@ -226,12 +226,79 @@ object StatsOps {
       |FROM w WHERE n >= $K_ANON
       |ORDER BY event_type, day""".stripMargin
 
+  /** q128 model: fixed weights over [bias, l_quantity, l_discount]. */
+  val LOGREG_W: Seq[Double] = Seq(0.1, -0.02, 0.5)
+
+  /** q128: LOGISTIC-REGRESSION GRADIENT STEP — one full-batch gradient
+    * (and log-loss) of a logistic model predicting returns
+    * (l_returnflag = 'R') from [bias, quantity, discount] at fixed
+    * weights: the distributed inner loop of any GLM trainer (the
+    * model-side counterpart of q69's k-means step). Everything is ONE
+    * map-side-combined aggregate: per-row sigmoid + per-dimension
+    * gradient terms quantized to integer micro-units (exp/ln on
+    * bit-identical doubles), summed exactly, and the 1-row result
+    * exploded to a per-dimension gradient table. No shuffle beyond the
+    * single aggregate — at 100 TB a training iteration costs one scan.
+    */
+  def q128LogregStep(spark: SparkSession, dir: String): DataFrame = {
+    val xs: Seq[Column] =
+      Seq(lit(1.0), col("l_quantity"), col("l_discount"))
+    val z = LOGREG_W.zip(xs).map { case (w, x) => lit(w) * x }
+      .reduce(_ + _)
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    val y = when(col("l_returnflag") === "R", lit(1.0)).otherwise(lit(0.0))
+    val gradTerms = xs.zipWithIndex.map { case (x, j) =>
+      sum(floor((p - y) * x * lit(1e6) + lit(0.5)).cast("long")).as(s"g$j")
+    }
+    val lossTerm = sum(floor(
+      -(y * log(p) + (lit(1.0) - y) * log(lit(1.0) - p)) * lit(1e6) + lit(0.5))
+      .cast("long")).as("loss")
+    val aggs = Seq(count(lit(1)).as("n")) ++ gradTerms :+ lossTerm
+    val m = Tables(spark, dir).lineitem
+      .select("l_quantity", "l_discount", "l_returnflag")
+      .agg(aggs.head, aggs.tail: _*)
+    val entries = LOGREG_W.indices.map { j =>
+      struct(lit(j).as("dim"), col(s"g$j").as("grad_micro"))
+    }
+    m.select(col("n"), col("loss").as("loss_micro"),
+        explode(array(entries: _*)).as("e"))
+      .select(col("e.dim").as("dim"), col("e.grad_micro").as("grad_micro"),
+        col("n"), col("loss_micro"))
+  }
+
+  val q128Sql: String = {
+    val xsSql = Seq("1.0", "l_quantity", "l_discount")
+    val z = LOGREG_W.zip(xsSql).map { case (w, x) => s"$w * $x" }.mkString(" + ")
+    val gradDefs = xsSql.zipWithIndex.map { case (x, j) =>
+      s"CAST(sum(CAST(floor((p - y) * $x * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g$j"
+    }.mkString(",\n    ")
+    val rows = LOGREG_W.indices.map(j =>
+      s"SELECT $j AS dim, g$j AS grad_micro, n, loss_micro FROM m")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+      |  SELECT l_quantity, l_discount,
+      |    1.0 / (1.0 + exp(-($z))) AS p,
+      |    CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    $gradDefs,
+      |    CAST(sum(CAST(floor(-(y * ln(p) + (1.0 - y) * ln(1.0 - p)) * 1e6 + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS loss_micro
+      |  FROM e)
+      |SELECT * FROM (
+      |  $rows)
+      |ORDER BY dim""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_logreg_step" -> Gate.sorted(q128LogregStep _, "dim"),
     "q121_corr_matrix" -> Gate.sorted(q121CorrMatrix _, "col_a", "col_b"),
     "q123_zipf_slope" -> ((s, d) => q123ZipfSlope(s, d)),
     "q125_private_release" -> Gate.sorted(q125PrivateRelease _, "event_type", "day"))
 
   val oracles: Map[String, String] = Map(
+    "q128_logreg_step" -> q128Sql,
     "q121_corr_matrix" -> q121Sql,
     "q123_zipf_slope" -> q123Sql,
     "q125_private_release" -> q125Sql)

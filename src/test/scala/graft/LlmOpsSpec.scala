@@ -447,4 +447,32 @@ class LlmOpsSpec extends SparkSpec {
       .sortBy(_.toString)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("q129 hashed features match a driver-side recompute and need no vocabulary") {
+    import graft.queries.LlmText
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(4).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL))
+    }
+    val docs = Tables(spark, sfDir).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, text) =>
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).map { tok =>
+        val hv = h32(s"fh:$tok")
+        ((id, hv % LlmText.FEATURE_HASH_B),
+          (if (((hv >> 8) & 1) == 0) 1L else -1L))
+      }
+    }.groupBy(_._1).map { case (k, v) =>
+      (k, (v.map(_._2).sum, v.length.toLong))
+    }.filter(_._2._1 != 0L)
+    val got = LlmText.q129FeatureHash(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected && got.nonEmpty)
+    // every bucket stays inside the fixed feature space
+    got.keys.foreach { case (_, b) =>
+      assert(b >= 0 && b < LlmText.FEATURE_HASH_B)
+    }
+  }
 }

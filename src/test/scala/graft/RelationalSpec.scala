@@ -133,4 +133,32 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty && got.keySet == ranks.keySet)
     ranks.foreach { case (n, r) => assert(got(n) == r, s"part $n rank") }
   }
+
+  test("q130 RFM quartiles match the SQL-standard ntile over each ordering") {
+    def sqlNtile[K](ordered: Seq[K], buckets: Int): Map[K, Long] = {
+      val n = ordered.length
+      val base = n / buckets; val rem = n % buckets
+      val sizes = (0 until buckets).map(b => if (b < rem) base + 1 else base)
+      val bounds = sizes.scanLeft(0)(_ + _)
+      ordered.zipWithIndex.map { case (k, i) =>
+        k -> (bounds.indexWhere(_ > i).toLong)
+      }.toMap
+    }
+    val rows = Relational.q130RfmSegments(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    val byR = rows.sortBy(r => (r._2, r._1)).map(_._1).toSeq
+    val byF = rows.sortBy(r => (r._3, r._1)).map(_._1).toSeq
+    val byM = rows.sortBy(r => (r._4, r._1)).map(_._1).toSeq
+    val expR = sqlNtile(byR, Relational.RFM_TILES)
+    val expF = sqlNtile(byF, Relational.RFM_TILES)
+    val expM = sqlNtile(byM, Relational.RFM_TILES)
+    rows.foreach { case (c, _, _, _, r, f, m, seg) =>
+      assert(r == expR(c), s"cust $c r_score")
+      assert(f == expF(c), s"cust $c f_score")
+      assert(m == expM(c), s"cust $c m_score")
+      assert(seg == r * 100 + f * 10 + m)
+    }
+  }
 }

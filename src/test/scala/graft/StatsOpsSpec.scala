@@ -71,6 +71,32 @@ class StatsOpsSpec extends SparkSpec {
     assert(expSlope < 0)
   }
 
+  test("q128 gradient step matches a driver-side recompute") {
+    val rows = Tables(spark, sfDir).lineitem
+      .select("l_quantity", "l_discount", "l_returnflag").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getString(2)))
+    val w = StatsOps.LOGREG_W
+    var g = Array(0L, 0L, 0L); var loss = 0L
+    rows.foreach { case (q, d, rf) =>
+      val xs = Seq(1.0, q, d)
+      val z = w(0) * xs(0) + w(1) * xs(1) + w(2) * xs(2)
+      val p = 1.0 / (1.0 + math.exp(-z))
+      val y = if (rf == "R") 1.0 else 0.0
+      xs.zipWithIndex.foreach { case (x, j) =>
+        g(j) += math.floor((p - y) * x * 1e6 + 0.5).toLong
+      }
+      loss += math.floor(-(y * math.log(p) + (1.0 - y) * math.log(1.0 - p)) * 1e6 + 0.5).toLong
+    }
+    val got = StatsOps.q128LogregStep(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set(0, 1, 2))
+    (0 to 2).foreach { j =>
+      assert(got(j) == ((g(j), rows.length.toLong, loss)), s"dim $j")
+    }
+    // log-loss of a non-degenerate model is strictly positive
+    assert(loss > 0)
+  }
+
   test("q125 suppresses small cells and adds the deterministic seeded noise") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
