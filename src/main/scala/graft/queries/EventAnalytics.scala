@@ -783,7 +783,124 @@ object EventAnalytics {
       |    AND med_gap_us <= ${BOT_MAX_MED_GAP_US}.0 AS is_bot
       |FROM a ORDER BY user_id""".stripMargin
 
+  /** q131 interval half-width: each event claims [ts, ts+30min). */
+  val MERGE_INTERVAL_MIN = 30
+
+  /** q131: INTERVAL MERGE (coalesce) — each event claims a 30-minute
+    * activity interval; overlapping intervals per user merge into
+    * maximal spans (the general interval-algebra union, in contrast to
+    * q104's same-length telescoping trick which only needs a lead()).
+    * The classic two-window pass on ONE user_id shuffle: a new-span
+    * flag where the start exceeds the running max of all previous
+    * ends, a running sum of flags numbering the spans, then one
+    * aggregate per (user, span). Works for arbitrary interval lengths
+    * — the shape sessionization, downtime-merge, and meeting-coalesce
+    * problems all share.
+    */
+  def q131IntervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val halfH = MERGE_INTERVAL_MIN * 60L * 1000000L
+    val iv = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + halfH).as("e"))
+    val byUser = Window.partitionBy("user_id").orderBy(col("s"), col("event_id"))
+    val flagged = iv
+      .withColumn("prev_max_e",
+        max(col("e")).over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum("new_span").over(byUser))
+    flagged.groupBy("user_id", "span_id")
+      .agg(min("s").as("start_us"), max("e").as("end_us"),
+        count(lit(1)).as("n_events"))
+  }
+
+  val q131Sql: String = {
+    val halfH = MERGE_INTERVAL_MIN * 60L * 1000000L
+    s"""WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS s,
+      |    epoch_us(ts) + $halfH AS e
+      |  FROM events),
+      |f AS (
+      |  SELECT *,
+      |    max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS prev_max_e
+      |  FROM iv),
+      |g AS (
+      |  SELECT *, CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+      |                 THEN 1 ELSE 0 END AS new_span
+      |  FROM f),
+      |sp AS (
+      |  SELECT *, sum(new_span) OVER (PARTITION BY user_id
+      |    ORDER BY s, event_id ROWS UNBOUNDED PRECEDING) AS span_id
+      |  FROM g)
+      |SELECT user_id, CAST(span_id AS BIGINT) AS span_id,
+      |  min(s) AS start_us, max(e) AS end_us,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM sp GROUP BY user_id, span_id
+      |ORDER BY user_id, span_id""".stripMargin
+  }
+
+  /** q132 labeling: activity window after the cutoff defining churn. */
+  val CHURN_HORIZON_DAYS = 7
+
+  /** q132: CHURN LABEL GENERATION — the (features, label) table a churn
+    * model trains on, generated leak-free from the event log: for every
+    * user active BEFORE the q66 cutoff, pre-cutoff behavioral features
+    * (volume, type diversity, exact spend, recency) and a label =
+    * "no activity in the CHURN_HORIZON_DAYS after the cutoff". One
+    * conditional-aggregation pass — the before/after split rides the
+    * same gated-aggregate trick as q66/q126, so feature extraction and
+    * labeling cost a single |users|-sized shuffle and cannot leak
+    * post-cutoff signal into features by construction.
+    */
+  def q132ChurnLabels(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit(graft.queries.SessionOps.DIFF_CUTOFF).cast("timestamp")
+    val horizon = CHURN_HORIZON_DAYS * 86400L * 1000000L
+    val cutUs = unix_micros(cutoff)
+    val ev = Tables(spark, dir).events
+    ev.groupBy("user_id")
+      .agg(
+        sum(when(col("ts") < cutoff, 1L).otherwise(0L)).as("n_before"),
+        countDistinct(when(col("ts") < cutoff, col("event_type")))
+          .as("types_before"),
+        sum(when(col("ts") < cutoff, Exact.dec(col("value"))))
+          .cast("double").as("value_before"),
+        max(when(col("ts") < cutoff, unix_micros(col("ts")))).as("last_us"),
+        sum(when(unix_micros(col("ts")).between(cutUs, cutUs + horizon - 1), 1L)
+          .otherwise(0L)).as("n_window"))
+      .filter(col("n_before") > 0)
+      .select(col("user_id"), col("n_before"), col("types_before"),
+        col("value_before"),
+        (unix_micros(cutoff) - col("last_us")).as("recency_us"),
+        (col("n_window") === 0).as("churned"))
+  }
+
+  val q132Sql: String = {
+    val horizon = CHURN_HORIZON_DAYS * 86400L * 1000000L
+    val cut = s"TIMESTAMP '${graft.queries.SessionOps.DIFF_CUTOFF}'"
+    s"""SELECT user_id,
+      |  CAST(sum(CASE WHEN ts < $cut THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+      |  CAST(count(DISTINCT CASE WHEN ts < $cut THEN event_type END) AS BIGINT)
+      |    AS types_before,
+      |  CAST(sum(CASE WHEN ts < $cut
+      |    THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS value_before,
+      |  epoch_us($cut) - max(CASE WHEN ts < $cut THEN epoch_us(ts) END)
+      |    AS recency_us,
+      |  sum(CASE WHEN epoch_us(ts) BETWEEN epoch_us($cut)
+      |        AND epoch_us($cut) + $horizon - 1 THEN 1 ELSE 0 END) = 0
+      |    AS churned
+      |FROM events
+      |GROUP BY user_id
+      |HAVING sum(CASE WHEN ts < $cut THEN 1 ELSE 0 END) > 0
+      |ORDER BY user_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_interval_merge" -> Gate.sorted(q131IntervalMerge _, "user_id", "span_id"),
+    "q132_churn_labels" -> Gate.sorted(q132ChurnLabels _, "user_id"),
     "q118_bot_score" -> Gate.sorted(q118BotScore _, "user_id"),
     "q110_scd2_history" ->
       Gate.sorted(q110Scd2History _, "user_id", "valid_from_us", "attr"),
@@ -804,6 +921,8 @@ object EventAnalytics {
     "q75_rolling_features" -> Gate.sorted(q75RollingFeatures _, "user_id", "event_id"))
 
   val oracles: Map[String, String] = Map(
+    "q131_interval_merge" -> q131Sql,
+    "q132_churn_labels" -> q132Sql,
     "q118_bot_score" -> q118Sql,
     "q110_scd2_history" -> q110Sql,
     "q107_json_extract" -> q107Sql,

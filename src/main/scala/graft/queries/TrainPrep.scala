@@ -774,7 +774,81 @@ object TrainPrep {
       |  (ord - 1) % $SHUFFLE_SHARD_DOCS AS offset_in_shard
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** q133: negatives kept per user, and the candidate over-draw that
+    * absorbs collisions with positives and duplicate draws.
+    */
+  val NEG_K = 5
+  val NEG_CANDIDATES = 20
+
+  /** q133: NEGATIVE SAMPLING for implicit-feedback recommender
+    * training — K items per customer they never purchased, drawn
+    * deterministically. The scale question is how to sample negatives
+    * WITHOUT materializing the |users| x |items| complement: each user
+    * draws NEG_CANDIDATES candidate items by hashing (user, slot) into
+    * the dense item-key space, removes collisions with their positives
+    * (left-anti on the interaction table — |interactions|-bounded, not
+    * |complement|) and duplicate draws (min slot per item), then keeps
+    * the first NEG_K in slot order. Over-drawing 4x covers the loss to
+    * positives/duplicates (positives are a few % of the item space;
+    * the spec asserts every user fills its K). One explode of K-scale
+    * rows per user, one anti-join shuffle — nothing corpus-squared.
+    */
+  def q133NegativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ord = t.orders
+    val li = t.lineitem
+    val interactions = ord
+      .join(li, ord("o_orderkey") === li("l_orderkey"))
+      .select(col("o_custkey").as("c_custkey"), col("l_partkey").as("item"))
+      .distinct()
+    val nItems = t.part.agg(count(lit(1)).as("n_items"))
+    val cand = t.customer.select("c_custkey")
+      .crossJoin(broadcast(nItems))
+      .select(col("c_custkey"),
+        explode(sequence(lit(0L), lit((NEG_CANDIDATES - 1).toLong))).as("slot"),
+        col("n_items"))
+      .select(col("c_custkey"), col("slot"),
+        (conv(substring(md5(concat(lit("neg:"), col("c_custkey").cast("string"),
+          lit(":"), col("slot").cast("string"))), 1, 8), 16, 10).cast("long")
+          % col("n_items")).as("item"))
+    val dedup = cand.groupBy("c_custkey", "item")
+      .agg(min("slot").as("slot"))
+    val negatives = dedup.join(interactions, Seq("c_custkey", "item"), "left_anti")
+    val ranked = negatives.withColumn("rank",
+      row_number().over(Window.partitionBy("c_custkey")
+        .orderBy(col("slot"), col("item"))).cast("long"))
+    ranked.filter(col("rank") <= NEG_K)
+      .select(col("c_custkey"), col("rank"), col("item"), col("slot"))
+  }
+
+  val q133Sql: String =
+    s"""WITH ni AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM part),
+      |cand AS (
+      |  SELECT c_custkey, s.slot,
+      |    CAST('0x' || substr(md5('neg:' || CAST(c_custkey AS VARCHAR) || ':'
+      |      || CAST(s.slot AS VARCHAR)), 1, 8) AS BIGINT) % n_items AS item
+      |  FROM customer
+      |  CROSS JOIN ni
+      |  CROSS JOIN (SELECT unnest(generate_series(0, ${NEG_CANDIDATES - 1}))
+      |              AS slot) s),
+      |dd AS (
+      |  SELECT c_custkey, item, CAST(min(slot) AS BIGINT) AS slot
+      |  FROM cand GROUP BY 1, 2),
+      |pos AS (
+      |  SELECT DISTINCT o_custkey AS c_custkey, l_partkey AS item
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |neg AS (
+      |  SELECT dd.* FROM dd ANTI JOIN pos
+      |    ON pos.c_custkey = dd.c_custkey AND pos.item = dd.item),
+      |r AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY c_custkey
+      |    ORDER BY slot, item) AS BIGINT) AS rank
+      |  FROM neg)
+      |SELECT c_custkey, rank, item, slot FROM r WHERE rank <= $NEG_K
+      |ORDER BY c_custkey, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_negative_sampling" -> Gate.sorted(q133NegativeSampling _, "c_custkey", "rank"),
     "q108_weighted_sample" -> Gate.sorted(q108WeightedSample _, "doc_id"),
     "q109_global_shuffle" -> Gate.sorted(q109GlobalShuffle _, "doc_id"),
     "q101_bigram_lm_score" -> Gate.sorted(q101BigramLmScore _, "doc_id"),
@@ -794,6 +868,7 @@ object TrainPrep {
     "q81_quality_rules" -> Gate.sorted(q81QualityRules _, "doc_id"))
 
   val oracles: Map[String, String] = Map(
+    "q133_negative_sampling" -> q133Sql,
     "q108_weighted_sample" -> q108Sql,
     "q109_global_shuffle" -> q109Sql,
     "q101_bigram_lm_score" -> q101Sql,

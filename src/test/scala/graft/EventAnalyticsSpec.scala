@@ -318,6 +318,56 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q131 merged spans cover every event, never overlap, and are maximal") {
+    val halfH = EventAnalytics.MERGE_INTERVAL_MIN * 60L * 1000000L
+    val ev = Tables(spark, sfDir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val spans = EventAnalytics.q131IntervalMerge(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(spans.nonEmpty)
+    // per-user: spans sorted by span_id are disjoint with gaps > 0, and
+    // event counts sum to the user's events
+    spans.groupBy(_._1).foreach { case (u, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 > a._4, s"user $u spans ${a._2},${b._2} overlap or touch")
+        case _ =>
+      }
+      val evs = ev.filter(_._1 == u).map(_._2)
+      assert(sorted.map(_._5).sum == evs.length, s"user $u event count")
+      // every event sits inside exactly one span
+      evs.foreach { t =>
+        val hits = sorted.count(s => t >= s._3 && t + halfH <= s._4)
+        assert(hits == 1, s"user $u event $t in $hits spans")
+      }
+    }
+  }
+
+  test("q132 labels are leak-free and features match the pre-cutoff log") {
+    val cutoff = java.sql.Timestamp.valueOf(graft.queries.SessionOps.DIFF_CUTOFF)
+    val cutUs = cutoff.toInstant.getEpochSecond * 1000000L
+    val horizon = EventAnalytics.CHURN_HORIZON_DAYS * 86400L * 1000000L
+    val ev = Tables(spark, sfDir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val got = EventAnalytics.q132ChurnLabels(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getBoolean(5))).toMap
+    val byUser = ev.groupBy(_._1)
+    val expectedKeys = byUser.filter(_._2.exists(_._2 < cutUs)).keySet
+    assert(got.keySet == expectedKeys && got.nonEmpty)
+    got.foreach { case (u, (nb, tb, rec, churned)) =>
+      val before = byUser(u).filter(_._2 < cutUs)
+      assert(nb == before.length)
+      assert(tb == before.map(_._3).distinct.length)
+      assert(rec == cutUs - before.map(_._2).max)
+      val inWindow = byUser(u).exists(e => e._2 >= cutUs && e._2 < cutUs + horizon)
+      assert(churned == !inWindow, s"user $u label")
+    }
+  }
+
   test("q118 bot scores match a driver-side per-user recompute") {
     val ev = Tables(spark, sfDir).events
       .select(col("user_id"), col("event_id"), col("event_type"),

@@ -315,4 +315,35 @@ class TrainPrepSpec extends SparkSpec {
     assert(scores(0L) > scores(20L),
       "frequent-pattern doc must outscore the unique-words doc")
   }
+
+  test("q133 negatives: K per user, never a positive, deterministic slots") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sfDir)
+    val ord = t.orders
+    val li = t.lineitem
+    val positives = ord
+      .join(li, ord("o_orderkey") === li("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nCust = t.customer.count()
+    val rows = TrainPrep.q133NegativeSampling(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every customer fills its K negatives (the 4x over-draw suffices)
+    val perUser = rows.groupBy(_._1)
+    assert(perUser.size == nCust, s"${perUser.size} users vs $nCust customers")
+    perUser.foreach { case (u, ns) =>
+      assert(ns.length == TrainPrep.NEG_K, s"user $u drew ${ns.length}")
+      assert(ns.map(_._3).distinct.length == TrainPrep.NEG_K, s"user $u dup item")
+      assert(ns.map(_._2).sorted.toSeq == (1L to TrainPrep.NEG_K).toSeq)
+    }
+    // no sampled negative is a positive interaction
+    rows.foreach { case (u, _, item, _) =>
+      assert(!positives.contains((u, item)), s"user $u sampled positive $item")
+    }
+    // deterministic: a second run yields the identical table
+    val again = TrainPrep.q133NegativeSampling(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq)
+  }
 }
