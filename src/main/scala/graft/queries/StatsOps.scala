@@ -291,13 +291,144 @@ object StatsOps {
       |ORDER BY dim""".stripMargin
   }
 
+  /** q134 drift bins: fixed literal value-bin edges (a production
+    * monitor pins bins from the training snapshot, not the live data).
+    */
+  val PSI_EDGES: Seq[Double] = Seq(10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0, 90.0)
+
+  /** q134: DISTRIBUTION DRIFT (PSI) — the population-stability-index
+    * monitor an ML platform runs between a reference window and a live
+    * window: the event `value` distribution before vs after the q66
+    * cutoff, over fixed bins, with the per-bin PSI term
+    * (p_live - p_ref) * ln(p_live / p_ref) in integer micro-nats.
+    * Both windows' bin counts come from ONE gated conditional
+    * aggregate over the log (the q66/q126/q132 trick), the PSI math
+    * runs on the |bins|-sized rollup, and Laplace-style +1 smoothing
+    * keeps empty bins finite in both engines identically. Output is
+    * per-bin terms plus the headline index as bin -1 — one scan, one
+    * |bins| shuffle.
+    */
+  def q134PsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit(graft.queries.SessionOps.DIFF_CUTOFF).cast("timestamp")
+    val bin = PSI_EDGES.foldRight(lit(PSI_EDGES.length): Column) {
+      case (edge, acc) => when(col("value") < edge, PSI_EDGES.indexOf(edge)).otherwise(acc)
+    }
+    val counts = Tables(spark, dir).events
+      .select(bin.as("bin"), col("ts"))
+      .groupBy("bin")
+      .agg(sum(when(col("ts") < cutoff, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("ts") >= cutoff, 1L).otherwise(0L)).as("n_live"))
+    val tot = counts.agg(sum("n_ref").as("t_ref"), sum("n_live").as("t_live"))
+    val k = PSI_EDGES.length + 1
+    val perBin = counts.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_live"),
+        floor((
+          (col("n_live") + lit(1.0)) / (col("t_live") + lit(k.toDouble)) -
+            (col("n_ref") + lit(1.0)) / (col("t_ref") + lit(k.toDouble))) *
+          log(((col("n_live") + lit(1.0)) / (col("t_live") + lit(k.toDouble))) /
+            ((col("n_ref") + lit(1.0)) / (col("t_ref") + lit(k.toDouble)))) *
+          lit(1e6) + lit(0.5)).cast("long").as("psi_micro"))
+    val total = perBin.agg(
+      lit(-1).as("bin"), sum("n_ref").as("n_ref"), sum("n_live").as("n_live"),
+      sum("psi_micro").as("psi_micro"))
+    perBin.unionByName(total)
+  }
+
+  val q134Sql: String = {
+    val k = PSI_EDGES.length + 1
+    val binExpr = PSI_EDGES.zipWithIndex.reverse
+      .foldLeft(s"${PSI_EDGES.length}") { case (acc, (e, i)) =>
+        s"CASE WHEN value < $e THEN $i ELSE $acc END"
+      }
+    val cut = s"TIMESTAMP '${graft.queries.SessionOps.DIFF_CUTOFF}'"
+    s"""WITH b AS (
+      |  SELECT $binExpr AS bin, ts FROM events),
+      |c AS (
+      |  SELECT bin,
+      |    CAST(sum(CASE WHEN ts < $cut THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+      |    CAST(sum(CASE WHEN ts >= $cut THEN 1 ELSE 0 END) AS BIGINT) AS n_live
+      |  FROM b GROUP BY bin),
+      |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+      |             CAST(sum(n_live) AS BIGINT) AS t_live FROM c),
+      |p AS (
+      |  SELECT bin, n_ref, n_live,
+      |    CAST(floor((
+      |      (n_live + 1.0) / (t_live + $k.0) - (n_ref + 1.0) / (t_ref + $k.0)) *
+      |      ln(((n_live + 1.0) / (t_live + $k.0)) /
+      |         ((n_ref + 1.0) / (t_ref + $k.0))) * 1e6 + 0.5) AS BIGINT)
+      |      AS psi_micro
+      |  FROM c CROSS JOIN t)
+      |SELECT * FROM p
+      |UNION ALL
+      |SELECT -1 AS bin, CAST(sum(n_ref) AS BIGINT), CAST(sum(n_live) AS BIGINT),
+      |  CAST(sum(psi_micro) AS BIGINT) FROM p
+      |ORDER BY bin""".stripMargin
+  }
+
+  /** q135 calibration bin count over the q128 model's probabilities. */
+  val CALIB_BINS = 10
+
+  /** q135: MODEL CALIBRATION BINS — reliability-diagram data for the
+    * q128 logistic model: rows bucketed by predicted probability,
+    * per-bucket observed positive rate vs mean predicted probability
+    * (micro-quantized exact sums) — the monitoring table every scoring
+    * pipeline emits next to its predictions. One scan, one
+    * map-side-combined |bins| aggregate; the sigmoid is computed
+    * per-row in the scan stage exactly as q128 computes it.
+    */
+  def q135CalibrationBins(spark: SparkSession, dir: String): DataFrame = {
+    val xs: Seq[Column] = Seq(lit(1.0), col("l_quantity"), col("l_discount"))
+    val z = LOGREG_W.zip(xs).map { case (w, x) => lit(w) * x }.reduce(_ + _)
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    val y = when(col("l_returnflag") === "R", lit(1.0)).otherwise(lit(0.0))
+    Tables(spark, dir).lineitem
+      .select("l_quantity", "l_discount", "l_returnflag")
+      .select(least(floor(p * CALIB_BINS).cast("long"), lit(CALIB_BINS - 1L))
+          .as("bin"),
+        floor(p * lit(1e6) + lit(0.5)).cast("long").as("p_micro"),
+        y.cast("long").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum("y").as("n_pos"),
+        sum("p_micro").as("sum_p_micro"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        // integer floor division in BOTH engines — a double quotient
+        // cast could round across the integer boundary
+        expr("sum_p_micro div n").as("mean_p_micro"),
+        floor(col("n_pos") * lit(1e6) / col("n") + lit(0.5)).cast("long")
+          .as("pos_rate_micro"))
+  }
+
+  val q135Sql: String = {
+    val z = LOGREG_W.zip(Seq("1.0", "l_quantity", "l_discount"))
+      .map { case (w, x) => s"$w * $x" }.mkString(" + ")
+    s"""WITH e AS (
+      |  SELECT 1.0 / (1.0 + exp(-($z))) AS p,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT least(CAST(floor(p * $CALIB_BINS) AS BIGINT), ${CALIB_BINS - 1}) AS bin,
+      |    CAST(floor(p * 1e6 + 0.5) AS BIGINT) AS p_micro, y
+      |  FROM e)
+      |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(y) AS BIGINT) AS n_pos,
+      |  CAST(sum(p_micro) // count(*) AS BIGINT) AS mean_p_micro,
+      |  CAST(floor(sum(y) * 1e6 / count(*) + 0.5) AS BIGINT) AS pos_rate_micro
+      |FROM b GROUP BY bin
+      |ORDER BY bin""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_psi_drift" -> Gate.sorted(q134PsiDrift _, "bin"),
+    "q135_calibration_bins" -> Gate.sorted(q135CalibrationBins _, "bin"),
     "q128_logreg_step" -> Gate.sorted(q128LogregStep _, "dim"),
     "q121_corr_matrix" -> Gate.sorted(q121CorrMatrix _, "col_a", "col_b"),
     "q123_zipf_slope" -> ((s, d) => q123ZipfSlope(s, d)),
     "q125_private_release" -> Gate.sorted(q125PrivateRelease _, "event_type", "day"))
 
   val oracles: Map[String, String] = Map(
+    "q134_psi_drift" -> q134Sql,
+    "q135_calibration_bins" -> q135Sql,
     "q128_logreg_step" -> q128Sql,
     "q121_corr_matrix" -> q121Sql,
     "q123_zipf_slope" -> q123Sql,

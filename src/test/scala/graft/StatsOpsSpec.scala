@@ -97,6 +97,54 @@ class StatsOpsSpec extends SparkSpec {
     assert(loss > 0)
   }
 
+  test("q134 PSI drift matches a driver-side recompute, total row folds the bins") {
+    val cutUs = java.sql.Timestamp
+      .valueOf(graft.queries.SessionOps.DIFF_CUTOFF).toInstant.getEpochSecond * 1000000L
+    val ev = Tables(spark, sfDir).events
+      .select(col("value"), unix_micros(col("ts")).as("tus")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    val k = StatsOps.PSI_EDGES.length + 1
+    def binOf(v: Double): Int = {
+      val i = StatsOps.PSI_EDGES.indexWhere(v < _)
+      if (i < 0) StatsOps.PSI_EDGES.length else i
+    }
+    val ref = ev.filter(_._2 < cutUs).groupBy(e => binOf(e._1)).map { case (b, v) => b -> v.length.toLong }
+    val live = ev.filter(_._2 >= cutUs).groupBy(e => binOf(e._1)).map { case (b, v) => b -> v.length.toLong }
+    val tRef = ref.values.sum; val tLive = live.values.sum
+    val bins = (ref.keySet ++ live.keySet)
+    val expected = bins.map { b =>
+      val nr = ref.getOrElse(b, 0L); val nl = live.getOrElse(b, 0L)
+      val pr = (nr + 1.0) / (tRef + k.toDouble)
+      val pl = (nl + 1.0) / (tLive + k.toDouble)
+      b -> (nr, nl, math.floor((pl - pr) * math.log(pl / pr) * 1e6 + 0.5).toLong)
+    }.toMap
+    val got = StatsOps.q134PsiDrift(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    expected.foreach { case (b, e) => assert(got(b) == e, s"bin $b") }
+    val tot = got(-1)
+    assert(tot._1 == tRef && tot._2 == tLive)
+    assert(tot._3 == expected.values.map(_._3).sum, "headline PSI must fold the bins")
+    // PSI terms are non-negative by construction
+    expected.values.foreach { case (_, _, t) => assert(t >= 0) }
+  }
+
+  test("q135 calibration bins fold to the corpus totals and probabilities stay in range") {
+    val rows = StatsOps.q135CalibrationBins(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val n = Tables(spark, sfDir).lineitem.count()
+    assert(rows.map(_._2).sum == n, "bins must partition the table")
+    rows.foreach { case (bin, nb, pos, meanP, rate) =>
+      assert(bin >= 0 && bin < StatsOps.CALIB_BINS)
+      assert(pos >= 0 && pos <= nb)
+      assert(meanP >= 0 && meanP <= 1000000L)
+      assert(rate == math.floor(pos * 1e6 / nb + 0.5).toLong)
+      // the bin's mean prediction sits inside the bin's bounds
+      assert(meanP >= bin * 1000000L / StatsOps.CALIB_BINS - 1 &&
+        meanP <= (bin + 1) * 1000000L / StatsOps.CALIB_BINS + 1)
+    }
+  }
+
   test("q125 suppresses small cells and adds the deterministic seeded noise") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
