@@ -898,7 +898,175 @@ object EventAnalytics {
       |ORDER BY user_id""".stripMargin
   }
 
+  /** q139: KAPLAN–MEIER SURVIVAL CURVE for within-day
+    * time-to-conversion — the product-limit estimate of "how many
+    * minutes from a user's first touch of the day until their first
+    * purchase", with proper right-censoring: user-days with NO
+    * purchase are censored at the last observed activity, not dropped
+    * and not counted as converted (either of which is the classic
+    * conversion-time bias). Subjects = (user, active day) pairs; the
+    * whole subject table comes from ONE conditional aggregate over the
+    * log (first event, last event, first purchase per user-day — a
+    * single user_id-clustered shuffle, NO joins). The |subjects| table
+    * collapses to the |distinct minute-durations| rollup (<= 1440
+    * rows); the at-risk counts and the estimator run on THAT rollup
+    * (an unpartitioned window — the q99 rollup-window shape, never the
+    * log). The product S(t) = prod(1 - d_i/n_i) is carried as a SUM of
+    * per-step micro-nat log terms (integer, order-independent),
+    * exponentiated once at the end — identical in both engines; a
+    * full-event step (d_i = n_i) uses a -1e12 micro-nat sentinel whose
+    * exp underflows to exactly 0.0 in both engines.
+    */
+  def q139SurvivalKm(spark: SparkSession, dir: String): DataFrame = {
+    val minUs = 60000000L
+    val subjects = Tables(spark, dir).events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .groupBy("user_id", "day")
+      .agg(min("us").as("f"), max("us").as("l"),
+        min(when(col("event_type") === "purchase", col("us"))).as("p"))
+    val durs = subjects
+      .select(
+        when(col("p").isNotNull, expr(s"(p - f) div $minUs"))
+          .otherwise(expr(s"(l - f) div $minUs")).as("dur_min"),
+        when(col("p").isNotNull, 1L).otherwise(0L).as("ev"))
+      .groupBy("dur_min")
+      .agg(sum("ev").as("n_event"), sum(lit(1L) - col("ev")).as("n_censored"))
+    val total = durs.agg(sum(col("n_event") + col("n_censored")).as("n"))
+    val before = Window.orderBy("dur_min")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.orderBy("dur_min")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    durs.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n") - coalesce(sum(col("n_event") + col("n_censored"))
+          .over(before), lit(0L)))
+      .withColumn("term",
+        when(col("n_event") === 0L, 0L)
+          .when(col("n_event") === col("n_risk"), lit(-1000000000000L))
+          .otherwise(floor(
+            log((col("n_risk") - col("n_event")).cast("double") /
+              col("n_risk").cast("double")) * lit(1e6) + lit(0.5))
+            .cast("long")))
+      .withColumn("cum", sum("term").over(upto))
+      .select(col("dur_min"), col("n_risk"), col("n_event"),
+        col("n_censored"),
+        floor(exp(col("cum").cast("double") / lit(1e6)) * lit(1e6) + lit(0.5))
+          .cast("long").as("survival_micro"))
+  }
+
+  val q139Sql: String =
+    """WITH sub AS (
+      |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+      |    CAST(min(epoch_us(ts)) AS BIGINT) AS f,
+      |    CAST(max(epoch_us(ts)) AS BIGINT) AS l,
+      |    CAST(min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      |      AS BIGINT) AS p
+      |  FROM events GROUP BY 1, 2),
+      |d AS (
+      |  SELECT CASE WHEN p IS NOT NULL THEN (p - f) // 60000000
+      |              ELSE (l - f) // 60000000 END AS dur_min,
+      |    CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM sub),
+      |r AS (
+      |  SELECT dur_min, CAST(sum(ev) AS BIGINT) AS n_event,
+      |    CAST(sum(1 - ev) AS BIGINT) AS n_censored
+      |  FROM d GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_event + n_censored) AS BIGINT) AS n FROM r),
+      |w AS (
+      |  SELECT dur_min, n_event, n_censored,
+      |    n - CAST(coalesce(sum(n_event + n_censored) OVER (ORDER BY dur_min
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS n_risk
+      |  FROM r CROSS JOIN t),
+      |s AS (
+      |  SELECT *, CASE WHEN n_event = 0 THEN 0
+      |    WHEN n_event = n_risk THEN -1000000000000
+      |    ELSE CAST(floor(ln(CAST(n_risk - n_event AS DOUBLE) /
+      |      CAST(n_risk AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) END AS term
+      |  FROM w),
+      |c AS (
+      |  SELECT dur_min, n_risk, n_event, n_censored,
+      |    CAST(sum(term) OVER (ORDER BY dur_min
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM s)
+      |SELECT dur_min, n_risk, n_event, n_censored,
+      |  CAST(floor(exp(CAST(cum AS DOUBLE) / 1e6) * 1e6 + 0.5) AS BIGINT)
+      |    AS survival_micro
+      |FROM c ORDER BY dur_min""".stripMargin
+
+  /** q140: each funnel step must follow the previous within this bound. */
+  val FUNNEL_STEP_US: Long = 72L * 3600L * 1000000L
+
+  /** q140: STRICT-ORDER WINDOW FUNNEL (the ClickHouse windowFunnel
+    * shape): view -> click -> purchase, each step within
+    * FUNNEL_STEP_US of the one before, earliest-qualifying timestamps.
+    * Each step is a conditional min AFTER a co-partitioned join with
+    * the previous step's table: every aggregate and every join hashes
+    * on user_id, so past the first exchange the whole chain
+    * co-partitions (and at 100 TB each step's scan prunes to its own
+    * event_type slice — the step tables are |users|-sized, never the
+    * log). This is the complement of q73's running-window funnel: q73
+    * counts last-click conversions in one pass; q140 anchors a strict
+    * multi-step sequence, which a single window pass cannot express.
+    */
+  def q140WindowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1_us"))
+    val s2 = e.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("us") > col("t1_us") &&
+        col("us") <= col("t1_us") + lit(FUNNEL_STEP_US))
+      .groupBy("user_id").agg(min("us").as("t2_us"))
+    val s3 = e.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("us") > col("t2_us") &&
+        col("us") <= col("t2_us") + lit(FUNNEL_STEP_US))
+      .groupBy("user_id").agg(min("us").as("t3_us"))
+    s1.join(s2.select(col("user_id"), col("t2_us")), Seq("user_id"), "left")
+      .join(s3.select(col("user_id"), col("t3_us")), Seq("user_id"), "left")
+      .select(col("user_id"), col("t1_us"),
+        coalesce(col("t2_us"), lit(-1L)).as("t2_us"),
+        coalesce(col("t3_us"), lit(-1L)).as("t3_us"),
+        (lit(1L) + when(col("t2_us").isNotNull, 1L).otherwise(0L) +
+          when(col("t3_us").isNotNull, 1L).otherwise(0L)).as("step_reached"))
+  }
+
+  val q140Sql: String =
+    s"""WITH e AS (
+      |  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us
+      |  FROM events),
+      |s1 AS (
+      |  SELECT user_id, CAST(min(us) AS BIGINT) AS t1_us
+      |  FROM e WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, CAST(min(us) AS BIGINT) AS t2_us
+      |  FROM e JOIN s1 USING (user_id)
+      |  WHERE event_type = 'click' AND us > t1_us
+      |    AND us <= t1_us + $FUNNEL_STEP_US
+      |  GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, CAST(min(us) AS BIGINT) AS t3_us
+      |  FROM e JOIN s2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND us > t2_us
+      |    AND us <= t2_us + $FUNNEL_STEP_US
+      |  GROUP BY 1)
+      |SELECT s1.user_id, t1_us,
+      |  coalesce(t2_us, -1) AS t2_us, coalesce(t3_us, -1) AS t3_us,
+      |  1 + CASE WHEN t2_us IS NOT NULL THEN 1 ELSE 0 END +
+      |    CASE WHEN t3_us IS NOT NULL THEN 1 ELSE 0 END AS step_reached
+      |FROM s1
+      |LEFT JOIN s2 USING (user_id)
+      |LEFT JOIN s3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_window_funnel" -> Gate.sorted(q140WindowFunnel _, "user_id"),
+    "q139_survival_km" -> Gate.sorted(q139SurvivalKm _, "dur_min"),
     "q131_interval_merge" -> Gate.sorted(q131IntervalMerge _, "user_id", "span_id"),
     "q132_churn_labels" -> Gate.sorted(q132ChurnLabels _, "user_id"),
     "q118_bot_score" -> Gate.sorted(q118BotScore _, "user_id"),
@@ -921,6 +1089,8 @@ object EventAnalytics {
     "q75_rolling_features" -> Gate.sorted(q75RollingFeatures _, "user_id", "event_id"))
 
   val oracles: Map[String, String] = Map(
+    "q140_window_funnel" -> q140Sql,
+    "q139_survival_km" -> q139Sql,
     "q131_interval_merge" -> q131Sql,
     "q132_churn_labels" -> q132Sql,
     "q118_bot_score" -> q118Sql,

@@ -612,7 +612,68 @@ object Relational {
       |  r_score * 100 + f_score * 10 + m_score AS segment
       |FROM s ORDER BY c_custkey""".stripMargin
 
+  /** q138: MIN-COST SUPPLIER PER PART (the TPC-H Q2 shape). The
+    * textbook formulation is a correlated subquery — "the supplier
+    * whose cost equals the minimum cost for that part" — which naive
+    * engines run as a self-join of the fact against its own per-part
+    * aggregate. Here the groupwise argmin is ONE aggregate:
+    * min(struct(cost, suppkey)) picks the cheapest supplier with
+    * deterministic lower-suppkey tie-breaking, no join-back, no second
+    * fact scan. Unit costs are quantized to integer micro-units (one
+    * IEEE multiply-divide chain, identical in both engines) BEFORE the
+    * min, so the argmin ordering is an integer compare. The winner rows
+    * (|parts|-sized) then broadcast-join the supplier and nation dims
+    * for display attributes. Two map-side-combined shuffles
+    * ((part,supp) then part) + broadcasts — at 100 TB the fact is
+    * scanned once and nothing larger than |parts| is ever exchanged.
+    */
+  def q138CheapestSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val perSupp = t.lineitem
+      .select(col("l_partkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * lit(1e6) / col("l_quantity") + lit(0.5))
+          .cast("long").as("cost_micro"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min("cost_micro").as("cost_micro"))
+    val best = perSupp
+      .groupBy("l_partkey")
+      .agg(min(struct(col("cost_micro"), col("l_suppkey"))).as("b"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("b.l_suppkey").as("s_suppkey"),
+        col("b.cost_micro").as("cost_micro"))
+    best
+      .join(broadcast(t.supplier.select("s_suppkey", "s_name", "s_nationkey")),
+        "s_suppkey")
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("p_partkey", "s_suppkey", "cost_micro", "s_name", "n_name")
+  }
+
+  val q138Sql: String =
+    """WITH c AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(floor(l_extendedprice * 1e6 / l_quantity + 0.5) AS BIGINT)
+      |      AS cost_micro
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    CAST(min(cost_micro) AS BIGINT) AS cost_micro
+      |  FROM c GROUP BY 1, 2),
+      |b AS (
+      |  SELECT l_partkey, l_suppkey, cost_micro,
+      |    row_number() OVER (PARTITION BY l_partkey
+      |      ORDER BY cost_micro, l_suppkey) AS rn
+      |  FROM g)
+      |SELECT b.l_partkey AS p_partkey, b.l_suppkey AS s_suppkey,
+      |  b.cost_micro, s.s_name, n.n_name
+      |FROM b
+      |JOIN supplier s ON s.s_suppkey = b.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE b.rn = 1
+      |ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_cheapest_supplier" -> Gate.sorted(q138CheapestSupplier _, "p_partkey"),
     "q130_rfm_segments" -> Gate.sorted(q130RfmSegments _, "c_custkey"),
     "q92_revenue_growth" -> Gate.sorted(q92RevenueGrowth _, "segment", "month"),
     "q93_basket_affinity" -> Gate.sorted(q93BasketAffinity _, "part_a", "part_b"),
@@ -632,6 +693,7 @@ object Relational {
     "q79_native_topk" -> Gate.sorted(q79NativeTopk _, "o_custkey", "o_orderkey"))
 
   val oracles: Map[String, String] = Map(
+    "q138_cheapest_supplier" -> q138Sql,
     "q130_rfm_segments" -> q130Sql,
     "q92_revenue_growth" -> q92Sql,
     "q93_basket_affinity" -> q93Sql,

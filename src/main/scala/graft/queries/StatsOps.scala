@@ -418,19 +418,290 @@ object StatsOps {
       |ORDER BY bin""".stripMargin
   }
 
+  /** Shared q128-model scoring: per-row (p_micro, y) — the sigmoid is
+    * computed exactly as q128 computes it, quantized to integer micro
+    * units so every downstream comparison (rank ties in q136, threshold
+    * cuts in q137) is an integer compare, bit-equal in both engines.
+    */
+  private def scoredRows(spark: SparkSession, dir: String): DataFrame = {
+    val xs: Seq[Column] = Seq(lit(1.0), col("l_quantity"), col("l_discount"))
+    val z = LOGREG_W.zip(xs).map { case (w, x) => lit(w) * x }.reduce(_ + _)
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    Tables(spark, dir).lineitem
+      .select("l_quantity", "l_discount", "l_returnflag")
+      .select(floor(p * lit(1e6) + lit(0.5)).cast("long").as("p_micro"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+  }
+
+  private val scoredSql: String = {
+    val z = LOGREG_W.zip(Seq("1.0", "l_quantity", "l_discount"))
+      .map { case (w, x) => s"$w * $x" }.mkString(" + ")
+    s"""SELECT CAST(floor(1.0 / (1.0 + exp(-($z))) * 1e6 + 0.5) AS BIGINT)
+      |    AS p_micro,
+      |  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      |FROM lineitem""".stripMargin
+  }
+
+  /** q136: ROC AUC via the MANN–WHITNEY RANK-SUM — the
+    * threshold-independent quality number for the q128 model, computed
+    * WITHOUT materializing per-row global ranks: the log collapses to
+    * the |distinct scores| group table (c, pos per score), tie-aware
+    * average ranks come from a distributed exclusive running count
+    * (GlobalRank.withRunningSum — no one-task ORDER-BY window; rank2 =
+    * 2*cum_before + c + 1 keeps the half-rank in integers), and
+    * AUC = (sum(pos*rank2) - np*(np+1)) / (2*np*nn). At 100 TB the only
+    * per-row work is the score rollup's map-side combine; everything
+    * ordered is vocabulary-of-scores-sized. Ties are exact, not
+    * approximated — the textbook U-statistic with midranks.
+    */
+  def q136RocAuc(spark: SparkSession, dir: String): DataFrame = {
+    val groups = scoredRows(spark, dir)
+      .groupBy("p_micro")
+      .agg(count(lit(1)).as("c"), sum("y").as("pos"))
+    val cum = graft.operators.GlobalRank
+      .withRunningSum(groups, "cum", col("c"), col("p_micro"))
+    cum.agg(
+      sum(col("pos") * (lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L)))
+        .as("sr2"),
+      sum("pos").as("np"),
+      sum(col("c") - col("pos")).as("nn"))
+      .select((col("np") + col("nn")).as("n"),
+        col("np").as("n_pos"), col("nn").as("n_neg"),
+        floor((col("sr2").cast("double") -
+            col("np").cast("double") * (col("np") + lit(1L)).cast("double")) /
+          (lit(2.0) * col("np").cast("double") * col("nn").cast("double")) *
+          lit(1e6) + lit(0.5)).cast("long").as("auc_micro"))
+  }
+
+  val q136Sql: String =
+    s"""WITH e AS (
+      |  $scoredSql),
+      |g AS (
+      |  SELECT p_micro, CAST(count(*) AS BIGINT) AS c,
+      |    CAST(sum(y) AS BIGINT) AS pos
+      |  FROM e GROUP BY 1),
+      |w AS (
+      |  SELECT pos, c,
+      |    CAST(sum(c) OVER (ORDER BY p_micro
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM g),
+      |s AS (
+      |  SELECT CAST(sum(pos * (2 * (cum - c) + c + 1)) AS BIGINT) AS sr2,
+      |    CAST(sum(pos) AS BIGINT) AS np, CAST(sum(c - pos) AS BIGINT) AS nn
+      |  FROM w)
+      |SELECT np + nn AS n, np AS n_pos, nn AS n_neg,
+      |  CAST(floor((CAST(sr2 AS DOUBLE) -
+      |      CAST(np AS DOUBLE) * CAST(np + 1 AS DOUBLE)) /
+      |    (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) * 1e6 + 0.5)
+      |    AS BIGINT) AS auc_micro
+      |FROM s""".stripMargin
+
+  /** q137 operating points, in probability micro-units (the q128
+    * model's scores live in ~[0.29, 0.53] on this data).
+    */
+  val PR_THRESHOLDS: Seq[Long] = 300000L to 520000L by 20000L
+
+  /** q137: PRECISION/RECALL THRESHOLD SWEEP — the operating-point table
+    * behind a PR curve: TP/FP at every threshold from ONE gated
+    * conditional aggregate over the scored log (|T| integer sums — the
+    * q121/q128 single-pass idiom, NO per-threshold scan, NO |T|-fold
+    * row fanout), then the 1-row result explodes to per-threshold
+    * precision / recall / F1 rows. Threshold cuts compare integer
+    * micro-units, so bucket membership is bit-equal in both engines.
+    * At 100 TB the sweep costs exactly one scan regardless of |T|.
+    */
+  def q137PrThresholds(spark: SparkSession, dir: String): DataFrame = {
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n"), sum("y").as("np")) ++
+        PR_THRESHOLDS.zipWithIndex.flatMap { case (t, i) =>
+          Seq(
+            sum(when(col("p_micro") >= t && col("y") === 1L, 1L).otherwise(0L))
+              .as(s"tp$i"),
+            sum(when(col("p_micro") >= t && col("y") === 0L, 1L).otherwise(0L))
+              .as(s"fp$i"))
+        }
+    val m = scoredRows(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val entries = PR_THRESHOLDS.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("threshold_micro"),
+        col(s"tp$i").as("tp"), col(s"fp$i").as("fp"))
+    }
+    m.select(col("np"), explode(array(entries: _*)).as("e"))
+      .select(col("e.threshold_micro").as("threshold_micro"),
+        col("e.tp").as("tp"), col("e.fp").as("fp"),
+        (col("np") - col("e.tp")).as("fn"),
+        when(col("e.tp") + col("e.fp") === 0L, -1L)
+          .otherwise(floor(col("e.tp") * lit(1e6) / (col("e.tp") + col("e.fp"))
+            + lit(0.5)).cast("long")).as("precision_micro"),
+        floor(col("e.tp") * lit(1e6) / col("np") + lit(0.5)).cast("long")
+          .as("recall_micro"),
+        when(col("e.tp") + col("e.fp") + col("np") === 0L, -1L)
+          .otherwise(floor(lit(2.0) * col("e.tp") * lit(1e6) /
+            (col("e.tp") + col("e.fp") + col("np")) + lit(0.5)).cast("long"))
+          .as("f1_micro"))
+  }
+
+  val q137Sql: String = {
+    val tpDefs = PR_THRESHOLDS.zipWithIndex.map { case (t, i) =>
+      s"""CAST(sum(CASE WHEN p_micro >= $t AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp$i,
+         |    CAST(sum(CASE WHEN p_micro >= $t AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp$i""".stripMargin
+    }.mkString(",\n    ")
+    val rows = PR_THRESHOLDS.zipWithIndex.map { case (t, i) =>
+      s"SELECT $t AS threshold_micro, tp$i AS tp, fp$i AS fp, np FROM m"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+      |  $scoredSql),
+      |m AS (
+      |  SELECT CAST(sum(y) AS BIGINT) AS np,
+      |    $tpDefs
+      |  FROM e),
+      |t AS (
+      |  $rows)
+      |SELECT threshold_micro, tp, fp, np - tp AS fn,
+      |  CASE WHEN tp + fp = 0 THEN -1
+      |       ELSE CAST(floor(tp * 1e6 / (tp + fp) + 0.5) AS BIGINT) END
+      |    AS precision_micro,
+      |  CAST(floor(tp * 1e6 / np + 0.5) AS BIGINT) AS recall_micro,
+      |  CASE WHEN tp + fp + np = 0 THEN -1
+      |       ELSE CAST(floor(2.0 * tp * 1e6 / (tp + fp + np) + 0.5) AS BIGINT) END
+      |    AS f1_micro
+      |FROM t
+      |ORDER BY threshold_micro""".stripMargin
+  }
+
+  /** q141: MUTUAL INFORMATION between event type and weekday-bucket —
+    * the feature-selection score (information gain) an ML platform
+    * computes between a candidate feature and a label. The log
+    * collapses to the |types x 7| contingency table in one map-side-
+    * combined pass; marginals are PARTITIONED window sums over that
+    * rollup (and the grand total a 1-row broadcast), so nothing beyond
+    * the rollup is ever shuffled. Per-cell terms
+    * p(x,y) * ln(p(x,y) / (p(x) p(y))) are quantized to integer
+    * NANO-nats (the terms are small; micro would lose them), and the
+    * headline MI is their exact fold, emitted as the (type='__all',
+    * wd=-1) row. The weekday bucket is epoch-days mod 7 — pure integer
+    * arithmetic, identical in both engines (no locale-sensitive
+    * dayofweek).
+    */
+  def q141MutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables(spark, dir).events
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000) % 7").as("wd"))
+      .groupBy("event_type", "wd")
+      .agg(count(lit(1)).as("c"))
+    val tot = cells.agg(sum("c").as("n"))
+    val withMarg = cells
+      .withColumn("rx", sum("c").over(Window.partitionBy("event_type")))
+      .withColumn("cy", sum("c").over(Window.partitionBy("wd")))
+      .crossJoin(broadcast(tot))
+    val perCell = withMarg.select(
+      col("event_type"), col("wd"), col("c"),
+      floor((col("c").cast("double") / col("n").cast("double")) *
+        log((col("c").cast("double") * col("n").cast("double")) /
+          (col("rx").cast("double") * col("cy").cast("double"))) *
+        lit(1e9) + lit(0.5)).cast("long").as("mi_nano"))
+    val total = perCell.agg(
+      lit("__all").as("event_type"), lit(-1L).as("wd"),
+      sum("c").as("c"), sum("mi_nano").as("mi_nano"))
+    perCell.unionByName(total)
+  }
+
+  val q141Sql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    (CAST(epoch_us(ts) AS BIGINT) // 86400000000) % 7 AS wd
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type, wd, CAST(count(*) AS BIGINT) AS c
+      |  FROM b GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, wd, c,
+      |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS rx,
+      |    CAST(sum(c) OVER (PARTITION BY wd) AS BIGINT) AS cy,
+      |    (SELECT CAST(sum(c) AS BIGINT) FROM c) AS n
+      |  FROM c),
+      |p AS (
+      |  SELECT event_type, wd, c,
+      |    CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE)) /
+      |         (CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE))) * 1e9 + 0.5)
+      |      AS BIGINT) AS mi_nano
+      |  FROM m)
+      |SELECT * FROM p
+      |UNION ALL
+      |SELECT '__all' AS event_type, -1 AS wd, CAST(sum(c) AS BIGINT),
+      |  CAST(sum(mi_nano) AS BIGINT) FROM p
+      |ORDER BY event_type, wd""".stripMargin
+
+  /** q142: GINI CONCENTRATION of customer spend — the inequality
+    * number behind "what share of revenue do the top customers hold"
+    * (and, swapped onto token counts per source, the corpus-balance
+    * diagnostic of a training mix). Spend is exact integer cents; the
+    * rank-weighted form gini = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n needs
+    * a GLOBAL rank of every customer by spend — GlobalRank's
+    * range-partitioned row_number, never a one-task window — and then
+    * ONE exact integer aggregate. At 100 TB: log -> |customers| rollup
+    * -> distributed rank -> 1 row.
+    */
+  def q142GiniSpend(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables(spark, dir).orders
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
+          .as("cents"))
+      .groupBy("o_custkey").agg(sum("cents").as("cents"))
+    val ranked = graft.operators.GlobalRank
+      .withRowNumber(spend, "i", col("cents"), col("o_custkey"))
+    ranked.agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        sum(col("i") * col("cents")).as("t"))
+      .select(col("n"), col("s").as("total_cents"),
+        floor((lit(2.0) * col("t").cast("double") /
+          (col("n").cast("double") * col("s").cast("double")) -
+          (col("n") + lit(1L)).cast("double") / col("n").cast("double")) *
+          lit(1e6) + lit(0.5)).cast("long").as("gini_micro"))
+  }
+
+  val q142Sql: String =
+    """WITH c AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT cents,
+      |    CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
+      |  FROM c),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s,
+      |    CAST(sum(i * cents) AS BIGINT) AS t
+      |  FROM r)
+      |SELECT n, s AS total_cents,
+      |  CAST(floor((2.0 * CAST(t AS DOUBLE) /
+      |      (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) -
+      |      CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+      |    AS gini_micro
+      |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_mutual_info" -> Gate.sorted(q141MutualInfo _, "event_type", "wd"),
+    "q142_gini_spend" -> ((s, d) => q142GiniSpend(s, d)),
     "q134_psi_drift" -> Gate.sorted(q134PsiDrift _, "bin"),
     "q135_calibration_bins" -> Gate.sorted(q135CalibrationBins _, "bin"),
     "q128_logreg_step" -> Gate.sorted(q128LogregStep _, "dim"),
     "q121_corr_matrix" -> Gate.sorted(q121CorrMatrix _, "col_a", "col_b"),
     "q123_zipf_slope" -> ((s, d) => q123ZipfSlope(s, d)),
-    "q125_private_release" -> Gate.sorted(q125PrivateRelease _, "event_type", "day"))
+    "q125_private_release" -> Gate.sorted(q125PrivateRelease _, "event_type", "day"),
+    "q136_roc_auc" -> ((s, d) => q136RocAuc(s, d)),
+    "q137_pr_thresholds" -> Gate.sorted(q137PrThresholds _, "threshold_micro"))
 
   val oracles: Map[String, String] = Map(
+    "q141_mutual_info" -> q141Sql,
+    "q142_gini_spend" -> q142Sql,
     "q134_psi_drift" -> q134Sql,
     "q135_calibration_bins" -> q135Sql,
     "q128_logreg_step" -> q128Sql,
     "q121_corr_matrix" -> q121Sql,
     "q123_zipf_slope" -> q123Sql,
-    "q125_private_release" -> q125Sql)
+    "q125_private_release" -> q125Sql,
+    "q136_roc_auc" -> q136Sql,
+    "q137_pr_thresholds" -> q137Sql)
 }

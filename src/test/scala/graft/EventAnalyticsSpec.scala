@@ -399,4 +399,71 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.keySet == expected.keySet && got.nonEmpty)
     expected.foreach { case (u, e) => assert(got(u) == e, s"user $u: ${got(u)} vs $e") }
   }
+
+  test("q139 Kaplan-Meier matches a driver-side product-limit estimate") {
+    val ev = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val durs = ev.groupBy(r => (r._1, r._3 / 86400000000L)).toSeq
+      .map { case (_, rows) =>
+        val f = rows.map(_._3).min
+        val l = rows.map(_._3).max
+        rows.filter(_._2 == "purchase").map(_._3).sorted.headOption match {
+          case Some(p) => ((p - f) / 60000000L, 1L)
+          case None => ((l - f) / 60000000L, 0L)
+        }
+      }
+    val rollup = durs.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, v) =>
+      (d, v.count(_._2 == 1L).toLong, v.count(_._2 == 0L).toLong)
+    }
+    var atRisk = durs.length.toLong
+    var cum = 0L
+    val expected = rollup.map { case (d, ch, cn) =>
+      val term =
+        if (ch == 0L) 0L
+        else if (ch == atRisk) -1000000000000L
+        else math.floor(math.log((atRisk - ch).toDouble / atRisk.toDouble) * 1e6 + 0.5).toLong
+      cum += term
+      val surv = math.floor(math.exp(cum.toDouble / 1e6) * 1e6 + 0.5).toLong
+      val row = (d, atRisk, ch, cn, surv)
+      atRisk -= ch + cn
+      row
+    }
+    val got = EventAnalytics.q139SurvivalKm(spark, sfDir)
+      .orderBy("dur_min").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected)
+    // survival is a monotone non-increasing probability starting at/below 1
+    assert(got.forall(r => r._5 >= 0L && r._5 <= 1000000L))
+    got.sliding(2).foreach { case Array(a, b) => assert(b._5 <= a._5); case _ => }
+    // the fixture must exercise BOTH censoring and churn
+    assert(got.map(_._3).sum > 0 && got.map(_._4).sum > 0)
+  }
+
+  test("q140 strict-order funnel anchors each step within the window") {
+    val W = EventAnalytics.FUNNEL_STEP_US
+    val ev = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val expected = byUser.flatMap { case (u, rows) =>
+      val views = rows.filter(_._2 == "view").map(_._3)
+      if (views.isEmpty) None else {
+        val t1 = views.min
+        val t2 = rows.filter(r => r._2 == "click" && r._3 > t1 && r._3 <= t1 + W)
+          .map(_._3).sorted.headOption
+        val t3 = t2.flatMap(t => rows
+          .filter(r => r._2 == "purchase" && r._3 > t && r._3 <= t + W)
+          .map(_._3).sorted.headOption)
+        Some(u -> ((t1, t2.getOrElse(-1L), t3.getOrElse(-1L),
+          1L + t2.size + t3.size)))
+      }
+    }
+    val got = EventAnalytics.q140WindowFunnel(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == expected)
+    // the fixture exercises all three depths
+    assert(Set(1L, 2L, 3L).subsetOf(got.values.map(_._4).toSet))
+  }
 }

@@ -161,4 +161,39 @@ class RelationalSpec extends SparkSpec {
       assert(seg == r * 100 + f * 10 + m)
     }
   }
+
+  test("q138 cheapest supplier is the per-part argmin with lower-suppkey ties") {
+    val rows = Tables(spark, sfDir).lineitem
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.floor(r.getDouble(2) * 1e6 / r.getDouble(3) + 0.5).toLong))
+    val expected = rows.groupBy(_._1).map { case (p, v) =>
+      val perSupp = v.groupBy(_._2).map { case (s, w) => (s, w.map(_._3).min) }
+      val (s, c) = perSupp.toSeq.minBy { case (s, c) => (c, s) }
+      p -> ((s, c))
+    }
+    val got = graft.queries.Relational.q138CheapestSupplier(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    // display attrs come from the dims: every winner resolves a name
+    val named = graft.queries.Relational.q138CheapestSupplier(spark, sfDir)
+      .collect()
+    named.foreach { r =>
+      assert(r.getString(3).nonEmpty && r.getString(4).nonEmpty)
+    }
+  }
+
+  test("q138 plan: dims broadcast, no join-back of the fact to its own aggregate") {
+    val df = graft.queries.Relational.q138CheapestSupplier(spark, sfDir)
+    df.collect()
+    // AQE's toString repeats the tree under "== Initial Plan ==" —
+    // count scans in the final plan only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    // exactly one scan of lineitem: the argmin is an aggregate, not a self-join
+    val scans = "parquet [^\\n]*lineitem".r.findAllIn(p).length
+    assert(scans <= 1, s"lineitem scanned $scans times")
+  }
 }

@@ -145,6 +145,69 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("q136 rank-sum AUC matches a driver-side midrank computation") {
+    val w = StatsOps.LOGREG_W
+    val scored = Tables(spark, sfDir).lineitem
+      .select("l_quantity", "l_discount", "l_returnflag").collect()
+      .map { r =>
+        val z = w(0) + w(1) * r.getDouble(0) + w(2) * r.getDouble(1)
+        val p = 1.0 / (1.0 + math.exp(-z))
+        (math.floor(p * 1e6 + 0.5).toLong,
+          if (r.getString(2) == "R") 1L else 0L)
+      }
+    // textbook midrank U-statistic, computed the naive way
+    val byScore = scored.groupBy(_._1).toSeq.sortBy(_._1)
+    var cum = 0L; var rankSum2 = 0L
+    byScore.foreach { case (_, rows) =>
+      val c = rows.length.toLong; val pos = rows.map(_._2).sum
+      rankSum2 += pos * (2 * cum + c + 1)
+      cum += c
+    }
+    val np = scored.map(_._2).sum
+    val nn = scored.length - np
+    val auc = (rankSum2.toDouble - np.toDouble * (np + 1).toDouble) /
+      (2.0 * np.toDouble * nn.toDouble)
+    val r = StatsOps.q136RocAuc(spark, sfDir).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == scored.length.toLong)
+    assert(r(0).getLong(1) == np && r(0).getLong(2) == nn)
+    assert(r(0).getLong(3) == math.floor(auc * 1e6 + 0.5).toLong)
+    // AUC is a probability
+    assert(r(0).getLong(3) >= 0L && r(0).getLong(3) <= 1000000L)
+  }
+
+  test("q136 plan: no one-task global window (only __pid-partitioned windows)") {
+    val df = StatsOps.q136RocAuc(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // every Window in the plan must be partitioned (GlobalRank's __pid)
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      "unpartitioned window found")
+  }
+
+  test("q137 threshold sweep is consistent and recall is antitone in the threshold") {
+    val rows = StatsOps.q137PrThresholds(spark, sfDir)
+      .orderBy("threshold_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.length == StatsOps.PR_THRESHOLDS.length)
+    val np = rows.head._2 + rows.head._4 // tp + fn is threshold-free
+    rows.foreach { case (_, tp, fp, fn, prec, rec, f1) =>
+      assert(tp + fn == np, "tp + fn must equal the positive count")
+      assert(rec == math.floor(tp * 1e6 / np + 0.5).toLong)
+      if (tp + fp > 0)
+        assert(prec == math.floor(tp * 1e6 / (tp + fp) + 0.5).toLong)
+      else assert(prec == -1L)
+      assert(f1 == math.floor(2.0 * tp * 1e6 / (tp + fp + np) + 0.5).toLong)
+    }
+    // raising the threshold can only shrink the predicted-positive set
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3, "tp/fp must be antitone")
+    }
+    // the sweep actually spans the score range (not all-zero, not all-n)
+    assert(rows.head._2 > rows.last._2, "sweep must discriminate")
+  }
+
   test("q125 suppresses small cells and adds the deterministic seeded noise") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
@@ -172,5 +235,47 @@ class StatsOpsSpec extends SparkSpec {
     got.foreach { case (k, noisy) =>
       assert(math.abs(noisy - cells(k)) <= 200, s"$k noise unreasonable")
     }
+  }
+
+  test("q141 mutual information matches a driver-side contingency computation") {
+    val ev = Tables(spark, sfDir).events
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), (r.getLong(1) / 86400000000L) % 7))
+    val n = ev.length.toLong
+    val cells = ev.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val rx = ev.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val cy = ev.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val expected = cells.map { case ((t, w), c) =>
+      val term = (c.toDouble / n.toDouble) *
+        math.log((c.toDouble * n.toDouble) / (rx(t).toDouble * cy(w).toDouble))
+      ((t, w), (c, math.floor(term * 1e9 + 0.5).toLong))
+    }
+    val got = StatsOps.q141MutualInfo(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    expected.foreach { case (k, e) => assert(got(k) == e, s"cell $k") }
+    val tot = got(("__all", -1L))
+    assert(tot._1 == n)
+    assert(tot._2 == expected.values.map(_._2).sum, "headline MI folds the cells")
+    // MI of a genuine joint distribution is non-negative (up to quantization)
+    assert(tot._2 >= -cells.size)
+  }
+
+  test("q142 Gini matches a driver-side rank-weighted computation and is in [0,1]") {
+    val spend = Tables(spark, sfDir).orders
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).sum) }.toSeq
+    val ranked = spend.sortBy { case (k, c) => (c, k) }.zipWithIndex
+      .map { case ((_, c), i) => (i + 1L, c) }
+    val n = ranked.length.toLong
+    val s = ranked.map(_._2).sum
+    val t = ranked.map { case (i, c) => i * c }.sum
+    val gini = 2.0 * t.toDouble / (n.toDouble * s.toDouble) -
+      (n + 1).toDouble / n.toDouble
+    val r = StatsOps.q142GiniSpend(spark, sfDir).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == n && r(0).getLong(1) == s)
+    assert(r(0).getLong(2) == math.floor(gini * 1e6 + 0.5).toLong)
+    assert(r(0).getLong(2) >= 0L && r(0).getLong(2) <= 1000000L)
   }
 }
