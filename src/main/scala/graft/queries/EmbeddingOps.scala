@@ -371,13 +371,84 @@ object EmbeddingOps {
       |FROM ranked WHERE rank <= $TOP_K
       |ORDER BY query_id, rank""".stripMargin
 
+  /** q144: K-NN LABEL CLASSIFIER — predict each query vector's label
+    * by majority vote of its TOP_K cosine neighbors in the labeled
+    * reference set (the classification eval that closes the ANN
+    * family: q30/q31/q41/q62/q82 retrieve, q76 measures recall, q144
+    * measures end-task accuracy). Reference = the corpus minus the
+    * query rows (held-out eval, no self-match leakage). The broadcast
+    * query-side scan scores in one pass (the q30 shape); votes are
+    * INTEGER counts with deterministic (count desc, label asc) ties
+    * via one min(struct) per query — no second scan, no window over
+    * votes. Output includes the true label and a 0/1 hit flag so
+    * accuracy is a trivial fold downstream.
+    */
+  def q144KnnClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val queries = emb.filter(col("vec_id") < NUM_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("true_label"))
+    val corpus = emb.filter(col("vec_id") >= NUM_QUERIES)
+    val scored = corpus
+      .join(broadcast(queries.select("query_id", "q_emb")), lit(true))
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    val votes = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOP_K)
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val pred = votes.groupBy("query_id")
+      .agg(min(struct((-col("n_votes")).as("neg"), col("label").cast("long")
+        .as("lbl"))).as("b"))
+      .select(col("query_id"), col("b.lbl").as("pred_label"),
+        (-col("b.neg")).as("n_votes"))
+    pred.join(broadcast(queries.select("query_id", "true_label")), "query_id")
+      .select(col("query_id"), col("true_label").cast("long").as("true_label"),
+        col("pred_label"), col("n_votes"),
+        when(col("pred_label") === col("true_label"), 1L).otherwise(0L)
+          .as("correct"))
+  }
+
+  val q144Sql: String =
+    s"""WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS q_emb, label AS true_label
+      |  FROM embeddings WHERE vec_id < $NUM_QUERIES),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id, e.label,
+      |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      |  FROM embeddings e, q WHERE e.vec_id >= $NUM_QUERIES),
+      |ranked AS (
+      |  SELECT query_id, vec_id, label,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+      |  FROM scored),
+      |votes AS (
+      |  SELECT query_id, label, CAST(count(*) AS BIGINT) AS n_votes
+      |  FROM ranked WHERE rank <= $TOP_K GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT query_id, CAST(label AS BIGINT) AS pred_label, n_votes,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY n_votes DESC, label ASC) AS vr
+      |  FROM votes)
+      |SELECT p.query_id, CAST(q.true_label AS BIGINT) AS true_label,
+      |  p.pred_label, p.n_votes,
+      |  CASE WHEN p.pred_label = q.true_label THEN 1 ELSE 0 END AS correct
+      |FROM pred p JOIN q USING (query_id)
+      |WHERE p.vr = 1
+      |ORDER BY query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_knn_classifier" -> Gate.sorted(q144KnnClassifier _, "query_id"),
     "q30_embedding_topk" -> (q30EmbeddingTopk _),
     "q31_lsh_ann" -> (q31LshAnn _),
     "q40_embedding_neardup" -> Gate.sorted(q40EmbeddingNeardup _, "vec_a", "vec_b"),
     "q41_ivf_ann" -> Gate.sorted(q41IvfAnn _, "query_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q144_knn_classifier" -> q144Sql,
     "q30_embedding_topk" -> q30Sql,
     "q31_lsh_ann" -> q31Sql,
     "q40_embedding_neardup" -> q40Sql,

@@ -620,7 +620,60 @@ object SessionOps {
       |WHERE op_type IS NULL OR op_type <> 'error'
       |ORDER BY user_id""".stripMargin
 
+  /** q145: STREAMING ONLINE ANOMALY DETECTION (11th streaming family)
+    * — every event scored against the running mean/variance of all
+    * strictly-earlier same-type events (see
+    * [[graft.streaming.StreamAnomaly]]: three exact integer moments
+    * per type as custom state), emitted past 3 sigma after a warm-up.
+    * The single-batch replay folds events in (ts, event_id) order, so
+    * the emitted set equals the batch prior-frame window formulation —
+    * the oracle below. Unlike q99 (END-of-day z-scores on the daily
+    * rollup), this is the alert-at-ingest shape: the score uses only
+    * what a live pipeline would have seen at that moment.
+    */
+  def q145StreamAnomaly(spark: SparkSession, dir: String): DataFrame =
+      withStreamParallelism(spark) {
+    import graft.streaming.{StreamAgg, StreamAnomaly}
+    val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
+    val sinkName = "q145_sink"
+    spark.catalog.dropTempView(sinkName)
+    val q = StreamAnomaly.detect(stream)
+      .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(sinkName).orderBy("event_id")
+  }
+
+  val q145Sql: String = {
+    import graft.streaming.StreamAnomaly.{MIN_N, Z_THRESH_MICRO}
+    s"""WITH e AS (
+      |  SELECT event_id, event_type, ts,
+      |    CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS v
+      |  FROM events),
+      |w AS (
+      |  SELECT event_id, event_type, v,
+      |    CAST(count(*) OVER prior AS BIGINT) AS n,
+      |    CAST(coalesce(sum(v) OVER prior, 0) AS BIGINT) AS s,
+      |    CAST(coalesce(sum(v * v) OVER prior, 0) AS BIGINT) AS ss
+      |  FROM e
+      |  WINDOW prior AS (PARTITION BY event_type ORDER BY ts, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |z AS (
+      |  SELECT event_id, event_type, v AS v_unit,
+      |    CAST(floor(
+      |      CAST(v * n - s AS DOUBLE) /
+      |      sqrt(CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s
+      |           AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS z_micro
+      |  FROM w
+      |  WHERE n >= $MIN_N AND CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s > 0)
+      |SELECT event_id, event_type, v_unit, z_micro
+      |FROM z
+      |WHERE z_micro >= $Z_THRESH_MICRO OR z_micro <= -$Z_THRESH_MICRO
+      |ORDER BY event_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_stream_anomaly" -> (q145StreamAnomaly _),
     "q126_cdc_merge" -> Gate.sorted(q126CdcMerge _, "user_id"),
     "q124_stream_incr_view" -> (q124StreamIncrView _),
     "q113_stream_scd2" -> (q113StreamScd2 _),
@@ -637,6 +690,7 @@ object SessionOps {
     "q102_stream_dropdup_wm" -> (q102StreamDropdupWm _))
 
   val oracles: Map[String, String] = Map(
+    "q145_stream_anomaly" -> q145Sql,
     "q126_cdc_merge" -> q126Sql,
     "q124_stream_incr_view" -> q124Sql,
     "q91_stream_funnel" -> q91Sql,

@@ -681,7 +681,69 @@ object StatsOps {
       |    AS gini_micro
       |FROM s""".stripMargin
 
+  /** q143: CUSUM CHANGEPOINT DETECTION on the daily event-volume
+    * series — the level-shift localizer a monitoring stack runs next
+    * to q134's distribution drift (PSI says THAT the distribution
+    * moved; CUSUM says WHEN the level moved): the cumulative sum of
+    * (count - mean) peaks exactly at a sustained level shift. The log
+    * collapses to the |days| rollup in one map-side-combined pass;
+    * the running sum, the global mean, and the argmax all run on that
+    * rollup (1-row broadcast aggregates + the q99 rollup-window shape
+    * — never the log). Everything is integer micro-units: the mean is
+    * quantized once, the CUSUM is an exact integer running sum, and
+    * the changepoint is the earliest day attaining the maximum
+    * |CUSUM| (integer compares, no float ties).
+    */
+  def q143CusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir).events
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val stats = daily.agg(sum("n").as("total"), count(lit(1)).as("days"))
+      .select(floor(col("total").cast("double") * lit(1e6) /
+        col("days").cast("double") + lit(0.5)).cast("long").as("mean_micro"))
+    val upto = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = daily.crossJoin(broadcast(stats))
+      .withColumn("cusum_micro",
+        sum(col("n") * lit(1000000L) - col("mean_micro")).over(upto))
+    val cp = cusum
+      .select(col("day"), abs(col("cusum_micro")).as("a"))
+      .agg(max("a").as("max_a"))
+      .join(cusum.select(col("day"), abs(col("cusum_micro")).as("a")),
+        col("a") === col("max_a"))
+      .agg(min("day").as("cp_day"))
+    cusum.crossJoin(broadcast(cp))
+      .select(col("day"), col("n"), col("cusum_micro"),
+        when(col("day") === col("cp_day"), 1L).otherwise(0L)
+          .as("is_changepoint"))
+  }
+
+  val q143Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(floor(CAST(sum(n) AS DOUBLE) * 1e6 /
+      |    CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS mean_micro
+      |  FROM d),
+      |c AS (
+      |  SELECT day, n,
+      |    CAST(sum(n * 1000000 - mean_micro) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cusum_micro
+      |  FROM d CROSS JOIN m),
+      |cp AS (
+      |  SELECT min(day) AS cp_day FROM c
+      |  WHERE abs(cusum_micro) = (SELECT max(abs(cusum_micro)) FROM c))
+      |SELECT day, n, cusum_micro,
+      |  CASE WHEN day = cp_day THEN 1 ELSE 0 END AS is_changepoint
+      |FROM c CROSS JOIN cp
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_cusum_changepoint" -> Gate.sorted(q143CusumChangepoint _, "day"),
     "q141_mutual_info" -> Gate.sorted(q141MutualInfo _, "event_type", "wd"),
     "q142_gini_spend" -> ((s, d) => q142GiniSpend(s, d)),
     "q134_psi_drift" -> Gate.sorted(q134PsiDrift _, "bin"),
@@ -694,6 +756,7 @@ object StatsOps {
     "q137_pr_thresholds" -> Gate.sorted(q137PrThresholds _, "threshold_micro"))
 
   val oracles: Map[String, String] = Map(
+    "q143_cusum_changepoint" -> q143Sql,
     "q141_mutual_info" -> q141Sql,
     "q142_gini_spend" -> q142Sql,
     "q134_psi_drift" -> q134Sql,

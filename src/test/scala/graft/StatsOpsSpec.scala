@@ -278,4 +278,27 @@ class StatsOpsSpec extends SparkSpec {
     assert(r(0).getLong(2) == math.floor(gini * 1e6 + 0.5).toLong)
     assert(r(0).getLong(2) >= 0L && r(0).getLong(2) <= 1000000L)
   }
+
+  test("q143 CUSUM matches a driver-side recompute and flags the earliest argmax day") {
+    val days = Tables(spark, sfDir).events
+      .select(unix_micros(col("ts")).as("us")).collect()
+      .map(_.getLong(0) / 86400000000L)
+    val rollup = days.groupBy(identity).map { case (d, v) => (d, v.length.toLong) }
+      .toSeq.sortBy(_._1)
+    val total = rollup.map(_._2).sum
+    val meanMicro = math.floor(total.toDouble * 1e6 / rollup.length.toDouble + 0.5).toLong
+    var cum = 0L
+    val expected = rollup.map { case (d, n) =>
+      cum += n * 1000000L - meanMicro
+      (d, n, cum)
+    }
+    val cpDay = expected.filter(e => math.abs(e._3) ==
+      expected.map(x => math.abs(x._3)).max).map(_._1).min
+    val got = StatsOps.q143CusumChangepoint(spark, sfDir)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq == expected)
+    assert(got.count(_._4 == 1L) == 1, "exactly one changepoint")
+    assert(got.find(_._4 == 1L).get._1 == cpDay)
+  }
 }

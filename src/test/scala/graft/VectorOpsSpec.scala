@@ -164,4 +164,45 @@ class VectorOpsSpec extends SparkSpec {
     val mean = ratios.sum / ratios.length
     assert(mean > 0.5 && mean < 2.0, s"JL distortion off: mean ratio $mean")
   }
+
+  test("q144 kNN prediction is the majority label of the top-k reference neighbors") {
+    import org.apache.spark.sql.functions._
+    // neighbors recomputed with the same native cosine expression,
+    // voted driver-side
+    val emb = Tables(spark, sfDir).embeddings
+    val queries = emb.filter(col("vec_id") < EmbeddingOps.NUM_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("true_label"))
+    val corpus = emb.filter(col("vec_id") >= EmbeddingOps.NUM_QUERIES)
+    val ranked = corpus.join(broadcast(queries.select("query_id", "q_emb")), lit(true))
+      .withColumn("sim",
+        graft.plans.CosineSimilarity(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= EmbeddingOps.TOP_K)
+      .select("query_id", "label").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong))
+    val expected = ranked.groupBy(_._1).map { case (q, ns) =>
+      val votes = ns.groupBy(_._2).map { case (l, v) => (l, v.length.toLong) }
+      val (lbl, n) = votes.toSeq.minBy { case (l, c) => (-c, l) }
+      q -> ((lbl, n))
+    }
+    val trueLabels = queries.select("query_id", "true_label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val got = EmbeddingOps.q144KnnClassifier(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (q, (lbl, n)) =>
+      val (tl, pl, nv, c) = got(q)
+      assert(tl == trueLabels(q), s"query $q true label")
+      assert(pl == lbl && nv == n, s"query $q prediction")
+      assert(c == (if (pl == tl) 1L else 0L), s"query $q hit flag")
+    }
+    // votes are bounded by k and at least ceil(k / #labels)
+    got.values.foreach { case (_, _, nv, _) =>
+      assert(nv >= 1L && nv <= EmbeddingOps.TOP_K)
+    }
+  }
 }
