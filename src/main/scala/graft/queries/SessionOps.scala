@@ -672,7 +672,53 @@ object SessionOps {
       |ORDER BY event_id""".stripMargin
   }
 
+  /** q146: NATIVE SESSION WINDOWS — the same gap-based sessions q37
+    * derives with lag/flag/running-sum windows, expressed through
+    * Spark's built-in `session_window` aggregation instead: ONE
+    * groupBy, no lag pass, no flag column — the engine's
+    * MergingSessionsExec merges overlapping [ts, ts+gap) intervals
+    * per key as it aggregates (and the identical expression works
+    * unchanged on a stream, where q37's formulation cannot). The
+    * window's end is last_event + gap by definition — the oracle
+    * spells that out. Both formulations are kept deliberately: q37
+    * is the portable-SQL shape, q146 the engine-native one; their
+    * session sets are provably identical for a fixed gap.
+    */
+  def q146SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$GAP_MINUTES minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.sumExact(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        unix_micros(col("w.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+
+  val q146Sql: String =
+    s"""WITH f AS (
+      |  SELECT *,
+      |    CASE WHEN prev_us IS NULL
+      |           OR epoch_us(ts) - prev_us > ${GAP_MINUTES * 60L * 1000000L}
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM (
+      |    SELECT *, lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                                      ORDER BY ts, event_id) AS prev_us
+      |    FROM events)),
+      |s AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+      |  FROM f)
+      |SELECT user_id,
+      |  min(epoch_us(ts)) AS start_us,
+      |  max(epoch_us(ts)) + ${GAP_MINUTES * 60L * 1000000L} AS end_us,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  ${Exact.sumSql("value")} AS sum_value
+      |FROM s GROUP BY user_id, sess_idx
+      |ORDER BY user_id, start_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_session_window" -> Gate.sorted(q146SessionWindow _, "user_id", "start_us"),
     "q145_stream_anomaly" -> (q145StreamAnomaly _),
     "q126_cdc_merge" -> Gate.sorted(q126CdcMerge _, "user_id"),
     "q124_stream_incr_view" -> (q124StreamIncrView _),
@@ -690,6 +736,7 @@ object SessionOps {
     "q102_stream_dropdup_wm" -> (q102StreamDropdupWm _))
 
   val oracles: Map[String, String] = Map(
+    "q146_session_window" -> q146Sql,
     "q145_stream_anomaly" -> q145Sql,
     "q126_cdc_merge" -> q126Sql,
     "q124_stream_incr_view" -> q124Sql,

@@ -742,7 +742,122 @@ object StatsOps {
       |FROM c CROSS JOIN cp
       |ORDER BY day""".stripMargin
 
+  /** q148 replicate count (8 per md5 digest — 4 digests per row). */
+  val BOOT_B = 32
+
+  /** Poisson(1) CDF thresholds in 1/65536 units (floor(cdf * 65536)):
+    * a 16-bit md5 uniform maps to a bootstrap weight 0..5 by literal
+    * integer compares, identical in both engines.
+    */
+  val BOOT_CDF: Seq[Long] = Seq(24109L, 48218L, 60273L, 64291L, 65296L)
+
+  /** q148: POISSON-BOOTSTRAP CONFIDENCE INTERVAL for mean order value
+    * — error bars on a metric computed the only way that scales: the
+    * classic resample-with-replacement bootstrap needs N draws per
+    * replicate from the WHOLE dataset (a non-starter distributed);
+    * the Poisson bootstrap gives each row an independent Poisson(1)
+    * weight per replicate, so all BOOT_B replicates are conditional
+    * sums in ONE map-side-combined aggregate over one scan. Weights
+    * come from md5-derived 16-bit uniforms through the literal CDF
+    * table (deterministic — reruns produce the same interval), each
+    * digest feeding 8 replicates. The 1-row aggregate explodes to the
+    * per-replicate mean table; the point estimate (b = -1) and the
+    * percentile CI over the replicates (b = -2 lo, -3 hi; Spark
+    * `percentile` == DuckDB `quantile_cont`) run on those BOOT_B rows.
+    * At 100 TB: one scan, one 1-row shuffle, 2*B+2 integer sums.
+    */
+  def q148BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir).orders
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
+          .as("cents"))
+    val md = (0 until BOOT_B / 8).map(j =>
+      md5(concat(lit(s"bs$j:"), col("o_orderkey").cast("string"))))
+    def weight(b: Int): Column = {
+      val u = conv(substring(md(b / 8), (b % 8) * 4 + 1, 4), 16, 10)
+        .cast("long")
+      BOOT_CDF.zipWithIndex.foldRight(lit(5L): Column) {
+        case ((thr, k), acc) => when(u < thr, k.toLong).otherwise(acc)
+      }
+    }
+    val proj = base.select(col("cents") +:
+      (0 until BOOT_B).map(b => weight(b).as(s"w$b")): _*)
+    val aggs: Seq[Column] =
+      Seq(count(lit(1)).as("n"), sum("cents").as("sc")) ++
+        (0 until BOOT_B).flatMap(b => Seq(
+          sum(col(s"w$b")).as(s"sw$b"),
+          sum(col(s"w$b") * col("cents")).as(s"swx$b")))
+    val m = proj.agg(aggs.head, aggs.tail: _*)
+    val entries = (0 until BOOT_B).map { b =>
+      struct(lit(b.toLong).as("b"), col(s"sw$b").as("n_eff"),
+        floor(col(s"swx$b").cast("double") * lit(1e6) /
+          col(s"sw$b").cast("double") + lit(0.5)).cast("long")
+          .as("mean_micro"))
+    }
+    val reps = m.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.b").as("b"), col("e.n_eff").as("n_eff"),
+        col("e.mean_micro").as("mean_micro"))
+    val point = m.select(lit(-1L).as("b"), col("n").as("n_eff"),
+      floor(col("sc").cast("double") * lit(1e6) / col("n").cast("double")
+        + lit(0.5)).cast("long").as("mean_micro"))
+    val ci = reps.agg(
+      expr("percentile(mean_micro, 0.025)").as("lo"),
+      expr("percentile(mean_micro, 0.975)").as("hi"))
+    val lo = ci.select(lit(-2L).as("b"), lit(0L).as("n_eff"),
+      floor(col("lo") + lit(0.5)).cast("long").as("mean_micro"))
+    val hi = ci.select(lit(-3L).as("b"), lit(0L).as("n_eff"),
+      floor(col("hi") + lit(0.5)).cast("long").as("mean_micro"))
+    reps.unionByName(point).unionByName(lo).unionByName(hi)
+  }
+
+  val q148Sql: String = {
+    def weightSql(b: Int): String = {
+      val u = s"CAST('0x' || substr(md5('bs${b / 8}:' || CAST(o_orderkey AS VARCHAR)), ${(b % 8) * 4 + 1}, 4) AS BIGINT)"
+      val cases = BOOT_CDF.zipWithIndex
+        .map { case (thr, k) => s"WHEN $u < $thr THEN $k" }.mkString(" ")
+      s"CASE $cases ELSE 5 END"
+    }
+    val aggDefs = (0 until BOOT_B).map(b =>
+      s"""CAST(sum(w$b) AS BIGINT) AS sw$b,
+         |    CAST(sum(w$b * cents) AS BIGINT) AS swx$b""".stripMargin)
+      .mkString(",\n    ")
+    val wDefs = (0 until BOOT_B).map(b => s"${weightSql(b)} AS w$b")
+      .mkString(",\n    ")
+    val repRows = (0 until BOOT_B).map(b =>
+      s"""SELECT $b AS b, sw$b AS n_eff,
+         |    CAST(floor(CAST(swx$b AS DOUBLE) * 1e6 / CAST(sw$b AS DOUBLE)
+         |      + 0.5) AS BIGINT) AS mean_micro FROM m""".stripMargin)
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH v AS (
+      |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |    $wDefs
+      |  FROM orders),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sc,
+      |    $aggDefs
+      |  FROM v),
+      |reps AS (
+      |  $repRows),
+      |ci AS (
+      |  SELECT quantile_cont(CAST(mean_micro AS DOUBLE), 0.025) AS lo,
+      |         quantile_cont(CAST(mean_micro AS DOUBLE), 0.975) AS hi
+      |  FROM reps)
+      |SELECT * FROM reps
+      |UNION ALL
+      |SELECT -1 AS b, n AS n_eff,
+      |  CAST(floor(CAST(sc AS DOUBLE) * 1e6 / CAST(n AS DOUBLE) + 0.5)
+      |    AS BIGINT) AS mean_micro FROM m
+      |UNION ALL
+      |SELECT -2 AS b, 0 AS n_eff,
+      |  CAST(floor(lo + 0.5) AS BIGINT) AS mean_micro FROM ci
+      |UNION ALL
+      |SELECT -3 AS b, 0 AS n_eff,
+      |  CAST(floor(hi + 0.5) AS BIGINT) AS mean_micro FROM ci
+      |ORDER BY b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_bootstrap_ci" -> Gate.sorted(q148BootstrapCi _, "b"),
     "q143_cusum_changepoint" -> Gate.sorted(q143CusumChangepoint _, "day"),
     "q141_mutual_info" -> Gate.sorted(q141MutualInfo _, "event_type", "wd"),
     "q142_gini_spend" -> ((s, d) => q142GiniSpend(s, d)),
@@ -756,6 +871,7 @@ object StatsOps {
     "q137_pr_thresholds" -> Gate.sorted(q137PrThresholds _, "threshold_micro"))
 
   val oracles: Map[String, String] = Map(
+    "q148_bootstrap_ci" -> q148Sql,
     "q143_cusum_changepoint" -> q143Sql,
     "q141_mutual_info" -> q141Sql,
     "q142_gini_spend" -> q142Sql,

@@ -847,7 +847,62 @@ object TrainPrep {
       |SELECT c_custkey, rank, item, slot FROM r WHERE rank <= $NEG_K
       |ORDER BY c_custkey, rank""".stripMargin
 
+  /** q147 pair geometry: adjacent non-overlapping windows of this many
+    * characters (stride == size, so input/target never overlap).
+    */
+  val PAIR_CHUNK = 256
+
+  /** q147: NEXT-CHUNK TRAINING PAIRS — the (input, continuation)
+    * example construction behind next-token/next-passage objectives
+    * and retrieval-contrastive data: each document yields
+    * (chunk_i -> chunk_{i+1}) pairs over adjacent non-overlapping
+    * PAIR_CHUNK-char windows. Both sides of every pair are substrings
+    * of the SAME row's text, so the whole operator is a ZERO-SHUFFLE
+    * scan-stage pass (explode of a per-row index sequence + two
+    * substring/md5 chains) — no lead() window, no self-join on
+    * (doc_id, idx+1), nothing exchanged; at 100 TB the cost is the
+    * corpus scan. Pairs are content-addressed (md5 both sides) for
+    * downstream dedup/packing, the trailing partial target is kept
+    * (its true length is emitted) — a short continuation is still a
+    * training example.
+    */
+  def q147ChunkPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      // clamp the index upper bound at 0 (Spark's sequence DESCENDS for
+      // stop < start, DuckDB's generate_series is empty — clamping plus
+      // the empty-target filter below keeps both engines identical)
+      .select(col("doc_id"), col("text"),
+        explode(expr(
+          s"sequence(0, cast(greatest(ceil(length(text) / $PAIR_CHUNK.0), 2) as int) - 2)"))
+          .as("pair_idx"))
+      .select(col("doc_id"), col("pair_idx"),
+        substring(col("text"), col("pair_idx") * PAIR_CHUNK + 1, lit(PAIR_CHUNK))
+          .as("input"),
+        substring(col("text"), (col("pair_idx") + 1) * PAIR_CHUNK + 1, lit(PAIR_CHUNK))
+          .as("target"))
+      .filter(length(col("target")) > 0)
+      .select(col("doc_id"), col("pair_idx"),
+        length(col("input")).as("input_len"),
+        length(col("target")).as("target_len"),
+        md5(col("input")).as("input_md5"),
+        md5(col("target")).as("target_md5"))
+
+  val q147Sql: String =
+    s"""SELECT doc_id, i AS pair_idx,
+      |  length(substr(text, i * $PAIR_CHUNK + 1, $PAIR_CHUNK)) AS input_len,
+      |  length(substr(text, (i + 1) * $PAIR_CHUNK + 1, $PAIR_CHUNK)) AS target_len,
+      |  md5(substr(text, i * $PAIR_CHUNK + 1, $PAIR_CHUNK)) AS input_md5,
+      |  md5(substr(text, (i + 1) * $PAIR_CHUNK + 1, $PAIR_CHUNK)) AS target_md5
+      |FROM (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(0,
+      |      CAST(greatest(ceil(length(text) / $PAIR_CHUNK.0), 2) AS INT) - 2)) AS i
+      |  FROM documents)
+      |WHERE length(substr(text, (i + 1) * $PAIR_CHUNK + 1, $PAIR_CHUNK)) > 0
+      |ORDER BY doc_id, pair_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_chunk_pairs" -> Gate.sorted(q147ChunkPairs _, "doc_id", "pair_idx"),
     "q133_negative_sampling" -> Gate.sorted(q133NegativeSampling _, "c_custkey", "rank"),
     "q108_weighted_sample" -> Gate.sorted(q108WeightedSample _, "doc_id"),
     "q109_global_shuffle" -> Gate.sorted(q109GlobalShuffle _, "doc_id"),
@@ -868,6 +923,7 @@ object TrainPrep {
     "q81_quality_rules" -> Gate.sorted(q81QualityRules _, "doc_id"))
 
   val oracles: Map[String, String] = Map(
+    "q147_chunk_pairs" -> q147Sql,
     "q133_negative_sampling" -> q133Sql,
     "q108_weighted_sample" -> q108Sql,
     "q109_global_shuffle" -> q109Sql,

@@ -466,4 +466,35 @@ class EventAnalyticsSpec extends SparkSpec {
     // the fixture exercises all three depths
     assert(Set(1L, 2L, 3L).subsetOf(got.values.map(_._4).toSet))
   }
+
+  test("q146 native session_window equals a driver-side gap sessionization") {
+    val gapUs = graft.queries.SessionOps.GAP_MINUTES * 60L * 1000000L
+    val ev = Tables(spark, sfDir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val sessions = scala.collection.mutable.ArrayBuffer
+        .empty[scala.collection.mutable.ArrayBuffer[(Long, Double)]]
+      sorted.foreach { case (_, us, v) =>
+        if (sessions.nonEmpty && us - sessions.last.last._1 <= gapUs)
+          sessions.last += ((us, v))
+        else sessions += scala.collection.mutable.ArrayBuffer((us, v))
+      }
+      sessions.map { sess =>
+        val sum = sess.map(e => BigDecimal(e._2).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP)).sum
+        (u, sess.head._1, sess.last._1 + gapUs, sess.length.toLong,
+          sum.toDouble)
+      }
+    }.toSet
+    val got = graft.queries.SessionOps.q146SessionWindow(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .toSet
+    assert(got == expected)
+    // the engine's session end is last event + gap by definition
+    assert(got.forall { case (_, s, e, _, _) => e - s >= gapUs })
+  }
 }

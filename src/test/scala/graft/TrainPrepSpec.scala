@@ -346,4 +346,73 @@ class TrainPrepSpec extends SparkSpec {
     assert(rows.sortBy(r => (r._1, r._2)).toSeq ==
       again.sortBy(r => (r._1, r._2)).toSeq)
   }
+
+  test("q147 chunk pairs are adjacent substrings with no empty targets") {
+    val C = TrainPrep.PAIR_CHUNK
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables(spark, sfDir).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.flatMap { case (id, text) =>
+      Iterator.from(0).map { i =>
+        val in = text.slice(i * C, (i + 1) * C)
+        val tgt = text.slice((i + 1) * C, (i + 2) * C)
+        (id, i.toLong, in, tgt)
+      }.takeWhile(_._4.nonEmpty)
+        .map { case (d, i, in, tgt) =>
+          ((d, i), (in.length.toLong, tgt.length.toLong, md5hex(in), md5hex(tgt)))
+        }.toSeq
+    }.toMap
+    val got = TrainPrep.q147ChunkPairs(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getInt(1).toLong),
+        (r.getInt(2).toLong, r.getInt(3).toLong, r.getString(4), r.getString(5))))
+      .toMap
+    assert(got == expected)
+    // every non-final pair has a FULL-length target; inputs always full
+    assert(got.values.forall(_._1 == C.toLong))
+    assert(got.values.exists(_._2 < C.toLong), "fixture exercises a partial tail")
+  }
+
+  test("q148 Poisson bootstrap: replicates, point estimate, and CI are deterministic") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val B = graft.queries.StatsOps.BOOT_B
+    val cdf = graft.queries.StatsOps.BOOT_CDF
+    val rows = Tables(spark, sfDir).orders
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    val sw = Array.fill(B)(0L); val swx = Array.fill(B)(0L)
+    rows.foreach { case (k, cents) =>
+      val digs = (0 until B / 8).map(j => md5hex(s"bs$j:$k"))
+      (0 until B).foreach { b =>
+        val u = java.lang.Long.parseLong(
+          digs(b / 8).substring((b % 8) * 4, (b % 8) * 4 + 4), 16)
+        val w = cdf.indexWhere(u < _) match { case -1 => 5L; case i => i.toLong }
+        sw(b) += w; swx(b) += w * cents
+      }
+    }
+    val expReps = (0 until B).map(b =>
+      b.toLong -> ((sw(b),
+        math.floor(swx(b).toDouble * 1e6 / sw(b).toDouble + 0.5).toLong))).toMap
+    val got = graft.queries.StatsOps.q148BootstrapCi(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    expReps.foreach { case (b, e) => assert(got(b) == e, s"replicate $b") }
+    // point estimate
+    val n = rows.length.toLong; val sc = rows.map(_._2).sum
+    assert(got(-1L) ==
+      ((n, math.floor(sc.toDouble * 1e6 / n.toDouble + 0.5).toLong)))
+    // CI: percentile interpolation over the sorted replicate means
+    val means = expReps.values.map(_._2.toDouble).toSeq.sorted
+    def pct(p: Double): Long = {
+      val idx = p * (means.length - 1)
+      val lo = means(idx.toInt); val hi = means(math.ceil(idx).toInt)
+      math.floor(lo + (hi - lo) * (idx - idx.toInt) + 0.5).toLong
+    }
+    assert(got(-2L)._2 == pct(0.025) && got(-3L)._2 == pct(0.975))
+    // the interval brackets the point estimate
+    assert(got(-2L)._2 <= got(-1L)._2 && got(-1L)._2 <= got(-3L)._2)
+  }
 }
