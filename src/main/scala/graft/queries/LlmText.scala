@@ -541,7 +541,67 @@ object LlmText {
       |HAVING sum(sign) <> 0
       |ORDER BY doc_id, bucket""".stripMargin
 
+  /** q149 shingle geometry: char 16-grams sampled every 8 chars — the
+    * stride bounds the per-doc shingle count at len/8.
+    */
+  val NOVEL_K = 16
+  val NOVEL_STRIDE = 8
+
+  /** q149: N-GRAM NOVELTY / MEMORIZATION-RISK SCORE — per document,
+    * the fraction of its sampled char-16-gram shingles that occur in
+    * NO other document. Low novelty flags near-boilerplate (already
+    * caught by the dedup family); HIGH novelty identifies the unique
+    * long-tail content a dedup-heavy pipeline should protect — and the
+    * same df==1 statistic is the memorization-audit primitive ("is
+    * this string unique to one training document"). Distinct shingles
+    * per doc come from the scan stage; the document frequency is one
+    * (hash)-keyed aggregate whose output is vocabulary-sized; the
+    * per-doc fold is one (doc_id) aggregate. Two bounded shuffles, no
+    * joins back to text. Hashes are md5 substrings (engine-portable).
+    */
+  def q149NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val shingled = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        explode(expr(
+          s"sequence(0, cast(greatest(ceil((length(text) - $NOVEL_K + 1) / $NOVEL_STRIDE.0), 1) as int) - 1)"))
+          .as("i"), col("text"))
+      .select(col("doc_id"),
+        md5(substring(col("text"), col("i") * NOVEL_STRIDE + 1, lit(NOVEL_K)))
+          .as("h"))
+      .distinct()
+    val df = shingled.groupBy("h").agg(countDistinct("doc_id").as("df"))
+    shingled.join(df, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        floor(col("n_unique") * lit(1e6) / col("n_shingles") + lit(0.5))
+          .cast("long").as("novelty_micro"))
+  }
+
+  val q149Sql: String =
+    s"""WITH s AS (
+      |  SELECT DISTINCT doc_id,
+      |    md5(substr(text, i * $NOVEL_STRIDE + 1, $NOVEL_K)) AS h
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      unnest(generate_series(0,
+      |        CAST(greatest(ceil((length(text) - $NOVEL_K + 1) / $NOVEL_STRIDE.0), 1) AS INT) - 1)) AS i
+      |    FROM documents)),
+      |f AS (
+      |  SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM s GROUP BY 1)
+      |SELECT s.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_shingles,
+      |  CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |  CAST(floor(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) * 1e6
+      |    / count(*) + 0.5) AS BIGINT) AS novelty_micro
+      |FROM s JOIN f USING (h)
+      |GROUP BY s.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_ngram_novelty" -> Gate.sorted(q149NgramNovelty _, "doc_id"),
     "q129_feature_hash" -> Gate.sorted(q129FeatureHash _, "doc_id", "bucket"),
     "q111_media_frames" -> Gate.sorted(q111MediaFrames _, "doc_id", "frame_idx"),
     "q94_media_decode" -> Gate.sorted(q94MediaDecode _, "doc_id"),
@@ -559,6 +619,7 @@ object LlmText {
     "q55_doc_keywords" -> Gate.sorted(q55DocKeywords _, "doc_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q149_ngram_novelty" -> q149Sql,
     "q129_feature_hash" -> q129Sql,
     "q111_media_frames" -> q111Sql,
     "q94_media_decode" -> q94Sql,

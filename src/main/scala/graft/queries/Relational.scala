@@ -672,7 +672,93 @@ object Relational {
       |WHERE b.rn = 1
       |ORDER BY p_partkey""".stripMargin
 
+  /** q150: REFERENTIAL-INTEGRITY AUDIT — the data-contract validation
+    * a lakehouse runs before publishing a snapshot: every foreign key
+    * checked for orphans, reported as (constraint, checked, violations)
+    * rows. Each fact is scanned ONCE: its outgoing keys left-join the
+    * dimension key columns (all broadcast) in a single chain, and all
+    * per-constraint counts fold in ONE conditional aggregate whose
+    * 1-row result explodes to the report (the q121/q137 single-pass
+    * idiom — 5 constraints cost 3 scans, not 5 anti-joins). Key
+    * uniqueness in the dimensions means the left joins cannot multiply
+    * rows, so checked counts are exact. At 100 TB the orders side
+    * outgrows a broadcast and the same plan degrades gracefully to a
+    * shuffle join on the key — or a BloomPrune pre-pass (q127) when
+    * violations are rare, which is the production fast path.
+    */
+  def q150IntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
+      .join(broadcast(t.orders.select(col("o_orderkey"))),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .join(broadcast(t.part.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left")
+      .join(broadcast(t.supplier.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_ord"),
+        sum(when(col("p_partkey").isNull, 1L).otherwise(0L)).as("v_part"),
+        sum(when(col("s_suppkey").isNull, 1L).otherwise(0L)).as("v_supp"))
+    val liRows = li.select(explode(array(
+      struct(lit("lineitem.l_orderkey -> orders").as("c"),
+        col("n").as("n_checked"), col("v_ord").as("n_violations")),
+      struct(lit("lineitem.l_partkey -> part").as("c"),
+        col("n").as("n_checked"), col("v_part").as("n_violations")),
+      struct(lit("lineitem.l_suppkey -> supplier").as("c"),
+        col("n").as("n_checked"), col("v_supp").as("n_violations"))))
+      .as("e"))
+      .select(col("e.c").as("fk_constraint"), col("e.n_checked"),
+        col("e.n_violations"))
+    val ordRows = t.orders.select("o_custkey")
+      .join(broadcast(t.customer.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+          .as("n_violations"))
+      .select(lit("orders.o_custkey -> customer").as("fk_constraint"),
+        col("n_checked"), col("n_violations"))
+    val custRows = t.customer.select("c_nationkey")
+      .join(broadcast(t.nation.select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("n_nationkey").isNull, 1L).otherwise(0L))
+          .as("n_violations"))
+      .select(lit("customer.c_nationkey -> nation").as("fk_constraint"),
+        col("n_checked"), col("n_violations"))
+    liRows.unionByName(ordRows).unionByName(custRows)
+  }
+
+  val q150Sql: String =
+    """WITH li AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ord,
+      |    CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_part,
+      |    CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_supp
+      |  FROM lineitem l
+      |  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      |  LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+      |o AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+      |  FROM orders ord LEFT JOIN customer c ON ord.o_custkey = c.c_custkey),
+      |cu AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN nt.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+      |  FROM customer cc LEFT JOIN nation nt ON cc.c_nationkey = nt.n_nationkey)
+      |SELECT 'lineitem.l_orderkey -> orders' AS fk_constraint, n AS n_checked, v_ord AS n_violations FROM li
+      |UNION ALL
+      |SELECT 'lineitem.l_partkey -> part', n, v_part FROM li
+      |UNION ALL
+      |SELECT 'lineitem.l_suppkey -> supplier', n, v_supp FROM li
+      |UNION ALL
+      |SELECT 'orders.o_custkey -> customer', n, v FROM o
+      |UNION ALL
+      |SELECT 'customer.c_nationkey -> nation', n, v FROM cu
+      |ORDER BY fk_constraint""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q150_integrity_audit" -> Gate.sorted(q150IntegrityAudit _, "fk_constraint"),
     "q138_cheapest_supplier" -> Gate.sorted(q138CheapestSupplier _, "p_partkey"),
     "q130_rfm_segments" -> Gate.sorted(q130RfmSegments _, "c_custkey"),
     "q92_revenue_growth" -> Gate.sorted(q92RevenueGrowth _, "segment", "month"),
@@ -693,6 +779,7 @@ object Relational {
     "q79_native_topk" -> Gate.sorted(q79NativeTopk _, "o_custkey", "o_orderkey"))
 
   val oracles: Map[String, String] = Map(
+    "q150_integrity_audit" -> q150Sql,
     "q138_cheapest_supplier" -> q138Sql,
     "q130_rfm_segments" -> q130Sql,
     "q92_revenue_growth" -> q92Sql,

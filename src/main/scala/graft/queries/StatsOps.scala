@@ -787,7 +787,10 @@ object StatsOps {
         (0 until BOOT_B).flatMap(b => Seq(
           sum(col(s"w$b")).as(s"sw$b"),
           sum(col(s"w$b") * col("cents")).as(s"swx$b")))
-    val m = proj.agg(aggs.head, aggs.tail: _*)
+    // the 1-row aggregate IS the scan's output; pin it eagerly so the
+    // four report branches (replicates, point, CI lo/hi) fold 34 rows
+    // instead of each re-deriving the aggregate and re-scanning orders
+    val m = proj.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
     val entries = (0 until BOOT_B).map { b =>
       struct(lit(b.toLong).as("b"), col(s"sw$b").as("n_eff"),
         floor(col(s"swx$b").cast("double") * lit(1e6) /

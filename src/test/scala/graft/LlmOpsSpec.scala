@@ -475,4 +475,32 @@ class LlmOpsSpec extends SparkSpec {
       assert(b >= 0 && b < LlmText.FEATURE_HASH_B)
     }
   }
+
+  test("q149 novelty equals a driver-side shingle df computation") {
+    val K = LlmText.NOVEL_K; val S = LlmText.NOVEL_STRIDE
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables(spark, sfDir).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val shingles = docs.map { case (id, text) =>
+      val n = math.max(math.ceil((text.length - K + 1) / S.toDouble), 1).toInt
+      id -> (0 until n).map(i => md5hex(text.slice(i * S, i * S + K))).toSet
+    }.toMap
+    val df = shingles.values.flatten
+      .groupBy(identity).map { case (h, v) => h -> v.size }
+    val expected = shingles.map { case (id, hs) =>
+      val uniq = hs.count(df(_) == 1).toLong
+      id -> ((hs.size.toLong, uniq,
+        math.floor(uniq * 1e6 / hs.size + 0.5).toLong))
+    }
+    val got = LlmText.q149NgramNovelty(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+    // the corpus has both shared boilerplate and unique content
+    assert(got.values.exists(_._3 < 1000000L), "some shingles must be shared")
+    assert(got.values.exists(_._3 > 0L), "some shingles must be unique")
+  }
 }

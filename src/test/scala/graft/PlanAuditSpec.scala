@@ -306,4 +306,46 @@ class PlanAuditSpec extends SparkSpec {
     intercept[Exception](spark.sql(
       "SELECT simhash_fingerprint(text, length(text), 32) FROM txt_probe").collect())
   }
+
+  test("q137/q148: threshold sweep and bootstrap are ONE partial-agg scan each") {
+    Seq(
+      graft.queries.StatsOps.q137PrThresholds(spark, sfDir),
+      graft.queries.StatsOps.q148BootstrapCi(spark, sfDir)
+    ).foreach { df =>
+      val p = executedPlan(df).split("== Initial Plan ==")(0)
+      assert(p.contains("partial_"), "expected map-side partial aggregation")
+      assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
+      // one fact scan feeds every conditional sum
+      val factScans = "Scan parquet[^\\n]*(lineitem|orders)".r.findAllIn(p).length
+      assert(factScans <= 1, s"fact scanned $factScans times")
+    }
+  }
+
+  test("q147: chunk pairs plan has no exchange and no window") {
+    val p = executedPlan(
+      graft.queries.TrainPrep.q147ChunkPairs(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange"), "zero-shuffle operator grew an exchange")
+    assert(!p.contains("Window"), "no window expected")
+    assert(hasCodegen(p), "expected codegen span")
+  }
+
+  test("q146: the native session-window aggregation is planned") {
+    val p = executedPlan(
+      graft.queries.SessionOps.q146SessionWindow(spark, sfDir))
+    assert(p.contains("session_window") || p.contains("MergingSessions"),
+      "expected the engine's native session-window aggregation")
+  }
+
+  test("q144/q150: dimension/query sides broadcast") {
+    Seq(
+      graft.queries.EmbeddingOps.q144KnnClassifier(spark, sfDir),
+      graft.queries.Relational.q150IntegrityAudit(spark, sfDir)
+    ).foreach { df =>
+      val p = executedPlan(df)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        "expected broadcast join")
+      assert(!p.contains("SortMergeJoin"), "small side must not shuffle-join")
+    }
+  }
 }

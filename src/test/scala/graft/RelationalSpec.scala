@@ -196,4 +196,32 @@ class RelationalSpec extends SparkSpec {
     val scans = "parquet [^\\n]*lineitem".r.findAllIn(p).length
     assert(scans <= 1, s"lineitem scanned $scans times")
   }
+
+  test("q150 integrity audit: clean data has zero violations, orphans are detected") {
+    val cleanRows = graft.queries.Relational.q150IntegrityAudit(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(cleanRows.length == 5)
+    assert(cleanRows.forall(_._3 == 0L), s"driver data must be referentially clean")
+    assert(cleanRows.forall(_._2 > 0L))
+    // fixture: copy the tables, inject an orphan order and an orphan lineitem
+    val dir = java.nio.file.Files.createTempDirectory("integrity").toString
+    val t = Tables(spark, sfDir)
+    Seq("region", "nation", "customer", "supplier", "part").foreach { n =>
+      spark.read.parquet(s"$sfDir/$n.parquet").write.parquet(s"$dir/$n.parquet")
+    }
+    t.orders.limit(50)
+      .withColumn("o_custkey",
+        when(col("o_orderkey") === t.orders.limit(1).collect()(0).getLong(0),
+          lit(-999L)).otherwise(col("o_custkey")))
+      .write.parquet(s"$dir/orders.parquet")
+    t.lineitem.limit(200)
+      .withColumn("l_partkey",
+        when(col("l_linenumber") === 1, lit(-777L)).otherwise(col("l_partkey")))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val dirty = graft.queries.Relational.q150IntegrityAudit(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(dirty("orders.o_custkey -> customer") == 1L, "injected orphan order")
+    assert(dirty("lineitem.l_partkey -> part") > 0L, "injected orphan lineitems")
+    assert(dirty("customer.c_nationkey -> nation") == 0L)
+  }
 }
