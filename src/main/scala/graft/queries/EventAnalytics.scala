@@ -1064,7 +1064,83 @@ object EventAnalytics {
       |LEFT JOIN s3 USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** q152: AUDIENCE OVERLAP MATRIX — for every pair of event types,
+    * how many users do both, plus the Jaccard overlap of the two
+    * audiences (the segment-overlap report behind targeting and
+    * cannibalization analyses; swap "event type" for "data source" and
+    * it is the corpus-membership overlap of a training mix). The log
+    * collapses to one 0/1 flag vector per user (a single conditional
+    * aggregate on the family's shared user_id key); every pairwise
+    * intersection is then sum(f_a * f_b) over that |users| table —
+    * all C(5,2) pairs + 5 marginals in ONE map-side-combined
+    * aggregate, exploded from the 1-row result. NO per-pair self-join
+    * of the log, NO distinct-pair explosion: integer flag products do
+    * the set algebra.
+    */
+  def q152AudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val types = PIVOT_TYPES
+    val flags = Tables(spark, dir).events
+      .groupBy("user_id")
+      .agg(types.map(t =>
+        max(when(col("event_type") === t, 1L).otherwise(0L)).as(s"f_$t")).head,
+        types.tail.map(t =>
+          max(when(col("event_type") === t, 1L).otherwise(0L)).as(s"f_$t")): _*)
+    val pairs = for {
+      i <- types.indices; j <- types.indices if i < j
+    } yield (types(i), types(j))
+    val aggs: Seq[Column] =
+      types.map(t => sum(col(s"f_$t")).as(s"n_$t")) ++
+        pairs.map { case (a, b) =>
+          sum(col(s"f_$a") * col(s"f_$b")).as(s"both_${a}_$b")
+        }
+    val m = flags.agg(aggs.head, aggs.tail: _*)
+    val entries = pairs.map { case (a, b) =>
+      struct(lit(a).as("type_a"), lit(b).as("type_b"),
+        col(s"n_$a").as("n_a"), col(s"n_$b").as("n_b"),
+        col(s"both_${a}_$b").as("n_both"))
+    }
+    m.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.type_a").as("type_a"), col("e.type_b").as("type_b"),
+        col("e.n_a").as("n_a"), col("e.n_b").as("n_b"),
+        col("e.n_both").as("n_both"),
+        floor(col("e.n_both") * lit(1e6) /
+          (col("e.n_a") + col("e.n_b") - col("e.n_both")) + lit(0.5))
+          .cast("long").as("jaccard_micro"))
+  }
+
+  val q152Sql: String = {
+    val types = PIVOT_TYPES
+    val flagDefs = types.map(t =>
+      s"max(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS f_$t")
+      .mkString(",\n    ")
+    val pairs = for {
+      i <- types.indices; j <- types.indices if i < j
+    } yield (types(i), types(j))
+    val sums = (types.map(t => s"CAST(sum(f_$t) AS BIGINT) AS n_$t") ++
+      pairs.map { case (a, b) =>
+        s"CAST(sum(f_$a * f_$b) AS BIGINT) AS both_${a}_$b"
+      }).mkString(",\n    ")
+    val rows = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS type_a, '$b' AS type_b, n_$a AS n_a, n_$b AS n_b,
+         |    both_${a}_$b AS n_both,
+         |    CAST(floor(both_${a}_$b * 1e6 /
+         |      (n_$a + n_$b - both_${a}_$b) + 0.5) AS BIGINT) AS jaccard_micro
+         |  FROM m""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH f AS (
+      |  SELECT user_id,
+      |    $flagDefs
+      |  FROM events GROUP BY user_id),
+      |m AS (
+      |  SELECT $sums
+      |  FROM f)
+      |SELECT * FROM (
+      |  $rows)
+      |ORDER BY type_a, type_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_audience_overlap" -> Gate.sorted(q152AudienceOverlap _, "type_a", "type_b"),
     "q140_window_funnel" -> Gate.sorted(q140WindowFunnel _, "user_id"),
     "q139_survival_km" -> Gate.sorted(q139SurvivalKm _, "dur_min"),
     "q131_interval_merge" -> Gate.sorted(q131IntervalMerge _, "user_id", "span_id"),
@@ -1089,6 +1165,7 @@ object EventAnalytics {
     "q75_rolling_features" -> Gate.sorted(q75RollingFeatures _, "user_id", "event_id"))
 
   val oracles: Map[String, String] = Map(
+    "q152_audience_overlap" -> q152Sql,
     "q140_window_funnel" -> q140Sql,
     "q139_survival_km" -> q139Sql,
     "q131_interval_merge" -> q131Sql,

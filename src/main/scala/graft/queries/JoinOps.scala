@@ -273,7 +273,65 @@ object JoinOps {
       |GROUP BY l_suppkey
       |ORDER BY l_suppkey""".stripMargin
 
+  /** q151: POINT-IN-TIME (PIT) FEATURE LOOKUP — enrich every event
+    * with the SCD2 attribute version that was valid AT the event's
+    * timestamp: the feature-store join that makes training data
+    * leak-free (joining today's attribute onto last month's events is
+    * the classic label-leakage bug; q151 is the correct-by-construction
+    * alternative). The version table is q110's history; the temporal
+    * predicate valid_from <= ts < valid_to is NOT executed as an
+    * inequality join (O(events x versions) pairs) but as the as-of
+    * union + forward-fill (operators/AsOfJoin): one user_id shuffle
+    * over events + versions merged into a single ordered timeline.
+    * Versions tile each user's time, so "latest version at-or-before
+    * ts" IS the valid one; empty intervals (two changes in the same
+    * microsecond) are dropped on both sides, keeping the as-of match
+    * well-defined and identical to the interval-join oracle.
+    */
+  def q151PitEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val hist = graft.queries.EventAnalytics.q110Scd2History(spark, dir)
+      .filter(col("valid_from_us") < col("valid_to_us"))
+      .select(col("user_id"), col("valid_from_us"), col("attr"))
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    AsOfJoin.latestBefore(
+      ev, hist,
+      key = Seq("user_id"), lTime = "ts_us", rTime = "valid_from_us",
+      rValues = Seq("attr", "valid_from_us"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("attr").as("attr_at_event"),
+        col("valid_from_us").as("version_from_us"))
+  }
+
+  val q151Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CAST(props ->> 'k' AS BIGINT) AS attr
+      |  FROM events),
+      |c AS (
+      |  SELECT *, lag(attr) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |    AS prev
+      |  FROM e),
+      |ch AS (
+      |  SELECT user_id, event_id, attr, us FROM c
+      |  WHERE prev IS NULL OR attr <> prev),
+      |hist AS (
+      |  SELECT user_id, attr, us AS valid_from_us,
+      |    coalesce(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id),
+      |             253402300799000000) AS valid_to_us
+      |  FROM ch),
+      |h AS (SELECT * FROM hist WHERE valid_from_us < valid_to_us)
+      |SELECT e2.event_id, e2.user_id, CAST(epoch_us(e2.ts) AS BIGINT) AS ts_us,
+      |  h.attr AS attr_at_event, h.valid_from_us AS version_from_us
+      |FROM events e2
+      |JOIN h ON h.user_id = e2.user_id
+      |  AND epoch_us(e2.ts) >= h.valid_from_us
+      |  AND epoch_us(e2.ts) < h.valid_to_us
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_pit_enrich" -> Gate.sorted(q151PitEnrich _, "event_id"),
     "q127_bloom_semi" -> Gate.sorted(q127BloomSemi _, "l_suppkey"),
     "q44_asof_enrich" -> Gate.sorted(q44AsofEnrich _, "user_id", "event_id"),
     "q45_range_join" -> Gate.sorted(q45RangeJoin _, "s_suppkey"),
@@ -283,6 +341,7 @@ object JoinOps {
     "q120_salted_join" -> Gate.sorted(q120SaltedJoin _, "o_orderpriority"))
 
   val oracles: Map[String, String] = Map(
+    "q151_pit_enrich" -> q151Sql,
     "q127_bloom_semi" -> q127Sql,
     "q44_asof_enrich" -> q44Sql,
     "q45_range_join" -> q45Sql,

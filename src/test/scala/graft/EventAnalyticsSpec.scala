@@ -497,4 +497,32 @@ class EventAnalyticsSpec extends SparkSpec {
     // the engine's session end is last event + gap by definition
     assert(got.forall { case (_, s, e, _, _) => e - s >= gapUs })
   }
+
+  test("q152 overlap matrix matches driver-side audience sets") {
+    val ev = Tables(spark, sfDir).events
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val audiences = EventAnalytics.PIVOT_TYPES.map(t =>
+      t -> ev.filter(_._2 == t).map(_._1).toSet).toMap
+    val got = EventAnalytics.q152AudienceOverlap(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val types = EventAnalytics.PIVOT_TYPES
+    val pairs = for {
+      i <- types.indices; j <- types.indices if i < j
+    } yield (types(i), types(j))
+    assert(got.keySet == pairs.toSet)
+    pairs.foreach { case (a, b) =>
+      val (sa, sb) = (audiences(a), audiences(b))
+      val both = (sa & sb).size.toLong
+      val jac = math.floor(both * 1e6 / (sa | sb).size + 0.5).toLong
+      assert(got((a, b)) == ((sa.size.toLong, sb.size.toLong, both, jac)),
+        s"pair ($a, $b)")
+    }
+    // jaccard is a valid micro-probability and consistent with counts
+    got.values.foreach { case (na, nb, both, jac) =>
+      assert(both <= math.min(na, nb))
+      assert(jac >= 0L && jac <= 1000000L)
+    }
+  }
 }
