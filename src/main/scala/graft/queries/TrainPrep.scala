@@ -901,7 +901,69 @@ object TrainPrep {
       |WHERE length(substr(text, (i + 1) * $PAIR_CHUNK + 1, $PAIR_CHUNK)) > 0
       |ORDER BY doc_id, pair_idx""".stripMargin
 
+  /** q153: DATASET CARD — the "datasheets for datasets" summary table
+    * a corpus release ships with, as ONE query returning (metric,
+    * value) rows: corpus scalars (docs, chars, tokens, distinct
+    * langs/sources), the full language and source composition, and
+    * length percentiles. The expensive text tokenization happens in
+    * exactly ONE scan (the scalar aggregate); the composition rollups
+    * scan only the pruned lang/source columns, and the percentile pass
+    * only n_chars — column pruning makes the "extra" passes nearly
+    * free at any scale. Values are integers (counts, or floor(p)+0.5
+    * for the interpolated percentiles — Spark percentile == DuckDB
+    * quantile_cont).
+    */
+  def q153DatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val scalars = docs
+      .select(col("n_chars"), size(tokens(col("text"))).cast("long").as("n_toks"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+        sum("n_toks").as("n_tokens"))
+      .select(explode(array(
+        struct(lit("n_docs").as("metric"), col("n_docs").as("value")),
+        struct(lit("n_chars").as("metric"), col("n_chars").as("value")),
+        struct(lit("n_tokens").as("metric"), col("n_tokens").as("value"))))
+        .as("e"))
+      .select(col("e.metric").as("metric"), col("e.value").as("value"))
+    val langs = docs.groupBy("lang").agg(count(lit(1)).as("value"))
+      .select(concat(lit("lang:"), col("lang")).as("metric"), col("value"))
+    val sources = docs.groupBy("source").agg(count(lit(1)).as("value"))
+      .select(concat(lit("source:"), col("source")).as("metric"), col("value"))
+    val pcts = docs.agg(
+      expr("percentile(n_chars, 0.5)").as("p50"),
+      expr("percentile(n_chars, 0.9)").as("p90"))
+      .select(explode(array(
+        struct(lit("len_p50_chars").as("metric"),
+          floor(col("p50") + lit(0.5)).cast("long").as("value")),
+        struct(lit("len_p90_chars").as("metric"),
+          floor(col("p90") + lit(0.5)).cast("long").as("value")))).as("e"))
+      .select(col("e.metric").as("metric"), col("e.value").as("value"))
+    scalars.unionByName(langs).unionByName(sources).unionByName(pcts)
+  }
+
+  val q153Sql: String =
+    """WITH t AS (
+      |  SELECT n_chars,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '')) AS BIGINT) AS n_toks
+      |  FROM documents)
+      |SELECT 'n_docs' AS metric, CAST(count(*) AS BIGINT) AS value FROM t
+      |UNION ALL
+      |SELECT 'n_chars', CAST(sum(n_chars) AS BIGINT) FROM t
+      |UNION ALL
+      |SELECT 'n_tokens', CAST(sum(n_toks) AS BIGINT) FROM t
+      |UNION ALL
+      |SELECT 'lang:' || lang, CAST(count(*) AS BIGINT) FROM documents GROUP BY lang
+      |UNION ALL
+      |SELECT 'source:' || source, CAST(count(*) AS BIGINT) FROM documents GROUP BY source
+      |UNION ALL
+      |SELECT 'len_p50_chars', CAST(floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.5) + 0.5) AS BIGINT) FROM documents
+      |UNION ALL
+      |SELECT 'len_p90_chars', CAST(floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.9) + 0.5) AS BIGINT) FROM documents
+      |ORDER BY metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_dataset_card" -> Gate.sorted(q153DatasetCard _, "metric"),
     "q147_chunk_pairs" -> Gate.sorted(q147ChunkPairs _, "doc_id", "pair_idx"),
     "q133_negative_sampling" -> Gate.sorted(q133NegativeSampling _, "c_custkey", "rank"),
     "q108_weighted_sample" -> Gate.sorted(q108WeightedSample _, "doc_id"),
@@ -923,6 +985,7 @@ object TrainPrep {
     "q81_quality_rules" -> Gate.sorted(q81QualityRules _, "doc_id"))
 
   val oracles: Map[String, String] = Map(
+    "q153_dataset_card" -> q153Sql,
     "q147_chunk_pairs" -> q147Sql,
     "q133_negative_sampling" -> q133Sql,
     "q108_weighted_sample" -> q108Sql,

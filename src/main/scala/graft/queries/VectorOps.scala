@@ -540,7 +540,72 @@ object VectorOps {
       |ORDER BY vec_id, k""".stripMargin
   }
 
+  /** q154 audit thresholds: vectors whose L2 norm falls outside this
+    * band (micro-units) are flagged for quarantine.
+    */
+  val NORM_LO_MICRO = 1000000L   // norm < 1.0: degenerate / near-zero
+  val NORM_HI_MICRO = 16000000L  // norm > 16: scale blow-up
+
+  /** q154: EMBEDDING QUALITY AUDIT — the pre-index health check every
+    * vector pipeline needs: per vector, dimensionality, L2 norm,
+    * zero-coordinate count, NaN count, and a quarantine flag for
+    * degenerate/blown-up norms; plus a corpus summary row (vec_id=-1:
+    * n vectors, mean norm, flagged count). A corrupt embedding batch
+    * (wrong dim, zeroed rows, NaN from an fp16 overflow) poisons an
+    * ANN index silently — this scan catches it first. All per-vector
+    * work is one zero-shuffle fold over the array column (left-to-
+    * right double accumulation, the same fold order as DuckDB's list
+    * functions); the summary is one 1-row aggregate.
+    */
+  def q154EmbeddingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val sumSq = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    val nZero = aggregate(col("embedding"), lit(0L),
+      (acc, x) => acc + when(x === 0.0f, 1L).otherwise(0L))
+    val nNan = aggregate(col("embedding"), lit(0L),
+      (acc, x) => acc + when(isnan(x), 1L).otherwise(0L))
+    val perVec = Tables(spark, dir).embeddings
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        floor(sqrt(sumSq) * lit(1e6) + lit(0.5)).cast("long").as("norm_micro"),
+        nZero.as("n_zero"), nNan.as("n_nan"))
+      .withColumn("flagged",
+        when(col("norm_micro") < NORM_LO_MICRO ||
+          col("norm_micro") > NORM_HI_MICRO || col("n_nan") > 0L, 1L)
+          .otherwise(0L))
+    val summary = perVec.agg(
+      lit(-1L).as("vec_id"), max("dim").as("dim"),
+      expr("sum(norm_micro) div count(1)").as("norm_micro"),
+      sum("n_zero").as("n_zero"), sum("n_nan").as("n_nan"),
+      sum("flagged").as("flagged"))
+    perVec.unionByName(summary)
+  }
+
+  val q154Sql: String =
+    s"""WITH v AS (
+      |  SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+      |    CAST(floor(sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1e6 + 0.5)
+      |      AS BIGINT) AS norm_micro,
+      |    CAST(len(list_filter(embedding, x -> x = 0)) AS BIGINT) AS n_zero,
+      |    CAST(len(list_filter(embedding, x -> isnan(x))) AS BIGINT) AS n_nan
+      |  FROM embeddings),
+      |f AS (
+      |  SELECT *, CASE WHEN norm_micro < $NORM_LO_MICRO
+      |    OR norm_micro > $NORM_HI_MICRO OR n_nan > 0 THEN 1 ELSE 0 END
+      |    AS flagged
+      |  FROM v)
+      |SELECT * FROM f
+      |UNION ALL
+      |SELECT -1 AS vec_id, CAST(max(dim) AS BIGINT),
+      |  CAST(sum(norm_micro) // count(*) AS BIGINT),
+      |  CAST(sum(n_zero) AS BIGINT), CAST(sum(n_nan) AS BIGINT),
+      |  CAST(sum(flagged) AS BIGINT)
+      |FROM f
+      |ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_embedding_audit" -> Gate.sorted(q154EmbeddingAudit _, "vec_id"),
     "q122_jl_projection" -> Gate.sorted(q122JlProjection _, "vec_id", "k"),
     "q62_quantized_ann" -> Gate.sorted(q62QuantizedAnn _, "query_id", "rank"),
     "q63_semantic_dedup" -> Gate.sorted(q63SemanticDedup _, "vec_id"),
@@ -549,6 +614,7 @@ object VectorOps {
     "q82_pq_ann" -> Gate.sorted(q82PqAnn _, "query_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q154_embedding_audit" -> q154Sql,
     "q122_jl_projection" -> q122Sql,
     "q62_quantized_ann" -> q62Sql,
     "q63_semantic_dedup" -> q63Sql,

@@ -415,4 +415,33 @@ class TrainPrepSpec extends SparkSpec {
     // the interval brackets the point estimate
     assert(got(-2L)._2 <= got(-1L)._2 && got(-1L)._2 <= got(-3L)._2)
   }
+
+  test("q153 dataset card metrics reconcile with direct recomputation") {
+    val docs = Tables(spark, sfDir).documents
+      .select("n_chars", "text", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val got = TrainPrep.q153DatasetCard(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("n_docs") == docs.length.toLong)
+    assert(got("n_chars") == docs.map(_._1).sum)
+    assert(got("n_tokens") ==
+      docs.map(_._2.toLowerCase.split("\\s+").count(_.nonEmpty).toLong).sum)
+    docs.groupBy(_._3).foreach { case (l, v) =>
+      assert(got(s"lang:$l") == v.length.toLong, s"lang $l")
+    }
+    docs.groupBy(_._4).foreach { case (src, v) =>
+      assert(got(s"source:$src") == v.length.toLong, s"source $src")
+    }
+    // interpolated percentiles over the sorted lengths
+    val sorted = docs.map(_._1.toDouble).sorted
+    def pct(p: Double): Long = {
+      val idx = p * (sorted.length - 1)
+      val lo = sorted(idx.toInt); val hi = sorted(math.ceil(idx).toInt)
+      math.floor(lo + (hi - lo) * (idx - idx.toInt) + 0.5).toLong
+    }
+    assert(got("len_p50_chars") == pct(0.5) && got("len_p90_chars") == pct(0.9))
+    // the card is complete: scalars + both compositions + percentiles
+    assert(got.size == 5 + docs.map(_._3).distinct.length +
+      docs.map(_._4).distinct.length)
+  }
 }

@@ -205,4 +205,33 @@ class VectorOpsSpec extends SparkSpec {
       assert(nv >= 1L && nv <= EmbeddingOps.TOP_K)
     }
   }
+
+  test("q154 embedding audit matches driver-side norms and folds to the summary") {
+    import graft.queries.VectorOps
+    val vecs = Tables(spark, sfDir).embeddings
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val expected = vecs.map { case (id, e) =>
+      var acc = 0.0
+      e.foreach(x => acc += x.toDouble * x.toDouble)
+      val norm = math.floor(math.sqrt(acc) * 1e6 + 0.5).toLong
+      val nz = e.count(_ == 0.0f).toLong
+      val nn = e.count(_.isNaN).toLong
+      val fl = if (norm < VectorOps.NORM_LO_MICRO ||
+        norm > VectorOps.NORM_HI_MICRO || nn > 0) 1L else 0L
+      id -> ((e.length.toLong, norm, nz, nn, fl))
+    }.toMap
+    val got = VectorOps.q154EmbeddingAudit(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    expected.foreach { case (id, e) => assert(got(id) == e, s"vec $id") }
+    val sm = got(-1L)
+    assert(sm._1 == expected.values.map(_._1).max)
+    assert(sm._2 == expected.values.map(_._2).sum / expected.size)
+    assert(sm._3 == expected.values.map(_._3).sum)
+    assert(sm._4 == expected.values.map(_._4).sum)
+    assert(sm._5 == expected.values.map(_._5).sum)
+    // healthy synthetic embeddings: nothing NaN
+    assert(sm._4 == 0L)
+  }
 }
