@@ -1139,7 +1139,69 @@ object EventAnalytics {
       |ORDER BY type_a, type_b""".stripMargin
   }
 
+  /** q155: TIME-WEIGHTED AVERAGE — per user, the average of `value`
+    * weighted by how long each reading was in force (the integral of
+    * the step function between events, over the observed span): the
+    * correct aggregate for sampled gauges — billing meters, price
+    * feeds, queue depths — where the plain mean over-weights bursts of
+    * samples. One lead() pass on the family's shared user_id key gives
+    * each reading its holding duration; one aggregate folds the exact
+    * integer value-unit x microsecond products (the per-user integral
+    * is bounded by span x max-unit — within int64 for any realistic
+    * gauge; the final division is one IEEE op on exact integers).
+    * Single-reading users have an empty span and degenerate to the
+    * point value, spelled out identically in both engines.
+    */
+  def q155TimeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        floor(col("value") * lit(1e4) + lit(0.5)).cast("long").as("v_unit"))
+      .withColumn("dur_us",
+        coalesce(lead(col("us"), 1).over(byUser) - col("us"), lit(0L)))
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_readings"),
+        min("us").as("first_us"), max("us").as("last_us"),
+        sum(col("v_unit") * col("dur_us")).as("integral"),
+        sum("dur_us").as("span_us"),
+        // the last (zero-duration) reading's value, for the degenerate case
+        max(struct(col("us"), col("event_id"), col("v_unit"))).as("lastr"))
+      .select(col("user_id"), col("n_readings"), col("first_us"),
+        col("last_us"),
+        when(col("span_us") === 0L, col("lastr.v_unit") * lit(100L))
+          .otherwise(floor(col("integral").cast("double") * lit(1e2) /
+            col("span_us").cast("double") + lit(0.5)).cast("long"))
+          .as("twa_micro"))
+  }
+
+  val q155Sql: String =
+    s"""WITH e AS (
+      |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+      |    CAST(floor(value * 1e4 + 0.5) AS BIGINT) AS v_unit
+      |  FROM events),
+      |d AS (
+      |  SELECT *, coalesce(lead(us) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id) - us, 0) AS dur_us
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_readings,
+      |    CAST(min(us) AS BIGINT) AS first_us,
+      |    CAST(max(us) AS BIGINT) AS last_us,
+      |    CAST(sum(v_unit * dur_us) AS BIGINT) AS integral,
+      |    CAST(sum(dur_us) AS BIGINT) AS span_us,
+      |    CAST(arg_max(v_unit,
+      |      (us - ${graft.queries.SessionOps.ORD_EPOCH_US}) * 1048576 + event_id)
+      |      AS BIGINT) AS last_v
+      |  FROM d GROUP BY user_id)
+      |SELECT user_id, n_readings, first_us, last_us,
+      |  CASE WHEN span_us = 0 THEN last_v * 100
+      |       ELSE CAST(floor(CAST(integral AS DOUBLE) * 1e2 /
+      |         CAST(span_us AS DOUBLE) + 0.5) AS BIGINT) END AS twa_micro
+      |FROM g ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_time_weighted_avg" -> Gate.sorted(q155TimeWeightedAvg _, "user_id"),
     "q152_audience_overlap" -> Gate.sorted(q152AudienceOverlap _, "type_a", "type_b"),
     "q140_window_funnel" -> Gate.sorted(q140WindowFunnel _, "user_id"),
     "q139_survival_km" -> Gate.sorted(q139SurvivalKm _, "dur_min"),
@@ -1165,6 +1227,7 @@ object EventAnalytics {
     "q75_rolling_features" -> Gate.sorted(q75RollingFeatures _, "user_id", "event_id"))
 
   val oracles: Map[String, String] = Map(
+    "q155_time_weighted_avg" -> q155Sql,
     "q152_audience_overlap" -> q152Sql,
     "q140_window_funnel" -> q140Sql,
     "q139_survival_km" -> q139Sql,

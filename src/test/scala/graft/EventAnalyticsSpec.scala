@@ -525,4 +525,31 @@ class EventAnalyticsSpec extends SparkSpec {
       assert(jac >= 0L && jac <= 1000000L)
     }
   }
+
+  test("q155 time-weighted average matches a driver-side step-function integral") {
+    val ev = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3) * 1e4 + 0.5).toLong))
+    val expected = ev.groupBy(_._1).map { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val durs = sorted.sliding(2).collect {
+        case Array(a, b) => (a._4, b._3 - a._3)
+      }.toSeq
+      val span = durs.map(_._2).sum
+      val twa =
+        if (span == 0L) sorted.last._4 * 100L
+        else math.floor(durs.map(d => d._1 * d._2).sum.toDouble * 1e2 /
+          span.toDouble + 0.5).toLong
+      u -> ((sorted.length.toLong, sorted.head._3, sorted.last._3, twa))
+    }
+    val got = EventAnalytics.q155TimeWeightedAvg(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == expected.toMap)
+    // a TWA sits inside the value range
+    got.values.foreach { case (_, _, _, twa) => assert(twa >= 0L) }
+  }
 }
