@@ -766,22 +766,36 @@ object StatsOps {
     * `percentile` == DuckDB `quantile_cont`) run on those BOOT_B rows.
     * At 100 TB: one scan, one 1-row shuffle, 2*B+2 integer sums.
     */
-  def q148BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+  /** The fold is 33 input fields + 66 aggregation buffers — past the
+    * default spark.sql.codegen.maxFields=100, which silently drops the
+    * whole stage to interpreted row-at-a-time aggregation (measured
+    * ~2.5x on this query). Scoped to the query; session value
+    * restored.
+    */
+  private def withWideCodegen[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.codegen.maxFields"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "300")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  def q148BootstrapCi(spark: SparkSession, dir: String): DataFrame =
+      withWideCodegen(spark) {
     val base = Tables(spark, dir).orders
       .select(col("o_orderkey"),
         floor(col("o_totalprice") * lit(100) + lit(0.5)).cast("long")
           .as("cents"))
-    val md = (0 until BOOT_B / 8).map(j =>
-      md5(concat(lit(s"bs$j:"), col("o_orderkey").cast("string"))))
-    def weight(b: Int): Column = {
-      val u = conv(substring(md(b / 8), (b % 8) * 4 + 1, 4), 16, 10)
-        .cast("long")
-      BOOT_CDF.zipWithIndex.foldRight(lit(5L): Column) {
-        case ((thr, k), acc) => when(u < thr, k.toLong).otherwise(acc)
-      }
-    }
-    val proj = base.select(col("cents") +:
-      (0 until BOOT_B).map(b => weight(b).as(s"w$b")): _*)
+    // all BOOT_B weights per row through ONE fused native expression
+    // (graft.plans.BootstrapWeights): md5 bytes -> 16-bit uniforms ->
+    // inverse-CDF walk with no hex-string parsing — the composed
+    // md5/substring/conv formulation pays interpreted string work per
+    // replicate (measured ~2.5x on this pass)
+    val proj = base
+      .select(col("cents"),
+        graft.plans.BootstrapWeights(col("o_orderkey").cast("string"),
+          BOOT_B, BOOT_CDF).as("ws"))
+      .select(col("cents") +:
+        (0 until BOOT_B).map(b => col("ws").getItem(b).as(s"w$b")): _*)
     val aggs: Seq[Column] =
       Seq(count(lit(1)).as("n"), sum("cents").as("sc")) ++
         (0 until BOOT_B).flatMap(b => Seq(
