@@ -600,7 +600,66 @@ object LlmText {
       |GROUP BY s.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** q156: CHARACTER-ENTROPY QUALITY SIGNAL — per document, the
+    * Shannon entropy of its character distribution: near-zero entropy
+    * flags repetitive/degenerate text (aaaa..., padding, markup
+    * spam) that length- and word-based rules (q33/q81) miss, and the
+    * band between "too low" and "too high" (random bytes) is a
+    * classic corpus-quality cut. Characters come from the shingle
+    * idiom (substr explode, identical in both engines — no
+    * engine-specific split('')); the per-(doc, char) histogram is one
+    * map-side-combined pass, the per-doc fold a second — both keyed
+    * by doc_id-led keys, so they co-partition. Entropy terms
+    * (c/n) ln(n/c) are quantized to integer micro-nats per term and
+    * summed exactly.
+    */
+  def q156CharEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val chars = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, greatest(length(text), 1)), i -> substring(text, i, 1))"))
+          .as("ch"))
+      .filter(col("ch") =!= "")
+    val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    counts
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"))
+      .join(counts, "doc_id")
+      .groupBy(col("doc_id"), col("n"), col("n_distinct"))
+      .agg(sum(floor(
+        (col("c").cast("double") / col("n").cast("double")) *
+          log(col("n").cast("double") / col("c").cast("double")) *
+          lit(1e6) + lit(0.5)).cast("long")).as("entropy_micro"))
+      .select(col("doc_id"), col("n").as("n_chars"), col("n_distinct"),
+        col("entropy_micro"))
+  }
+
+  val q156Sql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, substr(text, i, 1) AS ch
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      unnest(generate_series(1, greatest(length(text), 1))) AS i
+      |    FROM documents)
+      |  WHERE substr(text, i, 1) != ''),
+      |c AS (
+      |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+      |  FROM ch GROUP BY 1, 2),
+      |t AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(count(*) AS BIGINT) AS n_distinct
+      |  FROM c GROUP BY 1)
+      |SELECT t.doc_id AS doc_id, t.n AS n_chars, t.n_distinct,
+      |  CAST(sum(CAST(floor(
+      |    (CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)) *
+      |    ln(CAST(t.n AS DOUBLE) / CAST(c.c AS DOUBLE)) * 1e6 + 0.5)
+      |    AS BIGINT)) AS BIGINT) AS entropy_micro
+      |FROM t JOIN c ON c.doc_id = t.doc_id
+      |GROUP BY t.doc_id, t.n, t.n_distinct
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_char_entropy" -> Gate.sorted(q156CharEntropy _, "doc_id"),
     "q149_ngram_novelty" -> Gate.sorted(q149NgramNovelty _, "doc_id"),
     "q129_feature_hash" -> Gate.sorted(q129FeatureHash _, "doc_id", "bucket"),
     "q111_media_frames" -> Gate.sorted(q111MediaFrames _, "doc_id", "frame_idx"),
@@ -619,6 +678,7 @@ object LlmText {
     "q55_doc_keywords" -> Gate.sorted(q55DocKeywords _, "doc_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q156_char_entropy" -> q156Sql,
     "q149_ngram_novelty" -> q149Sql,
     "q129_feature_hash" -> q129Sql,
     "q111_media_frames" -> q111Sql,

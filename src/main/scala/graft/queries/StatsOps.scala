@@ -873,7 +873,82 @@ object StatsOps {
       |ORDER BY b""".stripMargin
   }
 
+  /** q157: JOIN-SKEW PROBE — the key-distribution diagnostic run
+    * BEFORE choosing a join strategy (plain vs salted q120 vs
+    * bloom-pruned q127): the fact's join-key histogram collapsed to
+    * (metric, value) rows — key cardinality, row count, the heaviest
+    * key's size, mean and exact-median rows per key, a max/mean skew
+    * factor, and the top-3 heaviest keys (deterministic lower-key
+    * ties). One map-side-combined rollup to |keys|; the stats and the
+    * top-3 (TakeOrderedAndProject, no global sort) both fold THAT
+    * table. At 100 TB this probe is how q120's SKEW_SALTS gets sized.
+    */
+  def q157SkewProbe(spark: SparkSession, dir: String): DataFrame = {
+    val kc = Tables(spark, dir).lineitem
+      .groupBy("l_orderkey").agg(count(lit(1)).as("c"))
+    val stats = kc.agg(
+      count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+      max("c").as("max_c"),
+      expr("percentile(c, 0.5)").as("p50"))
+      .select(explode(array(
+        struct(lit("n_keys").as("metric"), col("n_keys").as("value")),
+        struct(lit("n_rows").as("metric"), col("n_rows").as("value")),
+        struct(lit("max_key_rows").as("metric"), col("max_c").as("value")),
+        struct(lit("p50_key_rows_micro").as("metric"),
+          floor(col("p50") * lit(1e6) + lit(0.5)).cast("long").as("value")),
+        struct(lit("mean_key_rows_micro").as("metric"),
+          floor(col("n_rows").cast("double") * lit(1e6) /
+            col("n_keys").cast("double") + lit(0.5)).cast("long").as("value")),
+        struct(lit("skew_max_over_mean_micro").as("metric"),
+          floor(col("max_c").cast("double") * col("n_keys").cast("double") *
+            lit(1e6) / col("n_rows").cast("double") + lit(0.5)).cast("long")
+            .as("value")))).as("e"))
+      .select(col("e.metric").as("metric"), col("e.value").as("value"))
+    val top = kc.orderBy(col("c").desc, col("l_orderkey").asc).limit(3)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("l_orderkey").asc)))
+      .select(explode(array(
+        struct(concat(lit("top"), col("rn"), lit("_key")).as("metric"),
+          col("l_orderkey").as("value")),
+        struct(concat(lit("top"), col("rn"), lit("_rows")).as("metric"),
+          col("c").as("value")))).as("e"))
+      .select(col("e.metric").as("metric"), col("e.value").as("value"))
+    stats.unionByName(top)
+  }
+
+  val q157Sql: String =
+    """WITH kc AS (
+      |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(sum(c) AS BIGINT) AS n_rows,
+      |    CAST(max(c) AS BIGINT) AS max_c,
+      |    quantile_cont(CAST(c AS DOUBLE), 0.5) AS p50
+      |  FROM kc),
+      |top AS (
+      |  SELECT l_orderkey, c,
+      |    row_number() OVER (ORDER BY c DESC, l_orderkey ASC) AS rn
+      |  FROM kc
+      |  ORDER BY c DESC, l_orderkey ASC LIMIT 3)
+      |SELECT 'n_keys' AS metric, n_keys AS value FROM s
+      |UNION ALL SELECT 'n_rows', n_rows FROM s
+      |UNION ALL SELECT 'max_key_rows', max_c FROM s
+      |UNION ALL SELECT 'p50_key_rows_micro',
+      |  CAST(floor(p50 * 1e6 + 0.5) AS BIGINT) FROM s
+      |UNION ALL SELECT 'mean_key_rows_micro',
+      |  CAST(floor(CAST(n_rows AS DOUBLE) * 1e6 / CAST(n_keys AS DOUBLE) + 0.5)
+      |    AS BIGINT) FROM s
+      |UNION ALL SELECT 'skew_max_over_mean_micro',
+      |  CAST(floor(CAST(max_c AS DOUBLE) * CAST(n_keys AS DOUBLE) * 1e6 /
+      |    CAST(n_rows AS DOUBLE) + 0.5) AS BIGINT) FROM s
+      |UNION ALL SELECT 'top' || rn || '_key', l_orderkey FROM top
+      |UNION ALL SELECT 'top' || rn || '_rows', c FROM top
+      |ORDER BY metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_skew_probe" -> Gate.sorted(q157SkewProbe _, "metric"),
     "q148_bootstrap_ci" -> Gate.sorted(q148BootstrapCi _, "b"),
     "q143_cusum_changepoint" -> Gate.sorted(q143CusumChangepoint _, "day"),
     "q141_mutual_info" -> Gate.sorted(q141MutualInfo _, "event_type", "wd"),
@@ -888,6 +963,7 @@ object StatsOps {
     "q137_pr_thresholds" -> Gate.sorted(q137PrThresholds _, "threshold_micro"))
 
   val oracles: Map[String, String] = Map(
+    "q157_skew_probe" -> q157Sql,
     "q148_bootstrap_ci" -> q148Sql,
     "q143_cusum_changepoint" -> q143Sql,
     "q141_mutual_info" -> q141Sql,

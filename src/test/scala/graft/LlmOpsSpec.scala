@@ -503,4 +503,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.values.exists(_._3 < 1000000L), "some shingles must be shared")
     assert(got.values.exists(_._3 > 0L), "some shingles must be unique")
   }
+
+  test("q156 char entropy matches a driver-side histogram computation") {
+    val docs = Tables(spark, sfDir).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, text) =>
+      val hist = text.groupBy(identity).map { case (_, v) => v.length.toLong }
+      val n = text.length.toLong
+      val ent = hist.map(c => math.floor(
+        (c.toDouble / n.toDouble) * math.log(n.toDouble / c.toDouble) * 1e6
+          + 0.5).toLong).sum
+      id -> ((n, hist.size.toLong, ent))
+    }.toMap
+    val got = LlmText.q156CharEntropy(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected)
+    // natural text sits well above degenerate entropy
+    assert(got.values.forall(_._3 > 0L))
+  }
 }

@@ -301,4 +301,32 @@ class StatsOpsSpec extends SparkSpec {
     assert(got.count(_._4 == 1L) == 1, "exactly one changepoint")
     assert(got.find(_._4 == 1L).get._1 == cpDay)
   }
+
+  test("q157 skew probe reconciles with a driver-side key histogram") {
+    val keys = Tables(spark, sfDir).lineitem
+      .select("l_orderkey").collect().map(_.getLong(0))
+    val hist = keys.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val nKeys = hist.size.toLong; val nRows = keys.length.toLong
+    val maxC = hist.values.max
+    val got = StatsOps.q157SkewProbe(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("n_keys") == nKeys && got("n_rows") == nRows)
+    assert(got("max_key_rows") == maxC)
+    assert(got("mean_key_rows_micro") ==
+      math.floor(nRows.toDouble * 1e6 / nKeys.toDouble + 0.5).toLong)
+    assert(got("skew_max_over_mean_micro") ==
+      math.floor(maxC.toDouble * nKeys.toDouble * 1e6 / nRows.toDouble + 0.5).toLong)
+    // top keys: heaviest first, lower-key ties
+    val top = hist.toSeq.sortBy { case (k, c) => (-c, k) }.take(3)
+    (1 to 3).zip(top).foreach { case (i, (k, c)) =>
+      assert(got(s"top${i}_key") == k, s"top$i key")
+      assert(got(s"top${i}_rows") == c, s"top$i rows")
+    }
+    // exact interpolated median of per-key counts
+    val sorted = hist.values.toSeq.sorted.map(_.toDouble)
+    val idx = 0.5 * (sorted.length - 1)
+    val p50 = sorted(idx.toInt) +
+      (sorted(math.ceil(idx).toInt) - sorted(idx.toInt)) * (idx - idx.toInt)
+    assert(got("p50_key_rows_micro") == math.floor(p50 * 1e6 + 0.5).toLong)
+  }
 }
