@@ -24,7 +24,10 @@ object SparkEntry {
       graft.queries.EventAnalytics.queries ++
       graft.queries.Retrieval.queries ++
       graft.queries.GraphOps.queries ++
-      graft.queries.StatsOps.queries
+      graft.queries.StatsOps.queries ++
+      graft.queries.TpchShapes.queries ++
+      graft.queries.TemporalOps.queries ++
+      graft.queries.LayoutOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -43,5 +46,8 @@ object SparkEntry {
       graft.queries.EventAnalytics.oracles ++
       graft.queries.Retrieval.oracles ++
       graft.queries.GraphOps.oracles ++
-      graft.queries.StatsOps.oracles
+      graft.queries.StatsOps.oracles ++
+      graft.queries.TpchShapes.oracles ++
+      graft.queries.TemporalOps.oracles ++
+      graft.queries.LayoutOps.oracles
 }

@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 temporal / sequence analytics over the event log: Markov
+  * transition matrices, series autocorrelation, and the temporal
+  * anti-sequence ("A never followed by B within T") — the three
+  * sequence shapes the inventory's funnel/sessionization families did
+  * not yet express. All per-user passes shuffle ONCE on user_id (the
+  * same key as q37/q73), then reduce to tiny aggregates.
+  *
+  * Stream order is (ts, event_id) everywhere — the same total order
+  * the sessionization family pins — so results are deterministic under
+  * equal timestamps in both engines.
+  */
+object TemporalOps {
+
+  /** q162: EVENT-TYPE MARKOV TRANSITION MATRIX — for each ordered pair
+    * (prev_type -> next_type), the transition count and row-normalized
+    * probability. ONE window pass (lag over the user-partitioned
+    * stream), then an aggregate on a 25-cell domain: the shuffle after
+    * the window is negligible at any scale. Probability is reported in
+    * integer micro-units; `floor(n*1e6/total + 0.5)` on BIGINT inputs
+    * is bit-identical across engines.
+    */
+  def q162MarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = Tables(spark, dir).events
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val byPrev = Window.partitionBy("prev_type")
+    trans
+      .withColumn("prob_micro",
+        floor(col("n") * lit(1e6) / sum("n").over(byPrev) + lit(0.5))
+          .cast("long"))
+      .select("prev_type", "next_type", "n", "prob_micro")
+  }
+
+  val q162Sql: String =
+    """WITH tr AS (
+      |  SELECT lag(event_type) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+      |    event_type AS next_type
+      |  FROM events),
+      |cnt AS (
+      |  SELECT prev_type, next_type, count(*) AS n
+      |  FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n,
+      |  CAST(floor(n * 1e6 / sum(n) OVER (PARTITION BY prev_type) + 0.5)
+      |    AS BIGINT) AS prob_micro
+      |FROM cnt ORDER BY prev_type, next_type""".stripMargin
+
+  /** Autocorrelation lags computed by q163. */
+  val ACF_LAGS: Seq[Int] = Seq(1, 2, 3)
+
+  /** q163: DAILY-SERIES AUTOCORRELATION — lag-k Pearson correlation of
+    * the daily event-count series, the seasonality probe a monitoring
+    * pipeline runs on ingest volumes. The heavy part is ONE count
+    * aggregate to the day grain (map-side combined, ~30 output rows at
+    * any fact scale); the lag alignment and correlation run on that
+    * tiny series, where each lag's moments come from exact BIGINT sums
+    * of count products (pairs t in [1, n-k]: standard sample Pearson
+    * over the aligned pairs). The final division is one double
+    * expression over identical integers in both engines, reported in
+    * micro-units.
+    */
+  def q163DailyAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .groupBy(date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val byDay = Window.orderBy("day")
+    val lagged = daily.select(
+      col("c") +: ACF_LAGS.map(k => lag("c", k).over(byDay).as(s"c_$k")): _*)
+    val acfs = ACF_LAGS.map { k =>
+      val x = col(s"sx_$k").cast("double"); val y = col(s"sy_$k").cast("double")
+      val xx = col(s"sxx_$k").cast("double"); val yy = col(s"syy_$k").cast("double")
+      val xy = col(s"sxy_$k").cast("double"); val n = col(s"n_$k").cast("double")
+      struct(lit(k).as("lag"),
+        floor((n * xy - x * y) /
+          (sqrt(n * xx - x * x) * sqrt(n * yy - y * y)) * lit(1e6) + lit(0.5))
+          .cast("long").as("acf_micro"))
+    }
+    val aggCols: Seq[org.apache.spark.sql.Column] = ACF_LAGS.flatMap { k =>
+      val pair = col(s"c_$k").isNotNull
+      Seq(
+        sum(when(pair, col("c"))).as(s"sx_$k"),
+        sum(when(pair, col(s"c_$k"))).as(s"sy_$k"),
+        sum(when(pair, col("c") * col("c"))).as(s"sxx_$k"),
+        sum(when(pair, col(s"c_$k") * col(s"c_$k"))).as(s"syy_$k"),
+        sum(when(pair, col("c") * col(s"c_$k"))).as(s"sxy_$k"),
+        count(when(pair, lit(1))).as(s"n_$k"))
+    }
+    lagged.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(acfs: _*)).as("e"))
+      .select(col("e.lag").as("lag"), col("e.acf_micro").as("acf_micro"))
+  }
+
+  val q163Sql: String = {
+    val lagSelects = ACF_LAGS.map { k =>
+      s"""SELECT $k AS lag,
+         |  CAST(floor((n*sxy - sx*sy) /
+         |    (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) * 1e6 + 0.5)
+         |    AS BIGINT) AS acf_micro
+         |FROM (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n,
+         |    CAST(sum(c) AS DOUBLE) AS sx, CAST(sum(ck) AS DOUBLE) AS sy,
+         |    CAST(sum(c*c) AS DOUBLE) AS sxx,
+         |    CAST(sum(ck*ck) AS DOUBLE) AS syy,
+         |    CAST(sum(c*ck) AS DOUBLE) AS sxy
+         |  FROM (SELECT c, lag(c, $k) OVER (ORDER BY day) AS ck FROM daily)
+         |  WHERE ck IS NOT NULL)""".stripMargin
+    }
+    s"""WITH daily AS (
+       |  SELECT date_trunc('day', ts) AS day, count(*) AS c
+       |  FROM events GROUP BY 1)
+       |${lagSelects.mkString("\nUNION ALL\n")}
+       |ORDER BY lag""".stripMargin
+  }
+
+  /** q164 abandonment window (micros): a click converts only if a
+    * purchase follows within this bound.
+    */
+  val ABANDON_US: Long = 3600L * 1000000L
+
+  /** q164: TEMPORAL ANTI-SEQUENCE ("abandoned clicks") — per user, the
+    * clicks NOT followed by a purchase within one hour. The naive
+    * semantics is a correlated NOT EXISTS over the same log (the
+    * oracle states it literally); the Spark plan is ONE running-min
+    * window over the user-partitioned stream — `next purchase ts` for
+    * every row via min-over-following-rows — so the fact table is
+    * scanned once, never self-joined. The window frame is unbounded
+    * following; Spark evaluates it with a reverse running min, not a
+    * per-row rescan.
+    */
+  def q164AbandonedClicks(spark: SparkSession, dir: String): DataFrame = {
+    val after = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables(spark, dir).events
+      .withColumn("next_purchase_us",
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .over(after))
+      .filter(col("event_type") === "click")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(when(col("next_purchase_us").isNull ||
+          col("next_purchase_us") - unix_micros(col("ts")) > ABANDON_US,
+          1L).otherwise(0L)).as("n_abandoned"))
+  }
+
+  val q164Sql: String =
+    s"""SELECT c.user_id, count(*) AS n_clicks,
+       |  CAST(sum(CASE WHEN NOT EXISTS (
+       |    SELECT 1 FROM events p
+       |    WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+       |      AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id > c.event_id))
+       |      AND epoch_us(p.ts) - epoch_us(c.ts) <= $ABANDON_US
+       |  ) THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned
+       |FROM events c
+       |WHERE c.event_type = 'click'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q162_markov_transitions" ->
+      Gate.sorted(q162MarkovTransitions _, "prev_type", "next_type"),
+    "q163_daily_autocorr" -> Gate.sorted(q163DailyAutocorr _, "lag"),
+    "q164_abandoned_clicks" -> Gate.sorted(q164AbandonedClicks _, "user_id"))
+
+  val oracles: Map[String, String] = Map(
+    "q162_markov_transitions" -> q162Sql,
+    "q163_daily_autocorr" -> q163Sql,
+    "q164_abandoned_clicks" -> q164Sql)
+}

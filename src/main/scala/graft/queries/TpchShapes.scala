@@ -1,0 +1,223 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 relational widening: the TPC-H decision-support shapes the
+  * inventory did not yet cover (Q13 outer-join distribution, Q17
+  * correlated-average filter, Q22 scalar-subquery + anti join), plus a
+  * distributed SKYLINE (Pareto frontier) operator. Reference behavior:
+  * the reference engine's query surface covers grouped aggregation,
+  * outer joins, correlated filters and anti joins
+  * (`/root/reference` query suite); these queries re-express those
+  * semantics Spark-first.
+  *
+  * Exactness idiom shared with the rest of the inventory: money/
+  * quantity doubles carry <= 2 decimals, so they quantize losslessly to
+  * integer centi/micro units (floor(x*1eK + 0.5) — one IEEE op,
+  * identical in DuckDB), and every AVG-comparison is cross-multiplied
+  * into pure integer arithmetic so the oracle hash is bit-stable.
+  */
+object TpchShapes {
+
+  /** q158: ORDER-COUNT DISTRIBUTION (the TPC-H Q13 shape) — how many
+    * customers placed exactly k orders, INCLUDING the zero bucket that
+    * makes this an outer join rather than a plain rollup.
+    *
+    * Plan: orders aggregate FIRST (map-side partial count, one shuffle
+    * on o_custkey), then a LEFT join from customer — at 100 TB both
+    * sides are large so this is a sort-merge/shuffle-hash join on the
+    * customer key, never a broadcast; the final distribution agg is on
+    * a tiny domain (order counts) so its shuffle is negligible. No
+    * per-row window, no explode.
+    */
+  def q158OrderCountDist(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val perCust = t.orders.groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    t.customer.select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .groupBy("n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  val q158Sql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+      |SELECT COALESCE(pc.n_orders, 0) AS n_orders,
+      |  count(*) AS n_customers
+      |FROM customer c LEFT JOIN pc ON pc.o_custkey = c.c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q159: SMALL-QUANTITY REVENUE (the TPC-H Q17 shape) — revenue from
+    * lineitems whose quantity is below 20% of the part's average
+    * quantity, for one brand. The correlated scalar subquery
+    * (avg per part) becomes ONE per-part aggregate joined back — and
+    * because the probe side is already filtered to a single brand
+    * (~2% of parts), BOTH the per-part average build and the join are
+    * restricted by a broadcast semi of the brand's part keys, so the
+    * fact table is scanned once and only brand rows leave the scan
+    * stage.
+    *
+    * The avg comparison is exact: quantity quantizes to centi-units,
+    * and `q < 0.2 * sum/n` cross-multiplies to `q_c * 5 * n < sum_c`
+    * — pure BIGINT on both engines.
+    */
+  def q159SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val brandParts = t.part
+      .filter(col("p_brand") === lit("Brand#23"))
+      .select("p_partkey")
+    val li = t.lineitem
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        floor(col("l_quantity") * lit(100) + lit(0.5)).cast("long").as("q_c"),
+        floor(col("l_extendedprice") * lit(1e6) + lit(0.5)).cast("long")
+          .as("price_micro"))
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum("q_c").as("sum_qc"), count(lit(1)).as("n_li"))
+    li.join(perPart, "l_partkey")
+      .filter(col("q_c") * lit(5L) * col("n_li") < col("sum_qc"))
+      .agg(count(lit(1)).as("n_small"),
+        sum("price_micro").as("revenue_micro"))
+      .select(col("n_small"),
+        coalesce(col("revenue_micro"), lit(0L)).as("revenue_micro"))
+  }
+
+  val q159Sql: String =
+    """WITH li AS (
+      |  SELECT l_partkey,
+      |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q_c,
+      |    CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT) AS price_micro
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_brand = 'Brand#23'),
+      |pp AS (
+      |  SELECT l_partkey, CAST(sum(q_c) AS BIGINT) AS sum_qc,
+      |    count(*) AS n_li
+      |  FROM li GROUP BY 1)
+      |SELECT count(*) AS n_small,
+      |  COALESCE(CAST(sum(li.price_micro) AS BIGINT), 0) AS revenue_micro
+      |FROM li JOIN pp USING (l_partkey)
+      |WHERE li.q_c * 5 * pp.n_li < pp.sum_qc""".stripMargin
+
+  /** q160 dormancy cutoff: a customer is dormant if they have no order
+    * on/after this date (the order log spans 1995-2001).
+    */
+  val DORMANT_CUTOFF = "1999-01-01"
+
+  /** q160: DORMANT HIGH-BALANCE CUSTOMERS (the TPC-H Q22 shape) — per
+    * nation, customers whose account balance exceeds the global average
+    * POSITIVE balance yet who placed no order since the cutoff. Three
+    * classic pieces: a global scalar subquery (one-row aggregate,
+    * crossJoin-broadcast — no collect), a LEFT ANTI join against the
+    * recent-orders key set (at scale the anti join shuffles both sides
+    * on custkey; the date filter is pushed to the orders scan first),
+    * and a dim rollup.
+    *
+    * The threshold compare is exact: `bal > sum_pos/n_pos` cross-
+    * multiplies to `bal_c * n_pos > sum_pos_c` in BIGINT.
+    */
+  def q160DormantRich(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cust = t.customer.select(col("c_custkey"), col("c_nationkey"),
+      floor(col("c_acctbal") * lit(100) + lit(0.5)).cast("long").as("bal_c"))
+    val thresh = cust.filter(col("bal_c") > 0)
+      .agg(sum("bal_c").as("sum_pos"), count(lit(1)).as("n_pos"))
+    cust
+      .crossJoin(broadcast(thresh))
+      .filter(col("bal_c") * col("n_pos") > col("sum_pos"))
+      .join(t.orders
+          .filter(col("o_orderdate") >= lit(DORMANT_CUTOFF).cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), sum("bal_c").as("bal_sum_c"))
+      .join(broadcast(Tables(spark, dir).nation
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "n_cust", "bal_sum_c")
+  }
+
+  val q160Sql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+      |  FROM customer),
+      |th AS (
+      |  SELECT CAST(sum(bal_c) AS BIGINT) AS sum_pos, count(*) AS n_pos
+      |  FROM cust WHERE bal_c > 0)
+      |SELECT n.n_name,
+      |  count(*) AS n_cust, CAST(sum(c.bal_c) AS BIGINT) AS bal_sum_c
+      |FROM cust c, th
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |WHERE c.bal_c * th.n_pos > th.sum_pos
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q161: SKYLINE (Pareto frontier) over part — minimize retail price,
+    * maximize size; a part survives iff no other part is at-least-as-
+    * good on both axes and strictly better on one. The naive form is an
+    * O(n^2) self-join; the 2-D structure admits a SWEEP instead:
+    *
+    *   1. one aggregate to per-size min price (the size domain is tiny
+    *      and bounded — 50 values — so this shuffle is trivial and the
+    *      result broadcastable at ANY fact scale),
+    *   2. a window running-min over that tiny sorted domain gives, for
+    *      every size, the cheapest price at any STRICTLY LARGER size,
+    *   3. one broadcast join back prunes the full table: survivor iff
+    *      price == per-size min AND price < running-min-above (or no
+    *      larger size exists). Ties on both axes co-survive (neither
+    *      dominates — no strict edge).
+    *
+    * The big table is scanned once with no self-join, no global sort,
+    * no O(n^2) anywhere; the only window runs over 50 rows. The oracle
+    * is the literal NOT EXISTS dominance definition, proving the sweep
+    * equivalent.
+    */
+  def q161Skyline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val p = t.part.select(col("p_partkey"), col("p_size"),
+      floor(col("p_retailprice") * lit(100) + lit(0.5)).cast("long")
+        .as("price_c"))
+    val perSize = p.groupBy("p_size").agg(min("price_c").as("min_price_c"))
+    val w = Window.orderBy(col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perSize
+      .withColumn("min_above", min("min_price_c").over(w))
+      .filter(col("min_above").isNull || col("min_price_c") < col("min_above"))
+      .select(col("p_size").as("f_size"), col("min_price_c"))
+    p.join(broadcast(frontier),
+        col("p_size") === col("f_size") &&
+          col("price_c") === col("min_price_c"))
+      .select("p_partkey", "p_size", "price_c")
+  }
+
+  val q161Sql: String =
+    """WITH p AS (
+      |  SELECT p_partkey, p_size,
+      |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c
+      |  FROM part)
+      |SELECT a.p_partkey, a.p_size, a.price_c
+      |FROM p a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM p b
+      |  WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+      |    AND (b.price_c < a.price_c OR b.p_size > a.p_size))
+      |ORDER BY a.p_partkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_order_count_dist" -> Gate.sorted(q158OrderCountDist _, "n_orders"),
+    "q159_small_qty_revenue" -> ((s, d) => q159SmallQtyRevenue(s, d)),
+    "q160_dormant_rich" -> Gate.sorted(q160DormantRich _, "n_name"),
+    "q161_skyline" -> Gate.sorted(q161Skyline _, "p_partkey"))
+
+  val oracles: Map[String, String] = Map(
+    "q158_order_count_dist" -> q158Sql,
+    "q159_small_qty_revenue" -> q159Sql,
+    "q160_dormant_rich" -> q160Sql,
+    "q161_skyline" -> q161Sql)
+}

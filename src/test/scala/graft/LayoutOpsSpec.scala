@@ -1,0 +1,43 @@
+package graft
+
+import graft.queries.LayoutOps
+import org.apache.spark.sql.functions._
+
+class LayoutOpsSpec extends SparkSpec {
+
+  test("every layout query has an oracle and runs non-empty") {
+    LayoutOps.queries.foreach { case (name, fn) =>
+      assert(LayoutOps.oracles.contains(name), s"$name missing oracle")
+      assert(fn(spark, sfDir).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q165 quantiles equal the naive per-group sort interpolation") {
+    val t = Tables(spark, sfDir)
+    val byFlag = t.lineitem.select("l_returnflag", "l_extendedprice")
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rs) => f -> rs.map(_.getDouble(1)).sorted }
+    def qcont(v: Array[Double], q: Double): Double = {
+      val pos = (v.length - 1) * q
+      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+      v(lo) + (v(hi) - v(lo)) * (pos - lo)
+    }
+    LayoutOps.q165GroupQuantiles(spark, sfDir).collect().foreach { r =>
+      val v = byFlag(r.getString(0))
+      assert(r.getAs[Double]("p25") === qcont(v, 0.25))
+      assert(r.getAs[Double]("p50") === qcont(v, 0.50))
+      assert(r.getAs[Double]("p75") === qcont(v, 0.75))
+    }
+  }
+
+  test("q166 morton keys are within 32-bit range and brand counts cover part") {
+    val res = LayoutOps.q166ZorderProfile(spark, sfDir).collect()
+    val total = res.map(_.getAs[Long]("n")).sum
+    assert(total === Tables(spark, sfDir).part.count())
+    res.foreach { r =>
+      assert(r.getAs[Long]("z_min") >= 0L)
+      assert(r.getAs[Long]("z_max") < (1L << 32))
+    }
+  }
+}

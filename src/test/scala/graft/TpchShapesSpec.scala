@@ -1,0 +1,87 @@
+package graft
+
+import graft.queries.TpchShapes
+import org.apache.spark.sql.functions._
+
+class TpchShapesSpec extends SparkSpec {
+
+  test("every TPC-H-shape query has an oracle and runs") {
+    TpchShapes.queries.foreach { case (name, fn) =>
+      assert(TpchShapes.oracles.contains(name), s"$name missing oracle")
+      fn(spark, sfDir).collect() // q159 may be 1 row with zero matches at tiny sf
+    }
+  }
+
+  test("q158 buckets partition the customer table exactly") {
+    val t = Tables(spark, sfDir)
+    val dist = TpchShapes.q158OrderCountDist(spark, sfDir)
+    val total = dist.agg(sum("n_customers")).head.getLong(0)
+    assert(total === t.customer.count())
+    // zero bucket == customers absent from orders (left-anti recount)
+    val zero = dist.filter(col("n_orders") === 0)
+      .agg(coalesce(sum("n_customers"), lit(0L))).head.getLong(0)
+    val anti = t.customer.join(t.orders,
+      col("c_custkey") === col("o_custkey"), "left_anti").count()
+    assert(zero === anti)
+  }
+
+  test("q159 equals a driver-side recompute of the correlated filter") {
+    val t = Tables(spark, sfDir)
+    val li = t.lineitem
+      .join(t.part.filter(col("p_brand") === "Brand#23"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"),
+        floor(col("l_quantity") * 100 + lit(0.5)).cast("long").as("qc"),
+        floor(col("l_extendedprice") * 1e6 + lit(0.5)).cast("long").as("pm"))
+      .collect()
+    val byPart = li.groupBy(_.getLong(0))
+    val want = li.filter { r =>
+      val g = byPart(r.getLong(0))
+      r.getLong(1) * 5 * g.length < g.map(_.getLong(1)).sum
+    }
+    val got = TpchShapes.q159SmallQtyRevenue(spark, sfDir).head
+    assert(got.getLong(0) === want.length.toLong)
+    assert(got.getLong(1) === want.map(_.getLong(2)).sum)
+  }
+
+  test("q160 members have no orders and exceed the positive-average balance") {
+    val t = Tables(spark, sfDir)
+    val res = TpchShapes.q160DormantRich(spark, sfDir)
+    val nCust = res.agg(coalesce(sum("n_cust"), lit(0L))).head.getLong(0)
+    // recompute membership directly
+    val bal = t.customer.select(col("c_custkey"),
+      floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bc")).collect()
+    val pos = bal.map(_.getLong(1)).filter(_ > 0)
+    val withOrders = t.orders
+      .filter(col("o_orderdate") >=
+        lit(TpchShapes.DORMANT_CUTOFF).cast("timestamp"))
+      .select("o_custkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val want = bal.count { r =>
+      r.getLong(1) * pos.length > pos.sum && !withOrders(r.getLong(0))
+    }
+    assert(nCust === want.toLong)
+  }
+
+  test("q161 sweep skyline equals the brute-force dominance definition") {
+    val t = Tables(spark, sfDir)
+    val pts = t.part.select(col("p_partkey"), col("p_size").cast("long"),
+      floor(col("p_retailprice") * 100 + lit(0.5)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = pts.filter { case (_, sz, pr) =>
+      !pts.exists { case (_, sz2, pr2) =>
+        pr2 <= pr && sz2 >= sz && (pr2 < pr || sz2 > sz)
+      }
+    }.map(_._1).toSet
+    val got = TpchShapes.q161Skyline(spark, sfDir)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+  }
+
+  test("q161 plan has no self-join on part and only broadcast joins") {
+    val plan = TpchShapes.q161Skyline(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), "skyline must not shuffle-join")
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
