@@ -415,6 +415,46 @@ object SessionOps {
       |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
       |ORDER BY win_start, event_type""".stripMargin
 
+  /** q167: STREAMING WINDOWED TOP-K — the twelfth stateful family
+    * (see [[graft.streaming.StreamTopK]]): per tumbling hour, the 3
+    * most frequent event types, emitted only when the event-time
+    * timeout closes the window (a ranking cannot be emitted
+    * incrementally in append mode — early emission would retract).
+    * With no-data micro-batches enabled, the replay's final watermark
+    * (max event ts) fires the timeouts, so the emitted set is every
+    * window whose END precedes the max timestamp — the still-open tail
+    * stays in state, exactly what the oracle pins.
+    */
+  def q167StreamTopk(spark: SparkSession, dir: String): DataFrame =
+      withStreamParallelism(spark) {
+    import graft.streaming.{StreamAgg, StreamTopK}
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
+      .withWatermark("ts", "0 seconds")
+    val sinkName = "q167_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = StreamTopK.windowedTopK(stream)
+      .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(sinkName).orderBy("win_start_us", "rank")
+  }
+
+  val q167Sql: String =
+    s"""WITH h AS (
+      |  SELECT date_trunc('hour', ts) AS w, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT w, event_type, n,
+      |    CAST(row_number() OVER (PARTITION BY w ORDER BY n DESC, event_type)
+      |      AS INTEGER) AS rank
+      |  FROM h)
+      |SELECT epoch_us(w) AS win_start_us, rank, event_type,
+      |  CAST(n AS BIGINT) AS n
+      |FROM r
+      |WHERE rank <= ${graft.streaming.StreamTopK.K}
+      |  AND epoch_ms(w + INTERVAL 1 HOUR) < (SELECT epoch_ms(max(ts)) FROM events)
+      |ORDER BY win_start_us, rank""".stripMargin
+
   /** q91: STREAMING FUNNEL ATTRIBUTION — q73's running-last-click
     * window as stateful streaming (the seventh streaming family:
     * last-value-per-key state driving per-event emission decisions).
@@ -733,6 +773,7 @@ object SessionOps {
     "q59_stream_stream_join" -> (q59StreamStreamJoin _),
     "q66_state_diff" -> Gate.sorted(q66StateDiff _, "user_id"),
     "q70_stream_distinct" -> (q70StreamDistinct _),
+    "q167_stream_topk" -> (q167StreamTopk _),
     "q102_stream_dropdup_wm" -> (q102StreamDropdupWm _))
 
   val oracles: Map[String, String] = Map(
@@ -751,5 +792,6 @@ object SessionOps {
     "q59_stream_stream_join" -> q59Sql,
     "q66_state_diff" -> q66Sql,
     "q70_stream_distinct" -> q70Sql,
+    "q167_stream_topk" -> q167Sql,
     "q102_stream_dropdup_wm" -> q102Sql)
 }
