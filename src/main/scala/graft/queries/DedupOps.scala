@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection operators (SURVEY.md §2 q27–q29).
@@ -623,7 +624,91 @@ object DedupOps {
       |SELECT doc_id, cluster_id, n_chars, rn = 1 AS keep
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** q168 similarity threshold as an exact rational (tau = 1/2). */
+  val PFX_TAU_NUM = 1
+  val PFX_TAU_DEN = 2
+
+  /** q168: PREFIX-FILTERED EXACT SIMILARITY JOIN (the PPJoin/AllPairs
+    * candidate-generation idea) — every doc pair with shingle Jaccard
+    * >= 1/2, found WITHOUT the all-pairs join and WITHOUT q29's lossy
+    * rare-shingle blocking. Each doc's shingle set is globally ordered
+    * by (document frequency asc, hash asc); if J(a,b) >= tau, the two
+    * docs' PREFIXES (first n - ceil(tau*n) + 1 shingles) must share a
+    * token — so the candidate self-join runs only on prefix postings
+    * (rarest-first ordering keeps those lists short), then exact
+    * Jaccard verifies on the full sets. On this corpus every doc pair
+    * shares SOME 5-gram (124,744 all-pairs candidates); the prefix
+    * join generates a tiny fraction of that. The oracle is the literal
+    * all-pairs definition with no filter — proving the prune LOSSLESS,
+    * which rare-df blocking is not.
+    *
+    * Scale: posting lists are bounded by prefix length x df-rank; the
+    * verify join touches only candidates. The integer threshold
+    * `2*inter >= union` avoids any float compare.
+    */
+  def q168PrefixJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        explode(graft.plans.ShingleHashSet(col("text"), SHINGLE_N)).as("sh"))
+      .persist()
+    val sizes = e.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dfTab = e.groupBy("sh").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("df", "sh")
+    // prefix length = n - ceil(tau*n) + 1, in integer arithmetic
+    val ceilTauN = (col("n_sh") * PFX_TAU_NUM + PFX_TAU_DEN - 1)
+      .divide(PFX_TAU_DEN).cast("long")
+    val prefix = e.join(dfTab, "sh")
+      .withColumn("rn", row_number().over(byDoc))
+      .join(sizes, "doc_id")
+      .filter(col("rn") <= col("n_sh") - ceilTauN + 1)
+      .select("doc_id", "sh")
+    val cand = prefix.as("pa").join(prefix.as("pb"),
+        col("pa.sh") === col("pb.sh") && col("pa.doc_id") < col("pb.doc_id"))
+      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(e.as("ea"), col("doc_a") === col("ea.doc_id"))
+      .join(e.as("eb"),
+        col("doc_b") === col("eb.doc_id") && col("ea.sh") === col("eb.sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    val out = inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .filter(col("n_inter") * PFX_TAU_DEN >=
+        (col("n_a") + col("n_b") - col("n_inter")) * PFX_TAU_NUM)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        floor(col("n_inter") * lit(1e6) /
+          (col("n_a") + col("n_b") - col("n_inter")) + lit(0.5))
+          .cast("long").as("jac_micro"))
+    val pinned = out.localCheckpoint(true)
+    e.unpersist()
+    pinned
+  }
+
+  val q168Sql: String =
+    s"""WITH e AS (
+      |  SELECT doc_id, unnest(list_distinct($duckShingleHashes)) AS sh
+      |  FROM documents),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM e GROUP BY doc_id),
+      |pair AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT p.doc_a, p.doc_b, CAST(p.n_inter AS BIGINT) AS n_inter,
+      |  CAST(floor(p.n_inter * 1e6 / (sa.n_sh + sb.n_sh - p.n_inter) + 0.5)
+      |    AS BIGINT) AS jac_micro
+      |FROM pair p
+      |JOIN sizes sa ON sa.doc_id = p.doc_a
+      |JOIN sizes sb ON sb.doc_id = p.doc_b
+      |WHERE p.n_inter * $PFX_TAU_DEN >=
+      |  (sa.n_sh + sb.n_sh - p.n_inter) * $PFX_TAU_NUM
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_prefix_join" -> Gate.sorted(q168PrefixJoin _, "doc_a", "doc_b"),
     "q119_cluster_keep_best" -> Gate.sorted(q119ClusterKeepBest _, "doc_id"),
     "q106_winnow_fingerprint" -> Gate.sorted(q106WinnowFingerprint _, "doc_id"),
     "q27_minhash_lsh" -> Gate.sorted(q27MinhashLsh _, "doc_a", "doc_b"),
@@ -636,6 +721,7 @@ object DedupOps {
     "q72_minhash_estimate" -> Gate.sorted(q72MinhashEstimate _, "doc_a", "doc_b"))
 
   val oracles: Map[String, String] = Map(
+    "q168_prefix_join" -> q168Sql,
     "q119_cluster_keep_best" -> q119Sql,
     "q106_winnow_fingerprint" -> q106Sql,
     "q27_minhash_lsh" -> q27Sql,

@@ -947,7 +947,67 @@ object StatsOps {
       |UNION ALL SELECT 'top' || rn || '_rows', c FROM top
       |ORDER BY metric""".stripMargin
 
+  /** q169: CHI-SQUARE INDEPENDENCE TEST (lang x source on documents)
+    * — the categorical-association complement of q141's mutual
+    * information. One count aggregate builds the observed contingency;
+    * row totals x column totals CROSS-join into the full grid (tiny:
+    * R x C cells, so zero-observed cells — which still contribute
+    * E = rc·cc/N to the statistic — are included, where an
+    * observed-cells-only rollup would understate chi2). Each cell's
+    * term is floored to integer micro-units BEFORE summing, so the sum
+    * is order-free exact (a double sum would depend on partition
+    * order); the per-cell double expression runs on identical BIGINTs
+    * in both engines.
+    */
+  def q169Chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables(spark, dir).documents
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rowTot = obs.groupBy("lang").agg(sum("o").as("rt"))
+    val colTot = obs.groupBy("source").agg(sum("o").as("ct"))
+    val nTot = obs.agg(sum("o").as("n"))
+    val eCol = col("rt").cast("double") * col("ct").cast("double") /
+      col("n").cast("double")
+    val oCol = coalesce(col("o"), lit(0L)).cast("double")
+    val grid = rowTot.crossJoin(broadcast(colTot)).crossJoin(broadcast(nTot))
+      .join(obs, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("n"),
+        floor((oCol - eCol) * (oCol - eCol) / eCol * lit(1e6) + lit(0.5))
+          .cast("long").as("term_micro"))
+    grid.agg(
+      first("n").as("n"),
+      countDistinct("lang").as("n_langs"),
+      countDistinct("source").as("n_sources"),
+      sum("term_micro").as("chi2_micro"))
+      .select(col("n"), col("n_langs"), col("n_sources"),
+        ((col("n_langs") - 1) * (col("n_sources") - 1)).as("dof"),
+        col("chi2_micro"))
+  }
+
+  val q169Sql: String =
+    """WITH obs AS (
+      |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+      |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+      |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+      |grid AS (
+      |  SELECT rt.lang, ct.source, n.n,
+      |    CAST(floor(
+      |      (COALESCE(obs.o, 0) - CAST(rt.rt AS DOUBLE) * ct.ct / n.n)
+      |      * (COALESCE(obs.o, 0) - CAST(rt.rt AS DOUBLE) * ct.ct / n.n)
+      |      / (CAST(rt.rt AS DOUBLE) * ct.ct / n.n) * 1e6 + 0.5)
+      |      AS BIGINT) AS term_micro
+      |  FROM rt CROSS JOIN ct CROSS JOIN n
+      |  LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source)
+      |SELECT max(n) AS n,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |  CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+      |    AS BIGINT) AS dof,
+      |  CAST(sum(term_micro) AS BIGINT) AS chi2_micro
+      |FROM grid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_chi2_independence" -> ((s, d) => q169Chi2Independence(s, d)),
     "q157_skew_probe" -> Gate.sorted(q157SkewProbe _, "metric"),
     "q148_bootstrap_ci" -> Gate.sorted(q148BootstrapCi _, "b"),
     "q143_cusum_changepoint" -> Gate.sorted(q143CusumChangepoint _, "day"),
@@ -963,6 +1023,7 @@ object StatsOps {
     "q137_pr_thresholds" -> Gate.sorted(q137PrThresholds _, "threshold_micro"))
 
   val oracles: Map[String, String] = Map(
+    "q169_chi2_independence" -> q169Sql,
     "q157_skew_probe" -> q157Sql,
     "q148_bootstrap_ci" -> q148Sql,
     "q143_cusum_changepoint" -> q143Sql,

@@ -164,13 +164,51 @@ object TemporalOps {
        |WHERE c.event_type = 'click'
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q170: PER-USER EWMA (alpha = 1/2) — the exponentially-weighted
+    * running level a monitoring/feature pipeline keeps per entity. An
+    * EWMA is inherently a sequential fold, which most engines punt to
+    * driver loops; here it is ONE aggregate: collect the user's
+    * (ts, event_id, value) readings, sort in stream order, and fold
+    * with the INTEGER recurrence `e' = (e + v_centi) >> 1` (alpha=1/2
+    * on non-negative centi-units — floor division, bit-identical in
+    * any engine, no float accumulation drift). Per-user history is
+    * bounded (the same assumption as q84's session paths); the only
+    * shuffle is the user_id aggregate every other per-user pass
+    * shares. The oracle is DuckDB's ordered list + list_reduce of the
+    * same recurrence.
+    */
+  def q170UserEwma(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id"),
+          floor(col("value") * lit(100) + lit(0.5)).cast("long").as("v_c"))
+          .as("r"))
+    ev.groupBy("user_id")
+      .agg(sort_array(collect_list("r")).as("rs"))
+      .select(col("user_id"), size(col("rs")).as("n_events"),
+        aggregate(
+          expr("slice(rs, 2, size(rs) - 1)"),
+          col("rs")(0).getField("v_c"),
+          (acc, x) => shiftright(acc + x.getField("v_c"), 1))
+          .as("ewma_c"))
+  }
+
+  val q170Sql: String =
+    """SELECT user_id, CAST(count(*) AS INTEGER) AS n_events,
+      |  list_reduce(
+      |    list(CAST(floor(value * 100 + 0.5) AS BIGINT) ORDER BY ts, event_id),
+      |    (a, b) -> (a + b) >> 1) AS ewma_c
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_user_ewma" -> Gate.sorted(q170UserEwma _, "user_id"),
     "q162_markov_transitions" ->
       Gate.sorted(q162MarkovTransitions _, "prev_type", "next_type"),
     "q163_daily_autocorr" -> Gate.sorted(q163DailyAutocorr _, "lag"),
     "q164_abandoned_clicks" -> Gate.sorted(q164AbandonedClicks _, "user_id"))
 
   val oracles: Map[String, String] = Map(
+    "q170_user_ewma" -> q170Sql,
     "q162_markov_transitions" -> q162Sql,
     "q163_daily_autocorr" -> q163Sql,
     "q164_abandoned_clicks" -> q164Sql)
