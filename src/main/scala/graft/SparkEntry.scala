@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.StatsOps.queries ++
       graft.queries.TpchShapes.queries ++
       graft.queries.TemporalOps.queries ++
-      graft.queries.LayoutOps.queries
+      graft.queries.LayoutOps.queries ++
+      graft.queries.SqlSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -49,5 +50,6 @@ object SparkEntry {
       graft.queries.StatsOps.oracles ++
       graft.queries.TpchShapes.oracles ++
       graft.queries.TemporalOps.oracles ++
-      graft.queries.LayoutOps.oracles
+      graft.queries.LayoutOps.oracles ++
+      graft.queries.SqlSurface.oracles
 }

@@ -87,11 +87,46 @@ object LayoutOps {
        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q174: WEIGHTED MEDIAN per group through
+    * operators/DistributedQuantile.weightedCrossing — the first
+    * l_extendedprice whose quantity-weighted cumulative mass reaches
+    * half the group total (the same crossing machinery as the astro
+    * half-mass radius q12, here DuckDB-gated on the warehouse tables).
+    * Bucket histogram + survivor-only fine pass; weights aggregate in
+    * DECIMAL so prefix sums are exact and the crossing value is
+    * partitioning-independent.
+    */
+  def q174WeightedMedian(spark: SparkSession, dir: String): DataFrame =
+    DistributedQuantile.weightedCrossing(
+      Tables(spark, dir).lineitem
+        .select("l_returnflag", "l_extendedprice", "l_quantity",
+          "l_orderkey", "l_linenumber"),
+      Seq("l_returnflag"), "l_extendedprice",
+      Seq("l_orderkey", "l_linenumber"),
+      col("l_quantity"), scale = 2)
+
+  val q174Sql: String =
+    """WITH w AS (
+      |  SELECT l_returnflag, l_extendedprice AS v,
+      |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS wc
+      |  FROM lineitem),
+      |c AS (
+      |  SELECT l_returnflag, v,
+      |    sum(wc) OVER (PARTITION BY l_returnflag ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    sum(wc) OVER (PARTITION BY l_returnflag) AS tot
+      |  FROM w)
+      |SELECT l_returnflag, min(v) AS crossing
+      |FROM c WHERE cw * 2 >= tot
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q165_group_quantiles" -> Gate.sorted(q165GroupQuantiles _, "l_returnflag"),
-    "q166_zorder_profile" -> Gate.sorted(q166ZorderProfile _, "p_brand"))
+    "q166_zorder_profile" -> Gate.sorted(q166ZorderProfile _, "p_brand"),
+    "q174_weighted_median" -> Gate.sorted(q174WeightedMedian _, "l_returnflag"))
 
   val oracles: Map[String, String] = Map(
     "q165_group_quantiles" -> q165Sql,
-    "q166_zorder_profile" -> q166Sql)
+    "q166_zorder_profile" -> q166Sql,
+    "q174_weighted_median" -> q174Sql)
 }

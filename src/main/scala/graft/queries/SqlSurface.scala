@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 SQL-surface completeness: the grouping/set/spine operators a
+  * warehouse user expects beyond q10's ROLLUP and q78's CUBE —
+  * explicit GROUPING SETS with grouping_id, multiset INTERSECT/EXCEPT
+  * ALL, and the calendar-spine gap-fill every time-series report needs
+  * before charting (missing buckets must exist as zeros, not be
+  * silently absent).
+  */
+object SqlSurface {
+
+  /** q171: explicit GROUPING SETS — (flag, status), (flag), () in one
+    * pass with grouping_id() distinguishing the grains (both engines
+    * use the same bitmask convention: bit set = column rolled away).
+    * One shuffle; Catalyst expands the sets into a single Expand +
+    * partial aggregate, not three scans.
+    */
+  def q171GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(floor(col("l_quantity") * 100 + lit(0.5)).cast("long"))
+          .as("qty_c"))
+      .select("l_returnflag", "l_linestatus", "gid", "n", "qty_c")
+
+  val q171Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS qty_c
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), ())
+      |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin
+
+  /** q172: MULTISET SET OPERATIONS — INTERSECT ALL and EXCEPT ALL over
+    * two derived key multisets (customers of urgent orders vs
+    * customers of high-value orders), tagged and unioned. These are
+    * the duplicate-preserving forms (bag semantics) that DISTINCT-based
+    * semi/anti joins cannot express; Spark plans them as a single
+    * shuffle on the key with per-side counts, no join explosion.
+    */
+  def q172SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    val highValue = t.orders.filter(col("o_totalprice") > 200000.0)
+      .select(col("o_custkey").as("custkey"))
+    val inter = urgent.intersectAll(highValue)
+      .groupBy("custkey").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    val except = urgent.exceptAll(highValue)
+      .groupBy("custkey").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    inter.unionByName(except).select("op", "custkey", "n")
+  }
+
+  val q172Sql: String =
+    """WITH urgent AS (
+      |  SELECT o_custkey AS custkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT'),
+      |hv AS (
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000.0),
+      |i AS (SELECT custkey FROM urgent INTERSECT ALL SELECT custkey FROM hv),
+      |x AS (SELECT custkey FROM urgent EXCEPT ALL SELECT custkey FROM hv)
+      |SELECT 'intersect_all' AS op, custkey, count(*) AS n
+      |FROM i GROUP BY 2
+      |UNION ALL
+      |SELECT 'except_all' AS op, custkey, count(*) AS n
+      |FROM x GROUP BY 2
+      |ORDER BY op, custkey""".stripMargin
+
+  /** q173: CALENDAR-SPINE GAP-FILL — daily event counts per type with
+    * missing days materialized as ZEROS over the global [min, max] day
+    * range. The spine is sequence()+explode on the 1-row bounds
+    * aggregate crossed with the distinct type domain (both tiny, both
+    * broadcast); the fact table contributes one map-side-combined
+    * count. No row of the big table is scanned twice, and the spine
+    * cost is |days| x |types| regardless of fact volume.
+    */
+  def q173GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val daily = ev.groupBy(col("event_type"),
+        date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev.agg(
+        date_trunc("DAY", min(col("ts"))).as("d0"),
+        date_trunc("DAY", max(col("ts"))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    val types = ev.select("event_type").distinct()
+    broadcast(spine).crossJoin(broadcast(types))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  val q173Sql: String =
+    """WITH b AS (
+      |  SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+      |  FROM events),
+      |spine AS (
+      |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT t.event_type AS event_type, strftime(s.day, '%Y-%m-%d') AS day,
+      |  COALESCE(d.n, 0) AS n
+      |FROM spine s CROSS JOIN types t
+      |LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
+      |ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_grouping_sets" ->
+      Gate.sorted(q171GroupingSets _, "gid", "l_returnflag", "l_linestatus"),
+    "q172_set_ops" -> Gate.sorted(q172SetOps _, "op", "custkey"),
+    "q173_gap_fill" -> Gate.sorted(q173GapFill _, "event_type", "day"))
+
+  val oracles: Map[String, String] = Map(
+    "q171_grouping_sets" -> q171Sql,
+    "q172_set_ops" -> q172Sql,
+    "q173_gap_fill" -> q173Sql)
+}

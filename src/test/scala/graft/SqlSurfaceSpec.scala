@@ -1,0 +1,72 @@
+package graft
+
+import graft.queries.{LayoutOps, SqlSurface}
+import org.apache.spark.sql.functions._
+
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("every SQL-surface query has an oracle and runs non-empty") {
+    SqlSurface.queries.foreach { case (name, fn) =>
+      assert(SqlSurface.oracles.contains(name), s"$name missing oracle")
+      assert(fn(spark, sfDir).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q171 grains reconcile: per-grain totals all equal the table total") {
+    val df = SqlSurface.q171GroupingSets(spark, sfDir)
+    val totals = df.groupBy("gid").agg(sum("n").as("t"), count(lit(1)).as("rows"))
+      .collect().map(r => r.getAs[Long]("gid") -> (r.getAs[Long]("t"),
+        r.getAs[Long]("rows"))).toMap
+    val n = Tables(spark, sfDir).lineitem.count()
+    assert(totals(0L)._1 === n) // (flag, status)
+    assert(totals(1L)._1 === n) // (flag)
+    assert(totals(3L)._1 === n && totals(3L)._2 === 1L) // grand total
+  }
+
+  test("q172 multiset counts reconcile with per-key min/diff") {
+    val t = Tables(spark, sfDir)
+    val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hv = t.orders.filter(col("o_totalprice") > 200000.0)
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val res = SqlSurface.q172SetOps(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    urgent.keys.foreach { k =>
+      val i = math.min(urgent(k), hv.getOrElse(k, 0L))
+      val x = urgent(k) - i
+      assert(res.getOrElse(("intersect_all", k), 0L) === i, s"intersect $k")
+      assert(res.getOrElse(("except_all", k), 0L) === x, s"except $k")
+    }
+  }
+
+  test("q173 spine is dense: every (type, day) cell present exactly once") {
+    val df = SqlSurface.q173GapFill(spark, sfDir)
+    val types = Tables(spark, sfDir).events
+      .select("event_type").distinct().count()
+    val days = df.select("day").distinct().count()
+    assert(df.count() === types * days)
+    assert(df.groupBy("event_type", "day").count()
+      .filter(col("count") > 1).count() === 0)
+    // zero-filled cells exist (the reason the spine exists at all)
+    val totalFromFill = df.agg(sum("n")).head.getLong(0)
+    assert(totalFromFill === Tables(spark, sfDir).events.count())
+  }
+
+  test("q174 weighted median equals a driver-side cumulative-weight scan") {
+    val rows = Tables(spark, sfDir).lineitem
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        floor(col("l_quantity") * 100 + lit(0.5)).cast("long").as("wc"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val want = rows.groupBy(_._1).map { case (f, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val tot = sorted.map(_._3).sum
+      var cum = 0L
+      f -> sorted.find { r => cum += r._3; cum * 2 >= tot }.get._2
+    }
+    val got = LayoutOps.q174WeightedMedian(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === want)
+  }
+}
