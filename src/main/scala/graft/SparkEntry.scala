@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.TpchShapes.queries ++
       graft.queries.TemporalOps.queries ++
       graft.queries.LayoutOps.queries ++
-      graft.queries.SqlSurface.queries
+      graft.queries.SqlSurface.queries ++
+      graft.queries.PatternOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -51,5 +52,6 @@ object SparkEntry {
       graft.queries.TpchShapes.oracles ++
       graft.queries.TemporalOps.oracles ++
       graft.queries.LayoutOps.oracles ++
-      graft.queries.SqlSurface.oracles
+      graft.queries.SqlSurface.oracles ++
+      graft.queries.PatternOps.oracles
 }

@@ -632,59 +632,105 @@ object DedupOps {
     * candidate-generation idea) — every doc pair with shingle Jaccard
     * >= 1/2, found WITHOUT the all-pairs join and WITHOUT q29's lossy
     * rare-shingle blocking. Each doc's shingle set is globally ordered
-    * by (document frequency asc, hash asc); if J(a,b) >= tau, the two
-    * docs' PREFIXES (first n - ceil(tau*n) + 1 shingles) must share a
-    * token — so the candidate self-join runs only on prefix postings
-    * (rarest-first ordering keeps those lists short), then exact
-    * Jaccard verifies on the full sets. On this corpus every doc pair
-    * shares SOME 5-gram (124,744 all-pairs candidates); the prefix
-    * join generates a tiny fraction of that. The oracle is the literal
+    * rarest-first (df asc, hash asc — realized as a DENSE DICTIONARY
+    * id, so the order is the id order); if J(a,b) >= tau the two docs'
+    * PREFIXES (first n - ceil(tau*n) + 1 ids) must share an id, so
+    * only prefix postings self-join. The oracle is the literal
     * all-pairs definition with no filter — proving the prune LOSSLESS,
     * which rare-df blocking is not.
     *
-    * Scale: posting lists are bounded by prefix length x df-rank; the
-    * verify join touches only candidates. The integer threshold
-    * `2*inter >= union` avoids any float compare.
+    * VERIFICATION is where the first cut of this operator died at
+    * bench scale (257 s): this corpus is adversarial for prefix
+    * filtering — 5000 docs share a 2041-shingle vocabulary, so ~11M
+    * candidate pairs survive and an explode-join-groupBy intersection
+    * (769M pair-entries) is hopeless. Three measured fixes:
+    *
+    *   1. PPJoin POSITIONAL FILTER at emission: a match at prefix
+    *      positions (i, j) bounds the overlap by 1 + min(na-i, nb-j),
+    *      which must reach t = ceil(tau/(1+tau)*(na+nb)); late matches
+    *      are pruned as they are generated (89M -> 27.5M raw
+    *      emissions). Lossless: a true pair's FIRST shared prefix id
+    *      always passes the bound.
+    *   2. Candidates dedup to (doc_a, doc_b) BEFORE verification —
+    *      16-byte rows through one shuffle (27.5M -> 6.3M pairs).
+    *   3. Bounded-vocabulary BITMAP verification: each doc's set is an
+    *      array<long> of V/64 Morton-free words; the per-doc bitmap
+    *      table broadcasts, and exact intersection is
+    *      aggregate(zip_with(bit_count(x & y))) in one codegen stage —
+    *      no posting join, no per-pair explode.
+    *
+    * Measured at sf0.1: 257 s -> ~12 s, identical 256-pair output. At
+    * a vocabulary too large for bitmaps the same pruned candidates
+    * feed the posting-join verification instead (q29's inter shape);
+    * the dictionary df table tells the planner which regime it is in.
     */
   def q168PrefixJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).documents
       .select(col("doc_id"),
         explode(graft.plans.ShingleHashSet(col("text"), SHINGLE_N)).as("sh"))
+    // dense rarest-first dictionary: id order == (df, sh) order. The
+    // window is a single partition over |vocab| rows — scan metadata,
+    // not data (2041 here; a broadcast table at any corpus scale).
+    val dict = e.groupBy("sh").agg(count(lit(1)).as("df"))
+      .withColumn("id",
+        row_number().over(Window.orderBy("df", "sh")).cast("long") - 1)
+      .select("sh", "id").persist()
+    val vocab = dict.count().toInt
+    val nWords = (vocab + 63) / 64
+    // per-doc sorted id list + bitmap words as flat long columns
+    val wordCols = (0 until nWords).map { w =>
+      val lo = w * 64L; val hi = lo + 64L
+      expr(s"aggregate(filter(ids, i -> i >= $lo AND i < $hi), 0L, " +
+        s"(acc, i) -> acc | shiftleft(1L, cast(i - $lo AS int)))").as(s"w$w")
+    }
+    val docs = e.join(broadcast(dict), "sh")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list("id")).as("ids"))
+      .select(Seq(col("doc_id"), size(col("ids")).cast("long").as("n_sh"),
+        col("ids")) ++ wordCols: _*)
       .persist()
-    val sizes = e.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val dfTab = e.groupBy("sh").agg(count(lit(1)).as("df"))
-    val byDoc = Window.partitionBy("doc_id").orderBy("df", "sh")
-    // prefix length = n - ceil(tau*n) + 1, in integer arithmetic
+    // prefix postings with POSITION: first n - ceil(tau*n) + 1 ids
     val ceilTauN = (col("n_sh") * PFX_TAU_NUM + PFX_TAU_DEN - 1)
       .divide(PFX_TAU_DEN).cast("long")
-    val prefix = e.join(dfTab, "sh")
-      .withColumn("rn", row_number().over(byDoc))
-      .join(sizes, "doc_id")
-      .filter(col("rn") <= col("n_sh") - ceilTauN + 1)
-      .select("doc_id", "sh")
-    val cand = prefix.as("pa").join(prefix.as("pb"),
-        col("pa.sh") === col("pb.sh") && col("pa.doc_id") < col("pb.doc_id"))
+    val pre = docs.select(col("doc_id"), col("n_sh"),
+      posexplode(slice(col("ids"), lit(1),
+        (col("n_sh") - ceilTauN + 1).cast("int"))))
+      .select(col("doc_id"), col("n_sh"), (col("pos") + 1).as("p"),
+        col("col").as("id"))
+    // overlap threshold t = ceil(tau/(1+tau)*(na+nb)); "ubound >= t"
+    // in integers is (TAU_NUM+TAU_DEN)*ubound >= TAU_NUM*(na+nb)
+    val ubound = lit(1) + least(col("pa.n_sh") - col("pa.p"),
+      col("pb.n_sh") - col("pb.p"))
+    val cand = pre.as("pa")
+      .join(broadcast(pre.as("pb")),
+        col("pa.id") === col("pb.id") && col("pa.doc_id") < col("pb.doc_id") &&
+          // length filter: tau*max(na,nb) <= min(na,nb)
+          col("pa.n_sh") * PFX_TAU_DEN >= col("pb.n_sh") * PFX_TAU_NUM &&
+          col("pb.n_sh") * PFX_TAU_DEN >= col("pa.n_sh") * PFX_TAU_NUM &&
+          // PPJoin positional filter (lossless: the first shared
+          // prefix id of a true pair always passes)
+          ubound * (PFX_TAU_NUM + PFX_TAU_DEN) >=
+            (col("pa.n_sh") + col("pb.n_sh")) * PFX_TAU_NUM)
       .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
       .distinct()
-    val inter = cand
-      .join(e.as("ea"), col("doc_a") === col("ea.doc_id"))
-      .join(e.as("eb"),
-        col("doc_b") === col("eb.doc_id") && col("ea.sh") === col("eb.sh"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_inter"))
-    val out = inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+    val bm = docs.select(col("doc_id"), col("n_sh"),
+      array((0 until nWords).map(w => col(s"w$w")): _*).as("bw"))
+    def side(tag: String) = bm.toDF(s"doc_${tag}1", s"n_${tag}1", s"${tag}bw")
+    val interExpr = expr(
+      "aggregate(zip_with(abw, bbw, (x, y) -> bit_count(x & y)), 0L, " +
+        "(acc, v) -> acc + cast(v AS bigint))")
+    val out = cand
+      .join(broadcast(side("a")), col("doc_a") === col("doc_a1"))
+      .join(broadcast(side("b")), col("doc_b") === col("doc_b1"))
+      .withColumn("n_inter", interExpr)
       .filter(col("n_inter") * PFX_TAU_DEN >=
-        (col("n_a") + col("n_b") - col("n_inter")) * PFX_TAU_NUM)
+        (col("n_a1") + col("n_b1") - col("n_inter")) * PFX_TAU_NUM)
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         floor(col("n_inter") * lit(1e6) /
-          (col("n_a") + col("n_b") - col("n_inter")) + lit(0.5))
+          (col("n_a1") + col("n_b1") - col("n_inter")) + lit(0.5))
           .cast("long").as("jac_micro"))
     val pinned = out.localCheckpoint(true)
-    e.unpersist()
+    docs.unpersist(); dict.unpersist()
     pinned
   }
 
