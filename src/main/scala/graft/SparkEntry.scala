@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.TemporalOps.queries ++
       graft.queries.LayoutOps.queries ++
       graft.queries.SqlSurface.queries ++
-      graft.queries.PatternOps.queries
+      graft.queries.PatternOps.queries ++
+      graft.queries.MaintOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -53,5 +54,6 @@ object SparkEntry {
       graft.queries.TemporalOps.oracles ++
       graft.queries.LayoutOps.oracles ++
       graft.queries.SqlSurface.oracles ++
-      graft.queries.PatternOps.oracles
+      graft.queries.PatternOps.oracles ++
+      graft.queries.MaintOps.oracles
 }

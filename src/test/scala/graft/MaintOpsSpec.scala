@@ -1,0 +1,61 @@
+package graft
+
+import graft.queries.MaintOps
+import org.apache.spark.sql.functions._
+
+class MaintOpsSpec extends SparkSpec {
+
+  test("every maintenance query has an oracle and runs non-empty") {
+    MaintOps.queries.foreach { case (name, fn) =>
+      assert(MaintOps.oracles.contains(name), s"$name missing oracle")
+      assert(fn(spark, sfDir).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q179 bins conserve bytes and respect the running-sum rule") {
+    val files = Tables(spark, sfDir).lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(floor(col("l_extendedprice")).cast("long")).as("b"))
+      .orderBy("l_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var cum = 0L
+    val wantBins = files.map { case (_, b) =>
+      val bin = cum / MaintOps.COMPACT_TARGET; cum += b; (bin, b)
+    }
+    val want = wantBins.groupBy(_._1)
+      .map { case (bin, xs) => bin -> (xs.length.toLong, xs.map(_._2).sum) }
+    val got = MaintOps.q179CompactionPlan(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === want)
+    assert(got.values.map(_._2).sum === files.map(_._2).sum)
+  }
+
+  test("q180 keeps ALL ties at a kept price point") {
+    val df = MaintOps.q180DenseTopk(spark, sfDir)
+    // ranks are dense per brand: exactly the top <=3 distinct prices
+    val perBrand = df.groupBy("p_brand")
+      .agg(countDistinct("price_c").as("d"), max("rk").as("m")).collect()
+    perBrand.foreach { r =>
+      assert(r.getAs[Long]("d") === r.getAs[Int]("m").toLong)
+      assert(r.getAs[Int]("m") <= 3)
+    }
+    // every part at a kept (brand, price) is present
+    val t = Tables(spark, sfDir).part
+      .select(col("p_brand"),
+        floor(col("p_retailprice") * 100 + lit(0.5)).cast("long")
+          .as("price_c"), col("p_partkey"))
+    val kept = df.select("p_brand", "price_c").distinct()
+    val expected = t.join(kept, Seq("p_brand", "price_c")).count()
+    assert(df.count() === expected)
+  }
+
+  test("q181 CDF is monotone and ends at 1000 permille per flag") {
+    val rows = MaintOps.q181CdfNormalize(spark, sfDir)
+      .orderBy("l_returnflag", "qty_c").collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val cds = rs.map(_.getAs[Long]("cdf_permille"))
+      assert(cds.zip(cds.tail).forall { case (a, b) => a <= b }, "monotone")
+      assert(cds.last === 1000L)
+    }
+  }
+}
