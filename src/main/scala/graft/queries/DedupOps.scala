@@ -665,6 +665,17 @@ object DedupOps {
     * the dictionary df table tells the planner which regime it is in.
     */
   def q168PrefixJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (out, cleanup) = q168Plan(spark, dir)
+    val pinned = out.localCheckpoint(true)
+    cleanup()
+    pinned
+  }
+
+  /** The un-checkpointed q168 plan (PlanAuditSpec pins its shape; the
+    * public entry eagerly checkpoints the tiny result and releases the
+    * persisted dictionary/bitmap tables via `cleanup`).
+    */
+  def q168Plan(spark: SparkSession, dir: String): (DataFrame, () => Unit) = {
     val e = Tables(spark, dir).documents
       .select(col("doc_id"),
         explode(graft.plans.ShingleHashSet(col("text"), SHINGLE_N)).as("sh"))
@@ -729,9 +740,7 @@ object DedupOps {
         floor(col("n_inter") * lit(1e6) /
           (col("n_a1") + col("n_b1") - col("n_inter")) + lit(0.5))
           .cast("long").as("jac_micro"))
-    val pinned = out.localCheckpoint(true)
-    docs.unpersist(); dict.unpersist()
-    pinned
+    (out, () => { docs.unpersist(); dict.unpersist(); () })
   }
 
   val q168Sql: String =

@@ -209,13 +209,75 @@ object TpchShapes {
       |    AND (b.price_c < a.price_c OR b.p_size > a.p_size))
       |ORDER BY a.p_partkey""".stripMargin
 
+  /** q182: RANK MOVERS — per month, each brand's revenue rank and its
+    * movement vs the previous month (the BI "top movers" report). The
+    * fact pass is one l JOIN o (both large: shuffle join on orderkey,
+    * orders pruned to key+month at the scan) + broadcast part, reduced
+    * to the (month, brand) rollup in the same aggregation; both rank
+    * windows (dense_rank within month, lag within brand) run on that
+    * ~|months| x |brands| rollup, never on fact rows. Revenue is
+    * per-row integer micro units, so ranks are engine-exact.
+    */
+  def q182RankMovers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val rev = t.lineitem
+      .select(col("l_orderkey"), col("l_partkey"),
+        floor(col("l_extendedprice") * lit(1e6) + lit(0.5)).cast("long")
+          .as("rev_micro"))
+      .join(t.orders.select(col("o_orderkey"),
+        date_format(date_trunc("MONTH", col("o_orderdate")), "yyyy-MM")
+          .as("month")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.part.select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("month", "p_brand")
+      .agg(sum("rev_micro").as("rev_micro"))
+    val byMonth = Window.partitionBy("month")
+      .orderBy(col("rev_micro").desc, col("p_brand"))
+    val byBrand = Window.partitionBy("p_brand").orderBy("month")
+    rev
+      .withColumn("rk", rank().over(byMonth).cast("long"))
+      .withColumn("prev_rk", lag("rk", 1).over(byBrand))
+      .filter(col("prev_rk").isNotNull && col("rk") =!= col("prev_rk"))
+      .select(col("month"), col("p_brand"), col("rk"),
+        col("prev_rk").cast("long").as("prev_rk"),
+        (col("prev_rk") - col("rk")).cast("long").as("delta"))
+  }
+
+  val q182Sql: String =
+    """WITH rev AS (
+      |  SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS month,
+      |    p.p_brand,
+      |    CAST(sum(CAST(floor(l.l_extendedprice * 1e6 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS rev_micro
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT month, p_brand, rev_micro,
+      |    CAST(rank() OVER (PARTITION BY month
+      |      ORDER BY rev_micro DESC, p_brand) AS BIGINT) AS rk
+      |  FROM rev),
+      |m AS (
+      |  SELECT month, p_brand, rk,
+      |    lag(rk) OVER (PARTITION BY p_brand ORDER BY month) AS prev_rk
+      |  FROM r)
+      |SELECT month, p_brand, rk, CAST(prev_rk AS BIGINT) AS prev_rk,
+      |  CAST(prev_rk - rk AS BIGINT) AS delta
+      |FROM m WHERE prev_rk IS NOT NULL AND rk <> prev_rk
+      |ORDER BY month, p_brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q182_rank_movers" -> Gate.sorted(q182RankMovers _, "month", "p_brand"),
     "q158_order_count_dist" -> Gate.sorted(q158OrderCountDist _, "n_orders"),
     "q159_small_qty_revenue" -> ((s, d) => q159SmallQtyRevenue(s, d)),
     "q160_dormant_rich" -> Gate.sorted(q160DormantRich _, "n_name"),
     "q161_skyline" -> Gate.sorted(q161Skyline _, "p_partkey"))
 
   val oracles: Map[String, String] = Map(
+    "q182_rank_movers" -> q182Sql,
     "q158_order_count_dist" -> q158Sql,
     "q159_small_qty_revenue" -> q159Sql,
     "q160_dormant_rich" -> q160Sql,

@@ -337,6 +337,48 @@ class PlanAuditSpec extends SparkSpec {
       "expected the engine's native session-window aggregation")
   }
 
+  test("q168: prefix join verifies via broadcast bitmaps, no posting join") {
+    val (df, cleanup) = graft.queries.DedupOps.q168Plan(spark, sfDir)
+    try {
+      val p = executedPlan(df)
+      assert(p.contains("BroadcastHashJoin"),
+        "expected broadcast candidate/bitmap joins")
+      assert(!p.contains("SortMergeJoin"),
+        "verification must not shuffle-join posting lists")
+      assert(!p.contains("CartesianProduct"))
+    } finally cleanup()
+  }
+
+  test("q158/q159: orders/lineitem aggregate map-side before any join") {
+    Seq(
+      graft.queries.TpchShapes.q158OrderCountDist(spark, sfDir),
+      graft.queries.TpchShapes.q159SmallQtyRevenue(spark, sfDir)
+    ).foreach { df =>
+      val p = executedPlan(df).split("== Initial Plan ==")(0)
+      assert(p.contains("partial_"), "expected map-side partial aggregation")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("q173: spine and type domain broadcast; fact counted once") {
+    val p = executedPlan(
+      graft.queries.SqlSurface.q173GapFill(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "spine x types must broadcast")
+    val factScans = "Scan parquet[^\\n]*events".r.findAllIn(p).length
+    assert(factScans <= 3, s"events scanned $factScans times (daily+bounds+types)")
+  }
+
+  test("q181: CDF windows run on the rollup, not the fact table") {
+    val p = executedPlan(
+      graft.queries.MaintOps.q181CdfNormalize(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    // the window must sit above the aggregate, so the fact scan feeds
+    // a partial_ aggregation, not a sort for the window
+    assert(p.contains("partial_"), "expected pre-aggregation under the window")
+  }
+
   test("q144/q150: dimension/query sides broadcast") {
     Seq(
       graft.queries.EmbeddingOps.q144KnnClassifier(spark, sfDir),

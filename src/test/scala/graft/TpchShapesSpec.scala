@@ -78,6 +78,44 @@ class TpchShapesSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q182 rank movers equals a driver-side rank recompute") {
+    val t = Tables(spark, sfDir)
+    val rev = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.part, col("l_partkey") === col("p_partkey"))
+      .select(date_format(date_trunc("MONTH", col("o_orderdate")), "yyyy-MM")
+        .as("m"), col("p_brand"),
+        floor(col("l_extendedprice") * 1e6 + lit(0.5)).cast("long").as("r"))
+      .groupBy("m", "p_brand").agg(sum("r").as("r")).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    val ranks = rev.groupBy(_._1).toSeq.flatMap { case (m, rows) =>
+      rows.sortBy(x => (-x._3, x._2)).zipWithIndex.toSeq
+        .map { case (x, i) => (m, x._2) -> (i + 1).toLong }
+    }.toMap
+    val months = rev.map(_._1).distinct.sorted
+    val want = (for {
+      b <- rev.map(_._2).distinct
+      (prevM, curM) <- months.zip(months.tail)
+      prev <- ranks.get((prevM, b)); cur <- ranks.get((curM, b))
+      if prev != cur
+    } yield (curM, b, cur, prev)).toSet
+    // driver recompute pairs consecutive PRESENT months per brand, as
+    // lag() does over the brand's own month sequence
+    val wantLag = (for {
+      b <- rev.map(_._2).distinct
+      bm = months.filter(m => ranks.contains((m, b)))
+      (pm, cm) <- bm.zip(bm.tail)
+      if ranks((pm, b)) != ranks((cm, b))
+    } yield (cm, b, ranks((cm, b)), ranks((pm, b)))).toSet
+    val got = TpchShapes.q182RankMovers(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === wantLag)
+    // when every brand appears every month the two formulations agree
+    if (rev.map(_._2).distinct.forall(b =>
+      months.forall(m => ranks.contains((m, b))))) assert(got === want)
+  }
+
   test("q161 plan has no self-join on part and only broadcast joins") {
     val plan = TpchShapes.q161Skyline(spark, sfDir)
       .queryExecution.executedPlan.toString
