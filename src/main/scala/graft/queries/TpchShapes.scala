@@ -269,7 +269,98 @@ object TpchShapes {
       |FROM m WHERE prev_rk IS NOT NULL AND rk <> prev_rk
       |ORDER BY month, p_brand""".stripMargin
 
+  /** q183: DISJUNCTIVE-PREDICATE REVENUE (the TPC-H Q19 shape) — an
+    * OR of three conjunctive (brand, size-band, quantity-band) clauses
+    * over the lineitem x part join. The interesting part is the PLAN:
+    * the disjunction's common structure (`p_size >= 1`, quantity
+    * bounds) lets Catalyst push a relaxed conjunct to BOTH scans while
+    * the full OR evaluates post-join — predicate pushdown through a
+    * disjunction is exactly what a hand-rolled engine usually misses.
+    * Exactness: bands compare quantized centi-integers; revenue sums
+    * per-row micro units.
+    */
+  def q183DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem.select(col("l_partkey"),
+      floor(col("l_quantity") * 100 + lit(0.5)).cast("long").as("q_c"),
+      floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(1e4)
+        + lit(0.5)).cast("long").as("rev_tenth_milli"))
+    val clause = (
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+        col("q_c").between(100L, 1100L)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+        col("q_c").between(1000L, 2000L)) ||
+      (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+        col("q_c").between(2000L, 3000L)))
+    li.join(broadcast(t.part.select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(clause)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum("rev_tenth_milli"), lit(0L)).as("rev_tenth_milli"))
+  }
+
+  val q183Sql: String =
+    """SELECT count(*) AS n,
+      |  COALESCE(CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4
+      |    + 0.5) AS BIGINT)) AS BIGINT), 0) AS rev_tenth_milli
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE
+      |  (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |    AND CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) BETWEEN 100 AND 1100)
+      |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |    AND CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) BETWEEN 1000 AND 2000)
+      |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |    AND CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) BETWEEN 2000 AND 3000)
+      |""".stripMargin
+
+  /** q184: PROMO REVENUE SHARE (the TPC-H Q14 shape) — the share of
+    * one-month revenue coming from a part-type class, as a conditional
+    * aggregate over the date-banded join (filter pushed to the orders
+    * scan, part broadcast). The share is reported in micro units from
+    * the two exact integer sums.
+    */
+  def q184PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ordersIn = t.orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      .select("o_orderkey")
+    t.lineitem
+      .select(col("l_orderkey"), col("l_partkey"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(1e4)
+          + lit(0.5)).cast("long").as("rev"))
+      .join(ordersIn, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.part.select(col("p_partkey"),
+        (col("p_type") === "PROMO").as("is_promo"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("is_promo"), col("rev")).otherwise(0L)).as("promo_rev"),
+        sum("rev").as("total_rev"))
+      .select(col("promo_rev"), col("total_rev"),
+        floor(col("promo_rev") * lit(1e6) / col("total_rev") + lit(0.5))
+          .cast("long").as("share_micro"))
+  }
+
+  val q184Sql: String =
+    """WITH j AS (
+      |  SELECT CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5)
+      |      AS BIGINT) AS rev,
+      |    p.p_type = 'PROMO' AS is_promo
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN part p ON p.p_partkey = l.l_partkey
+      |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o.o_orderdate < TIMESTAMP '1996-07-01')
+      |SELECT CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END) AS BIGINT)
+      |    AS promo_rev,
+      |  CAST(sum(rev) AS BIGINT) AS total_rev,
+      |  CAST(floor(sum(CASE WHEN is_promo THEN rev ELSE 0 END) * 1e6
+      |    / sum(rev) + 0.5) AS BIGINT) AS share_micro
+      |FROM j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_disjunctive_revenue" -> ((s, d) => q183DisjunctiveRevenue(s, d)),
+    "q184_promo_share" -> ((s, d) => q184PromoShare(s, d)),
     "q182_rank_movers" -> Gate.sorted(q182RankMovers _, "month", "p_brand"),
     "q158_order_count_dist" -> Gate.sorted(q158OrderCountDist _, "n_orders"),
     "q159_small_qty_revenue" -> ((s, d) => q159SmallQtyRevenue(s, d)),
@@ -277,6 +368,8 @@ object TpchShapes {
     "q161_skyline" -> Gate.sorted(q161Skyline _, "p_partkey"))
 
   val oracles: Map[String, String] = Map(
+    "q183_disjunctive_revenue" -> q183Sql,
+    "q184_promo_share" -> q184Sql,
     "q182_rank_movers" -> q182Sql,
     "q158_order_count_dist" -> q158Sql,
     "q159_small_qty_revenue" -> q159Sql,

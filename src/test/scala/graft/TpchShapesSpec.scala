@@ -116,6 +116,34 @@ class TpchShapesSpec extends SparkSpec {
       months.forall(m => ranks.contains((m, b))))) assert(got === want)
   }
 
+  test("q183 disjunctive filter equals a driver-side recompute") {
+    val t = Tables(spark, sfDir)
+    val rows = t.lineitem
+      .join(t.part, col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("p_size"),
+        floor(col("l_quantity") * 100 + lit(0.5)).cast("long").as("qc"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 1e4
+          + lit(0.5)).cast("long").as("rev"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val keep = rows.filter { case (b, s, q, _) =>
+      (b == "Brand#12" && s >= 1 && s <= 5 && q >= 100 && q <= 1100) ||
+      (b == "Brand#23" && s >= 1 && s <= 10 && q >= 1000 && q <= 2000) ||
+      (b == "Brand#34" && s >= 1 && s <= 15 && q >= 2000 && q <= 3000)
+    }
+    val got = TpchShapes.q183DisjunctiveRevenue(spark, sfDir).head
+    assert(got.getLong(0) === keep.length.toLong)
+    assert(got.getLong(1) === keep.map(_._4).sum)
+  }
+
+  test("q184 promo share reconciles against the unconditioned total") {
+    val got = TpchShapes.q184PromoShare(spark, sfDir).head
+    val promo = got.getLong(0); val total = got.getLong(1)
+    assert(promo >= 0 && promo <= total && total > 0)
+    assert(got.getLong(2) ===
+      math.floor(promo * 1e6 / total + 0.5).toLong)
+  }
+
   test("q161 plan has no self-join on part and only broadcast joins") {
     val plan = TpchShapes.q161Skyline(spark, sfDir)
       .queryExecution.executedPlan.toString
