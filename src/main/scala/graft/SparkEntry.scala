@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.LayoutOps.queries ++
       graft.queries.SqlSurface.queries ++
       graft.queries.PatternOps.queries ++
-      graft.queries.MaintOps.queries
+      graft.queries.MaintOps.queries ++
+      graft.queries.PlannerOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -55,5 +56,6 @@ object SparkEntry {
       graft.queries.LayoutOps.oracles ++
       graft.queries.SqlSurface.oracles ++
       graft.queries.PatternOps.oracles ++
-      graft.queries.MaintOps.oracles
+      graft.queries.MaintOps.oracles ++
+      graft.queries.PlannerOps.oracles
 }

@@ -455,6 +455,42 @@ object SessionOps {
       |  AND epoch_ms(w + INTERVAL 1 HOUR) < (SELECT epoch_ms(max(ts)) FROM events)
       |ORDER BY win_start_us, rank""".stripMargin
 
+  /** q185: STREAMING QUOTA THROTTLE — the thirteenth stateful family
+    * (see [[graft.streaming.StreamThrottle]]): admit the first
+    * QUOTA events per (user, tumbling day), suppress the rest; one
+    * long of state per open (user, window). Admission decisions never
+    * retract, so emission is immediate and the replayed set equals the
+    * batch row_number formulation the oracle states.
+    */
+  def q185StreamThrottle(spark: SparkSession, dir: String): DataFrame =
+      withStreamParallelism(spark) {
+    import graft.streaming.{StreamAgg, StreamThrottle}
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
+    val sinkName = "q185_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = StreamThrottle.throttle(stream)
+      .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(sinkName).orderBy("user_id", "win_start_us", "seq")
+  }
+
+  val q185Sql: String =
+    s"""WITH r AS (
+      |  SELECT user_id,
+      |    (epoch_us(ts) // ${graft.streaming.StreamThrottle.WINDOW_US})
+      |      * ${graft.streaming.StreamThrottle.WINDOW_US} AS win_start_us,
+      |    event_id,
+      |    row_number() OVER (
+      |      PARTITION BY user_id,
+      |        epoch_us(ts) // ${graft.streaming.StreamThrottle.WINDOW_US}
+      |      ORDER BY ts, event_id) AS seq
+      |  FROM events)
+      |SELECT user_id, CAST(win_start_us AS BIGINT) AS win_start_us,
+      |  event_id, CAST(seq AS BIGINT) AS seq
+      |FROM r WHERE seq <= ${graft.streaming.StreamThrottle.QUOTA}
+      |ORDER BY user_id, win_start_us, seq""".stripMargin
+
   /** q91: STREAMING FUNNEL ATTRIBUTION — q73's running-last-click
     * window as stateful streaming (the seventh streaming family:
     * last-value-per-key state driving per-event emission decisions).
@@ -774,6 +810,7 @@ object SessionOps {
     "q66_state_diff" -> Gate.sorted(q66StateDiff _, "user_id"),
     "q70_stream_distinct" -> (q70StreamDistinct _),
     "q167_stream_topk" -> (q167StreamTopk _),
+    "q185_stream_throttle" -> (q185StreamThrottle _),
     "q102_stream_dropdup_wm" -> (q102StreamDropdupWm _))
 
   val oracles: Map[String, String] = Map(
@@ -793,5 +830,6 @@ object SessionOps {
     "q66_state_diff" -> q66Sql,
     "q70_stream_distinct" -> q70Sql,
     "q167_stream_topk" -> q167Sql,
+    "q185_stream_throttle" -> q185Sql,
     "q102_stream_dropdup_wm" -> q102Sql)
 }
