@@ -49,4 +49,36 @@ object AsOfJoin {
       .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
         rValues.map(v => col(s"__ff.$v").as(v)): _*)
   }
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * rTime >= lTime (per key) — the "next snapshot / next publish"
+    * lookup. Same union + single-window shape as `latestBefore`, with
+    * the frame reversed (first non-null over the following rows) and
+    * rights sorting AFTER lefts at equal timestamps so the match is
+    * inclusive. One shuffle on the key, no inequality join.
+    */
+  def earliestAfter(
+      left: DataFrame, right: DataFrame,
+      key: Seq[String], lTime: String, rTime: String,
+      rValues: Seq[String]): DataFrame = {
+    val rStructType = org.apache.spark.sql.types.StructType(
+      right.select(rValues.map(col): _*).schema.fields)
+    val leftCols = left.columns.toSeq
+    val l = left.select(
+      (key.map(col) :+ col(lTime).as("__ts") :+ lit(1).as("__is_left") :+
+        struct(leftCols.map(col): _*).as("__l") :+
+        lit(null).cast(rStructType).as("__r")): _*)
+    val r = right.select(
+      (key.map(col) :+ col(rTime).as("__ts") :+ lit(0).as("__is_left") :+
+        lit(null).cast(l.schema("__l").dataType).as("__l") :+
+        struct(rValues.map(col): _*).as("__r")): _*)
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("__ts"), col("__is_left").desc)
+      .rowsBetween(0, Window.unboundedFollowing)
+    l.unionByName(r)
+      .withColumn("__ff", first(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
+        rValues.map(v => col(s"__ff.$v").as(v)): _*)
+  }
 }

@@ -330,7 +330,49 @@ object JoinOps {
       |  AND epoch_us(e2.ts) < h.valid_to_us
       |ORDER BY event_id""".stripMargin
 
+  /** q189: FORWARD AS-OF — every event joined to its user's EARLIEST
+    * hourly checkpoint at or after the event (AsOfJoin.earliestAfter:
+    * the "next publish" lookup — e.g. the label-window boundary a
+    * training pipeline attaches to each example). Same one-shuffle
+    * union+window shape as q44, frame reversed; the oracle is the
+    * literal correlated min() subquery.
+    */
+  def q189AsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val hourly = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(Exact.sumExact(col("value")).as("hour_value"))
+    AsOfJoin.earliestAfter(
+      ev.select("event_id", "user_id", "ts"), hourly,
+      key = Seq("user_id"), lTime = "ts", rTime = "hour",
+      rValues = Seq("hour", "hour_value"))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("next_hour"),
+        col("hour_value"))
+  }
+
+  val q189Sql: String =
+    s"""WITH hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour,
+      |    ${Exact.sumSql("value")} AS hour_value
+      |  FROM events GROUP BY 1, 2),
+      |nxt AS (
+      |  SELECT e.event_id, e.user_id, e.ts,
+      |    (SELECT min(h.hour) FROM hourly h
+      |     WHERE h.user_id = e.user_id AND h.hour >= e.ts) AS next_hour
+      |  FROM events e)
+      |SELECT n.event_id, n.user_id,
+      |  strftime(n.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+      |  strftime(n.next_hour, '%Y-%m-%d %H:%M:%S') AS next_hour,
+      |  h.hour_value
+      |FROM nxt n
+      |LEFT JOIN hourly h
+      |  ON h.user_id = n.user_id AND h.hour = n.next_hour
+      |ORDER BY n.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_asof_forward" -> Gate.sorted(q189AsofForward _, "event_id"),
     "q151_pit_enrich" -> Gate.sorted(q151PitEnrich _, "event_id"),
     "q127_bloom_semi" -> Gate.sorted(q127BloomSemi _, "l_suppkey"),
     "q44_asof_enrich" -> Gate.sorted(q44AsofEnrich _, "user_id", "event_id"),
@@ -341,6 +383,7 @@ object JoinOps {
     "q120_salted_join" -> Gate.sorted(q120SaltedJoin _, "o_orderpriority"))
 
   val oracles: Map[String, String] = Map(
+    "q189_asof_forward" -> q189Sql,
     "q151_pit_enrich" -> q151Sql,
     "q127_bloom_semi" -> q127Sql,
     "q44_asof_enrich" -> q44Sql,

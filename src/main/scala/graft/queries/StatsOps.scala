@@ -1006,7 +1006,114 @@ object StatsOps {
       |  CAST(sum(term_micro) AS BIGINT) AS chi2_micro
       |FROM grid""".stripMargin
 
+  /** q188: INTER-ARRIVAL GAP PROFILE — the latency/health metric for
+    * an event stream: per-user gaps between consecutive events (one
+    * lag() pass on the shared user_id key), profiled per event TYPE of
+    * the later event as exact integer sums + quantile_cont p50/p90
+    * through the bucket-prune operator. The answer a capacity planner
+    * wants ("how bursty is each signal?") without ever sorting the
+    * fact table globally.
+    */
+  def q188GapQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // the gap table feeds four scans (bucket bounds, histogram,
+    // survivor pass, moment rollup) — pin it rather than re-running
+    // the lag window per consumer
+    val gaps = Tables(spark, dir).events
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+      .filter(col("gap_us").isNotNull)
+      .select("event_type", "gap_us")
+      .localCheckpoint(true)
+    val q = graft.operators.DistributedQuantile.quantiles(
+      gaps, Seq("event_type"), "gap_us", Seq("p50" -> 0.5, "p90" -> 0.9))
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap_us").as("sum_gap_us"))
+      .join(broadcast(q), "event_type")
+      .select("event_type", "n_gaps", "sum_gap_us", "p50", "p90")
+  }
+
+  val q188Sql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_gaps,
+      |  CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+      |  quantile_cont(gap_us, 0.5) AS p50,
+      |  quantile_cont(gap_us, 0.9) AS p90
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q190: DECILE LIFT / GAINS TABLE for the q128 model — the
+    * standard campaign-targeting eval: rows ranked by score descending
+    * and cut into ten DETERMINISTIC bands (a score group is assigned
+    * wholly to the band of its starting rank — plain ntile() splits
+    * tied scores arbitrarily across engines), then per band: size,
+    * positives, cumulative capture of all positives, and lift vs the
+    * base rate, all in integer micro units from exact counts. Windows
+    * run over the |distinct scores| rollup, not fact rows (the same
+    * shape as q136/q137).
+    */
+  def q190DecileLift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val groups = scoredRows(spark, dir)
+      .groupBy("p_micro")
+      .agg(count(lit(1)).as("c"), sum("y").as("pos"))
+    val byScore = Window.orderBy(col("p_micro").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(lit(1))
+    val banded = groups
+      .withColumn("before", coalesce(sum("c").over(byScore), lit(0L)))
+      .withColumn("n_tot", sum("c").over(wAll))
+      .withColumn("pos_tot", sum("pos").over(wAll))
+      .withColumn("decile", (col("before") * 10 / col("n_tot")).cast("long"))
+    val byDecile = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    banded.groupBy("decile")
+      .agg(sum("c").as("n"), sum("pos").as("pos"),
+        first("n_tot").as("n_tot"), first("pos_tot").as("pos_tot"))
+      .withColumn("cum_pos", sum("pos").over(byDecile))
+      .select(col("decile"), col("n"), col("pos"),
+        floor(col("cum_pos") * lit(1e6) / col("pos_tot") + lit(0.5))
+          .cast("long").as("capture_micro"),
+        floor(col("pos") * col("n_tot") * lit(1e6) /
+          (col("n") * col("pos_tot")) + lit(0.5)).cast("long")
+          .as("lift_micro"))
+  }
+
+  val q190Sql: String =
+    s"""WITH s AS ($scoredSql),
+      |g AS (SELECT p_micro, count(*) AS c, CAST(sum(y) AS BIGINT) AS pos
+      |      FROM s GROUP BY 1),
+      |b AS (
+      |  SELECT p_micro, c, pos,
+      |    COALESCE(sum(c) OVER (ORDER BY p_micro DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+      |    sum(c) OVER () AS n_tot, sum(pos) OVER () AS pos_tot
+      |  FROM g),
+      |d AS (
+      |  SELECT CAST(floor(before * 10 / n_tot) AS BIGINT) AS decile, c, pos,
+      |    n_tot, pos_tot
+      |  FROM b),
+      |agg AS (
+      |  SELECT decile, CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(sum(pos) AS BIGINT) AS pos,
+      |    max(n_tot) AS n_tot, max(pos_tot) AS pos_tot
+      |  FROM d GROUP BY 1)
+      |SELECT decile, n, pos,
+      |  CAST(floor(sum(pos) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1e6
+      |    / pos_tot + 0.5) AS BIGINT) AS capture_micro,
+      |  CAST(floor(pos * n_tot * 1e6 / (n * pos_tot) + 0.5) AS BIGINT)
+      |    AS lift_micro
+      |FROM agg ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_gap_quantiles" -> Gate.sorted(q188GapQuantiles _, "event_type"),
+    "q190_decile_lift" -> Gate.sorted(q190DecileLift _, "decile"),
     "q169_chi2_independence" -> ((s, d) => q169Chi2Independence(s, d)),
     "q157_skew_probe" -> Gate.sorted(q157SkewProbe _, "metric"),
     "q148_bootstrap_ci" -> Gate.sorted(q148BootstrapCi _, "b"),
@@ -1023,6 +1130,8 @@ object StatsOps {
     "q137_pr_thresholds" -> Gate.sorted(q137PrThresholds _, "threshold_micro"))
 
   val oracles: Map[String, String] = Map(
+    "q188_gap_quantiles" -> q188Sql,
+    "q190_decile_lift" -> q190Sql,
     "q169_chi2_independence" -> q169Sql,
     "q157_skew_probe" -> q157Sql,
     "q148_bootstrap_ci" -> q148Sql,
