@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.SqlSurface.queries ++
       graft.queries.PatternOps.queries ++
       graft.queries.MaintOps.queries ++
-      graft.queries.PlannerOps.queries
+      graft.queries.PlannerOps.queries ++
+      graft.queries.ProfileOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -57,5 +58,6 @@ object SparkEntry {
       graft.queries.SqlSurface.oracles ++
       graft.queries.PatternOps.oracles ++
       graft.queries.MaintOps.oracles ++
-      graft.queries.PlannerOps.oracles
+      graft.queries.PlannerOps.oracles ++
+      graft.queries.ProfileOps.oracles
 }
