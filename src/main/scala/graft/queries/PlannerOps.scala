@@ -72,11 +72,88 @@ object PlannerOps {
       |SELECT lang, rk, doc_id FROM r WHERE rk <= $STRATUM_N
       |ORDER BY lang, rk""".stripMargin
 
+  /** q195: MODE PER GROUP — the most frequent quantity per return
+    * flag with a deterministic tie rule (highest count, then smallest
+    * value), as ONE groupwise argmax `max(struct(count, -value))` over
+    * the (flag, value) rollup — no window, no rank, no second scan of
+    * the fact table. The SQL MODE() aggregate, order-stable.
+    */
+  def q195ModePerGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"),
+        floor(col("l_quantity") * 100 + lit(0.5)).cast("long").as("qty_c"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("l_returnflag")
+      .agg(max(struct(col("c"), (-col("qty_c")).as("neg_q"))).as("m"))
+      .select(col("l_returnflag"), (-col("m.neg_q")).as("mode_qty_c"),
+        col("m.c").as("n_mode"))
+
+  val q195Sql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag,
+      |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qty_c,
+      |    count(*) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |r AS (
+      |  SELECT l_returnflag, qty_c, c,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY c DESC, qty_c) AS rn
+      |  FROM c)
+      |SELECT l_returnflag, qty_c AS mode_qty_c, CAST(c AS BIGINT) AS n_mode
+      |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin
+
+  /** q196: COLUMN PROFILE in ONE scan — the data-quality pass a
+    * Deequ-style contract check runs before publishing a table: per
+    * column, null count, blank count (string columns), and EXACT
+    * distinct count, all from a single aggregate over the documents
+    * table (Spark plans the multi-column DISTINCT aggregates with one
+    * Expand — still one scan of the parquet), exploded to one row per
+    * column for the report.
+    */
+  def q196ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      Seq(count(lit(1)).as("n")) ++ cols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+          sum(when(col(c).cast("string") === "", 1L).otherwise(0L))
+            .as(s"blank_$c"),
+          countDistinct(col(c)).as(s"dist_$c"))
+      }
+    val one = d.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"null_$c").as("n_null"),
+        col(s"blank_$c").as("n_blank"), col(s"dist_$c").as("n_distinct"))
+    }
+    one.select(col("n"), explode(array(entries: _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), col("n"),
+        col("e.n_null").as("n_null"), col("e.n_blank").as("n_blank"),
+        col("e.n_distinct").as("n_distinct"))
+  }
+
+  val q196Sql: String = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
+         |  CAST(sum(CASE WHEN CAST($c AS VARCHAR) = '' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_blank,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_mode_per_group" -> Gate.sorted(q195ModePerGroup _, "l_returnflag"),
+    "q196_column_profile" -> Gate.sorted(q196ColumnProfile _, "col_name"),
     "q186_join_cardinality" -> ((s, d) => q186JoinCardinality(s, d)),
     "q187_stratified_fixed_n" -> Gate.sorted(q187StratifiedFixedN _, "lang", "rk"))
 
   val oracles: Map[String, String] = Map(
+    "q195_mode_per_group" -> q195Sql,
+    "q196_column_profile" -> q196Sql,
     "q186_join_cardinality" -> q186Sql,
     "q187_stratified_fixed_n" -> q187Sql)
 }

@@ -491,6 +491,37 @@ object SessionOps {
       |FROM r WHERE seq <= ${graft.streaming.StreamThrottle.QUOTA}
       |ORDER BY user_id, win_start_us, seq""".stripMargin
 
+  /** q194: STREAMING CEP PAIR MATCHING — the fourteenth stateful
+    * family (see [[graft.streaming.StreamCep]]): every (click,
+    * purchase) pair within 30 min, via LIST state with inline
+    * time-based eviction — the "A followed by B within T" CEP
+    * primitive that q91 (last-click only) and q59 (symmetric interval
+    * join) don't express. Oracle = the batch interval self-join.
+    */
+  def q194StreamCep(spark: SparkSession, dir: String): DataFrame =
+      withStreamParallelism(spark) {
+    import graft.streaming.{StreamAgg, StreamCep}
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
+    val sinkName = "q194_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = StreamCep.matchPairs(stream)
+      .writeStream.format("memory").queryName(sinkName).outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(sinkName).orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  val q194Sql: String =
+    s"""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+      |FROM events c
+      |JOIN events p ON p.user_id = c.user_id
+      |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+      |  AND epoch_us(p.ts) - epoch_us(c.ts) > 0
+      |  AND epoch_us(p.ts) - epoch_us(c.ts)
+      |        <= ${graft.streaming.StreamCep.WINDOW_US}
+      |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
   /** q91: STREAMING FUNNEL ATTRIBUTION — q73's running-last-click
     * window as stateful streaming (the seventh streaming family:
     * last-value-per-key state driving per-event emission decisions).
@@ -811,6 +842,7 @@ object SessionOps {
     "q70_stream_distinct" -> (q70StreamDistinct _),
     "q167_stream_topk" -> (q167StreamTopk _),
     "q185_stream_throttle" -> (q185StreamThrottle _),
+    "q194_stream_cep" -> (q194StreamCep _),
     "q102_stream_dropdup_wm" -> (q102StreamDropdupWm _))
 
   val oracles: Map[String, String] = Map(
@@ -831,5 +863,6 @@ object SessionOps {
     "q70_stream_distinct" -> q70Sql,
     "q167_stream_topk" -> q167Sql,
     "q185_stream_throttle" -> q185Sql,
+    "q194_stream_cep" -> q194Sql,
     "q102_stream_dropdup_wm" -> q102Sql)
 }
