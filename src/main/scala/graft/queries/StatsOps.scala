@@ -1111,7 +1111,79 @@ object StatsOps {
       |    AS lift_micro
       |FROM agg ORDER BY decile""".stripMargin
 
+  /** q197: PROPORTION WITH WILSON CONFIDENCE INTERVAL per event type —
+    * the success metric panel (here: share of events with value >
+    * 100) reported the statistically honest way: the Wilson score
+    * interval, which unlike the normal approximation stays inside
+    * [0,1] and behaves at small n. Counts come from ONE conditional
+    * aggregate; the interval arithmetic runs on the tiny rollup.
+    * Bounds stay DOUBLE (sqrt is libm territory — the gate's relative
+    * tolerance absorbs cross-engine ulps, as with q177).
+    */
+  def q197WilsonCi(spark: SparkSession, dir: String): DataFrame = {
+    val z = lit(1.96)
+    val agg = Tables(spark, dir).events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > 100.0, 1L).otherwise(0L)).as("k"))
+    val nD = col("n").cast("double"); val kD = col("k").cast("double")
+    val pHat = kD / nD
+    val z2 = z * z
+    val denom = lit(1.0) + z2 / nD
+    val center = pHat + z2 / (lit(2.0) * nD)
+    val spread = z * sqrt(pHat * (lit(1.0) - pHat) / nD +
+      z2 / (lit(4.0) * nD * nD))
+    agg.select(col("event_type"), col("n"), col("k"),
+      ((center - spread) / denom).as("wilson_lo"),
+      ((center + spread) / denom).as("wilson_hi"))
+  }
+
+  val q197Sql: String =
+    """WITH a AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS k
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, n, k,
+      |  ((CAST(k AS DOUBLE) / n + 1.96*1.96 / (2.0 * n))
+      |   - 1.96 * sqrt(CAST(k AS DOUBLE) / n * (1.0 - CAST(k AS DOUBLE) / n)
+      |       / n + 1.96*1.96 / (4.0 * n * n)))
+      |  / (1.0 + 1.96*1.96 / n) AS wilson_lo,
+      |  ((CAST(k AS DOUBLE) / n + 1.96*1.96 / (2.0 * n))
+      |   + 1.96 * sqrt(CAST(k AS DOUBLE) / n * (1.0 - CAST(k AS DOUBLE) / n)
+      |       / n + 1.96*1.96 / (4.0 * n * n)))
+      |  / (1.0 + 1.96*1.96 / n) AS wilson_hi
+      |FROM a ORDER BY event_type""".stripMargin
+
+  /** q198: WEEKDAY SEASONALITY INDEX — each weekday's event volume
+    * relative to a flat week (index 1e6 = average): the seasonal
+    * profile that feeds anomaly baselines (q99) and capacity plans.
+    * One map-side-combined count to the 7-row weekday grain; index in
+    * integer micro units (`n*7*1e6/total`, floored on identical
+    * BIGINTs).
+    */
+  def q198WeekdayIndex(spark: SparkSession, dir: String): DataFrame = {
+    val wd = Tables(spark, dir).events
+      .groupBy(dayofweek(col("ts")).as("weekday"))
+      .agg(count(lit(1)).as("n"))
+    val tot = wd.agg(sum("n").as("total"))
+    wd.crossJoin(broadcast(tot))
+      .select(col("weekday").cast("long").as("weekday"), col("n"),
+        floor(col("n") * lit(7) * lit(1e6) / col("total") + lit(0.5))
+          .cast("long").as("index_micro"))
+  }
+
+  val q198Sql: String =
+    """WITH wd AS (
+      |  SELECT dayofweek(ts) + 1 AS weekday, count(*) AS n
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM wd)
+      |SELECT CAST(weekday AS BIGINT) AS weekday, n,
+      |  CAST(floor(n * 7 * 1e6 / total + 0.5) AS BIGINT) AS index_micro
+      |FROM wd CROSS JOIN t ORDER BY weekday""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_wilson_ci" -> Gate.sorted(q197WilsonCi _, "event_type"),
+    "q198_weekday_index" -> Gate.sorted(q198WeekdayIndex _, "weekday"),
     "q188_gap_quantiles" -> Gate.sorted(q188GapQuantiles _, "event_type"),
     "q190_decile_lift" -> Gate.sorted(q190DecileLift _, "decile"),
     "q169_chi2_independence" -> ((s, d) => q169Chi2Independence(s, d)),
@@ -1130,6 +1202,8 @@ object StatsOps {
     "q137_pr_thresholds" -> Gate.sorted(q137PrThresholds _, "threshold_micro"))
 
   val oracles: Map[String, String] = Map(
+    "q197_wilson_ci" -> q197Sql,
+    "q198_weekday_index" -> q198Sql,
     "q188_gap_quantiles" -> q188Sql,
     "q190_decile_lift" -> q190Sql,
     "q169_chi2_independence" -> q169Sql,
