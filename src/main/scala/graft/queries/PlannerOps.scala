@@ -145,13 +145,63 @@ object PlannerOps {
     }.mkString("\nUNION ALL\n") + "\nORDER BY col_name"
   }
 
+  /** q199: ENGAGEMENT-BREADTH HISTOGRAM — how many users touch
+    * exactly k distinct event types: the product-analytics breadth
+    * metric behind "power user" definitions. Two bounded aggregates
+    * (per-user distinct count on the shared user_id key, then a
+    * 5-bucket distribution); nothing wider than |users| ever shuffles.
+    */
+  def q199BreadthHist(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy("user_id")
+      .agg(countDistinct("event_type").as("n_types"))
+      .groupBy("n_types")
+      .agg(count(lit(1)).as("n_users"))
+
+  val q199Sql: String =
+    """WITH u AS (
+      |  SELECT user_id, count(DISTINCT event_type) AS n_types
+      |  FROM events GROUP BY 1)
+      |SELECT CAST(n_types AS BIGINT) AS n_types, count(*) AS n_users
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q200: TABLE HEARTBEAT — the operational dashboard row count of
+    * every table in one query (the freshness/health panel a pipeline
+    * scheduler polls): ten count-only scans (column-pruned to
+    * metadata where parquet allows) unioned into a (table, rows)
+    * report.
+    */
+  def q200TableHeartbeat(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val tables: Seq[(String, DataFrame)] = Seq(
+      "customer" -> t.customer, "documents" -> t.documents,
+      "embeddings" -> t.embeddings, "events" -> t.events,
+      "lineitem" -> t.lineitem, "nation" -> t.nation,
+      "orders" -> t.orders, "part" -> t.part, "region" -> t.region,
+      "supplier" -> t.supplier)
+    tables.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("table_name"),
+        col("n_rows"))
+    }.reduce(_ unionByName _)
+  }
+
+  val q200Sql: String =
+    ("region nation customer supplier part orders lineitem events " +
+      "documents embeddings").split(" ").map { t =>
+      s"SELECT '$t' AS table_name, count(*) AS n_rows FROM $t"
+    }.mkString("\nUNION ALL\n") + "\nORDER BY table_name"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_breadth_hist" -> Gate.sorted(q199BreadthHist _, "n_types"),
+    "q200_table_heartbeat" -> Gate.sorted(q200TableHeartbeat _, "table_name"),
     "q195_mode_per_group" -> Gate.sorted(q195ModePerGroup _, "l_returnflag"),
     "q196_column_profile" -> Gate.sorted(q196ColumnProfile _, "col_name"),
     "q186_join_cardinality" -> ((s, d) => q186JoinCardinality(s, d)),
     "q187_stratified_fixed_n" -> Gate.sorted(q187StratifiedFixedN _, "lang", "rk"))
 
   val oracles: Map[String, String] = Map(
+    "q199_breadth_hist" -> q199Sql,
+    "q200_table_heartbeat" -> q200Sql,
     "q195_mode_per_group" -> q195Sql,
     "q196_column_profile" -> q196Sql,
     "q186_join_cardinality" -> q186Sql,

@@ -70,6 +70,23 @@ class StreamThrottleSpec extends SparkSpec {
     assert(est.getAs[Long]("join_rows") === actual)
   }
 
+  test("q199 breadth buckets partition the user base") {
+    val total = PlannerOps.q199BreadthHist(spark, sfDir)
+      .agg(sum("n_users")).head.getLong(0)
+    assert(total ===
+      Tables(spark, sfDir).events.select("user_id").distinct().count())
+  }
+
+  test("q200 heartbeat counts match direct table counts") {
+    val t = Tables(spark, sfDir)
+    val got = PlannerOps.q200TableHeartbeat(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size === 10)
+    assert(got("lineitem") === t.lineitem.count())
+    assert(got("events") === t.events.count())
+    assert(got("region") === t.region.count())
+  }
+
   test("q187 takes exactly N per stratum (or the whole stratum if smaller)") {
     val sizes = Tables(spark, sfDir).documents
       .groupBy("lang").count().collect()
