@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.PatternOps.queries ++
       graft.queries.MaintOps.queries ++
       graft.queries.PlannerOps.queries ++
-      graft.queries.ProfileOps.queries
+      graft.queries.ProfileOps.queries ++
+      graft.queries.OpsAnalytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -59,5 +60,6 @@ object SparkEntry {
       graft.queries.PatternOps.oracles ++
       graft.queries.MaintOps.oracles ++
       graft.queries.PlannerOps.oracles ++
-      graft.queries.ProfileOps.oracles
+      graft.queries.ProfileOps.oracles ++
+      graft.queries.OpsAnalytics.oracles
 }

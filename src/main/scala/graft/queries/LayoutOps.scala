@@ -120,13 +120,102 @@ object LayoutOps {
       |FROM c WHERE cw * 2 >= tot
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q204 profiled columns — low-cardinality flags plus the date, the
+    * three RLE-candidate columns of the fact table.
+    */
+  val RUN_COLS: Seq[String] = Seq("l_returnflag", "l_linestatus")
+
+  /** q204: RUN-LENGTH ENCODING PROFILE — per column, the number and
+    * size of equal-value runs in the table's natural clustering order
+    * (l_orderkey, l_linenumber), the statistic a layout optimizer uses
+    * to decide which columns RLE/dictionary encoding will actually
+    * compress and whether a re-sort (e.g. the q166 z-order) pays for
+    * itself. Runs are counted WITHIN each l_orderkey segment (row
+    * groups never straddle the clustering key at write time, so
+    * cross-segment runs are not encodable anyway), which is what keeps
+    * the plan scalable: both window passes partition on l_orderkey —
+    * no global-order single-task window. One unpivoted scan, one
+    * (col, orderkey)-keyed exchange shared by both windows, then a
+    * run-sized aggregate.
+    */
+  def q204RunProfile(spark: SparkSession, dir: String): DataFrame = {
+    // (l_orderkey, l_linenumber) is NOT unique in the test data, so raw
+    // rows have no deterministic total order — and a window engine may
+    // legally place ties differently in the brk pass and the run_id
+    // pass (DuckDB does, which double-counts a run). Compressing equal
+    // (linenumber, val) rows to one keyed row + multiplicity FIRST
+    // makes every window sort key unique (fully deterministic in any
+    // engine) and shrinks the windowed data — the aggregate is
+    // map-side combined before the (col_name, l_orderkey) exchange the
+    // two windows share.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("col_name", "l_orderkey").orderBy("l_linenumber", "val")
+    val stackExpr = RUN_COLS.map(c => s"'$c', $c").mkString(
+      s"stack(${RUN_COLS.size}, ", ", ", ")")
+    val compressed = Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr(s"$stackExpr as (col_name, val)"))
+      .groupBy("col_name", "l_orderkey", "l_linenumber", "val")
+      .agg(count(lit(1)).as("cnt"))
+    val runs = compressed
+      .withColumn("brk",
+        when(lag("val", 1).over(w).isNull ||
+          lag("val", 1).over(w) =!= col("val"), 1L).otherwise(0L))
+      .withColumn("run_id",
+        sum("brk").over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy("col_name", "l_orderkey", "run_id")
+      .agg(sum("cnt").as("rl"))
+    runs.groupBy("col_name")
+      .agg(sum("rl").as("n_rows"), count(lit(1)).as("n_runs"),
+        max("rl").as("max_run"),
+        floor(sum("rl") * lit(1e6) / count(lit(1)) + lit(0.5)).cast("long")
+          .as("avg_run_micro"))
+  }
+
+  val q204Sql: String = {
+    val branches = RUN_COLS.map(c =>
+      s"SELECT '$c' AS col_name, l_orderkey, l_linenumber, $c AS val FROM lineitem")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH u AS (
+       |  $branches),
+       |g AS (
+       |  SELECT col_name, l_orderkey, l_linenumber, val,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM u GROUP BY 1, 2, 3, 4),
+       |b AS (
+       |  SELECT col_name, l_orderkey, l_linenumber, val, cnt,
+       |    CASE WHEN lag(val) OVER
+       |        (PARTITION BY col_name, l_orderkey ORDER BY l_linenumber, val)
+       |      IS DISTINCT FROM val THEN 1 ELSE 0 END AS brk
+       |  FROM g),
+       |r AS (
+       |  SELECT col_name, l_orderkey, cnt,
+       |    sum(brk) OVER (PARTITION BY col_name, l_orderkey
+       |      ORDER BY l_linenumber, val
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS run_id
+       |  FROM b),
+       |runs AS (
+       |  SELECT col_name, l_orderkey, run_id, CAST(sum(cnt) AS BIGINT) AS rl
+       |  FROM r GROUP BY 1, 2, 3)
+       |SELECT col_name, CAST(sum(rl) AS BIGINT) AS n_rows,
+       |  CAST(count(*) AS BIGINT) AS n_runs,
+       |  max(rl) AS max_run,
+       |  CAST(floor(sum(rl) * 1e6 / count(*) + 0.5) AS BIGINT) AS avg_run_micro
+       |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q165_group_quantiles" -> Gate.sorted(q165GroupQuantiles _, "l_returnflag"),
     "q166_zorder_profile" -> Gate.sorted(q166ZorderProfile _, "p_brand"),
-    "q174_weighted_median" -> Gate.sorted(q174WeightedMedian _, "l_returnflag"))
+    "q174_weighted_median" -> Gate.sorted(q174WeightedMedian _, "l_returnflag"),
+    "q204_run_profile" -> Gate.sorted(q204RunProfile _, "col_name"))
 
   val oracles: Map[String, String] = Map(
     "q165_group_quantiles" -> q165Sql,
     "q166_zorder_profile" -> q166Sql,
-    "q174_weighted_median" -> q174Sql)
+    "q174_weighted_median" -> q174Sql,
+    "q204_run_profile" -> q204Sql)
 }

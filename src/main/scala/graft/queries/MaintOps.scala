@@ -120,15 +120,129 @@ object MaintOps {
       |    sum(n) OVER (PARTITION BY l_returnflag)) AS BIGINT) AS cdf_permille
       |FROM c ORDER BY l_returnflag, qty_c""".stripMargin
 
+  /** q205 synthetic file layout: quarterly ingest files (shipdate epoch
+    * day div 90) — the layout a date-partitioned fact table actually
+    * has, so date zone maps prune and price zone maps (mostly) don't.
+    */
+  val ZM_FILE_DAYS = 90L
+
+  /** q205 predicate set: (id, column, lo, hi) with date bounds in epoch
+    * days and price bounds in cents — integer domains in both engines.
+    * p1-p3 probe shipdate windows (prunable on this layout); p4 probes
+    * a price band (uncorrelated with file ranges — the report shows
+    * zone maps failing, which is the signal to re-cluster via q166).
+    */
+  val ZM_PREDS: Seq[(Int, String, Long, Long)] = {
+    def d(s: String): Long = java.time.LocalDate.parse(s).toEpochDay
+    Seq(
+      (1, "day", d("1995-06-01"), d("1995-12-31")),
+      (2, "day", d("1999-01-01"), d("1999-06-30")),
+      (3, "day", d("2001-06-01"), d("2002-12-31")),
+      (4, "cents", 10000000L, 10500000L))
+  }
+
+  /** q205: ZONE-MAP SKIP ANALYSIS — for each candidate predicate, how
+    * many files its scan could skip using per-file min/max statistics
+    * (parquet row-group / Iceberg manifest zone maps), plus the exact
+    * scan efficiency (rows matched / rows scanned). This is the
+    * planner's file-skipping simulation: it quantifies whether the
+    * current clustering serves the workload before paying for a
+    * re-sort. ONE fact scan builds the manifest — per-file min/max AND
+    * per-file per-predicate match counts as conditional aggregates (no
+    * row explosion) — and everything after runs on the metadata-sized
+    * manifest. Skipping uses the sound rule only (f_max < lo or
+    * f_min > hi), so rows_matched is provably contained in
+    * rows_scanned.
+    */
+  def q205ZonemapSkip(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables(spark, dir).lineitem.select(
+      datediff(to_date(col("l_shipdate")), lit("1970-01-01")).cast("long")
+        .as("day"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      .withColumn("file_id", expr(s"day div $ZM_FILE_DAYS"))
+    val matchCols = ZM_PREDS.map { case (i, c, lo, hi) =>
+      sum(when(col(c).between(lo, hi), 1L).otherwise(0L)).as(s"m$i")
+    }
+    val manifestAggs: Seq[org.apache.spark.sql.Column] = Seq(
+      max("day").as("d_hi"),
+      min("cents").as("c_lo"), max("cents").as("c_hi"),
+      count(lit(1)).as("n")) ++ matchCols
+    val manifest = rows.groupBy("file_id")
+      .agg(min("day").as("d_lo"), manifestAggs: _*)
+    val skipFlags = ZM_PREDS.map { case (i, c, lo, hi) =>
+      val (fLo, fHi) = if (c == "day") ("d_lo", "d_hi") else ("c_lo", "c_hi")
+      (i, col(fHi) < lo || col(fLo) > hi)
+    }
+    val aggCols = skipFlags.flatMap { case (i, skip) =>
+      Seq(
+        sum(when(skip, 1L).otherwise(0L)).as(s"fs$i"),
+        sum(when(!skip, col("n")).otherwise(0L)).as(s"rs$i"),
+        sum(col(s"m$i")).as(s"rm$i"))
+    }
+    val one = manifest.agg(
+      count(lit(1)).as("files_total"), aggCols: _*)
+    val stacked = ZM_PREDS.map(_._1).map(i =>
+      s"$i, fs$i, rs$i, rm$i").mkString(", ")
+    one.selectExpr("files_total",
+      s"stack(${ZM_PREDS.size}, $stacked) as " +
+        "(pred_id, files_skipped, rows_scanned, rows_matched)")
+      .select(col("pred_id"), col("files_total"), col("files_skipped"),
+        col("rows_scanned"), col("rows_matched"),
+        when(col("rows_scanned") > 0,
+          floor(col("rows_matched") * lit(1e6) / col("rows_scanned") + lit(0.5))
+            .cast("long")).otherwise(lit(0L)).as("scan_eff_micro"))
+  }
+
+  val q205Sql: String = {
+    val matchSelects = ZM_PREDS.map { case (i, c, lo, hi) =>
+      s"sum(CASE WHEN $c BETWEEN $lo AND $hi THEN 1 ELSE 0 END) AS m$i"
+    }.mkString(",\n      |    ")
+    val measureSelects = ZM_PREDS.map { case (i, c, lo, hi) =>
+      val (fLo, fHi) = if (c == "day") ("d_lo", "d_hi") else ("c_lo", "c_hi")
+      s"""sum(CASE WHEN $fHi < $lo OR $fLo > $hi THEN 1 ELSE 0 END) AS fs$i,
+      |    sum(CASE WHEN NOT ($fHi < $lo OR $fLo > $hi) THEN n ELSE 0 END) AS rs$i,
+      |    sum(m$i) AS rm$i"""
+    }.mkString(",\n      |    ")
+    val branches = ZM_PREDS.map { case (i, _, _, _) =>
+      s"""SELECT $i AS pred_id, files_total,
+      |  CAST(fs$i AS BIGINT) AS files_skipped,
+      |  CAST(rs$i AS BIGINT) AS rows_scanned, CAST(rm$i AS BIGINT) AS rows_matched,
+      |  CASE WHEN rs$i > 0
+      |    THEN CAST(floor(rm$i * 1e6 / rs$i + 0.5) AS BIGINT) ELSE 0 END
+      |    AS scan_eff_micro
+      |FROM agg"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH r AS (
+      |  SELECT datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |f AS (
+      |  SELECT day // $ZM_FILE_DAYS AS file_id,
+      |    day, cents FROM r),
+      |manifest AS (
+      |  SELECT file_id, min(day) AS d_lo, max(day) AS d_hi,
+      |    min(cents) AS c_lo, max(cents) AS c_hi, count(*) AS n,
+      |    $matchSelects
+      |  FROM f GROUP BY 1),
+      |agg AS (
+      |  SELECT count(*) AS files_total,
+      |    $measureSelects
+      |  FROM manifest)
+      |$branches
+      |ORDER BY pred_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q179_compaction_plan" -> Gate.sorted(q179CompactionPlan _, "bin"),
     "q180_dense_topk" ->
       Gate.sorted(q180DenseTopk _, "p_brand", "rk", "p_partkey"),
     "q181_cdf_normalize" ->
-      Gate.sorted(q181CdfNormalize _, "l_returnflag", "qty_c"))
+      Gate.sorted(q181CdfNormalize _, "l_returnflag", "qty_c"),
+    "q205_zonemap_skip" -> Gate.sorted(q205ZonemapSkip _, "pred_id"))
 
   val oracles: Map[String, String] = Map(
     "q179_compaction_plan" -> q179Sql,
     "q180_dense_topk" -> q180Sql,
-    "q181_cdf_normalize" -> q181Sql)
+    "q181_cdf_normalize" -> q181Sql,
+    "q205_zonemap_skip" -> q205Sql)
 }

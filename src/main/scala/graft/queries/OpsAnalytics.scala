@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log operations analytics: marketing attribution and
+  * ingestion-health profiling — the two report families an event
+  * pipeline's operators feed but that the funnel/sessionization
+  * queries (q37/q73/q91) do not themselves express.
+  *
+  * Both passes shuffle on the same keys the rest of the event family
+  * uses (user_id for the attribution window; a bounded block key for
+  * the lateness decomposition), so at 100 TB they co-schedule with the
+  * existing scans instead of adding new exchange shapes.
+  */
+object OpsAnalytics {
+
+  /** q201 attribution lookback: a purchase credits the last click only
+    * if it happened within this many micros before it.
+    */
+  val ATTR_LOOKBACK_US: Long = 24L * 3600L * 1000000L
+
+  /** Campaign id derivation: the click's JSON `props.k` folded to a
+    * small campaign domain. Purchases with no in-window click credit
+    * the synthetic "direct" campaign -1.
+    */
+  val ATTR_CAMPAIGNS = 4
+
+  /** q201: LAST-TOUCH REVENUE ATTRIBUTION — every purchase credits its
+    * value to the campaign of the user's most recent click at or
+    * before it (within [[ATTR_LOOKBACK_US]]), the classic marketing
+    * attribution report. The naive semantics is a per-purchase
+    * correlated lookup into the click history; the Spark plan is ONE
+    * window pass over the user-partitioned stream: two running
+    * `last(..., ignoreNulls)` columns (click epoch + click campaign —
+    * both non-null exactly on click rows, so they always come from the
+    * same row) give each purchase its candidate click without a
+    * self-join, then a 5-row campaign aggregate. Revenue is summed in
+    * integer cents (per-row half-up rounding), so the totals are
+    * bit-identical across engines.
+    */
+  def q201LastTouch(spark: SparkSession, dir: String): DataFrame = {
+    val upToHere = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"),
+        (get_json_object(col("props"), "$.k").cast("long") % ATTR_CAMPAIGNS)
+          .as("camp"))
+    ev
+      .withColumn("lc_us",
+        last(when(col("event_type") === "click", unix_micros(col("ts"))),
+          ignoreNulls = true).over(upToHere))
+      .withColumn("lc_camp",
+        last(when(col("event_type") === "click", col("camp")),
+          ignoreNulls = true).over(upToHere))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("lc_us").isNotNull &&
+          unix_micros(col("ts")) - col("lc_us") <= ATTR_LOOKBACK_US,
+          col("lc_camp")).otherwise(lit(-1L)).as("campaign"),
+        col("value"))
+      .groupBy("campaign")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .as("revenue_cents"))
+  }
+
+  val q201Sql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id, event_type, value,
+       |    CAST(props ->> 'k' AS BIGINT) % $ATTR_CAMPAIGNS AS camp
+       |  FROM events),
+       |w AS (
+       |  SELECT *,
+       |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+       |      IGNORE NULLS) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc_us,
+       |    last_value(CASE WHEN event_type = 'click' THEN camp END
+       |      IGNORE NULLS) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc_camp
+       |  FROM ev)
+       |SELECT
+       |  CASE WHEN lc_us IS NOT NULL
+       |         AND epoch_us(ts) - lc_us <= $ATTR_LOOKBACK_US
+       |       THEN lc_camp ELSE -1 END AS campaign,
+       |  count(*) AS n_purchases,
+       |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       |    AS revenue_cents
+       |FROM w WHERE event_type = 'purchase'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q202 simulated transport jitter bound (micros): the test events
+    * file is PERFECTLY time-ordered, so a deterministic per-event
+    * delivery delay — md5(event_id) folded to [0, 10 min) — stands in
+    * for the network/queue reordering a real ingest sees. Reproducible
+    * on any cluster, identical in both engines (the q50 md5 idiom).
+    */
+  val LATE_JITTER_US: Long = 600L * 1000000L
+
+  /** q202 block span (micros of arrival time): the global running max
+    * decomposes over hourly arrival blocks; the cross-block pass sees
+    * one row per hour.
+    */
+  val LATE_BLOCK_US: Long = 3600L * 1000000L
+
+  /** q202 histogram cap: lateness minutes at or above this all fold
+    * into one overflow bucket.
+    */
+  val LATE_CAP_MIN: Long = 10L
+
+  /** q202: EVENT-TIME LATENESS PROFILE — for every event, how far its
+    * event time lags the maximum event time already delivered (arrival
+    * order), bucketed into a minutes histogram. This is THE input to
+    * choosing a streaming watermark delay: the bucket where the
+    * histogram's tail dies is the delay at which late-data drops
+    * become acceptable. The naive form is a global running max over
+    * arrival order — a one-task window at scale — so the plan
+    * decomposes it exactly: per-block running max (window partitioned
+    * by the arrival hour) combined with the running max of all PRIOR
+    * blocks (an hours-count-sized pass), then
+    * `lateness = combined_max - ts`. The decomposition is exact for
+    * any block span; both engines bucket with pure integer division —
+    * bit-identical.
+    */
+  def q202LatenessProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("arr_us",
+        col("us") +
+          conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % LATE_JITTER_US)
+      .withColumn("blk", expr(s"arr_us div $LATE_BLOCK_US"))
+    val inBlock = Window.partitionBy("blk").orderBy("arr_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val priorBlocks = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blockMax = ev.groupBy("blk").agg(max("us").as("bmax"))
+      .withColumn("pmax", max("bmax").over(priorBlocks))
+      .select("blk", "pmax")
+    ev.join(blockMax, "blk")
+      .withColumn("run_max",
+        greatest(max("us").over(inBlock),
+          coalesce(col("pmax"), lit(Long.MinValue))))
+      .select((col("run_max") - col("us")).as("late_us"))
+      .select(least(expr("late_us div 60000000"), lit(LATE_CAP_MIN))
+        .as("late_min"))
+      .groupBy("late_min")
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  val q202Sql: String =
+    s"""WITH a AS (
+       |  SELECT event_id, epoch_us(ts) AS us,
+       |    epoch_us(ts) +
+       |      CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+       |      % $LATE_JITTER_US AS arr_us
+       |  FROM events),
+       |l AS (
+       |  SELECT max(us) OVER
+       |      (ORDER BY arr_us, event_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    - us AS late_us
+       |  FROM a)
+       |SELECT least(late_us // 60000000, $LATE_CAP_MIN) AS late_min,
+       |  count(*) AS n_events
+       |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_last_touch" -> Gate.sorted(q201LastTouch _, "campaign"),
+    "q202_lateness_profile" -> Gate.sorted(q202LatenessProfile _, "late_min"))
+
+  val oracles: Map[String, String] = Map(
+    "q201_last_touch" -> q201Sql,
+    "q202_lateness_profile" -> q202Sql)
+}

@@ -195,11 +195,113 @@ object Retrieval {
       |JOIN nrm nb ON nb.doc_id = dt.doc_b
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q203 geometry: queries, per-ranker candidate depth, fused output
+    * size, and the standard RRF dampening constant (Cormack et al.).
+    */
+  val RRF_QUERIES = 3
+  val RRF_DEPTH = 100
+  val RRF_TOP = 10
+  val RRF_K = 60
+
+  /** q203: RECIPROCAL RANK FUSION — fuse two rankers over the
+    * embedding corpus (cosine similarity, and the L2-equivalent score
+    * `dot - ||x||²/2`, which orders candidates exactly as ascending
+    * Euclidean distance does) with the standard RRF rule
+    * `score = Σ_r 1/(K + rank_r)`, the zero-training way multi-signal
+    * retrieval stacks combine lexical/dense/recency rankings. Plan:
+    * the bounded query set broadcasts onto ONE corpus scan that
+    * computes both scores per (query, candidate); each ranker's
+    * top-[[RRF_DEPTH]] comes from a per-query row_number window (the
+    * per-query candidate state is heap-bounded); the fusion is a
+    * (query, candidate) aggregate over ≤ 2·DEPTH rows per query. Once
+    * ranks are assigned, everything is integer: each rank contributes
+    * floor(1e6/(K+rank)), so fused scores and the final ordering are
+    * bit-identical across engines. Ranker scores are doubles from the
+    * same left-to-right fold both engines use (the q30-established
+    * parity), tie-broken by vec_id.
+    */
+  def q203RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val queries = emb.filter(col("vec_id") < RRF_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val dot = aggregate(
+      zip_with(col("q_emb"), col("embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, e) => acc + e)
+    val nrm2 = aggregate(
+      transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, e) => acc + e)
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.plans.CosineSimilarity(col("q_emb"), col("embedding")).as("cos"),
+        (dot - nrm2 / 2).as("l2eq"))
+    def ranked(score: Column): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(score.desc, col("vec_id").asc)
+      scored.withColumn("r", row_number().over(w)).filter(col("r") <= RRF_DEPTH)
+        .select(col("query_id"), col("vec_id"),
+          floor(lit(1e6) / (lit(RRF_K) + col("r"))).cast("long").as("contrib"))
+    }
+    val fused = ranked(col("cos")).unionAll(ranked(col("l2eq")))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("contrib").as("rrf_micro"), count(lit(1)).as("n_rankers"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("vec_id").asc)
+    fused.withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= RRF_TOP)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("rrf_micro"), col("n_rankers"))
+  }
+
+  val q203Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id < $RRF_QUERIES),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+       |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+       |      / (sqrt(list_sum(list_transform(q.q_emb,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |         * sqrt(list_sum(list_transform(e.embedding,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos,
+       |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+       |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+       |      - list_sum(list_transform(e.embedding,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) / 2 AS l2eq
+       |  FROM embeddings e, q WHERE e.vec_id != q.query_id),
+       |ra AS (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS r
+       |  FROM scored),
+       |rb AS (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY l2eq DESC, vec_id) AS r
+       |  FROM scored),
+       |contrib AS (
+       |  SELECT query_id, vec_id, CAST(floor(1e6 / ($RRF_K + r)) AS BIGINT) AS c
+       |  FROM ra WHERE r <= $RRF_DEPTH
+       |  UNION ALL
+       |  SELECT query_id, vec_id, CAST(floor(1e6 / ($RRF_K + r)) AS BIGINT) AS c
+       |  FROM rb WHERE r <= $RRF_DEPTH),
+       |fused AS (
+       |  SELECT query_id, vec_id, CAST(sum(c) AS BIGINT) AS rrf_micro,
+       |    count(*) AS n_rankers,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sum(c) DESC, vec_id) AS rank
+       |  FROM contrib GROUP BY 1, 2)
+       |SELECT query_id, rank, vec_id AS neighbor_id, rrf_micro, n_rankers
+       |FROM fused WHERE rank <= $RRF_TOP
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_bm25_topk" -> ((s, d) => q114Bm25TopK(s, d)),
-    "q115_tfidf_pairs" -> Gate.sorted(q115TfidfPairs _, "doc_a", "doc_b"))
+    "q115_tfidf_pairs" -> Gate.sorted(q115TfidfPairs _, "doc_a", "doc_b"),
+    "q203_rrf_fusion" -> Gate.sorted(q203RrfFusion _, "query_id", "rank"))
 
   val oracles: Map[String, String] = Map(
     "q114_bm25_topk" -> q114Sql,
-    "q115_tfidf_pairs" -> q115Sql)
+    "q115_tfidf_pairs" -> q115Sql,
+    "q203_rrf_fusion" -> q203Sql)
 }

@@ -40,4 +40,27 @@ class LayoutOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("z_max") < (1L << 32))
     }
   }
+
+  test("q204 run profile matches a driver-side segment fold") {
+    val rows = Tables(spark, sfDir).lineitem
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+    def profile(pick: ((Long, Int, String, String)) => String): (Long, Long, Long) = {
+      val runLens = rows.groupBy(_._1).values.flatMap { seg =>
+        val vals = seg.map(t => (t._2, pick(t))).sorted.map(_._2)
+        vals.foldLeft(List.empty[(String, Long)]) {
+          case ((v, n) :: rest, x) if v == x => (v, n + 1) :: rest
+          case (acc, x) => (x, 1L) :: acc
+        }.map(_._2)
+      }.toSeq
+      (runLens.sum, runLens.length.toLong, runLens.max)
+    }
+    val got = LayoutOps.q204RunProfile(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_runs"),
+          r.getAs[Long]("max_run"))).toMap
+    assert(got("l_returnflag") === profile(_._3))
+    assert(got("l_linestatus") === profile(_._4))
+  }
 }

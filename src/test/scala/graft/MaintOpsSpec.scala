@@ -58,4 +58,27 @@ class MaintOpsSpec extends SparkSpec {
       assert(cds.last === 1000L)
     }
   }
+
+  test("q205 zone-map skipping is sound and matched counts are exact") {
+    val rows = MaintOps.q205ZonemapSkip(spark, sfDir).collect()
+    assert(rows.length === MaintOps.ZM_PREDS.size)
+    val li = Tables(spark, sfDir).lineitem.select(
+      datediff(to_date(col("l_shipdate")), lit("1970-01-01")).cast("long")
+        .as("day"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("cents"))
+    rows.foreach { r =>
+      val predId = r.getAs[Int]("pred_id")
+      val (_, c, lo, hi) = MaintOps.ZM_PREDS.find(_._1 == predId).get
+      // soundness: no matching row lives in a skipped file
+      assert(r.getAs[Long]("rows_matched") <= r.getAs[Long]("rows_scanned"))
+      assert(r.getAs[Long]("files_skipped") <= r.getAs[Long]("files_total"))
+      // exactness: matched count equals a direct filter
+      val want = li.filter(col(c).between(lo, hi)).count()
+      assert(r.getAs[Long]("rows_matched") === want, s"pred $predId")
+    }
+    // the quarterly layout makes at least one date predicate prunable
+    val dateSkips = rows.filter(_.getAs[Int]("pred_id") <= 3)
+      .map(_.getAs[Long]("files_skipped"))
+    assert(dateSkips.exists(_ > 0), "expected date zone maps to skip files")
+  }
 }

@@ -92,4 +92,26 @@ class RetrievalSpec extends SparkSpec {
     // every pair genuinely shares at least one shingle
     pairs.foreach { r => assert(r.getLong(2) >= 1) }
   }
+
+  test("q203 fuses both rankers with exact RRF arithmetic") {
+    val rows = Retrieval.q203RrfFusion(spark, sfDir).collect()
+    // every query emits exactly RRF_TOP rows, ranks 1..RRF_TOP
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size === Retrieval.RRF_QUERIES)
+    byQuery.values.foreach { qs =>
+      assert(qs.map(_.getAs[Int]("rank")).sorted.toSeq ===
+        (1 to Retrieval.RRF_TOP))
+      // fused scores weakly decrease with rank (ties broken by vec_id)
+      val ordered = qs.sortBy(_.getAs[Int]("rank"))
+        .map(_.getAs[Long]("rrf_micro"))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    }
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_rankers")
+      assert(n === 1L || n === 2L)
+      // a candidate's score is bounded by n perfect rank-1 contributions
+      assert(r.getAs[Long]("rrf_micro") <=
+        n * math.floor(1e6 / (Retrieval.RRF_K + 1)).toLong)
+    }
+  }
 }
