@@ -762,7 +762,134 @@ object DedupOps {
       |  (sa.n_sh + sb.n_sh - p.n_inter) * $PFX_TAU_NUM
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q207: DEDUPLICATION ROI / PROVENANCE REPORT — per source: how many
+    * docs exact-dedup removes (md5-content clusters keep the minimum
+    * doc_id), how many characters that saves, and — the governance
+    * signal — how many of the removed docs have their KEEPER in a
+    * DIFFERENT source (cross-source duplication means dropping a
+    * source does not drop its content, and per-source quota accounting
+    * is double-counting). One hash shuffle (ids + hashes only, text
+    * never moves — the q26 discipline), the keeper's source captured
+    * by min_by in the same aggregate, one join back, one tiny rollup.
+    */
+  def q207DedupRoi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(col("text")).as("h"))
+    val keepers = docs.groupBy("h")
+      .agg(min("doc_id").as("keep_id"), min_by(col("source"), col("doc_id"))
+        .as("keep_src"))
+    docs.join(keepers, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("doc_id") =!= col("keep_id"), col("n_chars"))
+          .otherwise(0L)).as("chars_saved"),
+        sum(when(col("doc_id") =!= col("keep_id") &&
+          col("keep_src") =!= col("source"), 1L).otherwise(0L))
+          .as("cross_source_dups"))
+      .withColumn("removed_pct_micro",
+        floor(col("n_removed") * lit(1e6) / col("n_docs") + lit(0.5))
+          .cast("long"))
+  }
+
+  val q207Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, n_chars, md5(text) AS h FROM documents),
+      |k AS (
+      |  SELECT h, min(doc_id) AS keep_id, arg_min(source, doc_id) AS keep_src
+      |  FROM d GROUP BY 1)
+      |SELECT d.source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_removed,
+      |  CAST(sum(CASE WHEN d.doc_id <> k.keep_id THEN d.n_chars ELSE 0 END)
+      |    AS BIGINT) AS chars_saved,
+      |  CAST(sum(CASE WHEN d.doc_id <> k.keep_id AND k.keep_src <> d.source
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS cross_source_dups,
+      |  CAST(floor(sum(CASE WHEN d.doc_id <> k.keep_id THEN 1 ELSE 0 END)
+      |    * 1e6 / count(*) + 0.5) AS BIGINT) AS removed_pct_micro
+      |FROM d JOIN k USING (h)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q208 configurations: every (bands, rows_per_band) factorization of
+    * the [[NUM_HASHES]]-hash signature into power-of-two bands. Power-
+    * of-two exponents matter: j^r and (1-j^r)^b evaluate as squaring
+    * chains — identical IEEE multiply trees in both engines — and
+    * j = n_equal/16 is itself exactly representable, so every detection
+    * probability is bit-deterministic with no libm pow() involved.
+    */
+  val LSH_CONFIGS: Seq[(Int, Int)] =
+    Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+  /** q208: LSH BAND-CONFIGURATION TUNING — for each way of splitting
+    * the 16-hash MinHash signature into b bands of r rows, the
+    * expected number of candidate pairs the banding would detect,
+    * evaluated over the CURRENT corpus's estimated pair similarities
+    * (the q72 signature-agreement estimates): p_detect = 1-(1-j^r)^b.
+    * This is how a dedup pipeline picks its banding before a 100 TB
+    * run — from a sample's similarity profile, not a guess. The heavy
+    * input is the q72 candidate frame (already band-bounded); the
+    * tuning math is a 5-config explode over that frame and a 5-row
+    * rollup. Per-pair probabilities are micro-floored BEFORE summing —
+    * legal because the doubles are bit-identical cross-engine (see
+    * [[LSH_CONFIGS]]) — so the report is pure BIGINT.
+    */
+  def q208LshTuning(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    def sq(c: Column, times: Int): Column =
+      (1 to times).foldLeft(c)((acc, _) => acc * acc)
+    def powP2(c: Column, e: Int): Column = {
+      require(e > 0 && (e & (e - 1)) == 0, s"power of two: $e")
+      sq(c, java.lang.Integer.numberOfTrailingZeros(e))
+    }
+    val j = col("n_equal").cast("double") / lit(NUM_HASHES.toDouble)
+    val cfgCols = LSH_CONFIGS.map { case (b, r) =>
+      val p = lit(1.0) - powP2(lit(1.0) - powP2(j, r), b)
+      struct(lit(b).as("bands"), lit(r).as("rows_per_band"),
+        floor(p * lit(1e6) + lit(0.5)).cast("long").as("p_micro"))
+    }
+    q72MinhashEstimate(spark, dir)
+      .select(explode(array(cfgCols: _*)).as("c"))
+      .select(col("c.bands").as("bands"),
+        col("c.rows_per_band").as("rows_per_band"), col("c.p_micro"))
+      .groupBy("bands", "rows_per_band")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("p_micro").as("expected_detect_micro"),
+        sum(when(col("p_micro") >= 500000L, 1L).otherwise(0L))
+          .as("n_majority"))
+  }
+
+  val q208Sql: String = {
+    val eqTerms = (0 until NUM_HASHES)
+      .map(k => s"CASE WHEN a.s$k = b.s$k THEN 1 ELSE 0 END").mkString(" + ")
+    def sq(s: String, times: Int): String =
+      (1 to times).foldLeft(s)((acc, _) => s"($acc * $acc)")
+    def powP2(s: String, e: Int): String =
+      sq(s, java.lang.Integer.numberOfTrailingZeros(e))
+    val branches = LSH_CONFIGS.map { case (b, r) =>
+      val p = s"(1.0 - ${powP2(s"(1.0 - ${powP2("j", r)})", b)})"
+      s"""SELECT $b AS bands, $r AS rows_per_band, count(*) AS n_pairs,
+      |  CAST(sum(CAST(floor($p * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS expected_detect_micro,
+      |  CAST(sum(CASE WHEN floor($p * 1e6 + 0.5) >= 500000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_majority
+      |FROM est"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $pairCtes,
+      |est AS (
+      |  SELECT ($eqTerms) / $NUM_HASHES.0 AS j
+      |  FROM pairs p
+      |  JOIN sig a ON a.doc_id = p.doc_a
+      |  JOIN sig b ON b.doc_id = p.doc_b)
+      |$branches
+      |ORDER BY bands""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_dedup_roi" -> Gate.sorted(q207DedupRoi _, "source"),
+    "q208_lsh_tuning" ->
+      Gate.sorted(q208LshTuning _, "bands"),
     "q168_prefix_join" -> Gate.sorted(q168PrefixJoin _, "doc_a", "doc_b"),
     "q119_cluster_keep_best" -> Gate.sorted(q119ClusterKeepBest _, "doc_id"),
     "q106_winnow_fingerprint" -> Gate.sorted(q106WinnowFingerprint _, "doc_id"),
@@ -776,6 +903,8 @@ object DedupOps {
     "q72_minhash_estimate" -> Gate.sorted(q72MinhashEstimate _, "doc_a", "doc_b"))
 
   val oracles: Map[String, String] = Map(
+    "q207_dedup_roi" -> q207Sql,
+    "q208_lsh_tuning" -> q208Sql,
     "q168_prefix_join" -> q168Sql,
     "q119_cluster_keep_best" -> q119Sql,
     "q106_winnow_fingerprint" -> q106Sql,

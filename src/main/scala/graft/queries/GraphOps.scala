@@ -93,9 +93,98 @@ object GraphOps {
       |FROM pn GROUP BY 1
       |ORDER BY 1""".stripMargin
 
+  /** Shared co-purchase edge set (the q117 graph): undirected edges
+    * between parts co-occurring in >= [[TRIANGLE_MIN_SUPPORT]] orders.
+    */
+  private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= TRIANGLE_MIN_SUPPORT)
+      .select("u", "v")
+  }
+
+  /** q206: DEGREE DISTRIBUTION + ASSORTATIVITY PROFILE — per log2
+    * degree bucket, how many nodes live there and the average degree
+    * of their neighbors (the knn(k) curve: rising = assortative hubs
+    * link hubs, falling = disassortative hub-and-spoke). This is the
+    * structural health check run before any graph algorithm at scale —
+    * it decides whether q103/q117 need skew handling. Plan: the edge
+    * builder is the q93/q117 within-order self-join (bounded by basket
+    * size); degrees are one aggregate; the neighbor-degree average
+    * needs each directed endpoint tagged with BOTH endpoint degrees —
+    * two hash joins of the edge list against the degree table (each
+    * shuffles only (node, degree) pairs); the bucket rollup is tiny.
+    * Bucket = floor(log2(degree)): exact at every power of two in both
+    * engines (IEEE log2 of 2^k is exact), so no boundary drift. The
+    * average is reported in integer micro units from exact BIGINT
+    * sums.
+    */
+  def q206DegreeProfile(spark: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(spark, dir).localCheckpoint(true)
+    val deg = edges.select(col("u").as("n"))
+      .union(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val directed = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val endpoints = directed
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    val nodeBuckets = deg
+      .select(floor(log2(col("d"))).cast("long").as("deg_bucket"))
+      .groupBy("deg_bucket").agg(count(lit(1)).as("n_nodes"))
+    val nbr = endpoints
+      .select(floor(log2(col("du"))).cast("long").as("deg_bucket"),
+        col("dv"))
+      .groupBy("deg_bucket")
+      .agg(count(lit(1)).as("n_endpoints"),
+        floor(sum("dv") * lit(1e6) / count(lit(1)) + lit(0.5)).cast("long")
+          .as("avg_nbr_deg_micro"))
+    nodeBuckets.join(nbr, "deg_bucket")
+  }
+
+  val q206Sql: String =
+    s"""WITH e AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $TRIANGLE_MIN_SUPPORT),
+       |deg AS (
+       |  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+       |    SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+       |  GROUP BY 1),
+       |nb AS (
+       |  SELECT CAST(floor(log2(d)) AS BIGINT) AS deg_bucket,
+       |    count(*) AS n_nodes
+       |  FROM deg GROUP BY 1),
+       |dir AS (
+       |  SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+       |ep AS (
+       |  SELECT CAST(floor(log2(du.d)) AS BIGINT) AS deg_bucket,
+       |    dv.d AS dv
+       |  FROM dir
+       |  JOIN deg du ON du.n = dir.u
+       |  JOIN deg dv ON dv.n = dir.v),
+       |nbr AS (
+       |  SELECT deg_bucket, count(*) AS n_endpoints,
+       |    CAST(floor(sum(dv) * 1e6 / count(*) + 0.5) AS BIGINT)
+       |      AS avg_nbr_deg_micro
+       |  FROM ep GROUP BY 1)
+       |SELECT nb.deg_bucket, nb.n_nodes, nbr.n_endpoints, nbr.avg_nbr_deg_micro
+       |FROM nb JOIN nbr USING (deg_bucket)
+       |ORDER BY deg_bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q117_triangle_count" -> Gate.sorted(q117TriangleCount _, "p_partkey"))
+    "q117_triangle_count" -> Gate.sorted(q117TriangleCount _, "p_partkey"),
+    "q206_degree_profile" -> Gate.sorted(q206DegreeProfile _, "deg_bucket"))
 
   val oracles: Map[String, String] = Map(
-    "q117_triangle_count" -> q117Sql)
+    "q117_triangle_count" -> q117Sql,
+    "q206_degree_profile" -> q206Sql)
 }

@@ -49,4 +49,34 @@ class GraphOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
   }
+
+  test("q206 degree profile matches a driver-side graph fold") {
+    val li = Tables(spark, sfDir).lineitem
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length; if ps(i) < ps(j))
+        yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= GraphOps.TRIANGLE_MIN_SUPPORT)
+      .keys.toSeq
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def bucket(d: Long): Long = math.floor(math.log(d.toDouble) / math.log(2.0)).toLong
+    val wantNodes = deg.values.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val endpoints = edges.flatMap(e => Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+    val wantAvg = endpoints.groupBy(t => bucket(t._1)).map { case (b, xs) =>
+      b -> (xs.size.toLong,
+        math.floor(xs.map(_._2).sum * 1e6 / xs.size + 0.5).toLong)
+    }
+    val got = GraphOps.q206DegreeProfile(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("deg_bucket") ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_endpoints"),
+          r.getAs[Long]("avg_nbr_deg_micro"))).toMap
+    assert(got.keySet === wantNodes.keySet)
+    got.foreach { case (b, (nn, ne, avg)) =>
+      assert(nn === wantNodes(b), s"bucket $b n_nodes")
+      assert((ne, avg) === wantAvg(b), s"bucket $b endpoint stats")
+    }
+  }
 }

@@ -523,4 +523,33 @@ class LlmOpsSpec extends SparkSpec {
     // natural text sits well above degenerate entropy
     assert(got.values.forall(_._3 > 0L))
   }
+
+  test("q207 ROI totals reconcile with q26's cluster view") {
+    val roi = DedupOps.q207DedupRoi(spark, sfDir).collect()
+    val docs = Tables(spark, sfDir).documents.count()
+    assert(roi.map(_.getAs[Long]("n_docs")).sum === docs)
+    // total removed = docs minus one keeper per content hash (q26 rows)
+    val clusters = LlmText.q26DedupExact(spark, sfDir).count()
+    assert(roi.map(_.getAs[Long]("n_removed")).sum === docs - clusters)
+    roi.foreach { r =>
+      assert(r.getAs[Long]("cross_source_dups") <= r.getAs[Long]("n_removed"))
+    }
+  }
+
+  test("q208 probabilities obey the banding monotonicity laws") {
+    val rows = DedupOps.q208LshTuning(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("expected_detect_micro"),
+        r.getAs[Long]("n_majority")))
+    assert(rows.map(t => (t._1, t._2)).toSet === DedupOps.LSH_CONFIGS.toSet)
+    // every config evaluates the same candidate frame
+    assert(rows.map(_._3).distinct.length === 1)
+    // more rows per band = stricter: expected detections weakly decrease
+    val byR = rows.sortBy(_._2).map(_._4)
+    assert(byR.zip(byR.tail).forall { case (lo, hi) => lo >= hi },
+      s"expected-detect not monotone in r: ${rows.sortBy(_._2).mkString(", ")}")
+    // (b,r)=(16,1) detects every pair with any signature agreement
+    val b16 = rows.find(_._1 == 16).get
+    assert(b16._4 >= rows.find(_._1 == 1).get._4)
+  }
 }
