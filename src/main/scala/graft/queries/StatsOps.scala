@@ -1181,7 +1181,182 @@ object StatsOps {
       |  CAST(floor(n * 7 * 1e6 / total + 0.5) AS BIGINT) AS index_micro
       |FROM wd CROSS JOIN t ORDER BY weekday""".stripMargin
 
+  /** q210 geometry: drift is measured between shipments before and
+    * after this date, on $1000 price buckets (bounded domain — the
+    * q181 rollup discipline, so no full-resolution global sort).
+    */
+  val KS_SPLIT_DATE = "1999-01-01"
+  val KS_BUCKET_CENTS = 100000L
+
+  /** q210: TWO-SAMPLE KOLMOGOROV-SMIRNOV DRIFT TEST — the largest CDF
+    * gap between the reference and current price distributions, the
+    * nonparametric companion to q134's PSI (PSI scores binned mass
+    * shifts; KS pins WHERE the cumulative distributions diverge most).
+    * One fact scan folds both sides into a bucket × (ref, cur) count
+    * rollup; the CDF race runs on the ~100-row bucket table (running
+    * sums + a cross-multiplied integer gap |cumA·nB − cumB·nA| — no
+    * division until the final micro report, so the argmax bucket is
+    * exact). Returns the D statistic, its location, and the KS scaled
+    * statistic sqrt(nA·nB/(nA+nB))·D (sqrt is correctly rounded IEEE —
+    * deterministic in both engines).
+    */
+  def q210KsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val roll = Tables(spark, dir).lineitem
+      .select(
+        expr(s"cast(floor(l_extendedprice * 100 + 0.5) as bigint) div $KS_BUCKET_CENTS")
+          .as("bucket"),
+        (col("l_shipdate") < lit(KS_SPLIT_DATE).cast("timestamp")).as("is_ref"))
+      .groupBy("bucket")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cb"))
+    val tot = roll.agg(sum("ca").as("n_ref"), sum("cb").as("n_cur"))
+    val cum = roll
+      .select(col("bucket"), sum("ca").over(w).as("cum_a"),
+        sum("cb").over(w).as("cum_b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("gap",
+        abs(col("cum_a") * col("n_cur") - col("cum_b") * col("n_ref")))
+    val mx = cum.agg(max("gap").as("max_gap"))
+    cum.crossJoin(broadcast(mx))
+      .filter(col("gap") === col("max_gap"))
+      .agg(min("bucket").as("d_bucket"), max("n_ref").as("n_ref"),
+        max("n_cur").as("n_cur"), max("max_gap").as("max_gap"))
+      .select(col("n_ref"), col("n_cur"), col("d_bucket"),
+        floor(col("max_gap") * lit(1e6) /
+          (col("n_ref").cast("double") * col("n_cur")) + lit(0.5))
+          .cast("long").as("d_micro"),
+        floor(sqrt(col("n_ref").cast("double") * col("n_cur") /
+            (col("n_ref") + col("n_cur"))) *
+          (col("max_gap") / (col("n_ref").cast("double") * col("n_cur"))) *
+          lit(1e6) + lit(0.5)).cast("long").as("ks_stat_micro"))
+  }
+
+  val q210Sql: String =
+    s"""WITH r AS (
+      |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+      |      // $KS_BUCKET_CENTS AS bucket,
+      |    l_shipdate < TIMESTAMP '$KS_SPLIT_DATE 00:00:00' AS is_ref
+      |  FROM lineitem),
+      |roll AS (
+      |  SELECT bucket,
+      |    CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |  FROM r GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS n_ref,
+      |    CAST(sum(cb) AS BIGINT) AS n_cur FROM roll),
+      |cum AS (
+      |  SELECT bucket,
+      |    abs(sum(ca) OVER (ORDER BY bucket
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * n_cur
+      |      - sum(cb) OVER (ORDER BY bucket
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * n_ref)
+      |      AS gap
+      |  FROM roll CROSS JOIN tot),
+      |mx AS (SELECT CAST(max(gap) AS BIGINT) AS max_gap FROM cum)
+      |SELECT t.n_ref, t.n_cur,
+      |  (SELECT min(bucket) FROM cum WHERE gap = max_gap) AS d_bucket,
+      |  CAST(floor(max_gap * 1e6 /
+      |    (CAST(t.n_ref AS DOUBLE) * t.n_cur) + 0.5) AS BIGINT) AS d_micro,
+      |  CAST(floor(sqrt(CAST(t.n_ref AS DOUBLE) * t.n_cur /
+      |      (t.n_ref + t.n_cur)) *
+      |    (max_gap / (CAST(t.n_ref AS DOUBLE) * t.n_cur)) * 1e6 + 0.5)
+      |    AS BIGINT) AS ks_stat_micro
+      |FROM tot t CROSS JOIN mx""".stripMargin
+
+  /** q211 groups: the two event populations whose engagement-value
+    * distributions the test compares.
+    */
+  val MW_GROUP_A = "purchase"
+  val MW_GROUP_B = "view"
+
+  /** q211: MANN-WHITNEY U RANK-SUM TEST — does one event population
+    * stochastically dominate another, without any normality
+    * assumption. The whole test reduces to the value-count rollup
+    * (cents-quantized values: a bounded grid, never a global rank
+    * sort): 2U = Σ_v ca_v · (2·cb_below + cb_eq) is exact BIGINT via
+    * one running sum over the grid; the tie-corrected variance is a
+    * ratio of exact integer moments (Σ t³−t over tie groups); only
+    * the final z touches doubles (identical IEEE ops both sides).
+    * Also reports the common-language effect size U/(nA·nB) — the
+    * probability a random A-value exceeds a random B-value — which is
+    * the same AUC statistic q136 computes for classifiers, here as a
+    * population comparison.
+    */
+  def q211MannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val roll = Tables(spark, dir).events
+      .filter(col("event_type").isin(MW_GROUP_A, MW_GROUP_B))
+      .select(floor(col("value") * 100 + lit(0.5)).cast("long").as("v"),
+        (col("event_type") === MW_GROUP_A).as("is_a"))
+      .groupBy("v")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
+    val terms = roll
+      .withColumn("cb_below", coalesce(sum("cb").over(w), lit(0L)))
+      .select(
+        (col("ca") * (col("cb_below") * 2 + col("cb"))).as("u2_term"),
+        col("ca"), col("cb"),
+        ((col("ca") + col("cb")) * (col("ca") + col("cb")) *
+          (col("ca") + col("cb")) - (col("ca") + col("cb"))).as("tie_term"))
+    terms
+      .agg(sum("ca").as("n_a"), sum("cb").as("n_b"),
+        sum("u2_term").as("u2"), sum("tie_term").as("ties"))
+      .select(col("n_a"), col("n_b"), col("u2"),
+        floor(col("u2") * lit(1e6) /
+          (lit(2.0) * col("n_a") * col("n_b")) + lit(0.5)).cast("long")
+          .as("auc_micro"),
+        floor((col("u2").cast("double") - col("n_a").cast("double") * col("n_b")) /
+          (lit(2.0) * sqrt(
+            col("n_a").cast("double") * col("n_b") *
+              (((col("n_a") + col("n_b") + 1) * (col("n_a") + col("n_b")) *
+                (col("n_a") + col("n_b") - 1)).cast("double") -
+                col("ties").cast("double")) /
+              (lit(12.0) * (col("n_a") + col("n_b")) *
+                (col("n_a") + col("n_b") - 1)))) * lit(1e6) + lit(0.5))
+          .cast("long").as("z_micro"))
+  }
+
+  val q211Sql: String =
+    s"""WITH roll AS (
+      |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+      |    CAST(sum(CASE WHEN event_type = '$MW_GROUP_A' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN event_type = '$MW_GROUP_B' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM events
+      |  WHERE event_type IN ('$MW_GROUP_A', '$MW_GROUP_B')
+      |  GROUP BY 1),
+      |t AS (
+      |  SELECT ca, cb,
+      |    COALESCE(sum(cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb_below
+      |  FROM roll),
+      |s AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+      |    CAST(sum(ca * (cb_below * 2 + cb)) AS BIGINT) AS u2,
+      |    CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT)
+      |      AS ties
+      |  FROM t)
+      |SELECT n_a, n_b, u2,
+      |  CAST(floor(u2 * 1e6 / (2.0 * n_a * n_b) + 0.5) AS BIGINT) AS auc_micro,
+      |  CAST(floor((CAST(u2 AS DOUBLE) - CAST(n_a AS DOUBLE) * n_b) /
+      |    (2.0 * sqrt(
+      |      CAST(n_a AS DOUBLE) * n_b *
+      |        (CAST((n_a + n_b + 1) * (n_a + n_b) * (n_a + n_b - 1) AS DOUBLE) -
+      |          CAST(ties AS DOUBLE)) /
+      |        (12.0 * (n_a + n_b) * (n_a + n_b - 1)))) * 1e6 + 0.5)
+      |    AS BIGINT) AS z_micro
+      |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q210_ks_drift" -> ((s, d) => q210KsDrift(s, d)),
+    "q211_mann_whitney" -> ((s, d) => q211MannWhitney(s, d)),
     "q197_wilson_ci" -> Gate.sorted(q197WilsonCi _, "event_type"),
     "q198_weekday_index" -> Gate.sorted(q198WeekdayIndex _, "weekday"),
     "q188_gap_quantiles" -> Gate.sorted(q188GapQuantiles _, "event_type"),
@@ -1202,6 +1377,8 @@ object StatsOps {
     "q137_pr_thresholds" -> Gate.sorted(q137PrThresholds _, "threshold_micro"))
 
   val oracles: Map[String, String] = Map(
+    "q210_ks_drift" -> q210Sql,
+    "q211_mann_whitney" -> q211Sql,
     "q197_wilson_ci" -> q197Sql,
     "q198_weekday_index" -> q198Sql,
     "q188_gap_quantiles" -> q188Sql,

@@ -962,7 +962,56 @@ object TrainPrep {
       |SELECT 'len_p90_chars', CAST(floor(quantile_cont(CAST(n_chars AS DOUBLE), 0.9) + 0.5) AS BIGINT) FROM documents
       |ORDER BY metric""".stripMargin
 
+  /** q209: TEMPERATURE-SAMPLED MIXTURE WEIGHTS — the multilingual /
+    * multi-source sampling rule (weight ∝ n_tokens^α, here α = 1/2)
+    * that upweights small sources relative to proportional sampling,
+    * computed next to the proportional baseline so the flattening is
+    * visible per source. One corpus scan (token counts are the q34
+    * whitespace tokenizer, counted scan-stage), a source-sized rollup,
+    * and a broadcast 1-row total. Cross-engine exactness: sqrt is
+    * IEEE-754 correctly rounded in BOTH engines (unlike pow), so
+    * quantizing each source's sqrt(n_tokens) to integer milli-units
+    * BEFORE the normalizing sum makes every ratio pure BIGINT
+    * arithmetic.
+    */
+  def q209MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables(spark, dir).documents
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .withColumn("s_milli",
+        floor(sqrt(col("n_tokens").cast("double")) * 1000 + lit(0.5))
+          .cast("long"))
+    val tot = perSource.agg(sum("s_milli").as("s_tot"),
+      sum("n_tokens").as("tok_tot"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        floor(col("n_tokens") * lit(1e6) / col("tok_tot") + lit(0.5))
+          .cast("long").as("prop_micro"),
+        floor(col("s_milli") * lit(1e6) / col("s_tot") + lit(0.5))
+          .cast("long").as("w05_micro"))
+  }
+
+  val q209Sql: String =
+    """WITH t AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      t -> t != ''))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |s AS (
+      |  SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000 + 0.5)
+      |    AS BIGINT) AS s_milli FROM t),
+      |tot AS (
+      |  SELECT CAST(sum(s_milli) AS BIGINT) AS s_tot,
+      |    CAST(sum(n_tokens) AS BIGINT) AS tok_tot FROM s)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(floor(n_tokens * 1e6 / tok_tot + 0.5) AS BIGINT) AS prop_micro,
+      |  CAST(floor(s_milli * 1e6 / s_tot + 0.5) AS BIGINT) AS w05_micro
+      |FROM s CROSS JOIN tot
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q209_mixture_weights" -> Gate.sorted(q209MixtureWeights _, "source"),
     "q153_dataset_card" -> Gate.sorted(q153DatasetCard _, "metric"),
     "q147_chunk_pairs" -> Gate.sorted(q147ChunkPairs _, "doc_id", "pair_idx"),
     "q133_negative_sampling" -> Gate.sorted(q133NegativeSampling _, "c_custkey", "rank"),
@@ -985,6 +1034,7 @@ object TrainPrep {
     "q81_quality_rules" -> Gate.sorted(q81QualityRules _, "doc_id"))
 
   val oracles: Map[String, String] = Map(
+    "q209_mixture_weights" -> q209Sql,
     "q153_dataset_card" -> q153Sql,
     "q147_chunk_pairs" -> q147Sql,
     "q133_negative_sampling" -> q133Sql,

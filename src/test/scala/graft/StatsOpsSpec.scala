@@ -329,4 +329,59 @@ class StatsOpsSpec extends SparkSpec {
       (sorted(math.ceil(idx).toInt) - sorted(idx.toInt)) * (idx - idx.toInt)
     assert(got("p50_key_rows_micro") == math.floor(p50 * 1e6 + 0.5).toLong)
   }
+
+  test("q210 KS drift matches a driver-side CDF race") {
+    val rows = Tables(spark, sfDir).lineitem
+      .select(
+        expr(s"cast(floor(l_extendedprice * 100 + 0.5) as bigint) div ${StatsOps.KS_BUCKET_CENTS}")
+          .as("bucket"),
+        (col("l_shipdate") < lit(StatsOps.KS_SPLIT_DATE).cast("timestamp"))
+          .as("is_ref"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val buckets = rows.groupBy(_._1).map { case (b, xs) =>
+      (b, xs.count(_._2).toLong, xs.count(!_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    val nRef = buckets.map(_._2).sum; val nCur = buckets.map(_._3).sum
+    var ca = 0L; var cb = 0L
+    val gaps = buckets.map { case (b, a, c) =>
+      ca += a; cb += c; (b, math.abs(ca * nCur - cb * nRef))
+    }
+    val maxGap = gaps.map(_._2).max
+    val r = StatsOps.q210KsDrift(spark, sfDir).head
+    assert(r.getAs[Long]("n_ref") === nRef)
+    assert(r.getAs[Long]("n_cur") === nCur)
+    assert(r.getAs[Long]("d_bucket") === gaps.filter(_._2 == maxGap).map(_._1).min)
+    assert(r.getAs[Long]("d_micro") ===
+      math.floor(maxGap * 1e6 / (nRef.toDouble * nCur) + 0.5).toLong)
+  }
+
+  test("q211 U statistic equals the brute-force pairwise count") {
+    val vals = Tables(spark, sfDir).events
+      .filter(col("event_type").isin(StatsOps.MW_GROUP_A, StatsOps.MW_GROUP_B))
+      .select(floor(col("value") * 100 + lit(0.5)).cast("long").as("v"),
+        (col("event_type") === StatsOps.MW_GROUP_A).as("isA"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val as = vals.filter(_._2).map(_._1); val bs = vals.filter(!_._2).map(_._1)
+    // 2U = #(a>b)*2 + #(a==b) over all cross pairs — count via sorted bs
+    val sortedB = bs.sorted
+    def lowerBound(x: Long): Int = {
+      var lo = 0; var hi = sortedB.length
+      while (lo < hi) { val m = (lo + hi) / 2
+        if (sortedB(m) < x) lo = m + 1 else hi = m }
+      lo
+    }
+    def upperBound(x: Long): Int = {
+      var lo = 0; var hi = sortedB.length
+      while (lo < hi) { val m = (lo + hi) / 2
+        if (sortedB(m) <= x) lo = m + 1 else hi = m }
+      lo
+    }
+    val u2 = as.map(a => 2L * lowerBound(a) + (upperBound(a) - lowerBound(a))).sum
+    val r = StatsOps.q211MannWhitney(spark, sfDir).head
+    assert(r.getAs[Long]("n_a") === as.length.toLong)
+    assert(r.getAs[Long]("n_b") === bs.length.toLong)
+    assert(r.getAs[Long]("u2") === u2)
+    val auc = r.getAs[Long]("auc_micro")
+    assert(auc >= 0L && auc <= 1000000L)
+  }
 }

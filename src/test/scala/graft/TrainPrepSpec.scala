@@ -444,4 +444,29 @@ class TrainPrepSpec extends SparkSpec {
     assert(got.size == 5 + docs.map(_._3).distinct.length +
       docs.map(_._4).distinct.length)
   }
+
+  test("q209 temperature weights flatten the proportional mixture") {
+    val rows = TrainPrep.q209MixtureWeights(spark, sfDir).collect()
+    // both weight columns are (near-)normalized: off by at most one
+    // half-micro per source from per-source rounding
+    val tol = rows.length / 2 + 1
+    assert(math.abs(rows.map(_.getAs[Long]("prop_micro")).sum - 1000000L) <= tol)
+    assert(math.abs(rows.map(_.getAs[Long]("w05_micro")).sum - 1000000L) <= tol)
+    // α = 1/2 flattens: the biggest source loses weight, the smallest gains
+    val byTokens = rows.sortBy(_.getAs[Long]("n_tokens"))
+    val small = byTokens.head; val big = byTokens.last
+    if (small.getAs[Long]("n_tokens") != big.getAs[Long]("n_tokens")) {
+      assert(small.getAs[Long]("w05_micro") >= small.getAs[Long]("prop_micro"))
+      assert(big.getAs[Long]("w05_micro") <= big.getAs[Long]("prop_micro"))
+    }
+    // exact recompute of the milli-quantized sqrt weights
+    val s = rows.map(r => r.getAs[String]("source") ->
+      math.floor(math.sqrt(r.getAs[Long]("n_tokens").toDouble) * 1000 + 0.5).toLong)
+    val tot = s.map(_._2).sum
+    rows.foreach { r =>
+      val want = math.floor(
+        s.toMap.apply(r.getAs[String]("source")) * 1e6 / tot + 0.5).toLong
+      assert(r.getAs[Long]("w05_micro") === want)
+    }
+  }
 }
