@@ -358,7 +358,194 @@ object TpchShapes {
       |    / sum(rev) + 0.5) AS BIGINT) AS share_micro
       |FROM j""".stripMargin
 
+  /** q212: RETURNED-ITEM REVENUE REPORT (the TPC-H Q10 shape) — the
+    * top 20 customers by revenue lost to returns in one quarter, with
+    * their nation. Decision shape: selective fact filter (flag +
+    * order-date band, both pushed to the scans), a three-way
+    * star join (orders filtered THEN joined; customer and nation
+    * broadcast), a customer-grain rollup, and a TakeOrdered top-20 —
+    * never a global sort. Revenue in exact tenth-milli units (the q183
+    * idiom).
+    */
+  def q212ReturnedReport(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ordersIn = t.orders
+      .filter(col("o_orderdate") >= lit("1995-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-10-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    t.lineitem
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(1e4)
+          + lit(0.5)).cast("long").as("rev"))
+      .join(ordersIn, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer.select("c_custkey", "c_name", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum("rev").as("lost_rev"), count(lit(1)).as("n_items"))
+      .orderBy(col("lost_rev").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q212Sql: String =
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+      |  CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4 + 0.5)
+      |    AS BIGINT)) AS BIGINT) AS lost_rev,
+      |  count(*) AS n_items
+      |FROM lineitem l
+      |JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |WHERE l.l_returnflag = 'R'
+      |  AND o.o_orderdate >= TIMESTAMP '1995-07-01'
+      |  AND o.o_orderdate < TIMESTAMP '1995-10-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY lost_rev DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** q213: TOP SUPPLIER (the TPC-H Q15 shape) — the supplier(s) whose
+    * quarterly revenue equals the maximum, i.e. a group rollup
+    * compared against a scalar aggregate OF ITSELF. The classic
+    * formulation is a view referenced twice; the plan here computes
+    * the supplier rollup once (localCheckpoint pins it), reduces it to
+    * a broadcast 1-row max, and filters by equality — no re-scan of
+    * the fact table, exact integer revenue so "equals max" is
+    * well-defined.
+    */
+  def q213TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val ordersIn = t.orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select("o_orderkey")
+    val rev = t.lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(1e4)
+          + lit(0.5)).cast("long").as("rev"))
+      .join(ordersIn, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_suppkey")
+      .agg(sum("rev").as("total_rev"))
+      .localCheckpoint(true)
+    val mx = rev.agg(max("total_rev").as("max_rev"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+  }
+
+  val q213Sql: String =
+    """WITH rev AS (
+      |  SELECT l.l_suppkey,
+      |    CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e4
+      |      + 0.5) AS BIGINT)) AS BIGINT) AS total_rev
+      |  FROM lineitem l
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s.s_suppkey, s.s_name, r.total_rev
+      |FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+      |WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** q214 threshold (quantity centi-units): orders above this total
+    * quantity are "large" — ~p99 of the synthetic order-size
+    * distribution, the same selectivity class as TPC-H Q18's 300.
+    */
+  val LARGE_ORDER_QTY_C = 25000L
+
+  /** q214: LARGE-ORDER CUSTOMERS (the TPC-H Q18 shape) — orders whose
+    * total quantity crosses a threshold, with their customer. The
+    * HAVING-on-sum subquery becomes one fact rollup (map-side
+    * combined) filtered BEFORE any join, so the joins see only the
+    * rare large orders; customer broadcasts.
+    */
+  def q214LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val big = t.lineitem
+      .groupBy("l_orderkey")
+      .agg(sum(floor(col("l_quantity") * 100 + lit(0.5)).cast("long"))
+        .as("qty_c"), count(lit(1)).as("n_items"))
+      .filter(col("qty_c") > LARGE_ORDER_QTY_C)
+    big
+      .join(t.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer.select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        unix_micros(col("o_orderdate")).as("order_us"),
+        col("qty_c"), col("n_items"))
+  }
+
+  val q214Sql: String =
+    s"""WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS qty_c,
+      |    count(*) AS n_items
+      |  FROM lineitem GROUP BY 1
+      |  HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+      |    > $LARGE_ORDER_QTY_C)
+      |SELECT c.c_custkey, c.c_name, o.o_orderkey, epoch_us(o.o_orderdate)
+      |    AS order_us,
+      |  b.qty_c, b.n_items
+      |FROM big b
+      |JOIN orders o ON o.o_orderkey = b.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q215 share threshold: parts holding at least this many micro-units
+    * (1e6 = all) of total revenue are "important".
+    */
+  val IMPORTANT_PART_MICRO = 600L
+
+  /** q215: IMPORTANT-STOCK SHARE (the TPC-H Q11 shape) — parts whose
+    * revenue share exceeds a fraction of the GLOBAL total: a group
+    * rollup filtered against a scalar aggregate. The part rollup and
+    * the 1-row global total come from the SAME pre-aggregated frame
+    * (localCheckpoint pins it; the total broadcasts back) — one fact
+    * scan, and the share comparison cross-multiplies exact BIGINTs
+    * (share * total > threshold * total-parts form), so no division
+    * enters the filter.
+    */
+  def q215ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables(spark, dir).lineitem
+      .select(col("l_partkey"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(1e4)
+          + lit(0.5)).cast("long").as("rev"))
+      .groupBy("l_partkey")
+      .agg(sum("rev").as("part_rev"))
+      .localCheckpoint(true)
+    val tot = perPart.agg(sum("part_rev").as("total_rev"))
+    perPart.crossJoin(broadcast(tot))
+      .filter(col("part_rev") * lit(1000000L) >
+        lit(IMPORTANT_PART_MICRO) * col("total_rev"))
+      .select(col("l_partkey").as("p_partkey"), col("part_rev"),
+        floor(col("part_rev") * lit(1e6) / col("total_rev") + lit(0.5))
+          .cast("long").as("share_micro"))
+  }
+
+  val q215Sql: String =
+    s"""WITH pp AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4 + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS part_rev
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(sum(part_rev) AS BIGINT) AS total_rev FROM pp)
+      |SELECT pp.l_partkey AS p_partkey, pp.part_rev,
+      |  CAST(floor(pp.part_rev * 1e6 / t.total_rev + 0.5) AS BIGINT)
+      |    AS share_micro
+      |FROM pp CROSS JOIN t
+      |WHERE pp.part_rev * 1000000 > $IMPORTANT_PART_MICRO * t.total_rev
+      |ORDER BY p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_returned_report" -> ((s, d) => q212ReturnedReport(s, d)),
+    "q213_top_supplier" -> Gate.sorted(q213TopSupplier _, "s_suppkey"),
+    "q214_large_orders" -> Gate.sorted(q214LargeOrders _, "o_orderkey"),
+    "q215_important_parts" -> Gate.sorted(q215ImportantParts _, "p_partkey"),
     "q183_disjunctive_revenue" -> ((s, d) => q183DisjunctiveRevenue(s, d)),
     "q184_promo_share" -> ((s, d) => q184PromoShare(s, d)),
     "q182_rank_movers" -> Gate.sorted(q182RankMovers _, "month", "p_brand"),
@@ -368,6 +555,10 @@ object TpchShapes {
     "q161_skyline" -> Gate.sorted(q161Skyline _, "p_partkey"))
 
   val oracles: Map[String, String] = Map(
+    "q212_returned_report" -> q212Sql,
+    "q213_top_supplier" -> q213Sql,
+    "q214_large_orders" -> q214Sql,
+    "q215_important_parts" -> q215Sql,
     "q183_disjunctive_revenue" -> q183Sql,
     "q184_promo_share" -> q184Sql,
     "q182_rank_movers" -> q182Sql,

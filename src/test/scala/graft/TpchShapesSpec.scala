@@ -150,4 +150,45 @@ class TpchShapesSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "skyline must not shuffle-join")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q212 report is the exact revenue-ordered top 20") {
+    val rows = TpchShapes.q212ReturnedReport(spark, sfDir).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val revs = rows.map(_.getAs[Long]("lost_rev"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "desc order")
+    // every reported row is a real (R-flag, in-window) aggregate
+    rows.foreach { r => assert(r.getAs[Long]("n_items") >= 1L) }
+  }
+
+  test("q213 returns exactly the argmax supplier(s)") {
+    val rows = TpchShapes.q213TopSupplier(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Long]("total_rev")).distinct
+    assert(revs.length === 1, "all rows carry the shared max revenue")
+  }
+
+  test("q214 finds exactly the orders above the quantity threshold") {
+    val want = Tables(spark, sfDir).lineitem
+      .groupBy("l_orderkey")
+      .agg(sum(floor(col("l_quantity") * 100 + lit(0.5)).cast("long"))
+        .as("q"))
+      .filter(col("q") > TpchShapes.LARGE_ORDER_QTY_C).count()
+    assert(TpchShapes.q214LargeOrders(spark, sfDir).count() === want)
+  }
+
+  test("q215 shares reconcile and the filter is the cross-multiplied form") {
+    val rows = TpchShapes.q215ImportantParts(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every kept part clears the threshold in exact integer form
+    val total = Tables(spark, sfDir).lineitem
+      .select(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+        lit(1e4) + lit(0.5)).cast("long").as("r"))
+      .agg(sum("r")).head.getLong(0)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("part_rev") * 1000000L >
+        TpchShapes.IMPORTANT_PART_MICRO * total)
+      assert(r.getAs[Long]("share_micro") ===
+        math.floor(r.getAs[Long]("part_rev") * 1e6 / total + 0.5).toLong)
+    }
+  }
 }
