@@ -50,6 +50,42 @@ object AsOfJoin {
         rValues.map(v => col(s"__ff.$v").as(v)): _*)
   }
 
+  /** Nearest as-of: for each left row, the right row with MINIMUM
+    * absolute time distance (per key), ties resolved to the earlier
+    * (backward) match — the sensor-fusion / "closest snapshot" variant
+    * completing [[latestBefore]] (backward) and [[earliestAfter]]
+    * (forward). Implemented as the composition of both one-shuffle
+    * primitives plus a per-row pick — still no inequality join; the
+    * two window passes share the same key exchange.
+    *
+    * Time columns must be LONG (e.g. epoch micros) so the distance
+    * arithmetic is exact. Output adds `__dir` (-1 backward, +1
+    * forward, 0 exact tie at distance zero) and `__dist` alongside the
+    * picked rValues.
+    */
+  def nearest(
+      left: DataFrame, right: DataFrame,
+      key: Seq[String], lTime: String, rTime: String,
+      rValues: Seq[String]): DataFrame = {
+    val rv = rValues :+ rTime
+    val before = latestBefore(left, right, key, lTime, rTime, rv)
+    val withB = rv.foldLeft(before)((df, c) => df.withColumnRenamed(c, s"__b_$c"))
+    val both = earliestAfter(withB, right, key, lTime, rTime, rv)
+    val bothA = rv.foldLeft(both)((df, c) => df.withColumnRenamed(c, s"__a_$c"))
+    val bt = col(s"__b_$rTime"); val at = col(s"__a_$rTime")
+    val distB = col(lTime) - bt
+    val distA = at - col(lTime)
+    val useB = at.isNull || (bt.isNotNull && distB <= distA)
+    val picked = rValues.map(v =>
+      when(useB, col(s"__b_$v")).otherwise(col(s"__a_$v")).as(v))
+    bothA.select(
+      left.columns.map(col).toSeq ++ picked :+
+        when(useB, bt).otherwise(at).as(s"__near_$rTime") :+
+        when(useB && distB === 0L, 0)
+          .when(useB, -1).otherwise(1).as("__dir") :+
+        when(useB, distB).otherwise(distA).as("__dist"): _*)
+  }
+
   /** Forward as-of: for each left row, the EARLIEST right row with
     * rTime >= lTime (per key) — the "next snapshot / next publish"
     * lookup. Same union + single-window shape as `latestBefore`, with

@@ -371,7 +371,54 @@ object JoinOps {
       |  ON h.user_id = n.user_id AND h.hour = n.next_hour
       |ORDER BY n.event_id""".stripMargin
 
+  /** q217: NEAREST AS-OF — every event matched to its user's CLOSEST
+    * hourly checkpoint by absolute time distance (ties to the earlier
+    * one), the sensor-fusion variant completing the as-of family:
+    * backward q44, forward q189, nearest here (AsOfJoin.nearest). The
+    * operator composes the two one-shuffle window primitives on the
+    * same user_id exchange — still no inequality join anywhere. The
+    * oracle is the literal argmin-by-distance correlated subquery.
+    */
+  def q217AsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val hourly = ev
+      .groupBy(col("user_id"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .agg(Exact.sumExact(col("value")).as("hour_value"))
+    graft.operators.AsOfJoin.nearest(
+      ev.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us")),
+      hourly,
+      key = Seq("user_id"), lTime = "ts_us", rTime = "hour_us",
+      rValues = Seq("hour_value"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("__near_hour_us").as("near_hour_us"), col("hour_value"),
+        col("__dir").as("dir"), col("__dist").as("dist_us"))
+  }
+
+  val q217Sql: String =
+    s"""WITH hourly AS (
+      |  SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hour_us,
+      |    ${Exact.sumSql("value")} AS hour_value
+      |  FROM events GROUP BY 1, 2),
+      |pick AS (
+      |  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+      |    (SELECT h.hour_us FROM hourly h
+      |     WHERE h.user_id = e.user_id
+      |     ORDER BY abs(h.hour_us - epoch_us(e.ts)), h.hour_us
+      |     LIMIT 1) AS near_hour_us
+      |  FROM events e)
+      |SELECT p.event_id, p.user_id, p.ts_us, p.near_hour_us, h.hour_value,
+      |  CAST(CASE WHEN p.near_hour_us = p.ts_us THEN 0
+      |            WHEN p.near_hour_us < p.ts_us THEN -1 ELSE 1 END
+      |    AS INTEGER) AS dir,
+      |  abs(p.near_hour_us - p.ts_us) AS dist_us
+      |FROM pick p
+      |JOIN hourly h ON h.user_id = p.user_id AND h.hour_us = p.near_hour_us
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_asof_nearest" -> Gate.sorted(q217AsofNearest _, "event_id"),
     "q189_asof_forward" -> Gate.sorted(q189AsofForward _, "event_id"),
     "q151_pit_enrich" -> Gate.sorted(q151PitEnrich _, "event_id"),
     "q127_bloom_semi" -> Gate.sorted(q127BloomSemi _, "l_suppkey"),
@@ -383,6 +430,7 @@ object JoinOps {
     "q120_salted_join" -> Gate.sorted(q120SaltedJoin _, "o_orderpriority"))
 
   val oracles: Map[String, String] = Map(
+    "q217_asof_nearest" -> q217Sql,
     "q189_asof_forward" -> q189Sql,
     "q151_pit_enrich" -> q151Sql,
     "q127_bloom_semi" -> q127Sql,

@@ -136,14 +136,138 @@ object ProfileOps {
       |FROM o CROSS JOIN st
       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
 
+  /** q216 bucket count for the equi-depth histogram. */
+  val EQD_BUCKETS = 16
+
+  /** q216: EQUI-DEPTH HISTOGRAM (optimizer statistics) — the ANALYZE
+    * artifact a cost-based planner stores per column: 16 buckets of
+    * (near-)equal row count with their value bounds and per-bucket
+    * NDV. Bucket assignment is SQL-standard ntile in
+    * operators/GlobalRank.withNtile — the DISTRIBUTED formulation
+    * (range-repartition + per-partition offsets), never the one-task
+    * `ntile() OVER (ORDER BY ...)` global window; this query promotes
+    * that spec-only operator through the DuckDB gate. The per-bucket
+    * stats are tie-invariant (rows equal on the value can land either
+    * side of a bucket boundary, but counts are fixed by the ntile rule
+    * and min/max/ndv depend only on value ranks), so ntile's arbitrary
+    * tie placement cannot drift the result.
+    */
+  def q216EquiDepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).lineitem
+      .select(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+        .as("c"), col("l_orderkey"), col("l_linenumber"))
+    graft.operators.GlobalRank
+      .withNtile(v, "bucket", EQD_BUCKETS,
+        col("c"), col("l_orderkey"), col("l_linenumber"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), min("c").as("lo_c"),
+        max("c").as("hi_c"), countDistinct("c").as("ndv"))
+  }
+
+  val q216Sql: String =
+    s"""WITH v AS (
+      |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |t AS (
+      |  SELECT c, ntile($EQD_BUCKETS)
+      |      OVER (ORDER BY c, l_orderkey, l_linenumber) AS bucket
+      |  FROM v)
+      |SELECT bucket, count(*) AS n_rows, min(c) AS lo_c, max(c) AS hi_c,
+      |  CAST(count(DISTINCT c) AS BIGINT) AS ndv
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q218 concentration threshold: the report answers "how many docs
+    * hold >= this fraction of each source's characters" (4/5 = the
+    * 80/20 audit).
+    */
+  val PARETO_NUM = 4L
+  val PARETO_DEN = 5L
+
+  /** q218: PARETO CONCENTRATION AUDIT — per source, the minimum number
+    * of documents (taken largest-first) that cover 80% of the source's
+    * characters, plus that count as a fraction of the source's docs.
+    * High concentration means a handful of giant documents dominate
+    * the source — dedup/quota decisions (q50/q58) behave very
+    * differently there than on a flat source. The naive form sorts
+    * every source's docs; the plan instead rolls up to (source,
+    * n_chars) — a bounded grid — and finds the crossing with
+    * DESCENDING running sums plus one exact ceil-division inside the
+    * crossing group: `k = ceil((4·total − 5·cum_before) / (5·v))`.
+    * Pure BIGINT throughout; ties inside a size class cannot change
+    * the count.
+    */
+  def q218ParetoConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val roll = Tables(spark, dir).documents
+      .groupBy("source", "n_chars")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("chars", col("n_chars") * col("cnt"))
+    val tot = roll.groupBy("source")
+      .agg(sum("chars").as("total_chars"), sum("cnt").as("n_docs"))
+    roll
+      .withColumn("cum_before", coalesce(sum("chars").over(w), lit(0L)))
+      .withColumn("docs_before", coalesce(sum("cnt").over(w), lit(0L)))
+      .join(tot, "source")
+      .filter(col("cum_before") * PARETO_DEN < col("total_chars") * PARETO_NUM &&
+        (col("cum_before") + col("chars")) * PARETO_DEN >=
+          col("total_chars") * PARETO_NUM)
+      .withColumn("extra", expr(
+        s"(total_chars * $PARETO_NUM - cum_before * $PARETO_DEN + " +
+          s"n_chars * $PARETO_DEN - 1) div (n_chars * $PARETO_DEN)"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        (col("docs_before") + col("extra")).as("docs_for_80pct"))
+      .withColumn("doc_frac_micro",
+        floor(col("docs_for_80pct") * lit(1e6) / col("n_docs") + lit(0.5))
+          .cast("long"))
+  }
+
+  val q218Sql: String =
+    s"""WITH roll AS (
+      |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt,
+      |    n_chars * count(*) AS chars
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT source, CAST(sum(chars) AS BIGINT) AS total_chars,
+      |    CAST(sum(cnt) AS BIGINT) AS n_docs
+      |  FROM roll GROUP BY 1),
+      |c AS (
+      |  SELECT source, n_chars, cnt, chars,
+      |    COALESCE(sum(chars) OVER (PARTITION BY source ORDER BY n_chars DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+      |    COALESCE(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS docs_before
+      |  FROM roll)
+      |SELECT c.source, t.n_docs, t.total_chars,
+      |  CAST(c.docs_before +
+      |    (t.total_chars * $PARETO_NUM - c.cum_before * $PARETO_DEN +
+      |     c.n_chars * $PARETO_DEN - 1) // (c.n_chars * $PARETO_DEN)
+      |    AS BIGINT) AS docs_for_80pct,
+      |  CAST(floor((c.docs_before +
+      |    (t.total_chars * $PARETO_NUM - c.cum_before * $PARETO_DEN +
+      |     c.n_chars * $PARETO_DEN - 1) // (c.n_chars * $PARETO_DEN))
+      |    * 1e6 / t.n_docs + 0.5) AS BIGINT) AS doc_frac_micro
+      |FROM c JOIN tot t USING (source)
+      |WHERE c.cum_before * $PARETO_DEN < t.total_chars * $PARETO_NUM
+      |  AND (c.cum_before + c.chars) * $PARETO_DEN >= t.total_chars * $PARETO_NUM
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q191_hourly_p95" -> Gate.sorted(q191HourlyP95 _, "hour", "event_type"),
     "q192_source_containment" ->
       Gate.sorted(q192SourceContainment _, "src_a", "src_b"),
-    "q193_fd_histogram" -> Gate.sorted(q193FdHistogram _, "bin"))
+    "q193_fd_histogram" -> Gate.sorted(q193FdHistogram _, "bin"),
+    "q216_equi_depth_hist" -> Gate.sorted(q216EquiDepthHist _, "bucket"),
+    "q218_pareto_concentration" ->
+      Gate.sorted(q218ParetoConcentration _, "source"))
 
   val oracles: Map[String, String] = Map(
     "q191_hourly_p95" -> q191Sql,
     "q192_source_containment" -> q192Sql,
-    "q193_fd_histogram" -> q193Sql)
+    "q193_fd_histogram" -> q193Sql,
+    "q216_equi_depth_hist" -> q216Sql,
+    "q218_pareto_concentration" -> q218Sql)
 }

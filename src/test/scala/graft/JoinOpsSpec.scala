@@ -195,4 +195,28 @@ class JoinOpsSpec extends SparkSpec {
       assert(validAttr == actualAttr, s"event $id attr mismatch")
     }
   }
+
+  test("q217 nearest as-of picks the argmin-distance checkpoint with earlier ties") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val hoursByUser = ev.groupBy(_._2).view
+      .mapValues(_.map(_._4).distinct.sorted).toMap
+    val got = graft.queries.JoinOps.q217AsofNearest(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("near_hour_us"), r.getAs[Int]("dir"),
+          r.getAs[Long]("dist_us"))).toMap
+    ev.foreach { case (id, user, us, _) =>
+      val hours = hoursByUser(user)
+      val best = hours.minBy(h => (math.abs(h - us), h))
+      val (nearGot, dirGot, distGot) = got(id)
+      assert(nearGot === best, s"event $id nearest")
+      assert(distGot === math.abs(best - us), s"event $id dist")
+      assert(dirGot === (if (best == us) 0 else if (best < us) -1 else 1),
+        s"event $id dir")
+    }
+  }
 }

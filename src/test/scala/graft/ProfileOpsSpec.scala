@@ -46,4 +46,47 @@ class ProfileOpsSpec extends SparkSpec {
     // bin 0 exists (contains v_min)
     assert(rows.exists(_.getAs[Long]("bin") === 0L))
   }
+
+  test("q216 equi-depth buckets follow the ntile rule with ordered bounds") {
+    val rows = ProfileOps.q216EquiDepthHist(spark, sfDir)
+      .orderBy("bucket").collect()
+    assert(rows.length === ProfileOps.EQD_BUCKETS)
+    val n = Tables(spark, sfDir).lineitem.count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum === n)
+    // SQL-standard ntile: first (n % k) buckets get one extra row
+    val base = n / ProfileOps.EQD_BUCKETS; val rem = n % ProfileOps.EQD_BUCKETS
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val want = if (i < rem) base + 1 else base
+      assert(r.getAs[Long]("n_rows") === want, s"bucket ${i + 1} size")
+    }
+    // bounds are monotone: bucket k's hi <= bucket k+1's lo
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi_c") <= b.getAs[Long]("lo_c"))
+      case _ =>
+    }
+    rows.foreach(r =>
+      assert(r.getAs[Long]("lo_c") <= r.getAs[Long]("hi_c") &&
+        r.getAs[Long]("ndv") >= 1L))
+  }
+
+  test("q218 crossing count is minimal and sufficient per source") {
+    val docs = Tables(spark, sfDir).documents
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val got = ProfileOps.q218ParetoConcentration(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("docs_for_80pct"))).toMap
+    docs.groupBy(_._1).foreach { case (src, xs) =>
+      val sizes = xs.map(_._2).sorted.reverse
+      val total = sizes.sum
+      val (nDocs, k) = got(src)
+      assert(nDocs === sizes.length.toLong)
+      // k docs reach 80%, k-1 do not (minimality)
+      assert(sizes.take(k.toInt).sum * ProfileOps.PARETO_DEN >=
+        total * ProfileOps.PARETO_NUM, s"$src: $k insufficient")
+      assert(k === 1L || sizes.take(k.toInt - 1).sum * ProfileOps.PARETO_DEN <
+        total * ProfileOps.PARETO_NUM, s"$src: ${k - 1} already sufficient")
+    }
+  }
 }
