@@ -886,7 +886,95 @@ object DedupOps {
       |ORDER BY bands""".stripMargin
   }
 
+  /** q220 evaluation thresholds, micro units (both >= the q168 prefix
+    * join's tau = 1/2, so the exact-pair universe covers the truth
+    * sets).
+    */
+  val EVAL_TAUS: Seq[Long] = Seq(500000L, 700000L)
+
+  /** q220: DEDUP CANDIDATE QUALITY EVALUATION — precision and recall
+    * of the MinHash-LSH candidate generator (q27's band join) against
+    * the EXACT Jaccard truth, at multiple similarity thresholds. This
+    * is the measurement that justifies (or rejects) a banding config
+    * in production — the empirical counterpart of q208's analytic
+    * tuning curve. Truth pairs come from the q168 prefix-filtered
+    * exact join (lossless at tau = 1/2, so the truth universe is
+    * complete for both thresholds); "truth at tau" uses the same
+    * micro-quantized Jaccard both engines compute bit-identically.
+    * The report is three 1-row aggregates (candidate count, per-tau
+    * true counts, per-tau hit counts) cross-joined and exploded to one
+    * row per threshold — nothing heavier than the two pair frames that
+    * already exist.
+    */
+  def q220DedupEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val exact = q168PrefixJoin(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jac_micro"))
+      .localCheckpoint(true)
+    val cand = candidatePairs(docs).localCheckpoint(true)
+    val candJac = cand.join(exact, Seq("doc_a", "doc_b"))
+    val truthCols = EVAL_TAUS.map(t =>
+      sum(when(col("jac_micro") >= t, 1L).otherwise(0L)).as(s"true_$t"))
+    val truthAgg = exact.agg(truthCols.head, truthCols.tail: _*)
+    val tpCols = EVAL_TAUS.map(t =>
+      sum(when(col("jac_micro") >= t, 1L).otherwise(0L)).as(s"tp_$t"))
+    val tpAgg = candJac.agg(tpCols.head, tpCols.tail: _*)
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    val stacked = EVAL_TAUS.map(t => s"${t}L, true_$t, tp_$t").mkString(", ")
+    nCand.crossJoin(truthAgg).crossJoin(tpAgg)
+      .selectExpr("n_cand",
+        s"stack(${EVAL_TAUS.size}, $stacked) as (tau_micro, n_true, tp)")
+      .select(col("tau_micro"), col("n_true"), col("n_cand"), col("tp"),
+        when(col("n_cand") > 0,
+          floor(col("tp") * lit(1e6) / col("n_cand") + lit(0.5)).cast("long"))
+          .otherwise(0L).as("precision_micro"),
+        when(col("n_true") > 0,
+          floor(col("tp") * lit(1e6) / col("n_true") + lit(0.5)).cast("long"))
+          .otherwise(0L).as("recall_micro"))
+  }
+
+  val q220Sql: String = {
+    val branches = EVAL_TAUS.map { t =>
+      s"""SELECT $t AS tau_micro,
+      |  (SELECT count(*) FROM ex WHERE jac >= $t) AS n_true,
+      |  (SELECT count(*) FROM pairs) AS n_cand,
+      |  (SELECT count(*) FROM cj WHERE jac >= $t) AS tp"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $pairCtes,
+      |ee AS (
+      |  SELECT doc_id, unnest(list_distinct($duckShingleHashes)) AS sh
+      |  FROM documents),
+      |ss AS (SELECT doc_id, count(*) AS n_sh FROM ee GROUP BY doc_id),
+      |pp AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM ee a JOIN ee b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |ex AS (
+      |  SELECT p.doc_a, p.doc_b,
+      |    CAST(floor(p.n_inter * 1e6 / (sa.n_sh + sb.n_sh - p.n_inter) + 0.5)
+      |      AS BIGINT) AS jac
+      |  FROM pp p
+      |  JOIN ss sa ON sa.doc_id = p.doc_a
+      |  JOIN ss sb ON sb.doc_id = p.doc_b
+      |  WHERE p.n_inter * $PFX_TAU_DEN >=
+      |    (sa.n_sh + sb.n_sh - p.n_inter) * $PFX_TAU_NUM),
+      |cj AS (
+      |  SELECT c.doc_a, c.doc_b, ex.jac
+      |  FROM pairs c JOIN ex USING (doc_a, doc_b)),
+      |br AS (
+      |$branches)
+      |SELECT tau_micro, n_true, n_cand, tp,
+      |  CASE WHEN n_cand > 0
+      |    THEN CAST(floor(tp * 1e6 / n_cand + 0.5) AS BIGINT) ELSE 0 END
+      |    AS precision_micro,
+      |  CASE WHEN n_true > 0
+      |    THEN CAST(floor(tp * 1e6 / n_true + 0.5) AS BIGINT) ELSE 0 END
+      |    AS recall_micro
+      |FROM br ORDER BY tau_micro""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_dedup_eval" -> Gate.sorted(q220DedupEval _, "tau_micro"),
     "q207_dedup_roi" -> Gate.sorted(q207DedupRoi _, "source"),
     "q208_lsh_tuning" ->
       Gate.sorted(q208LshTuning _, "bands"),
@@ -903,6 +991,7 @@ object DedupOps {
     "q72_minhash_estimate" -> Gate.sorted(q72MinhashEstimate _, "doc_a", "doc_b"))
 
   val oracles: Map[String, String] = Map(
+    "q220_dedup_eval" -> q220Sql,
     "q207_dedup_roi" -> q207Sql,
     "q208_lsh_tuning" -> q208Sql,
     "q168_prefix_join" -> q168Sql,

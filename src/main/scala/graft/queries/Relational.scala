@@ -757,7 +757,70 @@ object Relational {
       |SELECT 'customer.c_nationkey -> nation', n, v FROM cu
       |ORDER BY fk_constraint""".stripMargin
 
+  /** q219: FREQUENT TRIPLES (the Apriori 3-itemset step) — part
+    * triples co-purchased in at least [[Q93_MIN_SUPPORT]] orders,
+    * extending q93's pair affinity one level. The plan is the
+    * anti-monotonicity prune that makes Apriori feasible at scale:
+    * a triple can only be frequent if ALL THREE of its pairs are, so
+    * the within-order triple enumeration (bounded by basket size) is
+    * semi-joined against the frequent-pair set on (a,b), (b,c) AND
+    * (a,c) BEFORE the counting shuffle — the candidate volume
+    * collapses from C(basket,3) x orders to near the true frequent
+    * set. The frequent pairs are q93's rollup, checkpointed and
+    * reused for all three probes.
+    */
+  def q219FrequentTriples(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select("l_orderkey", "l_partkey").distinct()
+      .localCheckpoint(true)
+    val f2 = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= Q93_MIN_SUPPORT)
+      .select("x", "y")
+      .localCheckpoint(true)
+    val triples = li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .join(f2.as("pab"),
+        col("a.l_partkey") === col("pab.x") &&
+          col("b.l_partkey") === col("pab.y"), "left_semi")
+      .join(li.as("c"),
+        col("a.l_orderkey") === col("c.l_orderkey") &&
+          col("b.l_partkey") < col("c.l_partkey"))
+      .join(f2.as("pbc"),
+        col("b.l_partkey") === col("pbc.x") &&
+          col("c.l_partkey") === col("pbc.y"), "left_semi")
+      .join(f2.as("pac"),
+        col("a.l_partkey") === col("pac.x") &&
+          col("c.l_partkey") === col("pac.y"), "left_semi")
+    triples
+      .groupBy(col("a.l_partkey").as("part_a"),
+        col("b.l_partkey").as("part_b"), col("c.l_partkey").as("part_c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= Q93_MIN_SUPPORT)
+  }
+
+  val q219Sql: String =
+    s"""WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |  c.l_partkey AS part_c, count(*) AS support
+      |FROM li a
+      |JOIN li b ON b.l_orderkey = a.l_orderkey
+      |  AND a.l_partkey < b.l_partkey
+      |JOIN li c ON c.l_orderkey = a.l_orderkey
+      |  AND b.l_partkey < c.l_partkey
+      |GROUP BY 1, 2, 3
+      |HAVING count(*) >= $Q93_MIN_SUPPORT
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_frequent_triples" ->
+      Gate.sorted(q219FrequentTriples _, "part_a", "part_b", "part_c"),
     "q150_integrity_audit" -> Gate.sorted(q150IntegrityAudit _, "fk_constraint"),
     "q138_cheapest_supplier" -> Gate.sorted(q138CheapestSupplier _, "p_partkey"),
     "q130_rfm_segments" -> Gate.sorted(q130RfmSegments _, "c_custkey"),
@@ -779,6 +842,7 @@ object Relational {
     "q79_native_topk" -> Gate.sorted(q79NativeTopk _, "o_custkey", "o_orderkey"))
 
   val oracles: Map[String, String] = Map(
+    "q219_frequent_triples" -> q219Sql,
     "q150_integrity_audit" -> q150Sql,
     "q138_cheapest_supplier" -> q138Sql,
     "q130_rfm_segments" -> q130Sql,

@@ -1010,7 +1010,65 @@ object TrainPrep {
       |FROM s CROSS JOIN tot
       |ORDER BY source""".stripMargin
 
+  /** q221 ladder rungs (percent of the corpus). */
+  val LADDER_PCTS: Seq[Int] = Seq(10, 25, 50, 100)
+
+  /** q221: SCALING-LAW SUBSAMPLE LADDER — the nested 10/25/50/100%
+    * corpus subsets a scaling-law study trains on, manifested as one
+    * row per rung with its exact doc/token budget. Membership is the
+    * q50 deterministic md5 bucket on doc_id, so the subsets are NESTED
+    * (every 10% doc is in the 25% set...), reproducible on any cluster,
+    * and recomputable at selection time with zero stored state. ONE
+    * corpus scan: every rung is a conditional aggregate over the same
+    * bucket column — adding rungs costs nothing.
+    */
+  def q221ScalingLadder(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+      .select(
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") % 100).as("bucket"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+    val aggs = LADDER_PCTS.flatMap { p =>
+      Seq(
+        sum(when(col("bucket") < p, 1L).otherwise(0L)).as(s"docs_$p"),
+        sum(when(col("bucket") < p, col("n_tok")).otherwise(0L))
+          .as(s"toks_$p"))
+    }
+    val one = d.agg(aggs.head, aggs.tail: _*)
+    val stacked = LADDER_PCTS.map(p => s"$p, docs_$p, toks_$p").mkString(", ")
+    one.selectExpr(s"toks_${LADDER_PCTS.last} as full_toks",
+      s"stack(${LADDER_PCTS.size}, $stacked) as (pct, n_docs, n_tokens)")
+      .select(col("pct"), col("n_docs"), col("n_tokens"),
+        floor(col("n_tokens") * lit(1e6) / col("full_toks") + lit(0.5))
+          .cast("long").as("token_frac_micro"))
+  }
+
+  val q221Sql: String = {
+    val branches = LADDER_PCTS.map { p =>
+      s"""SELECT $p AS pct,
+      |  CAST(sum(CASE WHEN bucket < $p THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN bucket < $p THEN n_tok ELSE 0 END) AS BIGINT)
+      |    AS n_tokens
+      |FROM d"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS (
+      |  SELECT
+      |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+      |      % 100 AS bucket,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |      t -> t != '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |br AS (
+      |$branches),
+      |f AS (SELECT n_tokens AS full_toks FROM br WHERE pct = ${LADDER_PCTS.last})
+      |SELECT pct, n_docs, n_tokens,
+      |  CAST(floor(n_tokens * 1e6 / full_toks + 0.5) AS BIGINT)
+      |    AS token_frac_micro
+      |FROM br CROSS JOIN f ORDER BY pct""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q221_scaling_ladder" -> Gate.sorted(q221ScalingLadder _, "pct"),
     "q209_mixture_weights" -> Gate.sorted(q209MixtureWeights _, "source"),
     "q153_dataset_card" -> Gate.sorted(q153DatasetCard _, "metric"),
     "q147_chunk_pairs" -> Gate.sorted(q147ChunkPairs _, "doc_id", "pair_idx"),
@@ -1034,6 +1092,7 @@ object TrainPrep {
     "q81_quality_rules" -> Gate.sorted(q81QualityRules _, "doc_id"))
 
   val oracles: Map[String, String] = Map(
+    "q221_scaling_ladder" -> q221Sql,
     "q209_mixture_weights" -> q209Sql,
     "q153_dataset_card" -> q153Sql,
     "q147_chunk_pairs" -> q147Sql,

@@ -536,6 +536,26 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q220 eval counts reconcile between the candidate and truth frames") {
+    val rows = DedupOps.q220DedupEval(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("tau_micro") ->
+        (r.getAs[Long]("n_true"), r.getAs[Long]("n_cand"),
+          r.getAs[Long]("tp"))).toMap
+    assert(rows.keySet === DedupOps.EVAL_TAUS.toSet)
+    val exact = DedupOps.q168PrefixJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("jac_micro"))
+      .toMap
+    val cand = DedupOps.candidatePairs(Tables(spark, sfDir).documents)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    DedupOps.EVAL_TAUS.foreach { t =>
+      val truth = exact.filter(_._2 >= t).keySet
+      val (nTrue, nCand, tp) = rows(t)
+      assert(nTrue === truth.size.toLong, s"tau $t truth")
+      assert(nCand === cand.size.toLong, s"tau $t candidates")
+      assert(tp === (truth & cand).size.toLong, s"tau $t hits")
+    }
+  }
+
   test("q208 probabilities obey the banding monotonicity laws") {
     val rows = DedupOps.q208LshTuning(spark, sfDir).collect()
       .map(r => (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"),

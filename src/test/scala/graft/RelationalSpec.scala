@@ -224,4 +224,24 @@ class RelationalSpec extends SparkSpec {
     assert(dirty("lineitem.l_partkey -> part") > 0L, "injected orphan lineitems")
     assert(dirty("customer.c_nationkey -> nation") == 0L)
   }
+
+  test("q219 Apriori triples equal the unpruned brute-force count") {
+    // sf0.01: the smallest sf with any support-2 triple
+    val dir = "/root/testdata/sf0.01"
+    val baskets = Tables(spark, dir).lineitem
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).sorted.toSeq)
+    val want = baskets.flatMap { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length;
+           k <- j + 1 until ps.length)
+        yield (ps(i), ps(j), ps(k))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= graft.queries.Relational.Q93_MIN_SUPPORT).toMap
+    val got = graft.queries.Relational.q219FrequentTriples(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(got === want, "Apriori pruning must be lossless")
+  }
 }

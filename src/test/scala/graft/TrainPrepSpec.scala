@@ -445,6 +445,18 @@ class TrainPrepSpec extends SparkSpec {
       docs.map(_._4).distinct.length)
   }
 
+  test("q221 ladder rungs are nested and the full rung covers the corpus") {
+    val rows = TrainPrep.q221ScalingLadder(spark, sfDir)
+      .orderBy("pct").collect()
+    assert(rows.map(_.getAs[Int]("pct")).toSeq === TrainPrep.LADDER_PCTS)
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    assert(docs.zip(docs.tail).forall { case (a, b) => a <= b }, "nested docs")
+    assert(toks.zip(toks.tail).forall { case (a, b) => a <= b }, "nested tokens")
+    assert(docs.last === Tables(spark, sfDir).documents.count())
+    assert(rows.last.getAs[Long]("token_frac_micro") === 1000000L)
+  }
+
   test("q209 temperature weights flatten the proportional mixture") {
     val rows = TrainPrep.q209MixtureWeights(spark, sfDir).collect()
     // both weight columns are (near-)normalized: off by at most one
