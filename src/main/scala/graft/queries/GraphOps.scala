@@ -180,11 +180,85 @@ object GraphOps {
        |FROM nb JOIN nbr USING (deg_bucket)
        |ORDER BY deg_bucket""".stripMargin
 
+  /** q223 core order and the peel-round bound shared with the oracle.
+    * Peeling is idempotent at the fixpoint, so any bound at or above
+    * the true round count yields the identical result — the bound only
+    * has to be generous (the sf0.01 graph converges in 4).
+    */
+  val KCORE_K = 2
+  val KCORE_MAX_ROUNDS = 12
+
+  /** q223: K-CORE DECOMPOSITION (k = 2) — the maximal subgraph where
+    * every node keeps >= k neighbors, by iterative peeling: drop
+    * sub-k nodes, recompute degrees, repeat to fixpoint. The standard
+    * community/spam-detection core extractor, and the third iterative
+    * graph operator next to q103's PageRank and q53's components.
+    * Each round is one degree aggregate + two semi-joins, with the
+    * edge set eagerly checkpointed so lineage stays flat (the q103
+    * discipline); the loop exits on the first no-change round
+    * (bounded by [[KCORE_MAX_ROUNDS]], which the oracle unrolls —
+    * rounds past the fixpoint are no-ops, so both formulations agree
+    * exactly). Emits each surviving node with its in-core degree.
+    */
+  def q223KCore(spark: SparkSession, dir: String): DataFrame = {
+    var edges = coPurchaseEdges(spark, dir).localCheckpoint(true)
+    var n = edges.count()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < KCORE_MAX_ROUNDS) {
+      val keep = edges.select(col("u").as("n"))
+        .union(edges.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= KCORE_K)
+        .select("n")
+      val pruned = edges
+        .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint(true)
+      val m = pruned.count()
+      converged = m == n
+      edges = pruned; n = m; rounds += 1
+    }
+    edges.select(col("u").as("p_partkey"))
+      .union(edges.select(col("v").as("p_partkey")))
+      .groupBy("p_partkey").agg(count(lit(1)).as("core_deg"))
+  }
+
+  val q223Sql: String = {
+    // MATERIALIZED: each round references its predecessor three times;
+    // inlined CTEs would re-evaluate the whole chain exponentially
+    val rounds = (1 to KCORE_MAX_ROUNDS).map { i =>
+      s"""k$i AS MATERIALIZED (
+      |  SELECT n FROM (
+      |    SELECT n, count(*) AS d FROM (
+      |      SELECT u AS n FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+      |    GROUP BY 1)
+      |  WHERE d >= $KCORE_K),
+      |e$i AS MATERIALIZED (
+      |  SELECT u, v FROM e${i - 1}
+      |  WHERE u IN (SELECT n FROM k$i) AND v IN (SELECT n FROM k$i))"""
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= $TRIANGLE_MIN_SUPPORT),
+      |$rounds
+      |SELECT n AS p_partkey, CAST(count(*) AS BIGINT) AS core_deg
+      |FROM (SELECT u AS n FROM e$KCORE_MAX_ROUNDS
+      |      UNION ALL SELECT v FROM e$KCORE_MAX_ROUNDS)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_triangle_count" -> Gate.sorted(q117TriangleCount _, "p_partkey"),
-    "q206_degree_profile" -> Gate.sorted(q206DegreeProfile _, "deg_bucket"))
+    "q206_degree_profile" -> Gate.sorted(q206DegreeProfile _, "deg_bucket"),
+    "q223_kcore" -> Gate.sorted(q223KCore _, "p_partkey"))
 
   val oracles: Map[String, String] = Map(
     "q117_triangle_count" -> q117Sql,
-    "q206_degree_profile" -> q206Sql)
+    "q206_degree_profile" -> q206Sql,
+    "q223_kcore" -> q223Sql)
 }

@@ -61,6 +61,37 @@ object LlmText {
           .otherwise("unknown"))
   }
 
+  /** q222: LANGUAGE-ID CONFUSION MATRIX — the multiclass eval of the
+    * q32 classifier against the corpus's labeled `lang`: per (actual,
+    * predicted) cell, the count and the row-normalized rate (recall on
+    * the diagonal, confusion rates off it). This is the label-quality
+    * audit a multilingual pipeline runs before trusting lang-based
+    * routing — and the multiclass complement of the binary q136/q137
+    * eval family. One pass: q32's per-doc scan (zero-shuffle), a
+    * 25-cell aggregate, and a window over the tiny matrix.
+    */
+  def q222LangidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val byActual = org.apache.spark.sql.expressions.Window
+      .partitionBy("actual_lang")
+    q32LangId(spark, dir)
+      .groupBy("actual_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_frac_micro",
+        floor(col("n") * lit(1e6) / sum("n").over(byActual) + lit(0.5))
+          .cast("long"))
+  }
+
+  // lazy: defined textually before q32Sql, which it embeds
+  lazy val q222Sql: String =
+    s"""WITH p AS (${q32Sql.replace("ORDER BY doc_id", "")}),
+      |m AS (
+      |  SELECT actual_lang, pred_lang, count(*) AS n
+      |  FROM p GROUP BY 1, 2)
+      |SELECT actual_lang, pred_lang, n,
+      |  CAST(floor(n * 1e6 / sum(n) OVER (PARTITION BY actual_lang) + 0.5)
+      |    AS BIGINT) AS row_frac_micro
+      |FROM m ORDER BY actual_lang, pred_lang""".stripMargin
+
   val q32Sql: String = {
     def hits(l: String, words: Seq[String]) =
       s"len(list_filter(toks, t -> t IN (${inList(words)}))) AS s_$l"
@@ -670,6 +701,8 @@ object LlmText {
     "q43_doc_chunks" -> Gate.sorted(q43DocChunks _, "doc_id", "chunk_idx"),
     "q26_dedup_exact" -> Gate.sorted(q26DedupExact _, "keep_id"),
     "q32_lang_id" -> Gate.sorted(q32LangId _, "doc_id"),
+    "q222_langid_confusion" ->
+      Gate.sorted(q222LangidConfusion _, "actual_lang", "pred_lang"),
     "q33_text_quality" -> Gate.sorted(q33TextQuality _, "doc_id"),
     "q34_token_count" -> Gate.sorted(q34TokenCount _, "doc_id"),
     "q35_doc_fingerprint" -> Gate.sorted(q35DocFingerprint _, "doc_id"),
@@ -689,6 +722,7 @@ object LlmText {
     "q43_doc_chunks" -> q43Sql,
     "q26_dedup_exact" -> q26Sql,
     "q32_lang_id" -> q32Sql,
+    "q222_langid_confusion" -> q222Sql,
     "q33_text_quality" -> q33Sql,
     "q34_token_count" -> q34Sql,
     "q35_doc_fingerprint" -> q35Sql,

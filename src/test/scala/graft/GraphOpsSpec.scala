@@ -50,6 +50,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
   }
 
+  test("q223 equals the driver-side peel fixpoint and satisfies min-degree") {
+    val li = Tables(spark, sfDir).lineitem
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var edges = li.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length; if ps(i) < ps(j))
+        yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= GraphOps.TRIANGLE_MIN_SUPPORT)
+      .keys.toSet
+    var done = false
+    while (!done) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= GraphOps.KCORE_K).keySet
+      val pruned = edges.filter(e => keep(e._1) && keep(e._2))
+      done = pruned == edges
+      edges = pruned
+    }
+    val want = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = GraphOps.q223KCore(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    got.values.foreach(d => assert(d >= GraphOps.KCORE_K.toLong))
+  }
+
   test("q206 degree profile matches a driver-side graph fold") {
     val li = Tables(spark, sfDir).lineitem
       .select("l_orderkey", "l_partkey").collect()

@@ -536,6 +536,22 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q222 confusion matrix reconciles with q32's per-doc predictions") {
+    val perDoc = LlmText.q32LangId(spark, sfDir)
+      .select("actual_lang", "pred_lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = perDoc.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = LlmText.q222LangidConfusion(spark, sfDir).collect()
+    val got = rows.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(got === want)
+    // row fractions sum to ~1e6 per actual language
+    rows.groupBy(_.getString(0)).values.foreach { rs =>
+      val s = rs.map(_.getAs[Long]("row_frac_micro")).sum
+      assert(math.abs(s - 1000000L) <= rs.length / 2 + 1, s"row sums to $s")
+    }
+  }
+
   test("q220 eval counts reconcile between the candidate and truth frames") {
     val rows = DedupOps.q220DedupEval(spark, sfDir).collect()
       .map(r => r.getAs[Long]("tau_micro") ->
