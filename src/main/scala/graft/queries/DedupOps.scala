@@ -973,7 +973,61 @@ object DedupOps {
       |FROM br ORDER BY tau_micro""".stripMargin
   }
 
+  /** q225: DUPLICATE-CLUSTER DENSITY PROFILE — per multi-doc cluster
+    * (the q53 components), its node count, its candidate-pair edge
+    * count, and the edge density 2E/(n·(n−1)). Density ~1 means the
+    * cluster is a clique of mutual near-dups (safe to keep one doc);
+    * low density flags CHAINED clusters — A~B~C where A and C are NOT
+    * similar — which aggressive transitive dedup would wrongly
+    * collapse. This is the audit that decides between cluster-level
+    * (q119) and pairwise-verified (q29) removal policies. Costs one
+    * broadcast-size join of the pair list against the component
+    * labels plus two tiny rollups.
+    */
+  def q225ClusterDensity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val pairs = candidatePairs(docs).localCheckpoint(true)
+    val comp = graft.operators.ConnectedComponents
+      .components(pairs, "doc_a", "doc_b")
+    val nodes = comp.groupBy("comp").agg(count(lit(1)).as("n_nodes"))
+    val edges = pairs
+      .join(comp.select(col("node").as("doc_a"), col("comp")), "doc_a")
+      .groupBy("comp").agg(count(lit(1)).as("n_edges"))
+    nodes.join(edges, "comp")
+      .select(col("comp").as("cluster_id"), col("n_nodes"), col("n_edges"),
+        floor(col("n_edges") * lit(2) * lit(1e6) /
+          (col("n_nodes") * (col("n_nodes") - 1)) + lit(0.5)).cast("long")
+          .as("density_micro"))
+  }
+
+  val q225Sql: String =
+    s"""WITH RECURSIVE $pairCtes,
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION
+      |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |  FROM reach GROUP BY a),
+      |nodes AS (
+      |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_nodes
+      |  FROM comp GROUP BY 1),
+      |ec AS (
+      |  SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_edges
+      |  FROM pairs p JOIN comp c ON c.doc_id = p.doc_a
+      |  GROUP BY 1)
+      |SELECT n.cluster_id, n.n_nodes, e.n_edges,
+      |  CAST(floor(e.n_edges * 2 * 1e6 /
+      |    (n.n_nodes * (n.n_nodes - 1)) + 0.5) AS BIGINT) AS density_micro
+      |FROM nodes n JOIN ec e USING (cluster_id)
+      |ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_cluster_density" -> Gate.sorted(q225ClusterDensity _, "cluster_id"),
     "q220_dedup_eval" -> Gate.sorted(q220DedupEval _, "tau_micro"),
     "q207_dedup_roi" -> Gate.sorted(q207DedupRoi _, "source"),
     "q208_lsh_tuning" ->
@@ -991,6 +1045,7 @@ object DedupOps {
     "q72_minhash_estimate" -> Gate.sorted(q72MinhashEstimate _, "doc_a", "doc_b"))
 
   val oracles: Map[String, String] = Map(
+    "q225_cluster_density" -> q225Sql,
     "q220_dedup_eval" -> q220Sql,
     "q207_dedup_roi" -> q207Sql,
     "q208_lsh_tuning" -> q208Sql,

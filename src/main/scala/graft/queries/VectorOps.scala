@@ -604,7 +604,84 @@ object VectorOps {
       |FROM f
       |ORDER BY vec_id""".stripMargin
 
+  /** q224: PER-LABEL CENTROID DRIFT — for every label, how far its
+    * embedding centroid sits from the global centroid (plus the
+    * centroid's own norm), the class-separation / embedding-collapse
+    * monitor a retrieval stack tracks across model versions (all
+    * centroids drifting to ~0 distance = representation collapse; one
+    * label drifting away = distribution shift in that class).
+    *
+    * Exactness architecture: per-component values quantize to integer
+    * micro units at the scan, so the per-(label, dim) sums are exact
+    * BIGINTs and the label-vs-global difference is the exact integer
+    * cross-product `d_i = s_i·N − g_i·n`. The only floating point is
+    * the final norm: the d_i² terms are folded IN DIM ORDER via the
+    * sorted-list fold both engines share (the q170 idiom), so even
+    * that sum is bit-identical. One explode of the (tiny) embeddings
+    * table, one (label, dim) aggregate, one broadcast of the 64-row
+    * global frame.
+    */
+  def q224CentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val byLabelDim = Tables(spark, dir).embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"),
+        floor(col("v").cast("double") * 1e6 + lit(0.5)).cast("long").as("vm"))
+      .groupBy("label", "dim")
+      .agg(sum("vm").as("s"), count(lit(1)).as("n"))
+    val global = byLabelDim.groupBy("dim")
+      .agg(sum("s").as("g"), sum("n").as("gn"))
+    val diffs = byLabelDim.join(broadcast(global), "dim")
+      .select(col("label"), col("dim"), col("n"), col("gn"),
+        (col("s") * col("gn") - col("g") * col("n")).as("d"),
+        col("s"))
+    diffs.groupBy("label")
+      .agg(max("n").as("n"), max("gn").as("gn"),
+        sort_array(collect_list(struct(col("dim"),
+          (col("d").cast("double") * col("d")).as("d2")))).as("ds"),
+        sort_array(collect_list(struct(col("dim"),
+          (col("s").cast("double") * col("s")).as("s2")))).as("ss"))
+      .select(col("label"), col("n"),
+        floor(sqrt(aggregate(col("ds"), lit(0.0),
+            (acc, x) => acc + x.getField("d2"))) /
+          (col("n") * col("gn")) * lit(1e6) + lit(0.5)).cast("long")
+          .as("drift_micro"),
+        floor(sqrt(aggregate(col("ss"), lit(0.0),
+            (acc, x) => acc + x.getField("s2"))) /
+          col("n") + lit(0.5)).cast("long").as("centroid_norm_micro"))
+  }
+
+  val q224Sql: String =
+    """WITH x AS (
+      |  SELECT label, u.i AS dim,
+      |    CAST(floor(CAST(u.v AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS vm
+      |  FROM embeddings e,
+      |    unnest(list_transform(generate_series(1, len(e.embedding)),
+      |      i -> struct_pack(i := i - 1, v := e.embedding[i]))) AS t(u)),
+      |ld AS (
+      |  SELECT label, dim, CAST(sum(vm) AS BIGINT) AS s, count(*) AS n
+      |  FROM x GROUP BY 1, 2),
+      |g AS (
+      |  SELECT dim, CAST(sum(s) AS BIGINT) AS g, CAST(sum(n) AS BIGINT) AS gn
+      |  FROM ld GROUP BY 1),
+      |d AS (
+      |  SELECT ld.label, ld.dim, ld.n, g.gn,
+      |    ld.s * g.gn - g.g * ld.n AS d, ld.s AS s
+      |  FROM ld JOIN g USING (dim)),
+      |f AS (
+      |  SELECT label, max(n) AS n, max(gn) AS gn,
+      |    list_reduce(list(CAST(d AS DOUBLE) * d ORDER BY dim),
+      |      (a, b) -> a + b) AS d2,
+      |    list_reduce(list(CAST(s AS DOUBLE) * s ORDER BY dim),
+      |      (a, b) -> a + b) AS s2
+      |  FROM d GROUP BY 1)
+      |SELECT label, CAST(n AS BIGINT) AS n,
+      |  CAST(floor(sqrt(d2) / (n * gn) * 1e6 + 0.5) AS BIGINT)
+      |    AS drift_micro,
+      |  CAST(floor(sqrt(s2) / n + 0.5) AS BIGINT) AS centroid_norm_micro
+      |FROM f ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_centroid_drift" -> Gate.sorted(q224CentroidDrift _, "label"),
     "q154_embedding_audit" -> Gate.sorted(q154EmbeddingAudit _, "vec_id"),
     "q122_jl_projection" -> Gate.sorted(q122JlProjection _, "vec_id", "k"),
     "q62_quantized_ann" -> Gate.sorted(q62QuantizedAnn _, "query_id", "rank"),
@@ -614,6 +691,7 @@ object VectorOps {
     "q82_pq_ann" -> Gate.sorted(q82PqAnn _, "query_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q224_centroid_drift" -> q224Sql,
     "q154_embedding_audit" -> q154Sql,
     "q122_jl_projection" -> q122Sql,
     "q62_quantized_ann" -> q62Sql,

@@ -536,6 +536,38 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q225 cluster density is consistent with q53 components and q27 pairs") {
+    val pairs = DedupOps.candidatePairs(Tables(spark, sfDir).documents)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find over the candidate pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val byCluster = nodes.groupBy(find)
+    val edgesByCluster = pairs.groupBy(p => find(p._1))
+    val got = DedupOps.q225ClusterDensity(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+          r.getAs[Long]("density_micro"))).toMap
+    assert(got.keySet === byCluster.keySet)
+    byCluster.foreach { case (c, ns) =>
+      val e = edgesByCluster(c).length.toLong
+      val n = ns.length.toLong
+      val (gn2, ge, gd) = got(c)
+      assert(gn2 === n && ge === e, s"cluster $c counts")
+      assert(gd === math.floor(e * 2 * 1e6 / (n * (n - 1)) + 0.5).toLong)
+      // a cluster's edges never exceed the clique bound
+      assert(e <= n * (n - 1) / 2)
+    }
+  }
+
   test("q222 confusion matrix reconciles with q32's per-doc predictions") {
     val perDoc = LlmText.q32LangId(spark, sfDir)
       .select("actual_lang", "pred_lang").collect()

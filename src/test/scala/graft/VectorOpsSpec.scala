@@ -234,4 +234,37 @@ class VectorOpsSpec extends SparkSpec {
     // healthy synthetic embeddings: nothing NaN
     assert(sm._4 == 0L)
   }
+
+  test("q224 drift equals a driver-side centroid recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables(spark, sfDir).embeddings
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(0),
+        r.getAs[scala.collection.Seq[Float]](1).map(f =>
+          math.floor(f.toDouble * 1e6 + 0.5).toLong).toArray))
+    val dims = rows.head._2.length
+    val byLabel = rows.groupBy(_._1)
+    val gSums = Array.tabulate(dims)(d => rows.map(_._2(d)).sum)
+    val gn = rows.length.toLong
+    val got = graft.queries.VectorOps.q224CentroidDrift(spark, sfDir)
+      .collect()
+      .map(r => r.getInt(0) -> (r.getAs[Long]("n"),
+        r.getAs[Long]("drift_micro"), r.getAs[Long]("centroid_norm_micro")))
+      .toMap
+    byLabel.foreach { case (label, vecs) =>
+      val n = vecs.length.toLong
+      val s = Array.tabulate(dims)(d => vecs.map(_._2(d)).sum)
+      val d2 = (0 until dims).map { d =>
+        val diff = (s(d) * gn - gSums(d) * n).toDouble
+        diff * diff
+      }.foldLeft(0.0)(_ + _)
+      val s2 = (0 until dims).map(d => s(d).toDouble * s(d)).foldLeft(0.0)(_ + _)
+      val wantDrift = math.floor(math.sqrt(d2) / (n * gn) * 1e6 + 0.5).toLong
+      val wantNorm = math.floor(math.sqrt(s2) / n + 0.5).toLong
+      val (gotN, gotDrift, gotNorm) = got(label)
+      assert(gotN === n, s"label $label n")
+      assert(gotDrift === wantDrift, s"label $label drift")
+      assert(gotNorm === wantNorm, s"label $label norm")
+    }
+  }
 }
