@@ -1354,7 +1354,56 @@ object StatsOps {
       |    AS BIGINT) AS z_micro
       |FROM s""".stripMargin
 
+  /** q226: PER-GROUP TREND REGRESSION — the OLS slope and intercept of
+    * event value against time, per event type: the "is this segment's
+    * engagement rising or falling" monitor, and the grouped-regression
+    * shape feature pipelines compute per entity at scale. ONE
+    * aggregate: all five moments (Σx, Σy, Σxy, Σx², n) are exact
+    * BIGINT sums of quantized inputs (x = epoch days, y = value
+    * cents), so the closed-form slope/intercept divisions run on
+    * bit-identical integers in both engines. No window, no sort —
+    * this is the q163 product-moment discipline pointed at regression.
+    */
+  def q226GroupTrend(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables(spark, dir).events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("x"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    m.select(col("event_type"), col("n"),
+      floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")) * lit(1e6) + lit(0.5))
+        .cast("long").as("slope_micro_c_per_day"),
+      floor((col("sy").cast("double") -
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+        col("n") + lit(0.5)).cast("long").as("intercept_c"))
+  }
+
+  val q226Sql: String =
+    """WITH m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM (
+      |    SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+      |      CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+      |    FROM events)
+      |  GROUP BY 1)
+      |SELECT event_type, n,
+      |  CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    (n * sxx - sx * sx) * 1e6 + 0.5) AS BIGINT)
+      |    AS slope_micro_c_per_day,
+      |  CAST(floor((CAST(sy AS DOUBLE) -
+      |    CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) * sx) / n
+      |    + 0.5) AS BIGINT) AS intercept_c
+      |FROM m ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_group_trend" -> Gate.sorted(q226GroupTrend _, "event_type"),
     "q210_ks_drift" -> ((s, d) => q210KsDrift(s, d)),
     "q211_mann_whitney" -> ((s, d) => q211MannWhitney(s, d)),
     "q197_wilson_ci" -> Gate.sorted(q197WilsonCi _, "event_type"),
@@ -1377,6 +1426,7 @@ object StatsOps {
     "q137_pr_thresholds" -> Gate.sorted(q137PrThresholds _, "threshold_micro"))
 
   val oracles: Map[String, String] = Map(
+    "q226_group_trend" -> q226Sql,
     "q210_ks_drift" -> q210Sql,
     "q211_mann_whitney" -> q211Sql,
     "q197_wilson_ci" -> q197Sql,

@@ -1067,7 +1067,68 @@ object TrainPrep {
       |FROM br CROSS JOIN f ORDER BY pct""".stripMargin
   }
 
+  /** q227: SOURCE-VS-CORPUS KL DIVERGENCE — for each source, the KL
+    * divergence of its token distribution from the whole corpus's:
+    * the "how idiosyncratic is this source" score that ranks sources
+    * for mixture re-weighting (q209's weights say how MUCH to sample;
+    * KL says how DIFFERENT each source is from the blend). Every
+    * source's vocabulary is a subset of the corpus's, so KL needs no
+    * smoothing and every term is well-defined. One (source, token)
+    * rollup feeds both distributions; the per-term p·ln(p/q) values
+    * fold IN TOKEN ORDER via the shared sorted-list idiom (q170/q224),
+    * so the only cross-engine freedom is ln()'s final ulp — the result
+    * stays a DOUBLE for the gate's relative tolerance (the q177
+    * discipline for transcendental outputs).
+    */
+  def q227SourceKl(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir).documents
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val corpus = counts.groupBy("t").agg(sum("c").as("cg"))
+    val totals = counts.groupBy("source").agg(sum("c").as("ns"))
+    val ng = counts.agg(sum("c").as("ng"))
+    val terms = counts.join(corpus, "t")
+      .join(totals, "source").crossJoin(broadcast(ng))
+      .select(col("source"), col("t"), col("ns"),
+        ((col("c").cast("double") / col("ns")) *
+          log(col("c").cast("double") * col("ng") /
+            (col("cg").cast("double") * col("ns")))).as("term"))
+    terms.groupBy("source")
+      .agg(max("ns").as("n_tokens"), count(lit(1)).as("vocab"),
+        sort_array(collect_list(struct(col("t"), col("term")))).as("ts"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        aggregate(col("ts"), lit(0.0),
+          (acc, x) => acc + x.getField("term")).as("kl_nats"))
+  }
+
+  val q227Sql: String =
+    """WITH counts AS (
+      |  SELECT source, t, count(*) AS c FROM (
+      |    SELECT source,
+      |      unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |        x -> x != '')) AS t
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |corpus AS (SELECT t, CAST(sum(c) AS BIGINT) AS cg FROM counts GROUP BY 1),
+      |totals AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM counts GROUP BY 1),
+      |ng AS (SELECT CAST(sum(c) AS BIGINT) AS ng FROM counts),
+      |terms AS (
+      |  SELECT co.source, co.t, tt.ns,
+      |    (CAST(co.c AS DOUBLE) / tt.ns) *
+      |      ln(CAST(co.c AS DOUBLE) * ng.ng / (CAST(cp.cg AS DOUBLE) * tt.ns))
+      |      AS term
+      |  FROM counts co
+      |  JOIN corpus cp USING (t)
+      |  JOIN totals tt USING (source)
+      |  CROSS JOIN ng)
+      |SELECT source, max(ns) AS n_tokens, count(*) AS vocab,
+      |  list_reduce(list(term ORDER BY t), (a, b) -> a + b) AS kl_nats
+      |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_source_kl" -> Gate.sorted(q227SourceKl _, "source"),
     "q221_scaling_ladder" -> Gate.sorted(q221ScalingLadder _, "pct"),
     "q209_mixture_weights" -> Gate.sorted(q209MixtureWeights _, "source"),
     "q153_dataset_card" -> Gate.sorted(q153DatasetCard _, "metric"),
@@ -1092,6 +1153,7 @@ object TrainPrep {
     "q81_quality_rules" -> Gate.sorted(q81QualityRules _, "doc_id"))
 
   val oracles: Map[String, String] = Map(
+    "q227_source_kl" -> q227Sql,
     "q221_scaling_ladder" -> q221Sql,
     "q209_mixture_weights" -> q209Sql,
     "q153_dataset_card" -> q153Sql,

@@ -330,6 +330,28 @@ class StatsOpsSpec extends SparkSpec {
     assert(got("p50_key_rows_micro") == math.floor(p50 * 1e6 + 0.5).toLong)
   }
 
+  test("q226 slopes equal the closed-form OLS on collected points") {
+    val pts = Tables(spark, sfDir).events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("x"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = StatsOps.q226GroupTrend(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("slope_micro_c_per_day"), r.getAs[Long]("intercept_c")))
+      .toMap
+    pts.groupBy(_._1).foreach { case (et, xs) =>
+      val n = xs.length.toLong
+      val sx = xs.map(_._2).sum; val sy = xs.map(_._3).sum
+      val sxy = xs.map(t => t._2 * t._3).sum
+      val sxx = xs.map(t => t._2 * t._2).sum
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx)
+      val wantSlope = math.floor(slope * 1e6 + 0.5).toLong
+      val wantIcpt = math.floor((sy.toDouble - slope * sx) / n + 0.5).toLong
+      assert(got(et) === ((wantSlope, wantIcpt)), s"group $et")
+    }
+  }
+
   test("q210 KS drift matches a driver-side CDF race") {
     val rows = Tables(spark, sfDir).lineitem
       .select(

@@ -445,6 +445,23 @@ class TrainPrepSpec extends SparkSpec {
       docs.map(_._4).distinct.length)
   }
 
+  test("q227 KL divergences are non-negative and vocabularies reconcile") {
+    val rows = TrainPrep.q227SourceKl(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // Gibbs' inequality: KL(p||q) >= 0, with a hair of float slack
+      assert(r.getAs[Double]("kl_nats") >= -1e-12,
+        s"${r.getString(0)} negative KL")
+      assert(r.getAs[Long]("vocab") >= 1L)
+      assert(r.getAs[Long]("n_tokens") >= r.getAs[Long]("vocab"))
+    }
+    // token totals across sources cover the corpus exactly
+    val totalToks = Tables(spark, sfDir).documents
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum === totalToks)
+  }
+
   test("q221 ladder rungs are nested and the full rung covers the corpus") {
     val rows = TrainPrep.q221ScalingLadder(spark, sfDir)
       .orderBy("pct").collect()
