@@ -390,4 +390,44 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("SortMergeJoin"), "small side must not shuffle-join")
     }
   }
+
+  test("q201/q202: event passes stay windowed on bounded keys, no cartesian") {
+    Seq(
+      graft.queries.OpsAnalytics.q201LastTouch(spark, sfDir),
+      graft.queries.OpsAnalytics.q202LatenessProfile(spark, sfDir)
+    ).foreach { df =>
+      val p = executedPlan(df)
+      assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
+      assert(p.contains("Window"), "expected the single-pass window shape")
+    }
+  }
+
+  test("q205/q216: manifest math runs above a partial fact aggregate") {
+    Seq(
+      graft.queries.MaintOps.q205ZonemapSkip(spark, sfDir),
+      graft.queries.ProfileOps.q216EquiDepthHist(spark, sfDir)
+    ).foreach { df =>
+      val p = executedPlan(df).split("== Initial Plan ==")(0)
+      assert(p.contains("partial_"), "expected map-side combine on the scan")
+      assert(!p.contains("CartesianProduct") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        "only broadcast-size cross joins allowed")
+    }
+  }
+
+  test("q212: selective filters reach the fact scans; dims broadcast") {
+    val p = plan(graft.queries.TpchShapes.q212ReturnedReport(spark, sfDir))
+    assert(p.contains("PushedFilters") && p.contains("l_returnflag"),
+      "returnflag filter not pushed to the lineitem scan")
+    assert(p.contains("BroadcastHashJoin"), "customer/nation must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must be heap-based, not a global sort")
+  }
+
+  test("q219: Apriori semi-joins prune before the counting aggregate") {
+    val p = executedPlan(
+      graft.queries.Relational.q219FrequentTriples(spark, sfDir))
+    assert(p.contains("LeftSemi"), "expected frequent-pair semi-join pruning")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
