@@ -207,13 +207,133 @@ object LayoutOps {
        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q229 profiled columns (name -> string-cast SQL expression, shared
+    * with the oracle): the two RLE candidates plus a date and a
+    * near-unique money column, all rendered as canonical strings so
+    * widths are engine-identical (BIGINT-to-string has one decimal
+    * form; raw doubles would not round-trip identically).
+    */
+  val ENC_COLS: Seq[(String, String)] = Seq(
+    "l_returnflag" -> "l_returnflag",
+    "l_linestatus" -> "l_linestatus",
+    "ship_day" ->
+      "cast(datediff(to_date(l_shipdate), date'1970-01-01') as string)",
+    "price_cents" ->
+      "cast(cast(floor(l_extendedprice * 100 + 0.5) as bigint) as string)")
+
+  /** Per-value RLE overhead bits (run-length varint estimate). */
+  val ENC_RUN_OVERHEAD_BITS = 32L
+
+  /** q229: COLUMNAR ENCODING ADVISOR — the ANALYZE-driven layout
+    * decision: for each column, its cardinality (dictionary size), its
+    * run structure in the table's clustering order (the q204
+    * machinery), and the estimated encoded size under PLAIN, DICT, and
+    * RLE — with the argmin recommendation. The estimates are the
+    * standard first-order models (PLAIN = data bytes; DICT = dictionary
+    * bytes + n·ceil(log2(ndv)) code bits; RLE = runs x (value +
+    * length-varint)) on EXACT integer stats, so the recommendation is
+    * reproducible, and the deciding inputs (ndv vs runs) are exactly
+    * what parquet writers weigh. One unpivoted scan feeds both the
+    * run profile and the dictionary rollup.
+    */
+  def q229EncodingAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("col_name", "l_orderkey").orderBy("l_linenumber", "val")
+    val stackExpr = ENC_COLS.map { case (n, e) => s"'$n', $e" }
+      .mkString(s"stack(${ENC_COLS.size}, ", ", ", ")")
+    val compressed = Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr(s"$stackExpr as (col_name, val)"))
+      .groupBy("col_name", "l_orderkey", "l_linenumber", "val")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val runs = compressed
+      .withColumn("brk",
+        when(lag("val", 1).over(w).isNull ||
+          lag("val", 1).over(w) =!= col("val"), 1L).otherwise(0L))
+      .groupBy("col_name")
+      .agg(sum("brk").as("n_runs"),
+        sum(col("cnt") * length(col("val"))).as("total_chars"),
+        sum("cnt").as("n_rows"))
+    val dict = compressed.groupBy("col_name", "val")
+      .agg(count(lit(1)).as("k"))
+      .groupBy("col_name")
+      .agg(count(lit(1)).as("ndv"), sum(length(col("val"))).as("dict_chars"))
+    runs.join(dict, "col_name")
+      .withColumn("code_bits",
+        greatest(lit(1L), ceil(log2(col("ndv"))).cast("long")))
+      .withColumn("avg_w_ceil",
+        expr("(total_chars + n_rows - 1) div n_rows"))
+      .select(col("col_name"), col("n_rows"), col("ndv"), col("n_runs"),
+        (col("total_chars") * 8).as("plain_bits"),
+        (col("dict_chars") * 8 + col("n_rows") * col("code_bits"))
+          .as("dict_bits"),
+        (col("n_runs") * (lit(ENC_RUN_OVERHEAD_BITS) + col("avg_w_ceil") * 8))
+          .as("rle_bits"))
+      .withColumn("recommended",
+        when(col("rle_bits") <= col("dict_bits") &&
+          col("rle_bits") <= col("plain_bits"), "RLE")
+          .when(col("dict_bits") <= col("plain_bits"), "DICT")
+          .otherwise("PLAIN"))
+  }
+
+  val q229Sql: String = {
+    val branches = ENC_COLS.map { case (n, e) =>
+      val duck = e
+        .replace("cast(datediff(to_date(l_shipdate), date'1970-01-01') as string)",
+          "CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS VARCHAR)")
+        .replace("cast(cast(floor(l_extendedprice * 100 + 0.5) as bigint) as string)",
+          "CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR)")
+      s"SELECT '$n' AS col_name, l_orderkey, l_linenumber, $duck AS val FROM lineitem"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH u AS (
+      |  $branches),
+      |g AS (
+      |  SELECT col_name, l_orderkey, l_linenumber, val,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM u GROUP BY 1, 2, 3, 4),
+      |b AS (
+      |  SELECT col_name, val, cnt,
+      |    CASE WHEN lag(val) OVER
+      |        (PARTITION BY col_name, l_orderkey ORDER BY l_linenumber, val)
+      |      IS DISTINCT FROM val THEN 1 ELSE 0 END AS brk
+      |  FROM g),
+      |runs AS (
+      |  SELECT col_name, CAST(sum(brk) AS BIGINT) AS n_runs,
+      |    CAST(sum(cnt * length(val)) AS BIGINT) AS total_chars,
+      |    CAST(sum(cnt) AS BIGINT) AS n_rows
+      |  FROM b GROUP BY 1),
+      |dict AS (
+      |  SELECT col_name, CAST(count(*) AS BIGINT) AS ndv,
+      |    CAST(sum(length(val)) AS BIGINT) AS dict_chars
+      |  FROM (SELECT DISTINCT col_name, val FROM g) GROUP BY 1),
+      |m AS (
+      |  SELECT r.col_name, r.n_rows, d.ndv, r.n_runs,
+      |    r.total_chars * 8 AS plain_bits,
+      |    d.dict_chars * 8 + r.n_rows *
+      |      greatest(1, CAST(ceil(log2(d.ndv)) AS BIGINT)) AS dict_bits,
+      |    r.n_runs * ($ENC_RUN_OVERHEAD_BITS +
+      |      ((r.total_chars + r.n_rows - 1) // r.n_rows) * 8) AS rle_bits
+      |  FROM runs r JOIN dict d USING (col_name))
+      |SELECT col_name, n_rows, ndv, n_runs,
+      |  CAST(plain_bits AS BIGINT) AS plain_bits,
+      |  CAST(dict_bits AS BIGINT) AS dict_bits,
+      |  CAST(rle_bits AS BIGINT) AS rle_bits,
+      |  CASE WHEN rle_bits <= dict_bits AND rle_bits <= plain_bits THEN 'RLE'
+      |       WHEN dict_bits <= plain_bits THEN 'DICT'
+      |       ELSE 'PLAIN' END AS recommended
+      |FROM m ORDER BY col_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_encoding_advisor" -> Gate.sorted(q229EncodingAdvisor _, "col_name"),
     "q165_group_quantiles" -> Gate.sorted(q165GroupQuantiles _, "l_returnflag"),
     "q166_zorder_profile" -> Gate.sorted(q166ZorderProfile _, "p_brand"),
     "q174_weighted_median" -> Gate.sorted(q174WeightedMedian _, "l_returnflag"),
     "q204_run_profile" -> Gate.sorted(q204RunProfile _, "col_name"))
 
   val oracles: Map[String, String] = Map(
+    "q229_encoding_advisor" -> q229Sql,
     "q165_group_quantiles" -> q165Sql,
     "q166_zorder_profile" -> q166Sql,
     "q174_weighted_median" -> q174Sql,

@@ -232,7 +232,125 @@ object MaintOps {
       |ORDER BY pred_id""".stripMargin
   }
 
+  /** q228 normalization bounds (shared literals with the oracle) and
+    * the z-file span: a 32-bit Morton key div 2^26 yields up to 64
+    * z-range files, comparable to the quarterly date layout's count.
+    */
+  val ZC_DAY_LO: Double = java.time.LocalDate.parse("1995-01-01").toEpochDay.toDouble
+  val ZC_DAY_HI: Double = java.time.LocalDate.parse("2002-01-01").toEpochDay.toDouble
+  val ZC_CENT_LO = 90000.0
+  val ZC_CENT_HI = 10500000.0
+  val ZC_FILE_SPAN: Long = 1L << 26
+
+  /** q228: LAYOUT SKIP COMPARISON — the q205 zone-map simulation run
+    * against TWO physical layouts of the same table: quarterly
+    * date-clustered files versus z-ordered files (the q166 Morton key
+    * over date x price), scored on a date predicate AND a price
+    * predicate. This is the measurement that justifies a re-cluster:
+    * the date layout prunes only the date predicate; the z-order
+    * layout trades a little date pruning for real price pruning —
+    * and the report shows both numbers instead of asserting the
+    * folklore. Still ONE fact scan: the row is exploded into its two
+    * (layout, file) assignments by a stack, and everything after runs
+    * on the two metadata-sized manifests.
+    */
+  def q228LayoutCompare(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ZOrderLayout
+    val (_, dc, dLo, dHi) = ZM_PREDS(1) // 1999-H1 date window
+    require(dc == "day")
+    val (_, pc, pLo, pHi) = ZM_PREDS(3) // high-price band
+    require(pc == "cents")
+    val rows = Tables(spark, dir).lineitem.select(
+      datediff(to_date(col("l_shipdate")), lit("1970-01-01")).cast("long")
+        .as("day"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      .withColumn("zk", ZOrderLayout.zkey(
+        ZOrderLayout.rank16(col("day"), ZC_DAY_LO, ZC_DAY_HI),
+        ZOrderLayout.rank16(col("cents"), ZC_CENT_LO, ZC_CENT_HI)))
+      .selectExpr("day", "cents",
+        s"stack(2, 'date', day div $ZM_FILE_DAYS, " +
+          s"'zorder', zk div $ZC_FILE_SPAN) as (layout, file_id)")
+    val manifest = rows.groupBy("layout", "file_id").agg(
+      min("day").as("d_lo"), max("day").as("d_hi"),
+      min("cents").as("c_lo"), max("cents").as("c_hi"),
+      count(lit(1)).as("n"),
+      sum(when(col("day").between(dLo, dHi), 1L).otherwise(0L)).as("m_d"),
+      sum(when(col("cents").between(pLo, pHi), 1L).otherwise(0L)).as("m_p"))
+    val skipD = col("d_hi") < dLo || col("d_lo") > dHi
+    val skipP = col("c_hi") < pLo || col("c_lo") > pHi
+    manifest.groupBy("layout").agg(
+      count(lit(1)).as("files_total"),
+      sum(when(skipD, 1L).otherwise(0L)).as("fs_d"),
+      sum(when(!skipD, col("n")).otherwise(0L)).as("rs_d"),
+      sum("m_d").as("rm_d"),
+      sum(when(skipP, 1L).otherwise(0L)).as("fs_p"),
+      sum(when(!skipP, col("n")).otherwise(0L)).as("rs_p"),
+      sum("m_p").as("rm_p"))
+      .selectExpr("layout", "files_total",
+        "stack(2, 'date_range', fs_d, rs_d, rm_d, 'price_band', fs_p, rs_p, rm_p)" +
+          " as (predicate, files_skipped, rows_scanned, rows_matched)")
+  }
+
+  val q228Sql: String = {
+    val (_, _, dLo, dHi) = ZM_PREDS(1)
+    val (_, _, pLo, pHi) = ZM_PREDS(3)
+    def rank16(v: String, lo: Double, hi: Double): String =
+      s"least(65535, greatest(0, CAST(floor(((CAST($v AS DOUBLE) - $lo) / ${hi - lo}) * 65536.0) AS BIGINT)))"
+    val ra = rank16("day", ZC_DAY_LO, ZC_DAY_HI)
+    val rb = rank16("cents", ZC_CENT_LO, ZC_CENT_HI)
+    s"""WITH r AS (
+      |  SELECT datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS day,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |rk AS (SELECT day, cents, ($ra) AS a, ($rb) AS b FROM r),
+      |s1 AS (SELECT day, cents,
+      |  ((a | (a << 8)) & 16711935) AS a, ((b | (b << 8)) & 16711935) AS b
+      |  FROM rk),
+      |s2 AS (SELECT day, cents,
+      |  ((a | (a << 4)) & 252645135) AS a, ((b | (b << 4)) & 252645135) AS b
+      |  FROM s1),
+      |s3 AS (SELECT day, cents,
+      |  ((a | (a << 2)) & 858993459) AS a, ((b | (b << 2)) & 858993459) AS b
+      |  FROM s2),
+      |s4 AS (SELECT day, cents,
+      |  ((a | (a << 1)) & 1431655765) AS a, ((b | (b << 1)) & 1431655765) AS b
+      |  FROM s3),
+      |z AS (SELECT day, cents, (a | (b << 1)) AS zk FROM s4),
+      |u AS (
+      |  SELECT day, cents, 'date' AS layout, day // $ZM_FILE_DAYS AS file_id
+      |  FROM z
+      |  UNION ALL
+      |  SELECT day, cents, 'zorder', zk // $ZC_FILE_SPAN FROM z),
+      |manifest AS (
+      |  SELECT layout, file_id,
+      |    min(day) AS d_lo, max(day) AS d_hi,
+      |    min(cents) AS c_lo, max(cents) AS c_hi, count(*) AS n,
+      |    sum(CASE WHEN day BETWEEN $dLo AND $dHi THEN 1 ELSE 0 END) AS m_d,
+      |    sum(CASE WHEN cents BETWEEN $pLo AND $pHi THEN 1 ELSE 0 END) AS m_p
+      |  FROM u GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT layout, count(*) AS files_total,
+      |    sum(CASE WHEN d_hi < $dLo OR d_lo > $dHi THEN 1 ELSE 0 END) AS fs_d,
+      |    sum(CASE WHEN NOT (d_hi < $dLo OR d_lo > $dHi) THEN n ELSE 0 END) AS rs_d,
+      |    sum(m_d) AS rm_d,
+      |    sum(CASE WHEN c_hi < $pLo OR c_lo > $pHi THEN 1 ELSE 0 END) AS fs_p,
+      |    sum(CASE WHEN NOT (c_hi < $pLo OR c_lo > $pHi) THEN n ELSE 0 END) AS rs_p,
+      |    sum(m_p) AS rm_p
+      |  FROM manifest GROUP BY 1)
+      |SELECT layout, files_total, 'date_range' AS predicate,
+      |  CAST(fs_d AS BIGINT) AS files_skipped, CAST(rs_d AS BIGINT) AS rows_scanned,
+      |  CAST(rm_d AS BIGINT) AS rows_matched
+      |FROM agg
+      |UNION ALL
+      |SELECT layout, files_total, 'price_band',
+      |  CAST(fs_p AS BIGINT), CAST(rs_p AS BIGINT), CAST(rm_p AS BIGINT)
+      |FROM agg
+      |ORDER BY layout, predicate""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_layout_compare" ->
+      Gate.sorted(q228LayoutCompare _, "layout", "predicate"),
     "q179_compaction_plan" -> Gate.sorted(q179CompactionPlan _, "bin"),
     "q180_dense_topk" ->
       Gate.sorted(q180DenseTopk _, "p_brand", "rk", "p_partkey"),
@@ -241,6 +359,7 @@ object MaintOps {
     "q205_zonemap_skip" -> Gate.sorted(q205ZonemapSkip _, "pred_id"))
 
   val oracles: Map[String, String] = Map(
+    "q228_layout_compare" -> q228Sql,
     "q179_compaction_plan" -> q179Sql,
     "q180_dense_topk" -> q180Sql,
     "q181_cdf_normalize" -> q181Sql,

@@ -41,6 +41,27 @@ class LayoutOpsSpec extends SparkSpec {
     }
   }
 
+  test("q229 recommendations are the argmin of the three size models") {
+    val rows = LayoutOps.q229EncodingAdvisor(spark, sfDir).collect()
+    assert(rows.length === LayoutOps.ENC_COLS.size)
+    val n = Tables(spark, sfDir).lineitem.count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") === n)
+      val (p, d, rl) = (r.getAs[Long]("plain_bits"),
+        r.getAs[Long]("dict_bits"), r.getAs[Long]("rle_bits"))
+      val want =
+        if (rl <= d && rl <= p) "RLE" else if (d <= p) "DICT" else "PLAIN"
+      assert(r.getAs[String]("recommended") === want, r.getString(0))
+      assert(r.getAs[Long]("ndv") >= 1L &&
+        r.getAs[Long]("ndv") <= r.getAs[Long]("n_rows"))
+    }
+    // the flags dictionary-encode; near-unique cents must not
+    val byCol = rows.map(r => r.getString(0) ->
+      r.getAs[String]("recommended")).toMap
+    assert(byCol("l_returnflag") === "DICT")
+    assert(byCol("price_cents") === "PLAIN")
+  }
+
   test("q204 run profile matches a driver-side segment fold") {
     val rows = Tables(spark, sfDir).lineitem
       .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")

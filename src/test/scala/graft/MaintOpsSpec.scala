@@ -81,4 +81,22 @@ class MaintOpsSpec extends SparkSpec {
       .map(_.getAs[Long]("files_skipped"))
     assert(dateSkips.exists(_ > 0), "expected date zone maps to skip files")
   }
+
+  test("q228 layouts agree on matches; z-order prunes the price band") {
+    val rows = MaintOps.q228LayoutCompare(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(2)) ->
+        (r.getAs[Long]("files_skipped"), r.getAs[Long]("rows_scanned"),
+          r.getAs[Long]("rows_matched"))).toMap
+    assert(rows.keySet === Set(("date", "date_range"), ("date", "price_band"),
+      ("zorder", "date_range"), ("zorder", "price_band")))
+    // a layout never changes WHAT matches, only what gets scanned
+    assert(rows(("date", "date_range"))._3 === rows(("zorder", "date_range"))._3)
+    assert(rows(("date", "price_band"))._3 === rows(("zorder", "price_band"))._3)
+    rows.values.foreach { case (_, scanned, matched) =>
+      assert(matched <= scanned, "zone-map soundness")
+    }
+    // the point of the query: z-order buys price pruning the
+    // date-clustered layout cannot deliver
+    assert(rows(("zorder", "price_band"))._1 > rows(("date", "price_band"))._1)
+  }
 }
