@@ -1026,7 +1026,76 @@ object DedupOps {
       |FROM nodes n JOIN ec e USING (cluster_id)
       |ORDER BY cluster_id""".stripMargin
 
+  /** q230: SURVIVORSHIP / GOLDEN-RECORD FUSION — for every duplicate
+    * cluster (the q53 components), the merged record master-data
+    * pipelines emit: each field takes its value from the best donor by
+    * a per-field rule (longest text wins content, minimum doc_id wins
+    * identity, earliest source alphabetically wins provenance), which
+    * is exactly how q119's "keep best" generalizes when fields should
+    * fuse ACROSS cluster members instead of keeping one row intact.
+    * All rules are struct-argmax aggregates with total-order
+    * tie-breaks, so the golden record is deterministic in any engine.
+    * One join of the doc features against the component labels, one
+    * cluster-grain aggregate.
+    */
+  def q230Survivorship(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val comp = graft.operators.ConnectedComponents
+      .components(candidatePairs(docs), "doc_a", "doc_b")
+      .withColumnRenamed("node", "doc_id")
+    // argmax with a deterministic tie-break, packed into ONE ordered
+    // BIGINT (chars·2^32 − doc_id): max() picks the longest text and,
+    // among equals, the lowest doc_id — identical semantics in any
+    // engine, no struct-comparison dialect differences
+    val donorKey = col("n_chars") * lit(4294967296L) - col("doc_id")
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(comp, Seq("doc_id"))
+      .groupBy("comp")
+      .agg(
+        count(lit(1)).as("n_members"),
+        min("doc_id").as("golden_id"),
+        max(donorKey).as("dk"),
+        min("source").as("provenance"),
+        countDistinct("source").as("n_sources"))
+      .select(col("comp").as("cluster_id"), col("n_members"),
+        col("golden_id"),
+        expr("(dk + 4294967295) div 4294967296").as("content_chars"),
+        (expr("(dk + 4294967295) div 4294967296") * lit(4294967296L) -
+          col("dk")).as("content_donor"),
+        col("provenance"), col("n_sources"))
+  }
+
+  val q230Sql: String =
+    s"""WITH RECURSIVE $pairCtes,
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION
+      |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (
+      |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      |  FROM reach GROUP BY a),
+      |m AS (
+      |  SELECT c.cluster_id, d.doc_id, d.source, d.n_chars,
+      |    d.n_chars * 4294967296 - d.doc_id AS dk
+      |  FROM comp c JOIN documents d USING (doc_id)),
+      |g AS (
+      |  SELECT cluster_id, count(*) AS n_members,
+      |    min(doc_id) AS golden_id, CAST(max(dk) AS BIGINT) AS dk,
+      |    min(source) AS provenance,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      |  FROM m GROUP BY 1)
+      |SELECT cluster_id, n_members, golden_id,
+      |  (dk + 4294967295) // 4294967296 AS content_chars,
+      |  ((dk + 4294967295) // 4294967296) * 4294967296 - dk AS content_donor,
+      |  provenance, n_sources
+      |FROM g ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q230_survivorship" -> Gate.sorted(q230Survivorship _, "cluster_id"),
     "q225_cluster_density" -> Gate.sorted(q225ClusterDensity _, "cluster_id"),
     "q220_dedup_eval" -> Gate.sorted(q220DedupEval _, "tau_micro"),
     "q207_dedup_roi" -> Gate.sorted(q207DedupRoi _, "source"),
@@ -1045,6 +1114,7 @@ object DedupOps {
     "q72_minhash_estimate" -> Gate.sorted(q72MinhashEstimate _, "doc_a", "doc_b"))
 
   val oracles: Map[String, String] = Map(
+    "q230_survivorship" -> q230Sql,
     "q225_cluster_density" -> q225Sql,
     "q220_dedup_eval" -> q220Sql,
     "q207_dedup_roi" -> q207Sql,

@@ -200,7 +200,55 @@ object TemporalOps {
       |    (a, b) -> (a + b) >> 1) AS ewma_c
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q231 report depth: trigrams ranked by count; dense_rank keeps
+    * ties so the cut is deterministic without an arbitrary row drop.
+    */
+  val TRIGRAM_TOP = 10
+
+  /** q231: FREQUENT EVENT TRIGRAMS — the top consecutive 3-step
+    * behavior patterns across all user streams, the sequence-mining
+    * step between q162's first-order transitions and full
+    * pattern-matching (q194's CEP): second-order structure (does
+    * view→click behave differently after an error?) lives here. ONE
+    * window pass (two lags over the user-partitioned stream — the
+    * same exchange every sequence query shares), a 125-cell rollup,
+    * and a dense-rank cut that keeps count ties.
+    */
+  def q231EventTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tri = Tables(spark, dir).events
+      .withColumn("t1", lag("event_type", 2).over(byUser))
+      .withColumn("t2", lag("event_type", 1).over(byUser))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+      .agg(count(lit(1)).as("n"))
+    val rk = Window.orderBy(col("n").desc)
+    tri.withColumn("rank", dense_rank().over(rk))
+      .filter(col("rank") <= TRIGRAM_TOP)
+      .select("rank", "t1", "t2", "t3", "n")
+  }
+
+  val q231Sql: String =
+    s"""WITH tri AS (
+      |  SELECT lag(event_type, 2) OVER w AS t1,
+      |    lag(event_type, 1) OVER w AS t2,
+      |    event_type AS t3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |c AS (
+      |  SELECT t1, t2, t3, count(*) AS n
+      |  FROM tri WHERE t1 IS NOT NULL GROUP BY 1, 2, 3),
+      |r AS (
+      |  SELECT CAST(dense_rank() OVER (ORDER BY n DESC) AS INTEGER) AS rank,
+      |    t1, t2, t3, n
+      |  FROM c)
+      |SELECT rank, t1, t2, t3, n FROM r
+      |WHERE rank <= $TRIGRAM_TOP
+      |ORDER BY rank, t1, t2, t3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_event_trigrams" ->
+      Gate.sorted(q231EventTrigrams _, "rank", "t1", "t2", "t3"),
     "q170_user_ewma" -> Gate.sorted(q170UserEwma _, "user_id"),
     "q162_markov_transitions" ->
       Gate.sorted(q162MarkovTransitions _, "prev_type", "next_type"),
@@ -208,6 +256,7 @@ object TemporalOps {
     "q164_abandoned_clicks" -> Gate.sorted(q164AbandonedClicks _, "user_id"))
 
   val oracles: Map[String, String] = Map(
+    "q231_event_trigrams" -> q231Sql,
     "q170_user_ewma" -> q170Sql,
     "q162_markov_transitions" -> q162Sql,
     "q163_daily_autocorr" -> q163Sql,

@@ -536,6 +536,32 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q230 golden records fuse fields by their per-field rules") {
+    val docs = Tables(spark, sfDir).documents
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byId = docs.map(d => d._1 -> d).toMap
+    val clusters = DedupOps.q53DupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+      .filter(_._2.size > 1) // multi-doc clusters only
+    val got = DedupOps.q230Survivorship(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === clusters.keySet)
+    clusters.foreach { case (c, members) =>
+      val r = got(c)
+      val ms = members.toSeq.map(byId)
+      assert(r.getAs[Long]("n_members") === members.size.toLong)
+      assert(r.getAs[Long]("golden_id") === members.min)
+      val maxChars = ms.map(_._3).max
+      assert(r.getAs[Long]("content_chars") === maxChars)
+      assert(r.getAs[Long]("content_donor") ===
+        ms.filter(_._3 == maxChars).map(_._1).min)
+      assert(r.getAs[String]("provenance") === ms.map(_._2).min)
+      assert(r.getAs[Long]("n_sources") === ms.map(_._2).distinct.size.toLong)
+    }
+  }
+
   test("q225 cluster density is consistent with q53 components and q27 pairs") {
     val pairs = DedupOps.candidatePairs(Tables(spark, sfDir).documents)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

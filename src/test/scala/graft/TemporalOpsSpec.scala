@@ -47,6 +47,26 @@ class TemporalOpsSpec extends SparkSpec {
     assert(math.abs(got - math.floor(r * 1e6 + 0.5).toLong) <= 1)
   }
 
+  test("q231 trigram counts equal a driver-side stream fold") {
+    val ev = Tables(spark, sfDir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val counts = ev.groupBy(_._1).values.flatMap { xs =>
+      val seq = xs.sortBy(t => (t._2, t._3)).map(_._4)
+      seq.sliding(3).filter(_.length == 3).map(w => (w(0), w(1), w(2)))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ranked = counts.values.toSeq.distinct.sorted.reverse.zipWithIndex
+      .map { case (n, i) => n -> (i + 1) }.toMap
+    val want = counts.filter(c => ranked(c._2) <= TemporalOps.TRIGRAM_TOP)
+      .map { case (tri, n) => tri -> ((ranked(n), n)) }
+    val got = TemporalOps.q231EventTrigrams(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)) ->
+        ((r.getAs[Int]("rank"), r.getAs[Long]("n")))).toMap
+    assert(got === want)
+  }
+
   test("q164 equals a driver-side NOT EXISTS recompute") {
     val ev = Tables(spark, sfDir).events
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
