@@ -191,7 +191,70 @@ object PlannerOps {
       s"SELECT '$t' AS table_name, count(*) AS n_rows FROM $t"
     }.mkString("\nUNION ALL\n") + "\nORDER BY table_name"
 
+  /** q232 simulated change feed: orders in md5 buckets below this
+    * percentage are "late-arriving updates" (the q50 deterministic
+    * bucket idiom — reproducible, no RNG).
+    */
+  val INVALIDATE_PCT = 5L
+
+  /** q232: INCREMENTAL-VIEW INVALIDATION PLAN — given a batch of
+    * changed orders, which partitions of the month-grain revenue
+    * rollup must recompute, and how much work each costs. This is the
+    * planning step between CDC ingestion (q126) and incremental
+    * maintenance (q124): a materialization engine uses exactly this
+    * partition-impact report to schedule refreshes. The changed keys
+    * prune DOWN the plan: affected months come from the (small)
+    * changed set, and the recompute cost is counted by joining the
+    * fact table against the affected-month list — a broadcast semi —
+    * so the plan's cost scales with the CHANGE volume, not the table.
+    */
+  def q232InvalidationPlan(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val orders = t.orders.select(col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      (conv(substring(md5(col("o_orderkey").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100 < INVALIDATE_PCT).as("changed"))
+      .localCheckpoint(true)
+    val affected = orders.filter(col("changed"))
+      .groupBy("month").agg(count(lit(1)).as("n_changed_orders"))
+    val monthTotals = orders.groupBy("month")
+      .agg(count(lit(1)).as("n_month_orders"))
+    val liCost = t.lineitem.select("l_orderkey")
+      .join(orders.select("o_orderkey", "month"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(affected.select("month")), Seq("month"), "left_semi")
+      .groupBy("month").agg(count(lit(1)).as("recompute_rows"))
+    affected.join(monthTotals, "month").join(liCost, "month")
+      .select(col("month"), col("n_changed_orders"), col("n_month_orders"),
+        col("recompute_rows"),
+        floor(col("n_changed_orders") * lit(1e6) / col("n_month_orders")
+          + lit(0.5)).cast("long").as("churn_micro"))
+  }
+
+  val q232Sql: String =
+    s"""WITH o AS (
+      |  SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6) AS BIGINT)
+      |      % 100 < $INVALIDATE_PCT AS changed
+      |  FROM orders),
+      |aff AS (
+      |  SELECT month, count(*) AS n_changed_orders
+      |  FROM o WHERE changed GROUP BY 1),
+      |tot AS (SELECT month, count(*) AS n_month_orders FROM o GROUP BY 1),
+      |cost AS (
+      |  SELECT o.month, count(*) AS recompute_rows
+      |  FROM lineitem l
+      |  JOIN o ON o.o_orderkey = l.l_orderkey
+      |  WHERE o.month IN (SELECT month FROM aff)
+      |  GROUP BY 1)
+      |SELECT a.month, a.n_changed_orders, t.n_month_orders, c.recompute_rows,
+      |  CAST(floor(a.n_changed_orders * 1e6 / t.n_month_orders + 0.5)
+      |    AS BIGINT) AS churn_micro
+      |FROM aff a JOIN tot t USING (month) JOIN cost c USING (month)
+      |ORDER BY month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_invalidation_plan" -> Gate.sorted(q232InvalidationPlan _, "month"),
     "q199_breadth_hist" -> Gate.sorted(q199BreadthHist _, "n_types"),
     "q200_table_heartbeat" -> Gate.sorted(q200TableHeartbeat _, "table_name"),
     "q195_mode_per_group" -> Gate.sorted(q195ModePerGroup _, "l_returnflag"),
@@ -200,6 +263,7 @@ object PlannerOps {
     "q187_stratified_fixed_n" -> Gate.sorted(q187StratifiedFixedN _, "lang", "rk"))
 
   val oracles: Map[String, String] = Map(
+    "q232_invalidation_plan" -> q232Sql,
     "q199_breadth_hist" -> q199Sql,
     "q200_table_heartbeat" -> q200Sql,
     "q195_mode_per_group" -> q195Sql,

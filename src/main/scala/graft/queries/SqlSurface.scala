@@ -120,14 +120,53 @@ object SqlSurface {
       |LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day
       |ORDER BY 1, 2""".stripMargin
 
+  /** q233: CALENDAR-AWARE TRAILING WINDOW — trailing 7-day order count
+    * and revenue per day via a RANGE frame on the integer day key
+    * (`RANGE BETWEEN 6 PRECEDING AND CURRENT ROW`): where a ROWS frame
+    * would silently stretch across gaps in the date spine, the VALUE-
+    * bounded frame keeps the window a true calendar week — the frame
+    * semantics none of the other window queries exercise. The window
+    * runs on the day-grain rollup (one map-side-combined aggregate; a
+    * metadata-sized ~2.5k-row frame even at 100 TB), never on raw
+    * facts.
+    */
+  def q233TrailingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+          .as("rev_c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rangeBetween(-6, 0)
+    daily.select(col("day"), col("n_orders"), col("rev_c"),
+      sum("n_orders").over(w).as("n_7d"),
+      sum("rev_c").over(w).as("rev_7d_c"))
+  }
+
+  val q233Sql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+      |    count(*) AS n_orders,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS rev_c
+      |  FROM orders GROUP BY 1)
+      |SELECT day, n_orders, rev_c,
+      |  CAST(sum(n_orders) OVER w AS BIGINT) AS n_7d,
+      |  CAST(sum(rev_c) OVER w AS BIGINT) AS rev_7d_c
+      |FROM daily
+      |WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q171_grouping_sets" ->
       Gate.sorted(q171GroupingSets _, "gid", "l_returnflag", "l_linestatus"),
     "q172_set_ops" -> Gate.sorted(q172SetOps _, "op", "custkey"),
-    "q173_gap_fill" -> Gate.sorted(q173GapFill _, "event_type", "day"))
+    "q173_gap_fill" -> Gate.sorted(q173GapFill _, "event_type", "day"),
+    "q233_trailing_window" -> Gate.sorted(q233TrailingWindow _, "day"))
 
   val oracles: Map[String, String] = Map(
     "q171_grouping_sets" -> q171Sql,
     "q172_set_ops" -> q172Sql,
-    "q173_gap_fill" -> q173Sql)
+    "q173_gap_fill" -> q173Sql,
+    "q233_trailing_window" -> q233Sql)
 }

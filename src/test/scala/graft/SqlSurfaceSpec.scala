@@ -69,4 +69,47 @@ class SqlSurfaceSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(got === want)
   }
+
+  test("q233 RANGE frame is the calendar week, not the last 7 rows") {
+    val daily = Tables(spark, sfDir).orders
+      .groupBy(expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")).as("r"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .sortBy(_._1)
+    val got = graft.queries.SqlSurface.q233TrailingWindow(spark, sfDir)
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getAs[Long]("n_7d"), x.getAs[Long]("rev_7d_c"))))
+      .toMap
+    daily.foreach { case (d, _, _) =>
+      val in = daily.filter(t => t._1 >= d - 6 && t._1 <= d)
+      assert(got(d) === ((in.map(_._2).sum, in.map(_._3).sum)), s"day $d")
+    }
+  }
+
+  test("q232 invalidation plan reconciles against the change definition") {
+    val orders = Tables(spark, sfDir).orders
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+        (conv(substring(md5(col("o_orderkey").cast("string")), 1, 6), 16, 10)
+          .cast("long") % 100 <
+          graft.queries.PlannerOps.INVALIDATE_PCT).as("chg"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val liByOrder = Tables(spark, sfDir).lineitem
+      .groupBy("l_orderkey").agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val affected = orders.filter(_._3).groupBy(_._2)
+    val got = graft.queries.PlannerOps.q232InvalidationPlan(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_changed_orders"), r.getAs[Long]("n_month_orders"),
+          r.getAs[Long]("recompute_rows"))).toMap
+    assert(got.keySet === affected.keySet)
+    affected.foreach { case (m, chg) =>
+      val monthOrders = orders.filter(_._2 == m)
+      val (nc, nm, rr) = got(m)
+      assert(nc === chg.length.toLong)
+      assert(nm === monthOrders.length.toLong)
+      assert(rr === monthOrders.map(o => liByOrder.getOrElse(o._1, 0L)).sum)
+    }
+  }
 }
