@@ -157,7 +157,50 @@ object SqlSurface {
       |WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY day""".stripMargin
 
+  /** q234: ORDERED STRING AGGREGATION — per order priority, the top-5
+    * orders by value as an ORDERED id list (string_agg with an ORDER
+    * BY — the report-building SQL feature no other query exercises):
+    * Spark expresses it as a per-group top-k window followed by
+    * concat_ws over the sorted collected structs, which is the
+    * deterministic distributed equivalent of DuckDB's ordered
+    * string_agg. Revenue ranks are exact cents; ties break by
+    * orderkey, so the concatenated string is byte-identical.
+    */
+  def q234OrderedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("price_c").desc, col("o_orderkey"))
+    Tables(spark, dir).orders
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+          .as("price_c"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_top"),
+        sum("price_c").as("top_rev_c"),
+        concat_ws(",",
+          transform(
+            sort_array(collect_list(struct(col("rk"), col("o_orderkey")))),
+            s => s.getField("o_orderkey").cast("string"))).as("top_keys"))
+  }
+
+  val q234Sql: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+      |        o_orderkey) AS rk
+      |  FROM orders)
+      |SELECT o_orderpriority, count(*) AS n_top,
+      |  CAST(sum(price_c) AS BIGINT) AS top_rev_c,
+      |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rk) AS top_keys
+      |FROM r WHERE rk <= 5
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_ordered_agg" -> Gate.sorted(q234OrderedAgg _, "o_orderpriority"),
     "q171_grouping_sets" ->
       Gate.sorted(q171GroupingSets _, "gid", "l_returnflag", "l_linestatus"),
     "q172_set_ops" -> Gate.sorted(q172SetOps _, "op", "custkey"),
@@ -165,6 +208,7 @@ object SqlSurface {
     "q233_trailing_window" -> Gate.sorted(q233TrailingWindow _, "day"))
 
   val oracles: Map[String, String] = Map(
+    "q234_ordered_agg" -> q234Sql,
     "q171_grouping_sets" -> q171Sql,
     "q172_set_ops" -> q172Sql,
     "q173_gap_fill" -> q173Sql,

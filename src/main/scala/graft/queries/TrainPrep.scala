@@ -1127,7 +1127,86 @@ object TrainPrep {
       |  list_reduce(list(term ORDER BY t), (a, b) -> a + b) AS kl_nats
       |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q235 split geometry: sessions ending before the cutoff train;
+    * sessions starting after cutoff + embargo test; anything touching
+    * the embargo corridor is PURGED.
+    */
+  val SPLIT_CUTOFF = "2024-01-22 00:00:00"
+  val SPLIT_EMBARGO_US: Long = 3600L * 1000000L
+  val SPLIT_GAP_US: Long = 30L * 60L * 1000000L
+
+  /** q235: PURGED TEMPORAL SPLIT — the leakage-safe train/test split
+    * for sequence models: splitting EVENTS at a cutoff leaks, because
+    * a session straddling it puts correlated behavior on both sides.
+    * So the unit of assignment is the SESSION (the q37 gap rule), and
+    * an embargo corridor after the cutoff is dropped entirely — the
+    * purged/embargoed split from the financial-ML literature, applied
+    * to behavioral data. One user-partitioned window pass sessionizes
+    * (the exchange every sequence query shares), one session rollup
+    * classifies, one 3-row report: per split, sessions / events /
+    * distinct users.
+    */
+  def q235PurgedSplit(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = byUser.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cutoffUs = col("cutoff_us")
+    val sessions = Tables(spark, dir).events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > SPLIT_GAP_US, 1L)
+          .otherwise(0L))
+      .withColumn("sess_idx", sum("new_sess").over(cum))
+      .groupBy("user_id", "sess_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .withColumn("cutoff_us",
+        unix_micros(lit(SPLIT_CUTOFF).cast("timestamp")))
+      .withColumn("split",
+        when(col("end_us") < cutoffUs, "train")
+          .when(col("start_us") >= cutoffUs + SPLIT_EMBARGO_US, "test")
+          .otherwise("purged"))
+    sessions.groupBy("split")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"),
+        countDistinct("user_id").as("n_users"))
+  }
+
+  val q235Sql: String =
+    s"""WITH f AS (
+      |  SELECT *,
+      |    CASE WHEN prev_us IS NULL
+      |           OR epoch_us(ts) - prev_us > $SPLIT_GAP_US
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                              ORDER BY ts, event_id) AS prev_us
+      |    FROM events)),
+      |s AS (
+      |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+      |  FROM f),
+      |sess AS (
+      |  SELECT user_id, sess_idx, count(*) AS n_events,
+      |    min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+      |  FROM s GROUP BY 1, 2),
+      |cls AS (
+      |  SELECT *,
+      |    CASE WHEN end_us < epoch_us(TIMESTAMP '$SPLIT_CUTOFF') THEN 'train'
+      |         WHEN start_us >= epoch_us(TIMESTAMP '$SPLIT_CUTOFF')
+      |           + $SPLIT_EMBARGO_US THEN 'test'
+      |         ELSE 'purged' END AS split
+      |  FROM sess)
+      |SELECT split, count(*) AS n_sessions,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_purged_split" -> Gate.sorted(q235PurgedSplit _, "split"),
     "q227_source_kl" -> Gate.sorted(q227SourceKl _, "source"),
     "q221_scaling_ladder" -> Gate.sorted(q221ScalingLadder _, "pct"),
     "q209_mixture_weights" -> Gate.sorted(q209MixtureWeights _, "source"),
@@ -1153,6 +1232,7 @@ object TrainPrep {
     "q81_quality_rules" -> Gate.sorted(q81QualityRules _, "doc_id"))
 
   val oracles: Map[String, String] = Map(
+    "q235_purged_split" -> q235Sql,
     "q227_source_kl" -> q227Sql,
     "q221_scaling_ladder" -> q221Sql,
     "q209_mixture_weights" -> q209Sql,

@@ -70,6 +70,22 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q234 ordered aggregation strings follow the exact rank order") {
+    val orders = Tables(spark, sfDir).orders
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("p"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = orders.groupBy(_._1).view.mapValues { xs =>
+      val top = xs.sortBy(t => (-t._3, t._2)).take(5)
+      (top.length.toLong, top.map(_._3).sum, top.map(_._2).mkString(","))
+    }.toMap
+    val got = graft.queries.SqlSurface.q234OrderedAgg(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_top"), r.getAs[Long]("top_rev_c"),
+          r.getAs[String]("top_keys"))).toMap
+    assert(got === want)
+  }
+
   test("q233 RANGE frame is the calendar week, not the last 7 rows") {
     val daily = Tables(spark, sfDir).orders
       .groupBy(expr("unix_micros(o_orderdate) div 86400000000").as("day"))

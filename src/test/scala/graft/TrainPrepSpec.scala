@@ -445,6 +445,39 @@ class TrainPrepSpec extends SparkSpec {
       docs.map(_._4).distinct.length)
   }
 
+  test("q235 split partitions all sessions and the embargo purges straddlers") {
+    val rows = TrainPrep.q235PurgedSplit(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+    // every event lands in exactly one split
+    val totalEvents = Tables(spark, sfDir).events.count()
+    assert(rows.values.map(_._2).sum === totalEvents)
+    assert(rows.contains("train") && rows.contains("test"),
+      s"cutoff must produce both sides: $rows")
+    // recompute the classification from q37's session frame
+    val cutoffUs = java.time.LocalDateTime
+      .parse(TrainPrep.SPLIT_CUTOFF.replace(" ", "T"))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val sess = graft.queries.SessionOps.q37EventsSessionize(spark, sfDir)
+      .select("sess_start", "sess_end").collect()
+      .map { r =>
+        def us(s: String) = java.time.LocalDateTime
+          .parse(s.replace(" ", "T"))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+        (us(r.getString(0)), us(r.getString(1)))
+      }
+    // q37 timestamps are second-truncated strings; classify with
+    // second-resolution bounds, so only compare the session COUNTS of
+    // the unambiguous splits (no session boundary sits within 1s of
+    // the cutoff in the synthetic data)
+    val want = sess.groupBy { case (s, e) =>
+      if (e < cutoffUs) "train"
+      else if (s >= cutoffUs + TrainPrep.SPLIT_EMBARGO_US) "test"
+      else "purged"
+    }.view.mapValues(_.length.toLong).toMap
+    want.foreach { case (k, n) => assert(rows(k)._1 === n, s"split $k") }
+  }
+
   test("q227 KL divergences are non-negative and vocabularies reconcile") {
     val rows = TrainPrep.q227SourceKl(spark, sfDir).collect()
     assert(rows.nonEmpty)
