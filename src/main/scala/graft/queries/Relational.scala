@@ -818,7 +818,57 @@ object Relational {
       |HAVING count(*) >= $Q93_MIN_SUPPORT
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** q237: HIERARCHICAL CONTRIBUTION ANALYSIS — revenue share of each
+    * nation within its region AND of each region within the total, in
+    * one report: the drill-down decomposition ("which child drives the
+    * parent's number") every BI layer renders. The fact table
+    * aggregates ONCE to the nation grain (orders joined to broadcast
+    * customer/nation/region dims); both share levels are windows over
+    * that ~25-row rollup, and each share is a floor on exact BIGINTs.
+    */
+  def q237Contribution(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val byRegion = org.apache.spark.sql.expressions.Window
+      .partitionBy("r_name")
+    val overAll = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+    val nationRev = t.orders
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("rev_c"))
+      .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum("rev_c").as("rev_c"))
+    nationRev
+      .select(col("r_name"), col("n_name"), col("rev_c"),
+        floor(col("rev_c") * lit(1e6) / sum("rev_c").over(byRegion)
+          + lit(0.5)).cast("long").as("nation_in_region_micro"),
+        floor(sum("rev_c").over(byRegion) * lit(1e6) /
+          sum("rev_c").over(overAll) + lit(0.5)).cast("long")
+          .as("region_of_total_micro"))
+  }
+
+  val q237Sql: String =
+    """WITH nr AS (
+      |  SELECT r.r_name, n.n_name,
+      |    CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS rev_c
+      |  FROM orders o
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |  JOIN region r ON r.r_regionkey = n.n_regionkey
+      |  GROUP BY 1, 2)
+      |SELECT r_name, n_name, rev_c,
+      |  CAST(floor(rev_c * 1e6 / sum(rev_c) OVER (PARTITION BY r_name) + 0.5)
+      |    AS BIGINT) AS nation_in_region_micro,
+      |  CAST(floor(sum(rev_c) OVER (PARTITION BY r_name) * 1e6 /
+      |    sum(rev_c) OVER () + 0.5) AS BIGINT) AS region_of_total_micro
+      |FROM nr ORDER BY r_name, n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_contribution" -> Gate.sorted(q237Contribution _, "r_name", "n_name"),
     "q219_frequent_triples" ->
       Gate.sorted(q219FrequentTriples _, "part_a", "part_b", "part_c"),
     "q150_integrity_audit" -> Gate.sorted(q150IntegrityAudit _, "fk_constraint"),
@@ -842,6 +892,7 @@ object Relational {
     "q79_native_topk" -> Gate.sorted(q79NativeTopk _, "o_custkey", "o_orderkey"))
 
   val oracles: Map[String, String] = Map(
+    "q237_contribution" -> q237Sql,
     "q219_frequent_triples" -> q219Sql,
     "q150_integrity_audit" -> q150Sql,
     "q138_cheapest_supplier" -> q138Sql,

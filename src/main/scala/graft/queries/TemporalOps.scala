@@ -246,7 +246,68 @@ object TemporalOps {
       |WHERE rank <= $TRIGRAM_TOP
       |ORDER BY rank, t1, t2, t3""".stripMargin
 
+  /** q236 backtest horizon: the seasonal-naive forecast repeats the
+    * value from this many days earlier (one week).
+    */
+  val FORECAST_LAG_DAYS = 7
+
+  /** q236: SEASONAL-NAIVE FORECAST BACKTEST — the baseline every
+    * forecasting system must beat: predict day t's per-type volume
+    * and value with day t−7, then score MAE / bias / MAPE over the
+    * backtest window. Deciding "is the fancy model better than
+    * seasonal-naive" is THE forecasting-ops question, and the metrics
+    * here are exact: integer absolute errors summed per type, MAPE in
+    * micro from cross-multiplied integers. One day-grain rollup (map-
+    * side combined), one lag window on the tiny series, one report
+    * aggregate.
+    */
+  def q236ForecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy("event_type").orderBy("day")
+    val daily = Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("v_c"))
+    daily
+      .withColumn("pred_n", lag("n", FORECAST_LAG_DAYS).over(byType))
+      .withColumn("pred_v", lag("v_c", FORECAST_LAG_DAYS).over(byType))
+      .filter(col("pred_n").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        floor(sum(abs(col("n") - col("pred_n"))) * lit(1e6) / count(lit(1))
+          + lit(0.5)).cast("long").as("mae_n_micro"),
+        sum(col("n") - col("pred_n")).as("bias_n"),
+        // per-day percentage errors as INTEGER micro (|Δ|·1e6 div v)
+        // before summing — a double sum would be partition-order-
+        // dependent; the integer sum is exact and order-free
+        floor(sum(expr("(abs(v_c - pred_v) * 1000000) div v_c")) /
+          count(lit(1)) + lit(0.5)).cast("long").as("mape_v_micro"))
+  }
+
+  val q236Sql: String =
+    s"""WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v_c
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT *,
+      |    lag(n, $FORECAST_LAG_DAYS) OVER w AS pred_n,
+      |    lag(v_c, $FORECAST_LAG_DAYS) OVER w AS pred_v
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day))
+      |SELECT event_type, count(*) AS n_days,
+      |  CAST(floor(sum(abs(n - pred_n)) * 1e6 / count(*) + 0.5) AS BIGINT)
+      |    AS mae_n_micro,
+      |  CAST(sum(n - pred_n) AS BIGINT) AS bias_n,
+      |  CAST(floor(sum((abs(v_c - pred_v) * 1000000) // v_c)
+      |    / count(*) + 0.5) AS BIGINT) AS mape_v_micro
+      |FROM p WHERE pred_n IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_forecast_backtest" ->
+      Gate.sorted(q236ForecastBacktest _, "event_type"),
     "q231_event_trigrams" ->
       Gate.sorted(q231EventTrigrams _, "rank", "t1", "t2", "t3"),
     "q170_user_ewma" -> Gate.sorted(q170UserEwma _, "user_id"),
@@ -256,6 +317,7 @@ object TemporalOps {
     "q164_abandoned_clicks" -> Gate.sorted(q164AbandonedClicks _, "user_id"))
 
   val oracles: Map[String, String] = Map(
+    "q236_forecast_backtest" -> q236Sql,
     "q231_event_trigrams" -> q231Sql,
     "q170_user_ewma" -> q170Sql,
     "q162_markov_transitions" -> q162Sql,

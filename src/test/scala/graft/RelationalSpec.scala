@@ -225,6 +225,29 @@ class RelationalSpec extends SparkSpec {
     assert(dirty("customer.c_nationkey -> nation") == 0L)
   }
 
+  test("q237 shares reconcile: children sum to parents, parents to 1e6") {
+    val rows = graft.queries.Relational.q237Contribution(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("rev_c"),
+        r.getAs[Long]("nation_in_region_micro"),
+        r.getAs[Long]("region_of_total_micro")))
+    // nation shares within each region sum to ~1e6 (per-row rounding)
+    rows.groupBy(_._1).foreach { case (region, ns) =>
+      val s = ns.map(_._4).sum
+      assert(math.abs(s - 1000000L) <= ns.length / 2 + 1, s"$region: $s")
+      // every nation in the region reports the SAME region share
+      assert(ns.map(_._5).distinct.length === 1, region)
+    }
+    // region shares sum to ~1e6
+    val regionShares = rows.groupBy(_._1).map(_._2.head._5)
+    assert(math.abs(regionShares.sum - 1000000L) <= regionShares.size / 2 + 1)
+    // revenue conserves against a direct total
+    val total = Tables(spark, sfDir).orders
+      .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("r"))
+      .agg(sum("r")).head.getLong(0)
+    assert(rows.map(_._3).sum === total)
+  }
+
   test("q219 Apriori triples equal the unpruned brute-force count") {
     // sf0.01: the smallest sf with any support-2 triple
     val dir = "/root/testdata/sf0.01"

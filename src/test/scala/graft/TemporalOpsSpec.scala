@@ -47,6 +47,35 @@ class TemporalOpsSpec extends SparkSpec {
     assert(math.abs(got - math.floor(r * 1e6 + 0.5).toLong) <= 1)
   }
 
+  test("q236 backtest metrics equal a driver-side lag-7 recompute") {
+    val daily = Tables(spark, sfDir).events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = TemporalOps.q236ForecastBacktest(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("mae_n_micro"),
+          r.getAs[Long]("bias_n"), r.getAs[Long]("mape_v_micro"))).toMap
+    daily.groupBy(_._1).foreach { case (et, xs) =>
+      val byDay = xs.map(t => t._2 -> ((t._3, t._4))).toMap
+      val scored = xs.flatMap { case (_, d, n, v) =>
+        byDay.get(d - TemporalOps.FORECAST_LAG_DAYS)
+          .map { case (pn, pv) => (n, pn, v, pv) }
+      }
+      val k = scored.length.toLong
+      val mae = math.floor(
+        scored.map(t => math.abs(t._1 - t._2)).sum * 1e6 / k + 0.5).toLong
+      val bias = scored.map(t => t._1 - t._2).sum
+      val mape = math.floor(
+        scored.map(t => math.abs(t._3 - t._4) * 1000000L / t._3).sum
+          .toDouble / k + 0.5).toLong
+      assert(got(et) === ((k, mae, bias, mape)), s"type $et")
+    }
+  }
+
   test("q231 trigram counts equal a driver-side stream fold") {
     val ev = Tables(spark, sfDir).events
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
