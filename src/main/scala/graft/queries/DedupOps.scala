@@ -1094,7 +1094,104 @@ object DedupOps {
       |  provenance, n_sources
       |FROM g ORDER BY cluster_id""".stripMargin
 
+  /** q238 chunk geometry — q43's sliding windows, re-declared here so
+    * the operator and oracle share one set of literals.
+    */
+  val CHUNK_ND_SIZE = 200
+  val CHUNK_ND_STRIDE = 150
+
+  /** q238: CHUNK-LEVEL NEAR-DUP DETECTION — the partial-overlap case
+    * document-level MinHash (q27) structurally misses: a document that
+    * EMBEDS a copied paragraph inside otherwise-novel text shares too
+    * little with its source for whole-doc signatures to collide. So
+    * the banding runs at CHUNK granularity (q43's 200/150 sliding
+    * windows): per chunk a MinHash signature, per band a bucket join,
+    * and the report rolls colliding chunk pairs up to the DOC pair
+    * with the count of linked chunks — exactly the evidence a
+    * takedown/attribution pipeline needs ("which passages overlap"),
+    * not just a verdict. The fanout is bounded: chunks/doc ~
+    * len/stride, and the band join carries (ids, hashes) only.
+    */
+  def q238ChunkNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables(spark, dir).documents
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, cast(greatest(ceil(length(text) / " +
+          s"$CHUNK_ND_STRIDE.0), 1) as int) - 1)")).as("chunk_idx"),
+        col("text"))
+      .select(col("doc_id"), col("chunk_idx"),
+        substring(col("text"), col("chunk_idx") * CHUNK_ND_STRIDE + 1,
+          lit(CHUNK_ND_SIZE)).as("chunk"))
+    val sigs = chunks.select(col("doc_id"), col("chunk_idx"),
+      graft.plans.MinHashSignature(col("chunk"), SHINGLE_N, NUM_HASHES)
+        .as("sig"))
+    val bands = sigs.select(col("doc_id"), col("chunk_idx"),
+      posexplode(array((0 until NUM_BANDS).map { b =>
+        md5(concat_ws(",",
+          (0 until ROWS_PER_BAND).map(r =>
+            col("sig").getItem(b * ROWS_PER_BAND + r).cast("string")): _*))
+      }: _*)).as(Seq("band_idx", "band_hash")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.chunk_idx").as("ca"),
+        col("b.doc_id").as("doc_b"), col("b.chunk_idx").as("cb"))
+      .distinct()
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_chunk_links"),
+        countDistinct("ca").as("n_chunks_a"),
+        countDistinct("cb").as("n_chunks_b"))
+  }
+
+  val q238Sql: String = {
+    val sigDefs = (0 until NUM_HASHES).map { k =>
+      val (a, b) = minhashCoeff(k)
+      s"coalesce(list_min(list_transform(hs, h -> (h * $a + $b) % $MINHASH_P)), $MINHASH_P) AS s$k"
+    }.mkString(",\n    ")
+    val bandRows = (0 until NUM_BANDS).map { b =>
+      val cc = (0 until ROWS_PER_BAND)
+        .map(r => s"CAST(s${b * ROWS_PER_BAND + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, chunk_idx, $b AS band_idx, md5($cc) AS band_hash FROM csig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ch AS (
+      |  SELECT doc_id, i AS chunk_idx,
+      |    substr(text, i * $CHUNK_ND_STRIDE + 1, $CHUNK_ND_SIZE) AS chunk
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      unnest(generate_series(0,
+      |        CAST(greatest(ceil(length(text) / $CHUNK_ND_STRIDE.0), 1) AS INT) - 1)) AS i
+      |    FROM documents)),
+      |csh AS (
+      |  SELECT doc_id, chunk_idx,
+      |    list_transform(generate_series(1, length(chunk) - ${SHINGLE_N - 1}),
+      |      i -> list_reduce(
+      |             list_transform(generate_series(i, i + ${SHINGLE_N - 1}),
+      |                            j -> CAST(ascii(substr(chunk, j, 1)) AS BIGINT)),
+      |             (a, c) -> a * 31 + c) % $MINHASH_P) AS hs
+      |  FROM ch),
+      |csig AS (
+      |  SELECT doc_id, chunk_idx,
+      |    $sigDefs
+      |  FROM csh),
+      |cbands AS (
+      |  $bandRows),
+      |links AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, a.chunk_idx AS ca,
+      |    b.doc_id AS doc_b, b.chunk_idx AS cb
+      |  FROM cbands a JOIN cbands b
+      |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+      |   AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, count(*) AS n_chunk_links,
+      |  CAST(count(DISTINCT ca) AS BIGINT) AS n_chunks_a,
+      |  CAST(count(DISTINCT cb) AS BIGINT) AS n_chunks_b
+      |FROM links GROUP BY 1, 2
+      |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_chunk_neardup" ->
+      Gate.sorted(q238ChunkNeardup _, "doc_a", "doc_b"),
     "q230_survivorship" -> Gate.sorted(q230Survivorship _, "cluster_id"),
     "q225_cluster_density" -> Gate.sorted(q225ClusterDensity _, "cluster_id"),
     "q220_dedup_eval" -> Gate.sorted(q220DedupEval _, "tau_micro"),
@@ -1114,6 +1211,7 @@ object DedupOps {
     "q72_minhash_estimate" -> Gate.sorted(q72MinhashEstimate _, "doc_a", "doc_b"))
 
   val oracles: Map[String, String] = Map(
+    "q238_chunk_neardup" -> q238Sql,
     "q230_survivorship" -> q230Sql,
     "q225_cluster_density" -> q225Sql,
     "q220_dedup_eval" -> q220Sql,

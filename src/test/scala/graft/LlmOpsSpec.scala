@@ -536,6 +536,40 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q238 guarantees: exact-dup docs always link, counts are consistent") {
+    // identical texts chunk identically, so EVERY exact-duplicate doc
+    // pair must appear with all its chunks linked — the guaranteed
+    // floor of chunk-level recall (general near-dups may or may not
+    // collide per chunk; that selectivity is the operator's point)
+    val dupPairs = LlmText.q26DedupExact(spark, sfDir)
+      .filter(col("n_copies") > 1).collect()
+      .map(_.getAs[String]("content_md5"))
+    val byHash = Tables(spark, sfDir).documents
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        length(col("text")).as("len"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .groupBy(_._2)
+    val rows = DedupOps.q238ChunkNeardup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_chunk_links"), r.getAs[Long]("n_chunks_a"),
+          r.getAs[Long]("n_chunks_b"))).toMap
+    dupPairs.foreach { h =>
+      val ids = byHash(h).map(_._1).sorted
+      val nChunks = math.max(
+        math.ceil(byHash(h).head._3 / DedupOps.CHUNK_ND_STRIDE.toDouble), 1).toLong
+      for (i <- ids.indices; j <- i + 1 until ids.length) {
+        val k = (ids(i), ids(j))
+        assert(rows.contains(k), s"exact dup pair $k has no chunk links")
+        // every chunk of an identical pair collides with its twin
+        assert(rows(k)._2 === nChunks && rows(k)._3 === nChunks, s"pair $k")
+      }
+    }
+    rows.values.foreach { case (links, ca, cb) =>
+      assert(ca <= links && cb <= links)
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("q230 golden records fuse fields by their per-field rules") {
     val docs = Tables(spark, sfDir).documents
       .select("doc_id", "source", "n_chars").collect()
