@@ -170,11 +170,77 @@ object OpsAnalytics {
        |  count(*) AS n_events
        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q240 contract window (shared literals with the oracle). */
+  val CONTRACT_TS_LO = "2024-01-01 00:00:00"
+  val CONTRACT_TS_HI = "2024-02-01 00:00:00"
+  val CONTRACT_VALUE_MAX = 1000.0
+
+  /** q240: DATA-CONTRACT CHECK — the ingestion gate's expectation
+    * suite (the Deequ/Great-Expectations shape) over the event
+    * stream: every rule is a conditional aggregate over ONE scan
+    * (non-negative value, value ceiling, timestamp window, event-type
+    * enum, JSON payload parses to an integer k), emitted as a per-rule
+    * report with violation counts and a pass verdict. Adding a rule
+    * costs one column, never a pass — the property that makes contract
+    * suites affordable at 100 TB.
+    */
+  def q240EventContract(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val rules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "value_non_negative" -> (col("value") >= 0),
+      "value_below_max" -> (col("value") <= CONTRACT_VALUE_MAX),
+      "ts_in_window" ->
+        (col("ts") >= lit(CONTRACT_TS_LO).cast("timestamp") &&
+          col("ts") < lit(CONTRACT_TS_HI).cast("timestamp")),
+      "event_type_enum" -> col("event_type")
+        .isin("click", "view", "purchase", "signup", "error"),
+      "props_k_parses" ->
+        get_json_object(col("props"), "$.k").cast("long").isNotNull)
+    val aggs = rules.map { case (name, ok) =>
+      sum(when(!ok, 1L).otherwise(0L)).as(s"v_$name")
+    }
+    val one = ev.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val stacked = rules.map { case (name, _) => s"'$name', v_$name" }
+      .mkString(", ")
+    one.selectExpr("n_rows",
+      s"stack(${rules.size}, $stacked) as (rule, n_violations)")
+      .select(col("rule"), col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+  }
+
+  val q240Sql: String =
+    s"""WITH a AS (
+       |  SELECT count(*) AS n_rows,
+       |    sum(CASE WHEN NOT (value >= 0) THEN 1 ELSE 0 END) AS v1,
+       |    sum(CASE WHEN NOT (value <= $CONTRACT_VALUE_MAX) THEN 1 ELSE 0 END)
+       |      AS v2,
+       |    sum(CASE WHEN NOT (ts >= TIMESTAMP '$CONTRACT_TS_LO'
+       |      AND ts < TIMESTAMP '$CONTRACT_TS_HI') THEN 1 ELSE 0 END) AS v3,
+       |    sum(CASE WHEN event_type NOT IN
+       |      ('click', 'view', 'purchase', 'signup', 'error')
+       |      THEN 1 ELSE 0 END) AS v4,
+       |    sum(CASE WHEN TRY_CAST(props ->> 'k' AS BIGINT) IS NULL
+       |      THEN 1 ELSE 0 END) AS v5
+       |  FROM events)
+       |SELECT 'value_non_negative' AS rule, n_rows,
+       |  CAST(v1 AS BIGINT) AS n_violations, v1 = 0 AS pass FROM a
+       |UNION ALL SELECT 'value_below_max', n_rows, CAST(v2 AS BIGINT),
+       |  v2 = 0 FROM a
+       |UNION ALL SELECT 'ts_in_window', n_rows, CAST(v3 AS BIGINT),
+       |  v3 = 0 FROM a
+       |UNION ALL SELECT 'event_type_enum', n_rows, CAST(v4 AS BIGINT),
+       |  v4 = 0 FROM a
+       |UNION ALL SELECT 'props_k_parses', n_rows, CAST(v5 AS BIGINT),
+       |  v5 = 0 FROM a
+       |ORDER BY rule""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q201_last_touch" -> Gate.sorted(q201LastTouch _, "campaign"),
-    "q202_lateness_profile" -> Gate.sorted(q202LatenessProfile _, "late_min"))
+    "q202_lateness_profile" -> Gate.sorted(q202LatenessProfile _, "late_min"),
+    "q240_event_contract" -> Gate.sorted(q240EventContract _, "rule"))
 
   val oracles: Map[String, String] = Map(
     "q201_last_touch" -> q201Sql,
-    "q202_lateness_profile" -> q202Sql)
+    "q202_lateness_profile" -> q202Sql,
+    "q240_event_contract" -> q240Sql)
 }

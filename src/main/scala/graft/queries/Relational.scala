@@ -867,7 +867,75 @@ object Relational {
       |    sum(rev_c) OVER () + 0.5) AS BIGINT) AS region_of_total_micro
       |FROM nr ORDER BY r_name, n_name""".stripMargin
 
+  /** q239: ASSOCIATION SIGNIFICANCE — q93's co-purchase pairs upgraded
+    * from raw lift to a 2x2 chi-square test per pair: lift says the
+    * pair co-occurs more than chance, chi-square says whether the
+    * evidence is enough to act on (rare pairs produce huge lifts from
+    * tiny counts — the classic basket-analysis trap). The contingency
+    * cells (a=both, b=A only, c=B only, d=neither) come from the pair
+    * and support rollups q93 already builds; chi2 = N(ad−bc)² /
+    * ((a+b)(c+d)(a+c)(b+d)) is computed from exact BIGINTs with the
+    * single division last, reported in milli units.
+    */
+  def q239AssocSignificance(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+      .localCheckpoint(true)
+    val nOrders = broadcast(t.orders.agg(count(lit(1)).as("n")))
+    val supp = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
+    li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("part_a"), col("y.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("a"))
+      .filter(col("a") >= Q93_MIN_SUPPORT)
+      .join(supp.select(col("l_partkey").as("part_a"), col("supp").as("sa")),
+        "part_a")
+      .join(supp.select(col("l_partkey").as("part_b"), col("supp").as("sb")),
+        "part_b")
+      .crossJoin(nOrders)
+      .select(col("part_a"), col("part_b"), col("a"),
+        (col("sa") - col("a")).as("b"), (col("sb") - col("a")).as("c"),
+        (col("n") - col("sa") - col("sb") + col("a")).as("d"), col("n"))
+      .select(col("part_a"), col("part_b"), col("a").as("n_both"),
+        floor(col("n").cast("double") *
+          (col("a") * col("d") - col("b") * col("c")) *
+          (col("a") * col("d") - col("b") * col("c")) /
+          ((col("a") + col("b")) * (col("c") + col("d")) *
+            (col("a") + col("c")).cast("double") * (col("b") + col("d"))) *
+          lit(1000) + lit(0.5)).cast("long").as("chi2_milli"))
+  }
+
+  val q239Sql: String =
+    s"""WITH li AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+      |supp AS (
+      |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS supp FROM li GROUP BY 1),
+      |pairs AS (
+      |  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+      |    CAST(count(*) AS BIGINT) AS a
+      |  FROM li x JOIN li y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= $Q93_MIN_SUPPORT),
+      |cells AS (
+      |  SELECT p.part_a, p.part_b, p.a,
+      |    sa.supp - p.a AS b, sb.supp - p.a AS c,
+      |    n.n - sa.supp - sb.supp + p.a AS d, n.n AS n
+      |  FROM pairs p
+      |  JOIN supp sa ON sa.l_partkey = p.part_a
+      |  JOIN supp sb ON sb.l_partkey = p.part_b
+      |  CROSS JOIN n)
+      |SELECT part_a, part_b, a AS n_both,
+      |  CAST(floor(CAST(n AS DOUBLE) * (a * d - b * c) * (a * d - b * c) /
+      |    ((a + b) * (c + d) * CAST(a + c AS DOUBLE) * (b + d)) * 1000 + 0.5)
+      |    AS BIGINT) AS chi2_milli
+      |FROM cells
+      |ORDER BY part_a, part_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_assoc_significance" ->
+      Gate.sorted(q239AssocSignificance _, "part_a", "part_b"),
     "q237_contribution" -> Gate.sorted(q237Contribution _, "r_name", "n_name"),
     "q219_frequent_triples" ->
       Gate.sorted(q219FrequentTriples _, "part_a", "part_b", "part_c"),
@@ -892,6 +960,7 @@ object Relational {
     "q79_native_topk" -> Gate.sorted(q79NativeTopk _, "o_custkey", "o_orderkey"))
 
   val oracles: Map[String, String] = Map(
+    "q239_assoc_significance" -> q239Sql,
     "q237_contribution" -> q237Sql,
     "q219_frequent_triples" -> q219Sql,
     "q150_integrity_audit" -> q150Sql,

@@ -58,6 +58,27 @@ class OpsAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q240 contract verdicts match direct violation counts") {
+    val rows = OpsAnalytics.q240EventContract(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_violations"),
+          r.getAs[Boolean]("pass"))).toMap
+    val ev = Tables(spark, sfDir).events
+    val n = ev.count()
+    assert(rows.size === 5)
+    rows.values.foreach { case (nr, v, pass) =>
+      assert(nr === n)
+      assert(pass === (v == 0L))
+      assert(v >= 0L && v <= n)
+    }
+    // direct recount of one rule on each side of the pass/fail line
+    val badValue = ev.filter(!(col("value") >= 0)).count()
+    assert(rows("value_non_negative")._2 === badValue)
+    val badEnum = ev.filter(!col("event_type")
+      .isin("click", "view", "purchase", "signup", "error")).count()
+    assert(rows("event_type_enum")._2 === badEnum)
+  }
+
   test("q202 block decomposition equals the one-task running max") {
     // driver-side single-pass recompute over the jittered arrival order
     val rows = Tables(spark, sfDir).events

@@ -225,6 +225,31 @@ class RelationalSpec extends SparkSpec {
     assert(dirty("customer.c_nationkey -> nation") == 0L)
   }
 
+  test("q239 chi-square equals a driver-side contingency recompute") {
+    val li = Tables(spark, sfDir).lineitem
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = Tables(spark, sfDir).orders.count()
+    val supp = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCounts = li.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length; if ps(i) < ps(j))
+        yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= graft.queries.Relational.Q93_MIN_SUPPORT).toMap
+    val got = graft.queries.Relational.q239AssocSignificance(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Long]("n_both"), r.getAs[Long]("chi2_milli")))).toMap
+    assert(got.keySet === pairCounts.keySet)
+    pairCounts.foreach { case (k @ (pa, pb), a) =>
+      val b = supp(pa) - a; val c = supp(pb) - a; val d = n - supp(pa) - supp(pb) + a
+      val chi2 = n.toDouble * (a * d - b * c) * (a * d - b * c) /
+        ((a + b) * (c + d) * (a + c).toDouble * (b + d))
+      assert(got(k) === ((a, math.floor(chi2 * 1000 + 0.5).toLong)), s"$k")
+    }
+  }
+
   test("q237 shares reconcile: children sum to parents, parents to 1e6") {
     val rows = graft.queries.Relational.q237Contribution(spark, sfDir)
       .collect()
