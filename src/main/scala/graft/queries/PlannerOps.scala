@@ -253,7 +253,69 @@ object PlannerOps {
       |FROM aff a JOIN tot t USING (month) JOIN cost c USING (month)
       |ORDER BY month""".stripMargin
 
+  /** q242 sizing literals: estimated bytes per shuffled row and the
+    * per-partition byte target (test-scale; production uses the same
+    * plan with ~128 MB — the q179 discipline of scale-free shapes with
+    * scale-appropriate constants).
+    */
+  val ADV_ROW_BYTES = 64L
+  val ADV_TARGET_BYTES = 1L << 20
+
+  /** q242: SHUFFLE-PARTITION ADVISOR — the sizing decision AQE makes
+    * at runtime, computed AHEAD of the job from the key histogram (the
+    * q186/q157 statistics): how many partitions hold the shuffle at
+    * the byte target, and what salt factor the hottest key needs so
+    * no single task exceeds it (the q120 salted-join parameter, here
+    * DERIVED from data instead of guessed). One aggregate over the
+    * key histogram; the hottest key is an exact argmax via the packed
+    * count·2³²−key ordering. Pure integer ceil-divisions.
+    */
+  def q242ShuffleAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables(spark, dir).events
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+    hist.agg(
+      sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+      max(col("c") * lit(4294967296L) - col("user_id")).as("hk"))
+      .select(col("n_rows"), col("n_keys"),
+        expr("(hk + 4294967295) div 4294967296").as("hot_rows"),
+        (expr("(hk + 4294967295) div 4294967296") * lit(4294967296L) -
+          col("hk")).as("hot_key"),
+        expr(s"(n_rows * $ADV_ROW_BYTES + $ADV_TARGET_BYTES - 1)" +
+          s" div $ADV_TARGET_BYTES").as("suggested_partitions"))
+      .withColumn("rows_per_partition",
+        expr("(n_rows + suggested_partitions - 1) div suggested_partitions"))
+      .withColumn("salt_factor",
+        expr("(hot_rows + rows_per_partition - 1) div rows_per_partition"))
+  }
+
+  val q242Sql: String =
+    s"""WITH h AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |a AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+      |    CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(max(c * 4294967296 - user_id) AS BIGINT) AS hk
+      |  FROM h),
+      |b AS (
+      |  SELECT n_rows, n_keys,
+      |    (hk + 4294967295) // 4294967296 AS hot_rows,
+      |    ((hk + 4294967295) // 4294967296) * 4294967296 - hk AS hot_key,
+      |    (n_rows * $ADV_ROW_BYTES + $ADV_TARGET_BYTES - 1)
+      |      // $ADV_TARGET_BYTES AS suggested_partitions
+      |  FROM a),
+      |c AS (
+      |  SELECT *, (n_rows + suggested_partitions - 1) // suggested_partitions
+      |    AS rows_per_partition
+      |  FROM b)
+      |SELECT n_rows, n_keys, hot_rows, hot_key, suggested_partitions,
+      |  rows_per_partition,
+      |  (hot_rows + rows_per_partition - 1) // rows_per_partition
+      |    AS salt_factor
+      |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_shuffle_advisor" -> ((s, d) => q242ShuffleAdvisor(s, d)),
     "q232_invalidation_plan" -> Gate.sorted(q232InvalidationPlan _, "month"),
     "q199_breadth_hist" -> Gate.sorted(q199BreadthHist _, "n_types"),
     "q200_table_heartbeat" -> Gate.sorted(q200TableHeartbeat _, "table_name"),
@@ -263,6 +325,7 @@ object PlannerOps {
     "q187_stratified_fixed_n" -> Gate.sorted(q187StratifiedFixedN _, "lang", "rk"))
 
   val oracles: Map[String, String] = Map(
+    "q242_shuffle_advisor" -> q242Sql,
     "q232_invalidation_plan" -> q232Sql,
     "q199_breadth_hist" -> q199Sql,
     "q200_table_heartbeat" -> q200Sql,

@@ -680,7 +680,55 @@ object VectorOps {
       |  CAST(floor(sqrt(s2) / n + 0.5) AS BIGINT) AS centroid_norm_micro
       |FROM f ORDER BY label""".stripMargin
 
+  /** q241: RETRIEVAL MRR / FIRST-HIT EVAL — mean-reciprocal-rank
+    * scoring of the LSH index (q31) against the exact top-k truth
+    * (q30): where q76's recall asks "how many of the true neighbors
+    * appear anywhere in the cut", MRR asks "how SOON does the first
+    * true neighbor show up" — the metric that matches how retrieval
+    * results are consumed (the top positions do the work). Per query:
+    * the first approx rank whose neighbor is truly relevant, and its
+    * reciprocal in exact integer micro (rank is an integer, so
+    * floor(1e6/rank) is bit-stable; no-hit queries score 0). Both
+    * input rankings already exist; the eval is one join + one min.
+    */
+  def q241MrrEval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = EmbeddingOps.q30EmbeddingTopk(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = EmbeddingOps.q31LshAnn(spark, dir)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+    approx.select("query_id").distinct()
+      .join(hits.groupBy("query_id").agg(min("rank").as("first_hit_rank")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("first_hit_rank"), lit(0)).as("first_hit_rank"),
+        when(col("first_hit_rank").isNotNull,
+          floor(lit(1e6) / col("first_hit_rank")).cast("long"))
+          .otherwise(0L).as("rr_micro"))
+  }
+
+  val q241Sql: String =
+    s"""WITH exact_topk AS (${EmbeddingOps.q30Sql}),
+      |approx_topk AS (${EmbeddingOps.q31Sql}),
+      |hits AS (
+      |  SELECT a.query_id, a.rank
+      |  FROM approx_topk a
+      |  JOIN exact_topk e
+      |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id),
+      |fh AS (
+      |  SELECT query_id, min(rank) AS first_hit_rank
+      |  FROM hits GROUP BY 1)
+      |SELECT q.query_id,
+      |  CAST(COALESCE(f.first_hit_rank, 0) AS INTEGER) AS first_hit_rank,
+      |  CASE WHEN f.first_hit_rank IS NOT NULL
+      |    THEN CAST(floor(1e6 / f.first_hit_rank) AS BIGINT) ELSE 0 END
+      |    AS rr_micro
+      |FROM (SELECT DISTINCT query_id FROM approx_topk) q
+      |LEFT JOIN fh f USING (query_id)
+      |ORDER BY q.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q241_mrr_eval" -> Gate.sorted(q241MrrEval _, "query_id"),
     "q224_centroid_drift" -> Gate.sorted(q224CentroidDrift _, "label"),
     "q154_embedding_audit" -> Gate.sorted(q154EmbeddingAudit _, "vec_id"),
     "q122_jl_projection" -> Gate.sorted(q122JlProjection _, "vec_id", "k"),
@@ -691,6 +739,7 @@ object VectorOps {
     "q82_pq_ann" -> Gate.sorted(q82PqAnn _, "query_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q241_mrr_eval" -> q241Sql,
     "q224_centroid_drift" -> q224Sql,
     "q154_embedding_audit" -> q154Sql,
     "q122_jl_projection" -> q122Sql,

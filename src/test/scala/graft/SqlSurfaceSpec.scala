@@ -103,6 +103,27 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("q242 advisor arithmetic reconciles with the key histogram") {
+    val hist = Tables(spark, sfDir).events
+      .groupBy("user_id").agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val r = graft.queries.PlannerOps.q242ShuffleAdvisor(spark, sfDir).head
+    val n = hist.map(_._2).sum
+    assert(r.getAs[Long]("n_rows") === n)
+    assert(r.getAs[Long]("n_keys") === hist.length.toLong)
+    val hotRows = hist.map(_._2).max
+    assert(r.getAs[Long]("hot_rows") === hotRows)
+    assert(r.getAs[Long]("hot_key") ===
+      hist.filter(_._2 == hotRows).map(_._1).min)
+    def ceilDiv(a: Long, b: Long) = (a + b - 1) / b
+    val parts = ceilDiv(n * graft.queries.PlannerOps.ADV_ROW_BYTES,
+      graft.queries.PlannerOps.ADV_TARGET_BYTES)
+    assert(r.getAs[Long]("suggested_partitions") === parts)
+    val rpp = ceilDiv(n, parts)
+    assert(r.getAs[Long]("rows_per_partition") === rpp)
+    assert(r.getAs[Long]("salt_factor") === ceilDiv(hotRows, rpp))
+  }
+
   test("q232 invalidation plan reconciles against the change definition") {
     val orders = Tables(spark, sfDir).orders
       .select(col("o_orderkey"),

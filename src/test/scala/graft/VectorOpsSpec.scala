@@ -235,6 +235,28 @@ class VectorOpsSpec extends SparkSpec {
     assert(sm._4 == 0L)
   }
 
+  test("q241 MRR agrees with a driver-side first-hit scan") {
+    val exact = graft.queries.EmbeddingOps.q30EmbeddingTopk(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = graft.queries.EmbeddingOps.q31LshAnn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val got = graft.queries.VectorOps.q241MrrEval(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Int]("first_hit_rank"), r.getAs[Long]("rr_micro"))).toMap
+    approx.groupBy(_._1).foreach { case (q, rs) =>
+      val hit = rs.filter(t => exact(q).contains(t._3)).map(_._2)
+      val want =
+        if (hit.isEmpty) (0, 0L)
+        else (hit.min, math.floor(1e6 / hit.min).toLong)
+      assert(got(q) === want, s"query $q")
+    }
+    // reciprocal rank lives in (0, 1e6]
+    got.values.foreach { case (r, rr) =>
+      assert((r == 0 && rr == 0L) || (rr > 0L && rr <= 1000000L))
+    }
+  }
+
   test("q224 drift equals a driver-side centroid recompute") {
     import org.apache.spark.sql.functions._
     val rows = Tables(spark, sfDir).embeddings
