@@ -440,10 +440,102 @@ object EmbeddingOps {
       |WHERE p.vr = 1
       |ORDER BY query_id""".stripMargin
 
+  /** q243: MULTI-PROBE LSH — q31's bucket search with the query side
+    * ALSO probing every Hamming-distance-1 bucket (one hyperplane sign
+    * flipped): the classic recall-vs-memory trade (Lv et al.) — more
+    * candidates per table instead of more tables, for the SAME index.
+    * Only the query side fans out (NUM_PLANES+1 probes per query x
+    * table — a bounded broadcast, the corpus is untouched), candidates
+    * dedup before scoring, and the exact-rerank tail is q31's.
+    * Perturbation is pure bit arithmetic on the bucket id, identical
+    * in both engines.
+    */
+  def q243MultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+      .withColumn("buckets", allBuckets(col("embedding")))
+    val banded = emb.select(col("vec_id"), col("embedding"),
+      posexplode(col("buckets")).as(Seq("table_id", "bucket")))
+    val probes = banded.filter(col("vec_id") < NUM_QUERIES)
+      .select(col("vec_id").as("query_id"), col("table_id").as("q_table"),
+        explode(array((lit(-1) +: (0 until NUM_PLANES).map(lit(_))): _*))
+          .as("flip"), col("bucket"))
+      .select(col("query_id"), col("q_table"),
+        when(col("flip") < 0, col("bucket"))
+          .otherwise(expr("bucket ^ shiftleft(1L, flip)")).as("q_bucket"))
+      .dropDuplicates("query_id", "q_table", "q_bucket")
+    val cand = banded.join(broadcast(probes),
+        col("table_id") === col("q_table") &&
+          col("bucket") === col("q_bucket") &&
+          col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id", "embedding")
+      .dropDuplicates("query_id", "vec_id")
+    val qEmb = Tables(spark, dir).embeddings
+      .filter(col("vec_id") < NUM_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cand.join(broadcast(qEmb), "query_id")
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOP_K)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
+  val q243Sql: String = {
+    val planeRows = (for {
+      t <- 0 until NUM_TABLES
+      p <- 0 until NUM_PLANES
+    } yield {
+      val wts = planeWeights(t, p).map(_.toString).mkString("[", ", ", "]")
+      s"($t, $p, $wts)"
+    }).mkString(",\n|    ")
+    val flips = (Seq(-1) ++ (0 until NUM_PLANES)).map(f => s"($f)")
+      .mkString(", ")
+    s"""WITH planes(table_id, plane, wts) AS (
+      |  VALUES $planeRows),
+      |bits AS (
+      |  SELECT e.vec_id, p.table_id, p.plane,
+      |    CASE WHEN list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * p.wts[i])) >= 0
+      |    THEN 1 ELSE 0 END AS bit
+      |  FROM embeddings e CROSS JOIN planes p),
+      |buckets AS (
+      |  SELECT vec_id, table_id, sum(bit << plane) AS bucket
+      |  FROM bits GROUP BY vec_id, table_id),
+      |flips(f) AS (VALUES $flips),
+      |probes AS (
+      |  SELECT DISTINCT vec_id AS query_id, table_id,
+      |    CASE WHEN f < 0 THEN bucket ELSE xor(bucket, 1 << f) END AS q_bucket
+      |  FROM buckets CROSS JOIN flips
+      |  WHERE vec_id < $NUM_QUERIES),
+      |cand AS (
+      |  SELECT DISTINCT p.query_id, c.vec_id
+      |  FROM probes p
+      |  JOIN buckets c ON c.table_id = p.table_id AND c.bucket = p.q_bucket
+      |                AND c.vec_id != p.query_id),
+      |scored AS (
+      |  SELECT cand.query_id, cand.vec_id,
+      |    list_sum(list_transform(generate_series(1, len(ce.embedding)),
+      |      i -> CAST(qe.embedding[i] AS DOUBLE) * CAST(ce.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(qe.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(ce.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      |  FROM cand
+      |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+      |  JOIN embeddings ce ON ce.vec_id = cand.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id AS neighbor_id
+      |FROM ranked WHERE rank <= $TOP_K
+      |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q144_knn_classifier" -> Gate.sorted(q144KnnClassifier _, "query_id"),
     "q30_embedding_topk" -> (q30EmbeddingTopk _),
     "q31_lsh_ann" -> (q31LshAnn _),
+    "q243_multi_probe" -> Gate.sorted(q243MultiProbe _, "query_id", "rank"),
     "q40_embedding_neardup" -> Gate.sorted(q40EmbeddingNeardup _, "vec_a", "vec_b"),
     "q41_ivf_ann" -> Gate.sorted(q41IvfAnn _, "query_id", "rank"))
 
@@ -451,6 +543,7 @@ object EmbeddingOps {
     "q144_knn_classifier" -> q144Sql,
     "q30_embedding_topk" -> q30Sql,
     "q31_lsh_ann" -> q31Sql,
+    "q243_multi_probe" -> q243Sql,
     "q40_embedding_neardup" -> q40Sql,
     "q41_ivf_ann" -> q41Sql)
 }

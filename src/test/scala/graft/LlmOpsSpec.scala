@@ -536,6 +536,25 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("q243 multi-probe recall@5 dominates single-probe q31") {
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = hits(EmbeddingOps.q30EmbeddingTopk(spark, sfDir))
+    val single = hits(EmbeddingOps.q31LshAnn(spark, sfDir))
+    val multi = hits(EmbeddingOps.q243MultiProbe(spark, sfDir))
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val per = exact.map { case (q, t) =>
+        approx.getOrElse(q, Set.empty).count(t.contains).toDouble / t.size
+      }
+      per.sum / per.size
+    }
+    val rs = recall(single); val rm = recall(multi)
+    // probing Hamming-1 buckets can only ADD candidates
+    assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
+    assert(rm > 0.5, s"multi-probe recall unexpectedly low: $rm")
+  }
+
   test("q238 guarantees: exact-dup docs always link, counts are consistent") {
     // identical texts chunk identically, so EVERY exact-duplicate doc
     // pair must appear with all its chunks linked — the guaranteed
