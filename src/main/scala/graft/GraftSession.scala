@@ -34,6 +34,13 @@ object GraftSession {
   def getOrCreate(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session-level SQL surface for the udaf-based aggregates (native
+    // expressions register through GraftExtensions; Aggregator-backed
+    // functions go through the udf registry instead)
+    spark.udf.register("quantile_sketch",
+      org.apache.spark.sql.functions.udaf(
+        new graft.operators.QuantileSketch.SketchAgg(
+          graft.operators.QuantileSketch.DEFAULT_K)))
     spark
   }
 }

@@ -59,6 +59,14 @@ class QuantileSketchSpec extends SparkSpec {
     assert(s.levels.length <= 16, "levels grow logarithmically")
   }
 
+  test("quantile_sketch is registered for SQL use") {
+    Tables(spark, sfDir).lineitem.createOrReplaceTempView("li_qs")
+    val row = spark.sql(
+      "SELECT quantile_sketch(l_extendedprice) AS sk FROM li_qs")
+      .head.getAs[org.apache.spark.sql.Row]("sk")
+    assert(row.getAs[Long]("n") === Tables(spark, sfDir).lineitem.count())
+  }
+
   test("Spark aggregate sketches per group within the bound") {
     val li = Tables(spark, sfDir).lineitem
       .select(col("l_returnflag"), col("l_extendedprice"))
