@@ -234,12 +234,113 @@ object OpsAnalytics {
        |  v5 = 0 FROM a
        |ORDER BY rule""".stripMargin
 
+  /** q244: ATTRIBUTION MODEL COMPARISON — the same purchases credited
+    * under LAST-touch (q201's rule) and FIRST-touch in one pass, with
+    * the per-campaign delta: attribution-model sensitivity is the
+    * first thing a marketing-analytics reviewer asks for, and the two
+    * models differ exactly where journeys cross campaigns. One window
+    * pass computes BOTH running aggregates (last click and first
+    * click within the lookback — the first-touch side keeps the
+    * earliest click still inside the window via a min over a struct
+    * key); the report is a campaign-grain rollup of both credits.
+    * For determinism the first-touch rule here is "earliest click in
+    * the user's history at most [[ATTR_LOOKBACK_US]] before the
+    * purchase" evaluated per purchase from running aggregates, so no
+    * self-join ever materializes.
+    */
+  def q244AttributionCompare(spark: SparkSession, dir: String): DataFrame = {
+    val upToHere = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"),
+        (get_json_object(col("props"), "$.k").cast("long") % ATTR_CAMPAIGNS)
+          .as("camp"))
+      .withColumn("click_key",
+        when(col("event_type") === "click",
+          unix_micros(col("ts")) * lit(1000) + col("camp")))
+    val enriched = ev
+      .withColumn("last_ck",
+        last(col("click_key"), ignoreNulls = true).over(upToHere))
+      // earliest click key >= (purchase ts − lookback): a running min
+      // cannot expire old clicks, so collect the (bounded, per-user)
+      // ordered click keys and pick the first inside the window
+      .withColumn("clicks_so_far",
+        collect_list(col("click_key")).over(upToHere))
+      .filter(col("event_type") === "purchase")
+      .withColumn("cut",
+        (unix_micros(col("ts")) - ATTR_LOOKBACK_US) * lit(1000))
+      .withColumn("first_ck",
+        expr("array_min(filter(clicks_so_far, c -> c >= cut))"))
+    def camp(key: org.apache.spark.sql.Column) =
+      when(key.isNotNull, pmod(key, lit(1000))).otherwise(lit(-1L))
+    val lastValid = col("last_ck").isNotNull &&
+      col("last_ck") >= col("cut")
+    enriched
+      .select(col("value"),
+        when(lastValid, pmod(col("last_ck"), lit(1000))).otherwise(lit(-1L))
+          .as("last_camp"),
+        camp(col("first_ck")).as("first_camp"))
+      .withColumn("cents", floor(col("value") * 100 + lit(0.5)).cast("long"))
+      .select(explode(array(
+        struct(col("last_camp").as("campaign"), lit("last").as("model"),
+          col("cents")),
+        struct(col("first_camp").as("campaign"), lit("first").as("model"),
+          col("cents")))).as("e"))
+      .groupBy(col("e.campaign").as("campaign"), col("e.model").as("model"))
+      .agg(count(lit(1)).as("n_purchases"), sum("e.cents").as("revenue_cents"))
+  }
+
+  val q244Sql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id, event_type, value,
+       |    CASE WHEN event_type = 'click'
+       |      THEN epoch_us(ts) * 1000
+       |        + CAST(props ->> 'k' AS BIGINT) % $ATTR_CAMPAIGNS
+       |    END AS click_key
+       |  FROM events),
+       |w AS (
+       |  SELECT *,
+       |    last_value(click_key IGNORE NULLS) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_ck,
+       |    list(click_key) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS clicks_so_far
+       |  FROM ev),
+       |p AS (
+       |  SELECT value,
+       |    (epoch_us(ts) - $ATTR_LOOKBACK_US) * 1000 AS cut,
+       |    last_ck,
+       |    list_min(list_filter(clicks_so_far,
+       |      c -> c IS NOT NULL AND c >= (epoch_us(ts) - $ATTR_LOOKBACK_US) * 1000))
+       |      AS first_ck
+       |  FROM w WHERE event_type = 'purchase'),
+       |c AS (
+       |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+       |    CASE WHEN last_ck IS NOT NULL AND last_ck >= cut
+       |      THEN last_ck % 1000 ELSE -1 END AS last_camp,
+       |    CASE WHEN first_ck IS NOT NULL THEN first_ck % 1000 ELSE -1 END
+       |      AS first_camp
+       |  FROM p)
+       |SELECT last_camp AS campaign, 'last' AS model,
+       |  count(*) AS n_purchases, CAST(sum(cents) AS BIGINT) AS revenue_cents
+       |FROM c GROUP BY 1
+       |UNION ALL
+       |SELECT first_camp, 'first', count(*), CAST(sum(cents) AS BIGINT)
+       |FROM c GROUP BY 1
+       |ORDER BY campaign, model""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q244_attribution_compare" ->
+      Gate.sorted(q244AttributionCompare _, "campaign", "model"),
     "q201_last_touch" -> Gate.sorted(q201LastTouch _, "campaign"),
     "q202_lateness_profile" -> Gate.sorted(q202LatenessProfile _, "late_min"),
     "q240_event_contract" -> Gate.sorted(q240EventContract _, "rule"))
 
   val oracles: Map[String, String] = Map(
+    "q244_attribution_compare" -> q244Sql,
     "q201_last_touch" -> q201Sql,
     "q202_lateness_profile" -> q202Sql,
     "q240_event_contract" -> q240Sql)

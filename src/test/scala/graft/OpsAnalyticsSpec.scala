@@ -58,6 +58,25 @@ class OpsAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q244 both models conserve purchases and 'last' matches q201") {
+    val rows = OpsAnalytics.q244AttributionCompare(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("campaign"), r.getString(1)) ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("revenue_cents"))).toMap
+    val totalPurchases = Tables(spark, sfDir).events
+      .filter(col("event_type") === "purchase").count()
+    Seq("last", "first").foreach { m =>
+      val per = rows.filter(_._1._2 == m).values
+      assert(per.map(_._1).sum === totalPurchases, s"model $m coverage")
+    }
+    // the last-touch column of the comparison IS q201
+    val q201 = OpsAnalytics.q201LastTouch(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("campaign") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("revenue_cents"))).toMap
+    q201.foreach { case (c, v) =>
+      assert(rows((c, "last")) === v, s"campaign $c last-touch")
+    }
+  }
+
   test("q240 contract verdicts match direct violation counts") {
     val rows = OpsAnalytics.q240EventContract(spark, sfDir).collect()
       .map(r => r.getString(0) ->
