@@ -314,7 +314,61 @@ object PlannerOps {
       |    AS salt_factor
       |FROM c""".stripMargin
 
+  /** q245: CROSS-TABLE SKEW ATLAS — the q157/q186 key statistics for
+    * every fact table's natural join key in ONE report: rows, distinct
+    * keys, the hottest key's share, and the p99-to-mean concentration
+    * ratio. This is the first page of a cluster-sizing review — which
+    * exchanges need salting (q120/q242) before anything runs. Each
+    * table contributes one key-histogram aggregate (map-side
+    * combined); the report rows are 1-row rollups of those histograms
+    * unioned together — no table is scanned twice.
+    */
+  def q245SkewAtlas(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def stats(df: DataFrame, table: String, key: String): DataFrame =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+        .agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),
+          max("c").as("hot_rows"))
+        .select(lit(table).as("table_name"), lit(key).as("key_col"),
+          col("n_rows"), col("n_keys"), col("hot_rows"),
+          floor(col("hot_rows") * lit(1e6) / col("n_rows") + lit(0.5))
+            .cast("long").as("hot_share_micro"),
+          floor(col("hot_rows") * col("n_keys").cast("double") /
+            col("n_rows") * lit(1000) + lit(0.5)).cast("long")
+            .as("hot_vs_mean_milli"))
+    stats(t.lineitem, "lineitem", "l_orderkey")
+      .unionAll(stats(t.orders, "orders", "o_custkey"))
+      .unionAll(stats(t.events, "events", "user_id"))
+      .unionAll(stats(t.documents, "documents", "source"))
+      .unionAll(stats(t.embeddings, "embeddings", "label"))
+  }
+
+  val q245Sql: String = {
+    def stats(table: String, key: String): String =
+      s"""SELECT '$table' AS table_name, '$key' AS key_col,
+      |  CAST(sum(c) AS BIGINT) AS n_rows,
+      |  CAST(count(*) AS BIGINT) AS n_keys,
+      |  CAST(max(c) AS BIGINT) AS hot_rows,
+      |  CAST(floor(max(c) * 1e6 / sum(c) + 0.5) AS BIGINT)
+      |    AS hot_share_micro,
+      |  CAST(floor(max(c) * CAST(count(*) AS DOUBLE) / sum(c) * 1000 + 0.5)
+      |    AS BIGINT) AS hot_vs_mean_milli
+      |FROM (SELECT $key, CAST(count(*) AS BIGINT) AS c FROM $table
+      |      GROUP BY 1)"""
+    s"""${stats("lineitem", "l_orderkey")}
+      |UNION ALL
+      |${stats("orders", "o_custkey")}
+      |UNION ALL
+      |${stats("events", "user_id")}
+      |UNION ALL
+      |${stats("documents", "source")}
+      |UNION ALL
+      |${stats("embeddings", "label")}
+      |ORDER BY table_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_skew_atlas" -> Gate.sorted(q245SkewAtlas _, "table_name"),
     "q242_shuffle_advisor" -> ((s, d) => q242ShuffleAdvisor(s, d)),
     "q232_invalidation_plan" -> Gate.sorted(q232InvalidationPlan _, "month"),
     "q199_breadth_hist" -> Gate.sorted(q199BreadthHist _, "n_types"),
@@ -325,6 +379,7 @@ object PlannerOps {
     "q187_stratified_fixed_n" -> Gate.sorted(q187StratifiedFixedN _, "lang", "rk"))
 
   val oracles: Map[String, String] = Map(
+    "q245_skew_atlas" -> q245Sql,
     "q242_shuffle_advisor" -> q242Sql,
     "q232_invalidation_plan" -> q232Sql,
     "q199_breadth_hist" -> q199Sql,

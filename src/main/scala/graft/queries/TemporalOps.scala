@@ -305,7 +305,56 @@ object TemporalOps {
       |FROM p WHERE pred_n IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q246 decay geometry: one half-life epoch per 30 days, weights as
+    * integer units of 2^40 (an epoch older = one right-shift), so the
+    * decayed scores are exact BIGINT sums with no pow()/exp() anywhere.
+    */
+  val DECAY_EPOCH_DAYS = 30L
+  val DECAY_UNIT_SHIFT = 40
+  val DECAY_TOP = 20
+
+  /** q246: RECENCY-DECAYED POPULARITY — the trending-items ranking:
+    * each shipment contributes a half-life-decayed weight (half per
+    * 30-day epoch of age), so a recently-hot part outranks a
+    * historically-popular but cold one. The classic formulation is
+    * exp(-λ·age) — float, order-dependent, engine-divergent; this
+    * plan quantizes age to epochs and makes every weight an exact
+    * power-of-two integer (`2^40 >> epochs`), so the per-part scores
+    * are plain BIGINT sums and the top-20 is a TakeOrdered with an
+    * exact ordering. One scan + a broadcast 1-row max-date.
+    */
+  def q246DecayedPopularity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_partkey"),
+        expr("unix_micros(l_shipdate) div 86400000000").as("day"))
+    val mx = li.agg(max("day").as("max_day"))
+    li.crossJoin(broadcast(mx))
+      .select(col("l_partkey"),
+        expr(s"shiftright(${1L << DECAY_UNIT_SHIFT}L, " +
+          s"cast(least((max_day - day) div $DECAY_EPOCH_DAYS, " +
+          s"$DECAY_UNIT_SHIFT) as int))").as("w"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_shipments"), sum("w").as("score_units"))
+      .orderBy(col("score_units").desc, col("l_partkey"))
+      .limit(DECAY_TOP)
+  }
+
+  val q246Sql: String =
+    s"""WITH li AS (
+      |  SELECT l_partkey, epoch_us(l_shipdate) // 86400000000 AS day
+      |  FROM lineitem),
+      |mx AS (SELECT max(day) AS max_day FROM li)
+      |SELECT l_partkey, count(*) AS n_shipments,
+      |  CAST(sum(${1L << DECAY_UNIT_SHIFT} >>
+      |    least((max_day - day) // $DECAY_EPOCH_DAYS, $DECAY_UNIT_SHIFT))
+      |    AS BIGINT) AS score_units
+      |FROM li CROSS JOIN mx
+      |GROUP BY 1
+      |ORDER BY score_units DESC, l_partkey LIMIT $DECAY_TOP""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q246_decayed_popularity" ->
+      ((s, d) => q246DecayedPopularity(s, d)),
     "q236_forecast_backtest" ->
       Gate.sorted(q236ForecastBacktest _, "event_type"),
     "q231_event_trigrams" ->
@@ -317,6 +366,7 @@ object TemporalOps {
     "q164_abandoned_clicks" -> Gate.sorted(q164AbandonedClicks _, "user_id"))
 
   val oracles: Map[String, String] = Map(
+    "q246_decayed_popularity" -> q246Sql,
     "q236_forecast_backtest" -> q236Sql,
     "q231_event_trigrams" -> q231Sql,
     "q170_user_ewma" -> q170Sql,

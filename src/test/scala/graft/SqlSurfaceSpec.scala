@@ -103,6 +103,23 @@ class SqlSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("q245 atlas rows reconcile with direct per-table key counts") {
+    val rows = graft.queries.PlannerOps.q245SkewAtlas(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"),
+          r.getAs[Long]("hot_rows"))).toMap
+    assert(rows.keySet === Set("lineitem", "orders", "events",
+      "documents", "embeddings"))
+    val t = Tables(spark, sfDir)
+    def direct(df: org.apache.spark.sql.DataFrame, key: String) = {
+      val h = df.groupBy(key).count().collect().map(_.getLong(1))
+      (h.sum, h.length.toLong, h.max)
+    }
+    assert(rows("lineitem") === direct(t.lineitem, "l_orderkey"))
+    assert(rows("events") === direct(t.events, "user_id"))
+    assert(rows("documents") === direct(t.documents, "source"))
+  }
+
   test("q242 advisor arithmetic reconciles with the key histogram") {
     val hist = Tables(spark, sfDir).events
       .groupBy("user_id").agg(count(lit(1)).as("c")).collect()

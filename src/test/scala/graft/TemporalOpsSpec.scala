@@ -47,6 +47,27 @@ class TemporalOpsSpec extends SparkSpec {
     assert(math.abs(got - math.floor(r * 1e6 + 0.5).toLong) <= 1)
   }
 
+  test("q246 decayed scores equal the integer half-life fold") {
+    val days = Tables(spark, sfDir).lineitem
+      .select(col("l_partkey"),
+        expr("unix_micros(l_shipdate) div 86400000000").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxDay = days.map(_._2).max
+    val scores = days.groupBy(_._1).view.mapValues { xs =>
+      (xs.length.toLong, xs.map { case (_, d) =>
+        (1L << TemporalOps.DECAY_UNIT_SHIFT) >>
+          math.min((maxDay - d) / TemporalOps.DECAY_EPOCH_DAYS,
+            TemporalOps.DECAY_UNIT_SHIFT.toLong).toInt
+      }.sum)
+    }.toMap
+    val want = scores.toSeq.sortBy { case (k, (_, s)) => (-s, k) }
+      .take(TemporalOps.DECAY_TOP)
+      .map { case (k, (n, s)) => (k, n, s) }
+    val got = TemporalOps.q246DecayedPopularity(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+  }
+
   test("q236 backtest metrics equal a driver-side lag-7 recompute") {
     val daily = Tables(spark, sfDir).events
       .groupBy(col("event_type"),
