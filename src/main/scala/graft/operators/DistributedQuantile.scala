@@ -33,8 +33,12 @@ import org.apache.spark.sql.functions._
   * so bucket prefix counts are exact rank prefixes.
   *
   * Results are EXACT and identical to the single-sort formulation —
-  * `quantiles` matches DuckDB `quantile_cont` bit-for-bit (same
-  * `lo + (hi - lo) * frac` interpolation on the same rank rows);
+  * `quantiles` matches DuckDB `quantile_cont` AND Spark's built-in
+  * `percentile` bit-for-bit: both engines interpolate with the
+  * symmetric weighted form `(hi - pos) * lov + (pos - lo) * hiv`,
+  * NOT the algebraically-equal-but-float-different
+  * `lov + (hiv - lov) * frac` (the two differ by 1-2 ulps at large
+  * magnitudes, enough to flip a repr hash);
   * `weightedCrossing` reproduces the reference's cumulative-mass
   * half-light/half-mass radius (calc/cluster.py:14) with DECIMAL
   * weight sums, so the crossing row is engine- and order-independent.
@@ -103,6 +107,36 @@ object DistributedQuantile {
       groupCols)
   }
 
+  /** `quantiles` plus the exact LONG count and sum of the value, in
+    * the SAME passes: the per-bucket long-sum partial rides along in
+    * the bucket-histogram aggregation (long addition is associative,
+    * so re-aggregating the tiny |groups| x numBuckets table is exact)
+    * — one fewer scan than a separate groupBy + join. Returns one row
+    * per group: groupCols ++ (n, sumv) ++ one double column per q.
+    * The value must be integral (it is cast to long for the sum).
+    */
+  def quantilesWithSum(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      qs: Seq[(String, Double)],
+      numBuckets: Int = 256): DataFrame = {
+    val g = groupCols.map(col)
+    val base = df
+      .select(g ++ Seq(col(valueCol).cast("double").as("_v"),
+        col(valueCol).cast("long").as("_raw")): _*)
+      .filter(col("_v").isNotNull)
+    val bucketed = assignBuckets(base, groupCols, numBuckets)
+    val stats = bucketed.groupBy(g :+ col("_b"): _*)
+      .agg(count(lit(1)).as("_cnt"), sum("_raw").as("_bsum"))
+    val totals = stats.groupBy(g: _*)
+      .agg(sum("_cnt").as("n"), sum("_bsum").as("sumv"))
+    totals.join(
+      quantileCore(bucketed.drop("_raw"),
+        stats.select(g ++ Seq(col("_b"), col("_cnt")): _*), groupCols, qs),
+      groupCols)
+  }
+
   /** Rank targets -> bucket locate -> survivor-only local sort, given
     * the bucketed rows and the per-(group, bucket) counts.
     */
@@ -128,7 +162,6 @@ object DistributedQuantile {
         ((col("_n") - 1) * col("_t.q")).as("_pos")): _*)
       .withColumn("_lo", floor(col("_pos")).cast("long"))
       .withColumn("_hi", ceil(col("_pos")).cast("long"))
-      .withColumn("_frac", col("_pos") - floor(col("_pos")))
 
     // Locate each needed rank's bucket. Tiny x tiny: equi-join on the
     // group key, range post-filter (no cartesian/BNLJ in the plan).
@@ -155,7 +188,16 @@ object DistributedQuantile {
     val interp = targets
       .join(lo, groupCols :+ "_lo")
       .join(hi, groupCols :+ "_hi")
-      .withColumn("_qv", col("_lov") + (col("_hiv") - col("_lov")) * col("_frac"))
+      // Symmetric weighted interpolation — the exact float expression
+      // BOTH DuckDB quantile_cont and Spark's built-in percentile
+      // (PercentileBase.getPercentile) evaluate. The rearranged
+      // lo + (hi - lo) * frac differs by 1-2 ulps at ~1e11 magnitudes.
+      // Exact-rank hits (lo == hi) return the value itself, as both
+      // engines do — the weighted form would give 0 there.
+      .withColumn("_qv",
+        when(col("_lo") === col("_hi"), col("_lov")).otherwise(
+          (col("_hi").cast("double") - col("_pos")) * col("_lov") +
+            (col("_pos") - col("_lo").cast("double")) * col("_hiv")))
     val aggCols = qs.map { case (n, _) =>
       max(when(col("_qn") === n, col("_qv"))).as(n) }
     interp.groupBy(g: _*).agg(aggCols.head, aggCols.tail: _*)

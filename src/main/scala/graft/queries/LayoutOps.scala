@@ -17,9 +17,10 @@ object LayoutOps {
     * computed WITHOUT a per-group total sort (see
     * operators/DistributedQuantile.scala: histogram locate + survivor-
     * only local sort; nothing sorts more than ~1/256 of a group). The
-    * oracle is DuckDB's own quantile_cont — the operator's
-    * `lo + (hi-lo)*frac` interpolation on `(n-1)*q` ranks is the same
-    * arithmetic, so doubles match bit-for-bit.
+    * oracle is DuckDB's own quantile_cont — the operator's symmetric
+    * `(hi-pos)*lov + (pos-lo)*hiv` interpolation on `(n-1)*q` ranks is
+    * the exact float expression both DuckDB and Spark's built-in
+    * percentile evaluate, so doubles match bit-for-bit.
     */
   def q165GroupQuantiles(spark: SparkSession, dir: String): DataFrame =
     DistributedQuantile.quantiles(

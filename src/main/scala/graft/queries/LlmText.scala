@@ -437,95 +437,111 @@ object LlmText {
       |GROUP BY token
       |ORDER BY n DESC, token LIMIT $VOCAB_TOP_K""".stripMargin
 
-  /** q94: MEDIA DECODE through the stubbed codec path — q36's binary
-    * records pushed through [[graft.operators.MultimodalStub.decode]]
-    * (typed Dataset -> mapPartitions with once-per-partition codec
-    * init -> typed Dataset), gated on the integer-stable decode
-    * outputs. The stub's "decode" derives dimensions and frame counts
-    * from a rolling byte hash, which the oracle replicates over the
-    * ASCII bytes — so the WHOLE mapPartitions plumbing (record
-    * construction, encoder round-trip, per-partition iteration) is
-    * hash-gated, not just spec'd; swapping the fake for a real codec
-    * changes nothing upstream of `fakeDecode`. The feature vector is
-    * gated too: each float is (code/255 - 0.5) for a byte-sized code,
-    * so `round((f + 0.5) * 255)` recovers the codes exactly (float
-    * error ~1e-5 << 0.5) and both engines compare integer strings, no
-    * cross-engine float formatting.
+  /** q94: REAL MEDIA DECODE — a deterministic grayscale image per
+    * document (dims and pixels derived from doc_id by the
+    * [[graft.operators.ImageCodec.synthPixel]] formula) is REALLY
+    * encoded to PNG bytes with the JDK's `javax.imageio`, carried as
+    * the opaque binary column, then REALLY decoded back by
+    * [[graft.operators.ImageCodec.decodeImages]] (mapPartitions,
+    * codec warm once per partition) into integer pixel statistics.
+    * The oracle recomputes the stats from the pixel formula WITHOUT
+    * touching PNG, so the gate proves the whole encode -> bytes ->
+    * decode -> stats path is pixel-exact — a real codec, not the
+    * round-3 hash-the-plumbing stub (MultimodalStub remains only as
+    * the documented non-PNG fallback).
     */
   def q94MediaDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = Tables(spark, dir).documents
-      .select(col("doc_id"),
-        (octet_length(col("text")) % 3).cast("int").as("media_kind"),
-        col("text").cast("binary").as("bytes"))
-      .as[graft.operators.MediaRecord]
-    graft.operators.MultimodalStub.decode(media)
-      .select(col("doc_id"), col("media_kind"), col("n_bytes"),
-        col("width"), col("height"), col("n_frames"),
-        expr("array_join(transform(features," +
-          " f -> cast(round((cast(f as double) + 0.5d) * 255d) as int)), ',')")
-          .as("feat_codes"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        // ingest simulation: blobs arrive as already-encoded PNGs
+        it.map { id =>
+          val w = (id % 13 + 4).toInt
+          val h = (id % 7 + 3).toInt
+          graft.operators.MediaRecord(
+            id, 1, graft.operators.ImageCodec.synthGrayPng(id, w, h))
+        }
+      }
+    graft.operators.ImageCodec.decodeImages(media)
+      .select("doc_id", "width", "height", "n_pixels", "px_sum",
+        "px_min", "px_max")
   }
 
   val q94Sql: String =
     """WITH d AS (
       |  SELECT doc_id,
-      |    CAST(octet_length(encode(text)) % 3 AS INT) AS media_kind,
-      |    octet_length(encode(text)) AS n,
-      |    list_reduce(list_transform(generate_series(1, length(text)),
-      |      j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
-      |      (a, c) -> (a * 31 + c) % 1000000007) AS h
-      |  FROM documents)
-      |SELECT doc_id, media_kind, CAST(n AS INT) AS n_bytes,
-      |  CAST(n % 640 + 1 AS INT) AS width,
-      |  CAST(n % 480 + 1 AS INT) AS height,
-      |  CAST(CASE WHEN media_kind = 2 THEN h % 16 + 1 ELSE 1 END AS INT)
-      |    AS n_frames,
-      |  array_to_string(list_transform(generate_series(0, 7),
-      |    k -> (h >> (k * 4)) & 255), ',') AS feat_codes
-      |FROM d ORDER BY doc_id""".stripMargin
+      |    CAST(doc_id % 13 + 4 AS INT) AS w,
+      |    CAST(doc_id % 7 + 3 AS INT) AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT d.doc_id, d.w, d.h,
+      |    ((d.doc_id * 31 + x.i * 7 + y.i * 13) % 256 + 256) % 256 AS p
+      |  FROM d,
+      |    unnest(generate_series(0, d.w - 1)) AS x(i),
+      |    unnest(generate_series(0, d.h - 1)) AS y(i))
+      |SELECT doc_id, max(w) AS width, max(h) AS height,
+      |  CAST(count(*) AS BIGINT) AS n_pixels,
+      |  CAST(sum(p) AS BIGINT) AS px_sum,
+      |  CAST(min(p) AS INT) AS px_min,
+      |  CAST(max(p) AS INT) AS px_max
+      |FROM px GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q111 frame-sampling stride. */
   val FRAME_STRIDE = 3
 
-  /** q111: MEDIA FRAME SAMPLING — q94's records pushed through
-    * [[graft.operators.MultimodalStub.frameSample]]: every
-    * FRAME_STRIDE-th frame emitted as its own row (bounded 1->N
-    * expansion, mapPartitions with once-per-partition codec init). The
-    * gate covers the full expansion: per-frame rows with the stub's
-    * deterministic frame hashes, which the oracle rebuilds from the
-    * same rolling byte hash as q94.
+  /** q111: REAL MEDIA FRAME SAMPLING — a multi-frame container per
+    * document (frame-count + length-prefixed REAL PNG frames, each
+    * frame's pixels seeded by `doc_id * 31 + frame`), pushed through
+    * [[graft.operators.ImageCodec.sampleFrames]]: every FRAME_STRIDE-th
+    * frame is REALLY decoded (javax.imageio) and emitted with its
+    * integer pixel sum — the bounded 1->N expansion a video pipeline
+    * runs between container demux and per-frame feature extraction.
+    * The oracle rebuilds each sampled frame's pixel sum from the
+    * synthPixel formula, so the demux + per-frame decode is gated
+    * pixel-exact.
     */
   def q111MediaFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = Tables(spark, dir).documents
-      .select(col("doc_id"),
-        (octet_length(col("text")) % 3).cast("int").as("media_kind"),
-        col("text").cast("binary").as("bytes"))
-      .as[graft.operators.MediaRecord]
-    graft.operators.MultimodalStub.frameSample(media, FRAME_STRIDE)
-      .select(col("doc_id"), col("media_kind"), col("n_frames"),
-        col("frame_idx"), col("frame_hash"))
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (id % 5 + 1).toInt
+          val w = (id % 9 + 3).toInt
+          val h = (id % 5 + 2).toInt
+          val frames = (0 until n).map(f =>
+            graft.operators.ImageCodec.synthGrayPng(id * 31 + f, w, h))
+          graft.operators.MediaRecord(
+            id, 2, graft.operators.ImageCodec.packFrames(frames))
+        }
+      }
+    graft.operators.ImageCodec.sampleFrames(media, FRAME_STRIDE)
+      .select("doc_id", "n_frames", "frame_idx", "width", "height",
+        "px_sum")
   }
 
   val q111Sql: String =
     s"""WITH d AS (
       |  SELECT doc_id,
-      |    CAST(octet_length(encode(text)) % 3 AS INT) AS media_kind,
-      |    list_reduce(list_transform(generate_series(1, length(text)),
-      |      j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
-      |      (a, c) -> (a * 31 + c) % 1000000007) AS h
+      |    CAST(doc_id % 5 + 1 AS INT) AS n_frames,
+      |    CAST(doc_id % 9 + 3 AS INT) AS w,
+      |    CAST(doc_id % 5 + 2 AS INT) AS h
       |  FROM documents),
-      |n AS (
-      |  SELECT doc_id, media_kind, h,
-      |    CAST(CASE WHEN media_kind = 2 THEN h % 16 + 1 ELSE 1 END AS INT)
-      |      AS n_frames
-      |  FROM d)
-      |SELECT doc_id, media_kind, n_frames,
-      |  CAST(f.i AS INT) AS frame_idx,
-      |  (h * 31 + f.i) % 1000000007 AS frame_hash
-      |FROM n, unnest(generate_series(0, n_frames - 1, $FRAME_STRIDE)) AS f(i)
-      |ORDER BY doc_id, frame_idx""".stripMargin
+      |f AS (
+      |  SELECT doc_id, n_frames, w, h, CAST(fi.i AS INT) AS frame_idx,
+      |    doc_id * 31 + fi.i AS seed
+      |  FROM d,
+      |    unnest(generate_series(0, n_frames - 1, $FRAME_STRIDE)) AS fi(i)),
+      |px AS (
+      |  SELECT doc_id, n_frames, frame_idx, w, h,
+      |    ((seed * 31 + x.i * 7 + y.i * 13) % 256 + 256) % 256 AS p
+      |  FROM f,
+      |    unnest(generate_series(0, w - 1)) AS x(i),
+      |    unnest(generate_series(0, h - 1)) AS y(i))
+      |SELECT doc_id, n_frames, frame_idx, max(w) AS width,
+      |  max(h) AS height, CAST(sum(p) AS BIGINT) AS px_sum
+      |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id, frame_idx""".stripMargin
 
   /** q129 hashed feature-space width. */
   val FEATURE_HASH_B = 64

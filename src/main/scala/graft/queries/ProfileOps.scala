@@ -12,21 +12,23 @@ object ProfileOps {
 
   /** q191: HOURLY P95 TIME SERIES — the SLO/latency panel metric:
     * per (hour, event_type), exact p50/p95 of value plus the exact
-    * integer sum, through the bucket-prune quantile operator (groups
-    * are numerous and bounded, so per-group histograms shard evenly;
-    * nothing sorts the fact table).
+    * integer sum. Groups here are NUMEROUS AND BOUNDED (hours x
+    * types), the exact case DistributedQuantile's own scaladoc says
+    * the plain per-group formulation is right for — so this is ONE
+    * map-side-combined pass of Spark's built-in `percentile`
+    * aggregate (bit-identical to DuckDB quantile_cont: both evaluate
+    * the symmetric (hi-pos)*lo + (pos-lo)*hi form), not the 3-pass
+    * bucket-prune machinery reserved for groups that span the cluster.
     */
   def q191HourlyP95(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(spark, dir).events
+    Tables(spark, dir).events
       .select(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
         .as("hour"), col("event_type"), col("value"))
-    val q = DistributedQuantile.quantiles(
-      ev, Seq("hour", "event_type"), "value",
-      Seq("p50" -> 0.5, "p95" -> 0.95))
-    ev.groupBy("hour", "event_type")
+      .groupBy("hour", "event_type")
       .agg(count(lit(1)).as("n"),
-        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("sum_c"))
-      .join(q, Seq("hour", "event_type"))
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("sum_c"),
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.95)).as("p95"))
       .select("hour", "event_type", "n", "sum_c", "p50", "p95")
   }
 

@@ -1017,21 +1017,22 @@ object StatsOps {
   def q188GapQuantiles(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    // the gap table feeds four scans (bucket bounds, histogram,
-    // survivor pass, moment rollup) — pin it rather than re-running
-    // the lag window per consumer
+    // the gap table feeds three scans (bucket bounds, fused
+    // histogram+sum, survivor pass) — pin it rather than re-running
+    // the lag window per consumer. Only ~5 event_type groups, each
+    // spanning the cluster: exactly the low-cardinality-group case the
+    // bucket-prune operator exists for (built-in percentile would
+    // merge a per-group distinct-value map on 5 reducers at 100 TB).
     val gaps = Tables(spark, dir).events
       .withColumn("gap_us",
         unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
       .filter(col("gap_us").isNotNull)
       .select("event_type", "gap_us")
       .localCheckpoint(true)
-    val q = graft.operators.DistributedQuantile.quantiles(
-      gaps, Seq("event_type"), "gap_us", Seq("p50" -> 0.5, "p90" -> 0.9))
-    gaps.groupBy("event_type")
-      .agg(count(lit(1)).as("n_gaps"), sum("gap_us").as("sum_gap_us"))
-      .join(broadcast(q), "event_type")
-      .select("event_type", "n_gaps", "sum_gap_us", "p50", "p90")
+    graft.operators.DistributedQuantile.quantilesWithSum(
+        gaps, Seq("event_type"), "gap_us", Seq("p50" -> 0.5, "p90" -> 0.9))
+      .select(col("event_type"), col("n").as("n_gaps"),
+        col("sumv").as("sum_gap_us"), col("p50"), col("p90"))
   }
 
   val q188Sql: String =

@@ -16,9 +16,11 @@ class DistributedQuantileSpec extends SparkSpec {
     rows.groupBy(_._1).map { case (g, vs) =>
       val s = vs.map(_._2).sorted
       val pos = (s.size - 1) * q
-      val lo = s(math.floor(pos).toInt)
-      val hi = s(math.ceil(pos).toInt)
-      g -> (lo + (hi - lo) * (pos - math.floor(pos)))
+      val loR = math.floor(pos); val hiR = math.ceil(pos)
+      val lo = s(loR.toInt); val hi = s(hiR.toInt)
+      // symmetric weighted form — what DuckDB quantile_cont and
+      // Spark's built-in percentile both evaluate
+      g -> (if (loR == hiR) lo else (hiR - pos) * lo + (pos - loR) * hi)
     }
 
   test("quantiles match the naive sort on skewed data, few buckets") {
@@ -44,6 +46,44 @@ class DistributedQuantileSpec extends SparkSpec {
         assert(gotV === want(g), s"group $g quantile $qn")
       }
     }
+  }
+
+  test("interpolation is bit-identical to Spark's built-in percentile " +
+      "at large magnitudes (the q188 repr-hash class)") {
+    // ~1e11-scale values with fractional interpolation positions:
+    // lo + (hi-lo)*frac differs from the symmetric form by 1-2 ulps
+    // here, which flips a repr hash. Assert EXACT bit equality.
+    val rng = new scala.util.Random(188)
+    val rows = (1 to 997).map { _ =>
+      ("g" + rng.nextInt(3), 2.5e10 + rng.nextDouble() * 6.9e10)
+    } :+ (("g3", 88135969469.000031))
+    val df = rows.toDF("g", "v")
+    val got = DistributedQuantile
+      .quantiles(df, Seq("g"), "v", Seq("p50" -> 0.5, "p90" -> 0.9), 16)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val want = df.groupBy("g")
+      .agg(percentile(col("v"), lit(0.5)).as("p50"),
+        percentile(col("v"), lit(0.9)).as("p90"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for ((g, (p50, p90)) <- want) {
+      assert(java.lang.Double.doubleToLongBits(got(g)._1) ===
+        java.lang.Double.doubleToLongBits(p50), s"$g p50 not bit-equal")
+      assert(java.lang.Double.doubleToLongBits(got(g)._2) ===
+        java.lang.Double.doubleToLongBits(p90), s"$g p90 not bit-equal")
+    }
+  }
+
+  test("quantilesWithSum rides exact long count+sum along the histogram pass") {
+    val rows = Seq(("a", 10L), ("a", 20L), ("a", 31L), ("b", 7L), ("b", 100000000007L))
+    val df = rows.toDF("g", "v")
+    val got = DistributedQuantile
+      .quantilesWithSum(df, Seq("g"), "v", Seq("p50" -> 0.5), 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got("a") === ((3L, 61L, 20.0)))
+    assert(got("b") === ((2L, 100000000014L, 50000000007.0)))
   }
 
   test("quantiles ignore nulls and handle a single-row group") {

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.{ImageCodec, MediaRecord, MultimodalStub}
+
+/** The REAL javax.imageio codec path must be pixel-lossless through
+  * the PNG round-trip, dispatch non-PNG bytes to the stub fallback,
+  * and demux the multi-frame container exactly.
+  */
+class ImageCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("grayscale PNG round-trip is pixel-exact for random dims/seeds") {
+    val rng = new scala.util.Random(94)
+    for (_ <- 1 to 20) {
+      val w = 1 + rng.nextInt(40); val h = 1 + rng.nextInt(30)
+      val seed = rng.nextLong() & Long.MaxValue
+      val png = ImageCodec.synthGrayPng(seed, w, h)
+      assert(ImageCodec.isPng(png))
+      val d = ImageCodec.decodeGray(seed, png)
+      assert(d.width === w && d.height === h && d.n_pixels === w.toLong * h)
+      var sum = 0L; var mn = 256; var mx = -1
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = ImageCodec.synthPixel(seed, x, y)
+        sum += p; mn = math.min(mn, p); mx = math.max(mx, p)
+      }
+      assert(d.px_sum === sum, s"sum for seed=$seed w=$w h=$h")
+      assert(d.px_min === mn && d.px_max === mx)
+    }
+  }
+
+  test("frame container packs and unpacks byte-exact") {
+    val frames = Seq(
+      ImageCodec.synthGrayPng(1L, 3, 2),
+      ImageCodec.synthGrayPng(2L, 5, 4),
+      Array[Byte](1, 2, 3))
+    val unpacked = ImageCodec.unpackFrames(ImageCodec.packFrames(frames))
+    assert(unpacked.size === 3)
+    frames.zip(unpacked).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    assert(ImageCodec.unpackFrames(ImageCodec.packFrames(Nil)).isEmpty)
+  }
+
+  test("decodeImages runs the real codec distributed; non-PNG falls back") {
+    val recs = Seq(
+      MediaRecord(1L, 1, ImageCodec.synthGrayPng(1L, 4, 3)),
+      MediaRecord(2L, 1, ImageCodec.synthGrayPng(2L, 6, 5)),
+      MediaRecord(3L, 0, "not an image".getBytes("UTF-8")))
+    val got = ImageCodec.decodeImages(spark.createDataset(recs).repartition(3))
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(got(1L).n_pixels === 12L && got(2L).n_pixels === 30L)
+    assert(got(1L).px_sum > 0L)
+    // fallback: stub dims, zeroed pixel stats (quarantine semantics)
+    val fake = MultimodalStub.fakeDecode(recs(2))
+    assert(got(3L).width === fake.width && got(3L).height === fake.height)
+    assert(got(3L).n_pixels === 0L && got(3L).px_sum === 0L)
+  }
+
+  test("sampleFrames decodes every stride-th frame with exact sums") {
+    val id = 7L
+    val frames = (0 until 5).map(f => ImageCodec.synthGrayPng(id * 31 + f, 3, 2))
+    val recs = Seq(MediaRecord(id, 2, ImageCodec.packFrames(frames)))
+    val got = ImageCodec.sampleFrames(spark.createDataset(recs), 2)
+      .collect().sortBy(_.frame_idx)
+    assert(got.map(_.frame_idx).toSeq === Seq(0, 2, 4))
+    got.foreach { fr =>
+      assert(fr.n_frames === 5 && fr.width === 3 && fr.height === 2)
+      val seed = id * 31 + fr.frame_idx
+      val want = (for (y <- 0 until 2; x <- 0 until 3)
+        yield ImageCodec.synthPixel(seed, x, y).toLong).sum
+      assert(fr.px_sum === want)
+    }
+  }
+}
