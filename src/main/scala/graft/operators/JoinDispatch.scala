@@ -35,7 +35,10 @@ object JoinDispatch {
   def probe(df: DataFrame, key: String): KeyStats = {
     val r = df.groupBy(key).agg(count(lit(1)).as("c"))
       .agg(sum("c"), count(lit(1)), max("c")).head
-    KeyStats(r.getLong(0), r.getLong(1), r.getLong(2))
+    // zero groups -> sum/max are SQL NULL; a legal empty input must
+    // yield an empty join, not an NPE
+    if (r.isNullAt(0)) KeyStats(0L, 0L, 0L)
+    else KeyStats(r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
   /** Strategy choice. `broadcastMaxRows` stands in for the byte
@@ -48,7 +51,13 @@ object JoinDispatch {
       broadcastMaxRows: Long = 1000000L,
       skewFactor: Long = 16L): Strategy =
     if (dim.rows <= broadcastMaxRows) BroadcastDim
-    else if (fact.maxKeyRows * fact.keys > skewFactor * fact.rows)
+    // hot-key vs mean-rows-per-key, in Double: the product form
+    // maxKeyRows * keys overflows Long exactly at the target scales
+    // (1e10-row hot key x 1e9 keys), silently flipping a skewed join
+    // to PlainShuffle
+    else if (fact.keys > 0 &&
+      fact.maxKeyRows.toDouble * fact.keys.toDouble >
+        skewFactor.toDouble * fact.rows.toDouble)
       SaltedShuffle
     else PlainShuffle
 

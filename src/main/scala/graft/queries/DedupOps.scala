@@ -1121,6 +1121,11 @@ object DedupOps {
       .select(col("doc_id"), col("chunk_idx"),
         substring(col("text"), col("chunk_idx") * CHUNK_ND_STRIDE + 1,
           lit(CHUNK_ND_SIZE)).as("chunk"))
+      // trailing chunks shorter than one shingle have NO shingles — the
+      // signature would be the all-sentinel vector, colliding every
+      // such chunk pair across unrelated docs in ALL bands (spurious
+      // links + a quadratic band-join blowup among them)
+      .filter(length(col("chunk")) >= SHINGLE_N)
     val sigs = chunks.select(col("doc_id"), col("chunk_idx"),
       graft.plans.MinHashSignature(col("chunk"), SHINGLE_N, NUM_HASHES)
         .as("sig"))
@@ -1161,7 +1166,11 @@ object DedupOps {
       |    SELECT doc_id, text,
       |      unnest(generate_series(0,
       |        CAST(greatest(ceil(length(text) / $CHUNK_ND_STRIDE.0), 1) AS INT) - 1)) AS i
-      |    FROM documents)),
+      |    FROM documents)
+      |  -- sub-shingle trailing chunks carry no signal (all-sentinel
+      |  -- signature) — drop them, mirroring the Spark-side filter
+      |  WHERE length(substr(text, i * $CHUNK_ND_STRIDE + 1, $CHUNK_ND_SIZE))
+      |    >= $SHINGLE_N),
       |csh AS (
       |  SELECT doc_id, chunk_idx,
       |    list_transform(generate_series(1, length(chunk) - ${SHINGLE_N - 1}),

@@ -223,17 +223,84 @@ object Pipeline {
       |  FROM customer)
       |ORDER BY c_custkey""".stripMargin
 
+  /** q247: TIMESTAMP-GRID DIAGNOSTICS — the previously spec-only
+    * SnapshotStats.timestampStats (reference: calc/summary.py:7
+    * summarize_timestamp_stats, loader.py:48) gated through the driver
+    * on warehouse data: each user's event stream stands in for a sim's
+    * adaptive output grid (sim_id = user_id, time = event micros).
+    * Count/min/max of the distinct grid plus the 2 dp mean step — one
+    * lag window + one aggregate on the shared sim_id key.
+    */
+  def q247TimestampStats(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.SnapshotStats.timestampStats(
+      Tables(spark, dir).events
+        .select(col("user_id").as("sim_id"),
+          unix_micros(col("ts")).cast("double").as("time")))
+
+  val q247Sql: String =
+    """WITH t AS (
+      |  SELECT DISTINCT user_id AS sim_id,
+      |    CAST(epoch_us(ts) AS DOUBLE) AS time
+      |  FROM events),
+      |d AS (
+      |  SELECT sim_id, time,
+      |    time - lag(time) OVER (PARTITION BY sim_id ORDER BY time) AS d
+      |  FROM t)
+      |SELECT sim_id, count(*) AS "count", min(time) AS "min",
+      |  max(time) AS "max", round(avg(d), 2) AS step
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q248: CROSS-RUN ENSEMBLE STATISTICS — the previously spec-only
+    * SnapshotStats.ensembleStats (reference: notebooks/
+    * filtered_annular_stats.ipynb aggregated_df) gated through the
+    * driver: per-(flag, status, supplier) realizations of count and
+    * exact quantity sum, then mean/std/median per (flag, status)
+    * averaging over the supplier "realizations". Means/stds are
+    * DECIMAL-exact (graft.functions.Exact); the median is Spark's
+    * built-in percentile = DuckDB quantile_cont bit-for-bit. The stats
+    * frame is |groups x realizations|-sized — tiny at any scale — so
+    * one grouped aggregation is the right shape.
+    */
+  def q248EnsembleStats(spark: SparkSession, dir: String): DataFrame = {
+    val perReal = Tables(spark, dir).lineitem
+      .groupBy("l_returnflag", "l_linestatus", "l_suppkey")
+      .agg(count(lit(1)).cast("double").as("n"),
+        Exact.sumExact(col("l_quantity")).as("qty"))
+    graft.pipeline.SnapshotStats.ensembleStats(
+      perReal, Seq("l_returnflag", "l_linestatus"), Seq("n", "qty"))
+  }
+
+  val q248Sql: String =
+    s"""WITH r AS (
+      |  SELECT l_returnflag, l_linestatus, l_suppkey,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    ${Exact.sumSql("l_quantity")} AS qty
+      |  FROM lineitem GROUP BY 1, 2, 3)
+      |SELECT l_returnflag, l_linestatus,
+      |  ${Exact.meanSql("n")} AS n_mean,
+      |  ${Exact.stddevSql("n")} AS n_std,
+      |  quantile_cont(n, 0.5) AS n_median,
+      |  ${Exact.meanSql("qty")} AS qty_mean,
+      |  ${Exact.stddevSql("qty")} AS qty_std,
+      |  quantile_cont(qty, 0.5) AS qty_median
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_snapshot_stats" -> (q21SnapshotStats _),
     "q22_timegrid_align" -> (q22TimegridAlign _),
     "q23_unresolved_merge" -> Gate.sorted(q23UnresolvedMerge _, "l_orderkey", "obj_id"),
     "q24_offset_frame" -> Gate.sorted(q24OffsetFrame _, "l_orderkey", "l_linenumber"),
-    "q25_stratified_split" -> Gate.sorted(q25StratifiedSplit _, "c_custkey"))
+    "q25_stratified_split" -> Gate.sorted(q25StratifiedSplit _, "c_custkey"),
+    "q247_timestamp_stats" -> Gate.sorted(q247TimestampStats _, "sim_id"),
+    "q248_ensemble_stats" ->
+      Gate.sorted(q248EnsembleStats _, "l_returnflag", "l_linestatus"))
 
   val oracles: Map[String, String] = Map(
     "q21_snapshot_stats" -> q21Sql,
     "q22_timegrid_align" -> q22Sql,
     "q23_unresolved_merge" -> q23Sql,
     "q24_offset_frame" -> q24Sql,
-    "q25_stratified_split" -> q25Sql)
+    "q25_stratified_split" -> q25Sql,
+    "q247_timestamp_stats" -> q247Sql,
+    "q248_ensemble_stats" -> q248Sql)
 }

@@ -16,55 +16,76 @@ final case class CepMatch(
   * EVERY (click, purchase) pair where the purchase follows the click
   * within the window: the complex-event-processing "A followed by B
   * within T" primitive. Unlike q91's funnel (last-click state, one
-  * long) this needs LIST state — the clicks still inside the pattern
-  * window — and unlike q59's watermarked interval join the state is
-  * evicted inline as events arrive (any click older than T behind the
-  * group's max-seen time can never match again), so state is bounded
-  * by the per-user click rate x window, independent of stream length.
+  * long) this needs LIST state — and unlike q59's watermarked interval
+  * join the state is evicted inline as events arrive (anything older
+  * than T behind the group's max-seen time can never match again), so
+  * state is bounded by the per-user event rate x window, independent
+  * of stream length.
   *
-  * Batch parity: the emitted set equals the batch interval join
-  * `purchase.ts - click.ts in (0, T]` (ties broken by event_id order)
-  * provided batches arrive time-split, which the two-batch spec pins.
+  * BOTH sides are kept in state: pending clicks match purchases that
+  * arrive later, and buffered purchases match clicks that arrive later
+  * — so a click delivered in a LATER micro-batch than a purchase it
+  * precedes in event time still pairs (each pair fires exactly once,
+  * at the arrival of whichever side arrives second; within a batch
+  * events are processed in event-time order, so the purchase-direction
+  * match sees exactly the clicks that precede it). Batch parity with
+  * the interval-join oracle therefore does NOT require time-split
+  * batches — only that an event arrives within WINDOW_US (event time)
+  * of the group's max-seen event, the same staleness bound the inline
+  * eviction enforces.
   */
 object StreamCep {
 
   val WINDOW_US: Long = 30L * 60L * 1000000L
 
+  /** (pending clicks, buffered purchases) as (event_us, event_id). */
+  type CepState = (Seq[(Long, Long)], Seq[(Long, Long)])
+
   implicit val evEnc: Encoder[CepEvent] = Encoders.product[CepEvent]
   implicit val outEnc: Encoder[CepMatch] = Encoders.product[CepMatch]
-  implicit val stEnc: Encoder[Seq[(Long, Long)]] =
-    Encoders.kryo[Seq[(Long, Long)]]
+  implicit val stEnc: Encoder[CepState] = Encoders.kryo[CepState]
   implicit val longEnc: Encoder[Long] = Encoders.scalaLong
 
   def tsUs(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
-  /** Pure transition: fold a batch into the pending-clicks state,
-    * emitting matches. State entries are (click_us, click_id).
+  /** Pure transition: fold a batch into (pending clicks, buffered
+    * purchases), emitting matches.
     */
-  def step(evs: Seq[CepEvent], pending0: Seq[(Long, Long)]):
-      (Seq[CepMatch], Seq[(Long, Long)]) = {
-    var pending = pending0
+  def step(evs: Seq[CepEvent], st0: CepState): (Seq[CepMatch], CepState) = {
+    var clicks = st0._1
+    var purchases = st0._2
     val out = Seq.newBuilder[CepMatch]
-    var maxSeen = pending0.map(_._1).maxOption.getOrElse(Long.MinValue)
+    var maxSeen = (clicks.map(_._1) ++ purchases.map(_._1))
+      .maxOption.getOrElse(Long.MinValue)
     evs.sortBy(e => (tsUs(e.ts), e.event_id)).foreach { e =>
       val us = tsUs(e.ts)
       maxSeen = math.max(maxSeen, us)
       e.event_type match {
         case "purchase" =>
-          pending.foreach { case (cUs, cId) =>
+          clicks.foreach { case (cUs, cId) =>
             val lag = us - cUs
             if (lag > 0L && lag <= WINDOW_US)
               out += CepMatch(e.user_id, cId, e.event_id, lag)
           }
+          purchases = purchases :+ (us, e.event_id)
         case "click" =>
-          pending = pending :+ (us, e.event_id)
+          // late-arrival direction: purchases already seen that FOLLOW
+          // this click in event time
+          purchases.foreach { case (pUs, pId) =>
+            val lag = pUs - us
+            if (lag > 0L && lag <= WINDOW_US)
+              out += CepMatch(e.user_id, e.event_id, pId, lag)
+          }
+          clicks = clicks :+ (us, e.event_id)
         case _ => ()
       }
-      // inline eviction: clicks that can never match again
-      pending = pending.filter(_._1 >= maxSeen - WINDOW_US)
+      // inline eviction: entries that can never pair with anything
+      // arriving at most WINDOW_US behind max-seen
+      clicks = clicks.filter(_._1 >= maxSeen - 2L * WINDOW_US)
+      purchases = purchases.filter(_._1 >= maxSeen - 2L * WINDOW_US)
     }
-    (out.result(), pending)
+    (out.result(), (clicks, purchases))
   }
 
   def matchPairs(events: DataFrame): Dataset[CepMatch] = {
@@ -73,12 +94,14 @@ object StreamCep {
       col("event_type"), col("ts"),
       col("event_id").cast("long").as("event_id")).as[CepEvent]
     typed.groupByKey(_.user_id)
-      .flatMapGroupsWithState[Seq[(Long, Long)], CepMatch](
+      .flatMapGroupsWithState[CepState, CepMatch](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: Long, it: Iterator[CepEvent], state: GroupState[Seq[(Long, Long)]]) =>
-          val (out, pending) =
-            step(it.toSeq, state.getOption.getOrElse(Seq.empty))
-          if (pending.nonEmpty) state.update(pending) else state.remove()
+        (_: Long, it: Iterator[CepEvent], state: GroupState[CepState]) =>
+          val (out, st) =
+            state.getOption.map(step(it.toSeq, _))
+              .getOrElse(step(it.toSeq, (Seq.empty, Seq.empty)))
+          if (st._1.nonEmpty || st._2.nonEmpty) state.update(st)
+          else state.remove()
           out.iterator
       }
   }

@@ -20,8 +20,12 @@ final case class Admitted(
   * minimal one long (admitted-so-far) per open (user, window) —
   * unlike dropDuplicates state it never grows with event volume.
   * Emission is immediate (an admit decision never retracts), so no
-  * timeout is needed for correctness; production would add
-  * EventTimeTimeout to evict closed windows' counters.
+  * timeout is needed for CORRECTNESS — but a long-running stream
+  * would accrue one counter per (user, day) forever, so the state is
+  * BOUNDED with EventTimeTimeout: each counter times out once the
+  * watermark passes its window end + the allowed lateness and is
+  * removed. |state| = |users x open windows|, independent of stream
+  * age.
   *
   * Batch parity: the admitted set equals `row_number() OVER
   * (PARTITION BY user, window ORDER BY ts, event_id) <= N` exactly —
@@ -57,19 +61,41 @@ object StreamThrottle {
     (out.result(), n)
   }
 
+  /** Watermark lateness bound: events later than this past the max
+    * seen time are dropped by the engine, and a window's counter is
+    * evicted once the watermark passes window end + this bound.
+    */
+  val LATENESS_MS: Long = 3600L * 1000L
+
   def throttle(events: DataFrame): Dataset[Admitted] = {
-    val typed = events.select(
-      col("user_id").cast("long").as("user_id"),
-      (floor(unix_micros(col("ts")) / WINDOW_US) * WINDOW_US).as("win_us"),
-      col("ts"), col("event_id").cast("long").as("event_id"))
+    val typed = events
+      .withWatermark("ts", s"${LATENESS_MS / 1000L} seconds")
+      .select(
+        col("user_id").cast("long").as("user_id"),
+        (floor(unix_micros(col("ts")) / WINDOW_US) * WINDOW_US).as("win_us"),
+        col("ts"), col("event_id").cast("long").as("event_id"))
       .as[ThrottleEvent]
     typed.groupByKey(e => (e.user_id, e.win_us))
       .flatMapGroupsWithState[Long, Admitted](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: (Long, Long), it: Iterator[ThrottleEvent], state: GroupState[Long]) =>
-          val (out, n) = step(it.toSeq, state.getOption.getOrElse(0L))
-          state.update(n)
-          out.iterator
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: (Long, Long), it: Iterator[ThrottleEvent], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            // watermark passed window end + lateness: no more events
+            // can reach this window — drop its counter
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(0L)
+            val (out, n) = step(it.toSeq, prev)
+            if (n != prev || state.getOption.isEmpty) state.update(n)
+            // evict once the watermark passes window end + lateness;
+            // clamp above the current watermark (setting a timestamp
+            // at or below it is an error)
+            val target = (key._2 + WINDOW_US) / 1000L + LATENESS_MS
+            state.setTimeoutTimestamp(
+              math.max(target, state.getCurrentWatermarkMs + 1L))
+            out.iterator
+          }
       }
   }
 }

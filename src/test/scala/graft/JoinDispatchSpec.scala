@@ -44,4 +44,24 @@ class JoinDispatchSpec extends SparkSpec {
     val st = JoinDispatch.probe(fact, "k")
     assert(st.rows === 3L && st.keys === 2L && st.maxKeyRows === 2L)
   }
+
+  test("empty inputs probe to zero stats and join to an empty result") {
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    assert(JoinDispatch.probe(empty, "k") === JoinDispatch.KeyStats(0L, 0L, 0L))
+    val fact = Seq((1L, "a")).toDF("k", "v")
+    val (out, _) = JoinDispatch.join(fact, empty.withColumnRenamed("v", "w"), "k")
+    assert(out.count() === 0L)
+    val (out2, _) = JoinDispatch.join(empty, fact.withColumnRenamed("v", "w"), "k")
+    assert(out2.count() === 0L)
+  }
+
+  test("skew test does not overflow Long at 100TB-scale statistics") {
+    // maxKeyRows * keys = 1e10 * 1e9 = 1e19 > Long.MaxValue: the old
+    // product form wrapped negative and silently chose PlainShuffle
+    val fact = JoinDispatch.KeyStats(rows = 2000000000000L,
+      keys = 1000000000L, maxKeyRows = 10000000000L)
+    val dim = JoinDispatch.KeyStats(rows = 2000000000L, keys = 2000000000L,
+      maxKeyRows = 1L)
+    assert(JoinDispatch.choose(fact, dim) === SaltedShuffle)
+  }
 }

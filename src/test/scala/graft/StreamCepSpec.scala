@@ -19,18 +19,48 @@ class StreamCepSpec extends SparkSpec {
       ev("click", 0L, 1), ev("click", 10L, 2),
       ev("purchase", W, 3),          // matches click 2 (lag W-10) and click 1 (lag W, inclusive)
       ev("purchase", W + 11L, 4))    // click1 lag W+11 (out), click2 lag W+1 (out)
-    val (out, pending) = StreamCep.step(evs, Seq.empty)
+    val (out, st) = StreamCep.step(evs, (Seq.empty, Seq.empty))
     assert(out.map(m => (m.click_id, m.purchase_id)).toSet ===
       Set((1L, 3L), (2L, 3L)))
-    // clicks older than maxSeen - W are evicted
-    assert(pending.isEmpty)
+    // entries older than maxSeen - 2W are evicted (2W: a late click
+    // within the staleness contract can still need a purchase up to
+    // 2W behind max-seen); push max-seen past the bound on both sides
+    val (_, st2) = StreamCep.step(
+      Seq(ev("view", 2L * W + 12L, 5)), st)
+    assert(st2._1.isEmpty, "clicks past 2W must be evicted")
+    val (_, st3) = StreamCep.step(
+      Seq(ev("purchase", 0L, 1), ev("click", 2L * W + 1L, 2)),
+      (Seq.empty, Seq.empty))
+    assert(st3._2.isEmpty, "purchases past 2W must be evicted")
   }
 
   test("unit: state carries across batches") {
-    val (o1, p1) = StreamCep.step(Seq(ev("click", 100L, 1)), Seq.empty)
-    assert(o1.isEmpty && p1 === Seq((100L, 1L)))
-    val (o2, _) = StreamCep.step(Seq(ev("purchase", 200L, 2)), p1)
+    val (o1, st1) = StreamCep.step(Seq(ev("click", 100L, 1)),
+      (Seq.empty, Seq.empty))
+    assert(o1.isEmpty && st1._1 === Seq((100L, 1L)))
+    val (o2, _) = StreamCep.step(Seq(ev("purchase", 200L, 2)), st1)
     assert(o2 === Seq(CepMatch(9L, 1L, 2L, 100L)))
+  }
+
+  test("unit: a click arriving AFTER a purchase it precedes still pairs") {
+    // purchase lands in batch 1; the click (earlier event time) is
+    // delivered late in batch 2 — the buffered-purchase direction
+    // must emit the pair exactly once
+    val (o1, st1) = StreamCep.step(Seq(ev("purchase", 500L, 10)),
+      (Seq.empty, Seq.empty))
+    assert(o1.isEmpty && st1._2 === Seq((500L, 10L)))
+    val (o2, st2) = StreamCep.step(Seq(ev("click", 100L, 11)), st1)
+    assert(o2 === Seq(CepMatch(9L, 11L, 10L, 400L)))
+    // and nothing re-fires on a third empty-ish batch
+    val (o3, _) = StreamCep.step(Seq(ev("view", 600L, 12)), st2)
+    assert(o3.isEmpty)
+  }
+
+  test("unit: same-batch pairing emits exactly once per pair") {
+    val (out, _) = StreamCep.step(
+      Seq(ev("click", 100L, 1), ev("purchase", 300L, 2)),
+      (Seq.empty, Seq.empty))
+    assert(out === Seq(CepMatch(9L, 1L, 2L, 200L)))
   }
 
   test("streaming two-batch replay equals the batch interval join") {

@@ -61,6 +61,45 @@ class StreamThrottleSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("closed windows' counters are evicted once the watermark passes") {
+    // day-0 events, then a batch 10 days later, then one 20 days later:
+    // by the third batch the watermark (maxSeen - 1h) is far past the
+    // day-0 window end + lateness, so its counter must be GONE from the
+    // state store (the old NoTimeout operator kept one long per
+    // (user, day) forever)
+    import spark.implicits._
+    val dayUs = StreamThrottle.WINDOW_US
+    def rows(startUs: Long, ids: Range) =
+      ids.map(i => (7L, new java.sql.Timestamp((startUs + i * 1000000L) / 1000L),
+        i.toLong)).toSeq.toDF("user_id", "ts", "event_id")
+    val dir = Files.createTempDirectory("throttle_evict").toString
+    rows(0L, 1 to 3).coalesce(1).write.parquet(s"$dir/flat")
+    val schema = spark.read.parquet(s"$dir/flat").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/flat")
+    val sink = "throttle_evict_sink"
+    val q = StreamThrottle.throttle(stream)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      rows(10L * dayUs, 11 to 12).coalesce(1)
+        .write.mode("append").parquet(s"$dir/flat")
+      q.processAllAvailable()
+      rows(20L * dayUs, 21 to 22).coalesce(1)
+        .write.mode("append").parquet(s"$dir/flat")
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      // without eviction: 3 windows live; with it, day-0 is gone (day-10
+      // may or may not have been reaped yet depending on the trailing
+      // no-data micro-batch)
+      assert(stateRows <= 2L, s"state not evicted: $stateRows rows")
+      // and the admitted set is still the first-QUOTA-per-window rule
+      val admitted = spark.table(sink).collect()
+        .map(r => r.getAs[Long]("event_id")).toSet
+      assert(admitted === Set(1L, 2L, 11L, 12L, 21L, 22L))
+    } finally q.stop()
+  }
+
   test("q186 cardinality estimate equals the materialized self-join size") {
     val t = Tables(spark, sfDir)
     val actual = t.events.select("user_id")
