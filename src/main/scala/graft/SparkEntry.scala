@@ -33,7 +33,8 @@ object SparkEntry {
       graft.queries.MaintOps.queries ++
       graft.queries.PlannerOps.queries ++
       graft.queries.ProfileOps.queries ++
-      graft.queries.OpsAnalytics.queries
+      graft.queries.OpsAnalytics.queries ++
+      graft.queries.CorpusOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -61,5 +62,6 @@ object SparkEntry {
       graft.queries.MaintOps.oracles ++
       graft.queries.PlannerOps.oracles ++
       graft.queries.ProfileOps.oracles ++
-      graft.queries.OpsAnalytics.oracles
+      graft.queries.OpsAnalytics.oracles ++
+      graft.queries.CorpusOps.oracles
 }

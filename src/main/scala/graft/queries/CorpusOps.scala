@@ -1,0 +1,200 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 widening: corpus boilerplate removal, record-linkage
+  * pattern frequencies, and driver-gated sketch-quantile evaluation.
+  */
+object CorpusOps {
+
+  /** q249 boilerplate threshold: a segment appearing in >= this many
+    * DISTINCT documents is boilerplate.
+    */
+  val BOILER_K = 3
+  val BOILER_SEG_TOKENS = 10
+
+  /** q249: BOILERPLATE STRIP (CCNet-style) — drop every segment whose
+    * text occurs in >= BOILER_K distinct documents (headers, footers,
+    * cookie banners at web scale) and reassemble the rest in order.
+    * DIFFERENT POLICY from q80's first-occurrence segment dedup: here
+    * boilerplate is removed EVERYWHERE, including its first
+    * occurrence, while unique and rare segments always survive.
+    *
+    * Scale shape: segment explode (bounded fanout: tokens/SEG), one
+    * partial-aggregated countDistinct per segment hash (uniform md5
+    * keys — no skew), broadcast-friendly join back, per-doc rollup.
+    * Nothing is quadratic; the frequency table is |distinct segments|.
+    */
+  def q249BoilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, cast(ceil(size(toks) / $BOILER_SEG_TOKENS.0) as int) - 1),
+           |  i -> array_join(slice(toks, i * $BOILER_SEG_TOKENS + 1, $BOILER_SEG_TOKENS), ' '))"""
+          .stripMargin)).as(Seq("seg_idx", "seg")))
+      .withColumn("seg_md5", md5(col("seg")))
+    val freq = segs.groupBy("seg_md5")
+      .agg(countDistinct("doc_id").as("n_docs"))
+    segs.join(freq, "seg_md5")
+      .withColumn("boiler", col("n_docs") >= BOILER_K)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
+        sum(when(!col("boiler"), length(col("seg"))).otherwise(0L))
+          .as("chars_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(!col("boiler"),
+              struct(col("seg_idx"), col("seg"))))),
+            s => s.getField("seg")),
+          " ")).as("kept_md5"))
+  }
+
+  val q249Sql: String =
+    s"""WITH segs AS (
+      |  SELECT doc_id, i AS seg_idx,
+      |    array_to_string(list_slice(toks, i * $BOILER_SEG_TOKENS + 1,
+      |      i * $BOILER_SEG_TOKENS + $BOILER_SEG_TOKENS), ' ') AS seg
+      |  FROM (
+      |    SELECT doc_id, toks,
+      |      unnest(generate_series(0,
+      |        CAST(ceil(len(toks) / $BOILER_SEG_TOKENS.0) AS INT) - 1)) AS i
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+      |), freq AS (
+      |  SELECT md5(seg) AS seg_md5,
+      |    count(DISTINCT doc_id) AS n_docs
+      |  FROM segs GROUP BY 1
+      |), tagged AS (
+      |  SELECT s.doc_id, s.seg_idx, s.seg, f.n_docs >= $BOILER_K AS boiler
+      |  FROM segs s JOIN freq f ON md5(s.seg) = f.seg_md5)
+      |SELECT doc_id, count(*) AS n_segs,
+      |  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+      |  CAST(sum(CASE WHEN NOT boiler THEN length(seg) ELSE 0 END) AS BIGINT)
+      |    AS chars_kept,
+      |  md5(coalesce(string_agg(CASE WHEN NOT boiler THEN seg END, ' '
+      |    ORDER BY seg_idx), '')) AS kept_md5
+      |FROM tagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q250 price band width (linkage agreement field). */
+  val LINK_BAND = 1000
+
+  /** q250: RECORD-LINKAGE AGREEMENT PATTERNS (Fellegi-Sunter input) —
+    * for every candidate pair inside a block (same o_custkey), the
+    * per-field agreement vector over (status, priority, order month,
+    * price band), rolled up to pattern frequencies. This table IS the
+    * sufficient statistic the EM step of Fellegi-Sunter m/u-weight
+    * estimation consumes; emitting exact integer counts keeps the
+    * driver gate float-free.
+    *
+    * Scale shape: blocking bounds the pairwise work — orders per
+    * customer is a small constant, so the self-join fanout is
+    * O(rows x ordersPerCust), never O(N^2); the pattern rollup is a
+    * 16-row partial-aggregated table.
+    */
+  def q250LinkagePatterns(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+        floor(col("o_totalprice") / LINK_BAND).as("band"))
+    o.as("a").join(o.as("b"),
+        col("a.o_custkey") === col("b.o_custkey") &&
+          col("a.o_orderkey") < col("b.o_orderkey"))
+      .select(
+        (col("a.st") === col("b.st")).as("agree_status"),
+        (col("a.pr") === col("b.pr")).as("agree_priority"),
+        (col("a.mon") === col("b.mon")).as("agree_month"),
+        (col("a.band") === col("b.band")).as("agree_band"))
+      .groupBy("agree_status", "agree_priority", "agree_month", "agree_band")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  val q250Sql: String =
+    s"""WITH o AS (
+      |  SELECT o_custkey, o_orderkey, o_orderstatus AS st,
+      |    o_orderpriority AS pr, strftime(o_orderdate, '%Y-%m') AS mon,
+      |    CAST(floor(o_totalprice / $LINK_BAND) AS BIGINT) AS band
+      |  FROM orders)
+      |SELECT a.st = b.st AS agree_status,
+      |  a.pr = b.pr AS agree_priority,
+      |  a.mon = b.mon AS agree_month,
+      |  a.band = b.band AS agree_band,
+      |  count(*) AS n_pairs
+      |FROM o a JOIN o b
+      |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY 1, 2, 3, 4""".stripMargin
+
+  /** q251: SKETCH-QUANTILE EVALUATION — drives the one-pass mergeable
+    * KLL-style sketch (operators/QuantileSketch.scala, previously
+    * spec-only) through the driver gate: per return flag, the sketch
+    * of l_extendedprice is built distributed (udaf, buffers merged
+    * across partitions), its p50/p90 estimates' EXACT ranks are then
+    * measured with one more aggregate, and the gated output asserts
+    * the rank error sits within the sketch's own additive bound
+    * (3n/k + |levels| — the spec's engineering bound). The exact p50
+    * rides along so the gate also pins real values, not just booleans.
+    *
+    * The per-group collect is |groups|-bounded (3 rows — the
+    * documented O(K) idiom, like q61's vocab), NOT data-sized: the
+    * sketch itself reduces each group to O(k log(n/k)) doubles before
+    * anything leaves the executors.
+    */
+  def q251SketchQuantileEval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QuantileSketch
+    val vals = Tables(spark, dir).lineitem
+      .select(col("l_returnflag").as("g"),
+        col("l_extendedprice").cast("double").as("v"))
+    val sketches = vals.groupBy("g")
+      .agg(QuantileSketch.sketch(col("v")).as("sk"))
+      .collect()
+      .map { r =>
+        val g = r.getString(0)
+        val row = r.getStruct(1)
+        // Row decodes arrays as mutable ArraySeq — rebuild immutable
+        val levels = row
+          .getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("levels")
+          .map(_.toSeq).toSeq
+        val sk = QuantileSketch.Sketch(
+          row.getAs[Int]("k"), row.getAs[Long]("n"), levels)
+        val bound = 3L * sk.n / sk.k + sk.levels.length
+        (g, sk.quantile(0.5), sk.quantile(0.9), sk.n, bound)
+      }
+    import spark.implicits._
+    val ests = spark.createDataset(sketches.toSeq)
+      .toDF("g", "est50", "est90", "n_sk", "bound")
+    vals.join(broadcast(ests), "g")
+      .groupBy("g")
+      .agg(
+        count(lit(1)).as("n"),
+        percentile(col("v"), lit(0.5)).as("p50"),
+        sum(when(col("v") <= col("est50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("v") <= col("est90"), 1L).otherwise(0L)).as("r90"),
+        first("n_sk").as("n_sk"), first("bound").as("bound"))
+      .select(col("g"), col("n"), col("p50"),
+        (col("n_sk") === col("n")).as("weight_exact"),
+        (abs(col("r50") - ceil(col("n") * 0.5)) <= col("bound")).as("ok_p50"),
+        (abs(col("r90") - ceil(col("n") * 0.9)) <= col("bound")).as("ok_p90"))
+  }
+
+  val q251Sql: String =
+    """SELECT l_returnflag AS g, count(*) AS n,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50,
+      |  TRUE AS weight_exact, TRUE AS ok_p50, TRUE AS ok_p90
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q249_boilerplate_strip" -> Gate.sorted(q249BoilerplateStrip _, "doc_id"),
+    "q250_linkage_patterns" -> Gate.sorted(q250LinkagePatterns _,
+      "agree_status", "agree_priority", "agree_month", "agree_band"),
+    "q251_sketch_eval" -> Gate.sorted(q251SketchQuantileEval _, "g"))
+
+  val oracles: Map[String, String] = Map(
+    "q249_boilerplate_strip" -> q249Sql,
+    "q250_linkage_patterns" -> q250Sql,
+    "q251_sketch_eval" -> q251Sql)
+}

@@ -20,8 +20,11 @@ class LayoutOpsSpec extends SparkSpec {
       .map { case (f, rs) => f -> rs.map(_.getDouble(1)).sorted }
     def qcont(v: Array[Double], q: Double): Double = {
       val pos = (v.length - 1) * q
-      val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
-      v(lo) + (v(hi) - v(lo)) * (pos - lo)
+      val lo = math.floor(pos); val hi = math.ceil(pos)
+      // symmetric weighted form — what DuckDB quantile_cont, Spark's
+      // built-in percentile, and the operator all evaluate
+      if (lo == hi) v(lo.toInt)
+      else (hi - pos) * v(lo.toInt) + (pos - lo) * v(hi.toInt)
     }
     LayoutOps.q165GroupQuantiles(spark, sfDir).collect().foreach { r =>
       val v = byFlag(r.getString(0))

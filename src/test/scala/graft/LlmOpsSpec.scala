@@ -25,14 +25,21 @@ class LlmOpsSpec extends SparkSpec {
       "short text must fingerprint to 0 (matches HOF variant and oracle)")
   }
 
-  test("q111 samples stride-spaced frames within each medium's bound") {
+  test("q111 samples stride-spaced REALLY-decoded frames with exact sums") {
+    import graft.operators.ImageCodec
     val rows = LlmText.q111MediaFrames(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (kind, n, f) = (r.getAs[Int]("media_kind"),
-        r.getAs[Int]("n_frames"), r.getAs[Int]("frame_idx"))
+      val id = r.getAs[Long]("doc_id")
+      val (n, f) = (r.getAs[Int]("n_frames"), r.getAs[Int]("frame_idx"))
+      assert(n == (id % 5 + 1).toInt, "container frame count")
       assert(f < n && f % LlmText.FRAME_STRIDE == 0)
-      if (kind != 2) assert(n == 1 && f == 0, "non-video media are one frame")
+      val (w, h) = ((id % 9 + 3).toInt, (id % 5 + 2).toInt)
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      val seed = id * 31 + f
+      val want = (for (y <- 0 until h; x <- 0 until w)
+        yield ImageCodec.synthPixel(seed, x, y).toLong).sum
+      assert(r.getAs[Long]("px_sum") == want, s"pixel sum doc=$id frame=$f")
     }
     // every medium contributes its frame 0
     val docs = Tables(spark, sfDir).documents.count()
@@ -119,17 +126,19 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
-  test("q94 decode output equals a driver-side fakeDecode replay") {
+  test("q94 REAL decode pixel stats equal a driver-side formula replay") {
+    import graft.operators.ImageCodec
     val want = Tables(spark, sfDir).documents
-      .select("doc_id", "text").collect().map { r =>
-        val bytes = r.getString(1).getBytes("UTF-8")
-        val d = MultimodalStub.fakeDecode(
-          MediaRecord(r.getLong(0), bytes.length % 3, bytes))
-        (d.doc_id, d.media_kind, d.n_bytes, d.width, d.height, d.n_frames)
+      .select("doc_id").collect().map { r =>
+        val id = r.getLong(0)
+        val (w, h) = ((id % 13 + 4).toInt, (id % 7 + 3).toInt)
+        val px = for (y <- 0 until h; x <- 0 until w)
+          yield ImageCodec.synthPixel(id, x, y)
+        (id, w, h, w.toLong * h, px.map(_.toLong).sum, px.min, px.max)
       }.toSet
     val got = LlmText.q94MediaDecode(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
-        r.getInt(4), r.getInt(5))).toSet
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getInt(5), r.getInt(6))).toSet
     assert(got == want)
   }
 
