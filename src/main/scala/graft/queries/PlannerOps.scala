@@ -367,7 +367,37 @@ object PlannerOps {
       |ORDER BY table_name""".stripMargin
   }
 
+  /** q252: STATISTICS-DRIVEN JOIN DISPATCH, driver-gated — the
+    * previously spec-only operators/JoinDispatch.scala run end-to-end:
+    * probe both sides (one aggregate each), choose the physical
+    * strategy a 1000-executor cluster would want, execute it, and
+    * emit the rollup WITH the chosen strategy as a column. The oracle
+    * replicates the choice rule in SQL over the same counts
+    * (dim.rows <= broadcastMaxRows -> BroadcastDim here), so the gate
+    * covers the DECISION, not just the join's rows — a strategy
+    * regression flips the column and goes red.
+    */
+  def q252DispatchJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val fact = t.orders.select(col("o_custkey").as("k"), col("o_totalprice"))
+    val dim = t.customer.select(col("c_custkey").as("k"), col("c_mktsegment"))
+    val (joined, strat) = graft.operators.JoinDispatch.join(fact, dim, "k")
+    joined.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.Exact.sumExact(col("o_totalprice")).as("revenue"))
+      .withColumn("strategy", lit(strat.toString))
+  }
+
+  val q252Sql: String =
+    s"""SELECT c_mktsegment, count(*) AS n_orders,
+      |  ${graft.functions.Exact.sumSql("o_totalprice")} AS revenue,
+      |  CASE WHEN (SELECT count(*) FROM customer) <= 1000000
+      |       THEN 'BroadcastDim' ELSE 'PlainShuffle' END AS strategy
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q252_dispatch_join" -> Gate.sorted(q252DispatchJoin _, "c_mktsegment"),
     "q245_skew_atlas" -> Gate.sorted(q245SkewAtlas _, "table_name"),
     "q242_shuffle_advisor" -> ((s, d) => q242ShuffleAdvisor(s, d)),
     "q232_invalidation_plan" -> Gate.sorted(q232InvalidationPlan _, "month"),
@@ -379,6 +409,7 @@ object PlannerOps {
     "q187_stratified_fixed_n" -> Gate.sorted(q187StratifiedFixedN _, "lang", "rk"))
 
   val oracles: Map[String, String] = Map(
+    "q252_dispatch_join" -> q252Sql,
     "q245_skew_atlas" -> q245Sql,
     "q242_shuffle_advisor" -> q242Sql,
     "q232_invalidation_plan" -> q232Sql,

@@ -541,7 +541,157 @@ object TpchShapes {
       |WHERE pp.part_rev * 1000000 > $IMPORTANT_PART_MICRO * t.total_rev
       |ORDER BY p_partkey""".stripMargin
 
+  /** q253: NATION-PAIR TRADE VOLUME (TPC-H Q7 shape, generalized to
+    * ALL nation pairs): revenue shipped between every (supplier
+    * nation, customer nation) pair per order year. The physical shape
+    * is the classic snowflake: the lineitem fact shuffles ONCE on
+    * orderkey to meet orders (which carries custkey -> customer ->
+    * nation via broadcasts), supplier and both nation legs broadcast —
+    * at 100 TB only the fact and the orders leg shuffle; everything
+    * else ships to the executors. Output is |nations|^2 x years rows.
+    */
+  def q253NationTrade(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+      .join(broadcast(t.nation.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        graft.functions.Exact.sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+  }
+
+  val q253Sql: String =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |  CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n_lines,
+      |  ${graft.functions.Exact.sumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** q254: REGIONAL MARKET SHARE (TPC-H Q8 shape): per (customer
+    * region, order year, supplier nation), the nation's revenue in
+    * integer micro units NEXT TO the region-year total — numerator and
+    * denominator as exact BIGINTs (the ratio is one division away;
+    * emitting it would put a float quotient in the gate for no
+    * analytical gain). Window-sum over the tiny rollup supplies the
+    * denominator without a second scan.
+    */
+  def q254MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val rev = t.lineitem
+      .join(t.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey").as("cnk"),
+        col("n_regionkey").as("crk"))), col("c_nationkey") === col("cnk"))
+      .join(broadcast(t.region), col("crk") === col("r_regionkey"))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"),
+        col("supp_nation"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 10000 + lit(0.5)).cast("long")).as("rev_cmicro"))
+    val wTot = Window.partitionBy("r_name", "o_year")
+    rev.withColumn("total_cmicro", sum("rev_cmicro").over(wTot))
+  }
+
+  val q254Sql: String =
+    """WITH rev AS (
+      |  SELECT r_name, CAST(year(o_orderdate) AS INT) AS o_year,
+      |    sn.n_name AS supp_nation,
+      |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+      |      + 0.5) AS BIGINT)) AS BIGINT) AS rev_cmicro
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  JOIN region ON cn.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  GROUP BY 1, 2, 3)
+      |SELECT r_name, o_year, supp_nation, rev_cmicro,
+      |  CAST(sum(rev_cmicro) OVER (PARTITION BY r_name, o_year)
+      |    AS BIGINT) AS total_cmicro
+      |FROM rev ORDER BY r_name, o_year, supp_nation""".stripMargin
+
+  /** q255 late threshold (days past order date). */
+  val LATE_DAYS = 60
+
+  /** q255: WAITING SUPPLIERS (TPC-H Q21 shape, late := shipped more
+    * than LATE_DAYS past the order date since this lineitem carries no
+    * receipt/commit dates): suppliers whose line was LATE in a
+    * multi-supplier order where NO OTHER supplier was late — the
+    * "who alone held up the order" attribution. The semi + anti
+    * SELF-JOINS run on the shared l_orderkey partitioning (orders are
+    * small groups, so the exists/not-exists probes are bounded per
+    * key); one count rollup per supplier at the end.
+    */
+  def q255WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem
+      .join(t.orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") >
+          col("o_orderdate") + expr(s"INTERVAL $LATE_DAYS DAYS")).as("late"))
+    val l1 = li.filter(col("late"))
+      .select(col("l_orderkey"), col("l_suppkey")).distinct()
+    val others = li.select(col("l_orderkey").as("k2"),
+      col("l_suppkey").as("s2"), col("late").as("late2"))
+    val multiSupp = l1.join(others,
+        col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+    val othersLate = others.filter(col("late2"))
+    val alone = multiSupp.join(othersLate,
+      col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+      "left_anti")
+    alone.groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_waiting_orders"))
+      .join(broadcast(Tables(spark, dir).supplier
+        .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_waiting_orders"))
+  }
+
+  val q255Sql: String =
+    s"""WITH li AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    l_shipdate > o_orderdate + INTERVAL $LATE_DAYS DAY AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late)
+      |SELECT s_suppkey, s_name, count(*) AS n_waiting_orders
+      |FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE EXISTS (SELECT 1 FROM li o WHERE o.l_orderkey = l1.l_orderkey
+      |              AND o.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM li o WHERE o.l_orderkey = l1.l_orderkey
+      |                  AND o.l_suppkey <> l1.l_suppkey AND o.late)
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q253_nation_trade" ->
+      Gate.sorted(q253NationTrade _, "supp_nation", "cust_nation", "o_year"),
+    "q254_market_share" ->
+      Gate.sorted(q254MarketShare _, "r_name", "o_year", "supp_nation"),
+    "q255_waiting_suppliers" ->
+      Gate.sorted(q255WaitingSuppliers _, "s_suppkey"),
     "q212_returned_report" -> ((s, d) => q212ReturnedReport(s, d)),
     "q213_top_supplier" -> Gate.sorted(q213TopSupplier _, "s_suppkey"),
     "q214_large_orders" -> Gate.sorted(q214LargeOrders _, "o_orderkey"),
@@ -555,6 +705,9 @@ object TpchShapes {
     "q161_skyline" -> Gate.sorted(q161Skyline _, "p_partkey"))
 
   val oracles: Map[String, String] = Map(
+    "q253_nation_trade" -> q253Sql,
+    "q254_market_share" -> q254Sql,
+    "q255_waiting_suppliers" -> q255Sql,
     "q212_returned_report" -> q212Sql,
     "q213_top_supplier" -> q213Sql,
     "q214_large_orders" -> q214Sql,

@@ -176,6 +176,51 @@ class TpchShapesSpec extends SparkSpec {
     assert(TpchShapes.q214LargeOrders(spark, sfDir).count() === want)
   }
 
+  test("q253 nation-pair revenue reconciles to the unpartitioned total") {
+    val rows = TpchShapes.q253NationTrade(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val gotLines = rows.map(_.getAs[Long]("n_lines")).sum
+    assert(gotLines === Tables(spark, sfDir).lineitem.count())
+    // pair matrix covers both directions independently
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.exists { case (a, b) => a != b && pairs.contains((b, a)) })
+  }
+
+  test("q254 nation revenues sum exactly to their region-year total") {
+    val rows = TpchShapes.q254MarketShare(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getString(0), r.getInt(1))).foreach {
+      case ((region, yr), rs) =>
+        val tot = rs.head.getAs[Long]("total_cmicro")
+        assert(rs.forall(_.getAs[Long]("total_cmicro") == tot))
+        assert(rs.map(_.getAs[Long]("rev_cmicro")).sum === tot,
+          s"$region $yr share sum")
+    }
+  }
+
+  test("q255 waiting suppliers: sole-late attribution replayed driver-side") {
+    val t = Tables(spark, sfDir)
+    val li = t.lineitem
+      .join(t.orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") >
+          col("o_orderdate") + expr(s"INTERVAL ${TpchShapes.LATE_DAYS} DAYS"))
+          .as("late"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byOrder = li.groupBy(_._1)
+    val want = li.filter(_._3).map(t3 => (t3._1, t3._2)).distinct
+      .filter { case (ok, sk) =>
+        val others = byOrder(ok).filter(_._2 != sk)
+        others.nonEmpty && !others.exists(_._3)
+      }
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = TpchShapes.q255WaitingSuppliers(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("n_waiting_orders"))
+      .toMap
+    assert(got === want)
+  }
+
   test("q215 shares reconcile and the filter is the cross-multiplied form") {
     val rows = TpchShapes.q215ImportantParts(spark, sfDir).collect()
     assert(rows.nonEmpty)
