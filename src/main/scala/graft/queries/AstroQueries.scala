@@ -428,7 +428,63 @@ object AstroQueries {
       |    / ((n_bins * sxx - sx * sx) * 100000.0) AS slope_dex
       |FROM s ORDER BY l_returnflag""".stripMargin
 
+  /** q257 sample modulus + neighbor radius (integer position space). */
+  val DC_MOD = 61
+  val DC_RADIUS = 500.0
+
+  /** q257: CASERTANO-HUT DENSITY CENTER, driver-gated — the previously
+    * spec-only SpatialNeighbors.densityCenter (the quantity the
+    * reference only READS pre-computed from densCentre.txt;
+    * parser/density_center.py) computed end-to-end over warehouse
+    * positions: a deterministic 1/61 sample of lineitem becomes integer
+    * 3-D star positions + masses, the grid-cell equi-join finds all
+    * within-radius neighbor pairs (27x bounded fanout, never O(N^2) in
+    * Spark), each star's local density = neighbor mass inside the
+    * sphere (self included), and the center is the density-weighted
+    * mean position per return flag. All sums are integer-valued doubles
+    * (exact below 2^53) so the one final division is bit-identical in
+    * DuckDB — whose oracle does the O(n^2) pair join the operator
+    * exists to avoid, affordable only because the gate sample is
+    * bounded.
+    */
+  def q257DensityCenter(spark: SparkSession, dir: String): DataFrame = {
+    val stars = Tables(spark, dir).lineitem
+      .filter(col("l_orderkey") % DC_MOD === 0)
+      .select(col("l_returnflag"),
+        floor(col("l_quantity") * 100 + lit(0.5)).as("px"),
+        floor(col("l_extendedprice") / 100 + lit(0.5)).as("py"),
+        floor(col("l_tax") * 10000 + lit(0.5)).as("pz"),
+        floor(col("l_discount") * 100 + lit(1.5)).as("m"))
+    graft.operators.SpatialNeighbors.densityCenter(
+      stars, Seq("l_returnflag"), "px", "py", "pz", "m", DC_RADIUS)
+  }
+
+  val q257Sql: String =
+    s"""WITH stars AS (
+      |  SELECT l_returnflag,
+      |    floor(l_quantity * 100 + 0.5) AS px,
+      |    floor(l_extendedprice / 100 + 0.5) AS py,
+      |    floor(l_tax * 10000 + 0.5) AS pz,
+      |    floor(l_discount * 100 + 1.5) AS m,
+      |    row_number() OVER () AS sid
+      |  FROM lineitem WHERE l_orderkey % $DC_MOD = 0),
+      |rho AS (
+      |  SELECT a.l_returnflag, a.sid, a.px, a.py, a.pz,
+      |    sum(b.m) AS rho
+      |  FROM stars a JOIN stars b ON a.l_returnflag = b.l_returnflag
+      |  WHERE sqrt((a.px - b.px) * (a.px - b.px)
+      |    + (a.py - b.py) * (a.py - b.py)
+      |    + (a.pz - b.pz) * (a.pz - b.pz)) <= $DC_RADIUS
+      |  GROUP BY 1, 2, 3, 4, 5)
+      |SELECT l_returnflag,
+      |  CAST(sum(px * rho) AS DOUBLE) / CAST(sum(rho) AS DOUBLE) AS dc_x,
+      |  CAST(sum(py * rho) AS DOUBLE) / CAST(sum(rho) AS DOUBLE) AS dc_y,
+      |  CAST(sum(pz * rho) AS DOUBLE) / CAST(sum(rho) AS DOUBLE) AS dc_z,
+      |  count(*) AS n_stars
+      |FROM rho GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q257_density_center" -> Gate.sorted(q257DensityCenter _, "l_returnflag"),
     "q96_lagrangian_radii" -> (q96LagrangianRadii _),
     "q97_mass_function_slope" -> (q97MassFunctionSlope _),
     "q95_velocity_dispersion" -> Gate.sorted(q95VelocityDispersion _, "ring"),
@@ -444,6 +500,7 @@ object AstroQueries {
     "q20_density_center_dist" -> Gate.sorted(q20DensityCenterDist _, "l_orderkey", "l_linenumber"))
 
   val oracles: Map[String, String] = Map(
+    "q257_density_center" -> q257Sql,
     "q96_lagrangian_radii" -> q96Sql,
     "q97_mass_function_slope" -> q97Sql,
     "q95_velocity_dispersion" -> q95Sql,

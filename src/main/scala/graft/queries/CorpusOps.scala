@@ -187,13 +187,124 @@ object CorpusOps {
       |  TRUE AS weight_exact, TRUE AS ok_p50, TRUE AS ok_p90
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q256: JSONL SOURCE ROUND-TRIP, driver-gated — the previously
+    * spec-only sources/JsonlCorpus.scala run end-to-end: the documents
+    * table is REALLY written as JSONL text (one `to_json` document per
+    * line), two constant malformed lines are appended, and the
+    * explicit-schema PERMISSIVE read parses it back — well-formed rows
+    * into columns, broken lines quarantined into the corrupt column
+    * (the 100 TB contract: a bad line is a quarantined row, not a dead
+    * job). The gated rollup counts docs and exact characters per
+    * source plus the quarantine bucket; the oracle computes the same
+    * rollup from the parquet ORIGINAL plus the two known constants —
+    * so any parse-fidelity loss (field mixups, encoding, quarantine
+    * misses) flips the gate.
+    */
+  def q256JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("jsonl_rt").toString
+    val docs = Tables(spark, dir).documents
+      .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+        col("source"))).as("value"))
+      .union(Seq("{broken json", "also not json}").toDF("value"))
+    docs.coalesce(4).write.mode("overwrite").text(s"$tmp/corpus")
+    graft.sources.JsonlCorpus.read(spark, s"$tmp/corpus")
+      .select(
+        when(col(graft.sources.JsonlCorpus.CORRUPT_COL).isNotNull,
+          lit("_corrupt")).otherwise(col("source")).as("src"),
+        coalesce(length(col("text")), lit(0L)).as("chars"))
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_docs"), sum("chars").as("sum_chars"))
+  }
+
+  val q256Sql: String =
+    """SELECT source AS src, count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1
+      |UNION ALL
+      |SELECT '_corrupt', 2, 0
+      |ORDER BY src""".stripMargin
+
+  /** q258: SCHEMA-EVOLUTION READ, driver-gated — the previously
+    * spec-only sources/SchemaEvolution.readEvolved run end-to-end on
+    * REAL drifted shards: the documents table is written as two
+    * parquet generations (v1: doc_id narrowed to INT, no lang column —
+    * the "old pipeline version" shard; v2: full schema), then read
+    * back through the width-conforming, null-filling evolved read.
+    * The gated rollup groups v1 rows under a sentinel lang (they
+    * predate the column) with exact id/char sums; the oracle computes
+    * the same split from the ORIGINAL parquet — so a silently dropped
+    * column, truncated width, or lost shard flips the gate.
+    */
+  def q258SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("schevo").toString
+    val d = Tables(spark, dir).documents
+    d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").cast("int").as("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$tmp/v1")
+    d.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .write.mode("overwrite").parquet(s"$tmp/v2")
+    graft.sources.SchemaEvolution.readEvolved(spark, tmp,
+        "doc_id" -> org.apache.spark.sql.types.LongType)
+      .groupBy(coalesce(col("lang"), lit("_pre_evolution")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+        sum(length(col("text"))).as("sum_chars"))
+  }
+
+  val q258Sql: String =
+    """SELECT CASE WHEN doc_id % 2 = 0 THEN '_pre_evolution' ELSE lang END
+      |    AS lang,
+      |  count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q259 pruning filter for the shard-store read-back. */
+  val SINK_SOURCE = "src3"
+
+  /** q259: TRAINING-SHARD SINK ROUND-TRIP, driver-gated — the
+    * previously spec-only operators/CorpusSink run end-to-end: the
+    * documents table is REALLY written as the partitioned shard store
+    * (hash-routed, intra-file sorted, source=... directories), read
+    * back THROUGH a source filter (the partition-pruning path a 100 TB
+    * reader lives on), and rolled up per lang with exact sums. The
+    * oracle computes the same rollup from the original parquet with
+    * the same filter — lost rows, duplicated rows, or partition-column
+    * corruption in the write/read cycle flips the gate.
+    */
+  def q259CorpusSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("sinkrt").toString
+    graft.operators.CorpusSink.write(
+      Tables(spark, dir).documents, s"$tmp/shards", shards = 4)
+    graft.operators.CorpusSink.load(spark, s"$tmp/shards")
+      .filter(col("source") === SINK_SOURCE)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"),
+        sum(length(col("text"))).as("sum_chars"))
+  }
+
+  val q259Sql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+      |FROM documents WHERE source = '$SINK_SOURCE'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_schema_evolution" -> Gate.sorted(q258SchemaEvolution _, "lang"),
+    "q259_corpus_sink_roundtrip" ->
+      Gate.sorted(q259CorpusSinkRoundtrip _, "lang"),
+    "q256_jsonl_roundtrip" -> Gate.sorted(q256JsonlRoundtrip _, "src"),
     "q249_boilerplate_strip" -> Gate.sorted(q249BoilerplateStrip _, "doc_id"),
     "q250_linkage_patterns" -> Gate.sorted(q250LinkagePatterns _,
       "agree_status", "agree_priority", "agree_month", "agree_band"),
     "q251_sketch_eval" -> Gate.sorted(q251SketchQuantileEval _, "g"))
 
   val oracles: Map[String, String] = Map(
+    "q258_schema_evolution" -> q258Sql,
+    "q259_corpus_sink_roundtrip" -> q259Sql,
+    "q256_jsonl_roundtrip" -> q256Sql,
     "q249_boilerplate_strip" -> q249Sql,
     "q250_linkage_patterns" -> q250Sql,
     "q251_sketch_eval" -> q251Sql)
