@@ -291,7 +291,47 @@ object CorpusOps {
       |FROM documents WHERE source = '$SINK_SOURCE'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q260: HLL DISTINCT-SKETCH EVALUATION, driver-gated — the
+    * previously spec-only operators/DistinctSketch run end-to-end:
+    * per-event-type HLL sketches built distributed, the GLOBAL row
+    * answered by UNIONING the per-type sketches (the persist-sketches,
+    * never-rescan pattern the operator exists for), then each
+    * estimate's error measured against the exact distinct count and
+    * asserted within 3 standard errors (~5% at lgK=12). Exact counts
+    * ride in the gate; the booleans make an estimator regression go
+    * red (DuckDB's own HLL is a different implementation, so the
+    * ESTIMATE itself cannot be the oracle — its error bound can).
+    */
+  def q260HllEval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DistinctSketch
+    val ev = Tables(spark, dir).events
+    val sk = DistinctSketch.sketchBy(ev, "user_id", "event_type")
+    val per = DistinctSketch.rollup(sk, "event_type")
+    val glob = DistinctSketch.rollup(sk).withColumn("event_type", lit("_all"))
+    val est = per.select("event_type", "n_rows", "n_distinct_est")
+      .unionByName(glob.select("event_type", "n_rows", "n_distinct_est"))
+    val exactPer = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"))
+    val exactGlob = ev.agg(countDistinct("user_id").as("n_exact"))
+      .withColumn("event_type", lit("_all"))
+    est.join(exactPer.unionByName(exactGlob), "event_type")
+      .select(col("event_type"), col("n_rows"), col("n_exact"),
+        (abs(col("n_distinct_est") - col("n_exact")) <=
+          col("n_exact") * 0.05).as("within_3se"))
+  }
+
+  val q260Sql: String =
+    """SELECT event_type, count(*) AS n_rows,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+      |  TRUE AS within_3se
+      |FROM events GROUP BY 1
+      |UNION ALL
+      |SELECT '_all', count(*), CAST(count(DISTINCT user_id) AS BIGINT), TRUE
+      |FROM events
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q260_hll_eval" -> Gate.sorted(q260HllEval _, "event_type"),
     "q258_schema_evolution" -> Gate.sorted(q258SchemaEvolution _, "lang"),
     "q259_corpus_sink_roundtrip" ->
       Gate.sorted(q259CorpusSinkRoundtrip _, "lang"),
@@ -302,6 +342,7 @@ object CorpusOps {
     "q251_sketch_eval" -> Gate.sorted(q251SketchQuantileEval _, "g"))
 
   val oracles: Map[String, String] = Map(
+    "q260_hll_eval" -> q260Sql,
     "q258_schema_evolution" -> q258Sql,
     "q259_corpus_sink_roundtrip" -> q259Sql,
     "q256_jsonl_roundtrip" -> q256Sql,
