@@ -430,4 +430,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "expected frequent-pair semi-join pruning")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q253/q254: snowflake legs broadcast; no cartesian anywhere") {
+    Seq(
+      graft.queries.TpchShapes.q253NationTrade(spark, sfDir),
+      graft.queries.TpchShapes.q254MarketShare(spark, sfDir)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"),
+        "supplier/nation/region legs must broadcast")
+      assert(!p.contains("CartesianProduct"), "unexpected cartesian")
+    }
+  }
+
+  test("q255: late-line attribution uses semi+anti joins, never cartesian") {
+    val p = plan(graft.queries.TpchShapes.q255WaitingSuppliers(spark, sfDir))
+    assert(p.contains("LeftSemi"), "multi-supplier check must be a semi join")
+    assert(p.contains("LeftAnti"), "sole-late check must be an anti join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q249: boilerplate frequency aggregates partially before its exchange") {
+    val p = executedPlan(
+      graft.queries.CorpusOps.q249BoilerplateStrip(spark, sfDir))
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("partial_"), "expected map-side combine")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q250: blocked pair join is an equi-join on the blocking key") {
+    val p = plan(graft.queries.CorpusOps.q250LinkagePatterns(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), "blocking must keep this equi")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "pair join must run on the custkey hash, not a nested loop")
+  }
 }
