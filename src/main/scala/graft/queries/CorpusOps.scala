@@ -330,7 +330,48 @@ object CorpusOps {
       |FROM events
       |ORDER BY event_type""".stripMargin
 
+  /** q261: BUCKETED CO-LOCATED JOIN, driver-gated — the previously
+    * spec-only operators/Bucketing run end-to-end: both join sides are
+    * REALLY written as bucketed managed tables on the join key (the
+    * pay-once-at-ingest layout; bucket metadata lives in the catalog),
+    * then joined shuffle-free (bucket counts match, so Spark plans a
+    * sort-merge join over co-located buckets with NO exchange on
+    * either side — asserted in the plan audit) and rolled up. The
+    * oracle joins the original parquet — layout corruption, bucket
+    * routing bugs, or lost rows flip the gate.
+    */
+  def q261BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bucketing
+    val t = Tables(spark, dir)
+    // unique table names per invocation: a managed table's LOCATION
+    // outlives the session's catalog entry, so a fixed name collides
+    // with a previous run's orphan directory (warehouse dir is
+    // gitignored; each table is a few MB at gate scale)
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
+    val (ot, ct) = (s"q261_orders_$tag", s"q261_cust_$tag")
+    Bucketing.writeBucketed(
+      t.orders.select("o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderpriority"),
+      ot, 8, Seq("o_custkey"))
+    Bucketing.writeBucketed(
+      t.customer.select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment")),
+      ct, 8, Seq("o_custkey"))
+    Bucketing.bucketedJoin(spark, ot, ct, Seq("o_custkey"))
+      .groupBy("c_mktsegment", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.Exact.sumExact(col("o_totalprice")).as("revenue"))
+  }
+
+  val q261Sql: String =
+    s"""SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders,
+      |  ${graft.functions.Exact.sumSql("o_totalprice")} AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q261_bucketed_join" ->
+      Gate.sorted(q261BucketedJoin _, "c_mktsegment", "o_orderpriority"),
     "q260_hll_eval" -> Gate.sorted(q260HllEval _, "event_type"),
     "q258_schema_evolution" -> Gate.sorted(q258SchemaEvolution _, "lang"),
     "q259_corpus_sink_roundtrip" ->
@@ -342,6 +383,7 @@ object CorpusOps {
     "q251_sketch_eval" -> Gate.sorted(q251SketchQuantileEval _, "g"))
 
   val oracles: Map[String, String] = Map(
+    "q261_bucketed_join" -> q261Sql,
     "q260_hll_eval" -> q260Sql,
     "q258_schema_evolution" -> q258Sql,
     "q259_corpus_sink_roundtrip" -> q259Sql,

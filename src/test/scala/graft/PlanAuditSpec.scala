@@ -458,6 +458,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q261: the bucketed join itself is shuffle-free") {
+    val df = graft.queries.CorpusOps.q261BucketedJoin(spark, sfDir)
+    val p = executedPlan(df).split("== Initial Plan ==")(0)
+    // one exchange is allowed for the final rollup; the JOIN must read
+    // co-located buckets directly — so strictly fewer exchanges than
+    // the shuffle-join formulation (join would add 2 more)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"bucketed join must not shuffle its inputs:\n$p")
+    // both scans must read the bucketed layout (at spec scale AQE may
+    // still broadcast the small side — the property that matters is
+    // that NEITHER side exchanged and the scans are bucket-aware)
+    assert("Bucketed: true".r.findAllIn(p).length >= 2,
+      "both sides must scan their bucketed layout")
+  }
+
   test("q250: blocked pair join is an equi-join on the blocking key") {
     val p = plan(graft.queries.CorpusOps.q250LinkagePatterns(spark, sfDir))
     assert(!p.contains("CartesianProduct"), "blocking must keep this equi")
