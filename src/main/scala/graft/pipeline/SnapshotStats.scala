@@ -210,6 +210,12 @@ object SnapshotStats {
     * loader.py:48 — count/min/max/mean-step of the adaptive output
     * grid, step rounded to 2 dp like the reference). One window + one
     * aggregate on sim_id.
+    *
+    * The 2 dp rounding is floor(x*100 + 0.5)/100 rather than
+    * round(x, 2): Spark rounds through an exact BigDecimal while
+    * DuckDB multiplies in float — at a decimal boundary the two can
+    * disagree by one ulp (the q188 repr-hash class). The floor form is
+    * the same three IEEE ops in both engines, bit-identical always.
     */
   def timestampStats(df: DataFrame): DataFrame = {
     val w = Window.partitionBy("sim_id").orderBy("time")
@@ -220,7 +226,7 @@ object SnapshotStats {
         count(lit(1)).as("count"),
         min("time").as("min"),
         max("time").as("max"),
-        round(avg("d"), 2).as("step"))
+        (floor(avg("d") * 100 + lit(0.5)) / 100).as("step"))
   }
 
   /** Cross-run ENSEMBLE statistics (reference:

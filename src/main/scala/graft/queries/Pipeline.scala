@@ -247,7 +247,7 @@ object Pipeline {
       |    time - lag(time) OVER (PARTITION BY sim_id ORDER BY time) AS d
       |  FROM t)
       |SELECT sim_id, count(*) AS "count", min(time) AS "min",
-      |  max(time) AS "max", round(avg(d), 2) AS step
+      |  max(time) AS "max", floor(avg(d) * 100 + 0.5) / 100 AS step
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** q248: CROSS-RUN ENSEMBLE STATISTICS — the previously spec-only
