@@ -137,6 +137,55 @@ object DistributedQuantile {
       groupCols)
   }
 
+  /** DISCRETE quantiles (`quantile_disc` / percentile_disc semantics):
+    * the first group element whose cumulative distribution reaches q —
+    * rank ceil(q*n) (1-based) — returned EXACTLY, no interpolation, so
+    * the result is always a value that occurs in the data (the right
+    * semantics for timestamps, ids, and enumerated measures, where an
+    * interpolated midpoint is meaningless). Same three bucket-prune
+    * passes as [[quantiles]]; only the rank arithmetic differs.
+    */
+  def quantilesDisc(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      qs: Seq[(String, Double)],
+      numBuckets: Int = 256): DataFrame = {
+    val g = groupCols.map(col)
+    val base = df
+      .select(g :+ col(valueCol).cast("double").as("_v"): _*)
+      .filter(col("_v").isNotNull)
+    val bucketed = assignBuckets(base, groupCols, numBuckets)
+    val stats = bucketed.groupBy(g :+ col("_b"): _*).agg(count(lit(1)).as("_cnt"))
+
+    val wB = Window.partitionBy(g: _*).orderBy("_b")
+    val cum = stats
+      .withColumn("_cum", sum("_cnt").over(wB))
+      .withColumn("_before", col("_cum") - col("_cnt"))
+    val qarr = array(qs.map { case (n, q) =>
+      struct(lit(n).as("qn"), lit(q).as("q")) }: _*)
+    val targets = stats.groupBy(g: _*).agg(sum("_cnt").as("_n"))
+      .select(g :+ explode(qarr).as("_t") :+ col("_n"): _*)
+      .select(g ++ Seq(col("_t.qn").as("_qn"),
+        greatest(ceil(col("_t.q") * col("_n")) - 1, lit(0L)).as("_rk")): _*)
+    val ranks = targets.select(g :+ col("_rk"): _*).distinct()
+    val located = ranks.join(cum, groupCols)
+      .filter(col("_rk") >= col("_before") && col("_rk") < col("_cum"))
+      .select(g ++ Seq(col("_b"), col("_rk"),
+        (col("_rk") - col("_before")).as("_lrk")): _*)
+    val needed = located.select(g :+ col("_b"): _*).distinct()
+    val wLoc = Window.partitionBy(g :+ col("_b"): _*).orderBy("_v")
+    val vals = bucketed
+      .join(broadcast(needed), groupCols :+ "_b")
+      .withColumn("_lrk", row_number().over(wLoc) - 1)
+      .join(broadcast(located), groupCols ++ Seq("_b", "_lrk"))
+      .select(g ++ Seq(col("_rk"), col("_v")): _*)
+    val joined = targets.join(vals, groupCols :+ "_rk")
+    val aggCols = qs.map { case (n, _) =>
+      max(when(col("_qn") === n, col("_v"))).as(n) }
+    joined.groupBy(g: _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
   /** Rank targets -> bucket locate -> survivor-only local sort, given
     * the bucketed rows and the per-(group, bucket) counts.
     */

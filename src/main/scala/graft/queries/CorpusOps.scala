@@ -369,7 +369,82 @@ object CorpusOps {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q263 pipeline thresholds/geometry (shared with the oracle). */
+  val PIPE_MIN_TOKENS = 20
+  val PIPE_CHUNK = 200
+  val PIPE_STRIDE = 150
+  val PIPE_SHARDS = 8
+
+  /** q263: END-TO-END CORPUS PIPELINE — the reference-style linear
+    * pipeline (parse -> clean -> chunk -> shard) composed from the
+    * inventory's own stages into ONE declarative plan: exact dedup
+    * (keep the lowest doc_id per text hash, q26's policy) -> quality
+    * gate (token count >= PIPE_MIN_TOKENS, the q81 family's simplest
+    * rule) -> sliding-window chunking (q43's 200/150 geometry) ->
+    * deterministic shard routing (q25's md5-bucket idiom) -> per-shard
+    * manifest (docs, chunks, exact characters). What the gate proves
+    * is the COMPOSITION: each stage's output feeds the next inside one
+    * Catalyst plan (scan-stage dedup hash, one groupBy for the
+    * survivor set, chunk explode, shard rollup — three shuffles total,
+    * each on a uniform key), the shape a 100 TB corpus build actually
+    * runs as one job.
+    */
+  def q263CorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"), md5(col("text")).as("h"),
+        size(split(col("text"), " ")).as("n_tok"))
+    val survivors = docs
+      .groupBy("h").agg(min("doc_id").as("keep_id"))
+    val clean = docs
+      .join(survivors, docs("doc_id") === survivors("keep_id"))
+      .filter(col("n_tok") >= PIPE_MIN_TOKENS)
+      .select(col("doc_id"), col("text"))
+    val chunks = clean
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, cast(greatest(ceil(length(text) / " +
+          s"$PIPE_STRIDE.0), 1) as int) - 1)")).as("ci"), col("text"))
+      .select(col("doc_id"),
+        substring(col("text"), col("ci") * PIPE_STRIDE + 1, lit(PIPE_CHUNK))
+          .as("chunk"))
+      .filter(length(col("chunk")) > 0)
+    chunks
+      .withColumn("shard",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") % PIPE_SHARDS)
+      .groupBy("shard")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(length(col("chunk"))).as("sum_chars"))
+  }
+
+  val q263Sql: String =
+    s"""WITH docs AS (
+      |  SELECT doc_id, text, md5(text) AS h,
+      |    len(string_split(text, ' ')) AS n_tok
+      |  FROM documents),
+      |surv AS (SELECT h, min(doc_id) AS keep_id FROM docs GROUP BY 1),
+      |clean AS (
+      |  SELECT d.doc_id, d.text FROM docs d
+      |  JOIN surv s ON d.doc_id = s.keep_id
+      |  WHERE d.n_tok >= $PIPE_MIN_TOKENS),
+      |chunks AS (
+      |  SELECT doc_id,
+      |    substr(text, i * $PIPE_STRIDE + 1, $PIPE_CHUNK) AS chunk
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      unnest(generate_series(0,
+      |        CAST(greatest(ceil(length(text) / $PIPE_STRIDE.0), 1) AS INT) - 1)) AS i
+      |    FROM clean)
+      |  WHERE length(substr(text, i * $PIPE_STRIDE + 1, $PIPE_CHUNK)) > 0)
+      |SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+      |    % $PIPE_SHARDS AS shard,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  count(*) AS n_chunks,
+      |  CAST(sum(length(chunk)) AS BIGINT) AS sum_chars
+      |FROM chunks GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q263_corpus_pipeline" -> Gate.sorted(q263CorpusPipeline _, "shard"),
     "q261_bucketed_join" ->
       Gate.sorted(q261BucketedJoin _, "c_mktsegment", "o_orderpriority"),
     "q260_hll_eval" -> Gate.sorted(q260HllEval _, "event_type"),
@@ -383,6 +458,7 @@ object CorpusOps {
     "q251_sketch_eval" -> Gate.sorted(q251SketchQuantileEval _, "g"))
 
   val oracles: Map[String, String] = Map(
+    "q263_corpus_pipeline" -> q263Sql,
     "q261_bucketed_join" -> q261Sql,
     "q260_hll_eval" -> q260Sql,
     "q258_schema_evolution" -> q258Sql,

@@ -35,6 +35,29 @@ object LayoutOps {
       |  quantile_cont(l_extendedprice, 0.75) AS p75
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q262: DISCRETE GROUPED QUANTILES — q165's `quantile_cont`
+    * counterpart with `quantile_disc` semantics (the first element
+    * whose cumulative distribution reaches q; always an actual data
+    * value, the right choice for timestamps/ids where interpolated
+    * midpoints are meaningless), via the same bucket-prune operator
+    * (DistributedQuantile.quantilesDisc — no per-group total sort).
+    * Oracle is DuckDB's own quantile_disc: both select the 1-based
+    * rank ceil(q*n), so values match exactly with NO float arithmetic
+    * in the gate at all.
+    */
+  def q262GroupQuantilesDisc(spark: SparkSession, dir: String): DataFrame =
+    DistributedQuantile.quantilesDisc(
+      Tables(spark, dir).lineitem.select("l_returnflag", "l_extendedprice"),
+      Seq("l_returnflag"), "l_extendedprice",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+
+  val q262Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_disc(l_extendedprice, 0.25) AS p25,
+      |  quantile_disc(l_extendedprice, 0.50) AS p50,
+      |  quantile_disc(l_extendedprice, 0.75) AS p75
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q166 z-key normalization bounds — fixed literals shared with the
     * oracle (at production scale these come from table stats).
     */
@@ -329,6 +352,8 @@ object LayoutOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q229_encoding_advisor" -> Gate.sorted(q229EncodingAdvisor _, "col_name"),
     "q165_group_quantiles" -> Gate.sorted(q165GroupQuantiles _, "l_returnflag"),
+    "q262_group_quantiles_disc" ->
+      Gate.sorted(q262GroupQuantilesDisc _, "l_returnflag"),
     "q166_zorder_profile" -> Gate.sorted(q166ZorderProfile _, "p_brand"),
     "q174_weighted_median" -> Gate.sorted(q174WeightedMedian _, "l_returnflag"),
     "q204_run_profile" -> Gate.sorted(q204RunProfile _, "col_name"))
@@ -336,6 +361,7 @@ object LayoutOps {
   val oracles: Map[String, String] = Map(
     "q229_encoding_advisor" -> q229Sql,
     "q165_group_quantiles" -> q165Sql,
+    "q262_group_quantiles_disc" -> q262Sql,
     "q166_zorder_profile" -> q166Sql,
     "q174_weighted_median" -> q174Sql,
     "q204_run_profile" -> q204Sql)

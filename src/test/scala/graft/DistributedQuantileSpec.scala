@@ -86,6 +86,31 @@ class DistributedQuantileSpec extends SparkSpec {
     assert(got("b") === ((2L, 100000000014L, 50000000007.0)))
   }
 
+  test("quantilesDisc returns the ceil(q*n)-ranked element, no interpolation") {
+    val rows = Seq("a" -> 10.0, "a" -> 20.0, "a" -> 30.0, "a" -> 40.0,
+      "b" -> 7.0)
+    val df = rows.toDF("g", "v")
+    val got = DistributedQuantile
+      .quantilesDisc(df, Seq("g"), "v",
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75), 4)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    // n=4: ranks ceil(1)=1, ceil(2)=2, ceil(3)=3 (1-based) -> 10, 20, 30
+    assert(got("a") === ((10.0, 20.0, 30.0)))
+    assert(got("b") === ((7.0, 7.0, 7.0)))
+    // results are always actual data values on skewed data too
+    val rng = new scala.util.Random(262)
+    val big = (1 to 2003).map(i => ("s", math.exp(rng.nextDouble() * 6)))
+    val vals = big.map(_._2).toSet
+    DistributedQuantile
+      .quantilesDisc(big.toDF("g", "v"), Seq("g"), "v",
+        Seq("p10" -> 0.1, "p50" -> 0.5, "p99" -> 0.99), 8)
+      .collect().foreach { r =>
+        Seq(1, 2, 3).foreach(i => assert(vals.contains(r.getDouble(i))))
+      }
+  }
+
   test("quantiles ignore nulls and handle a single-row group") {
     val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)), ("b", Some(9.0)))
       .toDF("g", "v")
