@@ -396,7 +396,62 @@ object PlannerOps {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q264: CBO JOIN-ESTIMATE EVALUATION — the textbook uniform-
+    * assumption join cardinality estimator (|A ⋈ B| ~= |A|x|B| /
+    * max(d_A, d_B), the formula every System-R descendant plans with)
+    * computed from one-aggregate probes for the schema's three natural
+    * joins, next to the ACTUAL join size — the estimator-quality
+    * report a planner regression suite watches. All integer
+    * arithmetic at gate scale (the BIGINT product is exact to ~9e18;
+    * production rescales in decimal); probes are map-side-combined
+    * single aggregates, the actuals are the joins themselves.
+    */
+  def q264CboEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    def one(name: String, a: DataFrame, ka: String,
+            b: DataFrame, kb: String): DataFrame = {
+      val sa = a.agg(count(lit(1)).as("rows_a"),
+        countDistinct(col(ka)).as("d_a"))
+      val sb = b.agg(count(lit(1)).as("rows_b"),
+        countDistinct(col(kb)).as("d_b"))
+      val actual = a.join(b, col(ka) === col(kb))
+        .agg(count(lit(1)).as("actual"))
+      sa.crossJoin(sb).crossJoin(actual)
+        .select(lit(name).as("join_name"), col("rows_a"), col("d_a"),
+          col("rows_b"), col("d_b"),
+          (col("rows_a") * col("rows_b") / greatest(col("d_a"), col("d_b")))
+            .cast("long").as("est"),
+          col("actual"))
+    }
+    one("customer_orders", t.customer, "c_custkey", t.orders, "o_custkey")
+      .unionByName(one("orders_lineitem",
+        t.orders, "o_orderkey", t.lineitem, "l_orderkey"))
+      .unionByName(one("part_lineitem",
+        t.part, "p_partkey", t.lineitem, "l_partkey"))
+  }
+
+  val q264Sql: String = {
+    def one(name: String, ta: String, ka: String, tb: String, kb: String) =
+      s"""SELECT '$name' AS join_name,
+        |  (SELECT count(*) FROM $ta) AS rows_a,
+        |  (SELECT CAST(count(DISTINCT $ka) AS BIGINT) FROM $ta) AS d_a,
+        |  (SELECT count(*) FROM $tb) AS rows_b,
+        |  (SELECT CAST(count(DISTINCT $kb) AS BIGINT) FROM $tb) AS d_b,
+        |  CAST(floor((SELECT count(*) FROM $ta) * (SELECT count(*) FROM $tb)
+        |    / greatest((SELECT count(DISTINCT $ka) FROM $ta),
+        |               (SELECT count(DISTINCT $kb) FROM $tb))) AS BIGINT)
+        |    AS est,
+        |  (SELECT count(*) FROM $ta JOIN $tb ON $ka = $kb) AS actual"""
+        .stripMargin
+    Seq(
+      one("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+      one("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+      one("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY join_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_cbo_estimate" -> Gate.sorted(q264CboEstimate _, "join_name"),
     "q252_dispatch_join" -> Gate.sorted(q252DispatchJoin _, "c_mktsegment"),
     "q245_skew_atlas" -> Gate.sorted(q245SkewAtlas _, "table_name"),
     "q242_shuffle_advisor" -> ((s, d) => q242ShuffleAdvisor(s, d)),
@@ -409,6 +464,7 @@ object PlannerOps {
     "q187_stratified_fixed_n" -> Gate.sorted(q187StratifiedFixedN _, "lang", "rk"))
 
   val oracles: Map[String, String] = Map(
+    "q264_cbo_estimate" -> q264Sql,
     "q252_dispatch_join" -> q252Sql,
     "q245_skew_atlas" -> q245Sql,
     "q242_shuffle_advisor" -> q242Sql,

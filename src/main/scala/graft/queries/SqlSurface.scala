@@ -199,7 +199,84 @@ object SqlSurface {
       |FROM r WHERE rk <= 5
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q265: RANKING-WINDOW SURFACE PARITY — rank / dense_rank /
+    * percent_rank / cume_dist / ntile / lag / lead in ONE window over
+    * each priority class, top-5 per class gated. The order key is
+    * (totalprice DESC, orderkey), so peer groups are singletons and
+    * the ratio functions reduce to exact single divisions —
+    * bit-identical across engines. One shuffle on the partition key;
+    * the rank filter is the classic top-k-per-group shape.
+    */
+  def q265WindowRankSurface(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir).orders
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
+        percent_rank().over(w).as("prk"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).cast("long").as("tile"),
+        // sentinel instead of NULL: a nullable BIGINT turns into
+        // float64 in the driver's pandas fetch and flips the hash
+        coalesce(lag("o_orderkey", 1).over(w), lit(-1L)).as("prev_key"),
+        coalesce(lead("o_orderkey", 1).over(w), lit(-1L)).as("next_key"))
+      .filter(col("rk") <= 5)
+  }
+
+  val q265Sql: String =
+    """SELECT * FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    CAST(rank() OVER w AS BIGINT) AS rk,
+      |    CAST(dense_rank() OVER w AS BIGINT) AS drk,
+      |    percent_rank() OVER w AS prk,
+      |    cume_dist() OVER w AS cd,
+      |    CAST(ntile(4) OVER w AS BIGINT) AS tile,
+      |    COALESCE(lag(o_orderkey) OVER w, -1) AS prev_key,
+      |    COALESCE(lead(o_orderkey) OVER w, -1) AS next_key
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderpriority
+      |               ORDER BY o_totalprice DESC, o_orderkey))
+      |WHERE rk <= 5 ORDER BY o_orderpriority, rk""".stripMargin
+
+  /** q266: HIGHER-ORDER-FUNCTION SURFACE PARITY — the array/lambda
+    * toolkit (split, size, array_distinct, filter-lambda,
+    * transform-lambda, array_max, array_sort, slice, array_join) over
+    * each document's tokens, gated against DuckDB's list_* twins.
+    * Everything runs IN THE SCAN STAGE — no shuffle, no UDF, all
+    * codegen'd HOF expressions; this is the surface a corpus pipeline
+    * leans on before anything aggregates.
+    */
+  def q266HofSurface(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        size(expr("filter(toks, x -> length(x) >= 6)")).cast("long")
+          .as("n_long"),
+        expr("array_max(transform(toks, x -> length(x)))").cast("long")
+          .as("max_len"),
+        expr("array_join(slice(array_sort(toks), 1, 5), ',')")
+          .as("first5"))
+
+  val q266Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_toks,
+      |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |  CAST(len(list_filter(toks, x -> length(x) >= 6)) AS BIGINT)
+      |    AS n_long,
+      |  CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT)
+      |    AS max_len,
+      |  array_to_string(list_slice(list_sort(toks), 1, 5), ',') AS first5
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q265_window_rank_surface" ->
+      Gate.sorted(q265WindowRankSurface _, "o_orderpriority", "rk"),
+    "q266_hof_surface" -> Gate.sorted(q266HofSurface _, "doc_id"),
     "q234_ordered_agg" -> Gate.sorted(q234OrderedAgg _, "o_orderpriority"),
     "q171_grouping_sets" ->
       Gate.sorted(q171GroupingSets _, "gid", "l_returnflag", "l_linestatus"),
@@ -208,6 +285,8 @@ object SqlSurface {
     "q233_trailing_window" -> Gate.sorted(q233TrailingWindow _, "day"))
 
   val oracles: Map[String, String] = Map(
+    "q265_window_rank_surface" -> q265Sql,
+    "q266_hof_surface" -> q266Sql,
     "q234_ordered_agg" -> q234Sql,
     "q171_grouping_sets" -> q171Sql,
     "q172_set_ops" -> q172Sql,
