@@ -273,7 +273,114 @@ object SqlSurface {
       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** q267: DATE/TIME SURFACE PARITY — the calendar field extractors a
+    * reporting layer lives on (year/quarter/month/day/doy/dow/epoch
+    * day/last-day-of-month), gated on a deterministic order sample.
+    * The one convention mismatch is day-of-week: Spark's dayofweek()
+    * is 1-based Sunday=1 while DuckDB's dayofweek() is 0-based
+    * Sunday=0 — the query normalizes BOTH to ISO (Monday=1..Sunday=7)
+    * so the gate pins an explicit, engine-neutral contract instead of
+    * either engine's default. Scan-stage expressions only.
+    */
+  def q267DateSurface(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .filter(col("o_orderkey") % 37 === 0)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        // Spark: Sun=1..Sat=7 -> ISO Mon=1..Sun=7
+        ((dayofweek(col("o_orderdate")) + 5) % 7 + 1).cast("long")
+          .as("iso_dow"),
+        (unix_micros(col("o_orderdate")) / 86400000000L).cast("long")
+          .as("epoch_day"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_end"))
+
+  val q267Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS y,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+      |  CAST(month(o_orderdate) AS BIGINT) AS m,
+      |  CAST(day(o_orderdate) AS BIGINT) AS d,
+      |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+      |  CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+      |  CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS epoch_day,
+      |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end
+      |FROM orders WHERE o_orderkey % 37 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** q268: NULL-SEMANTICS SURFACE PARITY — the three-valued-logic
+    * corners that silently diverge between engines if either side gets
+    * them wrong: null-safe equality (`<=>` / IS NOT DISTINCT FROM) in
+    * a join predicate, nullif-generated NULLs flowing through
+    * aggregates (count skips, count(*) keeps), coalesce fallbacks, and
+    * explicit NULLS FIRST ordering pinned through a rank (Spark
+    * defaults nulls FIRST ascending, DuckDB defaults LAST — the gate
+    * forces agreement by stating it). One aggregate over a derived
+    * nullable column, integer-exact.
+    */
+  def q268NullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    // tax == discount produces NULL via nullif -> nullable measure
+    val li = t.lineitem.select(col("l_returnflag"),
+      nullif(col("l_tax"), col("l_discount")).as("nv"),
+      col("l_tax"), col("l_discount"))
+    val agg = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("nv")).as("n_nonnull"),
+        sum(when(col("nv").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(when(col("l_tax") <=> col("l_discount"), 1L).otherwise(0L))
+          .as("n_nullsafe_eq"),
+        sum(floor(coalesce(col("nv"), lit(-1.0)) * 100 + lit(0.5))
+          .cast("long")).as("coalesced_c"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("nv").asc_nulls_first, col("l_tax"))
+    val firstNull = li
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy("l_returnflag")
+      .agg(sum(when(col("nv").isNull, 1L).otherwise(0L))
+        .as("first_is_null"))
+    agg.join(firstNull, "l_returnflag")
+  }
+
+  val q268Sql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag, nullif(l_tax, l_discount) AS nv,
+      |    l_tax, l_discount
+      |  FROM lineitem),
+      |agg AS (
+      |  SELECT l_returnflag, count(*) AS n_rows,
+      |    CAST(count(nv) AS BIGINT) AS n_nonnull,
+      |    CAST(sum(CASE WHEN nv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_null,
+      |    CAST(sum(CASE WHEN l_tax IS NOT DISTINCT FROM l_discount
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+      |    CAST(sum(CAST(floor(COALESCE(nv, -1.0) * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS coalesced_c
+      |  FROM li GROUP BY 1),
+      |fn AS (
+      |  SELECT l_returnflag,
+      |    CAST(sum(CASE WHEN nv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS first_is_null
+      |  FROM (
+      |    SELECT l_returnflag, nv,
+      |      row_number() OVER (PARTITION BY l_returnflag
+      |        ORDER BY nv ASC NULLS FIRST, l_tax) AS rk
+      |    FROM li)
+      |  WHERE rk = 1 GROUP BY 1)
+      |SELECT a.l_returnflag, a.n_rows, a.n_nonnull, a.n_null,
+      |  a.n_nullsafe_eq, a.coalesced_c, fn.first_is_null
+      |FROM agg a JOIN fn USING (l_returnflag)
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q267_date_surface" -> Gate.sorted(q267DateSurface _, "o_orderkey"),
+    "q268_null_semantics" -> Gate.sorted(q268NullSemantics _, "l_returnflag"),
     "q265_window_rank_surface" ->
       Gate.sorted(q265WindowRankSurface _, "o_orderpriority", "rk"),
     "q266_hof_surface" -> Gate.sorted(q266HofSurface _, "doc_id"),
@@ -285,6 +392,8 @@ object SqlSurface {
     "q233_trailing_window" -> Gate.sorted(q233TrailingWindow _, "day"))
 
   val oracles: Map[String, String] = Map(
+    "q267_date_surface" -> q267Sql,
+    "q268_null_semantics" -> q268Sql,
     "q265_window_rank_surface" -> q265Sql,
     "q266_hof_surface" -> q266Sql,
     "q234_ordered_agg" -> q234Sql,
