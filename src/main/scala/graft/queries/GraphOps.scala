@@ -252,13 +252,94 @@ object GraphOps {
       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Hop bound for q271's multi-source BFS. */
+  val BFS_MAX_HOPS = 3
+
+  /** Seed selector for q271 — every 97th part id that appears in the
+    * co-purchase graph.
+    */
+  val BFS_SEED_MOD = 97
+
+  /** q271: HOP-BOUNDED MULTI-SOURCE BFS — min hop distance (<= 3) from
+    * a seed set over the co-purchase graph, the "neighborhood of X"
+    * primitive behind blast-radius, recommendation-radius, and
+    * contamination-spread questions.
+    *
+    * Scale shape is FRONTIER expansion, the Pregel iteration scheme:
+    * each hop joins only the CURRENT frontier against the edge list
+    * (one key-partitioned shuffle per hop, frontier-sized not
+    * graph-sized), new nodes are discovered by an anti-join against
+    * the visited set, and both sides are eagerly checkpointed so round
+    * k's lineage does not replay rounds 1..k-1. Distances never need
+    * a min-merge: a node is assigned exactly once, on the first hop
+    * that reaches it — the BFS invariant. The hop bound caps the round
+    * count; an unbounded variant would run to frontier exhaustion the
+    * way q53's connected components does.
+    *
+    * The DuckDB oracle unrolls the three hops as materialized CTEs
+    * with NOT IN visited-set exclusion — idempotent per hop, so both
+    * engines enumerate identical (node, dist) sets.
+    */
+  def q271BfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = coPurchaseEdges(spark, dir)
+    // undirected: probe both directions with one symmetric edge table
+    val edges = e0.select(col("u"), col("v"))
+      .union(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var visited = edges.select(col("u").as("n")).distinct()
+      .filter(col("n") % BFS_SEED_MOD === 0)
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = visited.select("n")
+    var hop = 1
+    while (hop <= BFS_MAX_HOPS) {
+      val next = edges.join(frontier.withColumnRenamed("n", "u"), "u")
+        .select(col("v").as("n")).distinct()
+        .join(visited.select("n"), Seq("n"), "left_anti")
+        .withColumn("dist", lit(hop.toLong))
+        .localCheckpoint(true)
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next.select("n")
+      hop += 1
+    }
+    visited.withColumnRenamed("n", "p_partkey")
+  }
+
+  val q271Sql: String = {
+    val hops = (1 to BFS_MAX_HOPS).map { i =>
+      val prior = (0 until i).map(j => s"SELECT n FROM f$j").mkString(" UNION ALL ")
+      s"""f$i AS MATERIALIZED (
+      |  SELECT DISTINCT e.v AS n
+      |  FROM edges e JOIN f${i - 1} f ON e.u = f.n
+      |  WHERE e.v NOT IN ($prior))"""
+    }.mkString(",\n")
+    val sel = (0 to BFS_MAX_HOPS)
+      .map(i => s"SELECT n AS p_partkey, CAST($i AS BIGINT) AS dist FROM f$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH e0 AS MATERIALIZED (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= $TRIANGLE_MIN_SUPPORT),
+      |edges AS MATERIALIZED (
+      |  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+      |f0 AS MATERIALIZED (
+      |  SELECT DISTINCT u AS n FROM edges WHERE u % $BFS_SEED_MOD = 0),
+      |$hops
+      |$sel
+      |ORDER BY p_partkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q117_triangle_count" -> Gate.sorted(q117TriangleCount _, "p_partkey"),
     "q206_degree_profile" -> Gate.sorted(q206DegreeProfile _, "deg_bucket"),
-    "q223_kcore" -> Gate.sorted(q223KCore _, "p_partkey"))
+    "q223_kcore" -> Gate.sorted(q223KCore _, "p_partkey"),
+    "q271_bfs_hops" -> Gate.sorted(q271BfsHops _, "p_partkey"))
 
   val oracles: Map[String, String] = Map(
     "q117_triangle_count" -> q117Sql,
     "q206_degree_profile" -> q206Sql,
-    "q223_kcore" -> q223Sql)
+    "q223_kcore" -> q223Sql,
+    "q271_bfs_hops" -> q271Sql)
 }

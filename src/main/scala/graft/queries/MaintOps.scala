@@ -348,7 +348,68 @@ object MaintOps {
       |ORDER BY layout, predicate""".stripMargin
   }
 
+  /** q272: TABLE-VERSION DIFF AUDIT — the snapshot-compare every CDC
+    * validation, backfill review, and "what changed between runs"
+    * question needs: given two versions of `orders` (v2 simulates a
+    * maintenance pass that DELETES every 53rd order and REPRICES every
+    * 41st by +1%, both derived deterministically from the same base so
+    * the oracle can replay them), classify each key as removed /
+    * changed / same and report per-priority counts plus the exact
+    * repriced-cents delta.
+    *
+    * Scale shape: ONE full-outer join on the primary key — both sides
+    * hash-partition on o_orderkey, so the diff co-locates without any
+    * secondary shuffle — then a map-side-combined rollup. Row equality
+    * is a comparison of the packed integer-cents price (at 100 TB the
+    * same plan compares a murmur3 struct hash of the tracked columns;
+    * integer cents keep the gate bit-exact). No collect, no windows.
+    */
+  def q272TableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+          .as("price_c"))
+    val v2 = base.filter(col("o_orderkey") % 53 =!= 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        when(col("o_orderkey") % 41 === 0,
+          floor(col("price_c") * lit(101L) / lit(100L)).cast("long"))
+          .otherwise(col("price_c")).as("price_c2"))
+    base.join(v2.select(col("o_orderkey"), col("price_c2")),
+        Seq("o_orderkey"), "left_outer")
+      .select(col("o_orderpriority"),
+        when(col("price_c2").isNull, "removed")
+          .when(col("price_c2") =!= col("price_c"), "changed")
+          .otherwise("same").as("status"),
+        coalesce(col("price_c2") - col("price_c"), lit(0L))
+          .as("delta_c"))
+      .groupBy("o_orderpriority", "status")
+      .agg(count(lit(1)).as("n"), sum(col("delta_c")).as("delta_c"))
+  }
+
+  val q272Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+      |  FROM orders),
+      |v2 AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 41 = 0
+      |      THEN CAST(floor(price_c * 101 / 100) AS BIGINT)
+      |      ELSE price_c END AS price_c2
+      |  FROM base WHERE o_orderkey % 53 <> 0)
+      |SELECT b.o_orderpriority,
+      |  CASE WHEN v2.price_c2 IS NULL THEN 'removed'
+      |       WHEN v2.price_c2 <> b.price_c THEN 'changed'
+      |       ELSE 'same' END AS status,
+      |  count(*) AS n,
+      |  CAST(sum(COALESCE(v2.price_c2 - b.price_c, 0)) AS BIGINT)
+      |    AS delta_c
+      |FROM base b LEFT JOIN v2 ON b.o_orderkey = v2.o_orderkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q272_table_diff" ->
+      Gate.sorted(q272TableDiff _, "o_orderpriority", "status"),
     "q228_layout_compare" ->
       Gate.sorted(q228LayoutCompare _, "layout", "predicate"),
     "q179_compaction_plan" -> Gate.sorted(q179CompactionPlan _, "bin"),
@@ -359,6 +420,7 @@ object MaintOps {
     "q205_zonemap_skip" -> Gate.sorted(q205ZonemapSkip _, "pred_id"))
 
   val oracles: Map[String, String] = Map(
+    "q272_table_diff" -> q272Sql,
     "q228_layout_compare" -> q228Sql,
     "q179_compaction_plan" -> q179Sql,
     "q180_dense_topk" -> q180Sql,

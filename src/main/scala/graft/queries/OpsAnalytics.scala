@@ -332,7 +332,65 @@ object OpsAnalytics {
        |FROM c GROUP BY 1
        |ORDER BY campaign, model""".stripMargin
 
+  /** Purge-list selector for q273 — every 131st customer key. */
+  val PURGE_MOD = 131
+
+  /** q273: RIGHT-TO-FORGET PURGE AUDIT — the pre-deletion impact
+    * report a privacy/erasure request pipeline produces before it
+    * rewrites anything: given a purge list of customer keys, count the
+    * rows each table would lose (customer directly, orders via
+    * o_custkey, lineitem transitively through its order) and how many
+    * distinct purge keys actually touch each table.
+    *
+    * Scale shape: the purge list is ids — tiny next to the fact tables
+    * even when the request backlog is millions — so every probe is a
+    * BROADCAST semi/inner join; lineitem never joins the purge list
+    * directly but goes through the (orderkey -> custkey) bridge
+    * projected from orders, which is itself purge-filtered FIRST so
+    * the bridge that broadcasts is purge-sized, not orders-sized. One
+    * map-side-combined aggregate per table, unioned; no shuffle on
+    * any fact table.
+    */
+  def q273ForgetAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val purge = t.customer.select(col("c_custkey").as("k"))
+      .filter(col("k") % PURGE_MOD === 0)
+    val custRow = t.customer.join(broadcast(purge),
+        col("c_custkey") === col("k"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("k")).as("n_keys"))
+      .select(lit("customer").as("table_name"), col("n_rows"), col("n_keys"))
+    val ordersHit = t.orders.join(broadcast(purge),
+        col("o_custkey") === col("k"))
+      .select(col("o_orderkey"), col("k"))
+      .localCheckpoint(true)
+    val ordRow = ordersHit
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("k")).as("n_keys"))
+      .select(lit("orders").as("table_name"), col("n_rows"), col("n_keys"))
+    val liRow = t.lineitem.join(broadcast(ordersHit),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("k")).as("n_keys"))
+      .select(lit("lineitem").as("table_name"), col("n_rows"), col("n_keys"))
+    custRow.unionByName(ordRow).unionByName(liRow)
+  }
+
+  val q273Sql: String =
+    s"""WITH purge AS (
+      |  SELECT c_custkey AS k FROM customer WHERE c_custkey % $PURGE_MOD = 0),
+      |oh AS (
+      |  SELECT o_orderkey, k FROM orders JOIN purge ON o_custkey = k)
+      |SELECT 'customer' AS table_name, count(*) AS n_rows,
+      |  CAST(count(DISTINCT k) AS BIGINT) AS n_keys
+      |FROM customer JOIN purge ON c_custkey = k
+      |UNION ALL
+      |SELECT 'orders', count(*), CAST(count(DISTINCT k) AS BIGINT)
+      |FROM oh
+      |UNION ALL
+      |SELECT 'lineitem', count(*), CAST(count(DISTINCT k) AS BIGINT)
+      |FROM lineitem JOIN oh ON l_orderkey = o_orderkey
+      |ORDER BY table_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q273_forget_audit" -> Gate.sorted(q273ForgetAudit _, "table_name"),
     "q244_attribution_compare" ->
       Gate.sorted(q244AttributionCompare _, "campaign", "model"),
     "q201_last_touch" -> Gate.sorted(q201LastTouch _, "campaign"),
@@ -340,6 +398,7 @@ object OpsAnalytics {
     "q240_event_contract" -> Gate.sorted(q240EventContract _, "rule"))
 
   val oracles: Map[String, String] = Map(
+    "q273_forget_audit" -> q273Sql,
     "q244_attribution_compare" -> q244Sql,
     "q201_last_touch" -> q201Sql,
     "q202_lateness_profile" -> q202Sql,

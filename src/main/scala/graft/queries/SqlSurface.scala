@@ -378,7 +378,100 @@ object SqlSurface {
       |FROM agg a JOIN fn USING (l_returnflag)
       |ORDER BY 1""".stripMargin
 
+  /** q269: STRING-FUNCTION SURFACE PARITY — the scalar string toolkit
+    * (length/upper/lower/trim/substring/instr/split_part/lpad/reverse/
+    * translate/repeat/left/ascii/levenshtein/md5/concat_ws) evaluated
+    * per part name and gated against DuckDB's equivalents (instr ↔
+    * strpos; both engines are 1-based with 0-if-absent). Pure
+    * scan-stage codegen'd expressions — zero shuffles, zero UDFs; this
+    * is the surface every text-normalization pipeline composes before
+    * anything hashes or joins.
+    */
+  def q269StringSurface(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).part
+      .filter(col("p_partkey") % 7 === 0)
+      .select(col("p_partkey"),
+        length(col("p_name")).cast("long").as("name_len"),
+        upper(col("p_name")).as("name_up"),
+        instr(col("p_name"), " ").cast("long").as("first_space"),
+        expr("split_part(p_name, ' ', 1)").as("w1"),
+        expr("split_part(p_name, ' ', 2)").as("w2"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_pad"),
+        reverse(expr("split_part(p_name, ' ', 1)")).as("w1_rev"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("name_tr"),
+        expr("repeat('*', CAST(p_size % 4 AS INT))").as("stars"),
+        expr("left(p_name, 3)").as("name_l3"),
+        ascii(upper(substring(col("p_name"), 1, 1))).cast("long")
+          .as("first_ascii"),
+        levenshtein(expr("split_part(p_name, ' ', 2)"), lit("widget"))
+          .cast("long").as("lev_widget"),
+        md5(col("p_name")).as("name_md5"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+
+  val q269Sql: String =
+    """SELECT p_partkey,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  upper(p_name) AS name_up,
+      |  CAST(strpos(p_name, ' ') AS BIGINT) AS first_space,
+      |  split_part(p_name, ' ', 1) AS w1,
+      |  split_part(p_name, ' ', 2) AS w2,
+      |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad,
+      |  reverse(split_part(p_name, ' ', 1)) AS w1_rev,
+      |  translate(p_name, 'aeiou', 'AEIOU') AS name_tr,
+      |  repeat('*', CAST(p_size % 4 AS INT)) AS stars,
+      |  left(p_name, 3) AS name_l3,
+      |  CAST(ascii(upper(substr(p_name, 1, 1))) AS BIGINT) AS first_ascii,
+      |  CAST(levenshtein(split_part(p_name, ' ', 2), 'widget') AS BIGINT)
+      |    AS lev_widget,
+      |  md5(p_name) AS name_md5,
+      |  concat_ws('|', p_brand, p_type) AS brand_type
+      |FROM part WHERE p_partkey % 7 = 0
+      |ORDER BY p_partkey""".stripMargin
+
+  /** q270: REGEX SURFACE PARITY — extract / global replace / count /
+    * boolean match over document text, constrained to the dialect
+    * subset Java regex (Spark) and RE2 (DuckDB) share: character
+    * classes, quantifiers, alternation, word boundaries, capture
+    * groups — NO backreferences or lookaround, which RE2 rejects by
+    * design. DuckDB's regexp_replace is first-match-only by default,
+    * so the oracle passes the 'g' flag to match Spark's replace-all
+    * semantics; match counts go through regexp_extract_all's length
+    * since DuckDB lacks regexp_count. Scan-stage only.
+    */
+  def q270RegexSurface(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "^([a-z]+)", 1).as("first_tok"),
+        expr("CAST(regexp_count(text, '\\\\ba[a-z]*') AS BIGINT)")
+          .as("n_a_words"),
+        length(regexp_replace(col("text"), "[aeiou]+", "#"))
+          .cast("long").as("scrub_len"),
+        expr("CAST(text RLIKE 'value (table|part)' AS INT)").cast("long")
+          .as("has_vtp"),
+        expr("CAST(regexp_count(text, '[a-z]*ss[a-z]*') AS BIGINT)")
+          .as("n_ss"),
+        regexp_extract(col("text"), "\\b([a-z]{6,})\\b", 1)
+          .as("first_long"))
+
+  val q270Sql: String =
+    """SELECT doc_id,
+      |  regexp_extract(text, '^([a-z]+)', 1) AS first_tok,
+      |  CAST(len(regexp_extract_all(text, '\ba[a-z]*')) AS BIGINT)
+      |    AS n_a_words,
+      |  CAST(length(regexp_replace(text, '[aeiou]+', '#', 'g')) AS BIGINT)
+      |    AS scrub_len,
+      |  CAST(CAST(regexp_matches(text, 'value (table|part)') AS INT)
+      |    AS BIGINT) AS has_vtp,
+      |  CAST(len(regexp_extract_all(text, '[a-z]*ss[a-z]*')) AS BIGINT)
+      |    AS n_ss,
+      |  regexp_extract(text, '\b([a-z]{6,})\b', 1) AS first_long
+      |FROM documents WHERE doc_id % 5 = 0
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_string_surface" -> Gate.sorted(q269StringSurface _, "p_partkey"),
+    "q270_regex_surface" -> Gate.sorted(q270RegexSurface _, "doc_id"),
     "q267_date_surface" -> Gate.sorted(q267DateSurface _, "o_orderkey"),
     "q268_null_semantics" -> Gate.sorted(q268NullSemantics _, "l_returnflag"),
     "q265_window_rank_surface" ->
@@ -392,6 +485,8 @@ object SqlSurface {
     "q233_trailing_window" -> Gate.sorted(q233TrailingWindow _, "day"))
 
   val oracles: Map[String, String] = Map(
+    "q269_string_surface" -> q269Sql,
+    "q270_regex_surface" -> q270Sql,
     "q267_date_surface" -> q267Sql,
     "q268_null_semantics" -> q268Sql,
     "q265_window_rank_surface" -> q265Sql,
