@@ -331,13 +331,79 @@ object GraphOps {
       |ORDER BY p_partkey""".stripMargin
   }
 
+  /** Minimum shared-neighbor count for a q275 candidate pair. */
+  val LINK_MIN_COMMON = 2
+
+  /** q275: LINK PREDICTION BY COMMON-NEIGHBOR JACCARD — for every
+    * UNLINKED node pair of the co-purchase graph sharing >=
+    * [[LINK_MIN_COMMON]] neighbors, the Jaccard overlap of their
+    * neighborhoods as an exact integer (common, union) pair — the
+    * classic "customers who bought X also bought Y" candidate
+    * generator and the baseline every learned link predictor is
+    * scored against.
+    *
+    * Scale shape is WEDGE enumeration, never all pairs: the symmetric
+    * edge list self-joins on the shared-neighbor key (one shuffle on
+    * w; fanout is sum(deg^2), the same budget q117's triangle count
+    * already pays and q206 sanity-checks), the (u,v) rollup counts
+    * common neighbors with map-side partial aggregation, existing
+    * edges leave via an anti-join on the canonical pair, and degrees
+    * attach through two (node, degree) hash joins. The HAVING bound
+    * prunes the candidate tail before the expensive joins. Jaccard
+    * stays (common, deg_u + deg_v - common) — exact BIGINTs, no float
+    * in the gate.
+    */
+  def q275LinkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = coPurchaseEdges(spark, dir).localCheckpoint(true)
+    val edges = e0.select(col("u"), col("v"))
+      .union(e0.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy(col("u").as("n"))
+      .agg(count(lit(1)).as("deg"))
+    val wedges = edges.as("a").join(edges.as("b"),
+        col("a.u") === col("b.u") && col("a.v") < col("b.v"))
+      .groupBy(col("a.v").as("x"), col("b.v").as("y"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= LINK_MIN_COMMON)
+    wedges.join(e0, col("x") === col("u") && col("y") === col("v"),
+        "left_anti")
+      .join(deg.select(col("n").as("x"), col("deg").as("deg_x")), "x")
+      .join(deg.select(col("n").as("y"), col("deg").as("deg_y")), "y")
+      .select(col("x"), col("y"), col("common"),
+        (col("deg_x") + col("deg_y") - col("common")).as("union_size"))
+  }
+
+  val q275Sql: String =
+    s"""WITH e0 AS MATERIALIZED (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= $TRIANGLE_MIN_SUPPORT),
+      |edges AS MATERIALIZED (
+      |  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+      |deg AS (SELECT u AS n, count(*) AS deg FROM edges GROUP BY 1),
+      |wedges AS (
+      |  SELECT a.v AS x, b.v AS y, count(*) AS common
+      |  FROM edges a JOIN edges b ON a.u = b.u AND a.v < b.v
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= $LINK_MIN_COMMON)
+      |SELECT x, y, common, dx.deg + dy.deg - common AS union_size
+      |FROM wedges w
+      |JOIN deg dx ON dx.n = w.x
+      |JOIN deg dy ON dy.n = w.y
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM e0 WHERE e0.u = w.x AND e0.v = w.y)
+      |ORDER BY x, y""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_link_predict" -> Gate.sorted(q275LinkPredict _, "x", "y"),
     "q117_triangle_count" -> Gate.sorted(q117TriangleCount _, "p_partkey"),
     "q206_degree_profile" -> Gate.sorted(q206DegreeProfile _, "deg_bucket"),
     "q223_kcore" -> Gate.sorted(q223KCore _, "p_partkey"),
     "q271_bfs_hops" -> Gate.sorted(q271BfsHops _, "p_partkey"))
 
   val oracles: Map[String, String] = Map(
+    "q275_link_predict" -> q275Sql,
     "q117_triangle_count" -> q117Sql,
     "q206_degree_profile" -> q206Sql,
     "q223_kcore" -> q223Sql,

@@ -352,7 +352,54 @@ object TemporalOps {
       |GROUP BY 1
       |ORDER BY score_units DESC, l_partkey LIMIT $DECAY_TOP""".stripMargin
 
+  /** q276: TRAILING-WINDOW EXACT MEDIAN — per day, the lower median of
+    * the trailing 7 days of total order revenue: the robust smoother
+    * dashboards put next to the trailing mean because one flash-sale
+    * day drags a mean for a week but moves the median not at all.
+    *
+    * Exactness: revenue quantizes to integer cents at the scan, the
+    * window materializes its <= 7 values as a sorted array, and the
+    * LOWER median (element ceil(n/2) of the sorted run — both engines
+    * index lists 1-based) is an actual data value, so the gate
+    * compares BIGINTs with no interpolation anywhere. Scale: the
+    * per-day rollup shuffles once map-side-combined down to ~365
+    * rows/year — a bounded series at ANY fact scale, so the single
+    * unpartitioned 7-row window that follows is a deliberate
+    * driver-scale step, the same budget every q163-class daily series
+    * op pays; the fact table never meets a window.
+    */
+  def q276TrailingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .groupBy(expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+        .as("rev_c"))
+    val trail = Window.orderBy("day").rowsBetween(-6, 0)
+    daily
+      .withColumn("vals", collect_list("rev_c").over(trail))
+      .select(col("day"), col("rev_c"),
+        expr("element_at(array_sort(vals), CAST((size(vals) + 1) div 2 AS INT))")
+          .as("med7_c"),
+        size(col("vals")).cast("long").as("n_days"))
+  }
+
+  val q276Sql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT day, rev_c,
+      |    list(rev_c) OVER (ORDER BY day
+      |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS vals
+      |  FROM daily)
+      |SELECT day, rev_c,
+      |  list_sort(vals)[CAST((len(vals) + 1) // 2 AS INT)] AS med7_c,
+      |  CAST(len(vals) AS BIGINT) AS n_days
+      |FROM t ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_trailing_median" -> Gate.sorted(q276TrailingMedian _, "day"),
     "q246_decayed_popularity" ->
       ((s, d) => q246DecayedPopularity(s, d)),
     "q236_forecast_backtest" ->
@@ -366,6 +413,7 @@ object TemporalOps {
     "q164_abandoned_clicks" -> Gate.sorted(q164AbandonedClicks _, "user_id"))
 
   val oracles: Map[String, String] = Map(
+    "q276_trailing_median" -> q276Sql,
     "q246_decayed_popularity" -> q246Sql,
     "q236_forecast_backtest" -> q236Sql,
     "q231_event_trigrams" -> q231Sql,

@@ -685,7 +685,51 @@ object TpchShapes {
       |                  AND o.l_suppkey <> l1.l_suppkey AND o.late)
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  /** q274: PRIORITY CHECKING (the TPC-H Q4 shape) — per order
+    * priority, how many orders placed in one quarter had AT LEAST ONE
+    * late lineitem (shipped more than [[LATE_DAYS]] past the order
+    * date — the same lateness proxy q255 uses, since this lineitem
+    * carries no commit/receipt dates). The EXISTS subquery is a
+    * LEFT-SEMI join: the order survives once no matter how many of its
+    * lines are late, so no distinct is ever needed on the fact side.
+    *
+    * Plan shape: the quarter filter prunes orders FIRST (at 100 TB
+    * with date-partitioned storage this is partition pruning, ~1/26 of
+    * the table), then ONE shuffle on the shared orderkey meets the
+    * lateness-filtered lineitem projection; the semi join emits the
+    * order row at the first match (no fanout), and the final rollup is
+    * over the 5-value priority domain — map-side combined, negligible.
+    */
+  def q274PriorityChecking(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val quarter = t.orders
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01"))
+      .select("o_orderkey", "o_orderpriority", "o_orderdate")
+    val late = t.lineitem.select(col("l_orderkey"), col("l_shipdate"))
+    quarter.join(late,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") >
+            col("o_orderdate") + expr(s"INTERVAL $LATE_DAYS DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  val q274Sql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL $LATE_DAYS DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_priority_checking" ->
+      Gate.sorted(q274PriorityChecking _, "o_orderpriority"),
     "q253_nation_trade" ->
       Gate.sorted(q253NationTrade _, "supp_nation", "cust_nation", "o_year"),
     "q254_market_share" ->
@@ -705,6 +749,7 @@ object TpchShapes {
     "q161_skyline" -> Gate.sorted(q161Skyline _, "p_partkey"))
 
   val oracles: Map[String, String] = Map(
+    "q274_priority_checking" -> q274Sql,
     "q253_nation_trade" -> q253Sql,
     "q254_market_share" -> q254Sql,
     "q255_waiting_suppliers" -> q255Sql,
