@@ -705,7 +705,60 @@ object LlmText {
       |GROUP BY t.doc_id, t.n, t.n_distinct
       |ORDER BY t.doc_id""".stripMargin
 
+  /** q277: REAL AUDIO FEATURE EXTRACTION — the audio leg of the
+    * multimodal path: each document carries a mono 16-bit PCM
+    * RIFF/WAVE blob (REALLY encoded by [[graft.operators.WavCodec]]
+    * from the deterministic waveform the oracle replays), the codec
+    * REALLY parses the container back (chunk walk, strict PCM
+    * validation), and the gate compares integer-exact features — peak
+    * and total |amplitude|, strict zero crossings, container-derived
+    * duration. Same scale contract as q94's image decode: blobs are
+    * one binary column, extraction streams through mapPartitions,
+    * 1 row in -> 1 row out.
+    */
+  def q277AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wav = Tables(spark, dir).documents
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        // ingest simulation: blobs arrive as already-encoded WAVs
+        it.map { id =>
+          graft.operators.AudioRecord(id,
+            graft.operators.WavCodec.synthWav(id,
+              graft.operators.WavCodec.synthLen(id),
+              graft.operators.WavCodec.SAMPLE_RATE))
+        }
+      }
+    graft.operators.WavCodec.decodeAudio(wav)
+      .select("doc_id", "sample_rate", "n_samples", "peak_abs",
+        "sum_abs", "zero_cross", "duration_us")
+  }
+
+  val q277Sql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, 400 + (doc_id % 5) * 80 AS n FROM documents),
+      |s AS (
+      |  SELECT d.doc_id, i.i AS i,
+      |    ((d.doc_id * 131 + i.i * 17) % 4001) - 2000 AS v
+      |  FROM d, unnest(generate_series(0, d.n - 1)) AS i(i)),
+      |p AS (
+      |  SELECT doc_id, v,
+      |    lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      |  FROM s)
+      |SELECT doc_id,
+      |  CAST(${graft.operators.WavCodec.SAMPLE_RATE} AS INT)
+      |    AS sample_rate,
+      |  count(*) AS n_samples,
+      |  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+      |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+      |  CAST(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross,
+      |  count(*) * 1000000 // ${graft.operators.WavCodec.SAMPLE_RATE}
+      |    AS duration_us
+      |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q277_audio_features" -> Gate.sorted(q277AudioFeatures _, "doc_id"),
     "q156_char_entropy" -> Gate.sorted(q156CharEntropy _, "doc_id"),
     "q149_ngram_novelty" -> Gate.sorted(q149NgramNovelty _, "doc_id"),
     "q129_feature_hash" -> Gate.sorted(q129FeatureHash _, "doc_id", "bucket"),
@@ -727,6 +780,7 @@ object LlmText {
     "q55_doc_keywords" -> Gate.sorted(q55DocKeywords _, "doc_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q277_audio_features" -> q277Sql,
     "q156_char_entropy" -> q156Sql,
     "q149_ngram_novelty" -> q149Sql,
     "q129_feature_hash" -> q129Sql,
