@@ -319,6 +319,100 @@ object SessionOps {
     spark.table(sinkName).orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** q278: STREAMING LEFT-OUTER ATTRIBUTION (fifteenth stateful
+    * family) — q59's stream-stream interval join, made LEFT OUTER:
+    * abandoned clicks (no purchase inside the window) emit a
+    * null-padded row once the watermark proves no match can still
+    * arrive. The interesting machinery is the emission trigger: outer
+    * rows are produced by watermark-driven STATE EXPIRY (Spark's
+    * no-data micro-batch advances the watermark after the last data
+    * batch), not by a match — so the click side is bounded to clicks
+    * whose join window is strictly closed by end of stream
+    * ([[graft.streaming.StreamJoin.clickPurchaseOuter]]'s finality
+    * contract), and the batch oracle applies the same bound. At 100 TB
+    * this is the production attribution shape: state per side bounded
+    * by window + watermark delay, unmatched clicks become first-class
+    * rows a downstream "lost demand" rollup can consume directly.
+    */
+  def q278StreamOuterJoin(spark: SparkSession, dir: String): DataFrame =
+      withStreamParallelism(spark) {
+    import graft.streaming.{StreamAgg, StreamJoin}
+    val bound = graft.Tables(spark, dir).events
+      .agg(max(col("ts")) - expr(s"INTERVAL ${ATTRIB_HOURS + 1} HOURS"))
+      .collect()(0).getTimestamp(0)
+    val (clicks, cDir) = StreamAgg.parquetStreamWithDir(spark, s"$dir/events.parquet")
+    val (purchases, pDir) = StreamAgg.parquetStreamWithDir(spark, s"$dir/events.parquet")
+    val sinkName = "q278_sink"
+    spark.catalog.dropTempView(sinkName)
+    val q = StreamJoin.clickPurchaseOuter(clicks, purchases, ATTRIB_HOURS, bound)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // Outer rows emit on STATE EXPIRY, which needs the watermark to
+      // advance past the fixture's tail — and the engine's trailing
+      // no-data micro-batch races processAllAvailable. Deterministic
+      // flush instead. Two subtleties:
+      //  1. Catalyst pushes each side's event_type equality BELOW the
+      //     EventTimeWatermark operator (it doesn't reference the
+      //     event-time column), all the way into the parquet scan — so
+      //     a sentinel of a made-up type would be dropped before ever
+      //     reaching either watermark operator. Each flush file
+      //     therefore carries one far-future 'click' AND one
+      //     far-future 'purchase': each survives its side's scan
+      //     filter and advances that side's watermark. The click
+      //     sentinel is then dropped by the ts <= bound filter (which
+      //     stays ABOVE the watermark — it references ts) before the
+      //     join; the purchase sentinel enters right-side state but, in
+      //     a left-outer join, an unmatched right row never emits.
+      //  2. Eviction in batch N uses the watermark computed from batch
+      //     N-1's data, so ONE flush batch only records the new max —
+      //     a SECOND flush batch performs the eviction that emits the
+      //     outer rows. processAllAvailable after each write makes the
+      //     sequence deterministic (no reliance on no-data batches).
+      def writeFlush(year: Int, tag: String): Unit = {
+        val base = spark.read.parquet(s"$dir/events.parquet").limit(1)
+        val farUs = java.sql.Timestamp.valueOf(s"$year-01-01 00:00:00")
+        val stamped = base.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            base.withColumn("ts", lit(farUs.getTime * 1000000L))
+          case _ => base.withColumn("ts", lit(farUs))
+        }
+        val rows = stamped.withColumn("event_type", lit("click"))
+          .union(stamped.withColumn("event_type", lit("purchase")))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_flush")
+        rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .get.toPath
+        Seq(cDir, pDir).foreach { d =>
+          java.nio.file.Files.copy(part,
+            java.nio.file.Paths.get(d, s"$tag.parquet"))
+        }
+      }
+      writeFlush(2035, "zz_flush1")
+      q.processAllAvailable()
+      writeFlush(2036, "zz_flush2")
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sinkName).orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  val q278Sql: String =
+    s"""WITH b AS (
+      |  SELECT max(ts) - INTERVAL ${ATTRIB_HOURS + 1} HOUR AS bound
+      |  FROM events)
+      |SELECT c.user_id, c.event_id AS click_id,
+      |  COALESCE(p.event_id, -1) AS purchase_id,
+      |  COALESCE(epoch_us(p.ts) - epoch_us(c.ts), -1) AS lag_us
+      |FROM events c CROSS JOIN b
+      |LEFT JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL $ATTRIB_HOURS HOUR
+      |WHERE c.event_type = 'click' AND c.ts <= b.bound
+      |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
   val q59Sql: String =
     s"""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
       |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
@@ -838,6 +932,7 @@ object SessionOps {
     "q51_stream_dedup" -> (q51StreamDedup _),
     "q56_stream_enrich" -> (q56StreamEnrich _),
     "q59_stream_stream_join" -> (q59StreamStreamJoin _),
+    "q278_stream_outer_join" -> (q278StreamOuterJoin _),
     "q66_state_diff" -> Gate.sorted(q66StateDiff _, "user_id"),
     "q70_stream_distinct" -> (q70StreamDistinct _),
     "q167_stream_topk" -> (q167StreamTopk _),
@@ -859,6 +954,7 @@ object SessionOps {
     "q51_stream_dedup" -> q51Sql,
     "q56_stream_enrich" -> q56Sql,
     "q59_stream_stream_join" -> q59Sql,
+    "q278_stream_outer_join" -> q278Sql,
     "q66_state_diff" -> q66Sql,
     "q70_stream_distinct" -> q70Sql,
     "q167_stream_topk" -> q167Sql,

@@ -34,22 +34,34 @@ object StreamAgg {
   /** Replay a parquet file/dir as a micro-batched stream with an
     * explicit schema (file stream sources cannot infer).
     */
-  def parquetStream(spark: SparkSession, path: String): DataFrame = {
+  def parquetStream(spark: SparkSession, path: String): DataFrame =
+    parquetStreamWithDir(spark, path)._1
+
+  /** [[parquetStream]] variant that also returns the directory the
+    * file source watches, so a replay harness can DROP MORE FILES into
+    * it mid-run — the deterministic way to advance the watermark past
+    * the fixture's tail when an operator (stream-stream OUTER join,
+    * event-time timeout) emits on state expiry: a later flush batch is
+    * guaranteed to see the new max event time, where relying on the
+    * engine's trailing no-data micro-batch races processAllAvailable.
+    */
+  def parquetStreamWithDir(spark: SparkSession, path: String): (DataFrame, String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
-    val dir = {
-      val f = new java.io.File(path)
-      if (f.isDirectory) path
-      else {
-        import java.nio.file.{Files, Paths}
-        val d = Files.createTempDirectory("graft_stream")
-        Files.createSymbolicLink(d.resolve(f.getName), Paths.get(path))
-        d.toFile.deleteOnExit()
-        d.toString
-      }
-    }
+    import java.nio.file.{Files, Paths}
+    val f = new java.io.File(path)
+    // always watch a private temp dir (source data must stay
+    // read-only even when the caller appends flush files)
+    val d = Files.createTempDirectory("graft_stream")
+    val targets =
+      if (f.isDirectory) f.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+      else Seq(f)
+    targets.foreach(t =>
+      Files.createSymbolicLink(d.resolve(t.getName), Paths.get(t.getAbsolutePath)))
+    d.toFile.deleteOnExit()
     // Schema-adaptive ts normalization — the upstream file has shipped
     // as both TIMESTAMP(NANOS)-as-long and TIMESTAMP(MICROS)/NTZ.
-    graft.Tables.normalizeTs(spark.readStream.schema(schema).parquet(dir))
+    (graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(d.toString)), d.toString)
   }
 }

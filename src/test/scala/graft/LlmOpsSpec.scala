@@ -398,6 +398,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(lags.forall(l => l >= 0 && l < SessionOps.ATTRIB_HOURS * 3600L * 1000000L))
   }
 
+  test("stream-stream LEFT-OUTER join emits unmatched clicks exactly once (q278 parity)") {
+    val ev = Tables(spark, sfDir).events
+    val bound = ev
+      .agg(max(col("ts")) - expr(s"INTERVAL ${SessionOps.ATTRIB_HOURS + 1} HOURS"))
+      .collect()(0).getTimestamp(0)
+    // independent batch re-derivation of the finality-bounded outer join
+    val c = ev.filter(col("event_type") === "click" && col("ts") <= lit(bound))
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val batch = c.join(p,
+        col("user_id") === col("p_user") && col("p_ts") >= col("c_ts") &&
+          col("p_ts") < col("c_ts") +
+            expr(s"INTERVAL ${SessionOps.ATTRIB_HOURS} HOURS"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(unix_micros(col("p_ts")) - unix_micros(col("c_ts")),
+          lit(-1L)).as("lag_us"))
+    val streamed = SessionOps.q278StreamOuterJoin(spark, sfDir)
+    assert(streamed.filter(col("purchase_id") === -1L).count() > 0,
+      "fixture must contain abandoned clicks")
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0)
+    // watermark-driven expiry must emit each abandoned click ONCE
+    val dupNull = streamed.filter(col("purchase_id") === -1L)
+      .groupBy("click_id").count().filter(col("count") > 1).count()
+    assert(dupNull == 0, "abandoned click emitted more than once")
+    // matched rows keep q59 semantics: lag inside [0, window)
+    val lags = streamed.filter(col("purchase_id") =!= -1L)
+      .select("lag_us").collect().map(_.getLong(0))
+    assert(lags.forall(l => l >= 0 && l < SessionOps.ATTRIB_HOURS * 3600L * 1000000L))
+  }
+
   test("stream-static enrichment matches the batch join+agg (q56 parity)") {
     val t = Tables(spark, sfDir)
     val batch = graft.streaming.StreamEnrich.segmentTypeAgg(t.events, t.customer)
