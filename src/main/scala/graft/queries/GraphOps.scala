@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the co-purchase graph (SURVEY.md §2 q117),
@@ -395,7 +396,76 @@ object GraphOps {
       |  SELECT 1 FROM e0 WHERE e0.u = w.x AND e0.v = w.y)
       |ORDER BY x, y""".stripMargin
 
+  /** Synchronous rounds for q281's label propagation. */
+  val LPA_ROUNDS = 2
+
+  /** q281: LABEL-PROPAGATION COMMUNITIES (synchronous LPA, Raghavan et
+    * al.) over the co-purchase graph — each node adopts the MOST
+    * FREQUENT label among its neighbors, ties broken by the smallest
+    * label, for [[LPA_ROUNDS]] synchronous rounds from the identity
+    * labeling. Complements q53's connected components (pure
+    * reachability) with density-sensitive communities: a bridge edge
+    * joins two components but LPA keeps the two dense sides separate
+    * because frequency, not reachability, drives adoption.
+    *
+    * Scale shape: per round, ONE shuffle keyed on the node id — the
+    * neighbor-label gather is an equi-join of the (static, eagerly
+    * checkpointed) symmetric edge list against the |V|-sized label
+    * table, counts partial-aggregate map-side, and the per-node argmax
+    * is a bounded window over a node's distinct neighbor labels (<=
+    * degree). Synchronous update = labels table swapped wholesale per
+    * round, checkpointed so round k's lineage is O(1), the q53/q103
+    * iterative discipline. Fixed round count keeps the DuckDB oracle
+    * an exact unrolled-CTE replica.
+    */
+  def q281LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = coPurchaseEdges(spark, dir)
+    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("n")).distinct()
+      .withColumn("lbl", col("n"))
+    (1 to LPA_ROUNDS).foreach { _ =>
+      val gathered = edges
+        .join(labels.withColumnRenamed("n", "v"), "v")  // v's label -> u
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("u")
+        .orderBy(col("c").desc, col("lbl").asc)
+      labels = gathered.withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1)
+        .select(col("u").as("n"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    labels.select(col("n").as("p_partkey"), col("lbl").as("community"))
+  }
+
+  val q281Sql: String = {
+    val rounds = (1 to LPA_ROUNDS).map { i =>
+      s"""l$i AS MATERIALIZED (
+      |  SELECT n, lbl FROM (
+      |    SELECT e.u AS n, l.lbl, count(*) AS c,
+      |      row_number() OVER (PARTITION BY e.u
+      |        ORDER BY count(*) DESC, l.lbl ASC) AS rk
+      |    FROM edges e JOIN l${i - 1} l ON e.v = l.n
+      |    GROUP BY e.u, l.lbl)
+      |  WHERE rk = 1)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= $TRIANGLE_MIN_SUPPORT),
+      |edges AS MATERIALIZED (
+      |  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+      |l0 AS MATERIALIZED (
+      |  SELECT DISTINCT u AS n, u AS lbl FROM edges),
+      |$rounds
+      |SELECT n AS p_partkey, lbl AS community FROM l$LPA_ROUNDS
+      |ORDER BY p_partkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_label_prop" -> Gate.sorted(q281LabelProp _, "p_partkey"),
     "q275_link_predict" -> Gate.sorted(q275LinkPredict _, "x", "y"),
     "q117_triangle_count" -> Gate.sorted(q117TriangleCount _, "p_partkey"),
     "q206_degree_profile" -> Gate.sorted(q206DegreeProfile _, "deg_bucket"),
@@ -403,6 +473,7 @@ object GraphOps {
     "q271_bfs_hops" -> Gate.sorted(q271BfsHops _, "p_partkey"))
 
   val oracles: Map[String, String] = Map(
+    "q281_label_prop" -> q281Sql,
     "q275_link_predict" -> q275Sql,
     "q117_triangle_count" -> q117Sql,
     "q206_degree_profile" -> q206Sql,

@@ -226,6 +226,51 @@ object StatsOps {
       |FROM w WHERE n >= $K_ANON
       |ORDER BY event_type, day""".stripMargin
 
+  /** q279 quasi-identifier coarsening: account-balance band width. */
+  val ANON_BAND = 2000.0
+
+  /** q279: K-ANONYMITY AUDIT — the privacy review that PRECEDES q125's
+    * release policy: how identifiable is each nation's customer
+    * population under the quasi-identifier (nation, market segment,
+    * coarse balance band)? Reports, per nation, the population, the
+    * number of QI cells, the smallest cell, and the rows/cells that
+    * violate k = [[K_ANON]] — the exact numbers a privacy officer uses
+    * to choose suppression vs wider banding before any data leaves.
+    *
+    * Scale shape: two cascaded partial aggregations — the QI rollup
+    * shuffles |cells| map-side-combined partials (bounded by the QI
+    * domain, not the table), and the per-nation report aggregates the
+    * tiny cell table. Zero row-level work after the first combine;
+    * integer counts end-to-end, nothing for engines to disagree on.
+    */
+  def q279KAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir).customer
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / ANON_BAND).as("band"))
+      .agg(count(lit(1)).as("sz"))
+    cells.groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(sum("sz").as("n_rows"),
+        count(lit(1)).as("n_cells"),
+        min("sz").as("min_cell"),
+        sum(when(col("sz") < K_ANON, col("sz")).otherwise(0L)).as("n_risk_rows"),
+        sum(when(col("sz") < K_ANON, 1L).otherwise(0L)).as("n_risk_cells"))
+  }
+
+  val q279Sql: String =
+    s"""WITH cells AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    floor(c_acctbal / $ANON_BAND) AS band, count(*) AS sz
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      |  CAST(sum(sz) AS BIGINT) AS n_rows,
+      |  count(*) AS n_cells,
+      |  min(sz) AS min_cell,
+      |  CAST(sum(CASE WHEN sz < $K_ANON THEN sz ELSE 0 END) AS BIGINT)
+      |    AS n_risk_rows,
+      |  CAST(sum(CASE WHEN sz < $K_ANON THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_risk_cells
+      |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q128 model: fixed weights over [bias, l_quantity, l_discount]. */
   val LOGREG_W: Seq[Double] = Seq(0.1, -0.02, 0.5)
 
@@ -1423,6 +1468,7 @@ object StatsOps {
     "q121_corr_matrix" -> Gate.sorted(q121CorrMatrix _, "col_a", "col_b"),
     "q123_zipf_slope" -> ((s, d) => q123ZipfSlope(s, d)),
     "q125_private_release" -> Gate.sorted(q125PrivateRelease _, "event_type", "day"),
+    "q279_k_anonymity" -> Gate.sorted(q279KAnonymity _, "nation"),
     "q136_roc_auc" -> ((s, d) => q136RocAuc(s, d)),
     "q137_pr_thresholds" -> Gate.sorted(q137PrThresholds _, "threshold_micro"))
 
@@ -1446,6 +1492,7 @@ object StatsOps {
     "q121_corr_matrix" -> q121Sql,
     "q123_zipf_slope" -> q123Sql,
     "q125_private_release" -> q125Sql,
+    "q279_k_anonymity" -> q279Sql,
     "q136_roc_auc" -> q136Sql,
     "q137_pr_thresholds" -> q137Sql)
 }

@@ -409,6 +409,48 @@ object TrainPrep {
       |  CAST(max(n_tok) AS BIGINT) AS max_tok
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  /** q282: ROBUST FEATURE SCALING — (value − median) / IQR per event
+    * type, the outlier-insensitive normalization (scikit-learn's
+    * RobustScaler) a feature pipeline applies before clipping or
+    * model ingest: unlike z-scoring (q99), a single 1e9 outlier
+    * cannot move the scale because rank statistics don't average.
+    *
+    * Scale shape: the per-type p25/p50/p75 come from the bucket-prune
+    * quantile operator — event_type is LOW-cardinality, so each group
+    * SPANS the cluster and the per-group-sort formulation would
+    * serialize the table through a handful of tasks; the bucket
+    * histogram shuffles |types| x 256 partials instead. The tiny
+    * quantile table then broadcasts back onto the fact scan, so the
+    * row-level normalization is one scan-stage projection — no fact
+    * shuffle anywhere. Quantiles are exact and engine-identical (the
+    * symmetric interpolation), and the scaled value is one subtract +
+    * one divide on those shared doubles: bit-for-bit across engines.
+    */
+  def q282RobustScale(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"), col("value"))
+    val qs = DistributedQuantile.quantiles(ev, Seq("event_type"), "value",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+    ev.join(broadcast(qs), "event_type")
+      .select(col("event_id"), col("event_type"),
+        when(col("p75") === col("p25"), lit(null).cast("double"))
+          .otherwise((col("value") - col("p50")) / (col("p75") - col("p25")))
+          .as("scaled"))
+  }
+
+  val q282Sql: String =
+    s"""WITH q AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.25) AS p25,
+      |    quantile_cont(value, 0.5) AS p50,
+      |    quantile_cont(value, 0.75) AS p75
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_id, e.event_type,
+      |  CASE WHEN q.p75 = q.p25 THEN NULL
+      |       ELSE (e.value - q.p50) / (q.p75 - q.p25) END AS scaled
+      |FROM events e JOIN q USING (event_type)
+      |ORDER BY e.event_id""".stripMargin
+
   /** q71 report columns (documents table). */
   val STATS_COLS = Seq("doc_id", "text", "lang", "source", "n_chars")
 
@@ -1226,6 +1268,7 @@ object TrainPrep {
     "q52_rep_ngrams" -> Gate.sorted(q52RepNgrams _, "doc_id"),
     "q64_bpe_pairs" -> Gate.sorted(q64BpePairs _, "rank"),
     "q65_source_token_profile" -> Gate.sorted(q65SourceTokenProfile _, "source"),
+    "q282_robust_scale" -> Gate.sorted(q282RobustScale _, "event_id"),
     "q71_table_stats" -> Gate.sorted(
       (s: SparkSession, d: String) => q71TableStats(s, d), "col_name"),
     "q80_segment_dedup" -> Gate.sorted(q80SegmentDedup _, "doc_id"),
@@ -1252,6 +1295,7 @@ object TrainPrep {
     "q52_rep_ngrams" -> q52Sql,
     "q64_bpe_pairs" -> q64Sql,
     "q65_source_token_profile" -> q65Sql,
+    "q282_robust_scale" -> q282Sql,
     "q71_table_stats" -> q71Sql,
     "q80_segment_dedup" -> q80Sql,
     "q81_quality_rules" -> q81Sql)

@@ -727,7 +727,58 @@ object VectorOps {
       |LEFT JOIN fh f USING (query_id)
       |ORDER BY q.query_id""".stripMargin
 
+  /** Quantization scale for q280's integer-exact power-iteration step:
+    * floor(e * 1e6) keeps six decimal digits of each float32 element
+    * while staying portable (float->double promotion, the *1e6
+    * product, and floor are all exactly reproducible across engines —
+    * the q62 rationale at a finer grain). Magnitudes: |e| < 1 so
+    * |qe| < 1e6, |u| < dim * 1e6 ~ 6.4e7, and |v1| < N * 6.4e7 * 1e6
+    * — int64-safe past 100k vectors per partition group.
+    */
+  val POWER_SCALE = 1000000L
+
+  /** q280: ONE POWER-ITERATION STEP toward the corpus's top singular
+    * direction — v1 = A^T (A v0) with v0 = the all-ones vector —
+    * the distributed linear-algebra primitive under PCA/spectral
+    * embedding audits (which direction dominates the corpus?) and the
+    * natural companion to q69's k-means step and q122's JL projection.
+    *
+    * Scale shape is the textbook two-phase matvec: A v0 is a per-ROW
+    * fold (scan-stage higher-order function, zero shuffle), and
+    * A^T u is a posexplode + per-DIMENSION sum — the shuffle carries
+    * |dims| groups of map-side-combined partials, independent of
+    * corpus size. Quantizing elements to integers ([[POWER_SCALE]])
+    * makes both engines' sums order-independent and exact, so the gate
+    * hashes integer components instead of praying over float
+    * reduction order.
+    */
+  def q280PowerIteration(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    def q(x: Column): Column =
+      floor(x.cast("double") * POWER_SCALE).cast("long")
+    val withU = emb.select(col("embedding"),
+      aggregate(col("embedding"), lit(0L), (acc, x) => acc + q(x)).as("u"))
+    withU.select(col("u"), posexplode(col("embedding")).as(Seq("dim", "e")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(sum(col("u") * q(col("e"))).as("v1"),
+        count(lit(1)).as("n_vecs"))
+  }
+
+  val q280Sql: String =
+    s"""WITH uu AS (
+      |  SELECT embedding,
+      |    list_sum(list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * $POWER_SCALE) AS BIGINT))) AS u
+      |  FROM embeddings)
+      |SELECT CAST(gs.i - 1 AS BIGINT) AS dim,
+      |  CAST(sum(u.u * CAST(floor(CAST(u.embedding[gs.i] AS DOUBLE)
+      |    * $POWER_SCALE) AS BIGINT)) AS BIGINT) AS v1,
+      |  count(*) AS n_vecs
+      |FROM uu u, generate_series(1, ${EmbeddingOps.EMB_DIM}) AS gs(i)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q280_power_iteration" -> Gate.sorted(q280PowerIteration _, "dim"),
     "q241_mrr_eval" -> Gate.sorted(q241MrrEval _, "query_id"),
     "q224_centroid_drift" -> Gate.sorted(q224CentroidDrift _, "label"),
     "q154_embedding_audit" -> Gate.sorted(q154EmbeddingAudit _, "vec_id"),
@@ -739,6 +790,7 @@ object VectorOps {
     "q82_pq_ann" -> Gate.sorted(q82PqAnn _, "query_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q280_power_iteration" -> q280Sql,
     "q241_mrr_eval" -> q241Sql,
     "q224_centroid_drift" -> q224Sql,
     "q154_embedding_audit" -> q154Sql,
