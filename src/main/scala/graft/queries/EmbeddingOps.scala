@@ -531,7 +531,80 @@ object EmbeddingOps {
       |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Truncation width for q284's matryoshka evaluation. */
+  val TRUNC_DIM = 16
+
+  /** q284: MATRYOSHKA-TRUNCATION RECALL — how much nearest-neighbor
+    * quality survives keeping only the FIRST [[TRUNC_DIM]] of
+    * [[EMB_DIM]] dimensions (the Matryoshka-representation deployment
+    * question: a 4x-narrower index is 4x cheaper to scan and store —
+    * what recall does it buy?). For each query: exact top-k under
+    * full-dimension cosine (the q30 truth) vs exact top-k under
+    * truncated cosine, reported as integer hits@k per query.
+    *
+    * Scale shape: the query set broadcasts (q30's pattern), BOTH
+    * rankings ride ONE scan — the two window functions share the
+    * query_id partitioning, so Spark plans a single exchange and two
+    * in-partition sorts, not two shuffles. The gate compares integer
+    * hit counts only; the float similarities never leave the plan.
+    */
+  def q284MatryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val qs = emb.filter(col("vec_id") < NUM_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val wFull = Window.partitionBy("query_id")
+      .orderBy(col("sim_full").desc, col("vec_id").asc)
+    val wTr = Window.partitionBy("query_id")
+      .orderBy(col("sim_tr").desc, col("vec_id").asc)
+    val ranked = emb.join(broadcast(qs), col("vec_id") =!= col("query_id"))
+      .withColumn("sim_full", cosine(col("q_emb"), col("embedding")))
+      .withColumn("sim_tr", cosine(slice(col("q_emb"), 1, TRUNC_DIM),
+        slice(col("embedding"), 1, TRUNC_DIM)))
+      .withColumn("rk_full", row_number().over(wFull))
+      .withColumn("rk_tr", row_number().over(wTr))
+    val truth = ranked.filter(col("rk_full") <= TOP_K)
+      .select(col("query_id"), col("vec_id"))
+    val approx = ranked.filter(col("rk_tr") <= TOP_K)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        lit(TOP_K.toLong).as("k"))
+  }
+
+  val q284Sql: String = {
+    def dot(n: Int) =
+      s"""list_sum(list_transform(generate_series(1, $n),
+        |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(generate_series(1, $n),
+        |         i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(generate_series(1, $n),
+        |         i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))""".stripMargin
+    s"""WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+      |  WHERE vec_id < $NUM_QUERIES),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    ${dot(EMB_DIM)} AS sim_full,
+      |    ${dot(TRUNC_DIM)} AS sim_tr
+      |  FROM embeddings e, q WHERE e.vec_id != q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY sim_full DESC, vec_id ASC) AS rk_full,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY sim_tr DESC, vec_id ASC) AS rk_tr
+      |  FROM scored)
+      |SELECT t.query_id, CAST(count(a.vec_id) AS BIGINT) AS n_hits,
+      |  CAST($TOP_K AS BIGINT) AS k
+      |FROM (SELECT query_id, vec_id FROM ranked WHERE rk_full <= $TOP_K) t
+      |LEFT JOIN (SELECT query_id, vec_id FROM ranked WHERE rk_tr <= $TOP_K) a
+      |  ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q284_matryoshka_recall" -> Gate.sorted(q284MatryoshkaRecall _, "query_id"),
     "q144_knn_classifier" -> Gate.sorted(q144KnnClassifier _, "query_id"),
     "q30_embedding_topk" -> (q30EmbeddingTopk _),
     "q31_lsh_ann" -> (q31LshAnn _),
@@ -540,6 +613,7 @@ object EmbeddingOps {
     "q41_ivf_ann" -> Gate.sorted(q41IvfAnn _, "query_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q284_matryoshka_recall" -> q284Sql,
     "q144_knn_classifier" -> q144Sql,
     "q30_embedding_topk" -> q30Sql,
     "q31_lsh_ann" -> q31Sql,

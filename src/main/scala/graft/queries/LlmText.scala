@@ -757,7 +757,47 @@ object LlmText {
       |    AS duration_us
       |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** q285: READABILITY SCORING (Flesch reading ease) — the classic
+    * corpus-quality signal next to q33's ratio rules and q81's Gopher
+    * gates: words per sentence and syllables per word, folded into
+    * 206.835 − 1.015·(w/s) − 84.6·(syl/w). Syllables use the standard
+    * cheap proxy (vowel-group runs) — the POINT is a deterministic,
+    * language-light difficulty score a filter can threshold on, not
+    * phonology. All three counts are scan-stage regexp aggregates
+    * (zero shuffle before the dump sort); the score itself is three
+    * IEEE ops on exact integers, so both engines agree bit-for-bit.
+    * Counts stay in the ASCII class both regex dialects share (the
+    * q270 contract).
+    */
+  def q285Readability(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        expr("CAST(regexp_count(lower(text), '[a-z]+') AS BIGINT)").as("n_words"),
+        expr("CAST(greatest(regexp_count(text, '[.!?]+'), 1) AS BIGINT)").as("n_sent"),
+        expr("CAST(regexp_count(lower(text), '[aeiouy]+') AS BIGINT)").as("n_syll"))
+      .withColumn("flesch",
+        when(col("n_words") === 0L, lit(null).cast("double"))
+          .otherwise(lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") / col("n_sent")) -
+            lit(84.6) * (col("n_syll").cast("double") / col("n_words"))))
+  }
+
+  val q285Sql: String =
+    s"""SELECT doc_id,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_words,
+      |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sent,
+      |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll,
+      |  CASE WHEN len(regexp_extract_all(lower(text), '[a-z]+')) = 0 THEN NULL
+      |    ELSE 206.835
+      |      - 1.015 * (CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS DOUBLE)
+      |                 / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+      |      - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+      |                / len(regexp_extract_all(lower(text), '[a-z]+')))
+      |  END AS flesch
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q285_readability" -> Gate.sorted(q285Readability _, "doc_id"),
     "q277_audio_features" -> Gate.sorted(q277AudioFeatures _, "doc_id"),
     "q156_char_entropy" -> Gate.sorted(q156CharEntropy _, "doc_id"),
     "q149_ngram_novelty" -> Gate.sorted(q149NgramNovelty _, "doc_id"),
@@ -780,6 +820,7 @@ object LlmText {
     "q55_doc_keywords" -> Gate.sorted(q55DocKeywords _, "doc_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q285_readability" -> q285Sql,
     "q277_audio_features" -> q277Sql,
     "q156_char_entropy" -> q156Sql,
     "q149_ngram_novelty" -> q149Sql,

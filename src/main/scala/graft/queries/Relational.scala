@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Exact
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -933,7 +933,47 @@ object Relational {
       |FROM cells
       |ORDER BY part_a, part_b""".stripMargin
 
+  /** q286: COHORT LIFETIME-VALUE TRIANGLE — revenue, order count, and
+    * active-customer count per (first-order cohort month, months since
+    * first order): the cumulative-value complement of q74's retention
+    * COUNTS and the table every LTV / payback-period model reads.
+    *
+    * Scale shape: the customer's first-order month comes from a window
+    * MIN over the o_custkey partitioning — the one exchange the query
+    * pays; the cohort rollup then reduces to |cohorts x ages| cells
+    * (months², independent of order volume) with map-side partials.
+    * Month arithmetic is integer (year*12 + month), money is
+    * DECIMAL-exact, the distinct-customer count keys on the already
+    * co-partitioned custkey.
+    */
+  def q286CohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    def mIdx(c: Column): Column = (year(c) * 12 + month(c)).cast("long")
+    val w = Window.partitionBy("o_custkey")
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("first_dt", min(col("o_orderdate")).over(w))
+      .groupBy(date_format(col("first_dt"), "yyyy-MM").as("cohort"),
+        (mIdx(col("o_orderdate")) - mIdx(col("first_dt"))).as("age_months"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        Exact.sumExact(col("o_totalprice"), 2).as("ltv"))
+  }
+
+  val q286Sql: String =
+    s"""WITH f AS (
+      |  SELECT o_custkey, o_orderdate, o_totalprice,
+      |    min(o_orderdate) OVER (PARTITION BY o_custkey) AS first_dt
+      |  FROM orders)
+      |SELECT strftime(first_dt, '%Y-%m') AS cohort,
+      |  CAST((year(o_orderdate) * 12 + month(o_orderdate))
+      |    - (year(first_dt) * 12 + month(first_dt)) AS BIGINT) AS age_months,
+      |  count(*) AS n_orders,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+      |  ${Exact.sumSql("o_totalprice", 2)} AS ltv
+      |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q286_cohort_ltv" -> Gate.sorted(q286CohortLtv _, "cohort", "age_months"),
     "q239_assoc_significance" ->
       Gate.sorted(q239AssocSignificance _, "part_a", "part_b"),
     "q237_contribution" -> Gate.sorted(q237Contribution _, "r_name", "n_name"),
@@ -960,6 +1000,7 @@ object Relational {
     "q79_native_topk" -> Gate.sorted(q79NativeTopk _, "o_custkey", "o_orderkey"))
 
   val oracles: Map[String, String] = Map(
+    "q286_cohort_ltv" -> q286Sql,
     "q239_assoc_significance" -> q239Sql,
     "q237_contribution" -> q237Sql,
     "q219_frequent_triples" -> q219Sql,

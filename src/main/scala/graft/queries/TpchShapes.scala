@@ -727,7 +727,69 @@ object TpchShapes {
       |      AND l.l_shipdate > o.o_orderdate + INTERVAL $LATE_DAYS DAY)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q283 part-name filter token (the schema's p_name vocabulary is
+    * "<adjective> <noun>"; 'red' selects ~1/8 of parts).
+    */
+  val PROFIT_TOKEN = "red"
+
+  /** Stand-in supply-cost fraction of retail price — the test schema
+    * has no partsupp table (reference: TPC-H Q9 reads ps_supplycost),
+    * so cost is modeled as a fixed fraction of p_retailprice.
+    */
+  val COST_FRAC = 0.5
+
+  /** q283: PRODUCT-TYPE PROFIT (TPC-H Q9 shape): profit per supplier
+    * nation per order year over the parts matching a name token —
+    * profit = revenue − modeled supply cost per line.
+    *
+    * Scale shape: the part filter runs FIRST and the surviving part
+    * keys broadcast onto the fact scan — at 100 TB this is the join
+    * Spark turns into a dynamic partition-pruning / runtime-filter
+    * scan (1/8 of parts -> only their lineitems survive the first
+    * join), so the expensive orders join sees pre-thinned facts.
+    * Supplier and nation broadcast; orders is the only shuffled side
+    * besides lineitem. One exchange on l_orderkey, then a 125-row
+    * rollup. Money stays DECIMAL-exact (Exact.sumExact, scale 6 for
+    * the triple product).
+    */
+  def q283ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(broadcast(t.part.filter(col("p_name").contains(PROFIT_TOKEN))
+        .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t.orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"),
+        col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        graft.functions.Exact.sumExact(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+            lit(COST_FRAC) * col("p_retailprice") * col("l_quantity"), 6)
+          .as("profit"))
+  }
+
+  val q283Sql: String =
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      |  count(*) AS n_lines,
+      |  ${graft.functions.Exact.sumSql(
+            s"l_extendedprice * (1 - l_discount) - $COST_FRAC * p_retailprice * l_quantity", 6)}
+      |    AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%$PROFIT_TOKEN%'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q283_product_profit" ->
+      Gate.sorted(q283ProductProfit _, "nation", "o_year"),
     "q274_priority_checking" ->
       Gate.sorted(q274PriorityChecking _, "o_orderpriority"),
     "q253_nation_trade" ->
@@ -750,6 +812,7 @@ object TpchShapes {
 
   val oracles: Map[String, String] = Map(
     "q274_priority_checking" -> q274Sql,
+    "q283_product_profit" -> q283Sql,
     "q253_nation_trade" -> q253Sql,
     "q254_market_share" -> q254Sql,
     "q255_waiting_suppliers" -> q255Sql,
