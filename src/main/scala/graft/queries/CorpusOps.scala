@@ -443,7 +443,59 @@ object CorpusOps {
       |  CAST(sum(length(chunk)) AS BIGINT) AS sum_chars
       |FROM chunks GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q289: CSV SOURCE ROUND-TRIP, driver-gated — sources/CsvCorpus run
+    * end-to-end: the documents table is REALLY written as CSV, four
+    * constant lines are appended — two well-formed rows that REQUIRE
+    * quote handling (embedded commas, doubled quotes) and two
+    * malformed lines (unparseable doc_id; wrong arity) — and the
+    * explicit-schema PERMISSIVE read parses it all back: quoted rows
+    * into columns, broken lines quarantined (the 100 TB contract: a
+    * bad line is a quarantined row, not a dead job; multiLine stays
+    * OFF so a giant shard still byte-range-splits). The gated rollup
+    * counts docs and exact characters per source plus the quarantine
+    * bucket; the oracle recomputes it from the parquet ORIGINAL plus
+    * the four known constants — quote mis-parses, column mixups, or
+    * quarantine misses all flip the gate.
+    */
+  def q289CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("csv_rt").toString
+    Tables(spark, dir).documents
+      .select("doc_id", "text", "lang", "source")
+      .coalesce(4).write.mode("overwrite")
+      .option("header", "false").csv(s"$tmp/corpus")
+    Seq(
+      "9000001,\"comma, separated text\",en,\"zz_quoted \"\"src\"\"\"",
+      "9000002,\"multi word, text\",fr,zz_websrc",
+      // field-level badness: Spark's CSV reader null-fills a field it
+      // cannot convert (doc_id) / cannot find (arity short) WITHOUT
+      // setting the corrupt column, so quarantine classification must
+      // test the nulls too (CsvCorpus.clean's contract)
+      "not_a_number,broken line,xx,yy",
+      "9000003,\"unclosed quote swallows the rest,en,zz_x")
+      .toDF("value").coalesce(1).write.mode("append").text(s"$tmp/corpus")
+    val bad = col(graft.sources.CsvCorpus.CORRUPT_COL).isNotNull ||
+      col("doc_id").isNull || col("text").isNull ||
+      col("lang").isNull || col("source").isNull
+    graft.sources.CsvCorpus.read(spark, s"$tmp/corpus")
+      .select(
+        when(bad, lit("_corrupt")).otherwise(col("source")).as("src"),
+        when(bad, lit(0L)).otherwise(length(col("text"))).as("chars"))
+      .groupBy("src")
+      .agg(count(lit(1)).as("n_docs"), sum("chars").as("sum_chars"))
+  }
+
+  val q289Sql: String =
+    """SELECT source AS src, count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1
+      |UNION ALL SELECT 'zz_quoted "src"', 1, length('comma, separated text')
+      |UNION ALL SELECT 'zz_websrc', 1, length('multi word, text')
+      |UNION ALL SELECT '_corrupt', 2, 0
+      |ORDER BY src""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q289_csv_roundtrip" -> Gate.sorted(q289CsvRoundtrip _, "src"),
     "q263_corpus_pipeline" -> Gate.sorted(q263CorpusPipeline _, "shard"),
     "q261_bucketed_join" ->
       Gate.sorted(q261BucketedJoin _, "c_mktsegment", "o_orderpriority"),
@@ -458,6 +510,7 @@ object CorpusOps {
     "q251_sketch_eval" -> Gate.sorted(q251SketchQuantileEval _, "g"))
 
   val oracles: Map[String, String] = Map(
+    "q289_csv_roundtrip" -> q289Sql,
     "q263_corpus_pipeline" -> q263Sql,
     "q261_bucketed_join" -> q261Sql,
     "q260_hll_eval" -> q260Sql,

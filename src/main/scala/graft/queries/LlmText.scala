@@ -487,6 +487,52 @@ object LlmText {
       |  CAST(max(p) AS INT) AS px_max
       |FROM px GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q290: REAL IMAGE RESIZE — the thumbnail/preprocessing stage of
+    * the multimodal path: each PNG blob is decoded, nearest-neighbor
+    * 2x-downsampled, RE-ENCODED to a new PNG, and the re-encoded
+    * artifact decoded for integer pixel stats (the full decode ->
+    * transform -> encode -> decode cycle, q94's decode path plus a
+    * real transform + write leg). Same mapPartitions streaming shape;
+    * 1 row in -> 1 row out. The DuckDB oracle replays the synthesis
+    * formula at EVEN coordinates without touching PNG — any resample
+    * misalignment, re-encode loss, or stride bug flips the gate.
+    */
+  def q290ImageResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir).documents
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 13 + 4).toInt
+          val h = (id % 7 + 3).toInt
+          graft.operators.MediaRecord(
+            id, 1, graft.operators.ImageCodec.synthGrayPng(id, w, h))
+        }
+      }
+    graft.operators.ImageCodec.resizeImages(media)
+      .select("doc_id", "width", "height", "n_pixels", "px_sum",
+        "px_min", "px_max")
+  }
+
+  val q290Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST((doc_id % 13 + 4 + 1) // 2 AS INT) AS w2,
+      |    CAST((doc_id % 7 + 3 + 1) // 2 AS INT) AS h2
+      |  FROM documents),
+      |px AS (
+      |  SELECT d.doc_id, d.w2, d.h2,
+      |    ((d.doc_id * 31 + (2 * x.i) * 7 + (2 * y.i) * 13) % 256 + 256) % 256 AS p
+      |  FROM d,
+      |    unnest(generate_series(0, d.w2 - 1)) AS x(i),
+      |    unnest(generate_series(0, d.h2 - 1)) AS y(i))
+      |SELECT doc_id, max(w2) AS width, max(h2) AS height,
+      |  CAST(count(*) AS BIGINT) AS n_pixels,
+      |  CAST(sum(p) AS BIGINT) AS px_sum,
+      |  CAST(min(p) AS INT) AS px_min,
+      |  CAST(max(p) AS INT) AS px_max
+      |FROM px GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q111 frame-sampling stride. */
   val FRAME_STRIDE = 3
 
@@ -757,6 +803,79 @@ object LlmText {
       |    AS duration_us
       |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin
 
+  /** q287 coverage-ladder cuts (top-N vocab sizes to evaluate). */
+  val COVERAGE_CUTS: Seq[Long] = Seq(10L, 100L, 1000L)
+
+  /** q287: VOCABULARY COVERAGE LADDER — what share of all bigram
+    * occurrences does a top-N vocabulary cover, for each candidate N?
+    * The tokenizer-budget diagnostic read before fixing a vocab size
+    * (the OOV complement of q42's raw top-k list): coverage flattens
+    * where extra vocab stops paying.
+    *
+    * Scale shape: bigrams are built INSIDE the row (zip_with over the
+    * token array — no exploded self-join), counts partial-aggregate,
+    * and because every cut is a CONSTANT the ladder needs only the
+    * top-max(cuts) rows — a TakeOrdered (orderBy + limit), never a
+    * global sort; rank/cumsum then run on that bounded table. The
+    * corpus-wide totals are one scalar aggregate broadcast back (the
+    * documented no-collect crossJoin idiom). Cuts above the true
+    * vocabulary clamp to it (coverage = 100%). Output is integer
+    * counts + ppm, nothing float-ordered.
+    */
+  def q287VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val bigrams = when(size(toks) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+    val counted = Tables(spark, dir).documents
+      .select(explode(bigrams).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val totals = counted.agg(sum("n").as("total"), count(lit(1)).as("vocab"))
+    val maxCut = COVERAGE_CUTS.max.toInt
+    val top = counted.orderBy(col("n").desc, col("tok").asc).limit(maxCut)
+    val w = Window.orderBy(col("n").desc, col("tok").asc)
+    val ranked = top
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cum",
+        sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val cuts = COVERAGE_CUTS.map(c => s"($c)").mkString(", ")
+    ranked.crossJoin(broadcast(totals))
+      .join(broadcast(spark.sql(s"SELECT * FROM VALUES $cuts AS t(cut)")),
+        col("rn") === least(col("cut"), col("vocab")))
+      .select(col("cut"), col("vocab"), col("cum").as("covered"),
+        col("total"),
+        floor(col("cum") * lit(1000000L) / col("total")).cast("long")
+          .as("coverage_ppm"))
+  }
+
+  val q287Sql: String = {
+    val cuts = COVERAGE_CUTS.map(c => s"($c)").mkString(", ")
+    s"""WITH t AS (
+      |  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |    x -> x != '') AS ts
+      |  FROM documents),
+      |b AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+      |    i -> ts[i] || ' ' || ts[i + 1])) AS tok
+      |  FROM t),
+      |c AS (SELECT tok, count(*) AS n FROM b GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+      |  count(*) AS vocab FROM c),
+      |r AS (
+      |  SELECT n,
+      |    CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS BIGINT) AS rn,
+      |    CAST(sum(n) OVER (ORDER BY n DESC, tok ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM c)
+      |SELECT cut, vocab, cum AS covered, total,
+      |  CAST(floor(cum * 1000000 / total) AS BIGINT) AS coverage_ppm
+      |FROM (VALUES $cuts) AS k(cut), tot, r
+      |WHERE r.rn = least(k.cut, tot.vocab)
+      |ORDER BY cut""".stripMargin
+  }
+
   /** q285: READABILITY SCORING (Flesch reading ease) — the classic
     * corpus-quality signal next to q33's ratio rules and q81's Gopher
     * gates: words per sentence and syllables per word, folded into
@@ -798,6 +917,8 @@ object LlmText {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q285_readability" -> Gate.sorted(q285Readability _, "doc_id"),
+    "q287_vocab_coverage" -> Gate.sorted(q287VocabCoverage _, "cut"),
+    "q290_image_resize" -> Gate.sorted(q290ImageResize _, "doc_id"),
     "q277_audio_features" -> Gate.sorted(q277AudioFeatures _, "doc_id"),
     "q156_char_entropy" -> Gate.sorted(q156CharEntropy _, "doc_id"),
     "q149_ngram_novelty" -> Gate.sorted(q149NgramNovelty _, "doc_id"),
@@ -821,6 +942,8 @@ object LlmText {
 
   val oracles: Map[String, String] = Map(
     "q285_readability" -> q285Sql,
+    "q287_vocab_coverage" -> q287Sql,
+    "q290_image_resize" -> q290Sql,
     "q277_audio_features" -> q277Sql,
     "q156_char_entropy" -> q156Sql,
     "q149_ngram_novelty" -> q149Sql,

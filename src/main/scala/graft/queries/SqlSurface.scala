@@ -13,6 +13,52 @@ import org.apache.spark.sql.functions._
   */
 object SqlSurface {
 
+  /** q288: CORRELATED SCALAR SUBQUERIES — the SQL surface every ORM
+    * and hand-written report leans on: per-order scalar lookups
+    * `(SELECT count(*) ...)`, `(SELECT max(...) ...)`, and a
+    * correlated EXISTS-derived flag, written EXACTLY as subqueries and
+    * handed to Catalyst. The point under test is the planner's
+    * DECORRELATION: RewriteCorrelatedScalarSubquery turns each scalar
+    * subquery into an aggregate + left outer join on o_orderkey (one
+    * co-partitioned exchange, shared by AQE reuse), not a per-row
+    * re-execution — the difference between O(n) and O(n²) at 100 TB.
+    * COUNT's null-to-zero corner (an order with no lineitems must
+    * report 0, not NULL) and the MAX sentinel are pinned explicitly
+    * because the count-bug class is exactly what decorrelation
+    * rewrites historically got wrong.
+    */
+  def q288CorrelatedScalar(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.createOrReplaceTempView("q288_orders")
+    t.lineitem.createOrReplaceTempView("q288_lineitem")
+    spark.sql(s"""
+      SELECT o_orderkey,
+        (SELECT count(*) FROM q288_lineitem l
+          WHERE l.l_orderkey = o.o_orderkey) AS n_lines,
+        coalesce((SELECT CAST(floor(max(l_extendedprice) * 100 + 0.5) AS BIGINT)
+          FROM q288_lineitem l
+          WHERE l.l_orderkey = o.o_orderkey), -1) AS max_price_c,
+        EXISTS (SELECT 1 FROM q288_lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_returnflag = 'R') AS has_return
+      FROM q288_orders o
+      WHERE o.o_totalprice > 150000.0""")
+  }
+
+  val q288Sql: String =
+    """SELECT o_orderkey,
+      |  (SELECT count(*) FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey) AS n_lines,
+      |  coalesce((SELECT CAST(floor(max(l_extendedprice) * 100 + 0.5) AS BIGINT)
+      |    FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey), -1) AS max_price_c,
+      |  EXISTS (SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_returnflag = 'R') AS has_return
+      |FROM orders o
+      |WHERE o.o_totalprice > 150000.0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** q171: explicit GROUPING SETS — (flag, status), (flag), () in one
     * pass with grouping_id() distinguishing the grains (both engines
     * use the same bitmask convention: bit set = column rolled away).
@@ -478,6 +524,8 @@ object SqlSurface {
       Gate.sorted(q265WindowRankSurface _, "o_orderpriority", "rk"),
     "q266_hof_surface" -> Gate.sorted(q266HofSurface _, "doc_id"),
     "q234_ordered_agg" -> Gate.sorted(q234OrderedAgg _, "o_orderpriority"),
+    "q288_correlated_scalar" ->
+      Gate.sorted(q288CorrelatedScalar _, "o_orderkey"),
     "q171_grouping_sets" ->
       Gate.sorted(q171GroupingSets _, "gid", "l_returnflag", "l_linestatus"),
     "q172_set_ops" -> Gate.sorted(q172SetOps _, "op", "custkey"),
@@ -492,6 +540,7 @@ object SqlSurface {
     "q265_window_rank_surface" -> q265Sql,
     "q266_hof_surface" -> q266Sql,
     "q234_ordered_agg" -> q234Sql,
+    "q288_correlated_scalar" -> q288Sql,
     "q171_grouping_sets" -> q171Sql,
     "q172_set_ops" -> q172Sql,
     "q173_gap_fill" -> q173Sql,

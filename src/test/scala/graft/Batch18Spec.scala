@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-6 batch-18 specs: vocab coverage ladder, correlated scalar
+  * subqueries, CSV round-trip, real image resize (q287-q290), each
+  * against an independent driver-side re-derivation on sf0.001.
+  */
+class Batch18Spec extends SparkSpec {
+
+  test("q287 equals a driver-side bigram coverage ladder") {
+    import graft.queries.LlmText
+    val got = LlmText.q287VocabCoverage(spark, sfDir).collect()
+      .map(r => r.getAs[Number](0).longValue() ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val texts = Tables(spark, sfDir).documents
+      .select("text").collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    texts.foreach { t =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      ws.sliding(2).filter(_.length == 2)
+        .foreach(p => counts(p.mkString(" ")) += 1)
+    }
+    val ranked = counts.toSeq.sortBy { case (tok, n) => (-n, tok) }
+    val total = ranked.map(_._2).sum
+    val vocab = ranked.size.toLong
+    val cums = ranked.map(_._2).scanLeft(0L)(_ + _).tail
+    val want = LlmText.COVERAGE_CUTS.map { cut =>
+      val at = math.min(cut, vocab).toInt
+      val covered = cums(at - 1)
+      cut -> ((vocab, covered, total,
+        math.floor(covered * 1000000L / total.toDouble).toLong))
+    }.toMap
+    assert(got === want)
+    // the ladder must be monotone and end clamped at full coverage
+    assert(got(LlmText.COVERAGE_CUTS.max)._2 == total)
+  }
+
+  test("q288 equals a driver-side correlated-lookup recompute") {
+    val got = graft.queries.SqlSurface.q288CorrelatedScalar(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val lines = Tables(spark, sfDir).lineitem
+      .select("l_orderkey", "l_extendedprice", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .groupBy(_._1)
+    val want = Tables(spark, sfDir).orders
+      .filter(col("o_totalprice") > 150000.0)
+      .select("o_orderkey").collect().map(_.getLong(0))
+      .map { k =>
+        val ls = lines.getOrElse(k, Array.empty[(Long, Double, String)])
+        val maxC = if (ls.isEmpty) -1L
+          else math.floor(ls.map(_._2).max * 100 + 0.5).toLong
+        k -> ((ls.length.toLong, maxC, ls.exists(_._3 == "R")))
+      }.toMap
+    assert(got === want)
+    // COUNT over an empty correlated set must be 0, never NULL
+    assert(got.values.forall(_._1 >= 0L))
+  }
+
+  test("q289 equals documents plus the four known CSV constants") {
+    val got = graft.queries.CorpusOps.q289CsvRoundtrip(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val base = Tables(spark, sfDir).documents
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).length.toLong))
+      .groupBy(_._1)
+      .map { case (s, xs) => s -> ((xs.length.toLong, xs.map(_._2).sum)) }
+    val want = base ++ Map(
+      "zz_quoted \"src\"" -> ((1L, "comma, separated text".length.toLong)),
+      "zz_websrc" -> ((1L, "multi word, text".length.toLong)),
+      "_corrupt" -> ((2L, 0L)))
+    assert(got === want)
+  }
+
+  test("q290 resize stats equal the synthesis formula at even coords") {
+    val got = graft.queries.LlmText.q290ImageResize(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getInt(5), r.getInt(6)))).toMap
+    val ids = Tables(spark, sfDir).documents
+      .select("doc_id").collect().map(_.getLong(0))
+    val want = ids.map { id =>
+      val w = (id % 13 + 4).toInt; val h = (id % 7 + 3).toInt
+      val w2 = (w + 1) / 2; val h2 = (h + 1) / 2
+      val px = for (y <- 0 until h2; x <- 0 until w2)
+        yield graft.operators.ImageCodec.synthPixel(id, 2 * x, 2 * y)
+      id -> ((w2, h2, w2.toLong * h2, px.map(_.toLong).sum, px.min, px.max))
+    }.toMap
+    assert(got === want)
+  }
+}

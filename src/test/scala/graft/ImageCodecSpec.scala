@@ -69,4 +69,18 @@ class ImageCodecSpec extends SparkSpec {
       assert(fr.px_sum === want)
     }
   }
+
+  test("resizeHalf samples even coordinates and survives re-encode") {
+    import graft.operators.{ImageCodec, MediaRecord}
+    for (seed <- Seq(1L, 5L, 42L); (w, h) <- Seq((7, 5), (8, 4), (1, 1))) {
+      val png = ImageCodec.synthGrayPng(seed, w, h)
+      val r = ImageCodec.resizeHalf(seed, png)
+      val w2 = (w + 1) / 2; val h2 = (h + 1) / 2
+      assert(r.width === w2 && r.height === h2 && r.n_pixels === w2.toLong * h2)
+      val px = for (y <- 0 until h2; x <- 0 until w2)
+        yield ImageCodec.synthPixel(seed, 2 * x, 2 * y)
+      assert(r.px_sum === px.map(_.toLong).sum)
+      assert(r.px_min === px.min && r.px_max === px.max)
+    }
+  }
 }

@@ -479,4 +479,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "pair join must run on the custkey hash, not a nested loop")
   }
+
+  test("q288: every correlated subquery decorrelates to a join") {
+    val df = graft.queries.SqlSurface.q288CorrelatedScalar(spark, sfDir)
+    // optimized logical plan: no leftover correlated/scalar subquery
+    // expressions — RewriteCorrelatedScalarSubquery + RewritePredicate
+    // Subquery must have turned all three into aggregate + join
+    val lp = df.queryExecution.optimizedPlan.toString
+    assert(!lp.contains("scalar-subquery"),
+      s"scalar subqueries must decorrelate, got:\n$lp")
+    assert(lp.contains("ExistenceJoin"),
+      "EXISTS must decorrelate to an existence join")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "decorrelated lookups must be hash joins on o_orderkey, " +
+        s"not per-row loops:\n$p")
+  }
+
+  test("q283: part filter pre-thins lineitem via a broadcast, orders is the only big join") {
+    val p = plan(graft.queries.TpchShapes.q283ProductProfit(spark, sfDir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastHashJoin"), "part/supplier/nation must broadcast")
+  }
+
+  test("q287: the ladder plans a TakeOrdered, never a global sort") {
+    val p = plan(graft.queries.LlmText.q287VocabCoverage(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-maxcut must be TakeOrdered:\n$p")
+  }
 }
