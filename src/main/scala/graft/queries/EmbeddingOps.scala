@@ -603,7 +603,66 @@ object EmbeddingOps {
       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Hard negatives kept per anchor in q291. */
+  val HARD_NEG_K = 3
+
+  /** q291: HARD-NEGATIVE MINING — for each anchor vector, the
+    * [[HARD_NEG_K]] most-similar vectors with a DIFFERENT label: the
+    * contrastive-training staple (a random negative is trivially far;
+    * the negatives that teach are the near ones the model confuses).
+    * Output is (anchor, rank, negative, labels) — rank-gated integers,
+    * like q30, so float similarity never enters the hash.
+    *
+    * Scale shape: anchors broadcast against the corpus scan (the q30
+    * pattern — exact over the broadcast query set as the baseline; at
+    * corpus-x-corpus scale the anchor side becomes q31's LSH buckets
+    * and this plan is unchanged downstream of the candidate join);
+    * label mismatch filters INSIDE the scan before the similarity is
+    * computed, and the per-anchor top-k is one window over the
+    * candidate set.
+    */
+  def q291HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val anchors = emb.filter(col("vec_id") < NUM_QUERIES)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("embedding").as("a_emb"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    emb.join(broadcast(anchors), col("label") =!= col("a_label"))
+      .withColumn("sim", cosine(col("a_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HARD_NEG_K)
+      .select(col("anchor_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neg_id"), col("a_label"),
+        col("label").as("neg_label"))
+  }
+
+  val q291Sql: String =
+    s"""WITH a AS (
+      |  SELECT vec_id AS anchor_id, label AS a_label, embedding AS q_emb
+      |  FROM embeddings WHERE vec_id < $NUM_QUERIES),
+      |scored AS (
+      |  SELECT a.anchor_id, a.a_label, e.vec_id, e.label,
+      |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |      i -> CAST(a.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(a.q_emb,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(e.embedding,
+      |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      |  FROM embeddings e, a WHERE e.label != a.a_label),
+      |ranked AS (
+      |  SELECT anchor_id, a_label, vec_id, label,
+      |    row_number() OVER (PARTITION BY anchor_id
+      |      ORDER BY sim DESC, vec_id ASC) AS rank
+      |  FROM scored)
+      |SELECT anchor_id, CAST(rank AS BIGINT) AS rank, vec_id AS neg_id,
+      |  a_label, label AS neg_label
+      |FROM ranked WHERE rank <= $HARD_NEG_K
+      |ORDER BY anchor_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q291_hard_negatives" ->
+      Gate.sorted(q291HardNegatives _, "anchor_id", "rank"),
     "q284_matryoshka_recall" -> Gate.sorted(q284MatryoshkaRecall _, "query_id"),
     "q144_knn_classifier" -> Gate.sorted(q144KnnClassifier _, "query_id"),
     "q30_embedding_topk" -> (q30EmbeddingTopk _),
@@ -613,6 +672,7 @@ object EmbeddingOps {
     "q41_ivf_ann" -> Gate.sorted(q41IvfAnn _, "query_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q291_hard_negatives" -> q291Sql,
     "q284_matryoshka_recall" -> q284Sql,
     "q144_knn_classifier" -> q144Sql,
     "q30_embedding_topk" -> q30Sql,

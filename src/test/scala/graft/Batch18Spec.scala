@@ -75,6 +75,40 @@ class Batch18Spec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q291 equals driver-side different-label nearest negatives") {
+    import graft.queries.EmbeddingOps
+    val got = graft.queries.EmbeddingOps.q291HardNegatives(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getInt(3), r.getInt(4)))).toMap
+    val embs = Tables(spark, sfDir).embeddings
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = embs.filter(_._1 < EmbeddingOps.NUM_QUERIES).flatMap {
+      case (aid, albl, aemb) =>
+        embs.filter(_._2 != albl)
+          .map { case (id, lbl, e) => (cos(aemb, e), id, lbl) }
+          .sortBy { case (s, id, _) => (-s, id) }
+          .take(EmbeddingOps.HARD_NEG_K)
+          .zipWithIndex
+          .map { case ((_, id, lbl), i) =>
+            (aid, i + 1L) -> ((id, albl, lbl)) }
+    }.toMap
+    assert(got === want)
+    // negatives must really cross the label boundary
+    assert(got.values.forall { case (_, a, n) => a != n })
+  }
+
   test("q290 resize stats equal the synthesis formula at even coords") {
     val got = graft.queries.LlmText.q290ImageResize(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
