@@ -398,7 +398,51 @@ object TemporalOps {
       |  CAST(len(vals) AS BIGINT) AS n_days
       |FROM t ORDER BY day""".stripMargin
 
+  /** Epoch base for q292's packed ordering key (2024-01-01 UTC). */
+  val OHLC_EPOCH_US = 1704067200000000L
+
+  /** q292: TUMBLING OHLC BARS — per (event_type, hour): the first
+    * (open) and last (close) event value in time order plus the
+    * high/low/count, the candlestick rollup every metrics/monitoring
+    * series renders. Exercises min_by/max_by (DuckDB arg_min/arg_max)
+    * — the ordered-selection aggregates no other query touches —
+    * instead of two extra window passes.
+    *
+    * Scale shape: ONE map-side-combined aggregate over the fact scan
+    * (min_by partials merge associatively like min), |types x hours|
+    * output rows. Determinism: the ordering key packs (ts, event_id)
+    * into one BIGINT — (µs since a fixed epoch) * 1e5 + id — so ties
+    * in ts cannot make the two engines pick different rows; open/close
+    * VALUES pass through exactly (no arithmetic on them at all).
+    */
+  def q292OhlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val pack = (unix_micros(col("ts")) - lit(OHLC_EPOCH_US)) * lit(100000L) +
+      col("event_id")
+    Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        date_format(date_trunc("HOUR", col("ts")), "yyyy-MM-dd HH").as("hour"))
+      .agg(min_by(col("value"), pack).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), pack).as("close"),
+        count(lit(1)).as("n"))
+  }
+
+  val q292Sql: String =
+    s"""SELECT event_type,
+      |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+      |  arg_min(value, (epoch_us(ts) - $OHLC_EPOCH_US) * 100000 + event_id)
+      |    AS open,
+      |  max(value) AS high,
+      |  min(value) AS low,
+      |  arg_max(value, (epoch_us(ts) - $OHLC_EPOCH_US) * 100000 + event_id)
+      |    AS close,
+      |  count(*) AS n
+      |FROM events GROUP BY 1, 2
+      |ORDER BY event_type, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q292_ohlc_bars" -> Gate.sorted(q292OhlcBars _, "event_type", "hour"),
     "q276_trailing_median" -> Gate.sorted(q276TrailingMedian _, "day"),
     "q246_decayed_popularity" ->
       ((s, d) => q246DecayedPopularity(s, d)),
@@ -413,6 +457,7 @@ object TemporalOps {
     "q164_abandoned_clicks" -> Gate.sorted(q164AbandonedClicks _, "user_id"))
 
   val oracles: Map[String, String] = Map(
+    "q292_ohlc_bars" -> q292Sql,
     "q276_trailing_median" -> q276Sql,
     "q246_decayed_popularity" -> q246Sql,
     "q236_forecast_backtest" -> q236Sql,

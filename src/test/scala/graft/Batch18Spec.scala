@@ -109,6 +109,28 @@ class Batch18Spec extends SparkSpec {
     assert(got.values.forall { case (_, a, n) => a != n })
   }
 
+  test("q292 equals driver-side first/last-in-time-order bars") {
+    val got = graft.queries.TemporalOps.q292OhlcBars(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6)))).toMap
+    val fmtH = new java.text.SimpleDateFormat("yyyy-MM-dd HH")
+    fmtH.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val ev = Tables(spark, sfDir).events
+      .select("event_type", "ts", "event_id", "value").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3)))
+    val want = ev.groupBy { case (t, ts, _, _) => (t, fmtH.format(ts)) }
+      .map { case (k, xs) =>
+        val ordered = xs.sortBy { case (_, ts, id, _) =>
+          (ts.getTime * 1000 + ts.getNanos / 1000 % 1000, id) }
+        k -> ((ordered.head._4, xs.map(_._4).max, xs.map(_._4).min,
+          ordered.last._4, xs.length.toLong))
+      }
+    assert(got === want)
+    assert(got.nonEmpty && got.values.exists(v => v._1 != v._4))
+  }
+
   test("q290 resize stats equal the synthesis formula at even coords") {
     val got = graft.queries.LlmText.q290ImageResize(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
