@@ -31,5 +31,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // ~300 distinct query plans x whole-stage-codegen classes x 4 bench
+  // passes overflow the JVM's default 240 MB code cache; once it
+  // fills, the JIT flushes hot methods (or stops compiling) and EVERY
+  // query pays interpreted-code tax — a uniform ~1.2x inflation across
+  // unrelated queries, exactly what BENCH runs showed as the suite
+  // grew. Size it so the whole suite's generated code stays compiled.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

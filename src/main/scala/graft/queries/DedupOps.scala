@@ -91,6 +91,81 @@ object DedupOps {
         (col("doc_id") === col("cluster_id")).as("keep"))
   }
 
+  /** q293: LEAKAGE-SAFE GROUPED SPLIT — train/val/test assignment
+    * hashed on the NEAR-DUP CLUSTER id, not the document id: a
+    * per-document split (q25's shape) puts two near-copies of the same
+    * text on opposite sides of the train/test wall, which is exactly
+    * the contamination q48/q67 exist to detect — this operator
+    * prevents it by construction. Composition of the q53 cluster
+    * resolution (MinHash bands -> connected components) with q25's
+    * deterministic md5 bucketing, keyed on cluster_id so every member
+    * of a cluster lands in the SAME split.
+    *
+    * Output: per split, document and cluster counts, plus the
+    * straddle audit (clusters spanning >1 split — zero by
+    * construction, and the gate PROVES it rather than trusting it:
+    * one tiny aggregate over the |clusters| table, broadcast back).
+    */
+  def q293GroupedSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val comp = graft.operators.ConnectedComponents
+      .components(candidatePairs(docs), "doc_a", "doc_b")
+      .withColumnRenamed("node", "doc_id")
+    val labeled = docs.select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+    val bucket = conv(substring(md5(concat(lit("gsplit:"),
+      col("cluster_id").cast("string"))), 1, 6), 16, 10).cast("long") % 100
+    val withSplit = labeled.withColumn("split",
+      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+    val straddle = withSplit.groupBy("cluster_id")
+      .agg(countDistinct("split").as("_ns"))
+      .agg(sum(when(col("_ns") > 1, 1L).otherwise(0L)).as("n_straddling"))
+    withSplit.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("cluster_id").as("n_clusters"))
+      .crossJoin(broadcast(straddle))
+  }
+
+  // lazy: defined textually before pairCtes, which it embeds
+  lazy val q293Sql: String =
+    s"""WITH RECURSIVE $pairCtes,
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION
+      |  SELECT doc_b AS a, doc_a AS b FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (
+      |  SELECT a AS doc_id, min(b) AS min_reach FROM reach GROUP BY a),
+      |lab AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN c.min_reach IS NULL THEN d.doc_id
+      |         ELSE least(d.doc_id, c.min_reach) END AS cluster_id
+      |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+      |sp AS (
+      |  SELECT doc_id, cluster_id,
+      |    CASE WHEN CAST('0x' || substr(md5('gsplit:' ||
+      |           CAST(cluster_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 < 80
+      |         THEN 'train'
+      |         WHEN CAST('0x' || substr(md5('gsplit:' ||
+      |           CAST(cluster_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 < 90
+      |         THEN 'val' ELSE 'test' END AS split
+      |  FROM lab),
+      |st AS (
+      |  SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_straddling
+      |  FROM (SELECT cluster_id, count(DISTINCT split) AS ns
+      |        FROM sp GROUP BY 1))
+      |SELECT split, count(*) AS n_docs,
+      |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+      |  st.n_straddling
+      |FROM sp, st GROUP BY split, st.n_straddling
+      |ORDER BY split""".stripMargin
+
   /** Shared DuckDB CTE chain producing the LSH candidate pairs —
     * q27 selects them directly, q53 feeds them into a recursive
     * transitive closure.
@@ -1212,6 +1287,7 @@ object DedupOps {
     "q106_winnow_fingerprint" -> Gate.sorted(q106WinnowFingerprint _, "doc_id"),
     "q27_minhash_lsh" -> Gate.sorted(q27MinhashLsh _, "doc_a", "doc_b"),
     "q28_simhash" -> (q28Simhash _),
+    "q293_grouped_split" -> Gate.sorted(q293GroupedSplit _, "split"),
     "q83_simhash_pairs" -> Gate.sorted(q83SimhashPairs _, "doc_a", "doc_b"),
     "q29_ngram_jaccard" -> (q29NgramJaccard _),
     "q53_dup_clusters" -> Gate.sorted(q53DupClusters _, "doc_id"),
@@ -1234,6 +1310,7 @@ object DedupOps {
     "q83_simhash_pairs" -> q83Sql,
     "q29_ngram_jaccard" -> q29Sql,
     "q53_dup_clusters" -> q53Sql,
+    "q293_grouped_split" -> q293Sql,
     "q67_split_leakage" -> q67Sql,
     "q68_ingest_dedup" -> q68Sql,
     "q72_minhash_estimate" -> q72Sql)

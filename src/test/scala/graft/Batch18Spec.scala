@@ -131,6 +131,35 @@ class Batch18Spec extends SparkSpec {
     assert(got.nonEmpty && got.values.exists(v => v._1 != v._4))
   }
 
+  test("q293 assigns whole clusters to one split via the md5 bucket") {
+    import graft.queries.DedupOps
+    val got = DedupOps.q293GroupedSplit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // cluster labels from the independently-gated q53 result
+    val clusters = DedupOps.q53DupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def bucket(c: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"gsplit:$c".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      java.lang.Long.parseLong(d, 16) % 100
+    }
+    def split(c: Long): String = {
+      val b = bucket(c)
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val want = clusters.groupBy { case (_, c) => split(c) }
+      .map { case (s, xs) =>
+        s -> ((xs.length.toLong, xs.map(_._2).distinct.length.toLong, 0L)) }
+    assert(got === want)
+    // every cluster is wholly inside one split (reported AND re-checked)
+    assert(got.values.forall(_._3 == 0L))
+    val span = clusters.groupBy(_._2)
+      .values.map(xs => xs.map(x => split(x._2)).distinct.size)
+    assert(span.forall(_ == 1))
+  }
+
   test("q290 resize stats equal the synthesis formula at even coords") {
     val got = graft.queries.LlmText.q290ImageResize(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
