@@ -777,7 +777,76 @@ object VectorOps {
       |FROM uu u, generate_series(1, ${EmbeddingOps.EMB_DIM}) AS gs(i)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Integer micro-unit DCG discount per rank position (1-based):
+    * floor(1e6 / log2(i + 1) + 0.5), precomputed on the DRIVER so the
+    * per-query DCG is a SUM OF INTEGER CONSTANTS — exact and
+    * order-independent, where summing 1/log2 doubles inside the
+    * engines would be reduction-order-sensitive at the last ulp.
+    */
+  def ndcgDiscountMicro(i: Int): Long =
+    math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong
+
+  /** q294: NDCG@k OF THE LSH INDEX — the rank-position-weighted eval
+    * that completes the retrieval-eval family: q76 counts hits
+    * anywhere in the cut, q241 scores only the FIRST hit, NDCG credits
+    * EVERY hit by how high it lands (binary gains from the exact q30
+    * truth; ideal = all k truth neighbors at the top). All arithmetic
+    * is integer micro-units via the driver-precomputed discount table
+    * ([[ndcgDiscountMicro]]) so both engines sum the same integers.
+    * One broadcast join of approx-vs-truth per query, then a k-row
+    * aggregate per query.
+    */
+  def q294NdcgEval(spark: SparkSession, dir: String): DataFrame = {
+    import EmbeddingOps.TOP_K
+    val exact = EmbeddingOps.q30EmbeddingTopk(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = EmbeddingOps.q31LshAnn(spark, dir)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    val discount = (2 to TOP_K).foldLeft(
+      when(col("rank") === 1, lit(ndcgDiscountMicro(1)))) {
+      (acc, i) => acc.when(col("rank") === i, lit(ndcgDiscountMicro(i)))
+    }
+    val idcg = (1 to TOP_K).map(ndcgDiscountMicro).sum
+    val dcg = approx
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id")
+      .agg(sum(discount).as("dcg_micro"))
+    approx.select("query_id").distinct()
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        lit(idcg).as("idcg_micro"),
+        floor(coalesce(col("dcg_micro"), lit(0L)) * lit(1000000L)
+          / lit(idcg.toDouble)).cast("long").as("ndcg_ppm"))
+  }
+
+  lazy val q294Sql: String = {
+    import EmbeddingOps.TOP_K
+    val cases = (1 to TOP_K)
+      .map(i => s"WHEN a.rank = $i THEN ${ndcgDiscountMicro(i)}")
+      .mkString(" ")
+    val idcg = (1 to TOP_K).map(ndcgDiscountMicro).sum
+    s"""WITH exact_topk AS (${EmbeddingOps.q30Sql}),
+      |approx_topk AS (${EmbeddingOps.q31Sql}),
+      |dcg AS (
+      |  SELECT a.query_id,
+      |    CAST(sum(CASE $cases END) AS BIGINT) AS dcg_micro
+      |  FROM approx_topk a
+      |  JOIN exact_topk e
+      |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      |  GROUP BY 1)
+      |SELECT q.query_id,
+      |  COALESCE(d.dcg_micro, 0) AS dcg_micro,
+      |  CAST($idcg AS BIGINT) AS idcg_micro,
+      |  CAST(floor(COALESCE(d.dcg_micro, 0) * 1000000
+      |    / CAST($idcg AS DOUBLE)) AS BIGINT) AS ndcg_ppm
+      |FROM (SELECT DISTINCT query_id FROM approx_topk) q
+      |LEFT JOIN dcg d USING (query_id)
+      |ORDER BY q.query_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q294_ndcg_eval" -> Gate.sorted(q294NdcgEval _, "query_id"),
     "q280_power_iteration" -> Gate.sorted(q280PowerIteration _, "dim"),
     "q241_mrr_eval" -> Gate.sorted(q241MrrEval _, "query_id"),
     "q224_centroid_drift" -> Gate.sorted(q224CentroidDrift _, "label"),
@@ -790,6 +859,7 @@ object VectorOps {
     "q82_pq_ann" -> Gate.sorted(q82PqAnn _, "query_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q294_ndcg_eval" -> q294Sql,
     "q280_power_iteration" -> q280Sql,
     "q241_mrr_eval" -> q241Sql,
     "q224_centroid_drift" -> q224Sql,

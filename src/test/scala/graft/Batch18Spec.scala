@@ -160,6 +160,28 @@ class Batch18Spec extends SparkSpec {
     assert(span.forall(_ == 1))
   }
 
+  test("q294 equals a driver-side NDCG from the gated q30/q31 cuts") {
+    import graft.queries.{EmbeddingOps, VectorOps}
+    val got = VectorOps.q294NdcgEval(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val exact = EmbeddingOps.q30EmbeddingTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val approx = EmbeddingOps.q31LshAnn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val idcg = (1 to EmbeddingOps.TOP_K).map(VectorOps.ndcgDiscountMicro).sum
+    val want = approx.groupBy(_._1).map { case (q, xs) =>
+      val dcg = xs.filter(x => exact.getOrElse(q, Set.empty).contains(x._3))
+        .map(x => VectorOps.ndcgDiscountMicro(x._2)).sum
+      q -> ((dcg, idcg, math.floor(dcg * 1000000L / idcg.toDouble).toLong))
+    }
+    assert(got === want)
+    // the index is good but not perfect on this corpus: NDCG in (0, 1)
+    val mean = got.values.map(_._3).sum / got.size
+    assert(mean > 0L && mean < 1000000L)
+  }
+
   test("q290 resize stats equal the synthesis formula at even coords") {
     val got = graft.queries.LlmText.q290ImageResize(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
