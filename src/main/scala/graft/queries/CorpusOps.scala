@@ -443,6 +443,58 @@ object CorpusOps {
       |  CAST(sum(length(chunk)) AS BIGINT) AS sum_chars
       |FROM chunks GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q295: SKETCH-BASED AUDIENCE OVERLAP — |A ∩ B| for every pair of
+    * event-type audiences by INCLUSION-EXCLUSION over HLL sketches:
+    * est(A) + est(B) − est(A ∪ B), where the union sketch is a
+    * pairwise `hll_union` of two per-segment sketches. This is q152's
+    * exact-overlap answer WITHOUT joining the fact table: at 100 TB
+    * the per-segment sketches are kilobyte constants computed in the
+    * segments' own rollup pass, and the full N x N overlap matrix is
+    * |segments|² sketch merges — no fact-table self-join on user_id
+    * at all. The gate carries the exact overlap beside the estimate's
+    * error-bound flag (the q260 pattern: floats never enter the hash;
+    * at gate cardinalities the sketch is in exact sparse mode, and the
+    * bound states the 3-standard-error contract that holds at scale).
+    */
+  def q295HllOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DistinctSketch
+    val ev = Tables(spark, dir).events
+    val sk = DistinctSketch.sketchBy(ev, "user_id", "event_type")
+      .select(col("event_type"), col("sketch"),
+        DistinctSketch.estimate(col("sketch")).as("est"))
+    val pairs = sk.as("a").join(sk.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        (col("a.est") + col("b.est") -
+          hll_sketch_estimate(hll_union(col("a.sketch"), col("b.sketch"))))
+          .as("overlap_est"))
+    val perUser = ev.select("user_id", "event_type").distinct()
+    val exact = perUser.as("a").join(perUser.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_exact"))
+    // 3 x 1.04/sqrt(2^LG_K) relative SE on each of the three estimate
+    // terms, against the union size (the largest of the three)
+    val se3 = 3.0 * 1.04 / math.sqrt(math.pow(2.0, DistinctSketch.LG_K))
+    pairs.join(exact, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("n_exact"),
+        (abs(col("overlap_est") - col("n_exact")) <=
+          greatest(lit(3.0) * lit(se3) * col("n_exact"), lit(4.0)))
+          .as("within_bound"))
+  }
+
+  val q295Sql: String =
+    """WITH pu AS (
+      |  SELECT DISTINCT user_id, event_type FROM events)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  count(*) AS n_exact, TRUE AS within_bound
+      |FROM pu a JOIN pu b
+      |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** q289: CSV SOURCE ROUND-TRIP, driver-gated — sources/CsvCorpus run
     * end-to-end: the documents table is REALLY written as CSV, four
     * constant lines are appended — two well-formed rows that REQUIRE
@@ -496,6 +548,7 @@ object CorpusOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q289_csv_roundtrip" -> Gate.sorted(q289CsvRoundtrip _, "src"),
+    "q295_hll_overlap" -> Gate.sorted(q295HllOverlap _, "type_a", "type_b"),
     "q263_corpus_pipeline" -> Gate.sorted(q263CorpusPipeline _, "shard"),
     "q261_bucketed_join" ->
       Gate.sorted(q261BucketedJoin _, "c_mktsegment", "o_orderpriority"),
@@ -511,6 +564,7 @@ object CorpusOps {
 
   val oracles: Map[String, String] = Map(
     "q289_csv_roundtrip" -> q289Sql,
+    "q295_hll_overlap" -> q295Sql,
     "q263_corpus_pipeline" -> q263Sql,
     "q261_bucketed_join" -> q261Sql,
     "q260_hll_eval" -> q260Sql,

@@ -182,6 +182,28 @@ class Batch18Spec extends SparkSpec {
     assert(mean > 0L && mean < 1000000L)
   }
 
+  test("q295 sketch overlap matches exact intersections within bound") {
+    val got = graft.queries.CorpusOps.q295HllOverlap(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    val pu = Tables(spark, sfDir).events
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byType = pu.groupBy(_._2).map { case (t, xs) => t -> xs.map(_._1).toSet }
+    val types = byType.keys.toSeq.sorted
+    val want = (for {
+      i <- types.indices; j <- i + 1 until types.length
+      a = types(i); b = types(j)
+      n = (byType(a) & byType(b)).size.toLong
+      if n > 0
+    } yield (a, b) -> n).toMap
+    assert(got.view.mapValues(_._1).toMap === want)
+    // at spec cardinalities the HLL is in exact sparse mode: every
+    // inclusion-exclusion estimate must sit inside the stated bound
+    assert(got.values.forall(_._2), "sketch overlap outside 3-SE bound")
+    assert(got.size == types.combinations(2).size)
+  }
+
   test("q290 resize stats equal the synthesis formula at even coords") {
     val got = graft.queries.LlmText.q290ImageResize(spark, sfDir).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
