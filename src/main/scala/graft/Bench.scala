@@ -6,10 +6,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Methodology: one untimed warmup pass (JVM/JIT/codegen), then
   * PASSES timed passes; the reported per-query number is the MEDIAN
-  * (with the min alongside), so one contended-machine outlier can't
-  * masquerade as a regression round-to-round. Failures are reported in
+  * (with the min AND every raw pass alongside in BENCH_FULL.json, so a
+  * pass-to-pass spread is visible in the committed artifact rather
+  * than only by diffing intra-round commits). Failures are reported in
   * a `failed` list and excluded from the total instead of folding a
   * near-zero elapsed time into it.
+  *
+  * SPARK_GRAFT_BENCH_ONLY (comma-separated query names) restricts the
+  * run — the tool for measuring a query in isolation vs in suite
+  * position when attribution is in question.
   */
 object Bench {
 
@@ -29,25 +34,37 @@ object Bench {
       } catch { case e: Throwable => Left(e) }
     }
 
-    // Attribution hygiene: eagerly-checkpointed RDDs (localCheckpoint
-    // in q188/q192/...) are only unpersisted by the ContextCleaner
-    // AFTER their references are garbage-collected, so a 248-query x 4
-    // pass loop accumulates checkpoint blocks and its GC pressure
-    // lands on whichever query runs next (r5's q17 2.25x "regression"
-    // class). An untimed System.gc() between query slots keeps each
-    // measurement attributable to its own plan.
+    // Attribution hygiene, round 7 (VERDICT r6 item 1): eagerly-
+    // checkpointed frames (localCheckpoint in q220/q168/q287/...) and
+    // stray .persist()s pin storage blocks until the ContextCleaner
+    // notices their references are gone — which in a 295-query x 4
+    // pass loop is far too late, so their memory pressure landed on
+    // whichever heavy query ran next (r6's q168 4.1->10.4 s and q220
+    // 4.7->17.6 s inflation on byte-identical code). Unpersist EVERY
+    // persistent RDD deterministically after each query slot — the
+    // query's sink write has completed, so nothing can still need the
+    // blocks — and keep the periodic untimed System.gc() for codegen
+    // class churn.
+    def releaseBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     val GC_EVERY = 32
     def gcTick(i: Int): Unit = if (i % GC_EVERY == 0) System.gc()
 
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val ordered = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy(_._1)
     ordered.zipWithIndex.foreach { case ((_, fn), i) =>
-      once(fn); gcTick(i + 1)
+      once(fn); releaseBlocks(); gcTick(i + 1)
     }                                                     // warmup
 
     val samples: Seq[(String, Seq[Either[Throwable, Double]])] =
       (1 to PASSES).map { _ =>
         ordered.zipWithIndex.map { case ((name, fn), i) =>
           val r = name -> once(fn)
+          releaseBlocks()
           gcTick(i + 1)
           r
         }
@@ -61,7 +78,7 @@ object Bench {
     val ok = samples.collect {
       case (name, rs) if rs.forall(_.isRight) =>
         val ts = rs.collect { case Right(t) => t }
-        (name, median(ts), ts.min)
+        (name, median(ts), ts.min, ts)
     }
     val failed = samples.collect {
       case (name, rs) if rs.exists(_.isLeft) =>
@@ -74,15 +91,15 @@ object Bench {
     // The driver captures only a bounded TAIL (~2 KB) of stdout and
     // parses the JSON line out of it: round 2's line (~3.5 KB) and
     // round 5's (246 medians, ~3.1 KB — only the LAST 150 entries
-    // survived) were FRONT-truncated. A 248-query map cannot fit that
+    // survived) were FRONT-truncated. A 295-query map cannot fit that
     // budget at any sane precision, so (a) the COMPLETE result —
-    // full names, median AND min per query, total, failures — is
-    // written to BENCH_FULL.json in the working directory, which is
-    // read whole regardless of stdout limits and committed per round
-    // for round-over-round comparison; (b) the stdout line keeps the
-    // driver contract but puts the queries map and the total LAST, so
-    // front-truncation eats the least important fields first and the
-    // per-query tail + total survive.
+    // full names, median, min AND raw passes per query, total,
+    // failures — is written to BENCH_FULL.json in the working
+    // directory, which is read whole regardless of stdout limits and
+    // committed per round for round-over-round comparison; (b) the
+    // stdout line keeps the driver contract but puts the queries map
+    // and the total LAST, so front-truncation eats the least important
+    // fields first and the per-query tail + total survive.
     // Locale.ROOT: the f-interpolator is default-locale-sensitive and a
     // comma decimal separator would make the line invalid JSON.
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f",
@@ -94,7 +111,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","passes":$PASSES,"sf":"$sfDir","failed":$failedJson,"queries":{
-${ok.map(t => s"""  "${t._1}": {"median": ${r3(t._2)}, "min": ${r3(t._3)}}""").mkString(",\n")}
+${ok.map(t => s"""  "${t._1}": {"median": ${r3(t._2)}, "min": ${r3(t._3)}, "passes": [${t._4.map(r3).mkString(", ")}]}""").mkString(",\n")}
 }}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

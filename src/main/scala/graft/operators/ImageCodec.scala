@@ -22,6 +22,21 @@ final case class DecodedImage(
     px_min: Int,
     px_max: Int)
 
+/** Audit row for the LOSSY decode leg (q297): JPEG bytes really
+  * decoded, the decoded raster re-encoded to (lossless) PNG and
+  * decoded again for a pixel-exact roundtrip check, and the decoded
+  * pixels compared against the synthesis formula under a mean-abs-
+  * error bound — the PSNR-floor shape every lossy-media gate takes,
+  * since exact pixel values are codec-implementation-defined.
+  */
+final case class JpegAudit(
+    doc_id: Long,
+    width: Int,
+    height: Int,
+    is_jpeg: Boolean,
+    png_roundtrip_exact: Boolean,
+    mae_le_tol: Boolean)
+
 /** One really-decoded sampled frame of a multi-frame container. */
 final case class DecodedFrame(
     doc_id: Long,
@@ -51,6 +66,8 @@ object ImageCodec {
     Encoders.product[DecodedImage]
   implicit val decodedFrameEncoder: Encoder[DecodedFrame] =
     Encoders.product[DecodedFrame]
+  implicit val jpegAuditEncoder: Encoder[JpegAudit] =
+    Encoders.product[JpegAudit]
 
   /** PNG magic (the 8-byte signature's first 4 bytes are enough to
     * dispatch against the stub fallback).
@@ -109,6 +126,80 @@ object ImageCodec {
     }
     DecodedImage(docId, w, h, w.toLong * h, sum, mn, mx)
   }
+
+  /** JPEG magic: SOI marker 0xFFD8. */
+  def isJpeg(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8
+
+  /** SMOOTH deterministic test-pixel formula for the lossy leg:
+    * pixel(x, y) = seed mod 97 + 3x + 5y, a wrap-free linear ramp
+    * (≤ 216 for the q297 dims) that JPEG's per-block DCT reproduces
+    * within a few grey levels — unlike [[synthPixel]]'s mod-256 wraps,
+    * whose discontinuities would force a sloppy error bound. Shared
+    * with the oracle's dimension formulas; any change here must change
+    * q297's SQL in lockstep.
+    */
+  def smoothPixel(seed: Long, x: Int, y: Int): Int =
+    (((seed % 97 + 97) % 97) + 3 * x + 5 * y).toInt
+
+  /** Deterministic smooth grayscale test image, REALLY encoded to JPEG
+    * bytes with the JDK's built-in lossy encoder (default quality).
+    */
+  def synthSmoothGrayJpeg(seed: Long, width: Int, height: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        raster.setSample(x, y, 0, smoothPixel(seed, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Lossy-decode audit (q297): REALLY decode each JPEG blob, re-encode
+    * the decoded raster to PNG and decode THAT for a pixel-exact
+    * roundtrip check (PNG is lossless, so any mismatch is a codec
+    * plumbing bug, not JPEG loss), and bound the decoded pixels' mean
+    * absolute error against the synthesis formula by `maeTolMilli`
+    * (units: 1/1000 grey level). Same once-per-partition iterator-
+    * streaming shape as [[decodeImages]]; non-JPEG bytes report
+    * loudly-but-deterministically with every flag false.
+    */
+  def jpegAudit(ds: Dataset[MediaRecord], maeTolMilli: Long): Dataset[JpegAudit] =
+    ds.mapPartitions { it =>
+      it.map { r =>
+        if (!isJpeg(r.bytes)) JpegAudit(r.doc_id, 0, 0, false, false, false)
+        else {
+          val img = ImageIO.read(new ByteArrayInputStream(r.bytes))
+          val w = img.getWidth; val h = img.getHeight
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", bos)
+          val img2 = ImageIO.read(new ByteArrayInputStream(bos.toByteArray))
+          var exact = img2.getWidth == w && img2.getHeight == h
+          var absErr = 0L
+          val ra = img.getRaster; val rb = img2.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = ra.getSample(x, y, 0)
+              if (exact && rb.getSample(x, y, 0) != p) exact = false
+              absErr += math.abs(p - smoothPixel(r.doc_id, x, y))
+              x += 1
+            }
+            y += 1
+          }
+          val maeMilli = absErr * 1000L / (w.toLong * h)
+          JpegAudit(r.doc_id, w, h, true, exact, maeMilli <= maeTolMilli)
+        }
+      }
+    }
 
   /** Minimal multi-frame container for the video path: int32 frame
     * count, then per frame an int32 length + the frame's PNG bytes.

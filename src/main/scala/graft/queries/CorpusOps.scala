@@ -202,7 +202,7 @@ object CorpusOps {
     */
   def q256JsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("jsonl_rt").toString
+    val tmp = Scratch.dir("jsonl_rt")
     val docs = Tables(spark, dir).documents
       .select(to_json(struct(col("doc_id"), col("text"), col("lang"),
         col("source"))).as("value"))
@@ -237,7 +237,7 @@ object CorpusOps {
     * column, truncated width, or lost shard flips the gate.
     */
   def q258SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("schevo").toString
+    val tmp = Scratch.dir("schevo")
     val d = Tables(spark, dir).documents
     d.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id").cast("int").as("doc_id"), col("text"))
@@ -274,7 +274,7 @@ object CorpusOps {
     * corruption in the write/read cycle flips the gate.
     */
   def q259CorpusSinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("sinkrt").toString
+    val tmp = Scratch.dir("sinkrt")
     graft.operators.CorpusSink.write(
       Tables(spark, dir).documents, s"$tmp/shards", shards = 4)
     graft.operators.CorpusSink.load(spark, s"$tmp/shards")
@@ -343,12 +343,15 @@ object CorpusOps {
   def q261BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Bucketing
     val t = Tables(spark, dir)
-    // unique table names per invocation: a managed table's LOCATION
-    // outlives the session's catalog entry, so a fixed name collides
-    // with a previous run's orphan directory (warehouse dir is
-    // gitignored; each table is a few MB at gate scale)
-    val tag = java.util.UUID.randomUUID.toString.replace("-", "").take(12)
-    val (ot, ct) = (s"q261_orders_$tag", s"q261_cust_$tag")
+    // FIXED table names, scrubbed before each write: the round-6 UUID
+    // names avoided the orphan-LOCATION collision (a managed table's
+    // directory outlives the in-memory catalog entry across sessions)
+    // but leaked ~10 corpus copies per bench run into the warehouse.
+    // dropTable removes both the catalog entry AND the orphan
+    // directory, so a fixed name is safe and disk stays bounded at one
+    // copy per table.
+    val (ot, ct) = ("q261_orders", "q261_cust")
+    Seq(ot, ct).foreach(Bucketing.dropTable(spark, _))
     Bucketing.writeBucketed(
       t.orders.select("o_orderkey", "o_custkey", "o_totalprice",
         "o_orderpriority"),
@@ -511,11 +514,16 @@ object CorpusOps {
     */
   def q289CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("csv_rt").toString
+    val tmp = Scratch.dir("csv_rt")
     Tables(spark, dir).documents
       .select("doc_id", "text", "lang", "source")
       .coalesce(4).write.mode("overwrite")
-      .option("header", "false").csv(s"$tmp/corpus")
+      .option("header", "false")
+      // RFC-4180 doubled-quote escape, matching CsvCorpus.read's parse
+      // contract — Spark's default backslash escape would silently
+      // diverge on any document text containing a double quote
+      .option("escape", "\"")
+      .csv(s"$tmp/corpus")
     Seq(
       "9000001,\"comma, separated text\",en,\"zz_quoted \"\"src\"\"\"",
       "9000002,\"multi word, text\",fr,zz_websrc",

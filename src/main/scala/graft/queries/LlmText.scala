@@ -224,17 +224,22 @@ object LlmText {
     * k heaviest hitters with deterministic (count desc, token asc)
     * ranking. The token count groupBy gets map-side combine, so the
     * shuffle carries |vocab| partial counts per partition, not corpus
-    * tokens; the final top-k is a single-partition sort of |vocab|
-    * rows (at a real 100 TB vocab, swap the tail for an approximate
-    * heavy-hitters sketch and keep the same contract).
+    * tokens; the top-k cut is orderBy+limit (TakeOrderedAndProject: a
+    * per-partition bounded heap + a K-row driver merge, the q64/q287
+    * idiom), so no stage ever ranks the full |vocab| rollup through
+    * one task — at 100 TB a corpus vocabulary is 10^8+ rows and a
+    * single-partition rank window over it would be the job's
+    * bottleneck. The rank window that remains runs over the K-row
+    * head only.
     */
   def q42VocabTopk(spark: SparkSession, dir: String): DataFrame = {
     val counted = Tables(spark, dir).documents
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
-    val w = Window.orderBy(col("n").desc, col("token").asc)
-    counted.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= VOCAB_TOP_K)
+    val top = counted
+      .orderBy(col("n").desc, col("token").asc).limit(VOCAB_TOP_K)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("token").asc)))
       .select("rank", "token", "n")
   }
 
@@ -532,6 +537,51 @@ object LlmText {
       |  CAST(min(p) AS INT) AS px_min,
       |  CAST(max(p) AS INT) AS px_max
       |FROM px GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q297 mean-abs-error bound, milli grey levels (1/1000 of one 8-bit
+    * step). The JDK encoder at default quality reproduces the smooth
+    * synthesis ramp within ~1 grey level of MAE; 8.000 leaves margin
+    * for another compliant JPEG implementation without being vacuous
+    * (a formula or plumbing bug shifts MAE by tens of levels).
+    */
+  val JPEG_MAE_TOL_MILLI = 8000L
+
+  /** q297: LOSSY MEDIA DECODE (JPEG) — closes the "PNG only" asterisk
+    * on the multimodal family: a deterministic smooth grayscale image
+    * per document is REALLY encoded to JPEG by the JDK's built-in
+    * lossy codec, carried as the opaque binary column, then REALLY
+    * decoded by [[graft.operators.ImageCodec.jpegAudit]]. Because
+    * lossy pixel values are implementation-defined, the gate takes
+    * the standard lossy-codec shape: exact DIMENSIONS, a pixel-exact
+    * decode→PNG-re-encode→decode roundtrip (PNG is lossless, so this
+    * isolates plumbing bugs from JPEG loss), and a mean-abs-error
+    * bound against the synthesis formula — all integer/boolean, so
+    * the oracle replays them from the dimension formulas without
+    * touching JPEG.
+    */
+  def q297JpegDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir).documents
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 9 + 8).toInt
+          val h = (id % 5 + 8).toInt
+          graft.operators.MediaRecord(
+            id, 1, graft.operators.ImageCodec.synthSmoothGrayJpeg(id, w, h))
+        }
+      }
+    graft.operators.ImageCodec.jpegAudit(media, JPEG_MAE_TOL_MILLI)
+      .select("doc_id", "width", "height", "is_jpeg", "png_roundtrip_exact",
+        "mae_le_tol")
+  }
+
+  val q297Sql: String =
+    """SELECT doc_id,
+      |  CAST(doc_id % 9 + 8 AS INT) AS width,
+      |  CAST(doc_id % 5 + 8 AS INT) AS height,
+      |  TRUE AS is_jpeg, TRUE AS png_roundtrip_exact, TRUE AS mae_le_tol
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** q111 frame-sampling stride. */
   val FRAME_STRIDE = 3
@@ -925,6 +975,7 @@ object LlmText {
     "q129_feature_hash" -> Gate.sorted(q129FeatureHash _, "doc_id", "bucket"),
     "q111_media_frames" -> Gate.sorted(q111MediaFrames _, "doc_id", "frame_idx"),
     "q94_media_decode" -> Gate.sorted(q94MediaDecode _, "doc_id"),
+    "q297_jpeg_decode" -> Gate.sorted(q297JpegDecode _, "doc_id"),
     "q61_vocab_encode" -> Gate.sorted(q61VocabEncode _, "doc_id"),
     "q60_sketch_topk" -> (q60SketchTopk _),
     "q42_vocab_topk" -> (q42VocabTopk _),
@@ -950,6 +1001,7 @@ object LlmText {
     "q129_feature_hash" -> q129Sql,
     "q111_media_frames" -> q111Sql,
     "q94_media_decode" -> q94Sql,
+    "q297_jpeg_decode" -> q297Sql,
     "q61_vocab_encode" -> q61Sql,
     "q60_sketch_topk" -> q60Sql,
     "q42_vocab_topk" -> q42Sql,

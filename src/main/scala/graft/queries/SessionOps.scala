@@ -380,7 +380,7 @@ object SessionOps {
         }
         val rows = stamped.withColumn("event_type", lit("click"))
           .union(stamped.withColumn("event_type", lit("purchase")))
-        val tmp = java.nio.file.Files.createTempDirectory("graft_flush")
+        val tmp = java.nio.file.Paths.get(graft.queries.Scratch.dir("graft_flush"))
         rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
         val part = tmp.toFile.listFiles()
           .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
@@ -717,8 +717,7 @@ object SessionOps {
   def q124StreamIncrView(spark: SparkSession, dir: String): DataFrame =
       withStreamParallelism(spark) {
     import graft.functions.Exact
-    val tmp = java.nio.file.Files.createTempDirectory("graft_q124")
-    tmp.toFile.deleteOnExit()
+    val tmp = java.nio.file.Paths.get(graft.queries.Scratch.dir("graft_q124"))
     val src = tmp.resolve("src").toString
     val view = tmp.resolve("view").toString
     Tables(spark, dir).events

@@ -398,9 +398,6 @@ object TemporalOps {
       |  CAST(len(vals) AS BIGINT) AS n_days
       |FROM t ORDER BY day""".stripMargin
 
-  /** Epoch base for q292's packed ordering key (2024-01-01 UTC). */
-  val OHLC_EPOCH_US = 1704067200000000L
-
   /** q292: TUMBLING OHLC BARS — per (event_type, hour): the first
     * (open) and last (close) event value in time order plus the
     * high/low/count, the candlestick rollup every metrics/monitoring
@@ -411,13 +408,18 @@ object TemporalOps {
     * Scale shape: ONE map-side-combined aggregate over the fact scan
     * (min_by partials merge associatively like min), |types x hours|
     * output rows. Determinism: the ordering key packs (ts, event_id)
-    * into one BIGINT — (µs since a fixed epoch) * 1e5 + id — so ties
-    * in ts cannot make the two engines pick different rows; open/close
-    * VALUES pass through exactly (no arithmetic on them at all).
+    * into one fixed-width zero-padded STRING ("%020d%010d" of µs since
+    * the unix epoch and the id) whose lexicographic order equals the
+    * numeric (ts, event_id) order for any post-1970 timestamp and any
+    * id < 10^10 — ties in ts cannot make the two engines pick
+    * different rows, and unlike the round-6 BIGINT pack
+    * ((µs−epoch)·1e5+id) there is no silent Long wrap once timestamps
+    * stray >2.9 years from the epoch constant. Open/close VALUES pass
+    * through exactly (no arithmetic on them at all).
     */
   def q292OhlcBars(spark: SparkSession, dir: String): DataFrame = {
-    val pack = (unix_micros(col("ts")) - lit(OHLC_EPOCH_US)) * lit(100000L) +
-      col("event_id")
+    val pack = format_string("%020d%010d", unix_micros(col("ts")),
+      col("event_id"))
     Tables(spark, dir).events
       .groupBy(col("event_type"),
         date_format(date_trunc("HOUR", col("ts")), "yyyy-MM-dd HH").as("hour"))
@@ -431,11 +433,11 @@ object TemporalOps {
   val q292Sql: String =
     s"""SELECT event_type,
       |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
-      |  arg_min(value, (epoch_us(ts) - $OHLC_EPOCH_US) * 100000 + event_id)
+      |  arg_min(value, printf('%020d%010d', epoch_us(ts), event_id))
       |    AS open,
       |  max(value) AS high,
       |  min(value) AS low,
-      |  arg_max(value, (epoch_us(ts) - $OHLC_EPOCH_US) * 100000 + event_id)
+      |  arg_max(value, printf('%020d%010d', epoch_us(ts), event_id))
       |    AS close,
       |  count(*) AS n
       |FROM events GROUP BY 1, 2

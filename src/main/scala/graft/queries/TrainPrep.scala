@@ -372,6 +372,75 @@ object TrainPrep {
       |  FROM agg)
       |WHERE rank <= $BPE_TOP ORDER BY rank""".stripMargin
 
+  /** q296's tokenizer artifact: a FIXED, data-independent merge list
+    * (the shape a production tokenizer ships as a versioned artifact —
+    * encode is parameterized by it, training is gated separately via
+    * q64's pair-count pass). Deliberately includes two CHAINED merges
+    * ((t,h) then (th,e); (a,n) then (an,d)) so the gate proves merges
+    * apply in training order over previous merges' outputs, and
+    * self-adjacent-prone pairs so left-to-right non-overlap is
+    * exercised ("nnn" -> ["nn","n"], never ["n","nn"]).
+    */
+  val BPE_FIXED_MERGES: Seq[graft.operators.BpeTrainer.Merge] =
+    Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+      ("an", "d"), ("e", "r"), ("o", "n"), ("o", "u"))
+      .zipWithIndex.map { case ((l, r), i) =>
+        graft.operators.BpeTrainer.Merge(i, l, r, 0L)
+      }
+
+  /** q296: BPE ENCODE — apply the fixed merge list to every corpus
+    * word with [[graft.operators.BpeTrainer.encode]] (the codegen'd
+    * left-to-right non-overlapping array fold, the tokenizer-apply
+    * step between q64's training pass and q61's id mapping) and gate
+    * the corpus-wide ENCODED-SYMBOL frequency table. The symbol
+    * rollup pins every word's exact symbol multiset: a wrong merge
+    * order, an overlap bug, or a missed chain changes some symbol's
+    * count and flips the hash.
+    *
+    * Scale shape: encode runs over the DISTINCT word table (q64's
+    * discipline — Heaps' law makes it vocabulary-sized, not
+    * corpus-sized) weighted by word counts; the output rollup is
+    * bounded by |charset| + |merges|. The universe is restricted to
+    * ^[a-z0-9]+$ words on BOTH engines: Spark's substring indexes
+    * UTF-16 code units while DuckDB's char split is codepoint-based,
+    * so non-ASCII words would diverge on surrogate pairs rather than
+    * on BPE semantics (and the oracle's '/'-separator replay needs a
+    * separator-free alphabet).
+    */
+  def q296BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.BpeTrainer
+    val words = BpeTrainer
+      .wordTable(Tables(spark, dir).documents, "text")
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+    words
+      .select(explode(BpeTrainer.encode(col("word"), BPE_FIXED_MERGES))
+        .as("sym"), col("wc"))
+      .groupBy("sym").agg(sum("wc").as("n"))
+  }
+
+  val q296Sql: String = {
+    // replay the encode fold as DuckDB list_reduce over '/'-joined
+    // symbol strings: fusing == appending the right symbol WITHOUT its
+    // separator (acc "...x/L" + "R" -> tail symbol "LR"), which is
+    // exactly BpeTrainer.mergePair's accumulator semantics
+    val fold = BPE_FIXED_MERGES.sortBy(_.step).foldLeft(
+      "array_to_string(string_split(word, ''), '/')") { (prev, m) =>
+      s"list_reduce(string_split($prev, '/'), (a, x) -> " +
+        s"CASE WHEN (a = '${m.left}' OR ends_with(a, '/${m.left}')) " +
+        s"AND x = '${m.right}' THEN a || x ELSE a || '/' || x END)"
+    }
+    s"""WITH words AS (
+      |  SELECT w AS word, CAST(count(*) AS BIGINT) AS wc FROM (
+      |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |                              t -> t != '')) AS w
+      |    FROM documents)
+      |  WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY 1),
+      |enc AS (SELECT $fold AS s, wc FROM words),
+      |syms AS (SELECT unnest(string_split(s, '/')) AS sym, wc FROM enc)
+      |SELECT sym, CAST(sum(wc) AS BIGINT) AS n
+      |FROM syms GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** q65: per-source token-length profile — the corpus-diagnostics
     * report data curation runs before mixing (q50) and quota decisions
     * (q58): document count, exact mean and p10/p50/p90 token counts
@@ -1267,6 +1336,7 @@ object TrainPrep {
     "q50_corpus_mix" -> Gate.sorted(q50CorpusMix _, "doc_id"),
     "q52_rep_ngrams" -> Gate.sorted(q52RepNgrams _, "doc_id"),
     "q64_bpe_pairs" -> Gate.sorted(q64BpePairs _, "rank"),
+    "q296_bpe_encode" -> Gate.sorted(q296BpeEncode _, "sym"),
     "q65_source_token_profile" -> Gate.sorted(q65SourceTokenProfile _, "source"),
     "q282_robust_scale" -> Gate.sorted(q282RobustScale _, "event_id"),
     "q71_table_stats" -> Gate.sorted(
@@ -1294,6 +1364,7 @@ object TrainPrep {
     "q50_corpus_mix" -> q50Sql,
     "q52_rep_ngrams" -> q52Sql,
     "q64_bpe_pairs" -> q64Sql,
+    "q296_bpe_encode" -> q296Sql,
     "q65_source_token_profile" -> q65Sql,
     "q282_robust_scale" -> q282Sql,
     "q71_table_stats" -> q71Sql,

@@ -52,7 +52,7 @@ object StreamAgg {
     val f = new java.io.File(path)
     // always watch a private temp dir (source data must stay
     // read-only even when the caller appends flush files)
-    val d = Files.createTempDirectory("graft_stream")
+    val d = Paths.get(graft.queries.Scratch.dir("graft_stream"))
     val targets =
       if (f.isDirectory) f.listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
       else Seq(f)

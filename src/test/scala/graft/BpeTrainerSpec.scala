@@ -65,6 +65,58 @@ class BpeTrainerSpec extends SparkSpec {
     assert(got(2).getSeq[String](1) == Seq("b", "ab"))
   }
 
+  /** Sequential reference ENCODE: apply a fixed merge list in order,
+    * each merge left-to-right non-overlapping — the exact q296
+    * semantics both engines must reproduce.
+    */
+  private def referenceEncode(
+      word: String, merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(word.map(_.toString).toVector) { case (syms, (l, r)) =>
+      val b = Vector.newBuilder[String]
+      syms.foreach { s =>
+        val acc = b.result()
+        if (acc.nonEmpty && acc.last == l && s == r) {
+          b.clear(); acc.init.foreach(b += _); b += (l + r)
+        } else b += s
+      }
+      b.result()
+    }
+
+  test("encode with the q296 fixed merge list matches the sequential reference") {
+    import spark.implicits._
+    val merges = TrainPrep.BPE_FIXED_MERGES
+    val pairs = merges.sortBy(_.step).map(m => (m.left, m.right))
+    // chained merges (th->the, an->and), self-adjacent runs, no-ops
+    val words = Seq("the", "then", "thethe", "ththe", "in", "and", "anand",
+      "andand", "aaand", "banana", "round", "onion", "outer", "er", "nnn",
+      "ouou", "x", "thin", "zzz")
+    val got = words.toDF("word")
+      .select(col("word"), BpeTrainer.encode(col("word"), merges).as("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toVector)
+      .toMap
+    words.foreach { w =>
+      assert(got(w) == referenceEncode(w, pairs), s"word=$w")
+    }
+  }
+
+  test("q296 symbol rollup: counts are word-count weighted and concat-invariant") {
+    val df = TrainPrep.q296BpeEncode(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // encoding never invents or drops characters: total chars across
+    // symbols (weighted) == total chars of the filtered corpus words
+    val symChars = rows.map(r => r.getString(0).length * r.getLong(1)).sum
+    val wordChars = BpeTrainer
+      .wordTable(graft.Tables(spark, sfDir).documents, "text")
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .select(sum(length(col("word")) * col("wc"))).collect()(0).getLong(0)
+    assert(symChars == wordChars)
+    // the chained merge outputs actually occur in the corpus encoding
+    val syms = rows.map(_.getString(0)).toSet
+    assert(syms.contains("the") || syms.contains("th"),
+      "expected th/the merges to fire on English-ish corpus text")
+  }
+
   test("train runs distributed on the corpus and merges reduce symbols") {
     val words = BpeTrainer.wordTable(Tables(spark, sfDir).documents, "text")
     val before = BpeTrainer.toSymbols(words)

@@ -70,6 +70,37 @@ class ImageCodecSpec extends SparkSpec {
     }
   }
 
+  test("jpegAudit: real lossy decode — dims exact, PNG roundtrip exact, MAE bounded") {
+    val rng = new scala.util.Random(297)
+    val recs = (1 to 25).map { _ =>
+      val id = rng.nextLong() & Long.MaxValue
+      val w = (id % 9 + 8).toInt; val h = (id % 5 + 8).toInt
+      val jpg = ImageCodec.synthSmoothGrayJpeg(id, w, h)
+      assert(ImageCodec.isJpeg(jpg) && !ImageCodec.isPng(jpg))
+      MediaRecord(id, 1, jpg)
+    }
+    val out = ImageCodec.jpegAudit(recs.toDS(),
+      graft.queries.LlmText.JPEG_MAE_TOL_MILLI).collect()
+    assert(out.length === recs.size)
+    out.foreach { a =>
+      assert(a.width === (a.doc_id % 9 + 8).toInt)
+      assert(a.height === (a.doc_id % 5 + 8).toInt)
+      assert(a.is_jpeg && a.png_roundtrip_exact && a.mae_le_tol,
+        s"doc_id=${a.doc_id}")
+    }
+    // the bound is not vacuous: a deliberately wrong formula seed fails it
+    val wrongSeed = ImageCodec.jpegAudit(
+      Seq(MediaRecord(12L, 1,
+        ImageCodec.synthSmoothGrayJpeg(55L, 17, 13))).toDS(),
+      graft.queries.LlmText.JPEG_MAE_TOL_MILLI).collect().head
+    assert(!wrongSeed.mae_le_tol, "MAE bound should catch a wrong synthesis seed")
+    // non-JPEG bytes degrade loudly-but-deterministically
+    val png = ImageCodec.jpegAudit(
+      Seq(MediaRecord(3L, 1, ImageCodec.synthGrayPng(3L, 4, 4))).toDS(),
+      graft.queries.LlmText.JPEG_MAE_TOL_MILLI).collect().head
+    assert(!png.is_jpeg && !png.png_roundtrip_exact && !png.mae_le_tol)
+  }
+
   test("resizeHalf samples even coordinates and survives re-encode") {
     import graft.operators.{ImageCodec, MediaRecord}
     for (seed <- Seq(1L, 5L, 42L); (w, h) <- Seq((7, 5), (8, 4), (1, 1))) {

@@ -83,6 +83,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), "expected map-side combine on token counts")
   }
 
+  test("q42: top-k cut is TakeOrdered; the rank window sees only the K-row head") {
+    val p = executedPlan(graft.queries.LlmText.q42VocabTopk(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      "expected orderBy+limit to plan as TakeOrderedAndProject, not a full sort")
+    // the rank window must run above the limit, never over the full vocab
+    val winIdx = p.indexOf("Window")
+    val takeIdx = p.indexOf("TakeOrderedAndProject")
+    assert(winIdx >= 0 && takeIdx > winIdx,
+      "rank window should consume the TakeOrdered head (window above limit in the tree)")
+  }
+
   test("q27: band join is an equi-join (hash or sort-merge), never cartesian") {
     val p = plan(graft.queries.DedupOps.q27MinhashLsh(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
