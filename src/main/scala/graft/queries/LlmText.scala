@@ -965,7 +965,54 @@ object LlmText {
       |  END AS flesch
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q302: TOKENIZER FERTILITY per (lang, source) — the standard
+    * tokenizer-evaluation report (how many subword tokens a tokenizer
+    * spends per word, and how many characters each token carries) that
+    * decides whether a vocabulary suits a corpus slice before training
+    * commits to it. Uses q34's two tokenizations (whitespace words and
+    * the BPE-ish regex segmentation) so the fertility here is exactly
+    * the ratio of the two gated token counts.
+    *
+    * Exactness: all counts are scan-stage regexp BIGINTs summed as
+    * plain BIGINTs; fertility and chars/token are ONE IEEE division
+    * each on exact integers — bit-identical across engines.
+    *
+    * Scale shape: zero-shuffle scan-stage counting, then one
+    * map-side-combined aggregate bounded by |langs × sources|.
+    */
+  def q302TokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("lang"), col("source"),
+        size(tokens(col("text"))).cast("long").as("ws"),
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"))
+          .cast("long").as("bpe"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws").as("n_words"),
+        sum("bpe").as("n_tokens"),
+        (sum("bpe").cast("double") / sum("ws")).as("fertility"),
+        (sum("chars").cast("double") / sum("bpe")).as("chars_per_token"))
+
+  val q302Sql: String =
+    """WITH t AS (
+      |  SELECT lang, source,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                         x -> x != '')) AS BIGINT) AS ws,
+      |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+      |      AS BIGINT) AS bpe,
+      |    CAST(length(text) AS BIGINT) AS chars
+      |  FROM documents)
+      |SELECT lang, source, count(*) AS n_docs,
+      |  CAST(sum(ws) AS BIGINT) AS n_words,
+      |  CAST(sum(bpe) AS BIGINT) AS n_tokens,
+      |  CAST(sum(bpe) AS DOUBLE) / sum(ws) AS fertility,
+      |  CAST(sum(chars) AS DOUBLE) / sum(bpe) AS chars_per_token
+      |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q302_tokenizer_fertility" ->
+      Gate.sorted(q302TokenizerFertility _, "lang", "source"),
     "q285_readability" -> Gate.sorted(q285Readability _, "doc_id"),
     "q287_vocab_coverage" -> Gate.sorted(q287VocabCoverage _, "cut"),
     "q290_image_resize" -> Gate.sorted(q290ImageResize _, "doc_id"),
@@ -992,6 +1039,7 @@ object LlmText {
     "q55_doc_keywords" -> Gate.sorted(q55DocKeywords _, "doc_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q302_tokenizer_fertility" -> q302Sql,
     "q285_readability" -> q285Sql,
     "q287_vocab_coverage" -> q287Sql,
     "q290_image_resize" -> q290Sql,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-5 batch 8 (non-streaming half): optimizer-statistic and
@@ -450,7 +450,95 @@ object PlannerOps {
       .mkString("", "\nUNION ALL\n", "\nORDER BY join_name")
   }
 
+  /** q300 histogram resolution (buckets over the shared key domain). */
+  val HIST_B = 8L
+
+  /** q300: HISTOGRAM-BASED JOIN-CARDINALITY ESTIMATION — the next rung
+    * up from q264's uniform assumption: an equi-width histogram over
+    * the shared custkey domain, per-bucket (rows, distinct) statistics
+    * on BOTH join sides, the per-bucket containment estimate
+    * |A_b||B_b| / max(d_Ab, d_Bb), and the per-bucket ACTUAL join size
+    * — the report that shows exactly where uniform CBO mis-estimates
+    * (skewed buckets) and histogram CBO recovers.
+    *
+    * Exactness: bucket ids are integer div on BIGINTs; estimates are
+    * floor-divided BIGINT products; actuals are exact per-key count
+    * products — integers end-to-end.
+    *
+    * Scale shape: the domain bounds are a 1-row broadcast scalar; both
+    * histogram passes are map-side-combined aggregates bounded by
+    * [[HIST_B]]; the actual is the one honest cost (a per-key count
+    * aggregate + |keys|-bounded join — never the fact×fact join
+    * itself, the row-product identity Σ n_A(k)·n_B(k) computes it
+    * from counts).
+    */
+  def q300HistogramCbo(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val bounds = t.customer.agg(min(col("c_custkey")).as("klo"),
+      max(col("c_custkey")).as("khi"))
+    def bucket(k: Column): Column =
+      expr(s"((k - klo) * $HIST_B) div (khi - klo + 1)")
+    def hist(df: DataFrame, key: String, pfx: String): DataFrame =
+      df.select(col(key).as("k")).crossJoin(broadcast(bounds))
+        .select(bucket(col("k")).as("bucket"), col("k"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as(s"n_$pfx"),
+          countDistinct(col("k")).as(s"d_$pfx"))
+    val hc = hist(t.customer, "c_custkey", "cust")
+    val ho = hist(t.orders, "o_custkey", "ord")
+    val perKey = t.orders.groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("n_o"))
+      .join(t.customer.groupBy(col("c_custkey").as("k"))
+        .agg(count(lit(1)).as("n_c")), "k")
+      .crossJoin(broadcast(bounds))
+      .select(bucket(col("k")).as("bucket"),
+        (col("n_o") * col("n_c")).as("prod"))
+      .groupBy("bucket").agg(sum("prod").as("actual"))
+    hc.join(ho, Seq("bucket"), "left")
+      .join(perKey, Seq("bucket"), "left")
+      .select(col("bucket"),
+        col("n_cust"), col("d_cust"),
+        coalesce(col("n_ord"), lit(0L)).as("n_ord"),
+        coalesce(col("d_ord"), lit(0L)).as("d_ord"),
+        coalesce(expr("(n_ord * n_cust) div greatest(d_ord, d_cust)"),
+          lit(0L)).as("est"),
+        coalesce(col("actual"), lit(0L)).as("actual"))
+  }
+
+  val q300Sql: String =
+    s"""WITH bounds AS (
+      |  SELECT min(c_custkey) AS klo, max(c_custkey) AS khi FROM customer),
+      |hc AS (
+      |  SELECT ((c_custkey - klo) * $HIST_B) // (khi - klo + 1) AS bucket,
+      |    count(*) AS n_cust, CAST(count(DISTINCT c_custkey) AS BIGINT)
+      |      AS d_cust
+      |  FROM customer, bounds GROUP BY 1),
+      |ho AS (
+      |  SELECT ((o_custkey - klo) * $HIST_B) // (khi - klo + 1) AS bucket,
+      |    count(*) AS n_ord, CAST(count(DISTINCT o_custkey) AS BIGINT)
+      |      AS d_ord
+      |  FROM orders, bounds GROUP BY 1),
+      |actual AS (
+      |  SELECT ((k - klo) * $HIST_B) // (khi - klo + 1) AS bucket,
+      |    CAST(sum(n_o * n_c) AS BIGINT) AS actual
+      |  FROM (
+      |    SELECT o.k, o.n_o, c.n_c FROM
+      |      (SELECT o_custkey AS k, count(*) AS n_o FROM orders GROUP BY 1) o
+      |      JOIN
+      |      (SELECT c_custkey AS k, count(*) AS n_c FROM customer GROUP BY 1) c
+      |      USING (k)), bounds
+      |  GROUP BY 1)
+      |SELECT hc.bucket, hc.n_cust, hc.d_cust,
+      |  coalesce(ho.n_ord, 0) AS n_ord,
+      |  coalesce(ho.d_ord, 0) AS d_ord,
+      |  coalesce((ho.n_ord * hc.n_cust) // greatest(ho.d_ord, hc.d_cust), 0)
+      |    AS est,
+      |  coalesce(actual.actual, 0) AS actual
+      |FROM hc LEFT JOIN ho USING (bucket) LEFT JOIN actual USING (bucket)
+      |ORDER BY hc.bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q300_histogram_cbo" -> Gate.sorted(q300HistogramCbo _, "bucket"),
     "q264_cbo_estimate" -> Gate.sorted(q264CboEstimate _, "join_name"),
     "q252_dispatch_join" -> Gate.sorted(q252DispatchJoin _, "c_mktsegment"),
     "q245_skew_atlas" -> Gate.sorted(q245SkewAtlas _, "table_name"),
@@ -464,6 +552,7 @@ object PlannerOps {
     "q187_stratified_fixed_n" -> Gate.sorted(q187StratifiedFixedN _, "lang", "rk"))
 
   val oracles: Map[String, String] = Map(
+    "q300_histogram_cbo" -> q300Sql,
     "q264_cbo_estimate" -> q264Sql,
     "q252_dispatch_join" -> q252Sql,
     "q245_skew_atlas" -> q245Sql,

@@ -294,6 +294,58 @@ object SqlSurface {
     * codegen'd HOF expressions; this is the surface a corpus pipeline
     * leans on before anything aggregates.
     */
+  /** q305: MAP-FUNCTION SURFACE PARITY — the MapType toolkit
+    * (map_from_entries / map_keys / element_at / transform_values /
+    * map_filter / map_concat / map explode) exercised end-to-end and
+    * gated RELATIONALLY: the map is built from a sorted entry list,
+    * transformed, filtered on keys, concatenated with a literal
+    * sentinel entry, and exploded back to rows — so DuckDB replays the
+    * same semantics with plain grouping and needs no map-type parity
+    * of its own. element_at's null-on-missing is pinned via a coalesce
+    * sentinel (and keeps the gate's dtype integer-kind on both
+    * engines).
+    *
+    * Scale shape: maps live per GROUP (bounded by |types|×7 entries),
+    * built after the map-side-combined count rollup — the fact table
+    * never carries a map column.
+    */
+  def q305MapSurface(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000) % 7").as("wd"))
+      .agg(count(lit(1)).as("c"))
+    val maps = cells.groupBy("event_type")
+      .agg(map_from_entries(array_sort(collect_list(struct(col("wd"), col("c")))))
+        .as("m"))
+    maps.select(col("event_type"),
+        size(map_keys(col("m"))).cast("long").as("n_keys"),
+        coalesce(expr("element_at(m, 3L)"), lit(-1L)).as("d3"),
+        expr("map_concat(" +
+          "map_filter(transform_values(m, (k, v) -> v * 2L)," +
+          "           (k, v) -> k % 2 = 0)," +
+          "map(99L, -1L))").as("m2"))
+      .select(col("event_type"), col("n_keys"), col("d3"),
+        explode(col("m2")).as(Seq("wd", "v2")))
+  }
+
+  val q305Sql: String =
+    """WITH cells AS (
+      |  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS wd,
+      |    count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |keys AS (
+      |  SELECT event_type, count(*) AS n_keys,
+      |    coalesce(max(CASE WHEN wd = 3 THEN c END), -1) AS d3
+      |  FROM cells GROUP BY 1)
+      |SELECT c.event_type, k.n_keys, k.d3, c.wd, c.c * 2 AS v2
+      |FROM cells c JOIN keys k USING (event_type)
+      |WHERE c.wd % 2 = 0
+      |UNION ALL
+      |SELECT k.event_type, k.n_keys, k.d3, CAST(99 AS BIGINT) AS wd,
+      |  CAST(-1 AS BIGINT) AS v2
+      |FROM keys k
+      |ORDER BY 1, 4""".stripMargin
+
   def q266HofSurface(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -516,6 +568,7 @@ object SqlSurface {
       |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q305_map_surface" -> Gate.sorted(q305MapSurface _, "event_type", "wd"),
     "q269_string_surface" -> Gate.sorted(q269StringSurface _, "p_partkey"),
     "q270_regex_surface" -> Gate.sorted(q270RegexSurface _, "doc_id"),
     "q267_date_surface" -> Gate.sorted(q267DateSurface _, "o_orderkey"),
@@ -533,6 +586,7 @@ object SqlSurface {
     "q233_trailing_window" -> Gate.sorted(q233TrailingWindow _, "day"))
 
   val oracles: Map[String, String] = Map(
+    "q305_map_surface" -> q305Sql,
     "q269_string_surface" -> q269Sql,
     "q270_regex_surface" -> q270Sql,
     "q267_date_surface" -> q267Sql,

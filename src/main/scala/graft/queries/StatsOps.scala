@@ -271,6 +271,119 @@ object StatsOps {
       |    AS n_risk_cells
       |FROM cells GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q299 diversity floor: QI cells whose sensitive attribute takes
+    * fewer than this many distinct values are flagged. */
+  val L_DIV = 3L
+
+  /** q299: L-DIVERSITY AUDIT — k-anonymity's (q279) necessary
+    * complement: a cell can hold k rows and still leak if they all
+    * share one sensitive value (the homogeneity attack). Under the
+    * same QI (nation, market segment) with the coarse balance band as
+    * the SENSITIVE attribute, reports each cell's population, its
+    * distinct-sensitive-value count l, the size of its largest
+    * sensitive class (the homogeneity mass), and the l < [[L_DIV]]
+    * violation flag.
+    *
+    * Scale shape: one (QI, sensitive)-grained partial aggregation
+    * bounded by the QI×sensitive domain, then a |cells|-bounded
+    * rollup — exact distinct via the second grouping level, no
+    * count(distinct) expansion over fact rows, integer counts
+    * end-to-end.
+    */
+  def q299LDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val fine = Tables(spark, dir).customer
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / ANON_BAND).as("band"))
+      .agg(count(lit(1)).as("sz"))
+    fine.groupBy(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"))
+      .agg(sum("sz").as("n_rows"),
+        count(lit(1)).as("l_div"),
+        max("sz").as("max_class"),
+        (count(lit(1)) < L_DIV).as("violates"))
+  }
+
+  val q299Sql: String =
+    s"""WITH fine AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    floor(c_acctbal / $ANON_BAND) AS band, count(*) AS sz
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      |  c_mktsegment AS segment,
+      |  CAST(sum(sz) AS BIGINT) AS n_rows,
+      |  count(*) AS l_div,
+      |  max(sz) AS max_class,
+      |  count(*) < $L_DIV AS violates
+      |FROM fine GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q301 analysis window: epoch days [1995-01-01, 1997-01-01) — the
+    * trend test runs on a FIXED calendar window so the pair set is
+    * bounded by window² regardless of data volume. */
+  val MK_DAY_LO = 9131L
+  val MK_DAY_HI = 9862L
+
+  /** q301: MANN–KENDALL TREND TEST + THEIL–SEN SLOPE per order
+    * priority — the standard NON-PARAMETRIC trend pair for monitoring
+    * series (robust to outliers and any monotone transform, unlike
+    * q226's least-squares slope): S = Σ sign(v_j − v_i) over all day
+    * pairs i<j, and the Theil–Sen estimate = median of the pairwise
+    * slopes.
+    *
+    * Exactness: daily revenue is integer cents; S and the pair count
+    * are BIGINTs; each pairwise slope is ONE IEEE division of exact
+    * integers; the median is the same interpolated percentile both
+    * engines evaluate identically (§5). trend = sign(S), integer.
+    *
+    * Scale shape: the fact table collapses to the |days|-bounded daily
+    * series FIRST (one map-side-combined aggregate); the pair
+    * self-join is bounded by the FIXED analysis window (|W|² pairs per
+    * group, calendar-bounded — it does not grow with data volume), so
+    * at 100 TB the only fact-sized work is the first rollup.
+    */
+  def q301TrendTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).orders
+      .select(col("o_orderpriority").as("prio"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("day"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v_c"))
+      .filter(col("day") >= MK_DAY_LO && col("day") < MK_DAY_HI)
+      .groupBy("prio", "day").agg(sum("v_c").as("rev_c"))
+    val a = daily.select(col("prio"), col("day").as("d1"), col("rev_c").as("v1"))
+    val b = daily.select(col("prio"), col("day").as("d2"), col("rev_c").as("v2"))
+    a.join(b, Seq("prio")).filter(col("d1") < col("d2"))
+      .select(col("prio"),
+        signum(col("v2") - col("v1")).cast("long").as("sgn"),
+        ((col("v2") - col("v1")).cast("double") /
+          ((col("d2") - col("d1")) * lit(100.0d))).as("slope"))
+      .groupBy("prio")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("sgn").as("s_stat"),
+        expr("percentile(slope, 0.5)").as("sen_slope"),
+        signum(sum("sgn")).cast("long").as("trend"))
+  }
+
+  val q301Sql: String =
+    s"""WITH daily AS (
+      |  SELECT o_orderpriority AS prio,
+      |    epoch_us(o_orderdate) // 86400000000 AS day,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS rev_c
+      |  FROM orders
+      |  WHERE epoch_us(o_orderdate) // 86400000000 >= $MK_DAY_LO
+      |    AND epoch_us(o_orderdate) // 86400000000 < $MK_DAY_HI
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.prio,
+      |    CAST(sign(b.rev_c - a.rev_c) AS BIGINT) AS sgn,
+      |    CAST(b.rev_c - a.rev_c AS DOUBLE) / ((b.day - a.day) * 100.0)
+      |      AS slope
+      |  FROM daily a JOIN daily b
+      |    ON a.prio = b.prio AND a.day < b.day)
+      |SELECT prio, count(*) AS n_pairs,
+      |  CAST(sum(sgn) AS BIGINT) AS s_stat,
+      |  quantile_cont(slope, 0.5) AS sen_slope,
+      |  CAST(sign(sum(sgn)) AS BIGINT) AS trend
+      |FROM pairs GROUP BY prio ORDER BY prio""".stripMargin
+
   /** q128 model: fixed weights over [bias, l_quantity, l_discount]. */
   val LOGREG_W: Seq[Double] = Seq(0.1, -0.02, 0.5)
 
@@ -1469,6 +1582,8 @@ object StatsOps {
     "q123_zipf_slope" -> ((s, d) => q123ZipfSlope(s, d)),
     "q125_private_release" -> Gate.sorted(q125PrivateRelease _, "event_type", "day"),
     "q279_k_anonymity" -> Gate.sorted(q279KAnonymity _, "nation"),
+    "q299_l_diversity" -> Gate.sorted(q299LDiversity _, "nation", "segment"),
+    "q301_trend_test" -> Gate.sorted(q301TrendTest _, "prio"),
     "q136_roc_auc" -> ((s, d) => q136RocAuc(s, d)),
     "q137_pr_thresholds" -> Gate.sorted(q137PrThresholds _, "threshold_micro"))
 
@@ -1493,6 +1608,8 @@ object StatsOps {
     "q123_zipf_slope" -> q123Sql,
     "q125_private_release" -> q125Sql,
     "q279_k_anonymity" -> q279Sql,
+    "q299_l_diversity" -> q299Sql,
+    "q301_trend_test" -> q301Sql,
     "q136_roc_auc" -> q136Sql,
     "q137_pr_thresholds" -> q137Sql)
 }

@@ -787,7 +787,56 @@ object TpchShapes {
       |WHERE p_name LIKE '%$PROFIT_TOKEN%'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q304: PARTS/SUPPLIER RELATIONSHIP COUNT (the TPC-H Q16 shape) —
+    * for each (brand, type, size-band) part group: how many DISTINCT
+    * suppliers have actually shipped it, excluding one brand and the
+    * complaint-listed suppliers (negative account balance stands in
+    * for Q16's comment scan; the schema has no partsupp, so the
+    * supplier↔part relation is the DISTINCT (l_partkey, l_suppkey)
+    * projection of lineitem — the same relation Q16 reads, derived
+    * from shipments).
+    *
+    * Plan shape: the exclusion list is a broadcast ANTI join (NOT IN
+    * with no NULL hazard — keys are non-null); the part dim filter
+    * broadcasts onto the distinct-pair aggregate; the
+    * count(DISTINCT suppkey) collapses on the |groups|-bounded rollup.
+    * Fact-sized work: one distinct-pair aggregate of lineitem — the
+    * exchange carries 16-byte key pairs, never rows.
+    */
+  def q304SupplierPartTypes(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val pairs = t.lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+    val complaints = t.supplier.filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val parts = t.part.filter(col("p_brand") =!= "Brand#13")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        (floor(col("p_size") / lit(10)) * 10).cast("long").as("size_band"))
+    pairs
+      .join(broadcast(complaints),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "size_band")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  val q304Sql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |ok AS (
+      |  SELECT p.l_partkey, p.l_suppkey FROM pairs p
+      |  WHERE p.l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+      |SELECT pt.p_brand, pt.p_type,
+      |  CAST(floor(pt.p_size / 10) * 10 AS BIGINT) AS size_band,
+      |  CAST(count(DISTINCT ok.l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM ok JOIN part pt ON ok.l_partkey = pt.p_partkey
+      |WHERE pt.p_brand != 'Brand#13'
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q304_supplier_part_types" ->
+      Gate.sorted(q304SupplierPartTypes _, "p_brand", "p_type", "size_band"),
     "q283_product_profit" ->
       Gate.sorted(q283ProductProfit _, "nation", "o_year"),
     "q274_priority_checking" ->
@@ -811,6 +860,7 @@ object TpchShapes {
     "q161_skyline" -> Gate.sorted(q161Skyline _, "p_partkey"))
 
   val oracles: Map[String, String] = Map(
+    "q304_supplier_part_types" -> q304Sql,
     "q274_priority_checking" -> q274Sql,
     "q283_product_profit" -> q283Sql,
     "q253_nation_trade" -> q253Sql,

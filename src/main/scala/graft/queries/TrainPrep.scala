@@ -1316,7 +1316,54 @@ object TrainPrep {
       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q298: LEAVE-ONE-OUT TARGET ENCODING of a categorical feature —
+    * the classic high-cardinality-categorical encoder for tabular
+    * models, with the leakage guard built in: each row's encoding is
+    * the mean target of its category EXCLUDING the row itself
+    * (enc_i = (S_cat − v_i) / (n_cat − 1)), so a row never sees its
+    * own label.
+    *
+    * Exactness: values quantize to integer cents (floor(v·100 + 0.5),
+    * one IEEE op, identical in both engines), category sums are plain
+    * BIGINT — order-independent — and the encoding is ONE IEEE
+    * division of exact integers, so it is bit-identical across
+    * engines and partitionings.
+    *
+    * Scale shape: the category statistics table is bounded by
+    * |categories| (tiny), broadcast back onto the fact scan — the
+    * encode itself is a zero-shuffle scan-stage map at 100 TB; the
+    * only shuffle is the |categories|-bounded aggregate.
+    */
+  def q298TargetEncode(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("v_c"))
+    val stats = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_cat"), sum("v_c").as("s_c"))
+    ev.join(broadcast(stats), "event_type")
+      .filter(col("n_cat") > 1)
+      .select(col("event_id"), col("event_type"), col("n_cat"),
+        ((col("s_c") - col("v_c")).cast("double") /
+          ((col("n_cat") - 1) * lit(100.0d))).as("loo_enc"))
+  }
+
+  val q298Sql: String =
+    s"""WITH ev AS (
+      |  SELECT event_id, event_type,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+      |  FROM events),
+      |stats AS (
+      |  SELECT event_type, count(*) AS n_cat, sum(v_c) AS s_c
+      |  FROM ev GROUP BY 1)
+      |SELECT ev.event_id, ev.event_type, stats.n_cat,
+      |  CAST(stats.s_c - ev.v_c AS DOUBLE) / ((stats.n_cat - 1) * 100.0)
+      |    AS loo_enc
+      |FROM ev JOIN stats USING (event_type)
+      |WHERE stats.n_cat > 1
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q298_target_encode" -> Gate.sorted(q298TargetEncode _, "event_id"),
     "q235_purged_split" -> Gate.sorted(q235PurgedSplit _, "split"),
     "q227_source_kl" -> Gate.sorted(q227SourceKl _, "source"),
     "q221_scaling_ladder" -> Gate.sorted(q221ScalingLadder _, "pct"),
@@ -1345,6 +1392,7 @@ object TrainPrep {
     "q81_quality_rules" -> Gate.sorted(q81QualityRules _, "doc_id"))
 
   val oracles: Map[String, String] = Map(
+    "q298_target_encode" -> q298Sql,
     "q235_purged_split" -> q235Sql,
     "q227_source_kl" -> q227Sql,
     "q221_scaling_ladder" -> q221Sql,

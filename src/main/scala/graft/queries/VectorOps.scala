@@ -845,7 +845,68 @@ object VectorOps {
       |ORDER BY q.query_id""".stripMargin
   }
 
+  /** q303 rank cuts for the recall ladder (≤ EmbeddingOps.TOP_K). */
+  val RECALL_KS: Seq[Int] = Seq(1, 2, 3, 5)
+
+  /** q303: RECALL@k CURVE of the LSH index — q76 reports recall at ONE
+    * depth; index tuning needs the LADDER (does the index lose its
+    * first neighbor, or only the tail?). For each k in [[RECALL_KS]]:
+    * overlap of the exact top-k (q30) with the approx top-k (q31),
+    * summed over queries, with micro recall = hits / (k·|queries|).
+    *
+    * Exactness: hits and denominators are BIGINTs; recall is one IEEE
+    * division of exact integers.
+    *
+    * Scale shape: both rankings are the gated pipelines (bounded
+    * |queries|·TOP_K lists); the ladder join and conditional rollup
+    * touch only those lists — evaluating 4 depths costs one join of
+    * two k-bounded tables, never a rescan of the corpus.
+    */
+  def q303RecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val exact = EmbeddingOps.q30EmbeddingTopk(spark, dir)
+      .select(col("query_id"), col("rank").as("e_rank"), col("neighbor_id"))
+    val approx = EmbeddingOps.q31LshAnn(spark, dir)
+      .select(col("query_id"), col("rank").as("a_rank"),
+        col("neighbor_id").as("approx_neighbor"))
+    val joined = exact.join(approx,
+      exact("query_id") === approx("query_id") &&
+        col("neighbor_id") === col("approx_neighbor"), "left")
+      .select(exact("query_id"), col("e_rank"), col("a_rank"))
+    val nq = joined.select(countDistinct("query_id").as("n_queries"))
+    joined.crossJoin(broadcast(
+        spark.range(0, 1).select(explode(
+          array(RECALL_KS.map(k => lit(k)): _*)).as("k"))))
+      .groupBy(col("k").cast("long").as("k"))
+      .agg(sum(when(col("e_rank") <= col("k") &&
+          col("a_rank") <= col("k"), 1L).otherwise(0L)).as("n_hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("k"), col("n_queries"), col("n_hits"),
+        (col("n_hits").cast("double") / (col("k") * col("n_queries")))
+          .as("recall"))
+  }
+
+  val q303Sql: String = {
+    val ks = RECALL_KS.mkString(", ")
+    s"""WITH exact_topk AS (${EmbeddingOps.q30Sql}),
+      |approx_topk AS (${EmbeddingOps.q31Sql}),
+      |j AS (
+      |  SELECT e.query_id, e.rank AS e_rank, a.rank AS a_rank
+      |  FROM exact_topk e LEFT JOIN approx_topk a
+      |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id),
+      |nq AS (SELECT count(DISTINCT query_id) AS n_queries FROM j),
+      |ks AS (SELECT CAST(unnest([$ks]) AS BIGINT) AS k)
+      |SELECT ks.k, nq.n_queries,
+      |  CAST(sum(CASE WHEN j.e_rank <= ks.k AND j.a_rank <= ks.k
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      |  CAST(sum(CASE WHEN j.e_rank <= ks.k AND j.a_rank <= ks.k
+      |    THEN 1 ELSE 0 END) AS DOUBLE) / (ks.k * nq.n_queries) AS recall
+      |FROM j, ks, nq
+      |GROUP BY ks.k, nq.n_queries
+      |ORDER BY ks.k""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q303_recall_curve" -> Gate.sorted(q303RecallCurve _, "k"),
     "q294_ndcg_eval" -> Gate.sorted(q294NdcgEval _, "query_id"),
     "q280_power_iteration" -> Gate.sorted(q280PowerIteration _, "dim"),
     "q241_mrr_eval" -> Gate.sorted(q241MrrEval _, "query_id"),
@@ -859,6 +920,7 @@ object VectorOps {
     "q82_pq_ann" -> Gate.sorted(q82PqAnn _, "query_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q303_recall_curve" -> q303Sql,
     "q294_ndcg_eval" -> q294Sql,
     "q280_power_iteration" -> q280Sql,
     "q241_mrr_eval" -> q241Sql,
