@@ -48,8 +48,17 @@ object Bench {
     def releaseBlocks(): Unit =
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+    // Untimed GC between slots: every GC_EVERY slots (codegen-class
+    // churn across a wide suite), AND after any slot that ran heavy —
+    // an all-heavy subset run (SPARK_GRAFT_BENCH_ONLY) never reaches
+    // slot 32 within a pass, so without the elapsed trigger the
+    // garbage of 25+ multi-second queries accumulates across the whole
+    // pass and inflates later slots monotonically (observed: q168
+    // pass1 4.5 s -> pass3 8.3 s on identical code with no GC fired).
     val GC_EVERY = 32
-    def gcTick(i: Int): Unit = if (i % GC_EVERY == 0) System.gc()
+    val GC_HEAVY_SEC = 2.0
+    def gcTick(i: Int, elapsed: Double): Unit =
+      if (i % GC_EVERY == 0 || elapsed > GC_HEAVY_SEC) System.gc()
 
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
@@ -57,7 +66,8 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .sortBy(_._1)
     ordered.zipWithIndex.foreach { case ((_, fn), i) =>
-      once(fn); releaseBlocks(); gcTick(i + 1)
+      val r = once(fn); releaseBlocks()
+      gcTick(i + 1, r.getOrElse(0.0))
     }                                                     // warmup
 
     val samples: Seq[(String, Seq[Either[Throwable, Double]])] =
@@ -65,7 +75,7 @@ object Bench {
         ordered.zipWithIndex.map { case ((name, fn), i) =>
           val r = name -> once(fn)
           releaseBlocks()
-          gcTick(i + 1)
+          gcTick(i + 1, r._2.getOrElse(0.0))
           r
         }
       }.flatten.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)

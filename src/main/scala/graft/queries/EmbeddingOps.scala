@@ -660,7 +660,163 @@ object EmbeddingOps {
       |FROM ranked WHERE rank <= $HARD_NEG_K
       |ORDER BY anchor_id, rank""".stripMargin
 
+  /** q308 MMR parameters: candidate pool per query, selections, and
+    * the relevance/diversity trade-off (literal in both engines). */
+  val MMR_CAND = 8
+  val MMR_K = 4
+  // both weights are VERBATIM literals in both engines — deriving one
+  // from the other (1 − 0.7) is decimal-exact 0.3 in DuckDB but IEEE
+  // 0.30000000000000004 in Scala, which would flip near-tie picks
+  val MMR_LAMBDA = "0.7"
+  val MMR_DIVW = "0.3"
+
+  /** q308: MMR DIVERSIFIED RERANKING (maximal marginal relevance) —
+    * the post-retrieval stage q30/q31 feed in production: from each
+    * query's top-[[MMR_CAND]] cosine candidates, greedily select
+    * [[MMR_K]] results maximizing λ·rel − (1−λ)·max-sim-to-selected,
+    * so near-duplicate hits don't crowd the result page. The greedy
+    * recurrence is inherently sequential in k, so the plan UNROLLS the
+    * [[MMR_K]] steps (the q271 unrolled-iteration idiom) — each step
+    * is a bounded join against the selected set, never data-dependent
+    * control flow.
+    *
+    * Cross-engine determinism: rel and pairwise sims are the same
+    * left-to-right cosine fold both engines run (q30's contract);
+    * the MMR score is two IEEE ops on those bit-identical doubles;
+    * ranking ties break on vec_id. Reported scores are micro-quantized
+    * BIGINTs.
+    *
+    * Scale shape: ONE corpus scan scores the broadcast query set
+    * (q30's shape, swaps to any ANN candidate source unchanged); after
+    * the per-query top-[[MMR_CAND]] cut (window on the query key)
+    * everything is |queries|·MMR_CAND-bounded: the pairwise-sim join
+    * and each unrolled step cost O(|queries|·CAND²) rows. The cut is
+    * eagerly checkpointed so the corpus scan runs once, not once per
+    * unrolled step.
+    */
+  def q308MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val lam = MMR_LAMBDA.toDouble
+    val divw = MMR_DIVW.toDouble
+    val emb = Tables(spark, dir).embeddings
+    val anchors = emb.filter(col("vec_id") < NUM_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("vec_id").asc)
+    val cand = emb.join(broadcast(anchors), col("vec_id") =!= col("query_id"))
+      .withColumn("rel", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MMR_CAND)
+      .select(col("query_id"), col("vec_id"), col("rel"),
+        col("embedding"), col("rn"))
+      .localCheckpoint(true)
+    var selected = cand.filter(col("rn") === 1)
+      .select(col("query_id"), col("vec_id"), lit(1).as("mmr_rank"),
+        col("rel"), lit(0.0d).as("maxsim"), col("embedding"))
+    var remaining = cand.filter(col("rn") > 1)
+    var out = selected.drop("embedding")
+    for (step <- 2 to MMR_K) {
+      val sel = selected.select(col("query_id").as("s_query"),
+        col("embedding").as("s_emb"))
+      val scoredStep = remaining.as("r")
+        .join(sel, col("query_id") === col("s_query"))
+        .withColumn("s", cosine(col("embedding"), col("s_emb")))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(first(col("rel")).as("rel"),
+          first(col("embedding")).as("embedding"),
+          max(col("s")).as("maxsim"))
+        .withColumn("score",
+          lit(lam) * col("rel") - lit(divw) * col("maxsim"))
+      val wS = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("vec_id").asc)
+      val next = scoredStep.withColumn("rn2", row_number().over(wS))
+        .filter(col("rn2") === 1)
+        .select(col("query_id"), col("vec_id"), lit(step).as("mmr_rank"),
+          col("rel"), col("maxsim"), col("embedding"))
+      selected = selected.unionByName(next)
+      remaining = remaining.join(
+        next.select(col("query_id").as("n_query"), col("vec_id").as("n_vec")),
+        col("query_id") === col("n_query") && col("vec_id") === col("n_vec"),
+        "left_anti")
+      out = out.unionByName(next.drop("embedding"))
+    }
+    out.select(col("query_id"), col("mmr_rank").cast("long").as("mmr_rank"),
+      col("vec_id").as("neighbor_id"),
+      floor(col("rel") * 1e6 + lit(0.5)).cast("long").as("rel_micro"),
+      floor((lit(lam) * col("rel") - lit(divw) * col("maxsim")) * 1e6
+        + lit(0.5)).cast("long").as("score_micro"))
+  }
+
+  /** DuckDB spelling of the q30 cosine fold between two embedding
+    * columns (identical op order to graft.plans.CosineSimilarity). */
+  private def simSql(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($a)),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform($a,
+       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform($b,
+       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  val q308Sql: String = {
+    val lam = MMR_LAMBDA
+    val oneMinus = MMR_DIVW
+    def step(t: Int): String =
+      s"""sc$t AS (
+        |  SELECT r.query_id, r.vec_id, r.rel,
+        |    max(p.s) AS maxsim
+        |  FROM rem${t - 1} r
+        |  JOIN ps p ON p.query_id = r.query_id AND p.va = r.vec_id
+        |  JOIN sel${t - 1} s ON s.query_id = p.query_id AND s.vec_id = p.vb
+        |  GROUP BY 1, 2, 3),
+        |pick$t AS (
+        |  SELECT query_id, vec_id, rel, maxsim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY $lam * rel - $oneMinus * maxsim DESC, vec_id ASC)
+        |      AS rn2
+        |  FROM sc$t),
+        |sel$t AS (
+        |  SELECT query_id, vec_id, $t AS mmr_rank, rel, maxsim
+        |  FROM pick$t WHERE rn2 = 1
+        |  UNION ALL SELECT query_id, vec_id, mmr_rank, rel, maxsim
+        |  FROM sel${t - 1}),
+        |rem$t AS (
+        |  SELECT r.* FROM rem${t - 1} r
+        |  WHERE NOT EXISTS (SELECT 1 FROM sel$t s
+        |    WHERE s.query_id = r.query_id AND s.vec_id = r.vec_id))"""
+        .stripMargin
+    s"""WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+      |  WHERE vec_id < $NUM_QUERIES),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id, e.embedding,
+      |    ${simSql("q.q_emb", "e.embedding")} AS rel
+      |  FROM embeddings e, q WHERE e.vec_id != q.query_id),
+      |cand AS (
+      |  SELECT * FROM (
+      |    SELECT query_id, vec_id, embedding, rel,
+      |      row_number() OVER (PARTITION BY query_id
+      |        ORDER BY rel DESC, vec_id ASC) AS rn
+      |    FROM scored) WHERE rn <= $MMR_CAND),
+      |ps AS (
+      |  SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+      |    ${simSql("a.embedding", "b.embedding")} AS s
+      |  FROM cand a JOIN cand b
+      |    ON a.query_id = b.query_id AND a.vec_id != b.vec_id),
+      |sel1 AS (
+      |  SELECT query_id, vec_id, 1 AS mmr_rank, rel, 0.0 AS maxsim
+      |  FROM cand WHERE rn = 1),
+      |rem1 AS (SELECT * FROM cand WHERE rn > 1),
+      |${(2 to MMR_K).map(step).mkString(",\n")}
+      |SELECT query_id, CAST(mmr_rank AS BIGINT) AS mmr_rank,
+      |  vec_id AS neighbor_id,
+      |  CAST(floor(rel * 1e6 + 0.5) AS BIGINT) AS rel_micro,
+      |  CAST(floor(($lam * rel - $oneMinus * maxsim) * 1e6 + 0.5)
+      |    AS BIGINT) AS score_micro
+      |FROM sel$MMR_K
+      |ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q308_mmr_rerank" -> Gate.sorted(q308MmrRerank _, "query_id", "mmr_rank"),
     "q291_hard_negatives" ->
       Gate.sorted(q291HardNegatives _, "anchor_id", "rank"),
     "q284_matryoshka_recall" -> Gate.sorted(q284MatryoshkaRecall _, "query_id"),
@@ -672,6 +828,7 @@ object EmbeddingOps {
     "q41_ivf_ann" -> Gate.sorted(q41IvfAnn _, "query_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q308_mmr_rerank" -> q308Sql,
     "q291_hard_negatives" -> q291Sql,
     "q284_matryoshka_recall" -> q284Sql,
     "q144_knn_classifier" -> q144Sql,

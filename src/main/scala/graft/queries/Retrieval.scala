@@ -295,12 +295,80 @@ object Retrieval {
        |FROM fused WHERE rank <= $RRF_TOP
        |ORDER BY query_id, rank""".stripMargin
 
+  /** q307 conjunctive query: both terms required; adjacency scored. */
+  val CONJ_T1 = "spark"
+  val CONJ_T2 = "join"
+  val CONJ_TOP = 20
+
+  /** q307: CONJUNCTIVE + PHRASE SEARCH — the boolean-AND retrieval
+    * primitive q114's bag-of-words scoring cannot express: documents
+    * containing BOTH query terms, ranked by combined term frequency,
+    * with the POSITIONAL index consulted for exact-phrase adjacency
+    * ("T1 T2" as consecutive tokens — the q178 positions put to work).
+    *
+    * Scale shape: per-term position lists are built INSIDE the row
+    * (index-aware `transform`/`filter` lambdas over the token array —
+    * no posexplode, no token shuffle), the AND is a row-local
+    * emptiness test, and the only post-scan operator is the top-k
+    * TakeOrderedAndProject. At 100 TB this is one scan + K-bounded
+    * merge; with a persisted q178 index the scan becomes two posting
+    * fetches, same downstream shape.
+    *
+    * Integer-only scoring (tf sums, adjacency counts) — nothing for
+    * the engines to disagree on.
+    */
+  def q307ConjunctiveSearch(spark: SparkSession, dir: String): DataFrame = {
+    val ws = filter(split(lower(col("text")), "[^a-z0-9]+"), w => w =!= "")
+    def positions(term: String): Column =
+      expr(s"filter(transform(ws, (w, i) -> IF(w = '$term', " +
+        "CAST(i + 1 AS BIGINT), CAST(-1 AS BIGINT))), p -> p != -1)")
+    Tables(spark, dir).documents
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), positions(CONJ_T1).as("p1"),
+        positions(CONJ_T2).as("p2"))
+      .filter(size(col("p1")) > 0 && size(col("p2")) > 0)
+      .select(col("doc_id"),
+        size(col("p1")).cast("long").as("tf1"),
+        size(col("p2")).cast("long").as("tf2"),
+        (size(col("p1")) + size(col("p2"))).cast("long").as("score"),
+        size(expr("filter(p1, p -> array_contains(p2, p + 1))"))
+          .cast("long").as("n_phrase"))
+      .withColumn("has_phrase", col("n_phrase") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(CONJ_TOP)
+  }
+
+  val q307Sql: String =
+    s"""WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                x -> x <> '') AS ws
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    list_filter(range(1, len(ws) + 1), i -> ws[i] = '$CONJ_T1') AS p1,
+      |    list_filter(range(1, len(ws) + 1), i -> ws[i] = '$CONJ_T2') AS p2
+      |  FROM w)
+      |SELECT doc_id,
+      |  CAST(len(p1) AS BIGINT) AS tf1,
+      |  CAST(len(p2) AS BIGINT) AS tf2,
+      |  CAST(len(p1) + len(p2) AS BIGINT) AS score,
+      |  CAST(len(list_filter(p1, p -> list_contains(p2, p + 1)))
+      |    AS BIGINT) AS n_phrase,
+      |  len(list_filter(p1, p -> list_contains(p2, p + 1))) > 0
+      |    AS has_phrase
+      |FROM m
+      |WHERE len(p1) > 0 AND len(p2) > 0
+      |ORDER BY score DESC, doc_id LIMIT $CONJ_TOP""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q307_conjunctive_search" -> ((s, d) => q307ConjunctiveSearch(s, d)),
     "q114_bm25_topk" -> ((s, d) => q114Bm25TopK(s, d)),
     "q115_tfidf_pairs" -> Gate.sorted(q115TfidfPairs _, "doc_a", "doc_b"),
     "q203_rrf_fusion" -> Gate.sorted(q203RrfFusion _, "query_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q307_conjunctive_search" -> q307Sql,
     "q114_bm25_topk" -> q114Sql,
     "q115_tfidf_pairs" -> q115Sql,
     "q203_rrf_fusion" -> q203Sql)

@@ -917,6 +917,46 @@ object SessionOps {
       |FROM s GROUP BY user_id, sess_idx
       |ORDER BY user_id, start_us""".stripMargin
 
+  /** q309: STREAMING RETENTION COHORTS — the sixteenth stateful family
+    * (see [[graft.streaming.StreamRetention]]): per-user first-seen
+    * tracking emits one append-only row per newly-active (user, day)
+    * with its cohort offset; the gate rolls the emitted rows up to the
+    * exact (cohort, offset) retention triangle — q74's matrix computed
+    * incrementally with O(HORIZON) state per user instead of a
+    * full-log rescan per refresh. Oracle = the batch min-day
+    * formulation with the same horizon.
+    */
+  def q309StreamRetention(spark: SparkSession, dir: String): DataFrame =
+      withStreamParallelism(spark) {
+    import graft.streaming.{StreamAgg, StreamRetention}
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
+    val sinkName = "q309_sink_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = StreamRetention.firstSeen(stream).toDF()
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(sinkName)
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val q309Sql: String =
+    s"""WITH d AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1),
+      |ud AS (SELECT DISTINCT user_id, day FROM d),
+      |r AS (
+      |  SELECT ud.user_id, c.cohort, ud.day - c.cohort AS doff
+      |  FROM ud JOIN c USING (user_id)
+      |  WHERE ud.day - c.cohort <= ${graft.streaming.StreamRetention.HORIZON})
+      |SELECT cohort AS cohort_day, doff AS day_offset,
+      |  count(*) AS n_users
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_session_window" -> Gate.sorted(q146SessionWindow _, "user_id", "start_us"),
     "q145_stream_anomaly" -> (q145StreamAnomaly _),
@@ -937,6 +977,7 @@ object SessionOps {
     "q167_stream_topk" -> (q167StreamTopk _),
     "q185_stream_throttle" -> (q185StreamThrottle _),
     "q194_stream_cep" -> (q194StreamCep _),
+    "q309_stream_retention" -> (q309StreamRetention _),
     "q102_stream_dropdup_wm" -> (q102StreamDropdupWm _))
 
   val oracles: Map[String, String] = Map(
@@ -959,5 +1000,6 @@ object SessionOps {
     "q167_stream_topk" -> q167Sql,
     "q185_stream_throttle" -> q185Sql,
     "q194_stream_cep" -> q194Sql,
+    "q309_stream_retention" -> q309Sql,
     "q102_stream_dropdup_wm" -> q102Sql)
 }

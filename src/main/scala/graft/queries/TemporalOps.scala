@@ -443,7 +443,79 @@ object TemporalOps {
       |FROM events GROUP BY 1, 2
       |ORDER BY event_type, hour""".stripMargin
 
+  /** q306 refractory period: a kept event suppresses same-keyed events
+    * for this long (microseconds). */
+  val DEBOUNCE_US = 3600000000L
+
+  /** q306: EVENT DEBOUNCE (exact throttle) — keep an event iff it is
+    * at least [[DEBOUNCE_US]] after the last KEPT event of the same
+    * (user, type): the event-hygiene dedup for double-clicks, retry
+    * storms, and alert refractory periods. This is NOT a lag-filter
+    * (which compares to the previous RAW event and over-drops whole
+    * chains) and not q37's sessionize (burst-first ≠ throttle): the
+    * keep decision depends on the previous KEPT event, a sequential
+    * fold per key — exactly q185's streaming-throttle contract, here
+    * as its batch twin with event-level exactness.
+    *
+    * Both engines run the IDENTICAL left-to-right fold over the
+    * (ts, event_id)-sorted per-key list (Spark `aggregate` HOF /
+    * DuckDB `list_reduce`), so the kept set is deterministic by
+    * construction, ties included.
+    *
+    * Scale shape: one shuffle on (user_id, event_type) — the
+    * sessionization key — then per-key linear folds; state per key is
+    * the kept-id list (bounded by per-key events / refractory rate; a
+    * hot key streams through flatMapGroups in production, same
+    * contract). Output carries kept events only.
+    */
+  def q306Debounce(spark: SparkSession, dir: String): DataFrame = {
+    val evs = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"),
+        struct(expr("unix_micros(ts)").as("ts_us"),
+          col("event_id")).as("e"))
+      .groupBy("user_id", "event_type")
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+    evs.select(col("user_id"), col("event_type"),
+        explode(expr(
+          s"""aggregate(evs,
+             |  struct(CAST(-4611686018427387904 AS BIGINT) AS last,
+             |         CAST(array() AS ARRAY<BIGINT>) AS kept),
+             |  (acc, e) -> IF(e.ts_us >= acc.last + ${DEBOUNCE_US}L,
+             |    struct(e.ts_us AS last,
+             |           concat(acc.kept, array(e.event_id)) AS kept),
+             |    acc),
+             |  acc -> acc.kept)""".stripMargin)).as("event_id"))
+  }
+
+  // DuckDB v1.0.0 clobbers STRUCT-typed list_reduce accumulators
+  // (struct_pack(kept := list_concat(acc.kept, ...)) loses acc's
+  // list — probed directly), so the oracle folds a LIST-of-kept-
+  // INDICES accumulator instead, reading timestamps from the outer
+  // sorted array — same left-to-right throttle recurrence.
+  val q306Sql: String =
+    s"""WITH keyed AS (
+      |  SELECT user_id, event_type,
+      |    list_sort(list(struct_pack(ts_us := epoch_us(ts),
+      |                               event_id := event_id))) AS evs
+      |  FROM events GROUP BY 1, 2),
+      |folded AS (
+      |  SELECT user_id, event_type, evs,
+      |    list_reduce(
+      |      list_prepend(CAST([1] AS BIGINT[]),
+      |        list_transform(range(2, len(evs) + 1),
+      |                       i -> [CAST(i AS BIGINT)])),
+      |      (acc, e) -> CASE
+      |        WHEN evs[CAST(e[1] AS INT)].ts_us >=
+      |             evs[CAST(acc[len(acc)] AS INT)].ts_us + $DEBOUNCE_US
+      |        THEN list_concat(acc, e) ELSE acc END) AS kept
+      |  FROM keyed)
+      |SELECT user_id, event_type,
+      |  unnest(list_transform(kept, k -> evs[CAST(k AS INT)].event_id))
+      |    AS event_id
+      |FROM folded ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q306_debounce" -> Gate.sorted(q306Debounce _, "event_id"),
     "q292_ohlc_bars" -> Gate.sorted(q292OhlcBars _, "event_type", "hour"),
     "q276_trailing_median" -> Gate.sorted(q276TrailingMedian _, "day"),
     "q246_decayed_popularity" ->
@@ -459,6 +531,7 @@ object TemporalOps {
     "q164_abandoned_clicks" -> Gate.sorted(q164AbandonedClicks _, "user_id"))
 
   val oracles: Map[String, String] = Map(
+    "q306_debounce" -> q306Sql,
     "q292_ohlc_bars" -> q292Sql,
     "q276_trailing_median" -> q276Sql,
     "q246_decayed_popularity" -> q246Sql,
