@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -728,16 +728,23 @@ object DedupOps {
     *      always passes the bound.
     *   2. Candidates dedup to (doc_a, doc_b) BEFORE verification —
     *      16-byte rows through one shuffle (27.5M -> 6.3M pairs).
-    *   3. Bounded-vocabulary BITMAP verification: each doc's set is an
-    *      array<long> of V/64 Morton-free words; the per-doc bitmap
-    *      table broadcasts, and exact intersection is
-    *      aggregate(zip_with(bit_count(x & y))) in one codegen stage —
-    *      no posting join, no per-pair explode.
+    *   3. SPARSE-BITMAP verification: each doc's set is a MAP of
+    *      word-index -> 64-bit word (O(n_sh) entries), built in-row
+    *      from the sorted ids; the per-doc bitmap table broadcasts,
+    *      and exact intersection is a popcount fold over
+    *      map_zip_with's key union in one codegen stage — no posting
+    *      join, no per-pair explode. Round 7 replaced the original
+    *      DENSE V/64-word arrays after the sf1 scaling run measured
+    *      them 20x on 10x data: dense bitmaps size every doc by the
+    *      GLOBAL vocabulary, which grows with the corpus, so both the
+    *      build (V/64 aggregate columns x docs) and the verify
+    *      (V/64-word ANDs x pairs) were quadratic in corpus size. The
+    *      sparse form is corpus-independent per doc/pair.
     *
-    * Measured at sf0.1: 257 s -> ~12 s, identical 256-pair output. At
-    * a vocabulary too large for bitmaps the same pruned candidates
-    * feed the posting-join verification instead (q29's inter shape);
-    * the dictionary df table tells the planner which regime it is in.
+    * Measured at sf0.1: 257 s (explode-join-groupBy) -> ~12 s (dense
+    * bitmaps) -> ~5 s attributable, with the sparse form holding the
+    * 10x-data ratio near-linear where dense measured 20x (see SURVEY
+    * §8j scaling table and the two asymmetric-prefix notes above).
     */
   def q168PrefixJoin(spark: SparkSession, dir: String): DataFrame = {
     val (out, cleanup) = q168Plan(spark, dir)
@@ -761,50 +768,76 @@ object DedupOps {
       .withColumn("id",
         row_number().over(Window.orderBy("df", "sh")).cast("long") - 1)
       .select("sh", "id").persist()
-    val vocab = dict.count().toInt
-    val nWords = (vocab + 63) / 64
-    // per-doc sorted id list + bitmap words as flat long columns
-    val wordCols = (0 until nWords).map { w =>
-      val lo = w * 64L; val hi = lo + 64L
-      expr(s"aggregate(filter(ids, i -> i >= $lo AND i < $hi), 0L, " +
-        s"(acc, i) -> acc | shiftleft(1L, cast(i - $lo AS int)))").as(s"w$w")
-    }
+    // SPARSE per-doc bitmap: word-index -> 64-bit word as a MAP,
+    // built in-row from the sorted id list. Round 7 scale fix: the
+    // previous DENSE form (V/64 flat long columns per doc) sized
+    // every doc's bitmap — and the whole build+verify — by the GLOBAL
+    // vocabulary, which grows with the corpus: measured 20x runtime
+    // on 10x data at sf1. The sparse map is O(n_sh) entries per doc
+    // regardless of |vocab| (build O(n_sh^2/64) in-row ops — corpus-
+    // independent), and verification intersects two ~n_sh/64-entry
+    // maps instead of two V/64-word arrays.
+    val bmExpr = expr(
+      "map_from_entries(transform(array_distinct(" +
+        "transform(ids, i -> i div 64)), w -> struct(w, " +
+        "aggregate(filter(ids, i -> i div 64 = w), 0L, " +
+        "(acc, i) -> acc | shiftleft(1L, cast(i % 64 AS int))))))")
     val docs = e.join(broadcast(dict), "sh")
       .groupBy("doc_id")
       .agg(sort_array(collect_list("id")).as("ids"))
-      .select(Seq(col("doc_id"), size(col("ids")).cast("long").as("n_sh"),
-        col("ids")) ++ wordCols: _*)
+      .select(col("doc_id"), size(col("ids")).cast("long").as("n_sh"),
+        col("ids"), bmExpr.as("bm"))
       .persist()
-    // prefix postings with POSITION: first n - ceil(tau*n) + 1 ids
-    val ceilTauN = (col("n_sh") * PFX_TAU_NUM + PFX_TAU_DEN - 1)
-      .divide(PFX_TAU_DEN).cast("long")
-    val pre = docs.select(col("doc_id"), col("n_sh"),
-      posexplode(slice(col("ids"), lit(1),
-        (col("n_sh") - ceilTauN + 1).cast("int"))))
+    // ASYMMETRIC prefixes (PPJoin's index-prefix refinement, round 7):
+    // orient each pair by LENGTH — the SHORTER record plays the
+    // INDEXED role and only needs the index prefix
+    // n - ceil(2tau/(1+tau)*n) + 1 (valid because t(x,y) =
+    // ceil(tau/(1+tau)(nx+ny)) >= ceil(2tau/(1+tau)*nx) exactly when
+    // nx <= ny), while the longer record keeps the probe prefix
+    // n - ceil(tau*n) + 1 (t >= ceil(tau*ny) via the length filter).
+    // Equal lengths tie-break on doc_id; both bounds hold with
+    // equality. At tau=1/2 the indexed side shrinks 0.5n -> 0.333n —
+    // about a third fewer candidate emissions, still provably
+    // lossless (the all-pairs oracle gates it).
+    def prefixed(len: Column) = docs.select(col("doc_id"), col("n_sh"),
+      posexplode(slice(col("ids"), lit(1), len.cast("int"))))
       .select(col("doc_id"), col("n_sh"), (col("pos") + 1).as("p"),
         col("col").as("id"))
+    val ceilTauN = (col("n_sh") * PFX_TAU_NUM + PFX_TAU_DEN - 1)
+      .divide(PFX_TAU_DEN).cast("long")
+    val ceil2TauN = (col("n_sh") * (2 * PFX_TAU_NUM) +
+      (PFX_TAU_NUM + PFX_TAU_DEN) - 1)
+      .divide(PFX_TAU_NUM + PFX_TAU_DEN).cast("long")
+    val preIdx = prefixed(col("n_sh") - ceil2TauN + 1)   // shorter side
+    val prePrb = prefixed(col("n_sh") - ceilTauN + 1)    // longer side
     // overlap threshold t = ceil(tau/(1+tau)*(na+nb)); "ubound >= t"
     // in integers is (TAU_NUM+TAU_DEN)*ubound >= TAU_NUM*(na+nb)
     val ubound = lit(1) + least(col("pa.n_sh") - col("pa.p"),
       col("pb.n_sh") - col("pb.p"))
-    val cand = pre.as("pa")
-      .join(broadcast(pre.as("pb")),
-        col("pa.id") === col("pb.id") && col("pa.doc_id") < col("pb.doc_id") &&
-          // length filter: tau*max(na,nb) <= min(na,nb)
-          col("pa.n_sh") * PFX_TAU_DEN >= col("pb.n_sh") * PFX_TAU_NUM &&
-          col("pb.n_sh") * PFX_TAU_DEN >= col("pa.n_sh") * PFX_TAU_NUM &&
+    val cand = preIdx.as("pa")
+      .join(broadcast(prePrb.as("pb")),
+        col("pa.id") === col("pb.id") &&
+          // pa is the shorter record (ties break on doc_id)
+          (col("pa.n_sh") < col("pb.n_sh") ||
+            (col("pa.n_sh") === col("pb.n_sh") &&
+              col("pa.doc_id") < col("pb.doc_id"))) &&
+          // length filter: tau*n_long <= n_short
+          col("pb.n_sh") * PFX_TAU_NUM <= col("pa.n_sh") * PFX_TAU_DEN &&
           // PPJoin positional filter (lossless: the first shared
           // prefix id of a true pair always passes)
           ubound * (PFX_TAU_NUM + PFX_TAU_DEN) >=
             (col("pa.n_sh") + col("pb.n_sh")) * PFX_TAU_NUM)
-      .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+      .select(least(col("pa.doc_id"), col("pb.doc_id")).as("doc_a"),
+        greatest(col("pa.doc_id"), col("pb.doc_id")).as("doc_b"))
       .distinct()
-    val bm = docs.select(col("doc_id"), col("n_sh"),
-      array((0 until nWords).map(w => col(s"w$w")): _*).as("bw"))
-    def side(tag: String) = bm.toDF(s"doc_${tag}1", s"n_${tag}1", s"${tag}bw")
+    val bm = docs.select(col("doc_id"), col("n_sh"), col("bm"))
+    def side(tag: String) = bm.toDF(s"doc_${tag}1", s"n_${tag}1", s"${tag}bm")
+    // exact intersection = popcount over the key-union of the two
+    // sparse maps (missing word -> 0); cost O(n_sh/64), vocab-free
     val interExpr = expr(
-      "aggregate(zip_with(abw, bbw, (x, y) -> bit_count(x & y)), 0L, " +
-        "(acc, v) -> acc + cast(v AS bigint))")
+      "aggregate(map_values(map_zip_with(abm, bbm, " +
+        "(k, x, y) -> bit_count(coalesce(x, 0L) & coalesce(y, 0L)))), " +
+        "0L, (acc, v) -> acc + cast(v AS bigint))")
     val out = cand
       .join(broadcast(side("a")), col("doc_a") === col("doc_a1"))
       .join(broadcast(side("b")), col("doc_b") === col("doc_b1"))

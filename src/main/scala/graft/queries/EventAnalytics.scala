@@ -414,6 +414,57 @@ object EventAnalytics {
       |FROM fan GROUP BY win_end
       |ORDER BY win_end""".stripMargin
 
+  /** q310: SLIDING-WINDOW DISTINCT VIA DAILY HLL SKETCHES — q89's
+    * exact WAU answered the sketch way: ONE tiny HLL per calendar day
+    * (built in a single pass, kilobytes each), every window estimate a
+    * union of 7 sketch rows — the shape that scales to 90-day MAU at
+    * 100 TB, where q89's |users×days| fanout stops being free but the
+    * sketch table stays |days|-sized forever. Gate = exact count (the
+    * q89 recompute) + the estimate's 3-SE error-bound flag, the
+    * q260/q295 convention (DuckDB's HLL is a different implementation,
+    * so the bound — not the estimate — is the cross-engine contract).
+    */
+  def q310SlidingHll(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DistinctSketch
+    val ud = Tables(spark, dir).events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val daily = DistinctSketch.sketchBy(ud, "user_id", "day")
+    val maxDay = broadcast(daily.agg(max("day").as("max_day")))
+    val fanned = daily
+      .withColumn("win_end",
+        explode(sequence(col("day"), date_add(col("day"), ROLL_DAYS - 1),
+          expr("interval 1 day"))))
+      .crossJoin(maxDay)
+      .filter(col("win_end") <= col("max_day"))
+      .drop("day", "max_day")
+    val est = DistinctSketch.rollup(fanned, "win_end")
+      .select(col("win_end").cast("string").as("win_end"),
+        col("n_distinct_est"))
+    q89RollingDistinct(spark, dir)
+      .join(est, "win_end")
+      .select(col("win_end"), col("n_users").as("n_exact"),
+        (abs(col("n_distinct_est") - col("n_users")) <=
+          col("n_users") * 0.05).as("within_3se"))
+  }
+
+  val q310Sql: String =
+    s"""WITH ud AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |mx AS (SELECT max(day) AS max_day FROM ud),
+      |fan AS (
+      |  SELECT ud.user_id, CAST(w.win_end AS DATE) AS win_end
+      |  FROM ud
+      |  CROSS JOIN unnest(generate_series(ud.day,
+      |    ud.day + INTERVAL '${ROLL_DAYS - 1} days',
+      |    INTERVAL '1 day')) AS w(win_end)
+      |  CROSS JOIN mx
+      |  WHERE CAST(w.win_end AS DATE) <= mx.max_day)
+      |SELECT CAST(win_end AS VARCHAR) AS win_end,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+      |  TRUE AS within_3se
+      |FROM fan GROUP BY win_end
+      |ORDER BY win_end""".stripMargin
+
   /** q90: ORDER-TO-SHIP LATENCY percentiles per order priority — the
     * operational-SLA report: days between order and line-item ship
     * date, summarized as n/mean/p50/p90/p99/min/max through the
@@ -1216,6 +1267,7 @@ object EventAnalytics {
     "q98_ab_welch" -> Gate.sorted(q98AbWelch _, "event_type"),
     "q99_anomaly_zscore" -> Gate.sorted(q99AnomalyZscore _, "event_type", "day"),
     "q89_rolling_distinct" -> Gate.sorted(q89RollingDistinct _, "win_end"),
+    "q310_sliding_hll" -> Gate.sorted(q310SlidingHll _, "win_end"),
     "q90_ship_latency" -> Gate.sorted(q90ShipLatency _, "o_orderpriority"),
     "q88_peak_concurrency" -> Gate.sorted(q88PeakConcurrency _, "day"),
     "q84_session_paths" -> Gate.sorted(q84SessionPaths _, "from_type", "to_type"),
@@ -1241,6 +1293,7 @@ object EventAnalytics {
     "q98_ab_welch" -> q98Sql,
     "q99_anomaly_zscore" -> q99Sql,
     "q89_rolling_distinct" -> q89Sql,
+    "q310_sliding_hll" -> q310Sql,
     "q90_ship_latency" -> q90Sql,
     "q88_peak_concurrency" -> q88Sql,
     "q84_session_paths" -> q84Sql,

@@ -346,6 +346,53 @@ object SqlSurface {
       |FROM keys k
       |ORDER BY 1, 4""".stripMargin
 
+  /** q312: CALENDAR ARITHMETIC PARITY — the month/week arithmetic
+    * q267's field extractors don't cover, each a classic cross-engine
+    * trap pinned to an engine-neutral contract: add_months
+    * END-OF-MONTH CLAMPING (Jan 31 + 1 month = Feb 28/29 in BOTH
+    * Spark add_months and DuckDB + INTERVAL — gated over 13-month
+    * spans so leap/short months are crossed), Monday-start
+    * date_trunc('week'), quarter starts, ISO week numbers, days-in-
+    * month via last_day, and signed day differences. Dates travel as
+    * formatted strings so neither engine's date/timestamp physical
+    * type leaks into the hash. Scan-stage expressions only.
+    */
+  def q312CalendarArith(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .filter(col("o_orderkey") % 41 === 0)
+      .select(col("o_orderkey"),
+        date_format(expr("add_months(o_orderdate, 1)"), "yyyy-MM-dd")
+          .as("plus_1m"),
+        date_format(expr("add_months(o_orderdate, 13)"), "yyyy-MM-dd")
+          .as("plus_13m"),
+        date_format(date_trunc("week", col("o_orderdate")), "yyyy-MM-dd")
+          .as("week_start"),
+        date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd")
+          .as("quarter_start"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+        dayofmonth(last_day(col("o_orderdate"))).cast("long")
+          .as("days_in_month"),
+        datediff(to_date(lit("2000-01-01")), to_date(col("o_orderdate")))
+          .cast("long").as("days_to_y2k"))
+
+  val q312Sql: String =
+    """SELECT o_orderkey,
+      |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH, '%Y-%m-%d')
+      |    AS plus_1m,
+      |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 13 MONTH, '%Y-%m-%d')
+      |    AS plus_13m,
+      |  strftime(date_trunc('week', CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+      |    AS week_start,
+      |  strftime(date_trunc('quarter', CAST(o_orderdate AS DATE)),
+      |           '%Y-%m-%d') AS quarter_start,
+      |  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+      |  CAST(day(last_day(CAST(o_orderdate AS DATE))) AS BIGINT)
+      |    AS days_in_month,
+      |  CAST(DATE '2000-01-01' - CAST(o_orderdate AS DATE) AS BIGINT)
+      |    AS days_to_y2k
+      |FROM orders WHERE o_orderkey % 41 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   def q266HofSurface(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).documents
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -569,6 +616,7 @@ object SqlSurface {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q305_map_surface" -> Gate.sorted(q305MapSurface _, "event_type", "wd"),
+    "q312_calendar_arith" -> Gate.sorted(q312CalendarArith _, "o_orderkey"),
     "q269_string_surface" -> Gate.sorted(q269StringSurface _, "p_partkey"),
     "q270_regex_surface" -> Gate.sorted(q270RegexSurface _, "doc_id"),
     "q267_date_surface" -> Gate.sorted(q267DateSurface _, "o_orderkey"),
@@ -587,6 +635,7 @@ object SqlSurface {
 
   val oracles: Map[String, String] = Map(
     "q305_map_surface" -> q305Sql,
+    "q312_calendar_arith" -> q312Sql,
     "q269_string_surface" -> q269Sql,
     "q270_regex_surface" -> q270Sql,
     "q267_date_surface" -> q267Sql,

@@ -1362,7 +1362,108 @@ object TrainPrep {
       |WHERE stats.n_cat > 1
       |ORDER BY event_id""".stripMargin
 
+  /** q311 water-filling rounds (unrolled in BOTH engines). */
+  val WF_ROUNDS = 3
+
+  /** q311: MIXTURE WATER-FILLING UNDER A TOKEN BUDGET — the
+    * allocation solver behind every data-mixing decision q50/q209/q227
+    * report on: give each source a budget share proportional to its
+    * temperature weight (α = 0.5: w ∝ √tokens, the standard
+    * low-resource boost), but cap every source at 1.5 epochs of its
+    * available tokens and REDISTRIBUTE the surplus among uncapped
+    * sources — the classic water-filling recurrence, run for
+    * [[WF_ROUNDS]] unrolled rounds (cap-set growth is monotone, so
+    * each round is one scalar aggregate + one broadcast back; the
+    * rounds are data-independent plan structure, the q271/q308 idiom).
+    *
+    * Integer-exact: weights are micro-quantized √tokens (one IEEE
+    * sqrt of an exactly-representable BIGINT), every share is BIGINT
+    * floor division, caps/budget are integer products. Gate-scale
+    * products stay < 2^63; production rescales in DECIMAL (q264
+    * convention).
+    *
+    * Scale shape: the corpus collapses to the |sources|-bounded token
+    * rollup first; every round after that touches |sources| rows with
+    * 1-row scalar broadcasts — at 100 TB the solver costs one scan
+    * plus noise.
+    */
+  def q311MixtureWaterfill(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir).documents
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("avail"))
+      .withColumn("w", floor(sqrt(col("avail")) * 1e6 + lit(0.5)).cast("long"))
+      .withColumn("cap", expr("(avail * 3) div 2"))
+    val budget = base.agg(expr("(sum(avail) * 3) div 2").as("budget"))
+    var st = base.crossJoin(broadcast(budget))
+      .withColumn("alloc", lit(null).cast("long"))
+    for (_ <- 1 to WF_ROUNDS) {
+      val scal = st.agg(
+        sum(when(col("alloc").isNull, col("w"))).as("w_rem"),
+        (first(col("budget")) - coalesce(sum("alloc"), lit(0L))).as("r_rem"))
+      st = st.crossJoin(broadcast(scal))
+        .withColumn("alloc",
+          when(col("alloc").isNotNull, col("alloc"))
+            .when(expr("(r_rem * w) div w_rem") >= col("cap"), col("cap")))
+        .drop("w_rem", "r_rem")
+    }
+    val fin = st.agg(
+      sum(when(col("alloc").isNull, col("w"))).as("w_rem"),
+      (first(col("budget")) - coalesce(sum("alloc"), lit(0L))).as("r_rem"))
+    st.crossJoin(broadcast(fin))
+      .withColumn("alloc",
+        coalesce(col("alloc"), least(col("cap"),
+          expr("(r_rem * w) div w_rem"))))
+      .select(col("source"), col("avail"), col("w").as("w_micro"),
+        col("cap"), col("alloc"),
+        (col("alloc") === col("cap")).as("capped"),
+        expr("(alloc * 1000000) div avail").as("epochs_micro"))
+  }
+
+  val q311Sql: String = {
+    def roundSql(k: Int, prev: String): String =
+      s"""r${k}s AS (
+        |  SELECT sum(CASE WHEN alloc IS NULL THEN w END) AS w_rem,
+        |    (SELECT budget FROM b) - coalesce(sum(alloc), 0) AS r_rem
+        |  FROM $prev),
+        |s$k AS (
+        |  SELECT p.source, p.avail, p.w, p.cap,
+        |    CASE WHEN p.alloc IS NOT NULL THEN p.alloc
+        |         WHEN (r.r_rem * p.w) // r.w_rem >= p.cap THEN p.cap
+        |    END AS alloc
+        |  FROM $prev p, r${k}s r)""".stripMargin
+    val rounds = (1 to WF_ROUNDS).map(k =>
+      roundSql(k, if (k == 1) "s0" else s"s${k - 1}")).mkString(",\n")
+    s"""WITH tok AS (
+      |  SELECT source,
+      |    CAST(sum(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |                             x -> x != ''))) AS BIGINT) AS avail
+      |  FROM documents GROUP BY 1),
+      |base AS (
+      |  SELECT source, avail,
+      |    CAST(floor(sqrt(avail) * 1e6 + 0.5) AS BIGINT) AS w,
+      |    (avail * 3) // 2 AS cap
+      |  FROM tok),
+      |b AS (SELECT (sum(avail) * 3) // 2 AS budget FROM base),
+      |s0 AS (SELECT base.*, CAST(NULL AS BIGINT) AS alloc FROM base),
+      |$rounds,
+      |fin AS (
+      |  SELECT sum(CASE WHEN alloc IS NULL THEN w END) AS w_rem,
+      |    (SELECT budget FROM b) - coalesce(sum(alloc), 0) AS r_rem
+      |  FROM s$WF_ROUNDS)
+      |SELECT s.source, s.avail, s.w AS w_micro, s.cap,
+      |  CAST(coalesce(s.alloc, least(s.cap, (f.r_rem * s.w) // f.w_rem))
+      |    AS BIGINT) AS alloc,
+      |  coalesce(s.alloc, least(s.cap, (f.r_rem * s.w) // f.w_rem)) = s.cap
+      |    AS capped,
+      |  CAST((coalesce(s.alloc, least(s.cap, (f.r_rem * s.w) // f.w_rem))
+      |    * 1000000) // s.avail AS BIGINT) AS epochs_micro
+      |FROM s$WF_ROUNDS s, fin f
+      |ORDER BY s.source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q311_mixture_waterfill" ->
+      Gate.sorted(q311MixtureWaterfill _, "source"),
     "q298_target_encode" -> Gate.sorted(q298TargetEncode _, "event_id"),
     "q235_purged_split" -> Gate.sorted(q235PurgedSplit _, "split"),
     "q227_source_kl" -> Gate.sorted(q227SourceKl _, "source"),
@@ -1392,6 +1493,7 @@ object TrainPrep {
     "q81_quality_rules" -> Gate.sorted(q81QualityRules _, "doc_id"))
 
   val oracles: Map[String, String] = Map(
+    "q311_mixture_waterfill" -> q311Sql,
     "q298_target_encode" -> q298Sql,
     "q235_purged_split" -> q235Sql,
     "q227_source_kl" -> q227Sql,

@@ -63,6 +63,79 @@ class Batch20Spec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("q312 equals a java.time recompute (independent calendar impl)") {
+    import java.time.LocalDate
+    import java.time.temporal.{IsoFields, WeekFields}
+    val got = graft.queries.SqlSurface.q312CalendarArith(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3), r.getString(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val want = Tables(spark, sfDir).orders
+      .filter(col("o_orderkey") % 41 === 0)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .collect().map { r =>
+        val d = LocalDate.parse(r.getString(1))
+        r.getLong(0) -> ((
+          d.plusMonths(1).toString, d.plusMonths(13).toString,
+          d.`with`(java.time.DayOfWeek.MONDAY).toString,
+          d.withDayOfMonth(1).withMonth((d.getMonthValue - 1) / 3 * 3 + 1)
+            .toString,
+          d.get(WeekFields.ISO.weekOfWeekBasedYear).toLong,
+          d.lengthOfMonth.toLong,
+          java.time.temporal.ChronoUnit.DAYS.between(
+            d, LocalDate.of(2000, 1, 1))))
+      }.toMap
+    assert(got === want)
+  }
+
+  test("q311 equals a driver-side water-filling recompute") {
+    import graft.queries.TrainPrep.WF_ROUNDS
+    val got = graft.queries.TrainPrep.q311MixtureWaterfill(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5), r.getLong(6)))).toMap
+    val avail = Tables(spark, sfDir).documents
+      .select(col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    val w = avail.map { case (s, a) =>
+      s -> math.floor(math.sqrt(a.toDouble) * 1e6 + 0.5).toLong }
+    val cap = avail.map { case (s, a) => s -> a * 3 / 2 }
+    val budget = avail.values.sum * 3 / 2
+    var alloc = Map.empty[String, Long]
+    for (_ <- 1 to WF_ROUNDS) {
+      val wRem = w.collect { case (s, v) if !alloc.contains(s) => v }.sum
+      val rRem = budget - alloc.values.sum
+      val newly = avail.keys.filterNot(alloc.contains)
+        .filter(s => rRem * w(s) / wRem >= cap(s))
+      alloc = alloc ++ newly.map(s => s -> cap(s))
+    }
+    val wRem = w.collect { case (s, v) if !alloc.contains(s) => v }.sum
+    val rRem = budget - alloc.values.sum
+    val want = avail.map { case (s, a) =>
+      val al = alloc.getOrElse(s, math.min(cap(s), rRem * w(s) / wRem))
+      s -> ((a, w(s), cap(s), al, al == cap(s), al * 1000000L / a))
+    }
+    assert(got === want)
+    // the allocation must respect the budget and every cap
+    assert(want.values.map(_._4).sum <= budget)
+    assert(want.forall { case (s, v) => v._4 <= cap(s) })
+  }
+
+  test("q310 exact side equals q89 and every sketch lands in-bound") {
+    val got = graft.queries.EventAnalytics.q310SlidingHll(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    val exact = graft.queries.EventAnalytics.q89RollingDistinct(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.view.mapValues(_._1).toMap === exact)
+    // lgK=12 (~1.6% SE) on daily-scale sets: every estimate must sit
+    // inside the 3-SE bound the gate reports
+    assert(got.values.forall(_._2), "an HLL estimate left its 3-SE bound")
+  }
+
   test("q308 equals a driver-side greedy MMR recompute") {
     import graft.queries.EmbeddingOps.{MMR_CAND, MMR_K, MMR_LAMBDA, MMR_DIVW, NUM_QUERIES}
     val lam = MMR_LAMBDA.toDouble

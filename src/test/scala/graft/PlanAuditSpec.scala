@@ -520,4 +520,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-maxcut must be TakeOrdered:\n$p")
   }
+
+  test("q298: category stats broadcast back; encode is scan-stage") {
+    val p = executedPlan(graft.queries.TrainPrep.q298TargetEncode(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"category stats must broadcast, not shuffle the fact:\n$p")
+    assert(p.contains("partial_"), "stats aggregate must map-side combine")
+  }
+
+  test("q304: the complaint exclusion is a broadcast anti-join") {
+    val p = plan(graft.queries.TpchShapes.q304SupplierPartTypes(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") &&
+      p.toLowerCase.contains("leftanti"),
+      s"exclusion list must anti-join as a broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q306: one exchange (the session key), no window operator") {
+    val df = graft.queries.TemporalOps.q306Debounce(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Window"),
+      "debounce must fold per key, not window-scan")
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    assert(exchanges <= 1, s"expected a single shuffle, plan:\n$p")
+  }
+
+  test("q307: single pruned scan feeding a TakeOrdered") {
+    val p = plan(graft.queries.Retrieval.q307ConjunctiveSearch(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, not a global sort:\n$p")
+    assert(!p.contains("n_chars") && !p.contains("lang"),
+      "scan must prune to (doc_id, text)")
+    assert(!p.contains("Generate"),
+      "positions must be in-row lambdas, not posexplode")
+  }
+
+  test("q308: candidate cut bounded; no cartesian anywhere") {
+    val p = plan(graft.queries.EmbeddingOps.q308MmrRerank(spark, sfDir))
+    assert(!p.contains("CartesianProduct"),
+      s"MMR joins must stay keyed/broadcast:\n$p")
+  }
+
+  test("q310: window estimates come from sketch unions, not the log") {
+    val p = executedPlan(
+      graft.queries.EventAnalytics.q310SlidingHll(spark, sfDir))
+    assert(p.toLowerCase.contains("hll"),
+      "expected HLL sketch aggregates in the plan")
+  }
 }
