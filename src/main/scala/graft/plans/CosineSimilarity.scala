@@ -81,8 +81,9 @@ object CosineSimilarity {
   * SQL surface: cosine_similarity(a, b), poly_hash(text),
   * shingle_hash_set(text, n), simhash_fingerprint(text, n, bits),
   * minhash_signature(text, n, k), repetition_stats(text),
-  * normalize_nfc(text), winnow_fingerprint(text, k, w) — the int
-  * parameters must be literals (they size driver-materialized state).
+  * normalize_nfc(text), winnow_fingerprint(text, k, w),
+  * sorted_intersect_ge(a, b, t) — the int parameters must be literals
+  * (they size driver-materialized state).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -113,6 +114,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashSignature(c(0), intLit(c(1), "shingle size"), intLit(c(2), "num hashes"))
     }
     reg("repetition_stats", classOf[RepetitionStats])(c => RepetitionStats(c.head))
+    reg("sorted_intersect_ge", classOf[SortedIntersectGe]) { c =>
+      SortedIntersectGe(c(0), c(1), c(2))
+    }
     reg("normalize_nfc", classOf[NormalizeNfc])(c => NormalizeNfc(c.head))
     reg("winnow_fingerprint", classOf[WinnowFingerprint]) { c =>
       WinnowFingerprint(c(0), intLit(c(1), "k-gram size"), intLit(c(2), "window"))

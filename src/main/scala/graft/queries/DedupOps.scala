@@ -728,23 +728,26 @@ object DedupOps {
     *      always passes the bound.
     *   2. Candidates dedup to (doc_a, doc_b) BEFORE verification —
     *      16-byte rows through one shuffle (27.5M -> 6.3M pairs).
-    *   3. SPARSE-BITMAP verification: each doc's set is a MAP of
-    *      word-index -> 64-bit word (O(n_sh) entries), built in-row
-    *      from the sorted ids; the per-doc bitmap table broadcasts,
-    *      and exact intersection is a popcount fold over
-    *      map_zip_with's key union in one codegen stage — no posting
-    *      join, no per-pair explode. Round 7 replaced the original
-    *      DENSE V/64-word arrays after the sf1 scaling run measured
-    *      them 20x on 10x data: dense bitmaps size every doc by the
-    *      GLOBAL vocabulary, which grows with the corpus, so both the
-    *      build (V/64 aggregate columns x docs) and the verify
-    *      (V/64-word ANDs x pairs) were quadratic in corpus size. The
-    *      sparse form is corpus-independent per doc/pair.
+    *   3. CODEGEN'D TWO-POINTER verification with early abort
+    *      ([[graft.plans.SortedIntersectGe]]): the per-doc SORTED id
+    *      lists broadcast, and each candidate pays one fused-loop
+    *      merge that exits the moment the remaining elements cannot
+    *      reach t. Corpus-independent per pair (O(n_sh)), zero
+    *      allocation, and junk candidates (6.27M candidates hold 256
+    *      true pairs here) abort at the overlap deficit.
     *
-    * Measured at sf0.1: 257 s (explode-join-groupBy) -> ~12 s (dense
-    * bitmaps) -> ~5 s attributable, with the sparse form holding the
-    * 10x-data ratio near-linear where dense measured 20x (see SURVEY
-    * §8j scaling table and the two asymmetric-prefix notes above).
+    * The verify representation took three rounds to get right, each
+    * step measured: explode-join-groupBy (257 s at sf0.1) -> dense
+    * V/64-word bitmaps (~5 s at sf0.1 but 20x on 10x data — the
+    * GLOBAL vocabulary sizes every doc's bitmap, so build and verify
+    * were both quadratic in corpus size) -> sparse word-index->word
+    * MAPS (fixed the vocab-quadratic build, but the map_zip_with +
+    * aggregate HOF verify is interpreted and allocates per pair:
+    * ~90 us core per candidate, and sf1 stayed at 172 s vs dense's
+    * 150 s — the per-pair constant, not the asymptotics, dominated) ->
+    * this expression (see SURVEY §8j for the three isolated sf1
+    * measurements). The probe decomposition that attributed 94% of
+    * sf1 wall time to the verify join is ProbeQ168 in the test tree.
     */
   def q168PrefixJoin(spark: SparkSession, dir: String): DataFrame = {
     val (out, cleanup) = q168Plan(spark, dir)
@@ -768,25 +771,18 @@ object DedupOps {
       .withColumn("id",
         row_number().over(Window.orderBy("df", "sh")).cast("long") - 1)
       .select("sh", "id").persist()
-    // SPARSE per-doc bitmap: word-index -> 64-bit word as a MAP,
-    // built in-row from the sorted id list. Round 7 scale fix: the
-    // previous DENSE form (V/64 flat long columns per doc) sized
-    // every doc's bitmap — and the whole build+verify — by the GLOBAL
-    // vocabulary, which grows with the corpus: measured 20x runtime
-    // on 10x data at sf1. The sparse map is O(n_sh) entries per doc
-    // regardless of |vocab| (build O(n_sh^2/64) in-row ops — corpus-
-    // independent), and verification intersects two ~n_sh/64-entry
-    // maps instead of two V/64-word arrays.
-    val bmExpr = expr(
-      "map_from_entries(transform(array_distinct(" +
-        "transform(ids, i -> i div 64)), w -> struct(w, " +
-        "aggregate(filter(ids, i -> i div 64 = w), 0L, " +
-        "(acc, i) -> acc | shiftleft(1L, cast(i % 64 AS int))))))")
+    // per-doc SORTED id list — the prefix source AND (since round 7)
+    // the verify representation: SortedIntersectGe merges two sorted
+    // lists directly, so no derived bitmap/map structure is built at
+    // all (the round's sf1 probe showed the verify REPRESENTATION, not
+    // the candidate asymptotics, dominating: interpreted map-HOF
+    // intersection cost ~90 us core per candidate; the codegen'd
+    // two-pointer merge with early abort is ~100x cheaper per pair)
     val docs = e.join(broadcast(dict), "sh")
       .groupBy("doc_id")
       .agg(sort_array(collect_list("id")).as("ids"))
       .select(col("doc_id"), size(col("ids")).cast("long").as("n_sh"),
-        col("ids"), bmExpr.as("bm"))
+        col("ids"))
       .persist()
     // ASYMMETRIC prefixes (PPJoin's index-prefix refinement, round 7):
     // orient each pair by LENGTH — the SHORTER record plays the
@@ -830,20 +826,23 @@ object DedupOps {
       .select(least(col("pa.doc_id"), col("pb.doc_id")).as("doc_a"),
         greatest(col("pa.doc_id"), col("pb.doc_id")).as("doc_b"))
       .distinct()
-    val bm = docs.select(col("doc_id"), col("n_sh"), col("bm"))
-    def side(tag: String) = bm.toDF(s"doc_${tag}1", s"n_${tag}1", s"${tag}bm")
-    // exact intersection = popcount over the key-union of the two
-    // sparse maps (missing word -> 0); cost O(n_sh/64), vocab-free
-    val interExpr = expr(
-      "aggregate(map_values(map_zip_with(abm, bbm, " +
-        "(k, x, y) -> bit_count(coalesce(x, 0L) & coalesce(y, 0L)))), " +
-        "0L, (acc, v) -> acc + cast(v AS bigint))")
+    def side(tag: String) = docs.toDF(s"doc_${tag}1", s"n_${tag}1", s"${tag}ids")
+    // exact thresholded verify: J >= tau  <=>  n_inter >= t with
+    // t = ceil(tau/(1+tau)*(na+nb)) (same algebra as the emission
+    // bound); SortedIntersectGe returns the exact count when it
+    // reaches t and -1 otherwise, aborting early on junk pairs.
+    // Broadcast holds to executor memory here (|docs| * n_sh longs);
+    // at true 100 TB the same plan hash-joins by letting AQE pick —
+    // candidates and id lists co-partition on the doc key.
+    val thr = ((col("n_a1") + col("n_b1")) * PFX_TAU_NUM +
+      (PFX_TAU_NUM + PFX_TAU_DEN) - 1)
+      .divide(PFX_TAU_NUM + PFX_TAU_DEN).cast("long")
     val out = cand
       .join(broadcast(side("a")), col("doc_a") === col("doc_a1"))
       .join(broadcast(side("b")), col("doc_b") === col("doc_b1"))
-      .withColumn("n_inter", interExpr)
-      .filter(col("n_inter") * PFX_TAU_DEN >=
-        (col("n_a1") + col("n_b1") - col("n_inter")) * PFX_TAU_NUM)
+      .withColumn("n_inter",
+        graft.plans.SortedIntersectGe(col("aids"), col("bids"), thr))
+      .filter(col("n_inter") >= 0L)
       .select(col("doc_a"), col("doc_b"), col("n_inter"),
         floor(col("n_inter") * lit(1e6) /
           (col("n_a1") + col("n_b1") - col("n_inter")) + lit(0.5))

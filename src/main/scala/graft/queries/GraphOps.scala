@@ -464,7 +464,65 @@ object GraphOps {
       |ORDER BY p_partkey""".stripMargin
   }
 
+  /** q316: LOCAL CLUSTERING COEFFICIENT per node — the per-node
+    * cohesion metric c(v) = 2·T(v) / (d(v)·(d(v)−1)) that q117's
+    * triangle counts exist to feed (community tightness, spam/bot
+    * neighborhoods look like low-c hubs). Composition of two library
+    * operators: q117's degree-oriented triangle corners (O(|E|^1.5)
+    * wedge bound) LEFT-joined onto the degree table, so nodes in zero
+    * triangles keep c=0 instead of vanishing. The coefficient is
+    * reported in integer micro units via pure BIGINT rounding
+    * ((4·T·10⁶ + q) div (2·q), q = d(d−1)) — no float division whose
+    * last ulp could differ between engines. Degree-1 nodes (c
+    * undefined) report 0 by the d≥2 guard.
+    */
+  def q316ClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val tri = q117TriangleCount(spark, dir)
+    val edges = coPurchaseEdges(spark, dir)
+    val deg = edges.select(col("u").as("n"))
+      .union(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    deg.join(tri, col("n") === col("p_partkey"), "left")
+      .select(col("n").as("p_partkey"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("d") >= 2,
+          expr("(4 * coalesce(n_triangles, 0) * 1000000 + d * (d - 1))" +
+            " div (2 * d * (d - 1))"))
+          .otherwise(lit(0L)).as("coeff_micro"))
+  }
+
+  val q316Sql: String =
+    s"""WITH e AS (
+      |  SELECT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= $TRIANGLE_MIN_SUPPORT),
+      |t AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1
+      |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+      |pn AS (
+      |  SELECT x AS node FROM t
+      |  UNION ALL SELECT y FROM t
+      |  UNION ALL SELECT z FROM t),
+      |tri AS (SELECT node, count(*) AS nt FROM pn GROUP BY 1),
+      |deg AS (
+      |  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+      |    SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+      |  GROUP BY 1)
+      |SELECT deg.n AS p_partkey, deg.d AS degree,
+      |  CAST(coalesce(tri.nt, 0) AS BIGINT) AS n_triangles,
+      |  CAST(CASE WHEN deg.d >= 2 THEN
+      |    (4 * coalesce(tri.nt, 0) * 1000000 + deg.d * (deg.d - 1))
+      |      // (2 * deg.d * (deg.d - 1))
+      |    ELSE 0 END AS BIGINT) AS coeff_micro
+      |FROM deg LEFT JOIN tri ON tri.node = deg.n
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q316_clustering_coeff" -> Gate.sorted(q316ClusteringCoeff _, "p_partkey"),
     "q281_label_prop" -> Gate.sorted(q281LabelProp _, "p_partkey"),
     "q275_link_predict" -> Gate.sorted(q275LinkPredict _, "x", "y"),
     "q117_triangle_count" -> Gate.sorted(q117TriangleCount _, "p_partkey"),
@@ -473,6 +531,7 @@ object GraphOps {
     "q271_bfs_hops" -> Gate.sorted(q271BfsHops _, "p_partkey"))
 
   val oracles: Map[String, String] = Map(
+    "q316_clustering_coeff" -> q316Sql,
     "q281_label_prop" -> q281Sql,
     "q275_link_predict" -> q275Sql,
     "q117_triangle_count" -> q117Sql,

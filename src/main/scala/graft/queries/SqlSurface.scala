@@ -418,6 +418,78 @@ object SqlSurface {
       |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** q315: ARRAY SET-ALGEBRA SURFACE PARITY — array_intersect /
+    * array_except / array_union / arrays_overlap / array_min /
+    * array_position over per-customer part SETS from two halves of
+    * 1997 (H1 vs H2 baskets — the "what changed in the basket"
+    * shape). The gate pins engine-neutral SET-ALGEBRA IDENTITIES
+    * rather than element order (array_intersect's output order is
+    * implementation-defined in both engines): |A∩B| and |A\B| and
+    * |A∪B| must satisfy inclusion-exclusion against |A|,|B| — DuckDB
+    * computes the identity side (n_a − n_inter, n_a + n_b − n_inter)
+    * while Spark evaluates the actual functions, so a Spark function
+    * that deviated from set semantics (duplicates, dropped elements)
+    * would break the hash. first_common / its position are made
+    * order-free by pinning min-of-intersection and position-in-sorted.
+    *
+    * Scale shape: ONE groupBy on custkey builds both halves' sets via
+    * conditional collect_set (no self-join, no second scan); set sizes
+    * are bounded by per-customer basket breadth, never corpus-wide.
+    */
+  def q315ArraySurface(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .join(t.orders.filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            (month(col("o_orderdate")) <= 6).as("h1")),
+        col("l_orderkey") === col("o_orderkey"))
+    li.groupBy(col("o_custkey").as("c_custkey"))
+      .agg(
+        array_sort(collect_set(when(col("h1"), col("l_partkey")))).as("a"),
+        array_sort(collect_set(when(!col("h1"), col("l_partkey")))).as("b"))
+      .filter(size(col("a")) > 0 && size(col("b")) > 0)
+      .withColumn("fc", array_min(array_intersect(col("a"), col("b"))))
+      .select(col("c_custkey"),
+        size(col("a")).cast("long").as("n_a"),
+        size(col("b")).cast("long").as("n_b"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("n_inter"),
+        size(array_except(col("a"), col("b"))).cast("long").as("n_except"),
+        size(array_union(col("a"), col("b"))).cast("long").as("n_union"),
+        arrays_overlap(col("a"), col("b")).as("overlap"),
+        coalesce(col("fc"), lit(-1L)).as("first_common"),
+        coalesce(expr("array_position(a, fc)"), lit(0L)).cast("long")
+          .as("pos_first"))
+  }
+
+  val q315Sql: String =
+    """WITH sets AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    list_sort(list(DISTINCT l_partkey)
+      |      FILTER (WHERE month(o_orderdate) <= 6)) AS a,
+      |    list_sort(list(DISTINCT l_partkey)
+      |      FILTER (WHERE month(o_orderdate) > 6)) AS b
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderdate >= DATE '1997-01-01'
+      |    AND o_orderdate < DATE '1998-01-01'
+      |  GROUP BY 1),
+      |m AS (
+      |  SELECT c_custkey, a, b,
+      |    CAST(len(a) AS BIGINT) AS n_a, CAST(len(b) AS BIGINT) AS n_b,
+      |    CAST(len(list_intersect(a, b)) AS BIGINT) AS n_inter,
+      |    list_min(list_intersect(a, b)) AS fc
+      |  FROM sets WHERE len(a) > 0 AND len(b) > 0)
+      |SELECT c_custkey, n_a, n_b, n_inter,
+      |  n_a - n_inter AS n_except,
+      |  n_a + n_b - n_inter AS n_union,
+      |  n_inter > 0 AS overlap,
+      |  coalesce(fc, -1) AS first_common,
+      |  CASE WHEN fc IS NULL THEN CAST(0 AS BIGINT)
+      |       ELSE CAST(len(list_filter(a, x -> x < fc)) + 1 AS BIGINT)
+      |  END AS pos_first
+      |FROM m
+      |ORDER BY c_custkey""".stripMargin
+
   /** q267: DATE/TIME SURFACE PARITY — the calendar field extractors a
     * reporting layer lives on (year/quarter/month/day/doy/dow/epoch
     * day/last-day-of-month), gated on a deterministic order sample.
@@ -617,6 +689,7 @@ object SqlSurface {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q305_map_surface" -> Gate.sorted(q305MapSurface _, "event_type", "wd"),
     "q312_calendar_arith" -> Gate.sorted(q312CalendarArith _, "o_orderkey"),
+    "q315_array_surface" -> Gate.sorted(q315ArraySurface _, "c_custkey"),
     "q269_string_surface" -> Gate.sorted(q269StringSurface _, "p_partkey"),
     "q270_regex_surface" -> Gate.sorted(q270RegexSurface _, "doc_id"),
     "q267_date_surface" -> Gate.sorted(q267DateSurface _, "o_orderkey"),
@@ -636,6 +709,7 @@ object SqlSurface {
   val oracles: Map[String, String] = Map(
     "q305_map_surface" -> q305Sql,
     "q312_calendar_arith" -> q312Sql,
+    "q315_array_surface" -> q315Sql,
     "q269_string_surface" -> q269Sql,
     "q270_regex_surface" -> q270Sql,
     "q267_date_surface" -> q267Sql,

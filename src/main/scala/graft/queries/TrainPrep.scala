@@ -85,6 +85,52 @@ object TrainPrep {
       |FROM pref GROUP BY shard, pack_id
       |ORDER BY shard, pack_id""".stripMargin
 
+  /** q314: FILL-IN-THE-MIDDLE (FIM) TRANSFORM — the code-model
+    * training-data op (public FIM recipe: split each document into
+    * prefix/middle/suffix, emit the re-ordered
+    * `<PRE>prefix<SUF>suffix<MID>middle` string so the model learns to
+    * infill). Splits here are the deterministic character thirds
+    * (p1 = ⌊n/3⌋, p2 = ⌊2n/3⌋ — integer `div` in both engines, so no
+    * float boundary); production would randomize offsets per epoch,
+    * which only changes the two literals. Pure per-row string work —
+    * zero shuffles, whole-stage codegen end to end; the gate carries
+    * segment lengths and the md5 of the transformed string rather than
+    * the transformed text itself (the q47 scrub convention: hashes
+    * travel, megabyte strings don't).
+    */
+  def q314FimSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("n"))
+      .withColumn("p1", expr("n div 3"))
+      .withColumn("p2", expr("(2 * n) div 3"))
+      .select(col("doc_id"),
+        col("p1").as("n_pre"),
+        (col("p2") - col("p1")).as("n_mid"),
+        (col("n") - col("p2")).as("n_suf"),
+        md5(concat(lit("<PRE>"),
+          col("text").substr(lit(1), col("p1")),
+          lit("<SUF>"),
+          col("text").substr(col("p2") + 1, col("n") - col("p2")),
+          lit("<MID>"),
+          col("text").substr(col("p1") + 1, col("p2") - col("p1"))))
+          .as("fim_hash"))
+
+  val q314Sql: String =
+    """WITH cut AS (
+      |  SELECT doc_id, text, length(text) AS n,
+      |    length(text) // 3 AS p1, (2 * length(text)) // 3 AS p2
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(p1 AS BIGINT) AS n_pre,
+      |  CAST(p2 - p1 AS BIGINT) AS n_mid,
+      |  CAST(n - p2 AS BIGINT) AS n_suf,
+      |  md5(concat('<PRE>', substr(text, 1, p1),
+      |             '<SUF>', substr(text, p2 + 1, n - p2),
+      |             '<MID>', substr(text, p1 + 1, p2 - p1))) AS fim_hash
+      |FROM cut
+      |ORDER BY doc_id""".stripMargin
+
   /** q47: one-pass PII/canary scrub — per-rule match counts plus the
     * md5 and length of the fully redacted text. Patterns stay in the
     * Java-regex/RE2 common subset so the oracle runs them verbatim.
@@ -1462,6 +1508,7 @@ object TrainPrep {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q314_fim_split" -> Gate.sorted(q314FimSplit _, "doc_id"),
     "q311_mixture_waterfill" ->
       Gate.sorted(q311MixtureWaterfill _, "source"),
     "q298_target_encode" -> Gate.sorted(q298TargetEncode _, "event_id"),
@@ -1493,6 +1540,7 @@ object TrainPrep {
     "q81_quality_rules" -> Gate.sorted(q81QualityRules _, "doc_id"))
 
   val oracles: Map[String, String] = Map(
+    "q314_fim_split" -> q314Sql,
     "q311_mixture_waterfill" -> q311Sql,
     "q298_target_encode" -> q298Sql,
     "q235_purged_split" -> q235Sql,

@@ -225,6 +225,119 @@ object VectorOps {
       |FROM lab l JOIN sz s USING (cluster_id)
       |ORDER BY l.vec_id""".stripMargin
 
+  /** q313 target per-cell population: cells are sized so the expected
+    * cell holds ~this many vectors regardless of corpus size.
+    */
+  val SEM_TARGET_POP = 64L
+
+  /** q313: SIZED SEMANTIC DEDUP — q63 with the quantizer sized to the
+    * corpus instead of fixed. The sf0.1→sf1 scaling run measured the
+    * fixed-cell q63 at 18× on 10× data (SURVEY §8j): with CELLS
+    * constant, per-cell population grows ∝N and the within-cell verify
+    * grows ∝N². The production rule is to grow the cell count with the
+    * corpus so per-cell population stays ~constant; then within-cell
+    * pairs are N×POP/2 — LINEAR in N. Here cells = the smallest power
+    * of two with cells × [[SEM_TARGET_POP]] ≥ N, computed integer-exact
+    * in both engines (a min over a 31-row powers-of-two relation joined
+    * to the broadcast 1-row count — no float log2 whose boundary could
+    * drift between engines). Everything downstream (argmax-cosine
+    * assignment, within-cell verify, connected components, canonical
+    * survivor) is the q63 contract under the sized quantizer.
+    */
+  def q313SizedSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val n = emb.agg(count(lit(1)).as("n"))
+    val cellsDf = spark.range(0, 31)
+      .select(expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").as("p"))
+      .crossJoin(broadcast(n))
+      .filter(col("p") * SEM_TARGET_POP >= col("n"))
+      .agg(min(col("p")).as("n_cells"))
+    val cents = emb.crossJoin(broadcast(cellsDf))
+      .filter(col("vec_id") < col("n_cells"))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    // same pinning rationale as q63's assignCells: the pair self-join
+    // reads the assignment twice
+    val assigned = emb.join(broadcast(cents))
+      .withColumn("sim_c", cosine(col("c_emb"), col("embedding")))
+      .groupBy("vec_id")
+      .agg(
+        max(struct(col("sim_c"), (-col("cent_id")).as("neg_cent"))).as("best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), (-col("best.neg_cent")).cast("long").as("cell"),
+        col("embedding"))
+      .localCheckpoint(true)
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("sim") >= SEM_MIN_SIM)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val comp = graft.operators.ConnectedComponents
+      .components(pairs, "vec_a", "vec_b")
+      .withColumnRenamed("node", "vec_id")
+    val labeled = emb.select("vec_id")
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("cluster_id"))
+    val sizes = labeled.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        (col("vec_id") === col("cluster_id")).as("keep"))
+  }
+
+  val q313Sql: String =
+    s"""WITH RECURSIVE nc AS (
+      |  SELECT min(p) AS n_cells
+      |  FROM (SELECT (CAST(1 AS BIGINT) << g) AS p
+      |        FROM generate_series(0, 30) t(g)) pw,
+      |       (SELECT count(*) AS n FROM embeddings) cnt
+      |  WHERE p * $SEM_TARGET_POP >= cnt.n),
+      |cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings, nc
+      |  WHERE vec_id < nc.n_cells),
+      |scored_cells AS (
+      |  SELECT e.vec_id, c.cent_id,
+      |    list_sum(list_transform(generate_series(1, len(e.embedding)),
+      |      i -> CAST(c.c_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(c.c_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim_c
+      |  FROM embeddings e CROSS JOIN cents c),
+      |assigned AS (
+      |  SELECT vec_id, cent_id AS cell FROM (
+      |    SELECT vec_id, cent_id,
+      |      row_number() OVER (PARTITION BY vec_id
+      |                         ORDER BY sim_c DESC, cent_id ASC) AS rn
+      |    FROM scored_cells) WHERE rn = 1),
+      |pairs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM assigned a
+      |  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+      |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+      |  WHERE ${cosSql("ea", "eb")} >= $SEM_MIN_SIM),
+      |edges AS (
+      |  SELECT vec_a AS a, vec_b AS b FROM pairs
+      |  UNION
+      |  SELECT vec_b AS a, vec_a AS b FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (
+      |  SELECT a AS vec_id, min(b) AS min_reach FROM reach GROUP BY a),
+      |lab AS (
+      |  SELECT v.vec_id,
+      |    CASE WHEN c.min_reach IS NULL THEN v.vec_id
+      |         ELSE least(v.vec_id, c.min_reach) END AS cluster_id
+      |  FROM embeddings v LEFT JOIN comp c ON c.vec_id = v.vec_id),
+      |sz AS (
+      |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      |  FROM lab GROUP BY cluster_id)
+      |SELECT l.vec_id, l.cluster_id, s.cluster_size,
+      |  l.vec_id = l.cluster_id AS keep
+      |FROM lab l JOIN sz s USING (cluster_id)
+      |ORDER BY l.vec_id""".stripMargin
+
   /** q69: one k-means refinement step for the IVF coarse quantizer —
     * how the q41/q63 seed centroids become real centroids in
     * production: assign every vector to its argmax-cosine cell (the
@@ -906,6 +1019,7 @@ object VectorOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q313_sized_semdedup" -> Gate.sorted(q313SizedSemdedup _, "vec_id"),
     "q303_recall_curve" -> Gate.sorted(q303RecallCurve _, "k"),
     "q294_ndcg_eval" -> Gate.sorted(q294NdcgEval _, "query_id"),
     "q280_power_iteration" -> Gate.sorted(q280PowerIteration _, "dim"),
@@ -920,6 +1034,7 @@ object VectorOps {
     "q82_pq_ann" -> Gate.sorted(q82PqAnn _, "query_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q313_sized_semdedup" -> q313Sql,
     "q303_recall_curve" -> q303Sql,
     "q294_ndcg_eval" -> q294Sql,
     "q280_power_iteration" -> q280Sql,

@@ -348,7 +348,7 @@ class PlanAuditSpec extends SparkSpec {
       "expected the engine's native session-window aggregation")
   }
 
-  test("q168: prefix join verifies via broadcast bitmaps, no posting join") {
+  test("q168: prefix join verifies via broadcast id lists, no posting join") {
     val (df, cleanup) = graft.queries.DedupOps.q168Plan(spark, sfDir)
     try {
       val p = executedPlan(df)
