@@ -764,13 +764,17 @@ object DedupOps {
     val e = Tables(spark, dir).documents
       .select(col("doc_id"),
         explode(graft.plans.ShingleHashSet(col("text"), SHINGLE_N)).as("sh"))
-    // dense rarest-first dictionary: id order == (df, sh) order. The
-    // window is a single partition over |vocab| rows — scan metadata,
-    // not data (2041 here; a broadcast table at any corpus scale).
-    val dict = e.groupBy("sh").agg(count(lit(1)).as("df"))
-      .withColumn("id",
-        row_number().over(Window.orderBy("df", "sh")).cast("long") - 1)
-      .select("sh", "id").persist()
+    // dense rarest-first dictionary: id order == (df, sh) order.
+    // The vocabulary GROWS with the corpus (20k at sf1, 10^8+ at
+    // 100 TB), so the global numbering goes through GlobalRank's
+    // distributed range-partitioned rank, not a one-task
+    // Window.orderBy — the q42 lesson applied here. (The broadcast
+    // below is a hint that holds to executor memory; a 10^8-entry
+    // dictionary would hash-join instead, same plan otherwise.)
+    val dict = graft.operators.GlobalRank
+      .withRowNumber(e.groupBy("sh").agg(count(lit(1)).as("df")),
+        "rn", col("df"), col("sh"))
+      .select(col("sh"), (col("rn") - 1).as("id")).persist()
     // per-doc SORTED id list — the prefix source AND (since round 7)
     // the verify representation: SortedIntersectGe merges two sorted
     // lists directly, so no derived bitmap/map structure is built at

@@ -257,7 +257,65 @@ object ProfileOps {
       |  AND (c.cum_before + c.chars) * $PARETO_DEN >= t.total_chars * $PARETO_NUM
       |ORDER BY source""".stripMargin
 
+  /** q317 accuracy parameter: approx_percentile guarantees rank error
+    * ≤ n/ACC (plus ties), the contract the gate checks.
+    */
+  val APCT_ACC = 1000
+
+  /** q317: BUILT-IN-SKETCH EVAL — Spark's approx_percentile (the
+    * Greenwald–Khanna summary built into the engine) judged against
+    * the exact percentile, the q251/q260/q310 sketch-gate convention:
+    * exact values are the cross-engine contract, the sketch's quality
+    * travels as a BOUND FLAG (DuckDB has no GK sketch to replay, and
+    * hashing the approximate VALUE would pin an implementation, not a
+    * guarantee). The bound is checked in RANK space — a second exact
+    * pass joins the per-group approx values back (broadcast,
+    * |types|×2 rows) and counts strict/weak ranks, and the flag pins
+    * count(v < approx) ≤ (p+ε)·n AND count(v ≤ approx) ≥ (p−ε)·n with
+    * ε = 1/ACC — exactly the sketch's published guarantee, tie-proof.
+    * Two fact scans total; every rollup is |event_type|-bounded.
+    */
+  def q317ApproxPercentileEval(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events.select(col("event_type"), col("value"))
+    val agg = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        percentile(col("value"), lit(0.5)).as("p50"),
+        percentile(col("value"), lit(0.95)).as("p95"),
+        expr(s"approx_percentile(value, 0.5, $APCT_ACC)").as("a50"),
+        expr(s"approx_percentile(value, 0.95, $APCT_ACC)").as("a95"))
+    val ranks = ev.join(broadcast(agg.select(col("event_type"),
+        col("a50"), col("a95"))), "event_type")
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("value") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") < col("a95"), 1L).otherwise(0L)).as("lt95"),
+        sum(when(col("value") <= col("a95"), 1L).otherwise(0L)).as("le95"))
+    // the returned value's true-rank interval [lt+1, le] must
+    // intersect the guaranteed window (p ± eps)·n; the +1 slack is the
+    // rank of the returned element itself (rank arithmetic is
+    // half-open on one side — without it the test is off by one and
+    // flips on exact boundaries, observed at sf0.01)
+    def inBound(p: Double, lt: org.apache.spark.sql.Column,
+        le: org.apache.spark.sql.Column) =
+      (lt <= (lit(p) + lit(1.0 / APCT_ACC)) * col("n") + 1) &&
+        (le >= (lit(p) - lit(1.0 / APCT_ACC)) * col("n") - 1)
+    agg.join(ranks, "event_type")
+      .select(col("event_type"), col("n"), col("p50"), col("p95"),
+        inBound(0.5, col("lt50"), col("le50")).as("p50_in_bound"),
+        inBound(0.95, col("lt95"), col("le95")).as("p95_in_bound"))
+  }
+
+  val q317Sql: String =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  quantile_cont(value, 0.5) AS p50,
+      |  quantile_cont(value, 0.95) AS p95,
+      |  TRUE AS p50_in_bound, TRUE AS p95_in_bound
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q317_approx_pct_eval" ->
+      Gate.sorted(q317ApproxPercentileEval _, "event_type"),
     "q191_hourly_p95" -> Gate.sorted(q191HourlyP95 _, "hour", "event_type"),
     "q192_source_containment" ->
       Gate.sorted(q192SourceContainment _, "src_a", "src_b"),
@@ -267,6 +325,7 @@ object ProfileOps {
       Gate.sorted(q218ParetoConcentration _, "source"))
 
   val oracles: Map[String, String] = Map(
+    "q317_approx_pct_eval" -> q317Sql,
     "q191_hourly_p95" -> q191Sql,
     "q192_source_containment" -> q192Sql,
     "q193_fd_histogram" -> q193Sql,

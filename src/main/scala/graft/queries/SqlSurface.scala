@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-5 SQL-surface completeness: the grouping/set/spine operators a
@@ -490,6 +491,46 @@ object SqlSurface {
       |FROM m
       |ORDER BY c_custkey""".stripMargin
 
+  /** q319: RANGE-FRAME WINDOW SURFACE — value-based window frames,
+    * the calendar-trailing-total idiom q233's ROWS frames cannot
+    * express (a ROWS frame counts physical rows; a RANGE frame spans
+    * the ORDER-KEY interval, handling gaps AND same-day peer rows —
+    * every peer gets the identical frame total). Two frames per
+    * order: trailing 7 calendar days and leading 14, over an
+    * epoch-day BIGINT order key (integer RANGE offsets are exact and
+    * identical in both engines, sidestepping interval-literal frame
+    * dialects). Integer cents end-to-end; the window partitions on
+    * custkey — bounded per-customer work, never a global sort.
+    */
+  def q319RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("d"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+    val w = Window.partitionBy("o_custkey").orderBy("d")
+    o.select(col("o_orderkey"), col("o_custkey"), col("d"), col("cents"),
+      sum("cents").over(w.rangeBetween(-6, 0)).as("trail7_cents"),
+      sum("cents").over(w.rangeBetween(0, 13)).as("lead14_cents"),
+      count(lit(1)).over(w.rangeBetween(-6, 0)).as("trail7_n"))
+  }
+
+  val q319Sql: String =
+    """SELECT o_orderkey, o_custkey, d, cents,
+      |  CAST(sum(cents) OVER w7 AS BIGINT) AS trail7_cents,
+      |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY d
+      |    RANGE BETWEEN CURRENT ROW AND 13 FOLLOWING) AS BIGINT)
+      |    AS lead14_cents,
+      |  CAST(count(*) OVER w7 AS BIGINT) AS trail7_n
+      |FROM (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(date_diff('day', DATE '1995-01-01',
+      |      CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders)
+      |WINDOW w7 AS (PARTITION BY o_custkey ORDER BY d
+      |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** q267: DATE/TIME SURFACE PARITY — the calendar field extractors a
     * reporting layer lives on (year/quarter/month/day/doy/dow/epoch
     * day/last-day-of-month), gated on a deterministic order sample.
@@ -690,6 +731,7 @@ object SqlSurface {
     "q305_map_surface" -> Gate.sorted(q305MapSurface _, "event_type", "wd"),
     "q312_calendar_arith" -> Gate.sorted(q312CalendarArith _, "o_orderkey"),
     "q315_array_surface" -> Gate.sorted(q315ArraySurface _, "c_custkey"),
+    "q319_range_frame" -> Gate.sorted(q319RangeFrame _, "o_orderkey"),
     "q269_string_surface" -> Gate.sorted(q269StringSurface _, "p_partkey"),
     "q270_regex_surface" -> Gate.sorted(q270RegexSurface _, "doc_id"),
     "q267_date_surface" -> Gate.sorted(q267DateSurface _, "o_orderkey"),
@@ -710,6 +752,7 @@ object SqlSurface {
     "q305_map_surface" -> q305Sql,
     "q312_calendar_arith" -> q312Sql,
     "q315_array_surface" -> q315Sql,
+    "q319_range_frame" -> q319Sql,
     "q269_string_surface" -> q269Sql,
     "q270_regex_surface" -> q270Sql,
     "q267_date_surface" -> q267Sql,

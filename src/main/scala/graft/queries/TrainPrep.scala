@@ -85,6 +85,49 @@ object TrainPrep {
       |FROM pref GROUP BY shard, pack_id
       |ORDER BY shard, pack_id""".stripMargin
 
+  /** q318 sample size per source. */
+  val BOTTOMK_K = 5
+
+  /** q318: BOTTOM-K HASH SAMPLING — the mergeable uniform sample: per
+    * source, the K documents with the SMALLEST md5 of their salted id.
+    * Unlike rand()-based sampling this is deterministic (both engines
+    * compute the identical sample — the gate hashes actual members,
+    * not just counts), stable under re-runs and insertions (a doc's
+    * hash never changes, so samples are consistent across snapshots —
+    * the property distinct-count sketches and audit resamples rely
+    * on), and MERGEABLE: bottom-k of a union is the bottom-k of the
+    * parts' bottom-ks, so shard-level samples roll up without
+    * rescanning (how it runs at 100 TB). The cut itself uses the
+    * native TopKPerGroup physical operator (q79's — per-partition
+    * bounded heaps, one shuffle of K·|sources| survivors, no window
+    * over the fact table); the rank decoration afterwards windows over
+    * the ≤K-row result only.
+    */
+  def q318BottomkSample(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables(spark, dir).documents
+      .select(col("source"), col("doc_id"),
+        md5(concat(col("source"), lit(":"), col("doc_id").cast("string")))
+          .as("h"))
+    graft.operators.TopK.perGroup(hashed,
+        keys = Seq(col("source")),
+        order = Seq(col("h").asc, col("doc_id").asc),
+        k = BOTTOMK_K)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("h", "doc_id")).cast("long"))
+      .select(col("source"), col("rk"), col("doc_id"), col("h"))
+  }
+
+  val q318Sql: String =
+    s"""SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, h FROM (
+      |  SELECT source, doc_id,
+      |    md5(source || ':' || CAST(doc_id AS VARCHAR)) AS h,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)),
+      |               doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= $BOTTOMK_K
+      |ORDER BY source, rk""".stripMargin
+
   /** q314: FILL-IN-THE-MIDDLE (FIM) TRANSFORM — the code-model
     * training-data op (public FIM recipe: split each document into
     * prefix/middle/suffix, emit the re-ordered
@@ -1509,6 +1552,7 @@ object TrainPrep {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q314_fim_split" -> Gate.sorted(q314FimSplit _, "doc_id"),
+    "q318_bottomk_sample" -> Gate.sorted(q318BottomkSample _, "source", "rk"),
     "q311_mixture_waterfill" ->
       Gate.sorted(q311MixtureWaterfill _, "source"),
     "q298_target_encode" -> Gate.sorted(q298TargetEncode _, "event_id"),
@@ -1541,6 +1585,7 @@ object TrainPrep {
 
   val oracles: Map[String, String] = Map(
     "q314_fim_split" -> q314Sql,
+    "q318_bottomk_sample" -> q318Sql,
     "q311_mixture_waterfill" -> q311Sql,
     "q298_target_encode" -> q298Sql,
     "q235_purged_split" -> q235Sql,
