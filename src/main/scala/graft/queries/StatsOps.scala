@@ -1561,7 +1561,162 @@ object StatsOps {
       |    + 0.5) AS BIGINT) AS intercept_c
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** q320/q321 histogram resolution. */
+  val SPLIT_B = 16
+
+  /** Shared q320/q321 binned label table: events bucketed into
+    * [[SPLIT_B]] equi-width bins over exact integer cents (the q300
+    * integer-div binning — no float boundary can drift between
+    * engines), with the positive-class count per bin. One scan, one
+    * |bins|-bounded rollup.
+    */
+  private def binnedLabels(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(floor(col("value") * 100 + lit(0.5)).cast("long").as("c"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val bounds = ev.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+    ev.crossJoin(broadcast(bounds))
+      .select(expr(s"((c - lo) * $SPLIT_B) div (hi - lo + 1)").as("bin"),
+        col("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+  }
+
+  /** q320: HISTOGRAM SPLIT FINDER — the GBDT/decision-tree inner loop
+    * (the XGBoost/LightGBM "hist" method): bucket the feature into
+    * [[SPLIT_B]] equi-width bins, prefix-scan the per-bin (n, pos)
+    * pairs, and score every bin boundary by the purity of the induced
+    * left/right partition. The score is the Gini-complement
+    * Σ_side (pos² + neg²)/n_side, normalized by total n into
+    * [0.5, 1] micro units — computed in IEEE doubles FROM exact
+    * BIGINT counts (no double is ever summed, so the value is
+    * bit-identical on any partitioning and in DuckDB). Best split =
+    * max purity, ties to the smaller bin via an integer packed key.
+    * Scale shape: one fact scan → 16-row rollup; the prefix window
+    * and the best-key scalar run on 16 rows.
+    */
+  def q320SplitFinder(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = binnedLabels(spark, dir)
+    val tot = bins.agg(sum("n").as("n_tot"), sum("pos").as("pos_tot"))
+    // |bins| rows — the bounded-rollup window class, never fact-sized
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pref = bins
+      .select(col("bin"), sum("n").over(w).as("n_l"),
+        sum("pos").over(w).as("pos_l"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n_l") < col("n_tot"))
+    val scored = pref.select(
+      col("bin").as("split_bin"),
+      col("n_l"), col("pos_l"),
+      (col("n_tot") - col("n_l")).as("n_r"),
+      (col("pos_tot") - col("pos_l")).as("pos_r"),
+      col("n_tot"))
+      .withColumn("purity_micro", floor(
+        ((col("pos_l") * col("pos_l") +
+          (col("n_l") - col("pos_l")) * (col("n_l") - col("pos_l")))
+          .cast("double") / col("n_l") +
+          (col("pos_r") * col("pos_r") +
+            (col("n_r") - col("pos_r")) * (col("n_r") - col("pos_r")))
+            .cast("double") / col("n_r"))
+          * lit(1e6) / col("n_tot") + lit(0.5)).cast("long"))
+      .withColumn("key",
+        col("purity_micro") * SPLIT_B + (lit(SPLIT_B - 1) - col("split_bin")))
+    val best = scored.agg(max("key").as("best_key"))
+    scored.crossJoin(broadcast(best))
+      .select(col("split_bin"), col("n_l"), col("pos_l"), col("n_r"),
+        col("pos_r"), col("purity_micro"),
+        (col("key") === col("best_key")).as("is_best"))
+  }
+
+  val q320Sql: String =
+    s"""WITH ev AS (
+      |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |bounds AS (SELECT min(c) AS lo, max(c) AS hi FROM ev),
+      |bins AS (
+      |  SELECT ((c - lo) * $SPLIT_B) // (hi - lo + 1) AS bin,
+      |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+      |  FROM ev, bounds GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+      |  CAST(sum(pos) AS BIGINT) AS pos_tot FROM bins),
+      |pref AS (
+      |  SELECT bin, CAST(sum(n) OVER wo AS BIGINT) AS n_l,
+      |    CAST(sum(pos) OVER wo AS BIGINT) AS pos_l
+      |  FROM bins
+      |  WINDOW wo AS (ORDER BY bin
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |scored AS (
+      |  SELECT bin AS split_bin, n_l, pos_l,
+      |    n_tot - n_l AS n_r, pos_tot - pos_l AS pos_r,
+      |    CAST(floor(
+      |      (CAST(pos_l * pos_l + (n_l - pos_l) * (n_l - pos_l) AS DOUBLE)
+      |         / n_l +
+      |       CAST(pos_r * pos_r + (n_r - pos_r) * (n_r - pos_r) AS DOUBLE)
+      |         / n_r)
+      |      * 1e6 / n_tot + 0.5) AS BIGINT) AS purity_micro
+      |  FROM pref, tot WHERE n_l < n_tot),
+      |keyed AS (
+      |  SELECT *, purity_micro * $SPLIT_B + ($SPLIT_B - 1 - split_bin) AS key
+      |  FROM scored)
+      |SELECT split_bin, n_l, pos_l, n_r, pos_r, purity_micro,
+      |  key = (SELECT max(key) FROM keyed) AS is_best
+      |FROM keyed
+      |ORDER BY split_bin""".stripMargin
+
+  /** q321: WEIGHT-OF-EVIDENCE / INFORMATION-VALUE feature report (the
+    * credit-scoring feature screen): per equi-width bin over the same
+    * exact-integer bucketing as q320, WoE = ln of the Laplace-smoothed
+    * (+0.5) class-distribution ratio and the bin's IV contribution
+    * (dist⁺ − dist⁻)·WoE. Counts are BIGINT-exact; WoE/IV are single
+    * IEEE expressions of those integers (ln ulp drift is the known
+    * passing class), and no doubles are ever SUMMED across rows — the
+    * per-bin rows are the contract, callers fold the total.
+    */
+  def q321WoeIv(spark: SparkSession, dir: String): DataFrame = {
+    val bins = binnedLabels(spark, dir)
+    val tot = bins.agg(sum("pos").as("p_tot"),
+      (sum("n") - sum("pos")).as("neg_tot"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("pos"),
+        (col("n") - col("pos")).as("neg"),
+        col("p_tot"), col("neg_tot"))
+      .withColumn("woe", log(
+        ((col("pos") + lit(0.5)) / col("p_tot")) /
+          ((col("neg") + lit(0.5)) / col("neg_tot"))))
+      .withColumn("iv_contrib",
+        (col("pos").cast("double") / col("p_tot") -
+          col("neg").cast("double") / col("neg_tot")) * col("woe"))
+      .select("bin", "n", "pos", "neg", "woe", "iv_contrib")
+  }
+
+  val q321Sql: String =
+    s"""WITH ev AS (
+      |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |bounds AS (SELECT min(c) AS lo, max(c) AS hi FROM ev),
+      |bins AS (
+      |  SELECT ((c - lo) * $SPLIT_B) // (hi - lo + 1) AS bin,
+      |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+      |  FROM ev, bounds GROUP BY 1),
+      |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS p_tot,
+      |  CAST(sum(n) - sum(pos) AS BIGINT) AS neg_tot FROM bins)
+      |SELECT bin, n, pos, n - pos AS neg,
+      |  ln(((CAST(pos AS DOUBLE) + 0.5) / p_tot)
+      |     / ((CAST(n - pos AS DOUBLE) + 0.5) / neg_tot)) AS woe,
+      |  (CAST(pos AS DOUBLE) / p_tot - CAST(n - pos AS DOUBLE) / neg_tot)
+      |    * ln(((CAST(pos AS DOUBLE) + 0.5) / p_tot)
+      |         / ((CAST(n - pos AS DOUBLE) + 0.5) / neg_tot))
+      |    AS iv_contrib
+      |FROM bins, tot
+      |ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q320_split_finder" -> Gate.sorted(q320SplitFinder _, "split_bin"),
+    "q321_woe_iv" -> Gate.sorted(q321WoeIv _, "bin"),
     "q226_group_trend" -> Gate.sorted(q226GroupTrend _, "event_type"),
     "q210_ks_drift" -> ((s, d) => q210KsDrift(s, d)),
     "q211_mann_whitney" -> ((s, d) => q211MannWhitney(s, d)),
@@ -1588,6 +1743,8 @@ object StatsOps {
     "q137_pr_thresholds" -> Gate.sorted(q137PrThresholds _, "threshold_micro"))
 
   val oracles: Map[String, String] = Map(
+    "q320_split_finder" -> q320Sql,
+    "q321_woe_iv" -> q321Sql,
     "q226_group_trend" -> q226Sql,
     "q210_ks_drift" -> q210Sql,
     "q211_mann_whitney" -> q211Sql,
