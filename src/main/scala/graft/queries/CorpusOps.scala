@@ -554,7 +554,92 @@ object CorpusOps {
       |UNION ALL SELECT '_corrupt', 2, 0
       |ORDER BY src""".stripMargin
 
+  /** q323 selection budget. */
+  val COVER_K = 5
+
+  /** q323: GREEDY COVERAGE SELECTION — pick [[COVER_K]] documents that
+    * together maximize distinct-SHINGLE coverage, the classic (1−1/e)
+    * greedy for submodular data selection (eval-set construction,
+    * few-shot pool picking, dedup-aware corpus subsetting). Shingles,
+    * not words: this corpus's word alphabet is ~31 tokens and one doc
+    * covers it whole (a degenerate instance the first cut crashed
+    * on); the shingle vocabulary is the real coverage space. Each
+    * round is one distributed pass: anti-join the shingle postings
+    * against the covered set (broadcastable — bounded by |vocab|),
+    * one map-side-combined gain rollup, one TakeOrdered(1); only the
+    * single winning row ever reaches the driver (the BpeTrainer
+    * per-round-top-1 convention — K-bounded, never data-sized).
+    * Previously selected docs exclude themselves naturally: every
+    * shingle they have is covered, so their gain rollup is empty (and
+    * if the corpus were fully covered early, the round emits nothing
+    * — both engines then stop producing rows). Ties break to the
+    * smaller doc_id in both engines. The oracle unrolls the K rounds
+    * as CTEs (the q311 water-filling convention).
+    */
+  def q323GreedyCover(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark; import spark2.implicits._
+    val e = Tables(spark, dir).documents
+      .select(col("doc_id"), explode(graft.plans.ShingleHashSet(
+        col("text"), DedupOps.SHINGLE_N)).as("w"))
+      .localCheckpoint(true)
+    var covered = spark.emptyDataset[Long].toDF("w")
+    val picked = Seq.newBuilder[(Int, Long, Long, Long)]
+    var exhausted = false
+    for (step <- 1 to COVER_K if !exhausted) {
+      val gains = e.join(broadcast(covered), Seq("w"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("g"))
+      gains.orderBy(col("g").desc, col("doc_id")).limit(1)
+        .collect().headOption match {
+        case None => exhausted = true // corpus fully covered
+        case Some(best) =>
+          val (bd, bg) = (best.getLong(0), best.getLong(1))
+          covered = covered
+            .union(e.filter(col("doc_id") === bd).select("w"))
+            .distinct().localCheckpoint(true)
+          picked += ((step, bd, bg, covered.count()))
+      }
+    }
+    picked.result().toDF("step", "doc_id", "gain", "covered_total")
+      .select(col("step").cast("long"), col("doc_id"), col("gain"),
+        col("covered_total"))
+  }
+
+  val q323Sql: String = {
+    val rounds = (1 to COVER_K).map { i =>
+      val prevCov = if (i == 1) "" else s"""
+      |r$i AS (
+      |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS g FROM e
+      |  WHERE e.w NOT IN (SELECT w FROM c${i - 1}) GROUP BY 1),"""
+      val r1 = if (i == 1)
+        s"""
+      |r1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS g FROM e GROUP BY 1),"""
+      else prevCov
+      val cov = if (i == 1)
+        s"""
+      |c1 AS (SELECT DISTINCT w FROM e JOIN p1 USING (doc_id)),"""
+      else s"""
+      |c$i AS (SELECT w FROM c${i - 1}
+      |        UNION SELECT w FROM e JOIN p$i USING (doc_id)),"""
+      s"""$r1
+      |p$i AS (SELECT CAST($i AS BIGINT) AS step, doc_id, g FROM r$i
+      |        ORDER BY g DESC, doc_id LIMIT 1),$cov""".stripMargin
+    }.mkString
+    val sel = (1 to COVER_K).map { i =>
+      s"""SELECT step, doc_id, g AS gain,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM c$i) AS covered_total
+      |FROM p$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+      |  SELECT doc_id, unnest(list_distinct(${DedupOps.duckShingleHashes}))
+      |    AS w FROM documents),$rounds
+      |sel AS (
+      |$sel)
+      |SELECT step, doc_id, gain, covered_total FROM sel
+      |ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q323_greedy_cover" -> Gate.sorted(q323GreedyCover _, "step"),
     "q289_csv_roundtrip" -> Gate.sorted(q289CsvRoundtrip _, "src"),
     "q295_hll_overlap" -> Gate.sorted(q295HllOverlap _, "type_a", "type_b"),
     "q263_corpus_pipeline" -> Gate.sorted(q263CorpusPipeline _, "shard"),
@@ -571,6 +656,7 @@ object CorpusOps {
     "q251_sketch_eval" -> Gate.sorted(q251SketchQuantileEval _, "g"))
 
   val oracles: Map[String, String] = Map(
+    "q323_greedy_cover" -> q323Sql,
     "q289_csv_roundtrip" -> q289Sql,
     "q295_hll_overlap" -> q295Sql,
     "q263_corpus_pipeline" -> q263Sql,

@@ -258,9 +258,10 @@ object DedupOps {
       .orderBy("doc_id")
 
   /** DuckDB fragment: multiset shingle rolling-hash list (shared by
-    * q27/q28 oracles; mirrors the native expressions' hash family).
+    * q27/q28 oracles and CorpusOps' q323; mirrors the native
+    * expressions' hash family).
     */
-  private val duckShingleHashes =
+  private[queries] val duckShingleHashes =
     s"""list_transform(generate_series(1, length(text) - ${SHINGLE_N - 1}),
       |      i -> list_reduce(
       |             list_transform(generate_series(i, i + ${SHINGLE_N - 1}),

@@ -1251,7 +1251,121 @@ object EventAnalytics {
       |         CAST(span_us AS DOUBLE) + 0.5) AS BIGINT) END AS twa_micro
       |FROM g ORDER BY user_id""".stripMargin
 
+  /** q322 DBSCAN parameters: neighborhood radius, core threshold
+    * (neighbor count INCLUDING self), and the deterministic 1-in-20
+    * event sample (the q257 convention — the oracle replays the exact
+    * O(n²) definition, so the gated instance stays oracle-sized while
+    * the operator itself is the grid join that scales).
+    */
+  val DBSCAN_EPS = 5.0
+  val DBSCAN_MIN_PTS = 4L
+  val DBSCAN_SAMPLE = 20
+
+  /** q322: DBSCAN DENSITY CLUSTERING over the (value, hour-of-day)
+    * event plane — the density-based clusterer (noise-robust, no k to
+    * pick) that q63/q313's centroid cells cannot express. Classic
+    * definition, deterministically resolved: CORE points have ≥
+    * MIN_PTS neighbors within EPS (self included); clusters are the
+    * connected components of the core-core neighbor graph (the
+    * distributed pointer-jumping operator); BORDER points (non-core
+    * within EPS of a core) attach to their smallest core cluster id —
+    * the one classically order-dependent step, pinned order-free by
+    * the min; everything else is NOISE (cluster −1).
+    *
+    * Scale shape: the neighbor pass is SpatialNeighbors' grid
+    * equi-join (27-cell fanout, pairwise work bounded per cell — the
+    * q257 machinery, z pinned to 0 for a 2-D space); distances
+    * compare via IEEE sqrt, which is correctly-rounded and therefore
+    * bit-identical in both engines.
+    */
+  def q322Dbscan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{ConnectedComponents, SpatialNeighbors}
+    val pts = Tables(spark, dir).events
+      .filter(col("event_id") % DBSCAN_SAMPLE === 0)
+      .select(col("event_id").as("pid"), col("value").as("px"),
+        expr("CAST((unix_micros(ts) div 3600000000) % 24 AS DOUBLE)")
+          .as("py"), lit(0.0).as("pz"))
+      .localCheckpoint(true)
+    val nbr = SpatialNeighbors.withinRadius(
+      pts.select(col("pid").as("a"), col("px").as("ax"),
+        col("py").as("ay"), col("pz").as("az")), "ax", "ay", "az",
+      pts.select(col("pid").as("b"), col("px").as("bx"),
+        col("py").as("by"), col("pz").as("bz")), "bx", "by", "bz",
+      DBSCAN_EPS)
+      .select("a", "b")
+      .localCheckpoint(true)
+    val core = nbr.groupBy("a").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= DBSCAN_MIN_PTS)
+      .select(col("a").as("pid"))
+    val coreEdges = nbr
+      .join(core.select(col("pid").as("a")), "a")
+      .join(core.select(col("pid").as("b")), "b")
+      .filter(col("a") < col("b"))
+      .select(col("a").as("u"), col("b").as("v"))
+    val comp = ConnectedComponents.components(coreEdges, "u", "v")
+      .withColumnRenamed("node", "pid")
+    val coreLab = core.join(comp, Seq("pid"), "left")
+      .select(col("pid"), coalesce(col("comp"), col("pid")).as("cluster_id"))
+    val borderLab = nbr
+      .filter(col("a") =!= col("b"))
+      .join(coreLab.select(col("pid").as("b"), col("cluster_id")), "b")
+      .groupBy(col("a").as("pid"))
+      .agg(min("cluster_id").as("b_cluster"))
+    pts.select("pid")
+      .join(coreLab.withColumnRenamed("cluster_id", "c_cluster"),
+        Seq("pid"), "left")
+      .join(borderLab, Seq("pid"), "left")
+      .select(col("pid").as("event_id"),
+        col("c_cluster").isNotNull.as("is_core"),
+        coalesce(col("c_cluster"), col("b_cluster"), lit(-1L))
+          .as("cluster_id"))
+  }
+
+  val q322Sql: String =
+    s"""WITH RECURSIVE pts AS (
+      |  SELECT event_id AS pid, value AS px,
+      |    CAST((epoch_us(ts) // 3600000000) % 24 AS DOUBLE) AS py
+      |  FROM events WHERE event_id % $DBSCAN_SAMPLE = 0),
+      |nbr AS (
+      |  SELECT a.pid AS a, b.pid AS b
+      |  FROM pts a JOIN pts b
+      |    ON sqrt((a.px - b.px) * (a.px - b.px)
+      |          + (a.py - b.py) * (a.py - b.py)) <= $DBSCAN_EPS),
+      |core AS (
+      |  SELECT a AS pid FROM nbr GROUP BY a
+      |  HAVING count(*) >= $DBSCAN_MIN_PTS),
+      |ce AS (
+      |  SELECT n.a AS u, n.b AS v FROM nbr n
+      |  JOIN core ca ON ca.pid = n.a
+      |  JOIN core cb ON cb.pid = n.b
+      |  WHERE n.a < n.b),
+      |edges AS (
+      |  SELECT u AS a, v AS b FROM ce UNION SELECT v, u FROM ce),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS pid, min(b) AS mn FROM reach GROUP BY a),
+      |corelab AS (
+      |  SELECT c.pid,
+      |    CASE WHEN m.mn IS NULL THEN c.pid
+      |         ELSE least(c.pid, m.mn) END AS cluster_id
+      |  FROM core c LEFT JOIN comp m ON m.pid = c.pid),
+      |borderlab AS (
+      |  SELECT n.a AS pid, min(cl.cluster_id) AS b_cluster
+      |  FROM nbr n JOIN corelab cl ON cl.pid = n.b
+      |  WHERE n.a <> n.b
+      |  GROUP BY n.a)
+      |SELECT p.pid AS event_id,
+      |  cl.pid IS NOT NULL AS is_core,
+      |  coalesce(cl.cluster_id, bl.b_cluster, -1) AS cluster_id
+      |FROM pts p
+      |LEFT JOIN corelab cl ON cl.pid = p.pid
+      |LEFT JOIN borderlab bl ON bl.pid = p.pid
+      |ORDER BY p.pid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q322_dbscan" -> Gate.sorted(q322Dbscan _, "event_id"),
     "q155_time_weighted_avg" -> Gate.sorted(q155TimeWeightedAvg _, "user_id"),
     "q152_audience_overlap" -> Gate.sorted(q152AudienceOverlap _, "type_a", "type_b"),
     "q140_window_funnel" -> Gate.sorted(q140WindowFunnel _, "user_id"),
@@ -1279,6 +1393,7 @@ object EventAnalytics {
     "q75_rolling_features" -> Gate.sorted(q75RollingFeatures _, "user_id", "event_id"))
 
   val oracles: Map[String, String] = Map(
+    "q322_dbscan" -> q322Sql,
     "q155_time_weighted_avg" -> q155Sql,
     "q152_audience_overlap" -> q152Sql,
     "q140_window_funnel" -> q140Sql,

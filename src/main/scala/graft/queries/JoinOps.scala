@@ -417,7 +417,53 @@ object JoinOps {
       |JOIN hourly h ON h.user_id = p.user_id AND h.hour_us = p.near_hour_us
       |ORDER BY p.event_id""".stripMargin
 
+  /** q324: BLOOM-FILTER QUALITY EVAL — the sketch-gate (q76/q220/q251
+    * convention) for q127's pruning filter: over the DISTINCT probe
+    * key population, measure (a) ZERO false negatives — the filter's
+    * hard correctness contract (a false negative silently drops join
+    * rows), and (b) the false-positive rate against the configured
+    * fpp with 3× headroom + 1-key slack (fpp is an expectation, not a
+    * bound, at small populations). Exact counts are the cross-engine
+    * contract; DuckDB has no compatible bloom to replay, so the two
+    * quality verdicts travel as flags (TRUE in the oracle). One
+    * distinct-key rollup; the filter itself is built from the
+    * broadcast-scale dimension exactly as q127 builds it.
+    */
+  def q324BloomFpr(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val dim = t.supplier.filter(col("s_nationkey") === BLOOM_NATION)
+      .select(col("s_suppkey"))
+    val fpp = 0.01
+    val bytes = graft.operators.BloomPrune.buildFilter(
+      dim, col("s_suppkey"), expectedItems = 1024, fpp = fpp)
+    val probe = t.lineitem.select(col("l_suppkey")).distinct()
+      .join(broadcast(dim.withColumnRenamed("s_suppkey", "l_suppkey")
+        .withColumn("t", lit(true))), Seq("l_suppkey"), "left")
+      .select(col("l_suppkey"), coalesce(col("t"), lit(false)).as("is_true"),
+        graft.operators.BloomPrune.mightContain(bytes, col("l_suppkey"))
+          .as("pass"))
+    probe.agg(
+        count(lit(1)).as("n_probe"),
+        sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("is_true") && !col("pass"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("is_true") && col("pass"), 1L).otherwise(0L)).as("fp"))
+      .select(col("n_probe"), col("n_true"),
+        (col("fn") === 0L).as("no_false_negatives"),
+        (col("fp") <= (col("n_probe") - col("n_true")) * (3 * fpp) + 1)
+          .as("fpr_in_bound"))
+  }
+
+  val q324Sql: String =
+    s"""WITH probe AS (SELECT DISTINCT l_suppkey FROM lineitem)
+      |SELECT CAST(count(*) AS BIGINT) AS n_probe,
+      |  CAST(sum(CASE WHEN l_suppkey IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_nationkey = $BLOOM_NATION)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+      |  TRUE AS no_false_negatives, TRUE AS fpr_in_bound
+      |FROM probe""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q324_bloom_fpr" -> Gate.sorted(q324BloomFpr _, "n_probe"),
     "q217_asof_nearest" -> Gate.sorted(q217AsofNearest _, "event_id"),
     "q189_asof_forward" -> Gate.sorted(q189AsofForward _, "event_id"),
     "q151_pit_enrich" -> Gate.sorted(q151PitEnrich _, "event_id"),
@@ -430,6 +476,7 @@ object JoinOps {
     "q120_salted_join" -> Gate.sorted(q120SaltedJoin _, "o_orderpriority"))
 
   val oracles: Map[String, String] = Map(
+    "q324_bloom_fpr" -> q324Sql,
     "q217_asof_nearest" -> q217Sql,
     "q189_asof_forward" -> q189Sql,
     "q151_pit_enrich" -> q151Sql,
