@@ -509,6 +509,57 @@ object SessionOps {
       |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
       |ORDER BY win_start, event_type""".stripMargin
 
+  /** q325: STREAMING SKETCHED DISTINCT — the seventeenth stateful
+    * family (see [[graft.streaming.StreamSketch]]): q70's windowed
+    * distinct answered with ONE mergeable HLL buffer per (window,
+    * type) group instead of a dedup tombstone per distinct key —
+    * state constant in cardinality, the only bound that survives a
+    * 10⁹-distinct-user window at 100 TB. Gate = q310's sketch
+    * convention: the exact count (recomputed relationally) is the
+    * cross-engine contract; the stream's estimate quality travels as
+    * the 3-SE bound flag (lgK=12 ⇒ ~1.6% SE ⇒ 5% at 3 SE).
+    */
+  def q325StreamSketchDistinct(spark: SparkSession, dir: String): DataFrame =
+      withStreamParallelism(spark) {
+    import graft.streaming.{StreamAgg, StreamSketch}
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
+    val sinkName = "q325_sink_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = StreamSketch.windowedSketchDistinct(stream)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // exact side recomputed RELATIONALLY (one batch pass) — the gate
+    // needs the truth, not a second streaming run
+    val ev = Tables(spark, dir).events
+    val mx = ev.agg(max("ts").as("mx"))
+    val exact = ev
+      .select(date_trunc("hour", col("ts")).as("w"), col("event_type"),
+        col("user_id"))
+      .groupBy("w", "event_type")
+      .agg(countDistinct("user_id").as("n_exact"))
+      .crossJoin(broadcast(mx))
+      .filter(col("w") + expr("INTERVAL 1 HOUR") <= col("mx"))
+      .select(date_format(col("w"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_exact"))
+    spark.table(sinkName)
+      .join(exact, Seq("win_start", "event_type"))
+      .select(col("win_start"), col("event_type"), col("n_exact"),
+        (abs(col("n_est") - col("n_exact")) <= col("n_exact") * 0.05)
+          .as("within_3se"))
+  }
+
+  val q325Sql: String =
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+      |  event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+      |  TRUE AS within_3se
+      |FROM events
+      |GROUP BY date_trunc('hour', ts), event_type
+      |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+      |ORDER BY win_start, event_type""".stripMargin
+
   /** q167: STREAMING WINDOWED TOP-K — the twelfth stateful family
     * (see [[graft.streaming.StreamTopK]]): per tumbling hour, the 3
     * most frequent event types, emitted only when the event-time
@@ -975,6 +1026,8 @@ object SessionOps {
     "q66_state_diff" -> Gate.sorted(q66StateDiff _, "user_id"),
     "q70_stream_distinct" -> (q70StreamDistinct _),
     "q167_stream_topk" -> (q167StreamTopk _),
+    "q325_stream_sketch_distinct" ->
+      Gate.sorted(q325StreamSketchDistinct _, "win_start", "event_type"),
     "q185_stream_throttle" -> (q185StreamThrottle _),
     "q194_stream_cep" -> (q194StreamCep _),
     "q309_stream_retention" -> (q309StreamRetention _),
@@ -998,6 +1051,7 @@ object SessionOps {
     "q66_state_diff" -> q66Sql,
     "q70_stream_distinct" -> q70Sql,
     "q167_stream_topk" -> q167Sql,
+    "q325_stream_sketch_distinct" -> q325Sql,
     "q185_stream_throttle" -> q185Sql,
     "q194_stream_cep" -> q194Sql,
     "q309_stream_retention" -> q309Sql,
