@@ -1018,7 +1018,91 @@ object VectorOps {
       |ORDER BY ks.k""".stripMargin
   }
 
+  /** q326 regularization (λ·100, kept integer so the only doubles are
+    * the final closed-form divisions).
+    */
+  val ALS_LAMBDA_C = 10L // λ = 0.1, scaled by 100 like a/b/d below
+
+  /** q326: ALS USER-FACTOR HALF-STEP — one alternating-least-squares
+    * update of every user's 2-d factor against FIXED item factors (the
+    * classic implicit-feedback recommender trainer's inner loop; the
+    * other half-step is the same plan with the roles swapped). Item
+    * factors are deterministic integer lattices F1 = i·31 mod 7 − 3,
+    * F2 = i·17 mod 5 − 2 (scaled by 10), so ALL normal-equation sums —
+    * a=ΣF1², b=ΣF1F2, d=ΣF2², p=Σr·F1, q=Σr·F2 — are exact BIGINT
+    * aggregates (order-independent on any partitioning, replayable in
+    * SQL); only the final 2×2 closed-form solve
+    * x = (FᵀF/100 + λI)⁻¹ Fᵀr/10 touches IEEE doubles, computed
+    * per-user from those integers — bit-identical in both engines.
+    * Plan: one fact join on the shared order key, one
+    * map-side-combined rollup per user; the item-factor "table" is a
+    * scan-stage expression, not a join.
+    */
+  def q326AlsStep(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val r = t.lineitem
+      .join(t.orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c_custkey"), col("l_partkey").as("i"))
+      .agg(count(lit(1)).as("r"))
+      .withColumn("f1", expr("(i * 31) % 7 - 3"))
+      .withColumn("f2", expr("(i * 17) % 5 - 2"))
+    val agg = r.groupBy("c_custkey").agg(
+      count(lit(1)).as("n_items"),
+      sum(col("f1") * col("f1")).as("a"),
+      sum(col("f1") * col("f2")).as("b"),
+      sum(col("f2") * col("f2")).as("d"),
+      sum(col("r") * col("f1")).as("p"),
+      sum(col("r") * col("f2")).as("q"))
+    agg.select(col("c_custkey"), col("n_items"),
+        col("a"), col("b"), col("d"), col("p"), col("q"),
+        ((col("a") + ALS_LAMBDA_C).cast("double") / 100).as("m11"),
+        (col("b").cast("double") / 100).as("m12"),
+        ((col("d") + ALS_LAMBDA_C).cast("double") / 100).as("m22"),
+        (col("p").cast("double") / 10).as("v1"),
+        (col("q").cast("double") / 10).as("v2"))
+      .withColumn("det", col("m11") * col("m22") - col("m12") * col("m12"))
+      .select(col("c_custkey"), col("n_items"), col("a"), col("b"),
+        col("d"), col("p"), col("q"),
+        ((col("m22") * col("v1") - col("m12") * col("v2")) / col("det"))
+          .as("x1"),
+        ((col("m11") * col("v2") - col("m12") * col("v1")) / col("det"))
+          .as("x2"))
+  }
+
+  val q326Sql: String =
+    s"""WITH r AS (
+      |  SELECT o_custkey AS c_custkey, l_partkey AS i,
+      |    CAST(count(*) AS BIGINT) AS r
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |f AS (
+      |  SELECT c_custkey, r, (i * 31) % 7 - 3 AS f1, (i * 17) % 5 - 2 AS f2
+      |  FROM r),
+      |agg AS (
+      |  SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_items,
+      |    CAST(sum(f1 * f1) AS BIGINT) AS a,
+      |    CAST(sum(f1 * f2) AS BIGINT) AS b,
+      |    CAST(sum(f2 * f2) AS BIGINT) AS d,
+      |    CAST(sum(r * f1) AS BIGINT) AS p,
+      |    CAST(sum(r * f2) AS BIGINT) AS q
+      |  FROM f GROUP BY 1),
+      |m AS (
+      |  SELECT *,
+      |    CAST(a + $ALS_LAMBDA_C AS DOUBLE) / 100 AS m11,
+      |    CAST(b AS DOUBLE) / 100 AS m12,
+      |    CAST(d + $ALS_LAMBDA_C AS DOUBLE) / 100 AS m22,
+      |    CAST(p AS DOUBLE) / 10 AS v1,
+      |    CAST(q AS DOUBLE) / 10 AS v2
+      |  FROM agg)
+      |SELECT c_custkey, n_items, a, b, d, p, q,
+      |  (m22 * v1 - m12 * v2) / (m11 * m22 - m12 * m12) AS x1,
+      |  (m11 * v2 - m12 * v1) / (m11 * m22 - m12 * m12) AS x2
+      |FROM m
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q326_als_step" -> Gate.sorted(q326AlsStep _, "c_custkey"),
     "q313_sized_semdedup" -> Gate.sorted(q313SizedSemdedup _, "vec_id"),
     "q303_recall_curve" -> Gate.sorted(q303RecallCurve _, "k"),
     "q294_ndcg_eval" -> Gate.sorted(q294NdcgEval _, "query_id"),
@@ -1034,6 +1118,7 @@ object VectorOps {
     "q82_pq_ann" -> Gate.sorted(q82PqAnn _, "query_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q326_als_step" -> q326Sql,
     "q313_sized_semdedup" -> q313Sql,
     "q303_recall_curve" -> q303Sql,
     "q294_ndcg_eval" -> q294Sql,
