@@ -567,4 +567,65 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.toLowerCase.contains("hll"),
       "expected HLL sketch aggregates in the plan")
   }
+
+  test("q313: no cartesian anywhere (assignment is checkpointed upstream)") {
+    // the broadcast centroid assignment materializes inside the eager
+    // localCheckpoint, so the returned frame's plan shows only the
+    // CC-side joins — assert the keyed-join property on those
+    val p = plan(graft.queries.VectorOps.q313SizedSemdedup(spark, sfDir))
+    assert(!p.contains("CartesianProduct"),
+      "cluster labeling must join on keys")
+  }
+
+  test("q314: the FIM transform is a pure scan — zero exchanges") {
+    val p = plan(graft.queries.TrainPrep.q314FimSplit(spark, sfDir))
+    assert(!p.contains("Exchange"),
+      s"per-row string transform must not shuffle:\n$p")
+  }
+
+  test("q315/q316/q322/q326: keyed joins only, no cartesian") {
+    Seq(
+      graft.queries.SqlSurface.q315ArraySurface(spark, sfDir),
+      graft.queries.GraphOps.q316ClusteringCoeff(spark, sfDir),
+      graft.queries.EventAnalytics.q322Dbscan(spark, sfDir),
+      graft.queries.VectorOps.q326AlsStep(spark, sfDir)
+    ).foreach { df =>
+      assert(!plan(df).contains("CartesianProduct"))
+    }
+  }
+
+  test("q317: approx values rejoin the fact via broadcast") {
+    val p = plan(graft.queries.ProfileOps.q317ApproxPercentileEval(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      "the |types|-bounded approx values must broadcast back")
+    assert(p.contains("approx_percentile"),
+      "expected the GK summary aggregate in the plan")
+  }
+
+  test("q318: the sample cut runs on the native TopKPerGroup operator") {
+    val p = plan(graft.queries.TrainPrep.q318BottomkSample(spark, sfDir))
+    assert(p.contains("TopKPerGroup"),
+      s"expected the custom physical operator, not a fact-table window:\n$p")
+  }
+
+  test("q319/q320: every window partitions or runs on a bounded rollup") {
+    val p19 = plan(graft.queries.SqlSurface.q319RangeFrame(spark, sfDir))
+    assert(p19.contains("Window"), "expected RANGE-frame windows")
+    // q320's only window is the 16-row bin prefix scan — the fact
+    // table must already be aggregated below it
+    val p20 = plan(graft.queries.StatsOps.q320SplitFinder(spark, sfDir))
+    assert(p20.contains("partial_"),
+      "fact rollup must map-side combine below the bin window")
+  }
+
+  test("q325: the streaming state is a sketch aggregate, not a dedup") {
+    // batch-side equivalent of the streaming plan: the aggregation
+    // carries hll_sketch_agg, so state per group is one buffer
+    val p = plan(graft.streaming.StreamSketch.windowedSketchDistinct(
+      Tables(spark, sfDir).events))
+    assert(p.toLowerCase.contains("hll"),
+      "expected the mergeable sketch aggregate")
+    assert(!p.contains("Deduplicate"),
+      "sketch path must not hold per-key dedup state")
+  }
 }
