@@ -1714,7 +1714,88 @@ object StatsOps {
       |FROM bins, tot
       |ORDER BY bin""".stripMargin
 
+  /** q327: SLICED ROC AUC — q136's Mann–Whitney AUC computed PER
+    * SEGMENT (order priority), the sliced-evaluation report every
+    * model rollout gates on (a global AUC hides a slice where the
+    * model is random or inverted — the fairness/robustness failure
+    * mode). Same tie-aware U-statistic, different distribution shape:
+    * within a slice the exclusive running count is a window
+    * PARTITIONED BY the slice over the |slices × distinct scores|
+    * rollup (bounded by the score vocabulary, never the fact table —
+    * where q136's single global series uses the distributed
+    * GlobalRank instead). rank2 = 2·cum_before + c + 1 keeps
+    * midranks in integers; one fact join on the shared order key,
+    * one map-side-combined rollup.
+    */
+  def q327SlicedAuc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val xs: Seq[Column] = Seq(lit(1.0), col("l_quantity"), col("l_discount"))
+    val z = LOGREG_W.zip(xs).map { case (w, x) => lit(w) * x }.reduce(_ + _)
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    val rows = t.lineitem
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"),
+        col("l_returnflag"))
+      .join(t.orders.select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("slice"),
+        floor(p * lit(1e6) + lit(0.5)).cast("long").as("p_micro"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val g = rows.groupBy("slice", "p_micro")
+      .agg(count(lit(1)).as("c"), sum("y").as("pos"))
+    val w = Window.partitionBy("slice").orderBy("p_micro")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cum", coalesce(sum("c").over(w), lit(0L)))
+      .groupBy("slice")
+      .agg(
+        sum(col("pos") * (lit(2L) * col("cum") + col("c") + lit(1L)))
+          .as("sr2"),
+        sum("pos").as("np"),
+        sum(col("c") - col("pos")).as("nn"))
+      .select(col("slice"), (col("np") + col("nn")).as("n"),
+        col("np").as("n_pos"), col("nn").as("n_neg"),
+        floor((col("sr2").cast("double") -
+            col("np").cast("double") * (col("np") + lit(1L)).cast("double")) /
+          (lit(2.0) * col("np").cast("double") * col("nn").cast("double")) *
+          lit(1e6) + lit(0.5)).cast("long").as("auc_micro"))
+  }
+
+  val q327Sql: String = {
+    val z = LOGREG_W.zip(Seq("1.0", "l_quantity", "l_discount"))
+      .map { case (w, x) => s"$w * $x" }.mkString(" + ")
+    s"""WITH e AS (
+      |  SELECT o_orderpriority AS slice,
+      |    CAST(floor(1.0 / (1.0 + exp(-($z))) * 1e6 + 0.5) AS BIGINT)
+      |      AS p_micro,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |g AS (
+      |  SELECT slice, p_micro, CAST(count(*) AS BIGINT) AS c,
+      |    CAST(sum(y) AS BIGINT) AS pos
+      |  FROM e GROUP BY 1, 2),
+      |w AS (
+      |  SELECT slice, pos, c,
+      |    CAST(coalesce(sum(c) OVER (PARTITION BY slice ORDER BY p_micro
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cum
+      |  FROM g),
+      |a AS (
+      |  SELECT slice,
+      |    CAST(sum(pos * (2 * cum + c + 1)) AS BIGINT) AS sr2,
+      |    CAST(sum(pos) AS BIGINT) AS np,
+      |    CAST(sum(c - pos) AS BIGINT) AS nn
+      |  FROM w GROUP BY 1)
+      |SELECT slice, np + nn AS n, np AS n_pos, nn AS n_neg,
+      |  CAST(floor((CAST(sr2 AS DOUBLE) -
+      |      CAST(np AS DOUBLE) * CAST(np + 1 AS DOUBLE)) /
+      |    (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) * 1e6 + 0.5)
+      |    AS BIGINT) AS auc_micro
+      |FROM a
+      |ORDER BY slice""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q327_sliced_auc" -> Gate.sorted(q327SlicedAuc _, "slice"),
     "q320_split_finder" -> Gate.sorted(q320SplitFinder _, "split_bin"),
     "q321_woe_iv" -> Gate.sorted(q321WoeIv _, "bin"),
     "q226_group_trend" -> Gate.sorted(q226GroupTrend _, "event_type"),
@@ -1743,6 +1824,7 @@ object StatsOps {
     "q137_pr_thresholds" -> Gate.sorted(q137PrThresholds _, "threshold_micro"))
 
   val oracles: Map[String, String] = Map(
+    "q327_sliced_auc" -> q327Sql,
     "q320_split_finder" -> q320Sql,
     "q321_woe_iv" -> q321Sql,
     "q226_group_trend" -> q226Sql,

@@ -2,10 +2,40 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Round-7 batch-25 spec: ALS user-factor half-step (q326) —
-  * independent driver-side normal-equations recompute on sf0.001.
+/** Round-7 batch-25 specs: ALS user-factor half-step (q326) and
+  * sliced ROC AUC (q327) — independent driver-side recomputes on
+  * sf0.001.
   */
 class Batch25Spec extends SparkSpec {
+
+  test("q327 equals a driver-side per-slice pair-counting AUC") {
+    val got = graft.queries.StatsOps.q327SlicedAuc(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val w = graft.queries.StatsOps.LOGREG_W
+    val rows = Tables(spark, sfDir).lineitem
+      .join(Tables(spark, sfDir).orders
+        .select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("o_orderpriority", "l_quantity", "l_discount", "l_returnflag")
+      .collect().map { r =>
+        val z = w(0) + w(1) * r.getDouble(1) + w(2) * r.getDouble(2)
+        val p = math.floor(1.0 / (1.0 + math.exp(-z)) * 1e6 + 0.5).toLong
+        (r.getString(0), p, if (r.getString(3) == "R") 1L else 0L)
+      }
+    // AUC by literal pair counting: P(score_pos > score_neg) + half
+    // ties — the definition, no rank algebra shared with the engine
+    val want = rows.groupBy(_._1).map { case (s, xs) =>
+      val pos = xs.filter(_._3 == 1L).map(_._2)
+      val neg = xs.filter(_._3 == 0L).map(_._2)
+      val wins = (for (a <- pos; b <- neg)
+        yield if (a > b) 1.0 else if (a == b) 0.5 else 0.0).sum
+      s -> ((xs.length.toLong, pos.length.toLong, neg.length.toLong,
+        math.floor(wins / (pos.length.toDouble * neg.length) * 1e6 + 0.5)
+          .toLong))
+    }
+    assert(got === want)
+  }
 
   test("q326 equals a driver-side 2x2 least-squares recompute") {
     import graft.queries.VectorOps.ALS_LAMBDA_C
