@@ -638,7 +638,208 @@ object CorpusOps {
       |ORDER BY step""".stripMargin
   }
 
+  /** q331 sliding-window width in tokens. Docs run 10-99 tokens, so
+    * the per-doc window fanout is bounded by len-5 — the same order as
+    * a token explode.
+    */
+  val DUPSPAN_W = 6
+
+  /** q331: CROSS-DOC DUPLICATED-SPAN DETECTION (the ExactSubstr-style
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499, re-expressed relationally) —
+    * slide a [[DUPSPAN_W]]-token window over every document, find
+    * windows whose exact text occurs in MORE THAN ONE document, and
+    * merge each document's duplicated windows into maximal token
+    * SPANS (interval union). Unlike q249's disjoint fixed segments,
+    * windows OVERLAP, so the output is span-level: what a
+    * remove-duplicated-substrings pass would actually cut. Per doc:
+    * window counts, merged span count, duplicated-token coverage and
+    * its fraction.
+    *
+    * Scale shape: the window explode is a bounded fanout (≤ tokens per
+    * doc); the document-frequency aggregate is one shuffle on uniform
+    * md5 window keys (vocabulary-sized, partial-aggregated); the
+    * interval union runs per-document (window partitioned by doc_id —
+    * every partition is one doc's ≤len rows, perfectly parallel, no
+    * global sort); the final rollup is per doc. Nothing is pairwise:
+    * documents sharing a span meet only through the window-hash key,
+    * exactly like the MinHash band join.
+    */
+  def q331DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = DUPSPAN_W
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val wins = docs.filter(size(col("toks")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(toks) - $w),
+           |  i -> md5(array_join(slice(toks, i + 1, $w), ' ')))"""
+          .stripMargin)).as(Seq("i", "h")))
+    val dupHashes = wins.groupBy("h")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= 2).select("h")
+    val dup = wins.join(dupHashes, "h").select(col("doc_id"), col("i"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    val spans = dup
+      .withColumn("prev_end", max(col("i") + w).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        when(col("prev_end").isNull || col("i") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("span_id", sum("is_new").over(byDoc))
+      .groupBy("doc_id", "span_id")
+      .agg(min("i").as("s"), max(col("i") + w).as("e"),
+        count(lit(1)).as("nw"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("e") - col("s")).as("dup_tokens"),
+        sum("nw").as("n_dup_windows"))
+    docs.select(col("doc_id"), size(col("toks")).cast("long").as("total_tokens"),
+        greatest(size(col("toks")) - w + 1, lit(0)).cast("long").as("n_windows"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("total_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("total_tokens")).as("frac_dup"))
+  }
+
+  val q331Sql: String = {
+    val w = DUPSPAN_W
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |w AS (
+      |  SELECT doc_id, i - 1 AS i,
+      |    md5(array_to_string(list_slice(t, i, i + $w - 1), ' ')) AS h
+      |  FROM (SELECT doc_id, t,
+      |          unnest(generate_series(1, len(t) - $w + 1)) AS i
+      |        FROM toks WHERE len(t) >= $w)),
+      |duph AS (
+      |  SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      |d AS (SELECT w.doc_id, w.i FROM w JOIN duph USING (h)),
+      |isl AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN max(i + $w) OVER (PARTITION BY doc_id ORDER BY i
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |      OR i > max(i + $w) OVER (PARTITION BY doc_id ORDER BY i
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      THEN 1 ELSE 0 END AS is_new
+      |  FROM d),
+      |g AS (
+      |  SELECT doc_id, i,
+      |    sum(is_new) OVER (PARTITION BY doc_id ORDER BY i) AS span_id
+      |  FROM isl),
+      |spans AS (
+      |  SELECT doc_id, span_id, min(i) AS s, max(i + $w) AS e,
+      |    count(*) AS nw
+      |  FROM g GROUP BY 1, 2),
+      |per AS (
+      |  SELECT doc_id, count(*) AS n_spans, sum(e - s) AS dup_tokens,
+      |    sum(nw) AS n_dup_windows
+      |  FROM spans GROUP BY 1)
+      |SELECT t.doc_id,
+      |  CAST(greatest(len(t.t) - $w + 1, 0) AS BIGINT) AS n_windows,
+      |  CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+      |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+      |  CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      |  CAST(len(t.t) AS BIGINT) AS total_tokens,
+      |  CAST(coalesce(p.dup_tokens, 0) AS DOUBLE) / len(t.t) AS frac_dup
+      |FROM toks t LEFT JOIN per p ON p.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+  }
+
+  /** q332 count-min geometry: 4 independent md5-salted rows of 64
+    * buckets (small enough that collisions actually happen in the
+    * fixture vocabulary, so over_cnt is non-trivially exercised), and
+    * the top-40 exact tokens as the evaluation set.
+    */
+  val CMS_D = 4
+  val CMS_W = 64
+  val CMS_TOPK = 40
+
+  /** The count-min table of a token-count relation: for each of the
+    * [[CMS_D]] salted hash rows, the total occurrence mass landing in
+    * each of [[CMS_W]] buckets. Exposed separately because
+    * MERGEABILITY is the point of the sketch: cms(A ∪ B) =
+    * elementwise cms(A) + cms(B) (Batch27Spec proves it on a real
+    * split), which is what lets 1000 executors sketch partitions
+    * independently and combine — the same partial-aggregate shape
+    * Spark's own sum uses.
+    */
+  def cmsTable(tokenCounts: DataFrame): DataFrame = {
+    val rb = (0 until CMS_D).map { r =>
+      struct(lit(r).as("r"),
+        (graft.functions.TextFunctions.md5Hash32(
+          concat(lit(s"cms$r:"), col("tok"))) % CMS_W).as("b"))
+    }
+    tokenCounts.select(col("cnt"), explode(array(rb: _*)).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(sum("cnt").as("c"))
+  }
+
+  /** q332: COUNT-MIN SKETCH FREQUENCY ESTIMATION + ERROR EVAL — build
+    * a [[CMS_D]]x[[CMS_W]] count-min sketch over the corpus token
+    * stream, then for the top-[[CMS_TOPK]] exact tokens report the
+    * sketch estimate (min over rows of the hashed bucket) against the
+    * exact count. over_cnt >= 0 by construction (count-min only
+    * overestimates); the eval quantifies by how much at this geometry.
+    *
+    * Scale shape: the token rollup is one partial-aggregated shuffle
+    * (vocabulary-sized); the sketch build fans each vocab row out
+    * CMS_D ways and collapses to a CONSTANT 256-row table; the eval
+    * set is a TakeOrdered head (no global sort), and the sketch
+    * broadcasts onto it. At 100 TB the sketch is the only thing that
+    * crosses executors after the vocab rollup — 256 longs.
+    */
+  def q332CmsEval(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables(spark, dir).documents
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val cms = cmsTable(tok)
+    val rb = (0 until CMS_D).map { r =>
+      struct(lit(r).as("r"),
+        (graft.functions.TextFunctions.md5Hash32(
+          concat(lit(s"cms$r:"), col("tok"))) % CMS_W).as("b"))
+    }
+    tok.orderBy(col("cnt").desc, col("tok")).limit(CMS_TOPK)
+      .select(col("tok").as("token"), col("cnt").as("exact_cnt"),
+        explode(array(rb: _*)).as("rb"))
+      .join(broadcast(cms),
+        col("rb.r") === col("r") && col("rb.b") === col("b"))
+      .groupBy("token", "exact_cnt")
+      .agg(min("c").as("est_cnt"))
+      .withColumn("over_cnt", col("est_cnt") - col("exact_cnt"))
+  }
+
+  val q332Sql: String =
+    s"""WITH tok AS (
+      |  SELECT t AS tok, count(*) AS cnt
+      |  FROM (SELECT unnest(list_filter(
+      |          regexp_split_to_array(lower(text), '\\s+'), x -> x != ''))
+      |          AS t
+      |        FROM documents)
+      |  GROUP BY 1),
+      |rb AS (
+      |  SELECT tok, cnt, r,
+      |    CAST('0x' || substr(md5('cms' || CAST(r AS VARCHAR) || ':' || tok),
+      |      1, 8) AS BIGINT) % $CMS_W AS b
+      |  FROM tok, (SELECT unnest(generate_series(0, ${CMS_D - 1})) AS r)),
+      |cms AS (SELECT r, b, sum(cnt) AS c FROM rb GROUP BY 1, 2),
+      |top AS (SELECT tok, cnt FROM tok ORDER BY cnt DESC, tok LIMIT $CMS_TOPK)
+      |SELECT t.tok AS token, CAST(t.cnt AS BIGINT) AS exact_cnt,
+      |  CAST(min(c.c) AS BIGINT) AS est_cnt,
+      |  CAST(min(c.c) - t.cnt AS BIGINT) AS over_cnt
+      |FROM top t
+      |JOIN rb ON rb.tok = t.tok
+      |JOIN cms c ON c.r = rb.r AND c.b = rb.b
+      |GROUP BY t.tok, t.cnt
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q332_cms_eval" -> Gate.sorted(q332CmsEval _, "token"),
+    "q331_dup_spans" -> Gate.sorted(q331DupSpans _, "doc_id"),
     "q323_greedy_cover" -> Gate.sorted(q323GreedyCover _, "step"),
     "q289_csv_roundtrip" -> Gate.sorted(q289CsvRoundtrip _, "src"),
     "q295_hll_overlap" -> Gate.sorted(q295HllOverlap _, "type_a", "type_b"),
@@ -656,6 +857,8 @@ object CorpusOps {
     "q251_sketch_eval" -> Gate.sorted(q251SketchQuantileEval _, "g"))
 
   val oracles: Map[String, String] = Map(
+    "q332_cms_eval" -> q332Sql,
+    "q331_dup_spans" -> q331Sql,
     "q323_greedy_cover" -> q323Sql,
     "q289_csv_roundtrip" -> q289Sql,
     "q295_hll_overlap" -> q295Sql,

@@ -1010,7 +1010,112 @@ object LlmText {
       |  CAST(sum(chars) AS DOUBLE) / sum(bpe) AS chars_per_token
       |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q334 holdout: every 5th doc_id is test, the rest train. */
+  val NB_TEST_MOD = 5
+
+  /** q334: NAIVE-BAYES LANGUAGE SCORING — train a multinomial
+    * naive-Bayes language model on 4/5 of the corpus (per-lang Laplace
+    * token likelihoods + class priors) and score every held-out doc
+    * against EVERY class, emitting per-(doc, lang) matched-token
+    * counts and the micro-quantized log-posterior. The statistical
+    * counterpart to q32's fixed n-gram heuristic: here the model is
+    * LEARNED from the labeled corpus. The gate emits all K scores per
+    * doc rather than the argmax — the argmax of near-tied IEEE sums is
+    * the one thing two engines may legitimately disagree on, so the
+    * spec checks classification accuracy while the gate pins the
+    * scores (per-term micro-quantized BEFORE summing, the q128 idiom,
+    * so every aggregate is pure BIGINT). On this fixture the lang
+    * labels are uncorrelated with the shared 31-token vocabulary, so
+    * holdout accuracy is chance by construction — Batch27Spec verifies
+    * the MODEL (exact recompute) rather than asserting accuracy.
+    *
+    * Scale shape: training is one (lang, token) partial-aggregated
+    * rollup (vocabulary-sized) plus three scalar/class-sized
+    * aggregates that BROADCAST; scoring explodes test tokens once,
+    * fans out K classes (K=5, a constant), and left-joins the
+    * likelihood table on the uniform (lang, token) key — one shuffle
+    * each side, no skew (md5-free natural key but Zipf mass spreads
+    * over |vocab|x|K|). The per-doc rollup is the last shuffle.
+    */
+  def q334NbLangScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val train = docs.filter(pmod(col("doc_id"), lit(NB_TEST_MOD)) =!= 0)
+    val test = docs.filter(pmod(col("doc_id"), lit(NB_TEST_MOD)) === 0)
+    val cnt = train.select(col("lang").as("c_lang"),
+        explode(col("toks")).as("tok"))
+      .groupBy("c_lang", "tok").agg(count(lit(1)).as("c"))
+    val classMass = cnt.groupBy("c_lang").agg(sum("c").as("mass"))
+    val vocab = cnt.select(countDistinct("tok").as("v"))
+    val classes = train.groupBy(col("lang").as("c_lang"))
+      .agg(count(lit(1)).as("docs_c"))
+    val totals = classes.select(sum("docs_c").as("n_train"),
+      count(lit(1)).as("k"))
+    val priors = classes.crossJoin(broadcast(totals))
+      .select(col("c_lang"),
+        floor(log((col("docs_c") + lit(1.0)) /
+          (col("n_train") + col("k")).cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("prior_micro"))
+    val terms = test.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .crossJoin(broadcast(classMass))
+      .join(cnt, Seq("c_lang", "tok"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("c_lang"),
+        when(col("c").isNotNull, 1L).otherwise(0L).as("matched"),
+        floor(log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          (col("mass") + col("v")).cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("term_micro"))
+    terms.groupBy("doc_id", "c_lang")
+      .agg(count(lit(1)).as("n_tokens"), sum("matched").as("n_matched"),
+        sum("term_micro").as("lik_micro"))
+      .join(broadcast(priors), "c_lang")
+      .select(col("doc_id"), col("c_lang").as("lang"), col("n_tokens"),
+        col("n_matched"),
+        (col("prior_micro") + col("lik_micro")).as("score_micro"))
+  }
+
+  val q334Sql: String =
+    s"""WITH docs AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |      x -> x != '') AS toks
+      |  FROM documents),
+      |train AS (SELECT * FROM docs WHERE doc_id % $NB_TEST_MOD != 0),
+      |test AS (SELECT * FROM docs WHERE doc_id % $NB_TEST_MOD = 0),
+      |cnt AS (
+      |  SELECT lang AS c_lang, unnest(toks) AS tok FROM train),
+      |cc AS (SELECT c_lang, tok, count(*) AS c FROM cnt GROUP BY 1, 2),
+      |mass AS (SELECT c_lang, sum(c) AS mass FROM cc GROUP BY 1),
+      |vocab AS (SELECT count(DISTINCT tok) AS v FROM cc),
+      |classes AS (SELECT lang AS c_lang, count(*) AS docs_c
+      |            FROM train GROUP BY 1),
+      |totals AS (SELECT sum(docs_c) AS n_train, count(*) AS k FROM classes),
+      |priors AS (
+      |  SELECT c_lang,
+      |    CAST(floor(ln((docs_c + 1.0) / CAST(n_train + k AS DOUBLE)) * 1e6
+      |      + 0.5) AS BIGINT) AS prior_micro
+      |  FROM classes, totals),
+      |tt AS (SELECT doc_id, unnest(toks) AS tok FROM test),
+      |terms AS (
+      |  SELECT tt.doc_id, m.c_lang,
+      |    CASE WHEN cc.c IS NOT NULL THEN 1 ELSE 0 END AS matched,
+      |    CAST(floor(ln((coalesce(cc.c, 0) + 1.0) /
+      |      CAST(m.mass + vocab.v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+      |      AS term_micro
+      |  FROM tt CROSS JOIN mass m CROSS JOIN vocab
+      |  LEFT JOIN cc ON cc.c_lang = m.c_lang AND cc.tok = tt.tok)
+      |SELECT t.doc_id, t.c_lang AS lang,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(t.matched) AS BIGINT) AS n_matched,
+      |  CAST(p.prior_micro + sum(t.term_micro) AS BIGINT) AS score_micro
+      |FROM terms t JOIN priors p ON p.c_lang = t.c_lang
+      |GROUP BY 1, 2, p.prior_micro
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q334_nb_lang_score" ->
+      Gate.sorted(q334NbLangScore _, "doc_id", "lang"),
     "q302_tokenizer_fertility" ->
       Gate.sorted(q302TokenizerFertility _, "lang", "source"),
     "q285_readability" -> Gate.sorted(q285Readability _, "doc_id"),
@@ -1039,6 +1144,7 @@ object LlmText {
     "q55_doc_keywords" -> Gate.sorted(q55DocKeywords _, "doc_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q334_nb_lang_score" -> q334Sql,
     "q302_tokenizer_fertility" -> q302Sql,
     "q285_readability" -> q285Sql,
     "q287_vocab_coverage" -> q287Sql,

@@ -1794,7 +1794,106 @@ object StatsOps {
       |ORDER BY slice""".stripMargin
   }
 
+  /** q333 bin count (equal-width on the logistic score). */
+  val ISO_BINS = 20
+
+  /** q333: ISOTONIC CALIBRATION (pool-adjacent-violators) — fit the
+    * monotone non-decreasing calibrator to the q128/q327 logistic
+    * score's per-bin empirical positive rates, weighted by bin counts.
+    * PAV is usually presented as a sequential pooling loop; here it is
+    * computed CLOSED-FORM via the greatest-convex-minorant identity
+    * fitted(i) = max_{j<=i} min_{k>=i} rate(j..k) (Ayer et al. 1955,
+    * Ann. Math. Statist. 26:641 — the max-min formula), which is pure
+    * relational algebra over the |bins|-bounded rollup: no loop, no
+    * UDF, no state. Batch27Spec independently runs the classic
+    * sequential PAV pooling and proves the outputs identical, plus
+    * monotonicity.
+    *
+    * Scale shape: the fact-sized work is ONE pass building (bin, n,
+    * n_pos) — 20 rows out; the max-min evaluates on bounded bin pairs
+    * (≤ 20³ terms). Exactness: rates are BIGINT-difference prefix
+    * sums divided once in IEEE (correctly rounded in both engines),
+    * so even min/max over them are bit-identical; the gate emits
+    * micro-quantized fits.
+    */
+  def q333IsotonicFit(spark: SparkSession, dir: String): DataFrame = {
+    val xs: Seq[Column] = Seq(lit(1.0), col("l_quantity"), col("l_discount"))
+    val z = LOGREG_W.zip(xs).map { case (w, x) => lit(w) * x }.reduce(_ + _)
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    val bins = Tables(spark, dir).lineitem
+      .select(
+        least(floor(floor(p * lit(1e6) + lit(0.5)).cast("long") * ISO_BINS
+          / lit(1000000.0)).cast("long"), lit((ISO_BINS - 1).toLong))
+          .as("bin"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+    // prefix sums in bin order over the <=20-row rollup (bounded window)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins.select(col("bin"), col("n"), col("n_pos"),
+      sum("n").over(w).as("cn"), sum("n_pos").over(w).as("cp"))
+    // rate(j..k) from prefix differences, for every bin pair j<=k
+    val lo = pre.select(col("bin").as("j"),
+      (col("cn") - col("n")).as("cn_j1"), (col("cp") - col("n_pos")).as("cp_j1"))
+    val hi = pre.select(col("bin").as("k"),
+      col("cn").as("cn_k"), col("cp").as("cp_k"))
+    val rates = lo.crossJoin(hi).filter(col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("cp_k") - col("cp_j1")).cast("double") /
+          (col("cn_k") - col("cn_j1")).cast("double")).as("rate"))
+    val fit = bins.select(col("bin"), col("n"), col("n_pos"))
+      .join(rates, col("j") <= col("bin") && col("k") >= col("bin"))
+      .groupBy("bin", "n", "n_pos", "j")
+      .agg(min("rate").as("mn"))
+      .groupBy("bin", "n", "n_pos")
+      .agg(max("mn").as("iso"))
+    fit.select(col("bin"), col("n"), col("n_pos"),
+      floor(col("n_pos").cast("double") / col("n").cast("double") * lit(1e6)
+        + lit(0.5)).cast("long").as("raw_micro"),
+      floor(col("iso") * lit(1e6) + lit(0.5)).cast("long").as("iso_micro"))
+  }
+
+  val q333Sql: String = {
+    val z = LOGREG_W.zip(Seq("1.0", "l_quantity", "l_discount"))
+      .map { case (w, x) => s"$w * $x" }.mkString(" + ")
+    s"""WITH e AS (
+      |  SELECT least(CAST(floor(CAST(floor(1.0 / (1.0 + exp(-($z))) * 1e6
+      |        + 0.5) AS BIGINT) * $ISO_BINS / 1000000.0) AS BIGINT),
+      |        ${ISO_BINS - 1}) AS bin,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      |  FROM lineitem),
+      |bins AS (
+      |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(y) AS BIGINT) AS n_pos
+      |  FROM e GROUP BY 1),
+      |pre AS (
+      |  SELECT bin, n, n_pos,
+      |    sum(n) OVER (ORDER BY bin) AS cn,
+      |    sum(n_pos) OVER (ORDER BY bin) AS cp
+      |  FROM bins),
+      |rates AS (
+      |  SELECT l.bin AS j, h.bin AS k,
+      |    CAST(h.cp - (l.cp - l.n_pos) AS DOUBLE) /
+      |      CAST(h.cn - (l.cn - l.n) AS DOUBLE) AS rate
+      |  FROM pre l, pre h WHERE l.bin <= h.bin),
+      |fit AS (
+      |  SELECT b.bin, b.n, b.n_pos, max(mn.mn) AS iso
+      |  FROM bins b JOIN (
+      |    SELECT r.j, b2.bin, min(r.rate) AS mn
+      |    FROM bins b2 JOIN rates r ON r.j <= b2.bin AND r.k >= b2.bin
+      |    GROUP BY 1, 2) mn ON mn.bin = b.bin
+      |  GROUP BY 1, 2, 3)
+      |SELECT bin, n, n_pos,
+      |  CAST(floor(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+      |    AS BIGINT) AS raw_micro,
+      |  CAST(floor(iso * 1e6 + 0.5) AS BIGINT) AS iso_micro
+      |FROM fit ORDER BY bin""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q333_isotonic_fit" -> Gate.sorted(q333IsotonicFit _, "bin"),
     "q327_sliced_auc" -> Gate.sorted(q327SlicedAuc _, "slice"),
     "q320_split_finder" -> Gate.sorted(q320SplitFinder _, "split_bin"),
     "q321_woe_iv" -> Gate.sorted(q321WoeIv _, "bin"),
@@ -1824,6 +1923,7 @@ object StatsOps {
     "q137_pr_thresholds" -> Gate.sorted(q137PrThresholds _, "threshold_micro"))
 
   val oracles: Map[String, String] = Map(
+    "q333_isotonic_fit" -> q333Sql,
     "q327_sliced_auc" -> q327Sql,
     "q320_split_finder" -> q320Sql,
     "q321_woe_iv" -> q321Sql,

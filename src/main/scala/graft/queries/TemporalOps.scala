@@ -514,7 +514,95 @@ object TemporalOps {
       |    AS event_id
       |FROM folded ORDER BY event_id""".stripMargin
 
+  /** q335 train/eval boundary (the q66 cutoff, mid-corpus). */
+  val MARKOV_SPLIT = graft.queries.SessionOps.DIFF_CUTOFF
+
+  /** q335: MARKOV NEXT-EVENT PREDICTION EVAL — train q162's
+    * first-order transition model on the first half of the stream
+    * (argmax next_type per prev_type, ties broken lexicographically),
+    * then measure top-1 accuracy per prev_type on held-out
+    * transitions. A transition belongs to train/eval by the timestamp
+    * of its DESTINATION event, so the boundary is well-defined even
+    * for the pair straddling the cutoff. Everything is integer-exact:
+    * the argmax compares raw counts, accuracy is emitted micro-
+    * quantized from two BIGINTs.
+    *
+    * Scale shape: ONE user-partitioned pass builds all transitions
+    * (the q162 lag), the model is a |types|²-bounded rollup whose
+    * argmax runs on a prev_type-partitioned window, and the model
+    * BROADCASTS back onto the eval rollup (|types|² rows). No
+    * fact-sized shuffle after the lag.
+    */
+  def q335MarkovEval(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit(MARKOV_SPLIT).cast("timestamp")
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = Tables(spark, dir).events
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("event_type").as("next_type"),
+        (col("ts") < cutoff).as("is_train"))
+    val counts = trans.groupBy("prev_type", "next_type")
+      .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("is_train"), 0L).otherwise(1L)).as("n_eval"))
+    val byPrev = Window.partitionBy("prev_type")
+      .orderBy(col("n_train").desc, col("next_type"))
+    val model = counts.filter(col("n_train") > 0)
+      .withColumn("rk", row_number().over(byPrev))
+      .filter(col("rk") === 1)
+      .select(col("prev_type"), col("next_type").as("predicted"))
+    // model derives from counts, so the lookup is a self-join: alias
+    // both sides or the prev_type equality collapses to trivially-true
+    val modelHits = model.as("m").join(counts.as("c"),
+        col("m.prev_type") === col("c.prev_type") &&
+          col("m.predicted") === col("c.next_type"))
+      .select(col("m.prev_type").as("prev_type"), col("m.predicted")
+        .as("predicted"), col("c.n_eval").as("n_hit"))
+    counts.groupBy("prev_type")
+      .agg(sum("n_eval").as("n_eval"))
+      .filter(col("n_eval") > 0)
+      .join(broadcast(modelHits), Seq("prev_type"), "left")
+      .select(col("prev_type"), col("predicted"), col("n_eval"),
+        coalesce(col("n_hit"), lit(0L)).as("n_correct"),
+        floor(coalesce(col("n_hit"), lit(0L)) * lit(1e6) / col("n_eval")
+          + lit(0.5)).cast("long").as("acc_micro"))
+  }
+
+  val q335Sql: String =
+    s"""WITH tr AS (
+      |  SELECT lag(event_type) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+      |    event_type AS next_type,
+      |    ts < TIMESTAMP '${graft.queries.SessionOps.DIFF_CUTOFF}' AS is_train
+      |  FROM events),
+      |cnt AS (
+      |  SELECT prev_type, next_type,
+      |    CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_train,
+      |    CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS n_eval
+      |  FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |model AS (
+      |  SELECT prev_type, next_type AS predicted FROM (
+      |    SELECT prev_type, next_type, row_number() OVER
+      |        (PARTITION BY prev_type ORDER BY n_train DESC, next_type)
+      |        AS rk
+      |    FROM cnt WHERE n_train > 0) WHERE rk = 1),
+      |hits AS (
+      |  SELECT m.prev_type, m.predicted, c.n_eval AS n_hit
+      |  FROM model m JOIN cnt c
+      |    ON c.prev_type = m.prev_type AND c.next_type = m.predicted),
+      |ev AS (
+      |  SELECT prev_type, sum(n_eval) AS n_eval FROM cnt
+      |  GROUP BY 1 HAVING sum(n_eval) > 0)
+      |SELECT ev.prev_type, h.predicted, CAST(ev.n_eval AS BIGINT) AS n_eval,
+      |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_correct,
+      |  CAST(floor(coalesce(h.n_hit, 0) * 1e6 / ev.n_eval + 0.5)
+      |    AS BIGINT) AS acc_micro
+      |FROM ev LEFT JOIN hits h ON h.prev_type = ev.prev_type
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q335_markov_eval" -> Gate.sorted(q335MarkovEval _, "prev_type"),
     "q306_debounce" -> Gate.sorted(q306Debounce _, "event_id"),
     "q292_ohlc_bars" -> Gate.sorted(q292OhlcBars _, "event_type", "hour"),
     "q276_trailing_median" -> Gate.sorted(q276TrailingMedian _, "day"),
@@ -531,6 +619,7 @@ object TemporalOps {
     "q164_abandoned_clicks" -> Gate.sorted(q164AbandonedClicks _, "user_id"))
 
   val oracles: Map[String, String] = Map(
+    "q335_markov_eval" -> q335Sql,
     "q306_debounce" -> q306Sql,
     "q292_ohlc_bars" -> q292Sql,
     "q276_trailing_median" -> q276Sql,

@@ -834,7 +834,182 @@ object TpchShapes {
       |GROUP BY 1, 2, 3
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** q328: FORECAST REVENUE CHANGE (the TPC-H Q6 shape) — the revenue
+    * that would have been kept had discounts in a 3-centi-point band
+    * been eliminated on small-quantity lines shipped in one year. The
+    * entire query is ONE scan: no join, a single global aggregate.
+    *
+    * Plan shape: the shipdate band is a plain column-vs-literal
+    * predicate, so it reaches the parquet scan as PushedFilters (at
+    * 100 TB with date-partitioned storage it is partition pruning —
+    * ~1/7 of this table's date range); the quantized discount/quantity
+    * bands are arithmetic over scanned columns and evaluate inside the
+    * same whole-stage-codegen scan stage, never materializing a row
+    * that fails them. The aggregate is a map-side partial -> 1-row
+    * final: the shuffle carries 32 partial rows, nothing else.
+    * Exactness: per-row tenth-milli quantization (the q183 idiom) so
+    * the sum is pure BIGINT in both engines.
+    */
+  def q328ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(
+        floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("disc_c"),
+        floor(col("l_quantity") * 100 + lit(0.5)).cast("long").as("q_c"),
+        floor(col("l_extendedprice") * col("l_discount") * lit(1e4)
+          + lit(0.5)).cast("long").as("delta_tenth_milli"))
+      .filter(col("disc_c").between(5L, 7L) && col("q_c") < 2400L)
+      .agg(count(lit(1)).as("n_lines"),
+        coalesce(sum("delta_tenth_milli"), lit(0L)).as("delta_tenth_milli"))
+  }
+
+  val q328Sql: String =
+    """SELECT count(*) AS n_lines,
+      |  COALESCE(CAST(sum(CAST(floor(l_extendedprice * l_discount * 1e4
+      |      + 0.5) AS BIGINT)) AS BIGINT), 0) AS delta_tenth_milli
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+      |  AND CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) < 2400""".stripMargin
+
+  /** Ship-mode model: the schema carries no l_shipmode (same
+    * modeled-column convention as [[COST_FRAC]]), so a deterministic
+    * 4-value mode is derived from the line identity. Both engines
+    * compute the identical `(l_orderkey*7 + l_linenumber) % 4` on
+    * non-negative BIGINTs, so %/pmod agree.
+    */
+  val SHIP_MODES_CHECKED = Seq("MODE_1", "MODE_2")
+
+  /** q329: SHIP-MODE PRIORITY DISTRIBUTION (the TPC-H Q12 shape) —
+    * for two audited ship modes, how many lines shipped LATE in one
+    * year came from critical-priority orders (1-URGENT / 2-HIGH)
+    * vs everything else. Lateness is the [[LATE_DAYS]] proxy shared
+    * with q255/q274 (no commit/receipt dates in this schema).
+    *
+    * Plan shape: the year band prunes the lineitem scan (pushed
+    * filter / date partition pruning at 100 TB); the mode filter is a
+    * cheap in-scan arithmetic predicate that keeps ~half the lines
+    * BEFORE the join; then ONE shuffle on the shared orderkey joins
+    * the priority + orderdate projection of orders, the lateness
+    * predicate evaluates post-join (it reads both sides), and the
+    * final rollup is over the 2-value mode domain — map-side combined.
+    */
+  def q329ShipmodePriority(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_shipdate"),
+        concat(lit("MODE_"),
+          pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(4))
+            .cast("int")).as("ship_mode"))
+      .filter(col("ship_mode").isin(SHIP_MODES_CHECKED: _*))
+    li.join(t.orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr(s"INTERVAL $LATE_DAYS DAYS"))
+      .groupBy("ship_mode")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_lines"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_lines"))
+  }
+
+  val q329Sql: String =
+    s"""SELECT 'MODE_' || CAST((l_orderkey * 7 + l_linenumber) % 4 AS VARCHAR)
+      |    AS ship_mode,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND (l_orderkey * 7 + l_linenumber) % 4 IN (1, 2)
+      |  AND l_shipdate > o_orderdate + INTERVAL $LATE_DAYS DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q330 part-name prefix (Q20 uses a LIKE 'forest%' prefix; this
+    * vocabulary's adjectives include 'old' at ~12% selectivity).
+    */
+  val EXCESS_PREFIX = "old"
+
+  /** q330: EXCESS-INVENTORY SUPPLIERS (the TPC-H Q20 shape) — per
+    * nation, the suppliers holding "excess availability" of promoted
+    * parts: availability (modeled as the supplier's all-time shipped
+    * quantity of the part — no partsupp in this schema) exceeding half
+    * of the part's total one-year demand. Q20's nested correlated
+    * IN-subqueries become two aggregates of the same fact table joined
+    * on the part key.
+    *
+    * Plan shape: the part prefix filter runs first and BROADCASTS
+    * (~12% of a dimension); the availability aggregate shuffles
+    * lineitem ONCE on (suppkey, partkey) — the pair domain, already
+    * thinned by the broadcast part filter before the exchange; the
+    * demand aggregate reuses the same broadcast on the date-pruned
+    * scan and is |promoted parts|-bounded, so IT broadcasts onto the
+    * availability side. The excess test is integer cross-multiplied
+    * (avail*2 > demand), the supplier/nation dims broadcast, and the
+    * rollup is |suppliers|-bounded. Nothing fact-sized ever shuffles
+    * twice.
+    */
+  def q330ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val promoted = t.part.filter(col("p_name").startsWith(EXCESS_PREFIX))
+      .select("p_partkey")
+    val qtyC = floor(col("l_quantity") * 100 + lit(0.5)).cast("long")
+    val promotedLines = t.lineitem
+      .join(broadcast(promoted), col("l_partkey") === col("p_partkey"))
+    val avail = promotedLines
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(qtyC).as("avail_c"))
+    val demand = promotedLines
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_partkey").as("d_partkey"))
+      .agg(sum(qtyC).as("demand_c"))
+    avail.join(broadcast(demand), col("l_partkey") === col("d_partkey"))
+      .filter(col("avail_c") * 2 > col("demand_c"))
+      .join(broadcast(t.supplier
+          .join(broadcast(t.nation.select(col("n_nationkey"),
+            col("n_name"))), col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_name", "n_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("n_name", "s_suppkey", "s_name")
+      .agg(count(lit(1)).as("n_excess_parts"))
+  }
+
+  val q330Sql: String =
+    s"""WITH promoted AS (
+      |  SELECT p_partkey FROM part WHERE p_name LIKE '$EXCESS_PREFIX%'),
+      |avail AS (
+      |  SELECT l_suppkey, l_partkey,
+      |    sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS avail_c
+      |  FROM lineitem JOIN promoted ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |demand AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS demand_c
+      |  FROM lineitem JOIN promoted ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY 1)
+      |SELECT n_name, s_suppkey, s_name, count(*) AS n_excess_parts
+      |FROM avail
+      |JOIN demand USING (l_partkey)
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |WHERE avail_c * 2 > demand_c
+      |GROUP BY 1, 2, 3 ORDER BY 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q328_forecast_revenue" -> ((s, d) => q328ForecastRevenue(s, d)),
+    "q329_shipmode_priority" ->
+      Gate.sorted(q329ShipmodePriority _, "ship_mode"),
+    "q330_excess_suppliers" -> Gate.sorted(q330ExcessSuppliers _, "s_suppkey"),
     "q304_supplier_part_types" ->
       Gate.sorted(q304SupplierPartTypes _, "p_brand", "p_type", "size_band"),
     "q283_product_profit" ->
@@ -860,6 +1035,9 @@ object TpchShapes {
     "q161_skyline" -> Gate.sorted(q161Skyline _, "p_partkey"))
 
   val oracles: Map[String, String] = Map(
+    "q328_forecast_revenue" -> q328Sql,
+    "q329_shipmode_priority" -> q329Sql,
+    "q330_excess_suppliers" -> q330Sql,
     "q304_supplier_part_types" -> q304Sql,
     "q274_priority_checking" -> q274Sql,
     "q283_product_profit" -> q283Sql,
