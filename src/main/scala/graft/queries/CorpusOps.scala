@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-6 widening: corpus boilerplate removal, record-linkage
@@ -837,7 +837,126 @@ object CorpusOps {
       |GROUP BY t.tok, t.cnt
       |ORDER BY 1""".stripMargin
 
+  /** q338 EM initialization: match prior and per-field initial m/u
+    * probabilities (VERBATIM IEEE literals in both engines — every
+    * derived constant like 1−m is computed ONCE on the driver and
+    * interpolated as a DOUBLE cast, so neither engine re-derives it in
+    * its own arithmetic).
+    */
+  val FS_LAMBDA = 0.05
+  val FS_FIELDS: Seq[(String, Double, Double)] = Seq(
+    ("status", 0.9, 0.30), ("priority", 0.85, 0.35),
+    ("month", 0.7, 0.10), ("band", 0.8, 0.15))
+
+  /** q338: FELLEGI–SUNTER EM HALF-STEP — consume q250's agreement-
+    * pattern sufficient statistic and run ONE expectation-maximization
+    * iteration of the record-linkage mixture (Fellegi & Sunter 1969;
+    * the EM formulation of Winkler 1988): E-step computes each
+    * pattern's match responsibility w(γ) = λ·Π m^γ(1−m)^(1−γ) /
+    * (that + (1−λ)·Π u-side), M-step re-estimates every field's m/u
+    * as responsibility-weighted agreement rates, plus the new λ. The
+    * same half-step discipline as q326 (ALS): one iteration, gated
+    * exactly — looping is composition, not new semantics. Per-pattern
+    * responsibilities are micro-quantized BEFORE the M-step sums, so
+    * every aggregate is BIGINT and the gate is bit-stable.
+    *
+    * Scale shape: the only fact-sized work is q250's blocked pair
+    * aggregate (bounded by orders-per-customer); the EM arithmetic
+    * runs on the 16-row pattern table — at 100 TB the E/M steps cost
+    * the same 16 rows.
+    */
+  def q338FsEmStep(spark: SparkSession, dir: String): DataFrame = {
+    val patterns = q250LinkagePatterns(spark, dir)
+    val pm = FS_FIELDS.foldLeft(lit(FS_LAMBDA): Column) {
+      case (acc, (f, m, _)) =>
+        acc * when(col(s"agree_$f"), lit(m)).otherwise(lit(1.0 - m))
+    }
+    val pu = FS_FIELDS.foldLeft(lit(1.0 - FS_LAMBDA): Column) {
+      case (acc, (f, _, u)) =>
+        acc * when(col(s"agree_$f"), lit(u)).otherwise(lit(1.0 - u))
+    }
+    val weighted = patterns
+      .withColumn("w", pm / (pm + pu))
+      .select(Seq(col("n_pairs"),
+        floor(col("w") * col("n_pairs") * lit(1e6) + lit(0.5)).cast("long")
+          .as("wn"),
+        floor((lit(1.0) - col("w")) * col("n_pairs") * lit(1e6) + lit(0.5))
+          .cast("long").as("un")) ++
+        FS_FIELDS.map { case (f, _, _) => col(s"agree_$f") }: _*)
+    val perField = weighted.select(col("n_pairs"), col("wn"), col("un"),
+        explode(array(FS_FIELDS.map { case (f, _, _) =>
+          struct(lit(f).as("field"), col(s"agree_$f").as("g"))
+        }: _*)).as("fg"))
+      .groupBy(col("fg.field").as("field"))
+      .agg(
+        floor(sum(when(col("fg.g"), col("wn")).otherwise(0L)).cast("double")
+          / sum("wn").cast("double") * lit(1e6) + lit(0.5)).cast("long")
+          .as("m_micro"),
+        floor(sum(when(col("fg.g"), col("un")).otherwise(0L)).cast("double")
+          / sum("un").cast("double") * lit(1e6) + lit(0.5)).cast("long")
+          .as("u_micro"))
+    val lambdaRow = weighted.agg(
+      lit("lambda").as("field"),
+      floor(sum("wn").cast("double") /
+        (sum("n_pairs").cast("double") * lit(1e6)) * lit(1e6) + lit(0.5))
+        .cast("long").as("m_micro"),
+      lit(-1L).as("u_micro"))
+    perField.unionByName(lambdaRow)
+  }
+
+  val q338Sql: String = {
+    def d(x: Double) = s"CAST($x AS DOUBLE)"
+    val pm = FS_FIELDS.foldLeft(d(FS_LAMBDA)) { case (acc, (f, m, _)) =>
+      s"$acc * (CASE WHEN agree_$f THEN ${d(m)} ELSE ${d(1.0 - m)} END)"
+    }
+    val pu = FS_FIELDS.foldLeft(d(1.0 - FS_LAMBDA)) { case (acc, (f, _, u)) =>
+      s"$acc * (CASE WHEN agree_$f THEN ${d(u)} ELSE ${d(1.0 - u)} END)"
+    }
+    val fieldRows = FS_FIELDS.map { case (f, _, _) =>
+      s"""SELECT '$f' AS field,
+        |  CAST(floor(CAST(sum(CASE WHEN agree_$f THEN wn ELSE 0 END)
+        |      AS DOUBLE) / CAST(sum(wn) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+        |    AS m_micro,
+        |  CAST(floor(CAST(sum(CASE WHEN agree_$f THEN un ELSE 0 END)
+        |      AS DOUBLE) / CAST(sum(un) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+        |    AS u_micro
+        |FROM weighted""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH o AS (
+      |  SELECT o_custkey, o_orderkey, o_orderstatus AS st,
+      |    o_orderpriority AS pr, strftime(o_orderdate, '%Y-%m') AS mon,
+      |    CAST(floor(o_totalprice / $LINK_BAND) AS BIGINT) AS band
+      |  FROM orders),
+      |patterns AS (
+      |  SELECT a.st = b.st AS agree_status,
+      |    a.pr = b.pr AS agree_priority,
+      |    a.mon = b.mon AS agree_month,
+      |    a.band = b.band AS agree_band,
+      |    count(*) AS n_pairs
+      |  FROM o a JOIN o b
+      |    ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+      |  GROUP BY 1, 2, 3, 4),
+      |weighted AS (
+      |  SELECT *,
+      |    CAST(floor(($pm) / (($pm) + ($pu)) * n_pairs * 1e6 + 0.5)
+      |      AS BIGINT) AS wn,
+      |    CAST(floor((1.0 - ($pm) / (($pm) + ($pu))) * n_pairs * 1e6 + 0.5)
+      |      AS BIGINT) AS un
+      |  FROM patterns)
+      |SELECT * FROM (
+      |  $fieldRows
+      |  UNION ALL
+      |  SELECT 'lambda' AS field,
+      |    CAST(floor(CAST(sum(wn) AS DOUBLE) /
+      |      (CAST(sum(n_pairs) AS DOUBLE) * 1e6) * 1e6 + 0.5) AS BIGINT)
+      |      AS m_micro,
+      |    CAST(-1 AS BIGINT) AS u_micro
+      |  FROM weighted)
+      |ORDER BY field""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q338_fs_em_step" -> Gate.sorted(q338FsEmStep _, "field"),
     "q332_cms_eval" -> Gate.sorted(q332CmsEval _, "token"),
     "q331_dup_spans" -> Gate.sorted(q331DupSpans _, "doc_id"),
     "q323_greedy_cover" -> Gate.sorted(q323GreedyCover _, "step"),
@@ -857,6 +976,7 @@ object CorpusOps {
     "q251_sketch_eval" -> Gate.sorted(q251SketchQuantileEval _, "g"))
 
   val oracles: Map[String, String] = Map(
+    "q338_fs_em_step" -> q338Sql,
     "q332_cms_eval" -> q332Sql,
     "q331_dup_spans" -> q331Sql,
     "q323_greedy_cover" -> q323Sql,

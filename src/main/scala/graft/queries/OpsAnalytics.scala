@@ -389,7 +389,75 @@ object OpsAnalytics {
       |FROM lineitem JOIN oh ON l_orderkey = o_orderkey
       |ORDER BY table_name""".stripMargin
 
+  /** q337: U-SHAPED (POSITION-BASED) MULTI-TOUCH ATTRIBUTION — the
+    * third attribution model next to q201's last-touch and q244's
+    * first-vs-last compare: each converting user's journey (every
+    * event strictly before their FIRST purchase, in (ts, event_id)
+    * stream order) splits one unit of credit 40/20/40 — 40% to the
+    * first touch, 40% to the last, 20% spread evenly over the middle
+    * (n=1 ⇒ 100%, n=2 ⇒ 50/50). Credit is integer micro-units with
+    * floor on the middle share (a journey's credits may undershoot
+    * 1e6 by the documented remainder — exactness beats cosmetics).
+    * Rolled up per touched event type.
+    *
+    * Scale shape: the first-purchase table is one (user)-keyed
+    * aggregate (min over the packed (ts, event_id) struct — no
+    * window); the journey filter joins it back on the SAME user key
+    * (one shuffle, co-partitioned); position/length come from one
+    * user-partitioned window pass; the rollup is |types|-bounded.
+    */
+  def q337UShapedAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val key = struct(col("ts").as("ts"), col("event_id").as("event_id"))
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(key).as("fp"))
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val journey = ev.join(fp, "user_id")
+      .filter(key < col("fp"))
+      .withColumn("pos", row_number().over(byUser))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+    journey
+      .withColumn("credit_micro",
+        when(col("n") === 1, 1000000L)
+          .when(col("n") === 2, 500000L)
+          .when(col("pos") === 1 || col("pos") === col("n"), 400000L)
+          .otherwise(floor(lit(200000.0) / (col("n") - 2)).cast("long")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct("user_id").as("n_users"),
+        sum("credit_micro").as("credit_micro"))
+  }
+
+  val q337Sql: String =
+    """WITH fp AS (
+      |  SELECT user_id, epoch_us(ts) AS fts, event_id AS feid
+      |  FROM events WHERE event_type = 'purchase'
+      |  QUALIFY row_number() OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id) = 1),
+      |j AS (
+      |  SELECT e.user_id, e.event_type,
+      |    row_number() OVER w AS pos,
+      |    count(*) OVER (PARTITION BY e.user_id) AS n
+      |  FROM events e JOIN fp USING (user_id)
+      |  WHERE (epoch_us(e.ts), e.event_id) < (fp.fts, fp.feid)
+      |  WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)),
+      |c AS (
+      |  SELECT user_id, event_type,
+      |    CASE WHEN n = 1 THEN 1000000
+      |         WHEN n = 2 THEN 500000
+      |         WHEN pos = 1 OR pos = n THEN 400000
+      |         ELSE CAST(floor(200000.0 / (n - 2)) AS BIGINT)
+      |    END AS credit_micro
+      |  FROM j)
+      |SELECT event_type, count(*) AS n_touches,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(sum(credit_micro) AS BIGINT) AS credit_micro
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q337_ushaped_attribution" ->
+      Gate.sorted(q337UShapedAttribution _, "event_type"),
     "q273_forget_audit" -> Gate.sorted(q273ForgetAudit _, "table_name"),
     "q244_attribution_compare" ->
       Gate.sorted(q244AttributionCompare _, "campaign", "model"),
@@ -398,6 +466,7 @@ object OpsAnalytics {
     "q240_event_contract" -> Gate.sorted(q240EventContract _, "rule"))
 
   val oracles: Map[String, String] = Map(
+    "q337_ushaped_attribution" -> q337Sql,
     "q273_forget_audit" -> q273Sql,
     "q244_attribution_compare" -> q244Sql,
     "q201_last_touch" -> q201Sql,

@@ -601,7 +601,85 @@ object TemporalOps {
       |FROM ev LEFT JOIN hits h ON h.prev_type = ev.prev_type
       |ORDER BY 1""".stripMargin
 
+  /** q336 quantile grid: (label, q) pairs; q is applied as an IEEE
+    * DOUBLE literal in BOTH engines (a DECIMAL 0.9 * 10 ceils to 9
+    * where the double ceils to 10 — the engines must share the
+    * representation, not each pick their "natural" one).
+    */
+  val PINBALL_QS: Seq[(Int, Double)] = Seq(10 -> 0.1, 50 -> 0.5, 90 -> 0.9)
+
+  /** q336: PINBALL-LOSS QUANTILE BACKTEST — per event type, forecast
+    * the p10/p50/p90 of the DAILY event count from the training half
+    * of the calendar (empirical order statistic: the ceil(q·n)-th
+    * smallest train day — percentile_disc semantics, an exact
+    * INTEGER, no interpolation), then score each forecast on the
+    * held-out days with pinball loss Σ max(q·(y−f), (q−1)·(y−f)) —
+    * the proper scoring rule for quantile forecasts (Koenker &
+    * Bassett 1978 quantile regression loss). Complements q236's point
+    * backtest with a full quantile band. Per-day terms micro-quantize
+    * BEFORE summing, so aggregates stay BIGINT.
+    *
+    * Scale shape: ONE fact-sized aggregate to the (type, day) grain
+    * (map-side combined); everything after runs on the calendar-
+    * bounded rollup (|types|×|days|), where collect_list is legitimate
+    * (bounded by the calendar, the q163/q236 convention). The
+    * forecast table is |types|×3 and broadcasts onto the eval days.
+    */
+  def q336PinballBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit(MARKOV_SPLIT).cast("timestamp")
+    val daily = Tables(spark, dir).events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val fcast = daily.filter(col("day") < cutoff)
+      .groupBy("event_type")
+      .agg(sort_array(collect_list("cnt")).as("s"), count(lit(1)).as("n"))
+      .select(col("event_type"), explode(array(PINBALL_QS.map {
+        case (lbl, q) =>
+          struct(lit(lbl).as("q_label"), lit(q).as("qv"),
+            element_at(col("s"),
+              ceil(lit(q) * col("n")).cast("int")).as("f"))
+      }: _*)).as("fq"))
+      .select(col("event_type"), col("fq.q_label").as("q_label"),
+        col("fq.qv").as("qv"), col("fq.f").as("f"))
+    daily.filter(col("day") >= cutoff)
+      .join(broadcast(fcast), "event_type")
+      .select(col("event_type"), col("q_label"), col("f"),
+        floor(greatest(
+          col("qv") * (col("cnt") - col("f")),
+          (col("qv") - lit(1.0)) * (col("cnt") - col("f"))) * lit(1e6)
+          + lit(0.5)).cast("long").as("term_micro"))
+      .groupBy("event_type", "q_label", "f")
+      .agg(count(lit(1)).as("n_eval_days"),
+        sum("term_micro").as("loss_micro"))
+  }
+
+  val q336Sql: String = {
+    val grid = PINBALL_QS.map { case (l, q) => s"($l, CAST($q AS DOUBLE))" }
+      .mkString(", ")
+    s"""WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |tr AS (
+      |  SELECT event_type, list_sort(list(cnt)) AS s, count(*) AS n
+      |  FROM daily WHERE day < TIMESTAMP '$MARKOV_SPLIT' GROUP BY 1),
+      |f AS (
+      |  SELECT event_type, g.lbl AS q_label, g.qv,
+      |    s[CAST(ceil(g.qv * n) AS INT)] AS f
+      |  FROM tr, (VALUES $grid) g(lbl, qv))
+      |SELECT d.event_type, f.q_label, CAST(f.f AS BIGINT) AS f,
+      |  CAST(count(*) AS BIGINT) AS n_eval_days,
+      |  CAST(sum(CAST(floor(greatest(
+      |      f.qv * (d.cnt - f.f), (f.qv - 1.0) * (d.cnt - f.f)) * 1e6 + 0.5)
+      |    AS BIGINT)) AS BIGINT) AS loss_micro
+      |FROM daily d JOIN f USING (event_type)
+      |WHERE d.day >= TIMESTAMP '$MARKOV_SPLIT'
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q336_pinball_backtest" ->
+      Gate.sorted(q336PinballBacktest _, "event_type", "q_label"),
     "q335_markov_eval" -> Gate.sorted(q335MarkovEval _, "prev_type"),
     "q306_debounce" -> Gate.sorted(q306Debounce _, "event_id"),
     "q292_ohlc_bars" -> Gate.sorted(q292OhlcBars _, "event_type", "hour"),
@@ -619,6 +697,7 @@ object TemporalOps {
     "q164_abandoned_clicks" -> Gate.sorted(q164AbandonedClicks _, "user_id"))
 
   val oracles: Map[String, String] = Map(
+    "q336_pinball_backtest" -> q336Sql,
     "q335_markov_eval" -> q335Sql,
     "q306_debounce" -> q306Sql,
     "q292_ohlc_bars" -> q292Sql,
