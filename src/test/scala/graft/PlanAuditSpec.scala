@@ -618,6 +618,66 @@ class PlanAuditSpec extends SparkSpec {
       "fact rollup must map-side combine below the bin window")
   }
 
+  test("q328: Q6 is one pushed-filter scan with a partial aggregate") {
+    val p = plan(graft.queries.TpchShapes.q328ForecastRevenue(spark, sfDir))
+    assert(p.contains("PushedFilters: [") && p.contains("l_shipdate"),
+      "shipdate band must reach the parquet scan")
+    assert(p.contains("partial_"), "expected map-side combine")
+    assert(!p.contains("Join"), "Q6 must not join anything")
+  }
+
+  test("q329-q338: keyed joins only — no cartesian in the new batch") {
+    Seq(
+      graft.queries.TpchShapes.q329ShipmodePriority(spark, sfDir),
+      graft.queries.TpchShapes.q330ExcessSuppliers(spark, sfDir),
+      graft.queries.CorpusOps.q331DupSpans(spark, sfDir),
+      graft.queries.LlmText.q334NbLangScore(spark, sfDir),
+      graft.queries.TemporalOps.q335MarkovEval(spark, sfDir),
+      graft.queries.TemporalOps.q336PinballBacktest(spark, sfDir),
+      graft.queries.OpsAnalytics.q337UShapedAttribution(spark, sfDir),
+      graft.queries.CorpusOps.q338FsEmStep(spark, sfDir)
+    ).foreach { df =>
+      assert(!plan(df).contains("CartesianProduct"))
+    }
+  }
+
+  test("q330: promoted-part filter broadcasts onto the fact scan") {
+    val p = plan(graft.queries.TpchShapes.q330ExcessSuppliers(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      "part prefix filter and demand table must broadcast")
+    assert(p.contains("partial_"), "avail aggregate must map-side combine")
+  }
+
+  test("q331: span merge windows partition by doc_id, never globally") {
+    val p = plan(graft.queries.CorpusOps.q331DupSpans(spark, sfDir))
+    // every Window in the plan must carry the doc_id partition spec —
+    // an unpartitioned window over the fact would print "Window [...],
+    // [ordercol ASC...]" with no partition column list
+    val windows = p.linesIterator.filter(_.trim.startsWith("Window "))
+    windows.foreach(w => assert(w.contains("doc_id"),
+      s"window without doc partition: $w"))
+    assert(p.contains("partial_"),
+      "window-frequency aggregate must map-side combine")
+  }
+
+  test("q332: the eval set is a TakeOrdered head; the sketch broadcasts") {
+    val p = plan(graft.queries.CorpusOps.q332CmsEval(spark, sfDir))
+    assert(p.contains("TakeOrdered"),
+      "top-k cut must be TakeOrderedAndProject, not a global sort")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 256-row sketch must broadcast onto the eval set")
+  }
+
+  test("q333: the fact collapses to bins before any pairwise PAV work") {
+    val p = plan(graft.queries.StatsOps.q333IsotonicFit(spark, sfDir))
+    assert(p.contains("partial_"),
+      "bin rollup must map-side combine below the max-min join")
+    // the j<=k rate join is a bounded-rollup BNLJ (<=20 rows a side),
+    // the same idiom as the 1-row scalar crossJoins — but never a
+    // CartesianProduct of fact-sized inputs
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q325: the streaming state is a sketch aggregate, not a dedup") {
     // batch-side equivalent of the streaming plan: the aggregation
     // carries hll_sketch_agg, so state per group is one buffer
