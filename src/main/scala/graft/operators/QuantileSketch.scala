@@ -127,4 +127,16 @@ object QuantileSketch {
   /** Column aggregate: `df.groupBy(...).agg(QuantileSketch.sketch(col))`. */
   def sketch(c: Column, k: Int = DEFAULT_K): Column =
     udaf(new SketchAgg(k)).apply(c)
+
+  /** Rebuild a [[Sketch]] from its aggregated struct Row (collect()
+    * decodes the nested arrays as mutable ArraySeq — rebuild
+    * immutable). Shared by the q251 batch gate and the q339 streaming
+    * gate.
+    */
+  def fromRow(row: org.apache.spark.sql.Row): Sketch = {
+    val levels = row
+      .getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("levels")
+      .map(_.toSeq).toSeq
+    Sketch(row.getAs[Int]("k"), row.getAs[Long]("n"), levels)
+  }
 }

@@ -560,6 +560,69 @@ object SessionOps {
       |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
       |ORDER BY win_start, event_type""".stripMargin
 
+  /** q339: STREAMING WINDOWED QUANTILES — the eighteenth stateful
+    * family (see [[graft.streaming.StreamQuantile]]): per closed
+    * hourly window and event type, a p50 estimate of `value` from the
+    * library's own mergeable KLL-style sketch
+    * (operators/QuantileSketch) running as streaming state — one
+    * O(k + log n) buffer per group where an exact windowed quantile
+    * would hold the window's whole population. Gate = the q251/q325
+    * sketch convention: the cross-engine contract is the EXACT window
+    * population count plus in-bound flags; the sketch's p50 rank error
+    * is checked against its own engineering bound (3n/k + |levels|),
+    * recomputed relationally on the batch side.
+    */
+  def q339StreamQuantile(spark: SparkSession, dir: String): DataFrame =
+      withStreamParallelism(spark) {
+    import graft.operators.QuantileSketch
+    import graft.streaming.{StreamAgg, StreamQuantile}
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
+    val sinkName = "q339_sink_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = StreamQuantile.windowedSketchQuantile(stream)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // emitted sketches are |closed windows x types| rows (calendar-
+    // bounded), so the driver-side estimate extraction is K-bounded
+    val ests = spark.table(sinkName).collect().map { r =>
+      val sk = QuantileSketch.fromRow(r.getStruct(2))
+      (r.getString(0), r.getString(1), sk.quantile(0.5), sk.n,
+        3L * sk.n / sk.k + sk.levels.length)
+    }
+    import spark.implicits._
+    val estDf = spark.createDataset(ests.toSeq)
+      .toDF("win_start", "event_type", "est50", "n_sk", "bound")
+    val ev = Tables(spark, dir).events
+    val mx = ev.agg(max("ts").as("mx"))
+    val exact = ev
+      .select(date_trunc("hour", col("ts")).as("w"), col("event_type"),
+        col("value"))
+      .crossJoin(broadcast(mx))
+      .filter(col("w") + expr("INTERVAL 1 HOUR") <= col("mx"))
+      .select(date_format(col("w"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("value"))
+    exact.join(broadcast(estDf), Seq("win_start", "event_type"))
+      .groupBy("win_start", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("est50"), 1L).otherwise(0L)).as("r50"),
+        first("n_sk").as("n_sk"), first("bound").as("bound"))
+      .select(col("win_start"), col("event_type"), col("n"),
+        (col("n_sk") === col("n")).as("weight_exact"),
+        (abs(col("r50") - ceil(col("n") * 0.5)) <= col("bound")).as("ok_p50"))
+  }
+
+  val q339Sql: String =
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+      |  event_type, CAST(count(*) AS BIGINT) AS n,
+      |  TRUE AS weight_exact, TRUE AS ok_p50
+      |FROM events
+      |GROUP BY date_trunc('hour', ts), event_type
+      |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)
+      |ORDER BY win_start, event_type""".stripMargin
+
   /** q167: STREAMING WINDOWED TOP-K — the twelfth stateful family
     * (see [[graft.streaming.StreamTopK]]): per tumbling hour, the 3
     * most frequent event types, emitted only when the event-time
@@ -1028,6 +1091,8 @@ object SessionOps {
     "q167_stream_topk" -> (q167StreamTopk _),
     "q325_stream_sketch_distinct" ->
       Gate.sorted(q325StreamSketchDistinct _, "win_start", "event_type"),
+    "q339_stream_quantile" ->
+      Gate.sorted(q339StreamQuantile _, "win_start", "event_type"),
     "q185_stream_throttle" -> (q185StreamThrottle _),
     "q194_stream_cep" -> (q194StreamCep _),
     "q309_stream_retention" -> (q309StreamRetention _),
@@ -1052,6 +1117,7 @@ object SessionOps {
     "q70_stream_distinct" -> q70Sql,
     "q167_stream_topk" -> q167Sql,
     "q325_stream_sketch_distinct" -> q325Sql,
+    "q339_stream_quantile" -> q339Sql,
     "q185_stream_throttle" -> q185Sql,
     "q194_stream_cep" -> q194Sql,
     "q309_stream_retention" -> q309Sql,
