@@ -1892,7 +1892,134 @@ object StatsOps {
       |FROM fit ORDER BY bin""".stripMargin
   }
 
+  /** q343: BRIER-SCORE MURPHY DECOMPOSITION + ECE — the forecast-
+    * quality report behind a calibration plot: over the q333 bins of
+    * the q128 logistic score, reliability REL = Σ nₖ(f̄ₖ−ōₖ)²/N
+    * (calibration error, lower better), resolution RES = Σ nₖ(ōₖ−ō)²/N
+    * (discrimination, higher better), uncertainty UNC = ō(1−ō), with
+    * the Murphy (1973) identity Brier = REL − RES + UNC, plus the
+    * expected calibration error ECE = Σ nₖ|f̄ₖ−ōₖ|/N. Emitted as one
+    * metric/value_micro table; the identity is reproven independently
+    * in Batch30Spec against a per-row Brier recompute.
+    *
+    * Exactness: per-bin forecast sums are per-row micro-quantized
+    * BIGINTs (the q128 idiom), ōₖ and f̄ₖ are single IEEE divisions of
+    * identical integers, and the bin terms (≤20 of them) are
+    * micro-quantized before the final sum — every aggregate BIGINT.
+    * Scale shape: ONE fact pass to the 20-bin rollup; the decomposition
+    * is arithmetic over those 20 rows with the scalar totals broadcast.
+    */
+  def q343BrierDecomposition(spark: SparkSession, dir: String): DataFrame = {
+    val xs: Seq[Column] = Seq(lit(1.0), col("l_quantity"), col("l_discount"))
+    val z = LOGREG_W.zip(xs).map { case (w, x) => lit(w) * x }.reduce(_ + _)
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    val pMicro = floor(p * lit(1e6) + lit(0.5)).cast("long")
+    val bins = Tables(spark, dir).lineitem
+      .select(
+        least(floor(pMicro * ISO_BINS / lit(1000000.0)).cast("long"),
+          lit((ISO_BINS - 1).toLong)).as("bin"),
+        pMicro.as("pm"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"), sum("pm").as("pm_sum"))
+    val tot = bins.agg(sum("n").as("nn"), sum("pos").as("pp"))
+    val fbar = col("pm_sum").cast("double") / col("n").cast("double") /
+      lit(1e6)
+    val obar = col("pos").cast("double") / col("n").cast("double")
+    val obarAll = col("pp").cast("double") / col("nn").cast("double")
+    val terms = bins.crossJoin(broadcast(tot))
+      .select(col("n"), col("nn"), col("pp"),
+        floor(col("n").cast("double") * (fbar - obar) * (fbar - obar)
+          * lit(1e6) + lit(0.5)).cast("long").as("rel_t"),
+        floor(col("n").cast("double") * (obar - obarAll) * (obar - obarAll)
+          * lit(1e6) + lit(0.5)).cast("long").as("res_t"),
+        floor(col("n").cast("double") * abs(fbar - obar) * lit(1e6)
+          + lit(0.5)).cast("long").as("ece_t"))
+    val agg = terms.groupBy("nn", "pp")
+      .agg(sum("rel_t").as("rel_s"), sum("res_t").as("res_s"),
+        sum("ece_t").as("ece_s"))
+    val unc = col("pp").cast("double") / col("nn").cast("double") *
+      (lit(1.0) - col("pp").cast("double") / col("nn").cast("double"))
+    agg.select(
+      explode(array(
+        struct(lit("reliability").as("metric"),
+          floor(col("rel_s").cast("double") / col("nn").cast("double")
+            + lit(0.5)).cast("long").as("value_micro")),
+        struct(lit("resolution").as("metric"),
+          floor(col("res_s").cast("double") / col("nn").cast("double")
+            + lit(0.5)).cast("long").as("value_micro")),
+        struct(lit("ece").as("metric"),
+          floor(col("ece_s").cast("double") / col("nn").cast("double")
+            + lit(0.5)).cast("long").as("value_micro")),
+        struct(lit("uncertainty").as("metric"),
+          floor(unc * lit(1e6) + lit(0.5)).cast("long").as("value_micro")),
+        struct(lit("n").as("metric"), col("nn").as("value_micro"))))
+        .as("m"))
+      .select(col("m.metric").as("metric"), col("m.value_micro")
+        .as("value_micro"))
+  }
+
+  val q343Sql: String = {
+    val z = LOGREG_W.zip(Seq("1.0", "l_quantity", "l_discount"))
+      .map { case (w, x) => s"$w * $x" }.mkString(" + ")
+    s"""WITH e AS (
+      |  SELECT least(CAST(floor(CAST(floor(1.0 / (1.0 + exp(-($z))) * 1e6
+      |        + 0.5) AS BIGINT) * $ISO_BINS / 1000000.0) AS BIGINT),
+      |        ${ISO_BINS - 1}) AS bin,
+      |    CAST(floor(1.0 / (1.0 + exp(-($z))) * 1e6 + 0.5) AS BIGINT) AS pm,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      |  FROM lineitem),
+      |bins AS (
+      |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(y) AS BIGINT) AS pos, CAST(sum(pm) AS BIGINT) AS pm_sum
+      |  FROM e GROUP BY 1),
+      |tot AS (SELECT sum(n) AS nn, sum(pos) AS pp FROM bins),
+      |terms AS (
+      |  SELECT n, nn, pp,
+      |    CAST(floor(CAST(n AS DOUBLE) *
+      |      (CAST(pm_sum AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 -
+      |       CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      (CAST(pm_sum AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 -
+      |       CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5)
+      |      AS BIGINT) AS rel_t,
+      |    CAST(floor(CAST(n AS DOUBLE) *
+      |      (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) -
+      |       CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)) *
+      |      (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) -
+      |       CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e6 + 0.5)
+      |      AS BIGINT) AS res_t,
+      |    CAST(floor(CAST(n AS DOUBLE) *
+      |      abs(CAST(pm_sum AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 -
+      |          CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6 + 0.5)
+      |      AS BIGINT) AS ece_t
+      |  FROM bins CROSS JOIN tot),
+      |agg AS (
+      |  SELECT nn, pp, sum(rel_t) AS rel_s, sum(res_t) AS res_s,
+      |    sum(ece_t) AS ece_s
+      |  FROM terms GROUP BY 1, 2)
+      |SELECT metric, CAST(value_micro AS BIGINT) AS value_micro FROM (
+      |  SELECT 'reliability' AS metric,
+      |    floor(CAST(rel_s AS DOUBLE) / CAST(nn AS DOUBLE) + 0.5)
+      |      AS value_micro FROM agg
+      |  UNION ALL
+      |  SELECT 'resolution',
+      |    floor(CAST(res_s AS DOUBLE) / CAST(nn AS DOUBLE) + 0.5) FROM agg
+      |  UNION ALL
+      |  SELECT 'ece',
+      |    floor(CAST(ece_s AS DOUBLE) / CAST(nn AS DOUBLE) + 0.5) FROM agg
+      |  UNION ALL
+      |  SELECT 'uncertainty',
+      |    floor(CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE) *
+      |      (1.0 - CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e6 + 0.5)
+      |    FROM agg
+      |  UNION ALL
+      |  SELECT 'n', CAST(nn AS DOUBLE) FROM agg)
+      |ORDER BY metric""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q343_brier_decomposition" ->
+      Gate.sorted(q343BrierDecomposition _, "metric"),
     "q333_isotonic_fit" -> Gate.sorted(q333IsotonicFit _, "bin"),
     "q327_sliced_auc" -> Gate.sorted(q327SlicedAuc _, "slice"),
     "q320_split_finder" -> Gate.sorted(q320SplitFinder _, "split_bin"),
@@ -1923,6 +2050,7 @@ object StatsOps {
     "q137_pr_thresholds" -> Gate.sorted(q137PrThresholds _, "threshold_micro"))
 
   val oracles: Map[String, String] = Map(
+    "q343_brier_decomposition" -> q343Sql,
     "q333_isotonic_fit" -> q333Sql,
     "q327_sliced_auc" -> q327Sql,
     "q320_split_finder" -> q320Sql,

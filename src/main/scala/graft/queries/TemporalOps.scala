@@ -677,7 +677,179 @@ object TemporalOps {
       |ORDER BY 1, 2""".stripMargin
   }
 
+  /** q340: MARKOV LOG-LOSS / PERPLEXITY EVAL — the probabilistic
+    * counterpart to q335's top-1 accuracy: score the held-out
+    * transitions under the Laplace-smoothed train transition model
+    * P(next|prev) = (n_train(prev,next)+1) / (n_train(prev)+K), and
+    * report per-prev negative log-likelihood and perplexity
+    * exp(NLL/n). Per-PAIR ln terms are micro-quantized then weighted
+    * by exact eval counts, so every aggregate is BIGINT (the q128/q334
+    * idiom); only the final exp touches floats, on identical inputs.
+    *
+    * Scale shape: identical to q335 — one user-partitioned lag pass,
+    * then everything runs on the |types|²-bounded (prev, next) rollup
+    * with the prev totals and the K scalar broadcast.
+    */
+  def q340MarkovPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit(MARKOV_SPLIT).cast("timestamp")
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val trans = Tables(spark, dir).events
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("event_type").as("next_type"),
+        (col("ts") < cutoff).as("is_train"))
+    val counts = trans.groupBy("prev_type", "next_type")
+      .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("is_train"), 0L).otherwise(1L)).as("n_eval"))
+    val prevTot = counts.groupBy(col("prev_type").as("p"))
+      .agg(sum("n_train").as("prev_tot"))
+    val kTbl = counts.filter(col("n_train") > 0)
+      .agg(countDistinct("next_type").as("k"))
+    counts.filter(col("n_eval") > 0)
+      .join(broadcast(prevTot), col("prev_type") === col("p"))
+      .crossJoin(broadcast(kTbl))
+      .select(col("prev_type"), col("n_eval"),
+        (floor(log((col("n_train") + lit(1.0)) /
+          (col("prev_tot") + col("k")).cast("double")) * lit(1e6)
+          + lit(0.5)).cast("long") * lit(-1L) * col("n_eval"))
+          .as("nll_contrib"))
+      .groupBy("prev_type")
+      .agg(sum("n_eval").as("n_eval"), sum("nll_contrib").as("nll_micro"))
+      .select(col("prev_type"), col("n_eval"), col("nll_micro"),
+        floor(exp(col("nll_micro").cast("double") / lit(1e6) /
+          col("n_eval").cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+          .as("ppl_micro"))
+  }
+
+  val q340Sql: String =
+    s"""WITH tr AS (
+      |  SELECT lag(event_type) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+      |    event_type AS next_type,
+      |    ts < TIMESTAMP '${graft.queries.SessionOps.DIFF_CUTOFF}' AS is_train
+      |  FROM events),
+      |cnt AS (
+      |  SELECT prev_type, next_type,
+      |    CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_train,
+      |    CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS n_eval
+      |  FROM tr WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |pt AS (SELECT prev_type AS p, sum(n_train) AS prev_tot
+      |       FROM cnt GROUP BY 1),
+      |kk AS (SELECT count(DISTINCT next_type) AS k FROM cnt
+      |       WHERE n_train > 0),
+      |terms AS (
+      |  SELECT c.prev_type, c.n_eval,
+      |    CAST(floor(ln((c.n_train + 1.0) /
+      |        CAST(pt.prev_tot + kk.k AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+      |      * -1 * c.n_eval AS nll_contrib
+      |  FROM cnt c JOIN pt ON pt.p = c.prev_type CROSS JOIN kk
+      |  WHERE c.n_eval > 0),
+      |agg AS (
+      |  SELECT prev_type, CAST(sum(n_eval) AS BIGINT) AS n_eval,
+      |    CAST(sum(nll_contrib) AS BIGINT) AS nll_micro
+      |  FROM terms GROUP BY 1)
+      |SELECT prev_type, n_eval, nll_micro,
+      |  CAST(floor(exp(CAST(nll_micro AS DOUBLE) / 1e6 /
+      |    CAST(n_eval AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS ppl_micro
+      |FROM agg ORDER BY prev_type""".stripMargin
+
+  /** q341 calendar split: fit on days before FIT_END, calibrate on
+    * [FIT_END, CAL_END), test on [CAL_END, ...). Miscoverage target
+    * alpha = 0.2.
+    */
+  val CONF_FIT_END = "2024-01-11 00:00:00"
+  val CONF_CAL_END = "2024-01-21 00:00:00"
+
+  /** q341: SPLIT-CONFORMAL INTERVAL CALIBRATION — distribution-free
+    * prediction intervals for the daily event count (Vovk et al.;
+    * Lei et al. 2018 split-conformal recipe): fit a point forecast
+    * (per-type train MEDIAN, the ceil(n/2)-th order stat) on the fit
+    * days, take absolute residuals on the held-out CALIBRATION days,
+    * set q̂ = the ceil((n_cal+1)(1−α))-th smallest calibration
+    * residual (the finite-sample-valid conformal quantile), and
+    * report empirical coverage of [f−q̂, f+q̂] on the TEST days.
+    * Everything is integer order statistics on the calendar-bounded
+    * rollup; coverage is the one micro-quantized ratio.
+    *
+    * Scale shape: identical to q336 — one fact-sized aggregate to the
+    * (type, day) grain; fit/calibration/test all run on the
+    * |types|×|days| rollup, with the per-type (f, q̂) table broadcast.
+    */
+  def q341ConformalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val fitEnd = lit(CONF_FIT_END).cast("timestamp")
+    val calEnd = lit(CONF_CAL_END).cast("timestamp")
+    val daily = Tables(spark, dir).events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val fit = daily.filter(col("day") < fitEnd)
+      .groupBy("event_type")
+      .agg(sort_array(collect_list("cnt")).as("s"), count(lit(1)).as("n"))
+      .select(col("event_type"),
+        element_at(col("s"),
+          ceil(col("n").cast("double") / 2).cast("int")).as("f"))
+    val qhat = daily.filter(col("day") >= fitEnd && col("day") < calEnd)
+      .join(broadcast(fit), "event_type")
+      .select(col("event_type"), abs(col("cnt") - col("f")).as("r"),
+        col("f"))
+      .groupBy("event_type", "f")
+      .agg(sort_array(collect_list("r")).as("rs"), count(lit(1)).as("nc"))
+      .select(col("event_type"), col("f"), col("nc"),
+        element_at(col("rs"),
+          least(ceil((col("nc") + 1).cast("double") * lit(0.8)).cast("int"),
+            col("nc").cast("int"))).as("qhat"))
+    daily.filter(col("day") >= calEnd)
+      .join(broadcast(qhat), "event_type")
+      .groupBy("event_type", "f", "nc", "qhat")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("cnt") - col("f")) <= col("qhat"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .select(col("event_type"), col("f"), col("qhat"), col("n_test"),
+        col("n_covered"),
+        floor(col("n_covered") * lit(1e6) / col("n_test") + lit(0.5))
+          .cast("long").as("coverage_micro"))
+  }
+
+  val q341Sql: String =
+    s"""WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |fit AS (
+      |  SELECT event_type,
+      |    (list_sort(list(cnt)))[CAST(ceil(CAST(count(*) AS DOUBLE) / 2)
+      |      AS INT)] AS f
+      |  FROM daily WHERE day < TIMESTAMP '$CONF_FIT_END' GROUP BY 1),
+      |cal AS (
+      |  SELECT d.event_type, f.f,
+      |    list_sort(list(abs(d.cnt - f.f))) AS rs,
+      |    count(*) AS nc
+      |  FROM daily d JOIN fit f USING (event_type)
+      |  WHERE d.day >= TIMESTAMP '$CONF_FIT_END'
+      |    AND d.day < TIMESTAMP '$CONF_CAL_END'
+      |  GROUP BY 1, 2),
+      |qh AS (
+      |  SELECT event_type, f, nc,
+      |    rs[least(CAST(ceil(CAST(nc + 1 AS DOUBLE) * 0.8) AS INT),
+      |             CAST(nc AS INT))] AS qhat
+      |  FROM cal)
+      |SELECT d.event_type, CAST(q.f AS BIGINT) AS f,
+      |  CAST(q.qhat AS BIGINT) AS qhat,
+      |  CAST(count(*) AS BIGINT) AS n_test,
+      |  CAST(sum(CASE WHEN abs(d.cnt - q.f) <= q.qhat THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_covered,
+      |  CAST(floor(sum(CASE WHEN abs(d.cnt - q.f) <= q.qhat THEN 1 ELSE 0
+      |    END) * 1e6 / count(*) + 0.5) AS BIGINT) AS coverage_micro
+      |FROM daily d JOIN qh q USING (event_type)
+      |WHERE d.day >= TIMESTAMP '$CONF_CAL_END'
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q341_conformal_coverage" ->
+      Gate.sorted(q341ConformalCoverage _, "event_type"),
+    "q340_markov_perplexity" ->
+      Gate.sorted(q340MarkovPerplexity _, "prev_type"),
     "q336_pinball_backtest" ->
       Gate.sorted(q336PinballBacktest _, "event_type", "q_label"),
     "q335_markov_eval" -> Gate.sorted(q335MarkovEval _, "prev_type"),
@@ -697,6 +869,8 @@ object TemporalOps {
     "q164_abandoned_clicks" -> Gate.sorted(q164AbandonedClicks _, "user_id"))
 
   val oracles: Map[String, String] = Map(
+    "q341_conformal_coverage" -> q341Sql,
+    "q340_markov_perplexity" -> q340Sql,
     "q336_pinball_backtest" -> q336Sql,
     "q335_markov_eval" -> q335Sql,
     "q306_debounce" -> q306Sql,

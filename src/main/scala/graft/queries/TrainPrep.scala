@@ -1550,7 +1550,75 @@ object TrainPrep {
       |ORDER BY s.source""".stripMargin
   }
 
+  /** q342: LEAVE-ONE-SOURCE-OUT CORPUS VALUATION — the cheapest data-
+    * valuation signal a mixing pipeline computes before anything
+    * Shapley-shaped: for each source, how the corpus-level quality
+    * statistics (mean tokens/doc and mean chars/token) would move if
+    * that source were dropped. LOO means come from the algebraic
+    * identity (S−s_i)/(N−n_i) — one pass, no per-source rescan, which
+    * is exactly why this is viable at 100 TB where |sources| re-scans
+    * are not. All sums are exact BIGINTs; the means/deltas are single
+    * IEEE divisions of identical integers, reported micro-quantized.
+    */
+  def q342LooSourceValue(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables(spark, dir).documents
+      .select(col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("n_tok"),
+        length(col("text")).cast("long").as("n_chars"))
+    val perSrc = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_sum"),
+        sum("n_chars").as("chr_sum"))
+    val tot = perSrc.agg(sum("n_docs").as("nn"), sum("tok_sum").as("ss"),
+      sum("chr_sum").as("cc"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        floor(col("tok_sum").cast("double") / col("n_docs").cast("double")
+          * lit(1e6) + lit(0.5)).cast("long").as("mean_tok_micro"),
+        floor((col("ss") - col("tok_sum")).cast("double") /
+          (col("nn") - col("n_docs")).cast("double") * lit(1e6) + lit(0.5))
+          .cast("long").as("loo_mean_tok_micro"),
+        floor(((col("ss") - col("tok_sum")).cast("double") /
+          (col("nn") - col("n_docs")).cast("double") -
+          col("ss").cast("double") / col("nn").cast("double")) * lit(1e6)
+          + lit(0.5)).cast("long").as("delta_tok_micro"),
+        floor(((col("cc") - col("chr_sum")).cast("double") /
+          (col("ss") - col("tok_sum")).cast("double") -
+          col("cc").cast("double") / col("ss").cast("double")) * lit(1e6)
+          + lit(0.5)).cast("long").as("delta_cpt_micro"))
+  }
+
+  val q342Sql: String =
+    """WITH perdoc AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      x -> x != '')) AS BIGINT) AS n_tok,
+      |    CAST(length(text) AS BIGINT) AS n_chars
+      |  FROM documents),
+      |persrc AS (
+      |  SELECT source, count(*) AS n_docs, sum(n_tok) AS tok_sum,
+      |    sum(n_chars) AS chr_sum
+      |  FROM perdoc GROUP BY 1),
+      |tot AS (SELECT sum(n_docs) AS nn, sum(tok_sum) AS ss,
+      |        sum(chr_sum) AS cc FROM persrc)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(floor(CAST(tok_sum AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1e6
+      |    + 0.5) AS BIGINT) AS mean_tok_micro,
+      |  CAST(floor(CAST(ss - tok_sum AS DOUBLE) /
+      |    CAST(nn - n_docs AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+      |    AS loo_mean_tok_micro,
+      |  CAST(floor((CAST(ss - tok_sum AS DOUBLE) /
+      |      CAST(nn - n_docs AS DOUBLE) -
+      |      CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e6 + 0.5)
+      |    AS BIGINT) AS delta_tok_micro,
+      |  CAST(floor((CAST(cc - chr_sum AS DOUBLE) /
+      |      CAST(ss - tok_sum AS DOUBLE) -
+      |      CAST(cc AS DOUBLE) / CAST(ss AS DOUBLE)) * 1e6 + 0.5)
+      |    AS BIGINT) AS delta_cpt_micro
+      |FROM persrc, tot ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q342_loo_source_value" -> Gate.sorted(q342LooSourceValue _, "source"),
     "q314_fim_split" -> Gate.sorted(q314FimSplit _, "doc_id"),
     "q318_bottomk_sample" -> Gate.sorted(q318BottomkSample _, "source", "rk"),
     "q311_mixture_waterfill" ->
@@ -1584,6 +1652,7 @@ object TrainPrep {
     "q81_quality_rules" -> Gate.sorted(q81QualityRules _, "doc_id"))
 
   val oracles: Map[String, String] = Map(
+    "q342_loo_source_value" -> q342Sql,
     "q314_fim_split" -> q314Sql,
     "q318_bottomk_sample" -> q318Sql,
     "q311_mixture_waterfill" -> q311Sql,
