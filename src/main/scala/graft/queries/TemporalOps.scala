@@ -845,7 +845,85 @@ object TemporalOps {
       |GROUP BY 1, 2, 3
       |ORDER BY 1""".stripMargin
 
+  /** q344 series pair and lag window. */
+  val XCORR_X = "click"
+  val XCORR_Y = "purchase"
+  val XCORR_LAGS: Seq[Int] = (-3 to 3)
+
+  /** q344: LEAD-LAG CROSS-CORRELATION — does one daily series lead
+    * another? Pearson correlation of (clicks on day d, purchases on
+    * day d+k) for k in [-3, 3], the ops-analytics companion to q163's
+    * autocorrelation (same moments discipline: every sum is an exact
+    * BIGINT over the calendar-bounded day grid; the one division per
+    * lag runs on identical integers in both engines).
+    *
+    * Scale shape: ONE fact aggregate to the (type, day) grain filtered
+    * to the two audited types; the lag fanout (×7) and the day-aligned
+    * self-join run on the ~30-row daily rollup.
+    */
+  def q344CrossCorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .filter(col("event_type").isin(XCORR_X, XCORR_Y))
+      .groupBy(col("event_type"),
+        unix_micros(date_trunc("day", col("ts"))).as("day_us"))
+      .agg(count(lit(1)).as("cnt"))
+    val xs = daily.filter(col("event_type") === XCORR_X)
+      .select(col("day_us"), col("cnt").as("x"))
+    val ys = daily.filter(col("event_type") === XCORR_Y)
+      .select(col("day_us").as("y_day"), col("cnt").as("y"))
+    val pairs = xs
+      .select(col("day_us"), col("x"),
+        explode(array(XCORR_LAGS.map(k => lit(k)): _*)).as("lag"))
+      .join(ys,
+        col("y_day") === col("day_us") + col("lag") * lit(86400000000L))
+    pairs.groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("lag"), col("n"),
+        floor(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy"))
+                .cast("double")) * lit(1e6) + lit(0.5)).cast("long")
+          .as("corr_micro"))
+  }
+
+  val q344Sql: String = {
+    val lagVals = XCORR_LAGS.map(k => s"($k)").mkString(", ")
+    s"""WITH daily AS (
+      |  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events WHERE event_type IN ('$XCORR_X', '$XCORR_Y')
+      |  GROUP BY 1, 2),
+      |xs AS (SELECT day_us, cnt AS x FROM daily
+      |       WHERE event_type = '$XCORR_X'),
+      |ys AS (SELECT day_us AS y_day, cnt AS y FROM daily
+      |       WHERE event_type = '$XCORR_Y'),
+      |pairs AS (
+      |  SELECT l.lag, xs.x, ys.y
+      |  FROM xs, (VALUES $lagVals) l(lag)
+      |  JOIN ys ON ys.y_day = xs.day_us + l.lag * 86400000000),
+      |m AS (
+      |  SELECT lag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM pairs GROUP BY 1)
+      |SELECT CAST(lag AS INT) AS lag, n,
+      |  CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+      |         CAST(n * syy - sy * sy AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+      |    AS corr_micro
+      |FROM m ORDER BY lag""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q344_crosscorr" -> Gate.sorted(q344CrossCorr _, "lag"),
     "q341_conformal_coverage" ->
       Gate.sorted(q341ConformalCoverage _, "event_type"),
     "q340_markov_perplexity" ->
@@ -869,6 +947,7 @@ object TemporalOps {
     "q164_abandoned_clicks" -> Gate.sorted(q164AbandonedClicks _, "user_id"))
 
   val oracles: Map[String, String] = Map(
+    "q344_crosscorr" -> q344Sql,
     "q341_conformal_coverage" -> q341Sql,
     "q340_markov_perplexity" -> q340Sql,
     "q336_pinball_backtest" -> q336Sql,

@@ -1101,7 +1101,73 @@ object VectorOps {
       |FROM m
       |ORDER BY c_custkey""".stripMargin
 
+  /** q345: PER-DIMENSION WHITENING REPORT — the standardization pass
+    * (mean-center, unit-variance) run before PCA/whitening or as an
+    * embedding-health monitor: per dimension, the mean, standard
+    * deviation, and the count of |z| > 3 outlier CELLS. Float cells
+    * are micro-quantized ONCE at the scan (deterministic, engine-
+    * portable) so the per-dim moment sums are exact BIGINTs — the
+    * cross-ROW float sums a naive implementation would do are exactly
+    * what two engines cannot reproduce (summation order). The outlier
+    * pass re-scans with the 64-row stats table broadcast.
+    *
+    * Scale shape: posexplode is a ×dim bounded fanout; the moments
+    * aggregate is map-side combined onto |dim| rows; the z-pass is a
+    * second scan with a broadcast join — no fact-sized shuffle at all.
+    */
+  def q345WhiteningReport(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir).embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        floor(col("x").cast("double") * lit(1e6) + lit(0.5)).cast("long")
+          .as("xm"))
+    val stats = cells.groupBy("d")
+      .agg(count(lit(1)).as("n"), sum("xm").as("s1"),
+        sum(col("xm") * col("xm")).as("s2"))
+      .select(col("d").as("sd_d"), col("n"), col("s1"), col("s2"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mean"),
+        sqrt(col("s2").cast("double") / col("n").cast("double") -
+          (col("s1").cast("double") / col("n").cast("double")) *
+            (col("s1").cast("double") / col("n").cast("double"))).as("sd"))
+    cells.join(broadcast(stats), col("d") === col("sd_d"))
+      .groupBy("d", "n", "mean", "sd")
+      .agg(sum(when(abs(col("xm").cast("double") - col("mean")) >
+          lit(3.0) * col("sd"), 1L).otherwise(0L)).as("n_outlier"))
+      .select(col("d"), col("n"),
+        floor(col("mean") + lit(0.5)).cast("long").as("mean_micro"),
+        floor(col("sd") + lit(0.5)).cast("long").as("sd_micro"),
+        col("n_outlier"))
+  }
+
+  val q345Sql: String =
+    """WITH cells AS (
+      |  SELECT vec_id, i - 1 AS d,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+      |      AS xm
+      |  FROM embeddings,
+      |    unnest(generate_series(1, len(embedding))) t(i)),
+      |stats AS (
+      |  SELECT d, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(xm) AS BIGINT) AS s1,
+      |    CAST(sum(xm * xm) AS BIGINT) AS s2
+      |  FROM cells GROUP BY 1),
+      |sd AS (
+      |  SELECT d, n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) -
+      |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS sd
+      |  FROM stats)
+      |SELECT c.d, s.n,
+      |  CAST(floor(s.mean + 0.5) AS BIGINT) AS mean_micro,
+      |  CAST(floor(s.sd + 0.5) AS BIGINT) AS sd_micro,
+      |  CAST(sum(CASE WHEN abs(CAST(c.xm AS DOUBLE) - s.mean) > 3.0 * s.sd
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outlier
+      |FROM cells c JOIN sd s ON s.d = c.d
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q345_whitening_report" -> Gate.sorted(q345WhiteningReport _, "d"),
     "q326_als_step" -> Gate.sorted(q326AlsStep _, "c_custkey"),
     "q313_sized_semdedup" -> Gate.sorted(q313SizedSemdedup _, "vec_id"),
     "q303_recall_curve" -> Gate.sorted(q303RecallCurve _, "k"),
@@ -1118,6 +1184,7 @@ object VectorOps {
     "q82_pq_ann" -> Gate.sorted(q82PqAnn _, "query_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q345_whitening_report" -> q345Sql,
     "q326_als_step" -> q326Sql,
     "q313_sized_semdedup" -> q313Sql,
     "q303_recall_curve" -> q303Sql,
