@@ -2017,7 +2017,108 @@ object StatsOps {
       |ORDER BY metric""".stripMargin
   }
 
+  /** q346 bucket count (delete-a-group jackknife groups). */
+  val JK_BUCKETS = 20
+
+  /** q346: DELETE-A-GROUP JACKKNIFE FOR A RATIO METRIC — the standard
+    * error of revenue-per-order, a RATIO whose variance a naive
+    * per-row formula gets wrong (orders are the denominator, not a
+    * constant): hash orders into [[JK_BUCKETS]] groups, compute each
+    * leave-one-group-out ratio from the total-sums identity (no
+    * rescans — the q342 trick), and report the jackknife SE
+    * SE² = (B−1)/B · Σ(rᵢ−r̄)². The experimentation-platform
+    * alternative to the delta method, exact enough to gate: per-group
+    * sums are BIGINT cents, each rᵢ is one IEEE division of identical
+    * integers quantized to cents (deviations are ~1e5 cents, so cent
+    * resolution is 5 significant digits on the SE — and keeps dev²
+    * inside BIGINT, which a 1e4-finer grid overflowed), and the
+    * Σ(rᵢ−r̄)² terms are quantized per group before the 20-row sum.
+    *
+    * Scale shape: ONE fact pass to the 20-group rollup (uniform md5
+    * buckets — no skew); everything after is arithmetic on 20 rows
+    * with the scalar totals broadcast.
+    */
+  def q346JackknifeRatio(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = graft.functions.TextFunctions.md5Hash32(
+      concat(lit("jk:"), col("o_orderkey"))) % JK_BUCKETS
+    val groups = Tables(spark, dir).orders
+      .select(bucket.as("b"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("rev_c"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n"), sum("rev_c").as("s"))
+    val tot = groups.agg(sum("n").as("nn"), sum("s").as("ss"),
+      count(lit(1)).as("bb"))
+    // quantize each LOO ratio (to cents) BEFORE any cross-row sum: a
+    // sum of raw doubles is summation-order-dependent and 20
+    // near-equal ~1e7 terms carry enough ulp noise to flip the
+    // squared-deviation quantization — integer r_i_q makes r̄ a ratio
+    // of exact integers instead
+    val loo = groups.crossJoin(broadcast(tot))
+      .select(col("b"), col("nn"), col("ss"), col("bb"),
+        floor((col("ss") - col("s")).cast("double") /
+          (col("nn") - col("n")).cast("double") + lit(0.5))
+          .cast("long").as("r_i_q"))
+    val rbar = loo.groupBy("nn", "ss", "bb")
+      .agg(sum("r_i_q").as("rsum"))
+    loo.join(broadcast(rbar), Seq("nn", "ss", "bb"))
+      .select(col("nn"), col("ss"), col("bb"), col("rsum"),
+        floor((col("r_i_q").cast("double") -
+          col("rsum").cast("double") / col("bb").cast("double")) *
+          (col("r_i_q").cast("double") -
+            col("rsum").cast("double") / col("bb").cast("double"))
+          + lit(0.5)).cast("long").as("dev2"))
+      .groupBy("nn", "ss", "bb", "rsum")
+      .agg(sum("dev2").as("ssd"))
+      .select(
+        col("nn").as("n_orders"),
+        floor(col("ss").cast("double") / col("nn").cast("double")
+          + lit(0.5)).cast("long").as("ratio_c"),
+        floor(col("rsum").cast("double") / col("bb").cast("double")
+          + lit(0.5)).cast("long").as("jk_mean_c"),
+        floor(sqrt((col("bb") - 1).cast("double") / col("bb").cast("double")
+          * col("ssd").cast("double")) + lit(0.5)).cast("long")
+          .as("jk_se_c"))
+  }
+
+  val q346Sql: String =
+    s"""WITH g AS (
+      |  SELECT CAST('0x' || substr(md5('jk:' || CAST(o_orderkey AS VARCHAR)),
+      |      1, 8) AS BIGINT) % $JK_BUCKETS AS b,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS s
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT sum(n) AS nn, sum(s) AS ss, count(*) AS bb FROM g),
+      |loo AS (
+      |  SELECT b, nn, ss, bb,
+      |    CAST(floor(CAST(ss - s AS DOUBLE) / CAST(nn - n AS DOUBLE)
+      |      + 0.5) AS BIGINT) AS r_i_q
+      |  FROM g, tot),
+      |rb AS (SELECT nn, ss, bb, CAST(sum(r_i_q) AS BIGINT) AS rsum
+      |       FROM loo GROUP BY 1, 2, 3),
+      |dev AS (
+      |  SELECT l.nn, l.ss, l.bb, rb.rsum,
+      |    CAST(floor((CAST(l.r_i_q AS DOUBLE) -
+      |        CAST(rb.rsum AS DOUBLE) / CAST(l.bb AS DOUBLE)) *
+      |      (CAST(l.r_i_q AS DOUBLE) -
+      |        CAST(rb.rsum AS DOUBLE) / CAST(l.bb AS DOUBLE)) + 0.5)
+      |      AS BIGINT) AS dev2
+      |  FROM loo l JOIN rb ON rb.nn = l.nn AND rb.ss = l.ss AND rb.bb = l.bb),
+      |agg AS (
+      |  SELECT nn, ss, bb, rsum, sum(dev2) AS ssd
+      |  FROM dev GROUP BY 1, 2, 3, 4)
+      |SELECT CAST(nn AS BIGINT) AS n_orders,
+      |  CAST(floor(CAST(ss AS DOUBLE) / CAST(nn AS DOUBLE) + 0.5)
+      |    AS BIGINT) AS ratio_c,
+      |  CAST(floor(CAST(rsum AS DOUBLE) / CAST(bb AS DOUBLE) + 0.5)
+      |    AS BIGINT) AS jk_mean_c,
+      |  CAST(floor(sqrt(CAST(bb - 1 AS DOUBLE) / CAST(bb AS DOUBLE) *
+      |    CAST(ssd AS DOUBLE)) + 0.5) AS BIGINT) AS jk_se_c
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q346_jackknife_ratio" ->
+      ((s, d) => q346JackknifeRatio(s, d)),
     "q343_brier_decomposition" ->
       Gate.sorted(q343BrierDecomposition _, "metric"),
     "q333_isotonic_fit" -> Gate.sorted(q333IsotonicFit _, "bin"),
@@ -2050,6 +2151,7 @@ object StatsOps {
     "q137_pr_thresholds" -> Gate.sorted(q137PrThresholds _, "threshold_micro"))
 
   val oracles: Map[String, String] = Map(
+    "q346_jackknife_ratio" -> q346Sql,
     "q343_brier_decomposition" -> q343Sql,
     "q333_isotonic_fit" -> q333Sql,
     "q327_sliced_auc" -> q327Sql,
