@@ -678,6 +678,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q340-q346: keyed joins only, rollup-bounded windows, no cartesian") {
+    Seq(
+      graft.queries.TemporalOps.q340MarkovPerplexity(spark, sfDir),
+      graft.queries.TemporalOps.q341ConformalCoverage(spark, sfDir),
+      graft.queries.TrainPrep.q342LooSourceValue(spark, sfDir),
+      graft.queries.StatsOps.q343BrierDecomposition(spark, sfDir),
+      graft.queries.TemporalOps.q344CrossCorr(spark, sfDir),
+      graft.queries.VectorOps.q345WhiteningReport(spark, sfDir),
+      graft.queries.StatsOps.q346JackknifeRatio(spark, sfDir)
+    ).foreach { df =>
+      assert(!plan(df).contains("CartesianProduct"))
+    }
+  }
+
+  test("q345/q346: the fact collapses map-side before any broadcast math") {
+    Seq(
+      graft.queries.VectorOps.q345WhiteningReport(spark, sfDir),
+      graft.queries.StatsOps.q346JackknifeRatio(spark, sfDir)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("partial_"), "expected map-side combine")
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        "bounded stats tables should broadcast")
+    }
+  }
+
   test("q325: the streaming state is a sketch aggregate, not a dedup") {
     // batch-side equivalent of the streaming plan: the aggregation
     // carries hll_sketch_agg, so state per group is one buffer
