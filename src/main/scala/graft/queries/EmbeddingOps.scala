@@ -815,7 +815,143 @@ object EmbeddingOps {
       |ORDER BY query_id, mmr_rank""".stripMargin
   }
 
+  /** q352 anchor bound: source-side vectors with vec_id below this
+    * form the bounded anchor set (the q30 NUM_QUERIES convention —
+    * a CONSTANT, so the broadcast side never grows with the corpus). */
+  val MARGIN_ANCHOR_MAX = 40
+  /** q352 candidates per anchor (scored for margin). */
+  val MARGIN_CAND_K = 8
+  /** q352 neighborhood size for the margin denominator means. */
+  val MARGIN_TOP_K = 4
+  /** q352 acceptance threshold: margin > 1.05 (micro units). */
+  val MARGIN_THRESH_MICRO = 1050000L
+
+  /** q352: MARGIN-BASED PAIR MINING — the ratio-margin criterion of
+    * large-scale bitext/alignment mining (Artetxe & Schwenk 2019;
+    * the CCMatrix recipe): a candidate pair (x, y) across two corpora
+    * (here label ≤ 4 vs label ≥ 5) is accepted not on raw cosine but
+    * on cos(x,y) ÷ the mean of each side's top-k neighborhoods —
+    * raw-cosine thresholds over-mine dense hubs and starve sparse
+    * regions; the margin normalizes both away. Mines, per anchor, its
+    * best-margin target and the accept flag. This is the
+    * training-pair curation step for translation/contrastive corpora,
+    * distinct from q291 (hard NEGATIVES by label) and q63/q313
+    * (same-corpus dedup).
+    *
+    * Scale shape: anchors are a bounded broadcast against the target
+    * scan (one pass); the reverse neighborhoods are computed only for
+    * the ≤ anchors×K candidate targets — a second bounded broadcast
+    * against the source scan. Nothing is corpus×corpus; at 100 TB both
+    * passes keep the q30/q31 contract (swap in the LSH bucket join for
+    * the first pass when the anchor set grows). Determinism: cosines
+    * come from the native CosineSimilarity expression (bit-identical
+    * to the oracle's list fold), are nano-quantized AT THE SCAN so
+    * every later sum is integer, and the margin is one IEEE division
+    * of exact integers, micro-quantized.
+    */
+  def q352MarginMining(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val src = emb.filter(col("label") <= 4)
+    val tgt = emb.filter(col("label") >= 5)
+    val anchors = src.filter(col("vec_id") < MARGIN_ANCHOR_MAX)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val simNano = floor(cosine(col("a_emb"), col("embedding")) * lit(1e9) +
+      lit(0.5)).cast("long")
+    val fwd = tgt.crossJoin(broadcast(anchors))
+      .select(col("a_id"), col("vec_id").as("t_id"), simNano.as("s"))
+    val wA = Window.partitionBy("a_id").orderBy(col("s").desc,
+      col("t_id").asc)
+    val ranked = fwd.withColumn("r", row_number().over(wA))
+      .filter(col("r") <= MARGIN_CAND_K)
+    val sumA = ranked.filter(col("r") <= MARGIN_TOP_K)
+      .groupBy("a_id").agg(sum("s").as("sum_a"))
+    // reverse neighborhoods for the bounded candidate-target set only
+    val candT = ranked.select(col("t_id")).distinct()
+      .join(tgt, col("t_id") === col("vec_id"))
+      .select(col("t_id"), col("embedding").as("t_emb"))
+    val bwd = src.crossJoin(broadcast(candT))
+      .select(col("t_id"),
+        floor(cosine(col("t_emb"), col("embedding")) * lit(1e9) + lit(0.5))
+          .cast("long").as("s"), col("vec_id"))
+    val wT = Window.partitionBy("t_id").orderBy(col("s").desc,
+      col("vec_id").asc)
+    val sumB = bwd.withColumn("r", row_number().over(wT))
+      .filter(col("r") <= MARGIN_TOP_K)
+      .groupBy("t_id").agg(sum("s").as("sum_b"))
+    val wM = Window.partitionBy("a_id")
+      .orderBy(col("margin_micro").desc, col("t_id").asc)
+    ranked.join(sumA, "a_id").join(sumB, "t_id")
+      .withColumn("margin_micro",
+        floor(lit(2.0d * MARGIN_TOP_K) * col("s").cast("double") /
+          (col("sum_a") + col("sum_b")).cast("double") * lit(1e6) +
+          lit(0.5)).cast("long"))
+      .withColumn("mr", row_number().over(wM))
+      .filter(col("mr") === 1)
+      .select(col("a_id").as("query_id"), col("t_id").as("tgt_id"),
+        col("margin_micro"),
+        (col("margin_micro") >= MARGIN_THRESH_MICRO).as("accepted"))
+  }
+
+  val q352Sql: String =
+    s"""WITH src AS (SELECT * FROM embeddings WHERE label <= 4),
+      |tgt AS (SELECT * FROM embeddings WHERE label >= 5),
+      |anchors AS (
+      |  SELECT vec_id AS a_id, embedding AS a_emb FROM src
+      |  WHERE vec_id < $MARGIN_ANCHOR_MAX),
+      |fwd AS (
+      |  SELECT a.a_id, t.vec_id AS t_id,
+      |    CAST(floor(
+      |      list_sum(list_transform(generate_series(1, len(t.embedding)),
+      |        i -> CAST(a.a_emb[i] AS DOUBLE) * CAST(t.embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(a.a_emb,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(t.embedding,
+      |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |      * 1e9 + 0.5) AS BIGINT) AS s
+      |  FROM tgt t, anchors a),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY a_id
+      |    ORDER BY s DESC, t_id ASC) AS r
+      |  FROM fwd),
+      |cand AS (SELECT * FROM ranked WHERE r <= $MARGIN_CAND_K),
+      |suma AS (SELECT a_id, CAST(sum(s) AS BIGINT) AS sum_a FROM cand
+      |         WHERE r <= $MARGIN_TOP_K GROUP BY 1),
+      |candt AS (SELECT DISTINCT t_id FROM cand),
+      |bwd AS (
+      |  SELECT c.t_id, s.vec_id,
+      |    CAST(floor(
+      |      list_sum(list_transform(generate_series(1, len(s.embedding)),
+      |        i -> CAST(t.embedding[i] AS DOUBLE) * CAST(s.embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(t.embedding,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(s.embedding,
+      |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |      * 1e9 + 0.5) AS BIGINT) AS s
+      |  FROM candt c JOIN tgt t ON t.vec_id = c.t_id, src s),
+      |branked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY t_id
+      |    ORDER BY s DESC, vec_id ASC) AS r
+      |  FROM bwd),
+      |sumb AS (SELECT t_id, CAST(sum(s) AS BIGINT) AS sum_b FROM branked
+      |         WHERE r <= $MARGIN_TOP_K GROUP BY 1),
+      |margins AS (
+      |  SELECT c.a_id, c.t_id,
+      |    CAST(floor(${2.0 * MARGIN_TOP_K} * CAST(c.s AS DOUBLE) /
+      |      CAST(sa.sum_a + sb.sum_b AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+      |      AS margin_micro
+      |  FROM cand c JOIN suma sa ON sa.a_id = c.a_id
+      |  JOIN sumb sb ON sb.t_id = c.t_id),
+      |best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY a_id
+      |    ORDER BY margin_micro DESC, t_id ASC) AS mr
+      |  FROM margins)
+      |SELECT a_id AS query_id, t_id AS tgt_id, margin_micro,
+      |  margin_micro >= $MARGIN_THRESH_MICRO AS accepted
+      |FROM best WHERE mr = 1
+      |ORDER BY query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q352_margin_mining" -> Gate.sorted(q352MarginMining _, "query_id"),
     "q308_mmr_rerank" -> Gate.sorted(q308MmrRerank _, "query_id", "mmr_rank"),
     "q291_hard_negatives" ->
       Gate.sorted(q291HardNegatives _, "anchor_id", "rank"),
@@ -828,6 +964,7 @@ object EmbeddingOps {
     "q41_ivf_ann" -> Gate.sorted(q41IvfAnn _, "query_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q352_margin_mining" -> q352Sql,
     "q308_mmr_rerank" -> q308Sql,
     "q291_hard_negatives" -> q291Sql,
     "q284_matryoshka_recall" -> q284Sql,

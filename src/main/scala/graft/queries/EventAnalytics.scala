@@ -1364,7 +1364,333 @@ object EventAnalytics {
       |LEFT JOIN borderlab bl ON bl.pid = p.pid
       |ORDER BY p.pid""".stripMargin
 
+  /** q347: TWO-GROUP LOG-RANK TEST — does time-to-conversion differ
+    * between the A/B arms (q98's user-parity split) under q139's exact
+    * subject construction (user-day, right-censored at last activity)?
+    * The test every experiment with a time-to-event metric needs: at
+    * each event time t, the observed group-1 events O1ₜ against the
+    * hypergeometric expectation E1ₜ = dₜ·n1ₜ/nₜ and variance
+    * Vₜ = dₜ·(n1ₜ/nₜ)·(1−n1ₜ/nₜ)·(nₜ−dₜ)/(nₜ−1); the statistic is
+    * z = (ΣO1 − ΣE1)/√ΣV. Complements q139 (which estimates ONE
+    * curve) and q98 (which compares MEANS and ignores censoring — the
+    * classic bias this test exists to avoid).
+    *
+    * Scale shape: q139's — the subject table is one user_id-clustered
+    * conditional aggregate over the log; risk sets and all test terms
+    * run on the ≤1440-row distinct-duration rollup (unpartitioned
+    * windows on a bounded rollup, never the log). Determinism: per-step
+    * E1/V terms are micro-quantized BIGINTs (each one IEEE expression
+    * over exact integer counts, identically associated in both
+    * engines); the final z is one double expression over the three
+    * integer sums.
+    */
+  def q347LogRank(spark: SparkSession, dir: String): DataFrame = {
+    val minUs = 60000000L
+    val subjects = Tables(spark, dir).events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .groupBy("user_id", "day")
+      .agg(min("us").as("f"), max("us").as("l"),
+        min(when(col("event_type") === "purchase", col("us"))).as("p"))
+      .select((col("user_id") % 2).as("grp"),
+        when(col("p").isNotNull, expr(s"(p - f) div $minUs"))
+          .otherwise(expr(s"(l - f) div $minUs")).as("dur_min"),
+        when(col("p").isNotNull, 1L).otherwise(0L).as("ev"))
+    val durs = subjects.groupBy("dur_min")
+      .agg(sum(when(col("grp") === 1 && col("ev") === 1, 1L).otherwise(0L))
+             .as("d1"),
+        sum("ev").as("d"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("m1"),
+        count(lit(1)).as("m"))
+    val tot = durs.agg(sum("m").as("nn"), sum("m1").as("nn1"))
+    val before = Window.orderBy("dur_min")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = durs.crossJoin(broadcast(tot))
+      .withColumn("n",
+        col("nn") - coalesce(sum("m").over(before), lit(0L)))
+      .withColumn("n1",
+        col("nn1") - coalesce(sum("m1").over(before), lit(0L)))
+    // per-step terms: quantize each to micro BEFORE the cross-step sum
+    // (q139 convention — integer sums are order-independent)
+    val nD = col("n").cast("double")
+    val e1t = (col("d") * col("n1")).cast("double") / nD
+    val vt = (col("d") * col("n1")).cast("double") / nD *
+      ((col("n") - col("n1")).cast("double") / nD) *
+      ((col("n") - col("d")).cast("double") / (col("n") - 1).cast("double"))
+    risk
+      .select(col("d1"),
+        when(col("d") > 0,
+          floor(e1t * lit(1e6) + lit(0.5)).cast("long")).otherwise(0L)
+          .as("e1u"),
+        when(col("d") > 0 && col("n") > 1,
+          floor(vt * lit(1e6) + lit(0.5)).cast("long")).otherwise(0L)
+          .as("vu"))
+      .agg(sum("d1").as("o1"), sum("e1u").as("e1_micro"),
+        sum("vu").as("v_micro"))
+      .select(col("o1"), col("e1_micro"), col("v_micro"),
+        floor((col("o1").cast("double") -
+            col("e1_micro").cast("double") / lit(1e6)) /
+          sqrt(col("v_micro").cast("double") / lit(1e6)) * lit(1e6) +
+          lit(0.5)).cast("long").as("z_micro"))
+  }
+
+  val q347Sql: String =
+    """WITH sub AS (
+      |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+      |    CAST(min(epoch_us(ts)) AS BIGINT) AS f,
+      |    CAST(max(epoch_us(ts)) AS BIGINT) AS l,
+      |    CAST(min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      |      AS BIGINT) AS p
+      |  FROM events GROUP BY 1, 2),
+      |d0 AS (
+      |  SELECT user_id % 2 AS grp,
+      |    CASE WHEN p IS NOT NULL THEN (p - f) // 60000000
+      |         ELSE (l - f) // 60000000 END AS dur_min,
+      |    CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM sub),
+      |r AS (
+      |  SELECT dur_min,
+      |    CAST(sum(CASE WHEN grp = 1 AND ev = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d1,
+      |    CAST(sum(ev) AS BIGINT) AS d,
+      |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+      |    CAST(count(*) AS BIGINT) AS m
+      |  FROM d0 GROUP BY 1),
+      |t AS (SELECT CAST(sum(m) AS BIGINT) AS nn,
+      |             CAST(sum(m1) AS BIGINT) AS nn1 FROM r),
+      |w AS (
+      |  SELECT d1, d,
+      |    nn - CAST(coalesce(sum(m) OVER (ORDER BY dur_min
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS n,
+      |    nn1 - CAST(coalesce(sum(m1) OVER (ORDER BY dur_min
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS n1
+      |  FROM r CROSS JOIN t),
+      |terms AS (
+      |  SELECT d1,
+      |    CASE WHEN d > 0 THEN CAST(floor(
+      |      CAST(d * n1 AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+      |      AS BIGINT) ELSE 0 END AS e1u,
+      |    CASE WHEN d > 0 AND n > 1 THEN CAST(floor(
+      |      CAST(d * n1 AS DOUBLE) / CAST(n AS DOUBLE) *
+      |      (CAST(n - n1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)) * 1e6 + 0.5)
+      |      AS BIGINT) ELSE 0 END AS vu
+      |  FROM w),
+      |agg AS (
+      |  SELECT CAST(sum(d1) AS BIGINT) AS o1,
+      |    CAST(sum(e1u) AS BIGINT) AS e1_micro,
+      |    CAST(sum(vu) AS BIGINT) AS v_micro
+      |  FROM terms)
+      |SELECT o1, e1_micro, v_micro,
+      |  CAST(floor((CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE) / 1e6) /
+      |    sqrt(CAST(v_micro AS DOUBLE) / 1e6) * 1e6 + 0.5) AS BIGINT)
+      |    AS z_micro
+      |FROM agg""".stripMargin
+
+  /** q348: NELSON–AALEN CUMULATIVE HAZARD — the counting-process
+    * estimator over q139's exact subject table: Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ
+    * with the Poisson-type variance Σ dᵢ(nᵢ−dᵢ)/nᵢ³. The KM complement
+    * every survival report pairs with the q139 curve: Ĥ is additive
+    * (mergeable across strata), better-behaved in small risk sets, and
+    * exp(−Ĥ) bounds S(t) from above — the cross-check q139 alone
+    * cannot give.
+    *
+    * Scale shape: identical to q139 — one user_id-clustered aggregate
+    * to subjects, the ≤1440-row duration rollup, windows only on the
+    * rollup. Per-step hazard terms are micro (1e-6) BIGINTs; variance
+    * terms are pico (1e-12) BIGINTs (they decay as 1/n² and would
+    * vanish on the micro grid); cumulative sums are integer windows.
+    */
+  def q348NelsonAalen(spark: SparkSession, dir: String): DataFrame = {
+    val minUs = 60000000L
+    val durs = Tables(spark, dir).events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .groupBy("user_id", "day")
+      .agg(min("us").as("f"), max("us").as("l"),
+        min(when(col("event_type") === "purchase", col("us"))).as("p"))
+      .select(
+        when(col("p").isNotNull, expr(s"(p - f) div $minUs"))
+          .otherwise(expr(s"(l - f) div $minUs")).as("dur_min"),
+        when(col("p").isNotNull, 1L).otherwise(0L).as("ev"))
+      .groupBy("dur_min")
+      .agg(sum("ev").as("d"), count(lit(1)).as("m"))
+    val tot = durs.agg(sum("m").as("nn"))
+    val before = Window.orderBy("dur_min")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upto = Window.orderBy("dur_min")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nD = col("n").cast("double")
+    val dD = col("d").cast("double")
+    durs.crossJoin(broadcast(tot))
+      .withColumn("n",
+        col("nn") - coalesce(sum("m").over(before), lit(0L)))
+      .withColumn("hu",
+        when(col("d") > 0,
+          floor(dD / nD * lit(1e6) + lit(0.5)).cast("long")).otherwise(0L))
+      .withColumn("vp",
+        when(col("d") > 0,
+          floor(dD / nD * ((col("n") - col("d")).cast("double") / nD) / nD *
+            lit(1e12) + lit(0.5)).cast("long")).otherwise(0L))
+      .select(col("dur_min"), col("n").as("n_risk"), col("d").as("n_event"),
+        sum("hu").over(upto).as("cumhaz_micro"),
+        sum("vp").over(upto).as("var_pico"))
+  }
+
+  val q348Sql: String =
+    """WITH sub AS (
+      |  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+      |    CAST(min(epoch_us(ts)) AS BIGINT) AS f,
+      |    CAST(max(epoch_us(ts)) AS BIGINT) AS l,
+      |    CAST(min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      |      AS BIGINT) AS p
+      |  FROM events GROUP BY 1, 2),
+      |d0 AS (
+      |  SELECT CASE WHEN p IS NOT NULL THEN (p - f) // 60000000
+      |              ELSE (l - f) // 60000000 END AS dur_min,
+      |    CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM sub),
+      |r AS (
+      |  SELECT dur_min, CAST(sum(ev) AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS m
+      |  FROM d0 GROUP BY 1),
+      |t AS (SELECT CAST(sum(m) AS BIGINT) AS nn FROM r),
+      |w AS (
+      |  SELECT dur_min, d,
+      |    nn - CAST(coalesce(sum(m) OVER (ORDER BY dur_min
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS n
+      |  FROM r CROSS JOIN t),
+      |terms AS (
+      |  SELECT dur_min, n, d,
+      |    CASE WHEN d > 0 THEN CAST(floor(CAST(d AS DOUBLE) /
+      |      CAST(n AS DOUBLE) * 1e6 + 0.5) AS BIGINT) ELSE 0 END AS hu,
+      |    CASE WHEN d > 0 THEN CAST(floor(CAST(d AS DOUBLE) /
+      |      CAST(n AS DOUBLE) * (CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |      CAST(n AS DOUBLE) * 1e12 + 0.5) AS BIGINT) ELSE 0 END AS vp
+      |  FROM w)
+      |SELECT dur_min, n AS n_risk, d AS n_event,
+      |  CAST(sum(hu) OVER (ORDER BY dur_min
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cumhaz_micro,
+      |  CAST(sum(vp) OVER (ORDER BY dur_min
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS var_pico
+      |FROM terms ORDER BY dur_min""".stripMargin
+
+  /** q351 experiment cut: activity strictly before this is the
+    * pre-period covariate, at-or-after is the experiment metric
+    * (2024-01-16T00:00:00Z, mid-fixture). */
+  val CUPED_CUT_US = 1705363200000000L
+
+  /** q351: CUPED VARIANCE REDUCTION — the experimentation-platform
+    * staple (Deng et al. 2013): per metric (event type), regress each
+    * user's in-experiment value sum Y on their PRE-period sum X and
+    * report how much variance the adjusted metric Y − θ(X − X̄) sheds
+    * (θ = cov(X,Y)/var(X); reduction = ρ²). This is the power
+    * calculation that decides whether an experiment needs 2 weeks or
+    * 2 months — q98 tests the difference, q351 says how much cheaper
+    * the test could be.
+    *
+    * Scale shape: one (type,user)-clustered conditional aggregate over
+    * the log (the q139 subject idiom), then a per-type rollup of the
+    * five cross-moments — two cascaded shuffles, both map-side
+    * combined, |users| then |types| rows. Determinism: per-user sums
+    * are BIGINT cents (one deterministic per-row quantization); the
+    * five moment sums are BIGINT products of cents pairs (exact,
+    * order-independent — cents² stays within 2^63 past 10⁷ users);
+    * θ and the variances are double expressions over those exact
+    * integers, identically associated in both engines.
+    */
+  def q351Cuped(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val perUser = Tables(spark, dir).events
+      .groupBy("event_type", "user_id")
+      .agg(sum(when(unix_micros(col("ts")) < CUPED_CUT_US, cents)
+             .otherwise(0L)).as("x"),
+        sum(when(unix_micros(col("ts")) >= CUPED_CUT_US, cents)
+          .otherwise(0L)).as("y"))
+    val m = perUser.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+    val n = col("n_users").cast("double")
+    def d(c: String) = col(c).cast("double")
+    // sample covariance/variance numerators: n*S2 - S1*S1' (exact
+    // integers while inputs are < 2^52, then one double division)
+    val covN = n * d("sxy") - d("sx") * d("sy")
+    val varxN = n * d("sxx") - d("sx") * d("sx")
+    val varyN = n * d("syy") - d("sy") * d("sy")
+    val denom = n * (n - lit(1.0d))
+    m.filter(col("n_users") > 1 && varxN > 0)
+      .select(col("event_type"), col("n_users"),
+        (covN / varxN).as("theta"),
+        (varyN / denom).as("var_y_c2"),
+        ((varyN - covN * covN / varxN) / denom).as("var_adj_c2"),
+        floor(covN * covN / varxN / varyN * lit(1e6) + lit(0.5))
+          .cast("long").as("rho2_micro"))
+  }
+
+  val q351Sql: String =
+    s"""WITH u AS (
+      |  SELECT event_type, user_id,
+      |    CAST(sum(CASE WHEN epoch_us(ts) < $CUPED_CUT_US
+      |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN epoch_us(ts) >= $CUPED_CUT_US
+      |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM u GROUP BY 1)
+      |SELECT event_type, n_users,
+      |  (CAST(n_users AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |  (CAST(n_users AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS theta,
+      |  (CAST(n_users AS DOUBLE) * CAST(syy AS DOUBLE)
+      |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |  (CAST(n_users AS DOUBLE) * (CAST(n_users AS DOUBLE) - 1.0))
+      |    AS var_y_c2,
+      |  ((CAST(n_users AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+      |   - (CAST(n_users AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+      |     (CAST(n_users AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |     (CAST(n_users AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) /
+      |  (CAST(n_users AS DOUBLE) * (CAST(n_users AS DOUBLE) - 1.0))
+      |    AS var_adj_c2,
+      |  CAST(floor(
+      |    (CAST(n_users AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+      |    (CAST(n_users AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (CAST(n_users AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+      |    (CAST(n_users AS DOUBLE) * CAST(syy AS DOUBLE)
+      |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) * 1e6 + 0.5)
+      |    AS BIGINT) AS rho2_micro
+      |FROM m
+      |WHERE n_users > 1 AND CAST(n_users AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q347_log_rank" -> ((s, d) => q347LogRank(s, d)),
+    "q348_nelson_aalen" -> Gate.sorted(q348NelsonAalen _, "dur_min"),
+    "q351_cuped" -> Gate.sorted(q351Cuped _, "event_type"),
     "q322_dbscan" -> Gate.sorted(q322Dbscan _, "event_id"),
     "q155_time_weighted_avg" -> Gate.sorted(q155TimeWeightedAvg _, "user_id"),
     "q152_audience_overlap" -> Gate.sorted(q152AudienceOverlap _, "type_a", "type_b"),
@@ -1393,6 +1719,9 @@ object EventAnalytics {
     "q75_rolling_features" -> Gate.sorted(q75RollingFeatures _, "user_id", "event_id"))
 
   val oracles: Map[String, String] = Map(
+    "q347_log_rank" -> q347Sql,
+    "q348_nelson_aalen" -> q348Sql,
+    "q351_cuped" -> q351Sql,
     "q322_dbscan" -> q322Sql,
     "q155_time_weighted_avg" -> q155Sql,
     "q152_audience_overlap" -> q152Sql,

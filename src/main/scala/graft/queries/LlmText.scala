@@ -1113,7 +1113,77 @@ object LlmText {
       |GROUP BY 1, 2, p.prior_micro
       |ORDER BY 1, 2""".stripMargin
 
+  /** q356: frequencies above this are left unsmoothed (GT is only
+    * trusted for small r; the standard Katz cutoff). */
+  val GT_MAX_R = 10L
+
+  /** q356: GOOD–TURING FREQUENCY SPECTRUM — the count-of-counts table
+    * N_r ("how many word TRIGRAMS occur exactly r times") and the
+    * Good–Turing re-estimate r* = (r+1)·N_{r+1}/N_r for r ≤
+    * [[GT_MAX_R]]: the smoothing every classical n-gram LM (Katz
+    * backoff) and every coverage extrapolation ("how much probability
+    * mass sits in UNSEEN n-grams" ≈ N_1/N) reads off this table.
+    * Trigrams, not unigrams, are the level where the fixture (and any
+    * real corpus) actually HAS a low-r spectrum — the unigram
+    * vocabulary here is 31 tokens with min count ≈ 26, so a unigram
+    * spectrum would be empty by construction (the q334 finding).
+    * Complements q123 (Zipf slope — the spectrum's shape) and q101
+    * (bigram LM — a consumer of exactly this smoothing).
+    *
+    * Scale shape: trigrams assemble INSIDE the row (one HOF transform
+    * over the token array — no posexplode self-join), the frequency
+    * rollup is the q42 shuffle, and the spectrum rollup is |distinct
+    * r ≤ GT_MAX_R+1| ≤ 11 rows — the r-cut happens BEFORE the
+    * self-join, so the joined table is constant-size at any corpus
+    * scale. Determinism: N_r and r are exact integers; r* is one IEEE
+    * division of integers, micro-quantized.
+    */
+  def q356GoodTuring(spark: SparkSession, dir: String): DataFrame = {
+    val tris = Tables(spark, dir).documents
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(when(size(col("toks")) >= 3,
+        expr("transform(sequence(0, size(toks) - 3)," +
+          " i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))"))
+        .otherwise(expr("array()").cast("array<string>"))).as("tri"))
+    val freq = tris.groupBy("tri").agg(count(lit(1)).as("r"))
+    val spectrum = freq.filter(col("r") <= GT_MAX_R + 1)
+      .groupBy("r").agg(count(lit(1)).as("n_r"))
+    val next = spectrum.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
+    spectrum.filter(col("r") <= GT_MAX_R)
+      .join(next, Seq("r"), "left")
+      .select(col("r"), col("n_r"),
+        coalesce(
+          floor((col("r") + 1).cast("double") *
+            col("n_r1").cast("double") / col("n_r").cast("double") *
+            lit(1e6) + lit(0.5)).cast("long"),
+          lit(0L)).as("gt_micro"))
+  }
+
+  val q356Sql: String =
+    s"""WITH d AS (
+      |  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |    t -> t != '') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT unnest(list_transform(
+      |    generate_series(1, greatest(len(toks) - 2, 0)),
+      |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS tri
+      |  FROM d),
+      |f AS (
+      |  SELECT tri, CAST(count(*) AS BIGINT) AS r FROM g GROUP BY tri),
+      |spec AS (
+      |  SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM f
+      |  WHERE r <= ${GT_MAX_R + 1} GROUP BY r)
+      |SELECT s.r, s.n_r,
+      |  coalesce(CAST(floor(CAST(s.r + 1 AS DOUBLE) *
+      |    CAST(n1.n_r AS DOUBLE) / CAST(s.n_r AS DOUBLE) * 1e6 + 0.5)
+      |    AS BIGINT), 0) AS gt_micro
+      |FROM spec s LEFT JOIN spec n1 ON n1.r = s.r + 1
+      |WHERE s.r <= $GT_MAX_R
+      |ORDER BY s.r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q356_good_turing" -> Gate.sorted(q356GoodTuring _, "r"),
     "q334_nb_lang_score" ->
       Gate.sorted(q334NbLangScore _, "doc_id", "lang"),
     "q302_tokenizer_fertility" ->
@@ -1144,6 +1214,7 @@ object LlmText {
     "q55_doc_keywords" -> Gate.sorted(q55DocKeywords _, "doc_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q356_good_turing" -> q356Sql,
     "q334_nb_lang_score" -> q334Sql,
     "q302_tokenizer_fertility" -> q302Sql,
     "q285_readability" -> q285Sql,

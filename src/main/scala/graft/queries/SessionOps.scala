@@ -1071,7 +1071,72 @@ object SessionOps {
       |  count(*) AS n_users
       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q353: STREAMING PAGE CUSUM (19th stateful family) — per-type
+    * online level-shift alarms while ingesting; see
+    * [[graft.streaming.StreamCusum]]. The operator carries the
+    * running-minimum identity S_t = C_t − min(0, min_{j≤t} C_j) as
+    * five exact integers per type; the oracle below IS that identity
+    * as a batch window pass (running sum + running min + first
+    * crossing + last-argmin changepoint) — the q145 convention: the
+    * sequential fold and the window formulation are provably the same
+    * function of the log.
+    */
+  def q353StreamCusum(spark: SparkSession, dir: String): DataFrame =
+      withStreamParallelism(spark) {
+    import graft.streaming.{StreamAgg, StreamCusum}
+    val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
+    val sinkName = "q353_sink"
+    spark.catalog.dropTempView(sinkName)
+    val q = StreamCusum.monitor(stream)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(sinkName).orderBy("event_type")
+  }
+
+  val q353Sql: String = {
+    import graft.streaming.StreamCusum.{H_UNIT, K_UNIT, MU0_UNIT}
+    s"""WITH e AS (
+      |  SELECT event_type, ts, event_id,
+      |    CAST(floor(value * 1e4 + 0.5) AS BIGINT) - ${MU0_UNIT + K_UNIT}
+      |      AS x
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type, ts, event_id,
+      |    CAST(sum(x) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS c
+      |  FROM e),
+      |m AS (
+      |  SELECT *, least(0, CAST(min(c) OVER (PARTITION BY event_type
+      |      ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+      |      AS rm
+      |  FROM c),
+      |s AS (SELECT *, c - rm AS s FROM m),
+      |alarm AS (
+      |  SELECT event_type, ts, event_id AS alarm_id, s AS s_unit, rm
+      |  FROM s WHERE s >= $H_UNIT
+      |  QUALIFY row_number() OVER (PARTITION BY event_type
+      |    ORDER BY ts, event_id) = 1),
+      |cand AS (
+      |  SELECT s.event_type,
+      |    max_by(s.event_id,
+      |      printf('%020d%010d', epoch_us(s.ts), s.event_id)) AS cp_id
+      |  FROM s JOIN alarm a ON a.event_type = s.event_type
+      |    AND s.c = a.rm
+      |    AND printf('%020d%010d', epoch_us(s.ts), s.event_id)
+      |      <= printf('%020d%010d', epoch_us(a.ts), a.alarm_id)
+      |  GROUP BY 1)
+      |SELECT a.event_type, a.alarm_id, a.s_unit,
+      |  CASE WHEN a.rm < 0 THEN c.cp_id ELSE -1 END AS cp_id
+      |FROM alarm a LEFT JOIN cand c ON c.event_type = a.event_type
+      |ORDER BY a.event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q353_stream_cusum" -> (q353StreamCusum _),
     "q146_session_window" -> Gate.sorted(q146SessionWindow _, "user_id", "start_us"),
     "q145_stream_anomaly" -> (q145StreamAnomaly _),
     "q126_cdc_merge" -> Gate.sorted(q126CdcMerge _, "user_id"),
@@ -1099,6 +1164,7 @@ object SessionOps {
     "q102_stream_dropdup_wm" -> (q102StreamDropdupWm _))
 
   val oracles: Map[String, String] = Map(
+    "q353_stream_cusum" -> q353Sql,
     "q146_session_window" -> q146Sql,
     "q145_stream_anomaly" -> q145Sql,
     "q126_cdc_merge" -> q126Sql,

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{Exact, TextFunctions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus/dataset statistics operators (SURVEY.md §2 q121, q123) —
@@ -2116,7 +2117,281 @@ object StatsOps {
       |    CAST(ssd AS DOUBLE)) + 0.5) AS BIGINT) AS jk_se_c
       |FROM agg""".stripMargin
 
+  /** q349 closeness bound: cells whose sensitive-attribute
+    * distribution sits farther than this (total variation, micro)
+    * from the global distribution are flagged. */
+  val T_CLOSE_MICRO = 350000L
+
+  /** q349: T-CLOSENESS AUDIT — the third leg of the privacy triad
+    * (q279 k-anonymity, q299 l-diversity): a QI cell can be large AND
+    * diverse yet still leak if its sensitive-value DISTRIBUTION skews
+    * far from the global one (the skewness attack — "everyone in this
+    * cell is diverse, but 90% share the rare value"). Per QI cell
+    * (nation, market segment), the total-variation distance between
+    * the cell's balance-band distribution and the global band
+    * distribution, with the t = [[T_CLOSE_MICRO]] violation flag.
+    *
+    * Scale shape: one QI×band rollup over the table (|cells×bands|,
+    * bounded by the attribute domains, map-side combined), a broadcast
+    * of the |bands| global table cross the |cells| table, and one tiny
+    * aggregate. Determinism: TVD's numerator Σ|cnt_gv·N − cnt_v·N_g|
+    * is EXACT BIGINT arithmetic (both engines agree before any
+    * float); only the final ÷(2·N_g·N) is IEEE, micro-quantized.
+    */
+  def q349TCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val banded = Tables(spark, dir).customer
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        floor(col("c_acctbal") / ANON_BAND).cast("long").as("band"))
+    val cellBand = banded.groupBy("nation", "segment", "band")
+      .agg(count(lit(1)).as("cb"))
+    val globBand = banded.groupBy("band").agg(count(lit(1)).as("gb"))
+    val cells = cellBand.groupBy("nation", "segment")
+      .agg(sum("cb").as("ng"))
+    val tot = globBand.agg(sum("gb").as("nn"))
+    // |cells| x |bands| frame: every cell scored against EVERY global
+    // band (missing bands contribute |0 - gb*ng|), via broadcast of the
+    // bounded band table — never a row-level join
+    cells.crossJoin(broadcast(globBand)).crossJoin(broadcast(tot))
+      .join(cellBand, Seq("nation", "segment", "band"), "left")
+      .select(col("nation"), col("segment"), col("ng"), col("nn"),
+        abs(coalesce(col("cb"), lit(0L)) * col("nn") -
+          col("gb") * col("ng")).as("num"))
+      .groupBy("nation", "segment", "ng")
+      .agg(sum("num").as("num"), first("nn").as("nn"))
+      .select(col("nation"), col("segment"), col("ng").as("n_rows"),
+        floor(col("num").cast("double") /
+          (lit(2.0d) * col("ng").cast("double") * col("nn").cast("double")) *
+          lit(1e6) + lit(0.5)).cast("long").as("tvd_micro"))
+      .withColumn("violates", col("tvd_micro") > T_CLOSE_MICRO)
+  }
+
+  val q349Sql: String =
+    s"""WITH b AS (
+      |  SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      |    c_mktsegment AS segment,
+      |    CAST(floor(c_acctbal / $ANON_BAND) AS BIGINT) AS band
+      |  FROM customer),
+      |cb AS (SELECT nation, segment, band, CAST(count(*) AS BIGINT) AS cb
+      |       FROM b GROUP BY 1, 2, 3),
+      |gb AS (SELECT band, CAST(count(*) AS BIGINT) AS gb FROM b GROUP BY 1),
+      |cells AS (SELECT nation, segment, CAST(sum(cb) AS BIGINT) AS ng
+      |          FROM cb GROUP BY 1, 2),
+      |t AS (SELECT CAST(sum(gb) AS BIGINT) AS nn FROM gb),
+      |x AS (
+      |  SELECT c.nation, c.segment, c.ng, t.nn,
+      |    abs(coalesce(cb.cb, 0) * t.nn - gb.gb * c.ng) AS num
+      |  FROM cells c CROSS JOIN gb CROSS JOIN t
+      |  LEFT JOIN cb ON cb.nation = c.nation AND cb.segment = c.segment
+      |    AND cb.band = gb.band),
+      |agg AS (
+      |  SELECT nation, segment, ng, CAST(sum(num) AS BIGINT) AS num,
+      |    first(nn) AS nn
+      |  FROM x GROUP BY 1, 2, 3)
+      |SELECT nation, segment, ng AS n_rows,
+      |  CAST(floor(CAST(num AS DOUBLE) /
+      |    (2.0 * CAST(ng AS DOUBLE) * CAST(nn AS DOUBLE)) * 1e6 + 0.5)
+      |    AS BIGINT) AS tvd_micro,
+      |  CAST(floor(CAST(num AS DOUBLE) /
+      |    (2.0 * CAST(ng AS DOUBLE) * CAST(nn AS DOUBLE)) * 1e6 + 0.5)
+      |    AS BIGINT) > $T_CLOSE_MICRO AS violates
+      |FROM agg ORDER BY nation, segment""".stripMargin
+
+  /** q350 false-discovery-rate target (micro units of alpha). */
+  val FDR_ALPHA_MICRO = 50000L
+
+  /** q350: BENJAMINI–HOCHBERG FDR CONTROL — the multiple-testing layer
+    * q98's single Welch test is missing: run the A/B z-test on EVERY
+    * (event type, day) segment (the "which segments moved?" scan every
+    * experiment review runs), convert to two-sided normal p-values,
+    * and apply the BH step-up rule at α = 0.05: reject the k smallest
+    * p-values where k is the largest rank with p₍ₖ₎ ≤ k·α/m. Without
+    * this, 150 segments at α=.05 hand back ~7 false positives per
+    * review by construction.
+    *
+    * Scale shape: the log collapses to |types×days| segment moments in
+    * ONE map-side-combined aggregate (decimal-exact sums, the q98
+    * convention); ranking and the step-up scan are windows over that
+    * bounded rollup, never the log. Determinism: z is a double
+    * expression over exact decimal sums (bit-identical per engine);
+    * Φ comes from the Zelen–Severo polynomial (identical literals and
+    * association in both engines — note 1/√(2π) is WRITTEN as the
+    * literal 0.3989422804014327, never computed); p is micro-quantized
+    * BEFORE the integer step-up comparison p_micro·m ≤ k·α_micro, so
+    * the reject frontier is integer arithmetic.
+    */
+  def q350BhFdr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val isB = col("user_id") % 2 === 1
+    def n(v: Boolean) = sum(when(if (v) isB else !isB, 1L).otherwise(0L))
+    def s1(v: Boolean) =
+      sum(when(if (v) isB else !isB, Exact.dec(col("value")))).cast("double")
+    def s2(v: Boolean) =
+      sum(when(if (v) isB else !isB, Exact.dec(col("value") * col("value"))))
+        .cast("double")
+    val seg = Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(n(false).as("n_a"), n(true).as("n_b"),
+        s1(false).as("_s1a"), s1(true).as("_s1b"),
+        s2(false).as("_s2a"), s2(true).as("_s2b"))
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+      .withColumn("se2",
+        (col("_s2a") - col("_s1a") * col("_s1a") / col("n_a")) /
+          (col("n_a") - 1) / col("n_a") +
+        (col("_s2b") - col("_s1b") * col("_s1b") / col("n_b")) /
+          (col("n_b") - 1) / col("n_b"))
+      // variance > 0, not !isnan(z): Spark's x/0.0 is Inf while
+      // DuckDB's is NULL — the guard must be on the input, where both
+      // engines agree, or a degenerate segment silently diverges
+      .filter(col("se2") > 0)
+      .withColumn("z",
+        (col("_s1a") / col("n_a") - col("_s1b") / col("n_b")) /
+          sqrt(col("se2")))
+    // Zelen–Severo 26.2.17 upper tail; identical literals in the oracle
+    val az = abs(col("z"))
+    val t = lit(1.0d) / (lit(1.0d) + lit(0.2316419d) * az)
+    val poly = t * (lit(0.319381530d) + t * (lit(-0.356563782d) +
+      t * (lit(1.781477937d) + t * (lit(-1.821255978d) +
+        t * lit(1.330274429d)))))
+    val p = lit(2.0d) * exp(lit(-0.5d) * az * az) *
+      lit(0.3989422804014327d) * poly
+    val withP = seg.withColumn("p_micro",
+      floor(p * lit(1e6) + lit(0.5)).cast("long"))
+    val byP = Window.orderBy(col("p_micro").asc, col("event_type").asc,
+      col("day").asc)
+    val all = Window.partitionBy()
+    withP
+      .withColumn("k", row_number().over(byP))
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("kmax",
+        max(when(col("p_micro") * col("m") <= col("k") * FDR_ALPHA_MICRO,
+          col("k"))).over(all))
+      .select(col("event_type"), col("day"), col("n_a"), col("n_b"),
+        col("p_micro"), col("k"),
+        (col("k") <= coalesce(col("kmax"), lit(0L))).as("rejected"))
+  }
+
+  val q350Sql: String =
+    s"""WITH s AS (
+      |  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_a,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_b,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,4))
+      |      END) AS DOUBLE) AS s1a,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN CAST(value AS DECIMAL(18,4))
+      |      END) AS DOUBLE) AS s1b,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN
+      |      CAST(value * value AS DECIMAL(18,4)) END) AS DOUBLE) AS s2a,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN
+      |      CAST(value * value AS DECIMAL(18,4)) END) AS DOUBLE) AS s2b
+      |  FROM events GROUP BY 1, 2
+      |  HAVING n_a > 1 AND n_b > 1),
+      |se AS (
+      |  SELECT event_type, day, n_a, n_b, s1a, s1b,
+      |    (s2a - s1a * s1a / n_a) / (n_a - 1) / n_a
+      |      + (s2b - s1b * s1b / n_b) / (n_b - 1) / n_b AS se2
+      |  FROM s),
+      |z1 AS (
+      |  SELECT event_type, day, n_a, n_b,
+      |    (s1a / n_a - s1b / n_b) / sqrt(se2) AS z
+      |  FROM se WHERE se2 > 0),
+      |pv AS (
+      |  SELECT event_type, day, n_a, n_b,
+      |    CAST(floor(2.0 * exp(-0.5 * abs(z) * abs(z)) *
+      |      0.3989422804014327 *
+      |      ((1.0 / (1.0 + 0.2316419 * abs(z))) * (0.319381530 +
+      |        (1.0 / (1.0 + 0.2316419 * abs(z))) * (-0.356563782 +
+      |        (1.0 / (1.0 + 0.2316419 * abs(z))) * (1.781477937 +
+      |        (1.0 / (1.0 + 0.2316419 * abs(z))) * (-1.821255978 +
+      |        (1.0 / (1.0 + 0.2316419 * abs(z))) * 1.330274429))))) * 1e6
+      |      + 0.5) AS BIGINT) AS p_micro
+      |  FROM z1),
+      |rk AS (
+      |  SELECT *, CAST(row_number() OVER (ORDER BY p_micro, event_type, day)
+      |      AS BIGINT) AS k,
+      |    CAST(count(*) OVER () AS BIGINT) AS m
+      |  FROM pv),
+      |km AS (
+      |  SELECT *, max(CASE WHEN p_micro * m <= k * $FDR_ALPHA_MICRO
+      |    THEN k END) OVER () AS kmax
+      |  FROM rk)
+      |SELECT event_type, day, n_a, n_b, p_micro, k,
+      |  k <= coalesce(kmax, 0) AS rejected
+      |FROM km ORDER BY event_type, day""".stripMargin
+
+  /** q358 dispersion-index flag threshold (micro): variance/mean > 2. */
+  val OVERDISP_MICRO = 2000000L
+
+  /** q358: POISSON OVERDISPERSION CHECK — per event type, is the daily
+    * count series consistent with a Poisson process (variance ≈ mean)
+    * or burst-clumped (variance ≫ mean)? Reports the dispersion index
+    * D = s²/x̄ and the χ² dispersion statistic Σ(xᵢ−x̄)²/x̄ with its
+    * df. This decides whether q99's z-thresholds (which assume
+    * mean-scaled noise) are calibrated or whether a negative-binomial
+    * model is needed — the check that belongs BEFORE any count-based
+    * alerting.
+    *
+    * Scale shape: the log collapses to |types×days| counts in one
+    * map-side-combined pass; the per-type moments are a second tiny
+    * rollup. Both χ² = (n·Sxx − Sx²)/Sx and D = (n·Sxx − Sx²)/((n−1)·Sx)
+    * are single IEEE expressions over exact BIGINT count moments,
+    * micro-quantized.
+    */
+  def q358Overdispersion(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val m = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n_days") > 1 && col("sx") > 0)
+    val num = col("n_days").cast("double") * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    m.select(col("event_type"), col("n_days"), col("sx").as("n_events"),
+      floor(num / col("sx").cast("double") * lit(1e6) + lit(0.5))
+        .cast("long").as("chi2_micro"),
+      (col("n_days") - 1).as("df"),
+      floor(num / ((col("n_days") - 1).cast("double") *
+        col("sx").cast("double")) * lit(1e6) + lit(0.5))
+        .cast("long").as("dispersion_micro"))
+      .withColumn("overdispersed", col("dispersion_micro") > OVERDISP_MICRO)
+  }
+
+  val q358Sql: String =
+    s"""WITH d AS (
+      |  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000
+      |      AS day,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM d GROUP BY 1
+      |  HAVING count(*) > 1 AND sum(x) > 0)
+      |SELECT event_type, n_days, sx AS n_events,
+      |  CAST(floor((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+      |    CAST(sx AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS chi2_micro,
+      |  n_days - 1 AS df,
+      |  CAST(floor((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+      |    (CAST(n_days - 1 AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e6 + 0.5)
+      |    AS BIGINT) AS dispersion_micro,
+      |  CAST(floor((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+      |    (CAST(n_days - 1 AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e6 + 0.5)
+      |    AS BIGINT) > $OVERDISP_MICRO AS overdispersed
+      |FROM m ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q349_t_closeness" -> Gate.sorted(q349TCloseness _, "nation", "segment"),
+    "q350_bh_fdr" -> Gate.sorted(q350BhFdr _, "event_type", "day"),
+    "q358_overdispersion" ->
+      Gate.sorted(q358Overdispersion _, "event_type"),
     "q346_jackknife_ratio" ->
       ((s, d) => q346JackknifeRatio(s, d)),
     "q343_brier_decomposition" ->
@@ -2151,6 +2426,9 @@ object StatsOps {
     "q137_pr_thresholds" -> Gate.sorted(q137PrThresholds _, "threshold_micro"))
 
   val oracles: Map[String, String] = Map(
+    "q349_t_closeness" -> q349Sql,
+    "q350_bh_fdr" -> q350Sql,
+    "q358_overdispersion" -> q358Sql,
     "q346_jackknife_ratio" -> q346Sql,
     "q343_brier_decomposition" -> q343Sql,
     "q333_isotonic_fit" -> q333Sql,

@@ -1617,7 +1617,123 @@ object TrainPrep {
       |    AS BIGINT) AS delta_cpt_micro
       |FROM persrc, tot ORDER BY source""".stripMargin
 
+  /** q354 total sample size to allocate across strata. */
+  val NEYMAN_TOTAL = 500L
+
+  /** q354: NEYMAN ALLOCATION — when a labeling/eval budget of
+    * [[NEYMAN_TOTAL]] docs must be split across source strata, the
+    * variance-optimal split samples ∝ N_h·σ_h (big AND noisy strata
+    * get more), not ∝ N_h: for equal-size strata whose length
+    * variance differs 4×, proportional allocation wastes half the
+    * budget's precision. Reports both allocations side by side — the
+    * table a sampling-design review actually reads. Complements q187
+    * (which EXECUTES a fixed-n stratified sample) and q108 (weighted
+    * row sampling): this decides the n_h those operators consume.
+    *
+    * Scale shape: ONE map-side-combined rollup to |sources| exact
+    * moments (n, Σx, Σx²) — n_chars is already integer, so σ_h needs
+    * no decimal cast; everything after runs on the bounded strata
+    * table. Determinism: per-stratum N_h·σ_h is one double expression
+    * over exact integers, micro-quantized BEFORE the cross-strata
+    * total, so the allocation ratios are integer arithmetic plus one
+    * IEEE division.
+    */
+  def q354NeymanAllocation(spark: SparkSession, dir: String): DataFrame = {
+    val strata = Tables(spark, dir).documents
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      .filter(col("n_docs") > 1)
+    val n = col("n_docs").cast("double")
+    val sigma = sqrt((n * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")) /
+      (n * (n - lit(1.0d))))
+    val w = strata.withColumn("w_micro",
+      floor(n * sigma * lit(1e6) + lit(0.5)).cast("long"))
+    val tot = w.agg(sum("w_micro").as("ww"), sum("n_docs").as("nn"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("w_micro"),
+        floor(lit(NEYMAN_TOTAL.toDouble) * col("w_micro").cast("double") /
+          col("ww").cast("double") + lit(0.5)).cast("long")
+          .as("alloc_neyman"),
+        floor(lit(NEYMAN_TOTAL.toDouble) * col("n_docs").cast("double") /
+          col("nn").cast("double") + lit(0.5)).cast("long")
+          .as("alloc_prop"))
+  }
+
+  val q354Sql: String =
+    s"""WITH s AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS sx,
+      |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+      |  FROM documents GROUP BY 1
+      |  HAVING count(*) > 1),
+      |w AS (
+      |  SELECT source, n_docs,
+      |    CAST(floor(CAST(n_docs AS DOUBLE) *
+      |      sqrt((CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+      |           (CAST(n_docs AS DOUBLE) *
+      |            (CAST(n_docs AS DOUBLE) - 1.0))) * 1e6 + 0.5)
+      |      AS BIGINT) AS w_micro
+      |  FROM s),
+      |t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS ww,
+      |             CAST(sum(n_docs) AS BIGINT) AS nn FROM w)
+      |SELECT source, n_docs, w_micro,
+      |  CAST(floor(${NEYMAN_TOTAL.toDouble} * CAST(w_micro AS DOUBLE) /
+      |    CAST(ww AS DOUBLE) + 0.5) AS BIGINT) AS alloc_neyman,
+      |  CAST(floor(${NEYMAN_TOTAL.toDouble} * CAST(n_docs AS DOUBLE) /
+      |    CAST(nn AS DOUBLE) + 0.5) AS BIGINT) AS alloc_prop
+      |FROM w CROSS JOIN t ORDER BY source""".stripMargin
+
+  /** q357 candidate truncation caps (chars). */
+  val TRUNC_GRID: Seq[Long] = Seq(64L, 128L, 256L, 512L, 1024L)
+
+  /** q357: TRUNCATION-LOSS CURVE — for each candidate context cap L,
+    * how many documents would be cut and what fraction of the corpus'
+    * characters survives truncation to L: the table that picks a
+    * training context length (the complement of q46, which PACKS at a
+    * chosen length — this decides what that length should be). The
+    * loss is computed exactly, not from a length histogram: kept(L) =
+    * Σ min(n_chars, L).
+    *
+    * Scale shape: ONE corpus scan fanned out ×|grid| by a broadcast
+    * literal array (posexplode of a 5-element array — constant), then
+    * a map-side-combined rollup to |grid| rows. Integers end-to-end
+    * except the final share division, micro-quantized.
+    */
+  def q357TruncationCurve(spark: SparkSession, dir: String): DataFrame = {
+    val grid = array(TRUNC_GRID.map(lit): _*)
+    Tables(spark, dir).documents
+      .select(col("n_chars"), explode(grid).as("cap"))
+      .groupBy("cap")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") > col("cap"), 1L).otherwise(0L))
+          .as("n_truncated"),
+        sum(least(col("n_chars"), col("cap"))).as("chars_kept"),
+        sum("n_chars").as("chars_total"))
+      .select(col("cap"), col("n_docs"), col("n_truncated"),
+        col("chars_kept"),
+        floor(col("chars_kept").cast("double") /
+          col("chars_total").cast("double") * lit(1e6) + lit(0.5))
+          .cast("long").as("share_kept_micro"))
+  }
+
+  val q357Sql: String =
+    s"""SELECT cap, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN n_chars > cap THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_truncated,
+      |  CAST(sum(least(n_chars, cap)) AS BIGINT) AS chars_kept,
+      |  CAST(floor(CAST(sum(least(n_chars, cap)) AS DOUBLE) /
+      |    CAST(sum(n_chars) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+      |    AS share_kept_micro
+      |FROM documents, unnest([${TRUNC_GRID.mkString(", ")}]) AS t(cap)
+      |GROUP BY cap ORDER BY cap""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q357_truncation_curve" -> Gate.sorted(q357TruncationCurve _, "cap"),
+    "q354_neyman_allocation" ->
+      Gate.sorted(q354NeymanAllocation _, "source"),
     "q342_loo_source_value" -> Gate.sorted(q342LooSourceValue _, "source"),
     "q314_fim_split" -> Gate.sorted(q314FimSplit _, "doc_id"),
     "q318_bottomk_sample" -> Gate.sorted(q318BottomkSample _, "source", "rk"),
@@ -1652,6 +1768,8 @@ object TrainPrep {
     "q81_quality_rules" -> Gate.sorted(q81QualityRules _, "doc_id"))
 
   val oracles: Map[String, String] = Map(
+    "q357_truncation_curve" -> q357Sql,
+    "q354_neyman_allocation" -> q354Sql,
     "q342_loo_source_value" -> q342Sql,
     "q314_fim_split" -> q314Sql,
     "q318_bottomk_sample" -> q318Sql,

@@ -1166,7 +1166,80 @@ object VectorOps {
       |GROUP BY 1, 2, 3, 4
       |ORDER BY 1""".stripMargin
 
+  /** q355: NEAREST-CENTROID CLASSIFIER EVAL — the confusion matrix of
+    * the simplest embedding classifier (assign each vector to the
+    * closest label centroid, squared-Euclidean): the 10-minute sanity
+    * check on embedding quality that precedes any kNN/linear-probe
+    * eval (q144 evaluates kNN — memorization-prone and O(corpus) per
+    * query; centroids are the bias end of that tradeoff and the
+    * production-cheap variant, |labels|·dim floats total). Off-diagonal
+    * mass points at label pairs the embedding space confuses.
+    *
+    * Scale shape: per-dim centroid sums are ONE posexplode rollup
+    * (|labels×dim| rows, map-side combined); assignment joins the scan
+    * against the BROADCAST centroid table on dim (|labels×dim| rows —
+    * constant), aggregates |vectors×labels| distance rows on the
+    * (vec, label) key, and the argmin window partitions by vec_id.
+    * Never vector×vector. Determinism: components micro-quantize AT
+    * THE SCAN (the q345 rule — cross-row float sums never happen);
+    * each squared-deviation term is one double expression over exact
+    * integers, floor-quantized per dim BEFORE the 64-term sum; argmin
+    * ties break to the smallest label.
+    */
+  def q355CentroidEval(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim", "comp")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("comp").cast("double") * lit(1e6) + lit(0.5))
+          .cast("long").as("v"))
+    val centroids = x.groupBy(col("label").as("clabel"), col("dim"))
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+    val dev = col("v").cast("double") -
+      col("s").cast("double") / col("n").cast("double")
+    val d2 = x.join(broadcast(centroids), Seq("dim"))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        floor(dev * dev + lit(0.5)).cast("long").as("t"))
+      .groupBy("vec_id", "label", "clabel")
+      .agg(sum("t").as("d2"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("d2").asc, col("clabel").asc)
+    d2.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("label"), col("clabel").as("assigned"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val q355Sql: String =
+    """WITH x AS (
+      |  SELECT vec_id, label, i - 1 AS dim,
+      |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+      |      AS v
+      |  FROM embeddings,
+      |    unnest(generate_series(1, len(embedding))) t(i)),
+      |c AS (
+      |  SELECT label AS clabel, dim, CAST(sum(v) AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM x GROUP BY 1, 2),
+      |d AS (
+      |  SELECT x.vec_id, x.label, c.clabel,
+      |    CAST(sum(CAST(floor(
+      |      (CAST(x.v AS DOUBLE) - CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE))
+      |      * (CAST(x.v AS DOUBLE) - CAST(c.s AS DOUBLE) / CAST(c.n AS DOUBLE))
+      |      + 0.5) AS BIGINT)) AS BIGINT) AS d2
+      |  FROM x JOIN c ON c.dim = x.dim
+      |  GROUP BY 1, 2, 3),
+      |a AS (
+      |  SELECT vec_id, label, clabel,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rk
+      |  FROM d)
+      |SELECT label, clabel AS assigned, CAST(count(*) AS BIGINT) AS n
+      |FROM a WHERE rk = 1
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q355_centroid_eval" ->
+      Gate.sorted(q355CentroidEval _, "label", "assigned"),
     "q345_whitening_report" -> Gate.sorted(q345WhiteningReport _, "d"),
     "q326_als_step" -> Gate.sorted(q326AlsStep _, "c_custkey"),
     "q313_sized_semdedup" -> Gate.sorted(q313SizedSemdedup _, "vec_id"),
@@ -1184,6 +1257,7 @@ object VectorOps {
     "q82_pq_ann" -> Gate.sorted(q82PqAnn _, "query_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q355_centroid_eval" -> q355Sql,
     "q345_whitening_report" -> q345Sql,
     "q326_als_step" -> q326Sql,
     "q313_sized_semdedup" -> q313Sql,

@@ -705,6 +705,48 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q347-q355: keyed joins only, rollup-bounded windows, no cartesian") {
+    Seq(
+      graft.queries.EventAnalytics.q347LogRank(spark, sfDir),
+      graft.queries.EventAnalytics.q348NelsonAalen(spark, sfDir),
+      graft.queries.StatsOps.q349TCloseness(spark, sfDir),
+      graft.queries.StatsOps.q350BhFdr(spark, sfDir),
+      graft.queries.EventAnalytics.q351Cuped(spark, sfDir),
+      graft.queries.TrainPrep.q354NeymanAllocation(spark, sfDir),
+      graft.queries.VectorOps.q355CentroidEval(spark, sfDir)
+    ).foreach { df =>
+      assert(!plan(df).contains("CartesianProduct"))
+    }
+  }
+
+  test("q347/q348/q350/q351: the log collapses map-side to the bounded rollup") {
+    Seq(
+      graft.queries.EventAnalytics.q347LogRank(spark, sfDir),
+      graft.queries.EventAnalytics.q348NelsonAalen(spark, sfDir),
+      graft.queries.StatsOps.q350BhFdr(spark, sfDir),
+      graft.queries.EventAnalytics.q351Cuped(spark, sfDir)
+    ).foreach { df =>
+      assert(plan(df).contains("partial_"),
+        "expected a map-side-combined rollup below the stats math")
+    }
+  }
+
+  test("q352: anchors and candidate targets broadcast; no corpus x corpus") {
+    val p = plan(graft.queries.EmbeddingOps.q352MarginMining(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "the bounded anchor/candidate sets must broadcast against the scan")
+    assert(!p.contains("CartesianProduct"),
+      "margin mining must never plan a partitioned cartesian")
+  }
+
+  test("q355: the centroid table broadcasts onto the component scan") {
+    val p = plan(graft.queries.VectorOps.q355CentroidEval(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"),
+      "|labels x dims| centroids must broadcast, never shuffle the scan")
+    assert(p.contains("partial_"), "centroid sums must map-side combine")
+  }
+
   test("q325: the streaming state is a sketch aggregate, not a dedup") {
     // batch-side equivalent of the streaming plan: the aggregation
     // carries hll_sketch_agg, so state per group is one buffer
