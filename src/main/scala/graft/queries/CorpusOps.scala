@@ -955,7 +955,43 @@ object CorpusOps {
       |ORDER BY field""".stripMargin
   }
 
+  /** q359: ORC ROUNDTRIP — the documents corpus written as
+    * zlib-compressed ORC (Spark's second first-class columnar format;
+    * the interchange surface a warehouse migration or a Hive-era
+    * ingest actually hands a pipeline), read back through the
+    * format's own reader with a pushed-down source filter, and gated
+    * on an exact per-source rollup. Complements q256 (JSONL + corrupt
+    * quarantine) and q289 (CSV + RFC-4180 quoting): the three
+    * interchange formats a corpus realistically arrives in.
+    *
+    * Scale shape: one write + one columnar scan; the read projects
+    * two columns and pushes the source predicate into the ORC reader
+    * (searchArgument), so a 100 TB corpus scan reads column stripes,
+    * not rows. Determinism: ORC roundtrips the exact binary values —
+    * integer counts and char sums cannot drift.
+    */
+  def q359OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Scratch.dir("orc_rt")
+    Tables(spark, dir).documents
+      .write.mode("overwrite").option("compression", "zlib")
+      .orc(s"$tmp/corpus")
+    spark.read.orc(s"$tmp/corpus")
+      .filter(col("source") =!= "src0")   // pushed into the ORC reader
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        sum("n_chars").as("sum_n_chars"))
+  }
+
+  val q359Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+      |FROM documents WHERE source != 'src0'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q359_orc_roundtrip" -> Gate.sorted(q359OrcRoundtrip _, "source"),
     "q338_fs_em_step" -> Gate.sorted(q338FsEmStep _, "field"),
     "q332_cms_eval" -> Gate.sorted(q332CmsEval _, "token"),
     "q331_dup_spans" -> Gate.sorted(q331DupSpans _, "doc_id"),
@@ -976,6 +1012,7 @@ object CorpusOps {
     "q251_sketch_eval" -> Gate.sorted(q251SketchQuantileEval _, "g"))
 
   val oracles: Map[String, String] = Map(
+    "q359_orc_roundtrip" -> q359Sql,
     "q338_fs_em_step" -> q338Sql,
     "q332_cms_eval" -> q332Sql,
     "q331_dup_spans" -> q331Sql,

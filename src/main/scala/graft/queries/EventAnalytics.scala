@@ -1687,7 +1687,117 @@ object EventAnalytics {
       |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
       |ORDER BY event_type""".stripMargin
 
+  /** q361: POST-STRATIFICATION ATE — the standardization estimator:
+    * within each stratum (event type), the treated-vs-control mean
+    * difference; pooled as the stratum-size-weighted average
+    * Σ(N_g/N)(ȳ₁g − ȳ₀g) with the stratified variance
+    * Σ(N_g/N)²(s²₁g/n₁g + s²₀g/n₀g). The adjustment layer between
+    * q98's single pooled test (confounded when arm mix differs by
+    * stratum) and q351's covariate regression: this one needs only a
+    * categorical stratifier. Emits the per-stratum table PLUS the
+    * pooled row (stratum='_all'), the report an experiment readout
+    * actually shows.
+    *
+    * Scale shape: one (type)-keyed map-side-combined rollup of six
+    * moments; the pooled row aggregates the ≤|types| rollup.
+    * Determinism: cents quantization at the scan, exact BIGINT
+    * moments, each estimate one micro-quantized double expression —
+    * the per-stratum terms are quantized BEFORE the pooled sum
+    * (q139/q347 convention).
+    */
+  def q361PostStratAte(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val isB = col("user_id") % 2 === 1
+    def n(v: Boolean) = sum(when(if (v) isB else !isB, 1L).otherwise(0L))
+    def s1(v: Boolean) =
+      sum(when(if (v) isB else !isB, cents).otherwise(0L))
+    def s2(v: Boolean) =
+      sum(when(if (v) isB else !isB, cents * cents).otherwise(0L))
+    val g = Tables(spark, dir).events
+      .groupBy("event_type")
+      .agg(n(true).as("n1"), n(false).as("n0"),
+        s1(true).as("a1"), s1(false).as("a0"),
+        s2(true).as("b1"), s2(false).as("b0"))
+      .filter(col("n1") > 1 && col("n0") > 1)
+    def d(c: String) = col(c).cast("double")
+    val diff = d("a1") / d("n1") - d("a0") / d("n0")
+    def svar(s1c: String, s2c: String, nc: String) =
+      (d(s2c) - d(s1c) * d(s1c) / d(nc)) / (d(nc) - lit(1.0d)) / d(nc)
+    val varg = svar("a1", "b1", "n1") + svar("a0", "b0", "n0")
+    val strata = g.select(col("event_type").as("stratum"),
+      (col("n1") + col("n0")).as("n_g"), col("n1"), col("n0"),
+      floor(diff * lit(1e6) + lit(0.5)).cast("long").as("diff_micro"),
+      floor(varg * lit(1e6) + lit(0.5)).cast("long").as("var_micro"))
+    val tot = strata.agg(sum("n_g").as("nn"))
+    val pooled = strata.crossJoin(broadcast(tot))
+      .select(
+        (col("n_g") * col("diff_micro")).as("wd"),
+        (col("n_g") * col("n_g") * col("var_micro")).as("wv"),
+        col("n_g"), col("nn"))
+      .groupBy("nn")
+      .agg(sum("n_g").as("n_g"),
+        sum("wd").as("wds"), sum("wv").as("wvs"))
+      .select(lit("_all").as("stratum"), col("n_g"),
+        lit(-1L).as("n1"), lit(-1L).as("n0"),
+        floor(col("wds").cast("double") / col("nn").cast("double") +
+          lit(0.5)).cast("long").as("diff_micro"),
+        floor(col("wvs").cast("double") /
+          (col("nn") * col("nn")).cast("double") + lit(0.5)).cast("long")
+          .as("var_micro"))
+    strata.unionByName(pooled)
+  }
+
+  val q361Sql: String =
+    """WITH m AS (
+      |  SELECT event_type,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n1,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n0,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1
+      |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS a1,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0
+      |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS a0,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1
+      |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) *
+      |           CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS b1,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0
+      |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) *
+      |           CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS b0
+      |  FROM events GROUP BY 1
+      |  HAVING n1 > 1 AND n0 > 1),
+      |s AS (
+      |  SELECT event_type AS stratum, n1 + n0 AS n_g, n1, n0,
+      |    CAST(floor((CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      - CAST(a0 AS DOUBLE) / CAST(n0 AS DOUBLE)) * 1e6 + 0.5)
+      |      AS BIGINT) AS diff_micro,
+      |    CAST(floor((
+      |      (CAST(b1 AS DOUBLE) - CAST(a1 AS DOUBLE) * CAST(a1 AS DOUBLE) /
+      |        CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) /
+      |        CAST(n1 AS DOUBLE)
+      |      + (CAST(b0 AS DOUBLE) - CAST(a0 AS DOUBLE) * CAST(a0 AS DOUBLE) /
+      |        CAST(n0 AS DOUBLE)) / (CAST(n0 AS DOUBLE) - 1.0) /
+      |        CAST(n0 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS var_micro
+      |  FROM m),
+      |t AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn FROM s),
+      |p AS (
+      |  SELECT '_all' AS stratum, CAST(sum(n_g) AS BIGINT) AS n_g,
+      |    CAST(-1 AS BIGINT) AS n1, CAST(-1 AS BIGINT) AS n0,
+      |    CAST(floor(CAST(sum(n_g * diff_micro) AS DOUBLE) /
+      |      CAST(first(nn) AS DOUBLE) + 0.5) AS BIGINT) AS diff_micro,
+      |    CAST(floor(CAST(sum(n_g * n_g * var_micro) AS DOUBLE) /
+      |      CAST(first(nn) * first(nn) AS DOUBLE) + 0.5) AS BIGINT)
+      |      AS var_micro
+      |  FROM s CROSS JOIN t)
+      |SELECT * FROM s UNION ALL SELECT * FROM p
+      |ORDER BY stratum""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q361_post_strat_ate" -> Gate.sorted(q361PostStratAte _, "stratum"),
     "q347_log_rank" -> ((s, d) => q347LogRank(s, d)),
     "q348_nelson_aalen" -> Gate.sorted(q348NelsonAalen _, "dur_min"),
     "q351_cuped" -> Gate.sorted(q351Cuped _, "event_type"),
@@ -1719,6 +1829,7 @@ object EventAnalytics {
     "q75_rolling_features" -> Gate.sorted(q75RollingFeatures _, "user_id", "event_id"))
 
   val oracles: Map[String, String] = Map(
+    "q361_post_strat_ate" -> q361Sql,
     "q347_log_rank" -> q347Sql,
     "q348_nelson_aalen" -> q348Sql,
     "q351_cuped" -> q351Sql,

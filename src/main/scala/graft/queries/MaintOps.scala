@@ -407,7 +407,102 @@ object MaintOps {
       |FROM base b LEFT JOIN v2 ON b.o_orderkey = v2.o_orderkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q362 rank-bin count for the cross-source normalization. */
+  val QN_BINS = 10L
+
+  /** q362: CROSS-SOURCE QUANTILE NORMALIZATION — the batch-effect
+    * correction (the genomics quantile-normalization recipe, the
+    * cross-tokenizer length-equalization recipe): map each source's
+    * doc-length distribution onto the POOLED distribution by rank
+    * bin, emitting the (source, bin) → pooled-bin-mean transform
+    * table. After applying it, every source shares the pooled length
+    * profile — the preprocessing that stops a mixture model (q50/q209)
+    * from learning "source" instead of "content". q181 normalizes
+    * WITHIN a group to [0,1]; this maps ACROSS groups onto a common
+    * target distribution.
+    *
+    * Scale shape: both rank sides run on |sources×values| /
+    * |values| rollups (n_chars' domain is bounded), never the doc
+    * table — the q181 idiom; windows partition by source. The bin
+    * assignment is the midpoint rank floor(BINS·(2·cumBefore+cnt) /
+    * (2·n)) in PURE BIGINT arithmetic (div), so the only float
+    * anywhere is the final pooled-bin mean, micro-quantized.
+    */
+  def q362QuantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    def binned(rollup: DataFrame, part: Seq[String]): DataFrame = {
+      val w = if (part.isEmpty) Window.orderBy("v")
+        else Window.partitionBy(part.map(col): _*).orderBy("v")
+      val wAll = if (part.isEmpty) Window.partitionBy()
+        else Window.partitionBy(part.map(col): _*)
+      rollup
+        .withColumn("cb",
+          coalesce(sum("cnt").over(w.rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("nt", sum("cnt").over(wAll))
+        .withColumn("bin",
+          least(lit(QN_BINS - 1),
+            expr(s"($QN_BINS * (2 * cb + cnt)) div (2 * nt)")))
+    }
+    val perSource = binned(
+      docs.groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("cnt")), Seq("source"))
+    val pooled = binned(
+      docs.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("cnt")),
+      Seq.empty)
+    val targets = pooled.groupBy("bin")
+      .agg(sum(col("v") * col("cnt")).as("sv"), sum("cnt").as("sc"))
+      .select(col("bin"),
+        floor(col("sv").cast("double") / col("sc").cast("double") *
+          lit(1e6) + lit(0.5)).cast("long").as("target_micro"))
+    perSource.groupBy("source", "bin")
+      .agg(sum("cnt").as("n_docs"))
+      .join(broadcast(targets), Seq("bin"))
+      .select(col("source"), col("bin"), col("n_docs"), col("target_micro"))
+  }
+
+  val q362Sql: String =
+    s"""WITH ps AS (
+      |  SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM documents GROUP BY 1, 2),
+      |psb AS (
+      |  SELECT source, v, cnt,
+      |    CAST(coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cb,
+      |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS nt
+      |  FROM ps),
+      |psbin AS (
+      |  SELECT source,
+      |    least($QN_BINS - 1, ($QN_BINS * (2 * cb + cnt)) // (2 * nt))
+      |      AS bin,
+      |    cnt
+      |  FROM psb),
+      |p AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM documents GROUP BY 1),
+      |pb AS (
+      |  SELECT v, cnt,
+      |    CAST(coalesce(sum(cnt) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cb,
+      |    CAST(sum(cnt) OVER () AS BIGINT) AS nt
+      |  FROM p),
+      |tg AS (
+      |  SELECT least($QN_BINS - 1, ($QN_BINS * (2 * cb + cnt)) // (2 * nt))
+      |      AS bin,
+      |    CAST(floor(CAST(sum(v * cnt) AS DOUBLE) /
+      |      CAST(sum(cnt) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+      |      AS target_micro
+      |  FROM pb GROUP BY 1)
+      |SELECT s.source, s.bin, CAST(sum(s.cnt) AS BIGINT) AS n_docs,
+      |  first(tg.target_micro) AS target_micro
+      |FROM psbin s JOIN tg ON tg.bin = s.bin
+      |GROUP BY s.source, s.bin
+      |ORDER BY s.source, s.bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q362_quantile_normalize" ->
+      Gate.sorted(q362QuantileNormalize _, "source", "bin"),
     "q272_table_diff" ->
       Gate.sorted(q272TableDiff _, "o_orderpriority", "status"),
     "q228_layout_compare" ->
@@ -420,6 +515,7 @@ object MaintOps {
     "q205_zonemap_skip" -> Gate.sorted(q205ZonemapSkip _, "pred_id"))
 
   val oracles: Map[String, String] = Map(
+    "q362_quantile_normalize" -> q362Sql,
     "q272_table_diff" -> q272Sql,
     "q228_layout_compare" -> q228Sql,
     "q179_compaction_plan" -> q179Sql,

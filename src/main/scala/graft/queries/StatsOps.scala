@@ -2387,11 +2387,77 @@ object StatsOps {
       |    AS BIGINT) > $OVERDISP_MICRO AS overdispersed
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** q360 "large order" cut for the trend test (cents threshold is
+    * applied to the raw price — one deterministic comparison). */
+  val CA_PRICE_CUT = 250000.0
+
+  /** q360: COCHRAN–ARMITAGE TREND TEST — is the share of large orders
+    * MONOTONE in order priority (scores 1..5 from the priority
+    * prefix), not merely different somewhere (which is all q169's
+    * general chi-square independence test can say)? The dose-response
+    * test: T = Σsᵢ(rᵢ − nᵢR/N), Var(T) = (R/N)(1−R/N)(Σsᵢ²nᵢ −
+    * (Σsᵢnᵢ)²/N), z = T/√Var. The standard A/B-over-ordered-buckets
+    * significance test (price tiers, latency buckets, dose levels).
+    *
+    * Scale shape: ONE map-side-combined rollup to the 5 priority rows;
+    * the test statistic is arithmetic on those 5 rows (broadcast
+    * scalar totals). Determinism: every moment (nᵢ, rᵢ, Σsᵢnᵢ, Σsᵢrᵢ,
+    * Σsᵢ²nᵢ) is an exact BIGINT; T, Var and z are one double
+    * expression each over those integers, micro-quantized.
+    */
+  def q360CochranArmitage(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables(spark, dir).orders
+      .select(substring(col("o_orderpriority"), 1, 1).cast("long").as("s"),
+        when(col("o_totalprice") > CA_PRICE_CUT, 1L).otherwise(0L).as("y"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("n"), sum("y").as("r"))
+    val tot = g.agg(sum("n").as("nn"), sum("r").as("rr"),
+      sum(col("s") * col("n")).as("sn"), sum(col("s") * col("r")).as("sr"),
+      sum(col("s") * col("s") * col("n")).as("ssn"))
+    def d(c: String) = col(c).cast("double")
+    val t = d("sr") - d("sn") * d("rr") / d("nn")
+    val p = d("rr") / d("nn")
+    val v = p * (lit(1.0d) - p) * (d("ssn") - d("sn") * d("sn") / d("nn"))
+    tot.select(col("nn").as("n_orders"), col("rr").as("n_large"),
+      floor(t * lit(1e6) + lit(0.5)).cast("long").as("t_micro"),
+      floor(v * lit(1e6) + lit(0.5)).cast("long").as("var_micro"),
+      floor(t / sqrt(v) * lit(1e6) + lit(0.5)).cast("long").as("z_micro"))
+  }
+
+  val q360Sql: String =
+    s"""WITH g AS (
+      |  SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS s,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN o_totalprice > $CA_PRICE_CUT THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS r
+      |  FROM orders GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(r) AS BIGINT) AS rr,
+      |    CAST(sum(s * n) AS BIGINT) AS sn, CAST(sum(s * r) AS BIGINT) AS sr,
+      |    CAST(sum(s * s * n) AS BIGINT) AS ssn
+      |  FROM g)
+      |SELECT nn AS n_orders, rr AS n_large,
+      |  CAST(floor((CAST(sr AS DOUBLE) - CAST(sn AS DOUBLE) *
+      |    CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+      |    AS t_micro,
+      |  CAST(floor(CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE) *
+      |    (1.0 - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE)) *
+      |    (CAST(ssn AS DOUBLE) - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) /
+      |     CAST(nn AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS var_micro,
+      |  CAST(floor((CAST(sr AS DOUBLE) - CAST(sn AS DOUBLE) *
+      |    CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE)) /
+      |    sqrt(CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE) *
+      |      (1.0 - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE)) *
+      |      (CAST(ssn AS DOUBLE) - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) /
+      |       CAST(nn AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS z_micro
+      |FROM t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q349_t_closeness" -> Gate.sorted(q349TCloseness _, "nation", "segment"),
     "q350_bh_fdr" -> Gate.sorted(q350BhFdr _, "event_type", "day"),
     "q358_overdispersion" ->
       Gate.sorted(q358Overdispersion _, "event_type"),
+    "q360_cochran_armitage" -> ((s, d) => q360CochranArmitage(s, d)),
     "q346_jackknife_ratio" ->
       ((s, d) => q346JackknifeRatio(s, d)),
     "q343_brier_decomposition" ->
@@ -2429,6 +2495,7 @@ object StatsOps {
     "q349_t_closeness" -> q349Sql,
     "q350_bh_fdr" -> q350Sql,
     "q358_overdispersion" -> q358Sql,
+    "q360_cochran_armitage" -> q360Sql,
     "q346_jackknife_ratio" -> q346Sql,
     "q343_brier_decomposition" -> q343Sql,
     "q333_isotonic_fit" -> q333Sql,

@@ -747,6 +747,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), "centroid sums must map-side combine")
   }
 
+  test("q359-q362: keyed joins, rollup windows, no cartesian") {
+    Seq(
+      graft.queries.CorpusOps.q359OrcRoundtrip(spark, sfDir),
+      graft.queries.StatsOps.q360CochranArmitage(spark, sfDir),
+      graft.queries.EventAnalytics.q361PostStratAte(spark, sfDir),
+      graft.queries.MaintOps.q362QuantileNormalize(spark, sfDir)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"))
+      assert(p.contains("partial_"), "expected map-side combine")
+    }
+  }
+
+  test("q359: the source predicate pushes into the ORC scan") {
+    val p = plan(graft.queries.CorpusOps.q359OrcRoundtrip(spark, sfDir))
+    assert(p.contains("PushedFilters") && p.contains("src0"),
+      "expected the source filter inside the ORC scan node")
+  }
+
   test("q325: the streaming state is a sketch aggregate, not a dedup") {
     // batch-side equivalent of the streaming plan: the aggregation
     // carries hll_sketch_agg, so state per group is one buffer
