@@ -1729,21 +1729,25 @@ object EventAnalytics {
       floor(diff * lit(1e6) + lit(0.5)).cast("long").as("diff_micro"),
       floor(varg * lit(1e6) + lit(0.5)).cast("long").as("var_micro"))
     val tot = strata.agg(sum("n_g").as("nn"))
+    // quantize each stratum's weighted term in DOUBLE before the
+    // integer pool: the integer products n_g²·var_micro overflow 2^63
+    // already at sf0.1 (≈8e18), and Spark's ANSI mode makes that a
+    // hard error while DuckDB promotes to HUGEINT — the double path
+    // stays exact to 2^53 and identical in both engines
     val pooled = strata.crossJoin(broadcast(tot))
       .select(
-        (col("n_g") * col("diff_micro")).as("wd"),
-        (col("n_g") * col("n_g") * col("var_micro")).as("wv"),
+        floor(col("n_g").cast("double") * col("diff_micro").cast("double") /
+          col("nn").cast("double") + lit(0.5)).cast("long").as("wd"),
+        floor(col("n_g").cast("double") * col("n_g").cast("double") /
+          (col("nn").cast("double") * col("nn").cast("double")) *
+          col("var_micro").cast("double") + lit(0.5)).cast("long").as("wv"),
         col("n_g"), col("nn"))
       .groupBy("nn")
       .agg(sum("n_g").as("n_g"),
         sum("wd").as("wds"), sum("wv").as("wvs"))
       .select(lit("_all").as("stratum"), col("n_g"),
         lit(-1L).as("n1"), lit(-1L).as("n0"),
-        floor(col("wds").cast("double") / col("nn").cast("double") +
-          lit(0.5)).cast("long").as("diff_micro"),
-        floor(col("wvs").cast("double") /
-          (col("nn") * col("nn")).cast("double") + lit(0.5)).cast("long")
-          .as("var_micro"))
+        col("wds").as("diff_micro"), col("wvs").as("var_micro"))
     strata.unionByName(pooled)
   }
 
@@ -1784,15 +1788,20 @@ object EventAnalytics {
       |        CAST(n0 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS var_micro
       |  FROM m),
       |t AS (SELECT CAST(sum(n_g) AS BIGINT) AS nn FROM s),
+      |w AS (
+      |  SELECT n_g,
+      |    CAST(floor(CAST(n_g AS DOUBLE) * CAST(diff_micro AS DOUBLE) /
+      |      CAST(nn AS DOUBLE) + 0.5) AS BIGINT) AS wd,
+      |    CAST(floor(CAST(n_g AS DOUBLE) * CAST(n_g AS DOUBLE) /
+      |      (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)) *
+      |      CAST(var_micro AS DOUBLE) + 0.5) AS BIGINT) AS wv
+      |  FROM s CROSS JOIN t),
       |p AS (
       |  SELECT '_all' AS stratum, CAST(sum(n_g) AS BIGINT) AS n_g,
       |    CAST(-1 AS BIGINT) AS n1, CAST(-1 AS BIGINT) AS n0,
-      |    CAST(floor(CAST(sum(n_g * diff_micro) AS DOUBLE) /
-      |      CAST(first(nn) AS DOUBLE) + 0.5) AS BIGINT) AS diff_micro,
-      |    CAST(floor(CAST(sum(n_g * n_g * var_micro) AS DOUBLE) /
-      |      CAST(first(nn) * first(nn) AS DOUBLE) + 0.5) AS BIGINT)
-      |      AS var_micro
-      |  FROM s CROSS JOIN t)
+      |    CAST(sum(wd) AS BIGINT) AS diff_micro,
+      |    CAST(sum(wv) AS BIGINT) AS var_micro
+      |  FROM w)
       |SELECT * FROM s UNION ALL SELECT * FROM p
       |ORDER BY stratum""".stripMargin
 

@@ -77,10 +77,10 @@ class Batch36Spec extends SparkSpec {
     }
     val nn = strata.map(_._2).sum
     val pooled = ("_all", nn, -1L, -1L,
-      math.floor(strata.map(s => s._2 * s._5).sum.toDouble / nn.toDouble +
-        0.5).toLong,
-      math.floor(strata.map(s => s._2 * s._2 * s._6).sum.toDouble /
-        (nn * nn).toDouble + 0.5).toLong)
+      strata.map(s => math.floor(s._2.toDouble * s._5.toDouble /
+        nn.toDouble + 0.5).toLong).sum,
+      strata.map(s => math.floor(s._2.toDouble * s._2.toDouble /
+        (nn.toDouble * nn.toDouble) * s._6.toDouble + 0.5).toLong).sum)
     val want = (strata :+ pooled).sortBy(_._1)
     val got = graft.queries.EventAnalytics.q361PostStratAte(spark, sfDir)
       .orderBy("stratum").collect()
