@@ -521,7 +521,91 @@ object GraphOps {
       |FROM deg LEFT JOIN tri ON tri.node = deg.n
       |ORDER BY 1""".stripMargin
 
+  /** q365 per-node harmonic weight at distance d (micro of 1/d). */
+  val HARMONIC_W: Map[Int, Long] =
+    Map(1 -> 1000000L, 2 -> 500000L, 3 -> 333333L)
+
+  /** q365: BOUNDED-HOP HARMONIC CENTRALITY — for each BFS seed (the
+    * q271 seed set), H₃(u) = Σ_{d(u,v)≤3} 1/d(u,v): the
+    * influence/reachability score that, unlike closeness, is defined
+    * on disconnected graphs and, truncated at 3 hops, is the form a
+    * 100 TB graph can actually afford (full harmonic is all-pairs
+    * BFS). Uses a MULTI-SOURCE frontier keyed by (seed, node) — one
+    * BFS sweep for all seeds, not |seeds| sweeps — the q271 iteration
+    * with the seed column carried through the anti-join.
+    *
+    * Determinism: per-distance weights are FIXED micro constants
+    * ([[HARMONIC_W]] — note 333333, a per-node constant, NOT
+    * floor(n₃·1e6/3), so the score is a pure integer dot product of
+    * hop counts). Scale shape: frontiers are |seeds|-bounded edge
+    * joins with distinct + anti-join dedup per hop, all keyed
+    * shuffles; the count rollup is |seeds|×3.
+    */
+  def q365HarmonicCentrality(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = coPurchaseEdges(spark, dir)
+    val edges = e0.select(col("u"), col("v"))
+      .union(e0.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var visited = edges.select(col("u").as("n")).distinct()
+      .filter(col("n") % BFS_SEED_MOD === 0)
+      .select(col("n").as("seed"), col("n"), lit(0).as("dist"))
+      .localCheckpoint(true)
+    var frontier = visited.select("seed", "n")
+    var hop = 1
+    while (hop <= BFS_MAX_HOPS) {
+      val next = edges
+        .join(frontier.withColumnRenamed("n", "u"), "u")
+        .select(col("seed"), col("v").as("n")).distinct()
+        .join(visited.select("seed", "n"), Seq("seed", "n"), "left_anti")
+        .withColumn("dist", lit(hop))
+        .localCheckpoint(true)
+      visited = visited.union(next).localCheckpoint(true)
+      frontier = next.select("seed", "n")
+      hop += 1
+    }
+    val weight = HARMONIC_W.foldLeft(lit(0L)) { case (acc, (d, w)) =>
+      when(col("dist") === d, lit(w)).otherwise(acc)
+    }
+    visited.filter(col("dist") > 0)
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_reach"), sum(weight).as("harmonic_micro"))
+  }
+
+  val q365Sql: String = {
+    val hops = (1 to BFS_MAX_HOPS).map { i =>
+      val prior = (0 until i).map(j =>
+        s"SELECT seed, n FROM f$j").mkString(" UNION ALL ")
+      s"""f$i AS MATERIALIZED (
+      |  SELECT DISTINCT f.seed, e.v AS n
+      |  FROM edges e JOIN f${i - 1} f ON e.u = f.n
+      |  WHERE NOT EXISTS (SELECT 1 FROM ($prior) p
+      |                    WHERE p.seed = f.seed AND p.n = e.v))"""
+    }.mkString(",\n")
+    val sel = (1 to BFS_MAX_HOPS)
+      .map(i => s"SELECT seed, n, ${HARMONIC_W(i)} AS w FROM f$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH e0 AS MATERIALIZED (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= $TRIANGLE_MIN_SUPPORT),
+      |edges AS MATERIALIZED (
+      |  SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+      |f0 AS MATERIALIZED (
+      |  SELECT DISTINCT u AS seed, u AS n FROM edges
+      |  WHERE u % $BFS_SEED_MOD = 0),
+      |$hops,
+      |r AS ($sel)
+      |SELECT seed, CAST(count(*) AS BIGINT) AS n_reach,
+      |  CAST(sum(w) AS BIGINT) AS harmonic_micro
+      |FROM r GROUP BY seed
+      |ORDER BY seed""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q365_harmonic_centrality" ->
+      Gate.sorted(q365HarmonicCentrality _, "seed"),
     "q316_clustering_coeff" -> Gate.sorted(q316ClusteringCoeff _, "p_partkey"),
     "q281_label_prop" -> Gate.sorted(q281LabelProp _, "p_partkey"),
     "q275_link_predict" -> Gate.sorted(q275LinkPredict _, "x", "y"),
@@ -531,6 +615,7 @@ object GraphOps {
     "q271_bfs_hops" -> Gate.sorted(q271BfsHops _, "p_partkey"))
 
   val oracles: Map[String, String] = Map(
+    "q365_harmonic_centrality" -> q365Sql,
     "q316_clustering_coeff" -> q316Sql,
     "q281_label_prop" -> q281Sql,
     "q275_link_predict" -> q275Sql,

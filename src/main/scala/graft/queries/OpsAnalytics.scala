@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -455,7 +455,84 @@ object OpsAnalytics {
       |  CAST(sum(credit_micro) AS BIGINT) AS credit_micro
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q363 SLO error budget: tolerated long-run error share (micro). */
+  val SLO_BUDGET_MICRO = 250000L
+
+  /** q363 long window length in hours (trailing, inclusive). */
+  val SLO_LONG_HOURS = 6
+
+  /** q363 alert threshold on the burn rate (micro): both windows must
+    * burn ≥ 1.2× budget simultaneously. */
+  val SLO_BURN_THRESH_MICRO = 1200000L
+
+  /** q363: MULTI-WINDOW SLO BURN-RATE ALERTS — the SRE-workbook
+    * alerting recipe: an alert fires only when BOTH the short window
+    * (1h) and the long window ([[SLO_LONG_HOURS]]h trailing) burn the
+    * error budget faster than the threshold — the short window gives
+    * fast detection, the long window suppresses blips, and their
+    * conjunction is what keeps pages actionable. Complements q99
+    * (statistical anomaly vs own history) and q143/q353 (level
+    * shifts): this one alerts against a POLICY (the SLO), not a model.
+    *
+    * Scale shape: the log collapses to the |hours| rollup in one
+    * map-side-combined pass; the trailing window and flags run on
+    * that rollup. Determinism: counts are integers; each burn rate is
+    * one micro-quantized division (err/total/budget as exact
+    * integers), and the alert conjunction compares integers.
+    */
+  def q363SloBurnRate(spark: SparkSession, dir: String): DataFrame = {
+    val hours = Tables(spark, dir).events
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("err"))
+    val trail = Window.orderBy("hour")
+      .rowsBetween(-(SLO_LONG_HOURS - 1), Window.currentRow)
+    def burn(e: Column, t: Column): Column =
+      floor(e.cast("double") / t.cast("double") /
+        (lit(SLO_BUDGET_MICRO.toDouble) / lit(1e6)) * lit(1e6) + lit(0.5))
+        .cast("long")
+    hours
+      .withColumn("err_l", sum("err").over(trail))
+      .withColumn("n_l", sum("n").over(trail))
+      .select(col("hour"), col("n"), col("err"),
+        burn(col("err"), col("n")).as("burn_short_micro"),
+        burn(col("err_l"), col("n_l")).as("burn_long_micro"))
+      .withColumn("alert",
+        col("burn_short_micro") >= SLO_BURN_THRESH_MICRO &&
+          col("burn_long_micro") >= SLO_BURN_THRESH_MICRO)
+  }
+
+  val q363Sql: String =
+    s"""WITH h AS (
+      |  SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hour,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS err
+      |  FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT hour, n, err,
+      |    CAST(sum(err) OVER w AS BIGINT) AS err_l,
+      |    CAST(sum(n) OVER w AS BIGINT) AS n_l
+      |  FROM h
+      |  WINDOW w AS (ORDER BY hour
+      |    ROWS BETWEEN ${SLO_LONG_HOURS - 1} PRECEDING AND CURRENT ROW)),
+      |b AS (
+      |  SELECT hour, n, err,
+      |    CAST(floor(CAST(err AS DOUBLE) / CAST(n AS DOUBLE) /
+      |      (${SLO_BUDGET_MICRO.toDouble} / 1e6) * 1e6 + 0.5) AS BIGINT)
+      |      AS burn_short_micro,
+      |    CAST(floor(CAST(err_l AS DOUBLE) / CAST(n_l AS DOUBLE) /
+      |      (${SLO_BUDGET_MICRO.toDouble} / 1e6) * 1e6 + 0.5) AS BIGINT)
+      |      AS burn_long_micro
+      |  FROM t)
+      |SELECT hour, n, err, burn_short_micro, burn_long_micro,
+      |  burn_short_micro >= $SLO_BURN_THRESH_MICRO
+      |    AND burn_long_micro >= $SLO_BURN_THRESH_MICRO AS alert
+      |FROM b ORDER BY hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q363_slo_burn_rate" -> Gate.sorted(q363SloBurnRate _, "hour"),
     "q337_ushaped_attribution" ->
       Gate.sorted(q337UShapedAttribution _, "event_type"),
     "q273_forget_audit" -> Gate.sorted(q273ForgetAudit _, "table_name"),
@@ -466,6 +543,7 @@ object OpsAnalytics {
     "q240_event_contract" -> Gate.sorted(q240EventContract _, "rule"))
 
   val oracles: Map[String, String] = Map(
+    "q363_slo_burn_rate" -> q363Sql,
     "q337_ushaped_attribution" -> q337Sql,
     "q273_forget_audit" -> q273Sql,
     "q244_attribution_compare" -> q244Sql,

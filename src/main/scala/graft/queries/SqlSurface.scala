@@ -727,7 +727,61 @@ object SqlSurface {
       |FROM documents WHERE doc_id % 5 = 0
       |ORDER BY doc_id""".stripMargin
 
+  /** q364: LATERAL JOIN SURFACE — correlated top-N per outer row
+    * through the ANSI `LATERAL` derived table (the "for each nation,
+    * its 2 richest customers" shape written the way a SQL user
+    * migrating from Postgres/DuckDB writes it), plus a lateral
+    * aggregate column. Complements q288 (correlated SCALAR
+    * subqueries) and q7/q79 (the same top-N as window / native
+    * operator): the point here is PARITY of the lateral SURFACE —
+    * Spark's DecorrelateInnerQuery must rewrite both the LIMIT and
+    * the aggregate into joins the same way DuckDB's optimizer does.
+    *
+    * Scale shape: Catalyst decorrelates the lateral LIMIT into a
+    * partitioned window over the customer scan and the lateral
+    * aggregate into one grouped join — no per-outer-row re-execution
+    * survives in the physical plan (the plan audit pins no
+    * CartesianProduct). Integer cents end-to-end.
+    */
+  def q364LateralTopn(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.nation.createOrReplaceTempView("q364_nation")
+    t.customer.createOrReplaceTempView("q364_customer")
+    spark.sql("""
+      SELECT n.n_name AS nation, t.c_custkey, t.bal_c, a.n_cust
+      FROM q364_nation n
+      JOIN LATERAL (
+        SELECT c_custkey,
+          CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+        FROM q364_customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey ASC
+        LIMIT 2) t
+      JOIN LATERAL (
+        SELECT count(*) AS n_cust
+        FROM q364_customer c
+        WHERE c.c_nationkey = n.n_nationkey) a""")
+  }
+
+  val q364Sql: String =
+    """SELECT n.n_name AS nation, t.c_custkey, t.bal_c, a.n_cust
+      |FROM nation n
+      |JOIN LATERAL (
+      |  SELECT c_custkey,
+      |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+      |  FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey ASC
+      |  LIMIT 2) t ON true
+      |JOIN LATERAL (
+      |  SELECT count(*) AS n_cust
+      |  FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey) a ON true
+      |ORDER BY nation, c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q364_lateral_topn" ->
+      Gate.sorted(q364LateralTopn _, "nation", "c_custkey"),
     "q305_map_surface" -> Gate.sorted(q305MapSurface _, "event_type", "wd"),
     "q312_calendar_arith" -> Gate.sorted(q312CalendarArith _, "o_orderkey"),
     "q315_array_surface" -> Gate.sorted(q315ArraySurface _, "c_custkey"),
@@ -749,6 +803,7 @@ object SqlSurface {
     "q233_trailing_window" -> Gate.sorted(q233TrailingWindow _, "day"))
 
   val oracles: Map[String, String] = Map(
+    "q364_lateral_topn" -> q364Sql,
     "q305_map_surface" -> q305Sql,
     "q312_calendar_arith" -> q312Sql,
     "q315_array_surface" -> q315Sql,

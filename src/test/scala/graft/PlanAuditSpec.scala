@@ -766,6 +766,25 @@ class PlanAuditSpec extends SparkSpec {
       "expected the source filter inside the ORC scan node")
   }
 
+  test("q363/q365: rollup windows and keyed BFS joins, no cartesian") {
+    Seq(
+      graft.queries.OpsAnalytics.q363SloBurnRate(spark, sfDir),
+      graft.queries.GraphOps.q365HarmonicCentrality(spark, sfDir)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"))
+      assert(p.contains("partial_"), "expected map-side combine")
+    }
+  }
+
+  test("q364: the lateral LIMIT decorrelates into a window, not re-execution") {
+    val p = plan(graft.queries.SqlSurface.q364LateralTopn(spark, sfDir))
+    assert(p.contains("Window") || p.contains("TakeOrdered"),
+      "expected the correlated LIMIT rewritten to a per-key window")
+    assert(!p.contains("CartesianProduct"),
+      "lateral must not survive as a partitioned cartesian")
+  }
+
   test("q325: the streaming state is a sketch aggregate, not a dedup") {
     // batch-side equivalent of the streaming plan: the aggregation
     // carries hll_sketch_agg, so state per group is one buffer
