@@ -990,7 +990,67 @@ object CorpusOps {
       |FROM documents WHERE source != 'src0'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q367: HLL CUBE MARGINS — the mergeability property that makes
+    * sketches the 100 TB answer, exercised ACROSS a cube: distinct
+    * users per (type, day) cell sketched ONCE, then every margin —
+    * per type, per day, grand — derived by UNIONING cell sketches
+    * without touching the base data. This is the pre-aggregated
+    * distinct-count serving layer (cube of sketches, margins on
+    * demand) that an exact countDistinct cube cannot provide (exact
+    * distincts don't merge). Gate = the q260/q295 sketch convention:
+    * exact margins from the log + the ≤5%-error flag, TRUE in the
+    * oracle; the margin estimates themselves are pinned by the spec
+    * to equal a direct single-pass sketch of the same margin
+    * (determinism of the sketch makes that an exact equality).
+    *
+    * Scale shape: ONE pass builds |types×days| cell sketches (4 KB
+    * each); every margin is arithmetic on those cells. No second scan
+    * of the log, ever.
+    */
+  def q367HllCubeMargins(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DistinctSketch
+    val ev = Tables(spark, dir).events
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+    val cells = DistinctSketch.sketchBy(ev, "user_id", "event_type", "day")
+    def m(df: DataFrame, key: Column) = df.select(key.as("margin"),
+      col("n_rows"), col("n_distinct_est"))
+    val est = m(DistinctSketch.rollup(cells, "event_type"),
+        concat(lit("type:"), col("event_type")))
+      .unionByName(m(DistinctSketch.rollup(cells, "day"),
+        concat(lit("day:"), col("day"))))
+      .unionByName(m(DistinctSketch.rollup(cells), lit("_all")))
+    val exact = ev.groupBy(concat(lit("type:"), col("event_type"))
+        .as("margin")).agg(countDistinct("user_id").as("n_exact"))
+      .unionByName(ev.groupBy(concat(lit("day:"), col("day")).as("margin"))
+        .agg(countDistinct("user_id").as("n_exact")))
+      .unionByName(ev.agg(countDistinct("user_id").as("n_exact"))
+        .select(lit("_all").as("margin"), col("n_exact")))
+    est.join(exact, "margin")
+      .select(col("margin"), col("n_rows"), col("n_exact"),
+        (abs(col("n_distinct_est") - col("n_exact")) <=
+          col("n_exact") * 0.05).as("within_err"))
+  }
+
+  val q367Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+      |  FROM events)
+      |SELECT 'type:' || event_type AS margin, count(*) AS n_rows,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+      |  TRUE AS within_err
+      |FROM e GROUP BY event_type
+      |UNION ALL
+      |SELECT 'day:' || day, count(*),
+      |  CAST(count(DISTINCT user_id) AS BIGINT), TRUE
+      |FROM e GROUP BY day
+      |UNION ALL
+      |SELECT '_all', count(*), CAST(count(DISTINCT user_id) AS BIGINT), TRUE
+      |FROM e
+      |ORDER BY margin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q367_hll_cube" -> Gate.sorted(q367HllCubeMargins _, "margin"),
     "q359_orc_roundtrip" -> Gate.sorted(q359OrcRoundtrip _, "source"),
     "q338_fs_em_step" -> Gate.sorted(q338FsEmStep _, "field"),
     "q332_cms_eval" -> Gate.sorted(q332CmsEval _, "token"),
@@ -1012,6 +1072,7 @@ object CorpusOps {
     "q251_sketch_eval" -> Gate.sorted(q251SketchQuantileEval _, "g"))
 
   val oracles: Map[String, String] = Map(
+    "q367_hll_cube" -> q367Sql,
     "q359_orc_roundtrip" -> q359Sql,
     "q338_fs_em_step" -> q338Sql,
     "q332_cms_eval" -> q332Sql,

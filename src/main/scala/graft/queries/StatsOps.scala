@@ -2452,12 +2452,74 @@ object StatsOps {
       |       CAST(nn AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS z_micro
       |FROM t""".stripMargin
 
+  /** q368 order statistics in the Hill tail (top-k). */
+  val HILL_K = 100
+
+  /** q368: HILL TAIL-INDEX ESTIMATOR — α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎)
+    * over the top-k order statistics: the standard heavy-tail
+    * diagnostic (α < 2 → infinite variance, sample means are lies;
+    * α < 1 → infinite mean). q123 fits a Zipf slope to RANK
+    * frequencies and q218 reports Pareto concentration shares; Hill
+    * is the ESTIMATOR with known asymptotics that decides whether
+    * mean-based stats (q98/q351...) are even defined on this column.
+    *
+    * Scale shape: the ONLY corpus-sized work is a TakeOrdered top-
+    * (k+1) cut (no global sort, no window over the fact table);
+    * everything after runs on k+1 rows. Determinism: per-order-
+    * statistic ln ratios are micro-quantized BEFORE the k-term sum;
+    * α̂ is one integer-fed division.
+    */
+  def q368HillTail(spark: SparkSession, dir: String): DataFrame = {
+    val top = Tables(spark, dir).orders
+      .select(col("o_totalprice").as("x"), col("o_orderkey"))
+      .orderBy(col("x").desc, col("o_orderkey").asc)
+      .limit(HILL_K + 1)
+    val w = Window.orderBy(col("x").desc, col("o_orderkey").asc)
+    val ranked = top.withColumn("rk", row_number().over(w))
+    val xk1 = ranked.filter(col("rk") === HILL_K + 1)
+      .select(col("x").as("xk1"))
+    ranked.filter(col("rk") <= HILL_K)
+      .crossJoin(broadcast(xk1))
+      .select(floor(log(col("x") / col("xk1")) * lit(1e6) + lit(0.5))
+        .cast("long").as("t"), col("xk1"))
+      .groupBy("xk1")
+      .agg(count(lit(1)).as("k"), sum("t").as("sum_ln_micro"))
+      .select(col("k"),
+        floor(col("xk1") * 100 + lit(0.5)).cast("long").as("xk1_c"),
+        col("sum_ln_micro"),
+        floor(col("k").cast("double") * lit(1e12) /
+          col("sum_ln_micro").cast("double") + lit(0.5)).cast("long")
+          .as("alpha_micro"))
+  }
+
+  val q368Sql: String =
+    s"""WITH top AS (
+      |  SELECT o_totalprice AS x,
+      |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |      AS rk
+      |  FROM orders
+      |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT ${HILL_K + 1}),
+      |k1 AS (SELECT x AS xk1 FROM top WHERE rk = ${HILL_K + 1}),
+      |t AS (
+      |  SELECT CAST(floor(ln(x / xk1) * 1e6 + 0.5) AS BIGINT) AS t, xk1
+      |  FROM top CROSS JOIN k1 WHERE rk <= $HILL_K),
+      |agg AS (
+      |  SELECT xk1, CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(t) AS BIGINT) AS sum_ln_micro
+      |  FROM t GROUP BY xk1)
+      |SELECT k, CAST(floor(xk1 * 100 + 0.5) AS BIGINT) AS xk1_c,
+      |  sum_ln_micro,
+      |  CAST(floor(CAST(k AS DOUBLE) * 1e12 /
+      |    CAST(sum_ln_micro AS DOUBLE) + 0.5) AS BIGINT) AS alpha_micro
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q349_t_closeness" -> Gate.sorted(q349TCloseness _, "nation", "segment"),
     "q350_bh_fdr" -> Gate.sorted(q350BhFdr _, "event_type", "day"),
     "q358_overdispersion" ->
       Gate.sorted(q358Overdispersion _, "event_type"),
     "q360_cochran_armitage" -> ((s, d) => q360CochranArmitage(s, d)),
+    "q368_hill_tail" -> ((s, d) => q368HillTail(s, d)),
     "q346_jackknife_ratio" ->
       ((s, d) => q346JackknifeRatio(s, d)),
     "q343_brier_decomposition" ->
@@ -2496,6 +2558,7 @@ object StatsOps {
     "q350_bh_fdr" -> q350Sql,
     "q358_overdispersion" -> q358Sql,
     "q360_cochran_armitage" -> q360Sql,
+    "q368_hill_tail" -> q368Sql,
     "q346_jackknife_ratio" -> q346Sql,
     "q343_brier_decomposition" -> q343Sql,
     "q333_isotonic_fit" -> q333Sql,

@@ -1237,7 +1237,99 @@ object VectorOps {
       |FROM a WHERE rk = 1
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** q366 candidate pool per query before the exact rerank. */
+  val BQ_CAND_K = 20
+
+  /** q366: BINARY-QUANTIZED ANN (1-bit sign quantization + Hamming
+    * candidate scan + exact rerank) — the 32×-compression scale path
+    * below q62's int8 (8×) and q82's PQ: each 64-dim vector packs to
+    * ONE long word of sign bits, candidates come from
+    * popcount(xor(words)) — the cheapest possible distance on modern
+    * hardware — and only the [[BQ_CAND_K]] best Hamming candidates per
+    * query pay the exact cosine. Emits q30's rank-gated shape (rank ≤
+    * TOP_K after rerank), so the driver hash never touches a float.
+    *
+    * Scale shape: the word table is 8 bytes/vector (a 100 TB float
+    * corpus → ~200 GB of words — broadcastable per executor or
+    * scannable at memory-bandwidth speed); queries broadcast; the
+    * rerank is |queries|×BQ_CAND_K exact dots. Determinism: the sign
+    * bit is one float comparison (> 0) per cell; Hamming is integer;
+    * rerank cosines are nano-quantized native-expression doubles.
+    */
+  def q366BinaryAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    // two 32-bit half-words: a 1L << 63 set-bit overflows DuckDB's
+    // checked shift (Spark's wraps silently) — and the split form
+    // generalizes to any dim count
+    def half(lo: Int) = expr(s"aggregate(sequence($lo, ${lo + 31}), 0L, " +
+      s"(acc, d) -> acc + IF(element_at(embedding, d + 1) > 0, " +
+      s"shiftleft(1L, d - $lo), 0L))")
+    val words = emb.select(col("vec_id"), col("embedding"),
+      half(0).as("w0"), half(32).as("w1"))
+    val queries = words.filter(col("vec_id") < NUM_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("w0").as("qw0"), col("w1").as("qw1"))
+    val cands = words.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("q_emb"),
+        col("embedding"),
+        expr("bit_count(w0 ^ qw0) + bit_count(w1 ^ qw1)").as("ham"))
+    val wH = Window.partitionBy("query_id")
+      .orderBy(col("ham").asc, col("vec_id").asc)
+    val rerank = cands.withColumn("hr", row_number().over(wH))
+      .filter(col("hr") <= BQ_CAND_K)
+      .withColumn("s", floor(cosine(col("q_emb"), col("embedding")) *
+        lit(1e9) + lit(0.5)).cast("long"))
+    val wS = Window.partitionBy("query_id")
+      .orderBy(col("s").desc, col("vec_id").asc)
+    rerank.withColumn("rank", row_number().over(wS))
+      .filter(col("rank") <= TOP_K)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+  }
+
+  val q366Sql: String =
+    s"""WITH w AS (
+      |  SELECT vec_id, embedding,
+      |    list_sum(list_transform(generate_series(0, 31), d ->
+      |      CASE WHEN embedding[d + 1] > 0 THEN (1::BIGINT << d)
+      |           ELSE 0 END))::BIGINT AS w0,
+      |    list_sum(list_transform(generate_series(32, 63), d ->
+      |      CASE WHEN embedding[d + 1] > 0 THEN (1::BIGINT << (d - 32))
+      |           ELSE 0 END))::BIGINT AS w1
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+      |        w0 AS qw0, w1 AS qw1
+      |      FROM w WHERE vec_id < $NUM_QUERIES),
+      |c AS (
+      |  SELECT q.query_id, w.vec_id, q.q_emb, w.embedding,
+      |    bit_count(xor(w.w0, q.qw0)) + bit_count(xor(w.w1, q.qw1)) AS ham
+      |  FROM w, q WHERE w.vec_id != q.query_id),
+      |h AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY ham ASC, vec_id ASC) AS hr
+      |  FROM c),
+      |r AS (
+      |  SELECT query_id, vec_id,
+      |    CAST(floor(
+      |      list_sum(list_transform(generate_series(1, len(embedding)),
+      |        i -> CAST(q_emb[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+      |      / (sqrt(list_sum(list_transform(q_emb,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * sqrt(list_sum(list_transform(embedding,
+      |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |      * 1e9 + 0.5) AS BIGINT) AS s
+      |  FROM h WHERE hr <= $BQ_CAND_K),
+      |ranked AS (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY s DESC, vec_id ASC) AS rank
+      |  FROM r)
+      |SELECT query_id, rank, vec_id AS neighbor_id
+      |FROM ranked WHERE rank <= $TOP_K
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q366_binary_ann" -> Gate.sorted(q366BinaryAnn _, "query_id", "rank"),
     "q355_centroid_eval" ->
       Gate.sorted(q355CentroidEval _, "label", "assigned"),
     "q345_whitening_report" -> Gate.sorted(q345WhiteningReport _, "d"),
@@ -1257,6 +1349,7 @@ object VectorOps {
     "q82_pq_ann" -> Gate.sorted(q82PqAnn _, "query_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q366_binary_ann" -> q366Sql,
     "q355_centroid_eval" -> q355Sql,
     "q345_whitening_report" -> q345Sql,
     "q326_als_step" -> q326Sql,

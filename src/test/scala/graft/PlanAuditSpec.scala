@@ -785,6 +785,21 @@ class PlanAuditSpec extends SparkSpec {
       "lateral must not survive as a partitioned cartesian")
   }
 
+  test("q366-q368: broadcast candidates, TakeOrdered tails, no cartesian") {
+    val p366 = plan(graft.queries.VectorOps.q366BinaryAnn(spark, sfDir))
+    assert(p366.contains("BroadcastNestedLoopJoin") ||
+      p366.contains("BroadcastHashJoin"),
+      "the bounded query set must broadcast against the word scan")
+    assert(!p366.contains("CartesianProduct"))
+    val p367 = plan(graft.queries.CorpusOps.q367HllCubeMargins(spark, sfDir))
+    assert(p367.toLowerCase.contains("hll"), "expected sketch aggregates")
+    assert(!p367.contains("CartesianProduct"))
+    val p368 = plan(graft.queries.StatsOps.q368HillTail(spark, sfDir))
+    assert(p368.contains("TakeOrdered"),
+      "the top-k cut must be TakeOrderedAndProject, not a global sort")
+    assert(!p368.contains("CartesianProduct"))
+  }
+
   test("q325: the streaming state is a sketch aggregate, not a dedup") {
     // batch-side equivalent of the streaming plan: the aggregation
     // carries hll_sketch_agg, so state per group is one buffer
