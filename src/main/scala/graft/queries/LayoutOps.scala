@@ -349,7 +349,68 @@ object LayoutOps {
       |FROM m ORDER BY col_name""".stripMargin
   }
 
+  /** q370: TRIMMED + WINSORIZED MEANS per group — the robust location
+    * estimates a skew/outlier-aware report pairs with the raw mean:
+    * cut points are the DISCRETE p05/p95 per event type (actual data
+    * values from the bucket-prune operator, so the cross-engine
+    * comparison below is float-equality-safe), the trimmed mean drops
+    * rows outside [p05, p95], the winsorized mean clamps them. q174
+    * gives the robust MEDIAN; these are the robust means every
+    * metrics platform ships next to it.
+    *
+    * Scale shape: DistributedQuantile's histogram-locate pass (no
+    * per-group sort), then ONE conditional aggregate over the scan
+    * with the |groups|-row cut table broadcast. Decimal-exact sums
+    * (Exact.dec), so the three means are single IEEE divisions of
+    * identical inputs.
+    */
+  def q370RobustMeans(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact
+    val ev = Tables(spark, dir).events.select("event_type", "value")
+    val cuts = DistributedQuantile.quantilesDisc(ev, Seq("event_type"),
+      "value", Seq("p05" -> 0.05, "p95" -> 0.95))
+    val inBand = col("value") >= col("p05") && col("value") <= col("p95")
+    val wins = when(col("value") < col("p05"), col("p05"))
+      .when(col("value") > col("p95"), col("p95"))
+      .otherwise(col("value"))
+    ev.join(broadcast(cuts), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(inBand, 1L).otherwise(0L)).as("n_kept"),
+        (sum(Exact.dec(col("value"))).cast("double") / count(lit(1)))
+          .as("mean_raw"),
+        (sum(when(inBand, Exact.dec(col("value")))).cast("double") /
+          sum(when(inBand, 1L).otherwise(0L))).as("mean_trimmed"),
+        (sum(Exact.dec(wins)).cast("double") / count(lit(1)))
+          .as("mean_winsorized"))
+  }
+
+  val q370Sql: String =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    quantile_disc(value, 0.05) AS p05,
+      |    quantile_disc(value, 0.95) AS p95
+      |  FROM events GROUP BY 1),
+      |j AS (SELECT e.event_type, e.value, c.p05, c.p95
+      |      FROM events e JOIN c ON c.event_type = e.event_type)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN value >= p05 AND value <= p95 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_kept,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+      |    AS mean_raw,
+      |  CAST(sum(CASE WHEN value >= p05 AND value <= p95
+      |    THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) /
+      |    sum(CASE WHEN value >= p05 AND value <= p95 THEN 1 ELSE 0 END)
+      |    AS mean_trimmed,
+      |  CAST(sum(CAST(CASE WHEN value < p05 THEN p05
+      |                     WHEN value > p95 THEN p95
+      |                     ELSE value END AS DECIMAL(18,4))) AS DOUBLE) /
+      |    count(*) AS mean_winsorized
+      |FROM j GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q370_robust_means" -> Gate.sorted(q370RobustMeans _, "event_type"),
     "q229_encoding_advisor" -> Gate.sorted(q229EncodingAdvisor _, "col_name"),
     "q165_group_quantiles" -> Gate.sorted(q165GroupQuantiles _, "l_returnflag"),
     "q262_group_quantiles_disc" ->
@@ -359,6 +420,7 @@ object LayoutOps {
     "q204_run_profile" -> Gate.sorted(q204RunProfile _, "col_name"))
 
   val oracles: Map[String, String] = Map(
+    "q370_robust_means" -> q370Sql,
     "q229_encoding_advisor" -> q229Sql,
     "q165_group_quantiles" -> q165Sql,
     "q262_group_quantiles_disc" -> q262Sql,

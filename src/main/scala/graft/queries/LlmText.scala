@@ -1182,7 +1182,75 @@ object LlmText {
       |WHERE s.r <= $GT_MAX_R
       |ORDER BY s.r""".stripMargin
 
+  /** q371: CHARACTER BIGRAM CONDITIONAL ENTROPY per source —
+    * H(C₂|C₁) = (1/N)·Σ n₁₂·ln(n₁/n₁₂): the entropy RATE signal that
+    * q156's per-doc unigram entropy misses (unigram entropy can be
+    * high while the text is a trivially predictable repeating
+    * pattern; conditional entropy near zero flags exactly that —
+    * machine-generated/templated sources). Per-source, so it feeds
+    * the q50/q209 mixing decisions.
+    *
+    * Scale shape: the bigram rollup is |sources × alphabet²| (bounded
+    * by the character domain, not the corpus — the q181/q362 rollup
+    * discipline); n₁ marginals come from the SAME rollup (one extra
+    * tiny aggregate, no second scan). Determinism: per-bigram
+    * n₁₂·ln(n₁/n₁₂) terms micro-quantized before the cross-bigram
+    * integer sum; one final division by N.
+    */
+  def q371BigramCondEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables(spark, dir).documents
+      .select(col("source"),
+        explode(expr("transform(sequence(1, greatest(length(text) - 1, 1))," +
+          " i -> substring(text, i, 2))")).as("bg"))
+      .filter(length(col("bg")) === 2)
+    val n12 = bigrams.groupBy(col("source"), col("bg"))
+      .agg(count(lit(1)).as("c12"))
+      .withColumn("c1h", substring(col("bg"), 1, 1))
+    val n1 = n12.groupBy(col("source"), col("c1h"))
+      .agg(sum("c12").as("c1"))
+    val terms = n12.join(n1, Seq("source", "c1h"))
+      .select(col("source"),
+        col("c12"),
+        floor(col("c12").cast("double") *
+          log(col("c1").cast("double") / col("c12").cast("double")) *
+          lit(1e6) + lit(0.5)).cast("long").as("t"))
+    terms.groupBy("source")
+      .agg(sum("c12").as("n_bigrams"), sum("t").as("tsum"))
+      .select(col("source"), col("n_bigrams"),
+        floor(col("tsum").cast("double") / col("n_bigrams").cast("double") +
+          lit(0.5)).cast("long").as("h_cond_micro"))
+  }
+
+  val q371Sql: String =
+    """WITH bg AS (
+      |  SELECT source, b AS bg FROM (
+      |    SELECT source, unnest(list_transform(
+      |      generate_series(1, greatest(length(text) - 1, 1)),
+      |      i -> substring(text, i, 2))) AS b
+      |    FROM documents)
+      |  WHERE length(b) = 2),
+      |n12 AS (
+      |  SELECT source, bg, substring(bg, 1, 1) AS c1h,
+      |    CAST(count(*) AS BIGINT) AS c12
+      |  FROM bg GROUP BY 1, 2, 3),
+      |n1 AS (
+      |  SELECT source, c1h, CAST(sum(c12) AS BIGINT) AS c1
+      |  FROM n12 GROUP BY 1, 2),
+      |t AS (
+      |  SELECT n12.source, n12.c12,
+      |    CAST(floor(CAST(n12.c12 AS DOUBLE) *
+      |      ln(CAST(n1.c1 AS DOUBLE) / CAST(n12.c12 AS DOUBLE)) * 1e6 + 0.5)
+      |      AS BIGINT) AS t
+      |  FROM n12 JOIN n1 ON n1.source = n12.source AND n1.c1h = n12.c1h)
+      |SELECT source, CAST(sum(c12) AS BIGINT) AS n_bigrams,
+      |  CAST(floor(CAST(sum(t) AS DOUBLE) / CAST(sum(c12) AS DOUBLE) + 0.5)
+      |    AS BIGINT) AS h_cond_micro
+      |FROM t GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q371_bigram_cond_entropy" ->
+      Gate.sorted(q371BigramCondEntropy _, "source"),
     "q356_good_turing" -> Gate.sorted(q356GoodTuring _, "r"),
     "q334_nb_lang_score" ->
       Gate.sorted(q334NbLangScore _, "doc_id", "lang"),
@@ -1214,6 +1282,7 @@ object LlmText {
     "q55_doc_keywords" -> Gate.sorted(q55DocKeywords _, "doc_id", "rank"))
 
   val oracles: Map[String, String] = Map(
+    "q371_bigram_cond_entropy" -> q371Sql,
     "q356_good_turing" -> q356Sql,
     "q334_nb_lang_score" -> q334Sql,
     "q302_tokenizer_fertility" -> q302Sql,

@@ -2452,6 +2452,76 @@ object StatsOps {
       |       CAST(nn AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) AS z_micro
       |FROM t""".stripMargin
 
+  /** q369: ONE-WAY ANOVA F-TEST across the event types — does the
+    * value level differ ANYWHERE among k groups, in one test (running
+    * C(k,2) Welch tests and BH-correcting, q350, loses power; ANOVA
+    * is the front door). SSB = Σsₘ²/nₘ − S²/N and SSW = Σx² − Σsₘ²/nₘ
+    * from exact BIGINT cents moments; the per-group sₘ²/nₘ terms are
+    * micro-quantized BEFORE the cross-group sum (the q139/q347 rule),
+    * Σx² stays a raw exact integer, and F is one double expression
+    * over those integers.
+    *
+    * Scale shape: one map-side-combined rollup to k rows; arithmetic
+    * after.
+    */
+  def q369AnovaF(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val g = Tables(spark, dir).events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(cents).as("s"),
+        sum(cents * cents).as("ss"))
+    val terms = g.select(col("n"), col("s"), col("ss"),
+      floor(col("s").cast("double") * col("s").cast("double") /
+        col("n").cast("double") * lit(1e6) + lit(0.5)).cast("long")
+        .as("aq"))
+    val tot = terms.agg(sum("n").as("nn"), sum("s").as("stot"),
+      sum("ss").as("sstot"), sum("aq").as("a_micro"),
+      count(lit(1)).as("k"))
+    def d(c: String) = col(c).cast("double")
+    val bMicro = floor(d("stot") * d("stot") / d("nn") * lit(1e6) +
+      lit(0.5)).cast("long")
+    tot.select(col("nn").as("n_total"), col("k").as("k_groups"),
+      (col("a_micro") - bMicro).as("ssb_micro"),
+      floor(((d("a_micro") - bMicro.cast("double")) / lit(1e6) /
+        (d("k") - lit(1.0d))) /
+        ((d("sstot") - d("a_micro") / lit(1e6)) /
+          (d("nn") - d("k"))) * lit(1e6) + lit(0.5)).cast("long")
+        .as("f_micro"))
+  }
+
+  val q369Sql: String =
+    """WITH g AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS s,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) *
+      |             CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS ss
+      |  FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT n, s, ss,
+      |    CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+      |      CAST(n AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS aq
+      |  FROM g),
+      |a AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS stot,
+      |    CAST(sum(ss) AS BIGINT) AS sstot,
+      |    CAST(sum(aq) AS BIGINT) AS a_micro,
+      |    CAST(count(*) AS BIGINT) AS k
+      |  FROM t)
+      |SELECT nn AS n_total, k AS k_groups,
+      |  a_micro - CAST(floor(CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) /
+      |    CAST(nn AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS ssb_micro,
+      |  CAST(floor(
+      |    ((CAST(a_micro AS DOUBLE) -
+      |      CAST(CAST(floor(CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) /
+      |        CAST(nn AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS DOUBLE)) / 1e6 /
+      |     (CAST(k AS DOUBLE) - 1.0)) /
+      |    ((CAST(sstot AS DOUBLE) - CAST(a_micro AS DOUBLE) / 1e6) /
+      |     (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))) * 1e6 + 0.5)
+      |    AS BIGINT) AS f_micro
+      |FROM a""".stripMargin
+
   /** q368 order statistics in the Hill tail (top-k). */
   val HILL_K = 100
 
@@ -2520,6 +2590,7 @@ object StatsOps {
       Gate.sorted(q358Overdispersion _, "event_type"),
     "q360_cochran_armitage" -> ((s, d) => q360CochranArmitage(s, d)),
     "q368_hill_tail" -> ((s, d) => q368HillTail(s, d)),
+    "q369_anova_f" -> ((s, d) => q369AnovaF(s, d)),
     "q346_jackknife_ratio" ->
       ((s, d) => q346JackknifeRatio(s, d)),
     "q343_brier_decomposition" ->
@@ -2559,6 +2630,7 @@ object StatsOps {
     "q358_overdispersion" -> q358Sql,
     "q360_cochran_armitage" -> q360Sql,
     "q368_hill_tail" -> q368Sql,
+    "q369_anova_f" -> q369Sql,
     "q346_jackknife_ratio" -> q346Sql,
     "q343_brier_decomposition" -> q343Sql,
     "q333_isotonic_fit" -> q333Sql,

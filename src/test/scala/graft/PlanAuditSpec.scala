@@ -800,6 +800,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p368.contains("CartesianProduct"))
   }
 
+  test("q369-q371: map-side rollups, broadcast cuts, no cartesian") {
+    Seq(
+      graft.queries.StatsOps.q369AnovaF(spark, sfDir),
+      graft.queries.LayoutOps.q370RobustMeans(spark, sfDir),
+      graft.queries.LlmText.q371BigramCondEntropy(spark, sfDir)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"))
+      assert(p.contains("partial_"), "expected map-side combine")
+    }
+    val p370 = plan(graft.queries.LayoutOps.q370RobustMeans(spark, sfDir))
+    assert(p370.contains("BroadcastHashJoin"),
+      "the |groups|-row cut table must broadcast onto the scan")
+  }
+
   test("q325: the streaming state is a sketch aggregate, not a dedup") {
     // batch-side equivalent of the streaming plan: the aggregation
     // carries hll_sketch_agg, so state per group is one buffer
