@@ -2522,6 +2522,186 @@ object StatsOps {
       |    AS BIGINT) AS f_micro
       |FROM a""".stripMargin
 
+  /** q372: KRUSKAL–WALLIS RANK TEST — q369's ANOVA without the
+    * normality assumption and q211's Mann–Whitney generalized to k
+    * groups: H = [12/(N(N+1))·ΣR²ₘ/nₘ − 3(N+1)] / (1 − Σ(t³−t)/(N³−N))
+    * over POOLED MIDRANKS. Midranks never touch a global sort: on the
+    * cents-quantized value grid (bounded by the value DOMAIN, q211's
+    * trick), twice-the-midrank 2·cumBefore + t + 1 is an exact BIGINT
+    * from one running sum over the grid; per-group rank sums are
+    * integer dot products; the per-group R²ₘ/nₘ terms are quantized
+    * to the UNIT grid before the cross-group sum (they reach ~5e18 at
+    * sf1 — a micro grid would overflow; a 0.5 unit error moves H by
+    * 12/(N(N+1)) ≈ 1e-9).
+    */
+  def q372KruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val grid = Tables(spark, dir).events
+      .groupBy(cents.as("v"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("g0"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("g1"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("g2"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("g3"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("g4"))
+    val wV = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = grid
+      .withColumn("mr2",
+        lit(2L) * coalesce(sum("t").over(wV), lit(0L)) + col("t") + 1L)
+    val agg = ranked.agg(
+      sum("t").as("nn"), sum(col("t") * col("t") * col("t") - col("t"))
+        .as("ties"),
+      sum(col("g0") * col("mr2")).as("r0"), sum("g0").as("n0"),
+      sum(col("g1") * col("mr2")).as("r1"), sum("g1").as("n1"),
+      sum(col("g2") * col("mr2")).as("r2"), sum("g2").as("n2"),
+      sum(col("g3") * col("mr2")).as("r3"), sum("g3").as("n3"),
+      sum(col("g4") * col("mr2")).as("r4"), sum("g4").as("n4"))
+    def d(c: String) = col(c).cast("double")
+    def term(r: String, n: String) =
+      floor(d(r) * d(r) / (lit(4.0d) * d(n)) + lit(0.5)).cast("long")
+    val s = (0 to 4).map(i => term(s"r$i", s"n$i")).reduce(_ + _)
+    val nD = d("nn")
+    val hRaw = lit(12.0d) / (nD * (nD + lit(1.0d))) * s.cast("double") -
+      lit(3.0d) * (nD + lit(1.0d))
+    val corr = lit(1.0d) - d("ties") / (nD * nD * nD - nD)
+    agg.select(col("nn").as("n_total"), lit(5L).as("k_groups"),
+      col("ties").as("tie_term"),
+      floor(hRaw * lit(1e6) + lit(0.5)).cast("long").as("h_micro"),
+      floor(hRaw / corr * lit(1e6) + lit(0.5)).cast("long")
+        .as("h_tiecorr_micro"))
+  }
+
+  val q372Sql: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val gcols = types.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS g$i"
+    }.mkString(",\n      |    ")
+    val rsums = (0 to 4).map(i =>
+      s"CAST(sum(g$i * mr2) AS BIGINT) AS r$i, CAST(sum(g$i) AS BIGINT) AS n$i")
+      .mkString(",\n      |    ")
+    val terms = (0 to 4).map(i =>
+      s"CAST(floor(CAST(r$i AS DOUBLE) * CAST(r$i AS DOUBLE) / " +
+        s"(4.0 * CAST(n$i AS DOUBLE)) + 0.5) AS BIGINT)").mkString(" + ")
+    s"""WITH grid AS (
+      |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS t,
+      |    $gcols
+      |  FROM events GROUP BY 1),
+      |rk AS (
+      |  SELECT *, 2 * CAST(coalesce(sum(t) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    + t + 1 AS mr2
+      |  FROM grid),
+      |a AS (
+      |  SELECT CAST(sum(t) AS BIGINT) AS nn,
+      |    CAST(sum(t * t * t - t) AS BIGINT) AS ties,
+      |    $rsums
+      |  FROM rk)
+      |SELECT nn AS n_total, CAST(5 AS BIGINT) AS k_groups,
+      |  ties AS tie_term,
+      |  CAST(floor((12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+      |    * CAST($terms AS DOUBLE)
+      |    - 3.0 * (CAST(nn AS DOUBLE) + 1.0)) * 1e6 + 0.5) AS BIGINT)
+      |    AS h_micro,
+      |  CAST(floor((12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+      |    * CAST($terms AS DOUBLE)
+      |    - 3.0 * (CAST(nn AS DOUBLE) + 1.0)) /
+      |    (1.0 - CAST(ties AS DOUBLE) /
+      |     (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+      |      - CAST(nn AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)
+      |    AS h_tiecorr_micro
+      |FROM a""".stripMargin
+  }
+
+  /** q373: SPEARMAN RANK CORRELATION of (l_quantity, l_discount) —
+    * the monotone-association complement of q121's Pearson matrix:
+    * Pearson on POOLED MIDRANKS, both computed on bounded value
+    * grids (50 quantities × 11 discount ticks), so the joint rollup
+    * is ≤550 cells and no global rank sort exists. Twice-the-midranks
+    * are exact BIGINTs; the five weighted moments are per-cell double
+    * products quantized to the unit grid before the cross-cell
+    * integer sum (they pass 2^53 at sf1 — identical doubles both
+    * engines, and a 0.5 unit error is ~1e-17 relative); ρ is one
+    * double expression over those integers.
+    */
+  def q373SpearmanRho(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_quantity").cast("long").as("q"),
+        floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("p"))
+    val cells = li.groupBy("q", "p").agg(count(lit(1)).as("c"))
+    def mr2(keyCol: String): DataFrame = {
+      val m = cells.groupBy(keyCol).agg(sum("c").as("t"))
+      val w = Window.orderBy(keyCol)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      m.withColumn(s"mr2_$keyCol",
+        lit(2L) * coalesce(sum("t").over(w), lit(0L)) + col("t") + 1L)
+        .select(col(keyCol), col(s"mr2_$keyCol"))
+    }
+    val joined = cells
+      .join(broadcast(mr2("q")), "q")
+      .join(broadcast(mr2("p")), "p")
+    def d(c: Column) = c.cast("double")
+    def quant(x: Column) = floor(x + lit(0.5)).cast("long")
+    val moments = joined.agg(
+      sum("c").as("nn"),
+      sum(quant(d(col("c")) * d(col("mr2_q")))).as("sx"),
+      sum(quant(d(col("c")) * d(col("mr2_p")))).as("sy"),
+      sum(quant(d(col("c")) * d(col("mr2_q")) * d(col("mr2_q")))).as("sxx"),
+      sum(quant(d(col("c")) * d(col("mr2_q")) * d(col("mr2_p")))).as("sxy"),
+      sum(quant(d(col("c")) * d(col("mr2_p")) * d(col("mr2_p")))).as("syy"))
+    def m(c: String) = col(c).cast("double")
+    val num = m("nn") * m("sxy") - m("sx") * m("sy")
+    val den = sqrt((m("nn") * m("sxx") - m("sx") * m("sx")) *
+      (m("nn") * m("syy") - m("sy") * m("sy")))
+    moments.select(col("nn").as("n_rows"),
+      floor(num / den * lit(1e6) + lit(0.5)).cast("long").as("rho_micro"))
+  }
+
+  val q373Sql: String =
+    """WITH li AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS p
+      |  FROM lineitem),
+      |cells AS (SELECT q, p, CAST(count(*) AS BIGINT) AS c
+      |          FROM li GROUP BY 1, 2),
+      |mq AS (
+      |  SELECT q, 2 * CAST(coalesce(sum(t) OVER (ORDER BY q
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    + t + 1 AS mr2_q
+      |  FROM (SELECT q, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1)),
+      |mp AS (
+      |  SELECT p, 2 * CAST(coalesce(sum(t) OVER (ORDER BY p
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    + t + 1 AS mr2_p
+      |  FROM (SELECT p, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1)),
+      |j AS (
+      |  SELECT c.c, mq.mr2_q, mp.mr2_p
+      |  FROM cells c JOIN mq ON mq.q = c.q JOIN mp ON mp.p = c.p),
+      |a AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS nn,
+      |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) * CAST(mr2_q AS DOUBLE)
+      |      + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+      |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) * CAST(mr2_p AS DOUBLE)
+      |      + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+      |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) * CAST(mr2_q AS DOUBLE) *
+      |      CAST(mr2_q AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS sxx,
+      |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) * CAST(mr2_q AS DOUBLE) *
+      |      CAST(mr2_p AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+      |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) * CAST(mr2_p AS DOUBLE) *
+      |      CAST(mr2_p AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS syy
+      |  FROM j)
+      |SELECT nn AS n_rows,
+      |  CAST(floor((CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    sqrt((CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |      (CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1e6 + 0.5)
+      |    AS BIGINT) AS rho_micro
+      |FROM a""".stripMargin
+
   /** q368 order statistics in the Hill tail (top-k). */
   val HILL_K = 100
 
@@ -2591,6 +2771,8 @@ object StatsOps {
     "q360_cochran_armitage" -> ((s, d) => q360CochranArmitage(s, d)),
     "q368_hill_tail" -> ((s, d) => q368HillTail(s, d)),
     "q369_anova_f" -> ((s, d) => q369AnovaF(s, d)),
+    "q372_kruskal_wallis" -> ((s, d) => q372KruskalWallis(s, d)),
+    "q373_spearman_rho" -> ((s, d) => q373SpearmanRho(s, d)),
     "q346_jackknife_ratio" ->
       ((s, d) => q346JackknifeRatio(s, d)),
     "q343_brier_decomposition" ->
@@ -2631,6 +2813,8 @@ object StatsOps {
     "q360_cochran_armitage" -> q360Sql,
     "q368_hill_tail" -> q368Sql,
     "q369_anova_f" -> q369Sql,
+    "q372_kruskal_wallis" -> q372Sql,
+    "q373_spearman_rho" -> q373Sql,
     "q346_jackknife_ratio" -> q346Sql,
     "q343_brier_decomposition" -> q343Sql,
     "q333_isotonic_fit" -> q333Sql,

@@ -815,6 +815,18 @@ class PlanAuditSpec extends SparkSpec {
       "the |groups|-row cut table must broadcast onto the scan")
   }
 
+  test("q372/q373: midranks on domain-bounded grids, no cartesian") {
+    Seq(
+      graft.queries.StatsOps.q372KruskalWallis(spark, sfDir),
+      graft.queries.StatsOps.q373SpearmanRho(spark, sfDir)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"))
+      assert(p.contains("partial_"),
+        "the fact must collapse map-side to the value grid")
+    }
+  }
+
   test("q325: the streaming state is a sketch aggregate, not a dedup") {
     // batch-side equivalent of the streaming plan: the aggregation
     // carries hll_sketch_agg, so state per group is one buffer
