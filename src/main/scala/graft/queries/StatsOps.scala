@@ -2702,6 +2702,193 @@ object StatsOps {
       |    AS BIGINT) AS rho_micro
       |FROM a""".stripMargin
 
+  /** q374: KENDALL τ-b of (l_quantity, l_discount) — the
+    * pair-concordance complement of q373's Spearman: where Spearman is
+    * Pearson-on-midranks, Kendall counts CONCORDANT vs DISCORDANT
+    * pairs directly, and τ-b corrects both tie margins. The O(n²)
+    * pair space never materializes: pairs live on the ≤550-cell
+    * (quantity × discount-tick) GRID, so concordance is a self-join
+    * of the tiny grid on qa < qb (broadcast nested loop over ≤550²/2
+    * cell pairs) with per-pair weight c_a·c_b — exact BIGINTs.
+    * Tie terms n₁ = Σt(t−1)/2 on each margin come from the grid's
+    * marginals (integer div — t(t−1) is always even);
+    * τ_b = (C−D)/√((n₀−n₁)(n₀−n₂)) is one double expression over
+    * those integers ((n₀−n₁)(n₀−n₂) crosses 2^63 at sf1, so the
+    * product is taken in double — exact inputs, one rounding).
+    */
+  def q374KendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_quantity").cast("long").as("q"),
+        floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("p"))
+    val cells = li.groupBy("q", "p").agg(count(lit(1)).as("c"))
+    val a = cells.select(col("q").as("qa"), col("p").as("pa"),
+      col("c").as("ca"))
+    val b = cells.select(col("q").as("qb"), col("p").as("pb"),
+      col("c").as("cb"))
+    val cd = a.join(broadcast(b), col("qa") < col("qb")).agg(
+      sum(when(col("pa") < col("pb"), col("ca") * col("cb"))
+        .otherwise(0L)).as("conc"),
+      sum(when(col("pa") > col("pb"), col("ca") * col("cb"))
+        .otherwise(0L)).as("disc"))
+    val tq = cells.groupBy("q").agg(sum("c").as("t"))
+      .agg(sum(expr("t * (t - 1) div 2")).as("n1"), sum("t").as("nn"))
+    val tp = cells.groupBy("p").agg(sum("c").as("t"))
+      .agg(sum(expr("t * (t - 1) div 2")).as("n2"))
+    val j = cd.crossJoin(broadcast(tq)).crossJoin(broadcast(tp))
+      .withColumn("n0", expr("nn * (nn - 1) div 2"))
+    def d(c: String) = col(c).cast("double")
+    j.select(col("nn").as("n_rows"), col("conc").as("concordant"),
+      col("disc").as("discordant"), col("n1").as("tie_q"),
+      col("n2").as("tie_p"),
+      floor((d("conc") - d("disc")) /
+        sqrt((d("n0") - d("n1")) * (d("n0") - d("n2"))) * lit(1e6) +
+        lit(0.5)).cast("long").as("tau_b_micro"))
+  }
+
+  val q374Sql: String =
+    """WITH li AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS p
+      |  FROM lineitem),
+      |cells AS (SELECT q, p, CAST(count(*) AS BIGINT) AS c
+      |          FROM li GROUP BY 1, 2),
+      |cd AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN a.p < b.p THEN a.c * b.c ELSE 0 END)
+      |      AS BIGINT) AS conc,
+      |    CAST(sum(CASE WHEN a.p > b.p THEN a.c * b.c ELSE 0 END)
+      |      AS BIGINT) AS disc
+      |  FROM cells a JOIN cells b ON a.q < b.q),
+      |tq AS (
+      |  SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1,
+      |    CAST(sum(t) AS BIGINT) AS nn
+      |  FROM (SELECT q, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1)),
+      |tp AS (
+      |  SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n2
+      |  FROM (SELECT p, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY 1))
+      |SELECT nn AS n_rows, conc AS concordant, disc AS discordant,
+      |  n1 AS tie_q, n2 AS tie_p,
+      |  CAST(floor((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE)) /
+      |    sqrt((CAST(nn * (nn - 1) // 2 AS DOUBLE) - CAST(n1 AS DOUBLE)) *
+      |      (CAST(nn * (nn - 1) // 2 AS DOUBLE) - CAST(n2 AS DOUBLE)))
+      |    * 1e6 + 0.5) AS BIGINT) AS tau_b_micro
+      |FROM cd, tq, tp""".stripMargin
+
+  /** q376: BROWN–FORSYTHE TEST (Levene with medians) — variance
+    * HOMOGENEITY across the event types, the assumption-check behind
+    * q369's ANOVA (equal means is only half the story; pooled tests
+    * also assume equal spread, and B-F is the robust way to check).
+    * Per group: the DISCRETE lower median (the ⌈n/2⌉-th order
+    * statistic — an actual cents value, so both engines agree exactly)
+    * from one running sum over the per-group cents grid; then the
+    * classic one-way F on the absolute deviations z = |x − med|, all
+    * moments exact BIGINTs with the per-group s²/n terms
+    * micro-quantized before the cross-group sum (the q369 rule).
+    * Output: one row per group (n, median, mean |dev|) plus the '_all'
+    * row carrying the F statistic.
+    *
+    * Scale shape: the grid is bounded by |groups × value domain|, the
+    * median selection and moments never touch row-level data after the
+    * first map-side-combined rollup; the only windows partition by
+    * event_type over the bounded grid.
+    */
+  def q376BrownForsythe(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val grid = Tables(spark, dir).events
+      .groupBy(col("event_type"), cents.as("v"))
+      .agg(count(lit(1)).as("t"))
+    val wcum = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("cum", sum("t").over(wcum))
+    val ng = grid.groupBy("event_type").agg(sum("t").as("n"))
+    val med = cum.join(broadcast(ng), "event_type")
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy("event_type").agg(min("v").as("med"))
+    val g = grid.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("t"),
+        abs(col("v") - col("med")).as("z"), col("med"))
+      .groupBy("event_type")
+      .agg(sum("t").as("n"), max("med").as("med"),
+        sum(col("t") * col("z")).as("s"),
+        sum(col("t") * col("z") * col("z")).as("ss"))
+    def d(c: String) = col(c).cast("double")
+    val terms = g.withColumn("aq",
+      floor(d("s") * d("s") / d("n") * lit(1e6) + lit(0.5)).cast("long"))
+    val tot = terms.agg(sum("n").as("nn"), sum("s").as("stot"),
+      sum("ss").as("sstot"), sum("aq").as("a_micro"),
+      count(lit(1)).as("k"))
+    val bMicro = floor(d("stot") * d("stot") / d("nn") * lit(1e6) +
+      lit(0.5)).cast("long")
+    val allRow = tot.select(lit("_all").as("event_type"),
+      col("nn").as("n"), lit(0L).as("med_cents"),
+      floor(d("stot") / d("nn") * lit(1e6) + lit(0.5)).cast("long")
+        .as("mad_micro"),
+      floor(((d("a_micro") - bMicro.cast("double")) / lit(1e6) /
+        (d("k") - lit(1.0d))) /
+        ((d("sstot") - d("a_micro") / lit(1e6)) /
+          (d("nn") - d("k"))) * lit(1e6) + lit(0.5)).cast("long")
+        .as("f_micro"))
+    terms.select(col("event_type"), col("n"), col("med").as("med_cents"),
+      floor(d("s") / d("n") * lit(1e6) + lit(0.5)).cast("long")
+        .as("mad_micro"),
+      lit(0L).as("f_micro"))
+      .unionByName(allRow)
+  }
+
+  val q376Sql: String =
+    """WITH grid AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS t
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT *, CAST(sum(t) OVER (PARTITION BY event_type ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum
+      |  FROM grid),
+      |ng AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS n
+      |       FROM grid GROUP BY 1),
+      |med AS (
+      |  SELECT c.event_type, CAST(min(c.v) AS BIGINT) AS med
+      |  FROM cum c JOIN ng ON ng.event_type = c.event_type
+      |  WHERE c.cum >= (ng.n + 1) // 2
+      |  GROUP BY 1),
+      |g AS (
+      |  SELECT grid.event_type, CAST(sum(t) AS BIGINT) AS n,
+      |    CAST(max(med) AS BIGINT) AS med,
+      |    CAST(sum(t * abs(v - med)) AS BIGINT) AS s,
+      |    CAST(sum(t * abs(v - med) * abs(v - med)) AS BIGINT) AS ss
+      |  FROM grid JOIN med ON med.event_type = grid.event_type
+      |  GROUP BY 1),
+      |terms AS (
+      |  SELECT *, CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+      |    CAST(n AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS aq
+      |  FROM g),
+      |tot AS (
+      |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS stot,
+      |    CAST(sum(ss) AS BIGINT) AS sstot,
+      |    CAST(sum(aq) AS BIGINT) AS a_micro,
+      |    CAST(count(*) AS BIGINT) AS k
+      |  FROM terms)
+      |SELECT event_type, n, med AS med_cents,
+      |  CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+      |    AS BIGINT) AS mad_micro,
+      |  CAST(0 AS BIGINT) AS f_micro
+      |FROM terms
+      |UNION ALL
+      |SELECT '_all', nn, CAST(0 AS BIGINT),
+      |  CAST(floor(CAST(stot AS DOUBLE) / CAST(nn AS DOUBLE) * 1e6 + 0.5)
+      |    AS BIGINT),
+      |  CAST(floor(
+      |    ((CAST(a_micro AS DOUBLE) -
+      |      CAST(CAST(floor(CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) /
+      |        CAST(nn AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS DOUBLE)) / 1e6 /
+      |     (CAST(k AS DOUBLE) - 1.0)) /
+      |    ((CAST(sstot AS DOUBLE) - CAST(a_micro AS DOUBLE) / 1e6) /
+      |     (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))) * 1e6 + 0.5)
+      |    AS BIGINT)
+      |FROM tot
+      |ORDER BY event_type""".stripMargin
+
   /** q368 order statistics in the Hill tail (top-k). */
   val HILL_K = 100
 
@@ -2773,6 +2960,9 @@ object StatsOps {
     "q369_anova_f" -> ((s, d) => q369AnovaF(s, d)),
     "q372_kruskal_wallis" -> ((s, d) => q372KruskalWallis(s, d)),
     "q373_spearman_rho" -> ((s, d) => q373SpearmanRho(s, d)),
+    "q374_kendall_tau" -> ((s, d) => q374KendallTau(s, d)),
+    "q376_brown_forsythe" ->
+      Gate.sorted(q376BrownForsythe _, "event_type"),
     "q346_jackknife_ratio" ->
       ((s, d) => q346JackknifeRatio(s, d)),
     "q343_brier_decomposition" ->
@@ -2815,6 +3005,8 @@ object StatsOps {
     "q369_anova_f" -> q369Sql,
     "q372_kruskal_wallis" -> q372Sql,
     "q373_spearman_rho" -> q373Sql,
+    "q374_kendall_tau" -> q374Sql,
+    "q376_brown_forsythe" -> q376Sql,
     "q346_jackknife_ratio" -> q346Sql,
     "q343_brier_decomposition" -> q343Sql,
     "q333_isotonic_fit" -> q333Sql,

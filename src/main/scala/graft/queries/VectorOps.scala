@@ -958,6 +958,78 @@ object VectorOps {
       |ORDER BY q.query_id""".stripMargin
   }
 
+  /** q375: MAP@k OF THE LSH INDEX — the last member of the
+    * retrieval-eval family: q76 counts hits anywhere, q241 scores the
+    * first hit, q294 weights positions by a log discount; AVERAGE
+    * PRECISION averages the precision AT EACH HIT — the metric that
+    * rewards front-loading every relevant result, not just the first.
+    * AP@k = (1/k)·Σ_{hits at rank i} (hits_≤i / i), with binary
+    * relevance from the exact q30 truth.
+    *
+    * Exactness: hits_≤i at a hit row is its row_number among the
+    * query's hit rows ordered by rank (non-hits contribute nothing),
+    * and every 1/i is cleared through lcm(1..k)=60 — the per-query
+    * numerator Σ h·(60/i) is an exact integer, and AP in ppm is one
+    * BIGINT division by 60k. No float ever appears.
+    *
+    * Scale shape: both rankings are the gated bounded pipelines
+    * (|queries|·k rows); the eval is one semi join + one per-query
+    * window over ≤k rows.
+    */
+  def q375MapEval(spark: SparkSession, dir: String): DataFrame = {
+    import EmbeddingOps.TOP_K
+    require(TOP_K <= 5, "lcm table sized for k <= 5")
+    val exact = EmbeddingOps.q30EmbeddingTopk(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = EmbeddingOps.q31LshAnn(spark, dir)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    val mult = (2 to TOP_K).foldLeft(
+      when(col("rank") === 1, lit(60L))) {
+      (acc, i) => acc.when(col("rank") === i, lit(60L / i))
+    }
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    val perQ = approx
+      .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .withColumn("h", row_number().over(w).cast("long"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hits"), sum(col("h") * mult).as("num"))
+    approx.select("query_id").distinct()
+      .join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"coalesce(num, 0) * 1000000 div ${60L * TOP_K}")
+          .as("ap_ppm"))
+  }
+
+  lazy val q375Sql: String = {
+    import EmbeddingOps.TOP_K
+    val cases = (1 to TOP_K)
+      .map(i => s"WHEN rank = $i THEN ${60L / i}").mkString(" ")
+    s"""WITH exact_topk AS (${EmbeddingOps.q30Sql}),
+      |approx_topk AS (${EmbeddingOps.q31Sql}),
+      |hits AS (
+      |  SELECT a.query_id, a.rank
+      |  FROM approx_topk a
+      |  JOIN exact_topk e
+      |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id),
+      |terms AS (
+      |  SELECT query_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rank)
+      |      AS BIGINT) * CAST(CASE $cases END AS BIGINT) AS term
+      |  FROM hits),
+      |perq AS (
+      |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits,
+      |    CAST(sum(term) AS BIGINT) AS num
+      |  FROM terms GROUP BY 1)
+      |SELECT q.query_id,
+      |  COALESCE(p.n_hits, 0) AS n_hits,
+      |  CAST(COALESCE(p.num, 0) * 1000000 // ${60L * TOP_K} AS BIGINT)
+      |    AS ap_ppm
+      |FROM (SELECT DISTINCT query_id FROM approx_topk) q
+      |LEFT JOIN perq p USING (query_id)
+      |ORDER BY q.query_id""".stripMargin
+  }
+
   /** q303 rank cuts for the recall ladder (≤ EmbeddingOps.TOP_K). */
   val RECALL_KS: Seq[Int] = Seq(1, 2, 3, 5)
 
@@ -1336,6 +1408,7 @@ object VectorOps {
     "q326_als_step" -> Gate.sorted(q326AlsStep _, "c_custkey"),
     "q313_sized_semdedup" -> Gate.sorted(q313SizedSemdedup _, "vec_id"),
     "q303_recall_curve" -> Gate.sorted(q303RecallCurve _, "k"),
+    "q375_map_eval" -> Gate.sorted(q375MapEval _, "query_id"),
     "q294_ndcg_eval" -> Gate.sorted(q294NdcgEval _, "query_id"),
     "q280_power_iteration" -> Gate.sorted(q280PowerIteration _, "dim"),
     "q241_mrr_eval" -> Gate.sorted(q241MrrEval _, "query_id"),
@@ -1355,6 +1428,7 @@ object VectorOps {
     "q326_als_step" -> q326Sql,
     "q313_sized_semdedup" -> q313Sql,
     "q303_recall_curve" -> q303Sql,
+    "q375_map_eval" -> q375Sql,
     "q294_ndcg_eval" -> q294Sql,
     "q280_power_iteration" -> q280Sql,
     "q241_mrr_eval" -> q241Sql,

@@ -827,6 +827,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q374/q375/q376: grid pair join broadcasts; eval windows " +
+    "partition by query; no cartesian anywhere") {
+    val p374 = plan(graft.queries.StatsOps.q374KendallTau(spark, sfDir))
+    assert(!p374.contains("CartesianProduct"))
+    assert(p374.contains("BroadcastNestedLoop"),
+      "the <=550-cell grid self-join must be a broadcast NL, not a " +
+        "shuffled cartesian")
+    assert(p374.contains("partial_"),
+      "the fact must collapse map-side to the value grid")
+    val p375 = plan(graft.queries.VectorOps.q375MapEval(spark, sfDir))
+    assert(!p375.contains("CartesianProduct"))
+    assert(p375.contains("LeftSemi"), "relevance must be a semi join")
+    val p376 =
+      plan(graft.queries.StatsOps.q376BrownForsythe(spark, sfDir))
+    assert(!p376.contains("CartesianProduct"))
+    // every window in q376 partitions by event_type over the bounded
+    // grid — no unpartitioned ORDER-BY-only window may appear
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p376.toLowerCase).map(_.group(1)).toSeq
+    assert(winSpecs.forall(_.contains("event_type")),
+      s"unpartitioned window in q376: $winSpecs")
+    assert(p376.contains("BroadcastHashJoin"),
+      "the |groups|-row median table must broadcast onto the grid")
+  }
+
   test("q325: the streaming state is a sketch aggregate, not a dedup") {
     // batch-side equivalent of the streaming plan: the aggregation
     // carries hll_sketch_agg, so state per group is one buffer
