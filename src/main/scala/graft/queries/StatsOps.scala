@@ -2889,6 +2889,197 @@ object StatsOps {
       |FROM tot
       |ORDER BY event_type""".stripMargin
 
+  /** q377: CRAMÉR'S V + THEIL'S U — the NORMALIZED association
+    * measures over the (event_type × weekday) contingency table:
+    * q169 tests whether association EXISTS (χ²), q141 measures it in
+    * nats (MI); a feature screen needs it on a 0–1 scale — V
+    * (symmetric, from χ²) and U (asymmetric, MI/H(X) — "how much of
+    * event_type does the weekday explain"). All three come from ONE
+    * ≤|types×7|-cell rollup: χ² per-cell terms (c·n − rx·cy)²/(n·rx·cy)
+    * and MI terms (c/n)·ln(cn/(rx·cy)) are nano-quantized per cell
+    * (the q141 rule: identical IEEE op sequences on exact integers,
+    * then integer sums); H(event_type) from the row margins the same
+    * way. Scale shape: one map-side-combined rollup, two windows over
+    * the tiny grid, arithmetic after.
+    */
+  def q377CramerTheil(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables(spark, dir).events
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000) % 7").as("wd"))
+      .groupBy("event_type", "wd")
+      .agg(count(lit(1)).as("c"))
+    val tot = cells.agg(sum("c").as("n"))
+    val m = cells
+      .withColumn("rx", sum("c").over(Window.partitionBy("event_type")))
+      .withColumn("cy", sum("c").over(Window.partitionBy("wd")))
+      .crossJoin(broadcast(tot))
+    def d(c: Column) = c.cast("double")
+    val chiT = (d(col("c")) * d(col("n")) - d(col("rx")) * d(col("cy"))) *
+      (d(col("c")) * d(col("n")) - d(col("rx")) * d(col("cy"))) /
+      (d(col("n")) * d(col("rx")) * d(col("cy")))
+    val miT = d(col("c")) / d(col("n")) *
+      log(d(col("c")) * d(col("n")) / (d(col("rx")) * d(col("cy"))))
+    val perCell = m.select(col("event_type"), col("rx"), col("n"),
+      floor(chiT * lit(1e9) + lit(0.5)).cast("long").as("chi_nano"),
+      floor(miT * lit(1e9) + lit(0.5)).cast("long").as("mi_nano"))
+    val agg = perCell.agg(max("n").as("n"),
+      countDistinct("event_type").as("r_levels"),
+      sum("chi_nano").as("chi_nano"), sum("mi_nano").as("mi_nano"))
+    // H(event_type) from the row margins (one row per type)
+    val hx = perCell.groupBy("event_type")
+      .agg(max("rx").as("rx"), max("n").as("n"))
+      .select(floor(d(col("rx")) / d(col("n")) *
+        log(d(col("n")) / d(col("rx"))) * lit(1e9) + lit(0.5))
+        .cast("long").as("hx_nano"))
+      .agg(sum("hx_nano").as("hx_nano"))
+    val j = agg.crossJoin(broadcast(hx))
+      .withColumn("c_levels", lit(7L))
+    j.select(col("n"), col("r_levels"), col("c_levels"),
+      floor(d(col("chi_nano")) / lit(1e3) + lit(0.5)).cast("long")
+        .as("chi2_micro"),
+      floor(sqrt(d(col("chi_nano")) / lit(1e9) /
+        (d(col("n")) * (least(col("r_levels"), col("c_levels"))
+          .cast("double") - lit(1.0d)))) * lit(1e6) + lit(0.5))
+        .cast("long").as("v_micro"),
+      floor(d(col("mi_nano")) / d(col("hx_nano")) * lit(1e6) + lit(0.5))
+        .cast("long").as("u_micro"))
+  }
+
+  val q377Sql: String =
+    """WITH cells AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) // 86400000000) % 7 AS wd,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT *,
+      |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS rx,
+      |    CAST(sum(c) OVER (PARTITION BY wd) AS BIGINT) AS cy,
+      |    CAST(sum(c) OVER () AS BIGINT) AS n
+      |  FROM cells),
+      |pc AS (
+      |  SELECT event_type, rx, n,
+      |    CAST(floor((CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+      |        - CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)) *
+      |      (CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+      |        - CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)) /
+      |      (CAST(n AS DOUBLE) * CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE))
+      |      * 1e9 + 0.5) AS BIGINT) AS chi_nano,
+      |    CAST(floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE) *
+      |      ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE) /
+      |        (CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)))
+      |      * 1e9 + 0.5) AS BIGINT) AS mi_nano
+      |  FROM m),
+      |a AS (
+      |  SELECT CAST(max(n) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT event_type) AS BIGINT) AS r_levels,
+      |    CAST(sum(chi_nano) AS BIGINT) AS chi_nano,
+      |    CAST(sum(mi_nano) AS BIGINT) AS mi_nano
+      |  FROM pc),
+      |hx AS (
+      |  SELECT CAST(sum(CAST(floor(CAST(rx AS DOUBLE) / CAST(n AS DOUBLE) *
+      |      ln(CAST(n AS DOUBLE) / CAST(rx AS DOUBLE)) * 1e9 + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS hx_nano
+      |  FROM (SELECT event_type, CAST(max(rx) AS BIGINT) AS rx,
+      |          CAST(max(n) AS BIGINT) AS n
+      |        FROM pc GROUP BY 1))
+      |SELECT n, r_levels, CAST(7 AS BIGINT) AS c_levels,
+      |  CAST(floor(CAST(chi_nano AS DOUBLE) / 1e3 + 0.5) AS BIGINT)
+      |    AS chi2_micro,
+      |  CAST(floor(sqrt(CAST(chi_nano AS DOUBLE) / 1e9 /
+      |    (CAST(n AS DOUBLE) *
+      |     (CAST(least(r_levels, 7) AS DOUBLE) - 1.0))) * 1e6 + 0.5)
+      |    AS BIGINT) AS v_micro,
+      |  CAST(floor(CAST(mi_nano AS DOUBLE) / CAST(hx_nano AS DOUBLE)
+      |    * 1e6 + 0.5) AS BIGINT) AS u_micro
+      |FROM a, hx""".stripMargin
+
+  /** q378 rater cuts: rater A passes a doc on raw length, rater B on
+    * whitespace token count — two correlated-but-different quality
+    * annotators over the same corpus. */
+  val KAPPA_LEN_CUT = 300L
+  val KAPPA_TOK_CUT = 50L
+
+  /** q378: COHEN'S KAPPA between two quality raters — the
+    * inter-annotator-agreement statistic every labeling/filtering
+    * pipeline reports before trusting a rater pair: raw agreement p_o
+    * corrected by the agreement p_e two INDEPENDENT raters with the
+    * same marginals would reach by chance. Raters here are two
+    * deterministic document-quality rules (length ≥ cut vs whitespace
+    * tokens ≥ cut). The whole statistic is four BIGINT cell counts
+    * from one scan; κ = (p_o − p_e)/(1 − p_e) is one double
+    * expression over them.
+    */
+  def q378CohenKappa(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(
+        when(col("n_chars") >= KAPPA_LEN_CUT, 1L).otherwise(0L).as("a"),
+        when(size(TextFunctions.tokens(col("text"))) >= KAPPA_TOK_CUT, 1L)
+          .otherwise(0L).as("b"))
+    val cnt = docs.agg(count(lit(1)).as("n"),
+      sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+        .as("n11"),
+      sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L))
+        .as("n10"),
+      sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L))
+        .as("n01"),
+      sum(when(col("a") === 0 && col("b") === 0, 1L).otherwise(0L))
+        .as("n00"))
+    def d(c: String) = col(c).cast("double")
+    val po = (d("n11") + d("n00")) / d("n")
+    val pe = ((d("n11") + d("n10")) * (d("n11") + d("n01")) +
+      (d("n01") + d("n00")) * (d("n10") + d("n00"))) / (d("n") * d("n"))
+    cnt.select(col("n").as("n_docs"), col("n11"), col("n10"),
+      col("n01"), col("n00"),
+      floor(po * lit(1e6) + lit(0.5)).cast("long").as("po_micro"),
+      floor(pe * lit(1e6) + lit(0.5)).cast("long").as("pe_micro"),
+      floor((po - pe) / (lit(1.0d) - pe) * lit(1e6) + lit(0.5))
+        .cast("long").as("kappa_micro"))
+  }
+
+  val q378Sql: String =
+    s"""WITH r AS (
+      |  SELECT
+      |    CASE WHEN n_chars >= $KAPPA_LEN_CUT THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN len(list_filter(regexp_split_to_array(lower(text),
+      |      '\\s+'), t -> t != '')) >= $KAPPA_TOK_CUT THEN 1 ELSE 0 END
+      |      AS b
+      |  FROM documents),
+      |c AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n11,
+      |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n10,
+      |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n01,
+      |    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n00
+      |  FROM r)
+      |SELECT n AS n_docs, n11, n10, n01, n00,
+      |  CAST(floor((CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE)) /
+      |    CAST(n AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS po_micro,
+      |  CAST(floor(((CAST(n11 AS DOUBLE) + CAST(n10 AS DOUBLE)) *
+      |      (CAST(n11 AS DOUBLE) + CAST(n01 AS DOUBLE)) +
+      |      (CAST(n01 AS DOUBLE) + CAST(n00 AS DOUBLE)) *
+      |      (CAST(n10 AS DOUBLE) + CAST(n00 AS DOUBLE))) /
+      |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+      |    AS pe_micro,
+      |  CAST(floor(((CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE)) /
+      |      CAST(n AS DOUBLE) -
+      |      ((CAST(n11 AS DOUBLE) + CAST(n10 AS DOUBLE)) *
+      |       (CAST(n11 AS DOUBLE) + CAST(n01 AS DOUBLE)) +
+      |       (CAST(n01 AS DOUBLE) + CAST(n00 AS DOUBLE)) *
+      |       (CAST(n10 AS DOUBLE) + CAST(n00 AS DOUBLE))) /
+      |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) /
+      |    (1.0 - ((CAST(n11 AS DOUBLE) + CAST(n10 AS DOUBLE)) *
+      |       (CAST(n11 AS DOUBLE) + CAST(n01 AS DOUBLE)) +
+      |       (CAST(n01 AS DOUBLE) + CAST(n00 AS DOUBLE)) *
+      |       (CAST(n10 AS DOUBLE) + CAST(n00 AS DOUBLE))) /
+      |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * 1e6 + 0.5)
+      |    AS BIGINT) AS kappa_micro
+      |FROM c""".stripMargin
+
   /** q368 order statistics in the Hill tail (top-k). */
   val HILL_K = 100
 
@@ -2963,6 +3154,8 @@ object StatsOps {
     "q374_kendall_tau" -> ((s, d) => q374KendallTau(s, d)),
     "q376_brown_forsythe" ->
       Gate.sorted(q376BrownForsythe _, "event_type"),
+    "q377_cramer_theil" -> ((s, d) => q377CramerTheil(s, d)),
+    "q378_cohen_kappa" -> ((s, d) => q378CohenKappa(s, d)),
     "q346_jackknife_ratio" ->
       ((s, d) => q346JackknifeRatio(s, d)),
     "q343_brier_decomposition" ->
@@ -3007,6 +3200,8 @@ object StatsOps {
     "q373_spearman_rho" -> q373Sql,
     "q374_kendall_tau" -> q374Sql,
     "q376_brown_forsythe" -> q376Sql,
+    "q377_cramer_theil" -> q377Sql,
+    "q378_cohen_kappa" -> q378Sql,
     "q346_jackknife_ratio" -> q346Sql,
     "q343_brier_decomposition" -> q343Sql,
     "q333_isotonic_fit" -> q333Sql,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -922,7 +922,174 @@ object TemporalOps {
       |FROM m ORDER BY lag""".stripMargin
   }
 
+  /** q379: DURBIN–WATSON SERIAL-CORRELATION TEST on the residuals of
+    * the daily-revenue linear trend — the diagnostic that tells you
+    * whether q226's OLS slope can be trusted (autocorrelated residuals
+    * make its variance estimate a lie; DW≈2 means none, →0 positive,
+    * →4 negative). The residuals are EXACT integers: multiplying the
+    * OLS identity through by n·den (den = n·Σx² − (Σx)²) gives
+    * R_d = n·den·y_d − n·num·x_d − (sy·den − num·sx) with every term
+    * BIGINT — no float slope or intercept ever appears. Squares would
+    * cross 2^63, so each (R_d)² and (R_d − R_{d−1})² is computed in
+    * double from the exact integers and quantized to a tera grid per
+    * day before the ≤|days| integer sums (identical IEEE op sequence
+    * both engines). DW is one division of those sums.
+    *
+    * Scale shape: one map-side-combined rollup to |days| rows; the
+    * only window is a lag over that bounded series.
+    */
+  def q379DurbinWatson(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .select(expr("unix_micros(ts) div 86400000000").as("x"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("x").agg(sum("cents").as("y"))
+    val m = daily.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+    val r = daily.crossJoin(broadcast(m))
+      .select(col("x"),
+        (col("n") * col("den") * col("y") -
+          col("n") * col("num") * col("x") -
+          (col("sy") * col("den") - col("num") * col("sx"))).as("rr"),
+        col("num"), col("den"), col("n"))
+    val byX = Window.orderBy("x")
+    def dd(c: Column) = c.cast("double")
+    val lagged = r.withColumn("rp", lag("rr", 1).over(byX))
+    val terms = lagged.select(col("num"), col("den"), col("n"),
+      floor(dd(col("rr")) * dd(col("rr")) / lit(1e12) + lit(0.5))
+        .cast("long").as("e2"),
+      when(col("rp").isNotNull,
+        floor((dd(col("rr")) - dd(col("rp"))) *
+          (dd(col("rr")) - dd(col("rp"))) / lit(1e12) + lit(0.5))
+          .cast("long")).otherwise(0L).as("d2"))
+    terms.agg(max("n").as("n_days"),
+      floor(dd(max("num")) / dd(max("den")) * lit(1e6) + lit(0.5))
+        .cast("long").as("slope_micro_c_per_day"),
+      floor(dd(sum("d2")) / dd(sum("e2")) * lit(1e6) + lit(0.5))
+        .cast("long").as("dw_micro"))
+  }
+
+  val q379Sql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS x,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS y
+      |  FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM daily),
+      |mm AS (
+      |  SELECT *, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+      |  FROM m),
+      |r AS (
+      |  SELECT d.x,
+      |    mm.n * mm.den * d.y - mm.n * mm.num * d.x
+      |      - (mm.sy * mm.den - mm.num * mm.sx) AS rr,
+      |    mm.num, mm.den, mm.n
+      |  FROM daily d, mm),
+      |t AS (
+      |  SELECT num, den, n,
+      |    CAST(floor(CAST(rr AS DOUBLE) * CAST(rr AS DOUBLE) / 1e12 + 0.5)
+      |      AS BIGINT) AS e2,
+      |    CASE WHEN lag(rr) OVER (ORDER BY x) IS NOT NULL THEN
+      |      CAST(floor((CAST(rr AS DOUBLE)
+      |          - CAST(lag(rr) OVER (ORDER BY x) AS DOUBLE)) *
+      |        (CAST(rr AS DOUBLE)
+      |          - CAST(lag(rr) OVER (ORDER BY x) AS DOUBLE)) / 1e12 + 0.5)
+      |        AS BIGINT)
+      |    ELSE 0 END AS d2
+      |  FROM r)
+      |SELECT CAST(max(n) AS BIGINT) AS n_days,
+      |  CAST(floor(CAST(max(num) AS DOUBLE) / CAST(max(den) AS DOUBLE)
+      |    * 1e6 + 0.5) AS BIGINT) AS slope_micro_c_per_day,
+      |  CAST(floor(CAST(sum(d2) AS DOUBLE) / CAST(sum(e2) AS DOUBLE)
+      |    * 1e6 + 0.5) AS BIGINT) AS dw_micro
+      |FROM t""".stripMargin
+
+  /** q380: WALD–WOLFOWITZ RUNS TEST — is the daily revenue series
+    * RANDOM around its median, or does it trend/cluster (too few
+    * runs) or oscillate (too many)? The distribution-free complement
+    * of q379's parametric DW. The median is the DISCRETE lower median
+    * of the |days| daily totals (an actual BIGINT cents value —
+    * row_number over the bounded rollup, both engines agree exactly);
+    * signs, run count (1 + sign changes via lag), and the n₁/n₂
+    * margins are all integers; the normal-approximation z is one
+    * double expression.
+    */
+  def q380RunsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .select(expr("unix_micros(ts) div 86400000000").as("x"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("x").agg(sum("cents").as("y"))
+    val byY = Window.orderBy("y", "x")
+    val withRn = daily.withColumn("rn", row_number().over(byY))
+    val nRows = withRn.agg(count(lit(1)).as("n"))
+    val med = withRn.crossJoin(broadcast(nRows))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("y").as("med"))
+    val s = daily.crossJoin(broadcast(med))
+      .select(col("x"), when(col("y") > col("med"), 1L).otherwise(0L)
+        .as("s"))
+    val byX = Window.orderBy("x")
+    val runs = s.withColumn("sp", lag("s", 1).over(byX))
+      .agg(count(lit(1)).as("n"), sum("s").as("n1"),
+        (sum(when(col("sp").isNotNull && col("s") =!= col("sp"), 1L)
+          .otherwise(0L)) + lit(1L)).as("r"))
+    def d(c: Column) = c.cast("double")
+    val n1 = d(col("n1")); val n2 = d(col("n") - col("n1"))
+    val nD = d(col("n"))
+    val mu = lit(2.0d) * n1 * n2 / nD + lit(1.0d)
+    val sig2 = lit(2.0d) * n1 * n2 * (lit(2.0d) * n1 * n2 - nD) /
+      (nD * nD * (nD - lit(1.0d)))
+    runs.select(col("n").as("n_days"), col("n1").as("n_above"),
+      (col("n") - col("n1")).as("n_below"), col("r").as("runs"),
+      floor((d(col("r")) - mu) / sqrt(sig2) * lit(1e6) + lit(0.5))
+        .cast("long").as("z_micro"))
+  }
+
+  val q380Sql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS x,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS y
+      |  FROM events GROUP BY 1),
+      |rn AS (
+      |  SELECT *, row_number() OVER (ORDER BY y, x) AS rn,
+      |    CAST(count(*) OVER () AS BIGINT) AS n
+      |  FROM daily),
+      |med AS (SELECT y AS med FROM rn WHERE rn = (n + 1) // 2),
+      |s AS (
+      |  SELECT d.x, CASE WHEN d.y > med.med THEN 1 ELSE 0 END AS s
+      |  FROM daily d, med),
+      |chg AS (
+      |  SELECT s,
+      |    CASE WHEN lag(s) OVER (ORDER BY x) IS NOT NULL
+      |      AND s != lag(s) OVER (ORDER BY x) THEN 1 ELSE 0 END AS c
+      |  FROM s),
+      |r AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS n1,
+      |    CAST(sum(c) AS BIGINT) + 1 AS rr
+      |  FROM chg)
+      |SELECT n AS n_days, n1 AS n_above, n - n1 AS n_below, rr AS runs,
+      |  CAST(floor((CAST(rr AS DOUBLE) -
+      |    (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) /
+      |     CAST(n AS DOUBLE) + 1.0)) /
+      |    sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) *
+      |      (2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE)
+      |        - CAST(n AS DOUBLE)) /
+      |      (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) *
+      |       (CAST(n AS DOUBLE) - 1.0))) * 1e6 + 0.5) AS BIGINT)
+      |    AS z_micro
+      |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q379_durbin_watson" -> ((s, d) => q379DurbinWatson(s, d)),
+    "q380_runs_test" -> ((s, d) => q380RunsTest(s, d)),
     "q344_crosscorr" -> Gate.sorted(q344CrossCorr _, "lag"),
     "q341_conformal_coverage" ->
       Gate.sorted(q341ConformalCoverage _, "event_type"),
@@ -947,6 +1114,8 @@ object TemporalOps {
     "q164_abandoned_clicks" -> Gate.sorted(q164AbandonedClicks _, "user_id"))
 
   val oracles: Map[String, String] = Map(
+    "q379_durbin_watson" -> q379Sql,
+    "q380_runs_test" -> q380Sql,
     "q344_crosscorr" -> q344Sql,
     "q341_conformal_coverage" -> q341Sql,
     "q340_markov_perplexity" -> q340Sql,

@@ -852,6 +852,41 @@ class PlanAuditSpec extends SparkSpec {
       "the |groups|-row median table must broadcast onto the grid")
   }
 
+  test("q377-q380: association/diagnostic stats collapse map-side; " +
+    "day-series windows run on the bounded rollup only") {
+    Seq(
+      graft.queries.StatsOps.q377CramerTheil(spark, sfDir),
+      graft.queries.StatsOps.q378CohenKappa(spark, sfDir),
+      graft.queries.TemporalOps.q379DurbinWatson(spark, sfDir),
+      graft.queries.TemporalOps.q380RunsTest(spark, sfDir)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"))
+      assert(p.contains("partial_"),
+        "the fact must collapse map-side before any join/window")
+    }
+    // q379/q380's ORDER-BY-only windows are legal ONLY because they
+    // run on the |days| rollup: the aggregation must sit BELOW the
+    // window in the plan (rollup first, lag over the bounded series)
+    Seq(
+      graft.queries.TemporalOps.q379DurbinWatson(spark, sfDir),
+      graft.queries.TemporalOps.q380RunsTest(spark, sfDir)
+    ).foreach { df =>
+      val opt = df.queryExecution.optimizedPlan
+      def check(n: org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan): Unit = n match {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          assert(w.collectFirst {
+            case a: org.apache.spark.sql.catalyst.plans.logical
+              .Aggregate => a
+          }.nonEmpty, "window must consume an aggregated day series")
+          w.children.foreach(check)
+        case other => other.children.foreach(check)
+      }
+      check(opt)
+    }
+  }
+
   test("q325: the streaming state is a sketch aggregate, not a dedup") {
     // batch-side equivalent of the streaming plan: the aggregation
     // carries hll_sketch_agg, so state per group is one buffer
