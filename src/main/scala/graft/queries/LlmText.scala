@@ -169,6 +169,51 @@ object LlmText {
       | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q382 spectrum cap: word lengths above this collapse into one
+    * overflow bin, so the rollup is bounded by |sources| × (cap+1)
+    * regardless of corpus pathology (a 10 MB unbroken line must not
+    * mint 10M distinct bins). */
+  val WORDLEN_CAP = 20L
+
+  /** q382: WORD-LENGTH SPECTRUM per source — the distribution of
+    * whitespace-token lengths, the cheap diagnostic that separates
+    * natural prose (unimodal around 4-6) from code, tables, URLs and
+    * tokenizer-hostile junk (heavy ≥cap tail), and the companion the
+    * q302 fertility report reads against. One explode of the token
+    * stream collapses map-side to ≤|sources|×(cap+1) cells; per-bin
+    * share in ppm is exact integer-vs-integer division.
+    */
+  def q382WordlenSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .select(col("source"),
+        least(length(col("tok")).cast("long"), lit(WORDLEN_CAP)).as("len"))
+    val cells = toks.groupBy("source", "len").agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("source").agg(sum("n").as("n_tokens"))
+    cells.join(broadcast(totals), "source")
+      .select(col("source"), col("len"), col("n"),
+        expr("n * 1000000 div n_tokens").as("share_ppm"))
+  }
+
+  val q382Sql: String =
+    s"""WITH toks AS (
+      |  SELECT source,
+      |    least(CAST(length(t) AS BIGINT), $WORDLEN_CAP) AS len
+      |  FROM (SELECT source, unnest(list_filter(
+      |          regexp_split_to_array(lower(text), '\\s+'),
+      |          t -> t != '')) AS t
+      |        FROM documents)),
+      |cells AS (
+      |  SELECT source, len, CAST(count(*) AS BIGINT) AS n
+      |  FROM toks GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens
+      |  FROM cells GROUP BY 1)
+      |SELECT c.source, c.len, c.n,
+      |  CAST(c.n * 1000000 // t.n_tokens AS BIGINT) AS share_ppm
+      |FROM cells c JOIN tot t ON t.source = c.source
+      |ORDER BY c.source, c.len""".stripMargin
+
   /** q35: document fingerprint — polynomial rolling hash over the full
     * text (mod 1e9+7) plus the md5 anchor; the rolling form is what a
     * streaming chunker would maintain incrementally.
@@ -1276,6 +1321,8 @@ object LlmText {
       Gate.sorted(q222LangidConfusion _, "actual_lang", "pred_lang"),
     "q33_text_quality" -> Gate.sorted(q33TextQuality _, "doc_id"),
     "q34_token_count" -> Gate.sorted(q34TokenCount _, "doc_id"),
+    "q382_wordlen_spectrum" ->
+      Gate.sorted(q382WordlenSpectrum _, "source", "len"),
     "q35_doc_fingerprint" -> Gate.sorted(q35DocFingerprint _, "doc_id"),
     "q36_multimodal_meta" -> Gate.sorted(q36MultimodalMeta _, "doc_id"),
     "q54_text_normalize" -> Gate.sorted(q54TextNormalize _, "doc_id"),
@@ -1305,6 +1352,7 @@ object LlmText {
     "q222_langid_confusion" -> q222Sql,
     "q33_text_quality" -> q33Sql,
     "q34_token_count" -> q34Sql,
+    "q382_wordlen_spectrum" -> q382Sql,
     "q35_doc_fingerprint" -> q35Sql,
     "q36_multimodal_meta" -> q36Sql,
     "q54_text_normalize" -> q54Sql,

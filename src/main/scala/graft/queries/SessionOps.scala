@@ -1135,7 +1135,55 @@ object SessionOps {
       |ORDER BY a.event_type""".stripMargin
   }
 
+  /** q381: STREAMING GAP DEBOUNCE (20th stateful family) — q306's
+    * keep-relative-to-last-KEPT recurrence run online; see
+    * [[graft.streaming.StreamDebounce]]. State is one long per
+    * (user, type) — the last kept event-time — and self-expires once
+    * the watermark clears last_kept + gap (a future on-time event
+    * passes the gap test regardless, so eviction is lossless). The
+    * oracle is the batch fold q306 runs, re-keyed to this output
+    * order: the sequential per-key fold IS the stream's semantics.
+    */
+  def q381StreamDebounce(spark: SparkSession, dir: String): DataFrame =
+      withStreamParallelism(spark) {
+    import graft.streaming.{StreamAgg, StreamDebounce}
+    val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
+    val sinkName =
+      "q381_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = StreamDebounce.debounce(stream)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(sinkName).orderBy("user_id", "event_type", "event_id")
+  }
+
+  val q381Sql: String = {
+    val gap = graft.streaming.StreamDebounce.GAP_US
+    s"""WITH keyed AS (
+      |  SELECT user_id, event_type,
+      |    list_sort(list(struct_pack(ts_us := epoch_us(ts),
+      |                               event_id := event_id))) AS evs
+      |  FROM events GROUP BY 1, 2),
+      |folded AS (
+      |  SELECT user_id, event_type, evs,
+      |    list_reduce(
+      |      list_prepend(CAST([1] AS BIGINT[]),
+      |        list_transform(range(2, len(evs) + 1),
+      |                       i -> [CAST(i AS BIGINT)])),
+      |      (acc, e) -> CASE
+      |        WHEN evs[CAST(e[1] AS INT)].ts_us >=
+      |             evs[CAST(acc[len(acc)] AS INT)].ts_us + $gap
+      |        THEN list_concat(acc, e) ELSE acc END) AS kept
+      |  FROM keyed)
+      |SELECT user_id, event_type,
+      |  unnest(list_transform(kept, k -> evs[CAST(k AS INT)].event_id))
+      |    AS event_id
+      |FROM folded ORDER BY user_id, event_type, event_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q381_stream_debounce" -> (q381StreamDebounce _),
     "q353_stream_cusum" -> (q353StreamCusum _),
     "q146_session_window" -> Gate.sorted(q146SessionWindow _, "user_id", "start_us"),
     "q145_stream_anomaly" -> (q145StreamAnomaly _),
@@ -1164,6 +1212,7 @@ object SessionOps {
     "q102_stream_dropdup_wm" -> (q102StreamDropdupWm _))
 
   val oracles: Map[String, String] = Map(
+    "q381_stream_debounce" -> q381Sql,
     "q353_stream_cusum" -> q353Sql,
     "q146_session_window" -> q146Sql,
     "q145_stream_anomaly" -> q145Sql,

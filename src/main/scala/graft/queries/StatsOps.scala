@@ -3080,6 +3080,84 @@ object StatsOps {
       |    AS BIGINT) AS kappa_micro
       |FROM c""".stripMargin
 
+  /** Euler–Mascheroni constant and √6/π, VERBATIM literals in both
+    * engines (deriving one from the other would differ in the last
+    * ulp; q308 rule). */
+  val EULER_GAMMA = "0.5772156649015329"
+  val SQRT6_OVER_PI = "0.7796968012336609"
+
+  /** q384 return period (in blocks) for the reported return level. */
+  val GUMBEL_T = 30L
+
+  /** q384: GUMBEL BLOCK-MAXIMA FIT — extreme-value analysis of the
+    * daily event-value MAXIMA by the method of moments: β̂ = s·√6/π,
+    * μ̂ = m̄ − γ·β̂, and the T-block return level
+    * x_T = μ̂ − β̂·ln(−ln(1 − 1/T)) — "what's the worst value we should
+    * expect once per T days". The body-statistics complement of q368's
+    * Hill tail index (Hill: how heavy is the tail; Gumbel: how high do
+    * block records run). Block maxima are exact BIGINT cents from one
+    * map-side-combined rollup to |days| rows; mean/variance come from
+    * exact integer moments over those ≤|days| maxima; γ and √6/π are
+    * verbatim literals in both engines and the rest is one identical
+    * IEEE expression.
+    */
+  def q384GumbelFit(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .select(expr("unix_micros(ts) div 86400000000").as("x"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("x").agg(max("cents").as("m"))
+    val mom = daily.agg(count(lit(1)).as("n"), sum("m").as("s"),
+      sum(col("m") * col("m")).as("ss"), max("m").as("mx"))
+    def d(c: String) = col(c).cast("double")
+    val mean = d("s") / d("n")
+    val sd = sqrt((d("n") * d("ss") - d("s") * d("s")) /
+      (d("n") * (d("n") - lit(1.0d))))
+    val beta = sd * lit(SQRT6_OVER_PI.toDouble)
+    val mu = mean - lit(EULER_GAMMA.toDouble) * beta
+    val rl = mu - beta * log(-log(lit(1.0d) - lit(1.0d) / GUMBEL_T))
+    mom.select(col("n").as("n_blocks"), col("mx").as("max_cents"),
+      floor(mean * lit(1e6) + lit(0.5)).cast("long").as("mean_micro"),
+      floor(beta * lit(1e6) + lit(0.5)).cast("long").as("beta_micro"),
+      floor(mu * lit(1e6) + lit(0.5)).cast("long").as("mu_micro"),
+      floor(rl * lit(1e6) + lit(0.5)).cast("long").as("rl_micro"))
+  }
+
+  val q384Sql: String =
+    s"""WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS x,
+      |    CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS m
+      |  FROM events GROUP BY 1),
+      |mom AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS s,
+      |    CAST(sum(m * m) AS BIGINT) AS ss, CAST(max(m) AS BIGINT) AS mx
+      |  FROM daily)
+      |SELECT n AS n_blocks, mx AS max_cents,
+      |  CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+      |    AS BIGINT) AS mean_micro,
+      |  CAST(floor(sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+      |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) /
+      |      (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+      |    * $SQRT6_OVER_PI * 1e6 + 0.5) AS BIGINT) AS beta_micro,
+      |  CAST(floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - $EULER_GAMMA * sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+      |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) /
+      |        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+      |      * $SQRT6_OVER_PI) * 1e6 + 0.5) AS BIGINT) AS mu_micro,
+      |  CAST(floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - $EULER_GAMMA * sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+      |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) /
+      |        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+      |      * $SQRT6_OVER_PI
+      |    - sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+      |        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) /
+      |        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+      |      * $SQRT6_OVER_PI
+      |      * ln(-ln(1.0 - 1.0 / CAST($GUMBEL_T AS DOUBLE)))) * 1e6
+      |    + 0.5) AS BIGINT)
+      |    AS rl_micro
+      |FROM mom""".stripMargin
+
   /** q368 order statistics in the Hill tail (top-k). */
   val HILL_K = 100
 
@@ -3156,6 +3234,7 @@ object StatsOps {
       Gate.sorted(q376BrownForsythe _, "event_type"),
     "q377_cramer_theil" -> ((s, d) => q377CramerTheil(s, d)),
     "q378_cohen_kappa" -> ((s, d) => q378CohenKappa(s, d)),
+    "q384_gumbel_fit" -> ((s, d) => q384GumbelFit(s, d)),
     "q346_jackknife_ratio" ->
       ((s, d) => q346JackknifeRatio(s, d)),
     "q343_brier_decomposition" ->
@@ -3202,6 +3281,7 @@ object StatsOps {
     "q376_brown_forsythe" -> q376Sql,
     "q377_cramer_theil" -> q377Sql,
     "q378_cohen_kappa" -> q378Sql,
+    "q384_gumbel_fit" -> q384Sql,
     "q346_jackknife_ratio" -> q346Sql,
     "q343_brier_decomposition" -> q343Sql,
     "q333_isotonic_fit" -> q333Sql,

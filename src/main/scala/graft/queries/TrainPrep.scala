@@ -974,6 +974,42 @@ object TrainPrep {
       |  (ord - 1) % $SHUFFLE_SHARD_DOCS AS offset_in_shard
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** q383 sampling interval and starting offset (1-based rank r is
+    * sampled iff r % K == C). */
+  val SYS_K = 50L
+  val SYS_C = 7L
+
+  /** q383: SYSTEMATIC SAMPLE — every K-th order in o_orderkey order
+    * (the survey-sampling design that guarantees even coverage of the
+    * frame where a hash sample only promises it in expectation; on a
+    * time-ordered key it is also an even TEMPORAL sample). The global
+    * rank comes from [[graft.operators.GlobalRank]] — range
+    * repartition + per-partition offsets — so the classic
+    * `row_number() OVER (ORDER BY ...)` one-task bottleneck never
+    * exists; the selection is one integer modulus per row.
+    */
+  def q383SystematicSample(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir).orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+          .as("price_cents"))
+    graft.operators.GlobalRank
+      .withRowNumber(orders, "ord", col("o_orderkey"))
+      .filter(col("ord") % SYS_K === SYS_C)
+      .select(col("o_orderkey"), col("o_custkey"), col("price_cents"),
+        col("ord"))
+  }
+
+  val q383Sql: String =
+    s"""WITH r AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+      |    row_number() OVER (ORDER BY o_orderkey) AS ord
+      |  FROM orders)
+      |SELECT o_orderkey, o_custkey, price_cents, CAST(ord AS BIGINT) AS ord
+      |FROM r WHERE ord % $SYS_K = $SYS_C
+      |ORDER BY o_orderkey""".stripMargin
+
   /** q133: negatives kept per user, and the candidate over-draw that
     * absorbs collisions with positives and duplicate draws.
     */
@@ -1749,6 +1785,8 @@ object TrainPrep {
     "q133_negative_sampling" -> Gate.sorted(q133NegativeSampling _, "c_custkey", "rank"),
     "q108_weighted_sample" -> Gate.sorted(q108WeightedSample _, "doc_id"),
     "q109_global_shuffle" -> Gate.sorted(q109GlobalShuffle _, "doc_id"),
+    "q383_systematic_sample" ->
+      Gate.sorted(q383SystematicSample _, "o_orderkey"),
     "q101_bigram_lm_score" -> Gate.sorted(q101BigramLmScore _, "doc_id"),
     "q86_word_coocc" -> Gate.sorted(q86WordCoocc _, "w1", "w2"),
     "q57_shard_manifest" -> Gate.sorted(q57ShardManifest _, "shard"),
@@ -1784,6 +1822,7 @@ object TrainPrep {
     "q133_negative_sampling" -> q133Sql,
     "q108_weighted_sample" -> q108Sql,
     "q109_global_shuffle" -> q109Sql,
+    "q383_systematic_sample" -> q383Sql,
     "q101_bigram_lm_score" -> q101Sql,
     "q86_word_coocc" -> q86Sql,
     "q57_shard_manifest" -> q57Sql,

@@ -887,6 +887,28 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q382-q384: spectrum/sample/fit shapes — capped rollup, no " +
+    "one-task global window, map-side combine") {
+    val p382 =
+      plan(graft.queries.LlmText.q382WordlenSpectrum(spark, sfDir))
+    assert(!p382.contains("CartesianProduct"))
+    assert(p382.contains("partial_"),
+      "the exploded token stream must collapse map-side")
+    assert(p382.contains("BroadcastHashJoin"),
+      "per-source totals must broadcast onto the bounded cells")
+    // q383's global rank must come from GlobalRank (__pid-partitioned
+    // windows), never an ORDER-BY-only window over the fact table
+    val p383 = plan(
+      graft.queries.TrainPrep.q383SystematicSample(spark, sfDir))
+    val specs383 = "windowspecdefinition\\(([^,)]*)".r
+      .findAllMatchIn(p383).map(_.group(1)).toSeq
+    assert(specs383.nonEmpty && specs383.forall(_.startsWith("__pid")),
+      s"q383 windows must partition on __pid, got: $specs383")
+    val p384 = plan(graft.queries.StatsOps.q384GumbelFit(spark, sfDir))
+    assert(p384.contains("partial_max") || p384.contains("partial_"),
+      "block maxima must combine map-side")
+  }
+
   test("q325: the streaming state is a sketch aggregate, not a dedup") {
     // batch-side equivalent of the streaming plan: the aggregation
     // carries hll_sketch_agg, so state per group is one buffer
