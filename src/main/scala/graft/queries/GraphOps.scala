@@ -603,7 +603,152 @@ object GraphOps {
       |ORDER BY seed""".stripMargin
   }
 
+  /** q385 teleport-set predicate (node % 50 == SEED_MOD) and round
+    * count — literals in both engines. */
+  val PPR_ITERS = 5
+  val PPR_SEED_MOD = 7L
+
+  /** q385: PERSONALIZED PAGERANK — q103's power iteration with the
+    * teleport mass restricted to a SEED SET (parts with
+    * partkey % 50 == [[PPR_SEED_MOD]]): "importance as seen FROM these
+    * products", the recommendation/related-items primitive, where
+    * global PageRank answers "importance, period". Same exact-integer
+    * scheme as q103 ((85·rank) div (100·deg) per edge, 0.15 of 1e9
+    * re-injected — but only at seeds, via a union + re-aggregate so
+    * seeds with no in-links keep their mass). Shuffles bounded by
+    * |edges| per round; the edge table is hash-partitioned once and
+    * checkpointed, so each round moves only the |nodes| rank side.
+    */
+  def q385PersonalizedPagerank(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val pairs = coPurchaseEdges(spark, dir)
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgesD = edges.join(deg, "src")
+      .repartition(col("src")).localCheckpoint(true)
+    val seeds = deg.select(col("src").as("node"))
+      .filter(col("node") % 50 === PPR_SEED_MOD)
+      .localCheckpoint(true)
+    var ranks = deg.select(col("src").as("node"),
+      when(col("src") % 50 === PPR_SEED_MOD, lit(1000000000L))
+        .otherwise(0L).as("rank"))
+    for (_ <- 1 to PPR_ITERS) {
+      val inRank = edgesD.join(ranks, edgesD("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          expr("(85 * rank) div (100 * deg)").as("rank"))
+      ranks = inRank
+        .unionByName(seeds.select(col("node"), lit(150000000L).as("rank")))
+        .groupBy("node").agg(sum("rank").as("rank"))
+    }
+    ranks.select(col("node").as("part"), col("rank").as("ppr_micro"),
+      when(col("node") % 50 === PPR_SEED_MOD, 1L).otherwise(0L)
+        .as("is_seed"))
+  }
+
+  val q385Sql: String = {
+    val iter = (1 to PPR_ITERS).map { i =>
+      s"""r$i AS (
+        |  SELECT node, CAST(sum(rank) AS BIGINT) AS rank FROM (
+        |    SELECT e.dst AS node, (85 * r.rank) // (100 * e.deg) AS rank
+        |    FROM ed e JOIN r${i - 1} r ON r.node = e.src
+        |    UNION ALL
+        |    SELECT node, 150000000 FROM seeds)
+        |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= $TRIANGLE_MIN_SUPPORT),
+      |edges AS (
+      |  SELECT u AS src, v AS dst FROM pairs
+      |  UNION ALL SELECT v, u FROM pairs),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+      |        FROM edges GROUP BY 1),
+      |ed AS (SELECT e.src, e.dst, d.deg FROM edges e
+      |       JOIN deg d ON d.src = e.src),
+      |seeds AS (SELECT src AS node FROM deg
+      |          WHERE src % 50 = $PPR_SEED_MOD),
+      |r0 AS (SELECT src AS node,
+      |         CAST(CASE WHEN src % 50 = $PPR_SEED_MOD
+      |           THEN 1000000000 ELSE 0 END AS BIGINT) AS rank
+      |       FROM deg),
+      |$iter
+      |SELECT node AS part, rank AS ppr_micro,
+      |  CAST(CASE WHEN node % 50 = $PPR_SEED_MOD THEN 1 ELSE 0 END
+      |    AS BIGINT) AS is_seed
+      |FROM r$PPR_ITERS ORDER BY part""".stripMargin
+  }
+
+  /** q386: DEGREE ASSORTATIVITY COEFFICIENT — the scalar Pearson
+    * correlation of endpoint degrees over directed edges, the single
+    * number q206's knn(k) curve summarizes to (r > 0: hubs link hubs;
+    * r < 0: hub-and-spoke). All five moments are exact BIGINTs from
+    * two hash joins of the directed edge list against the degree
+    * table (each moves only (node, degree) pairs); r is one double
+    * expression.
+    */
+  def q386Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = coPurchaseEdges(spark, dir)
+    val dirEdges = pairs.select(col("u"), col("v"))
+      .union(pairs.select(col("v").as("u"), col("u").as("v")))
+    val deg = dirEdges.groupBy("u").agg(count(lit(1)).as("d"))
+    val ep = dirEdges
+      .join(deg.select(col("u"), col("d").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+    val m = ep.agg(count(lit(1)).as("n"),
+      sum("du").as("sx"), sum("dv").as("sy"),
+      sum(col("du") * col("du")).as("sxx"),
+      sum(col("dv") * col("dv")).as("syy"),
+      sum(col("du") * col("dv")).as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    m.select(col("n").as("n_directed_edges"),
+      floor(d("sx") / d("n") * lit(1e6) + lit(0.5)).cast("long")
+        .as("mean_deg_micro"),
+      floor((d("n") * d("sxy") - d("sx") * d("sy")) /
+        sqrt((d("n") * d("sxx") - d("sx") * d("sx")) *
+          (d("n") * d("syy") - d("sy") * d("sy"))) * lit(1e6) +
+        lit(0.5)).cast("long").as("r_micro"))
+  }
+
+  val q386Sql: String =
+    s"""WITH pairs AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= $TRIANGLE_MIN_SUPPORT),
+      |de AS (
+      |  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+      |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d
+      |        FROM de GROUP BY 1),
+      |ep AS (
+      |  SELECT du.d AS du, dv.d AS dv
+      |  FROM de JOIN deg du ON du.u = de.u
+      |          JOIN deg dv ON dv.u = de.v),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(du) AS BIGINT) AS sx, CAST(sum(dv) AS BIGINT) AS sy,
+      |    CAST(sum(du * du) AS BIGINT) AS sxx,
+      |    CAST(sum(dv * dv) AS BIGINT) AS syy,
+      |    CAST(sum(du * dv) AS BIGINT) AS sxy
+      |  FROM ep)
+      |SELECT n AS n_directed_edges,
+      |  CAST(floor(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+      |    AS BIGINT) AS mean_deg_micro,
+      |  CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1e6 + 0.5)
+      |    AS BIGINT) AS r_micro
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q385_personalized_pagerank" ->
+      Gate.sorted(q385PersonalizedPagerank _, "part"),
+    "q386_assortativity" -> ((s, d) => q386Assortativity(s, d)),
     "q365_harmonic_centrality" ->
       Gate.sorted(q365HarmonicCentrality _, "seed"),
     "q316_clustering_coeff" -> Gate.sorted(q316ClusteringCoeff _, "p_partkey"),
@@ -615,6 +760,8 @@ object GraphOps {
     "q271_bfs_hops" -> Gate.sorted(q271BfsHops _, "p_partkey"))
 
   val oracles: Map[String, String] = Map(
+    "q385_personalized_pagerank" -> q385Sql,
+    "q386_assortativity" -> q386Sql,
     "q365_harmonic_centrality" -> q365Sql,
     "q316_clustering_coeff" -> q316Sql,
     "q281_label_prop" -> q281Sql,

@@ -272,6 +272,72 @@ object SqlSurface {
       .filter(col("rk") <= 5)
   }
 
+  /** q388: WINDOW VALUE-EXTRACTOR SURFACE — the frame-sensitive
+    * window builtins q265's rank surface leaves out: nth_value over an
+    * explicit growing frame, first_value/last_value with IGNORE NULLS
+    * (over a null-bearing derived column), and the distribution
+    * functions on the same bounded per-type day series. The window
+    * input is the |types×days| rollup — never fact rows — and NULL
+    * BIGINTs are sentineled to −1 (the q265 pandas-hash rule). The
+    * surface trap this gates: both engines must agree that
+    * (a) nth_value in a UNBOUNDED-PRECEDING..CURRENT frame yields NULL
+    * until the frame holds n rows, and (b) IGNORE NULLS last_value
+    * over the FULL frame finds the last non-null regardless of
+    * position.
+    */
+  def q388WindowExtrema(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir).events
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .as("rev"))
+      .withColumn("rev_or_null",
+        when(col("day") % 3 === 0, lit(null).cast("long"))
+          .otherwise(col("rev")))
+    val wGrow = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFull = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wOrd = Window.partitionBy("event_type").orderBy("day")
+    daily.select(col("event_type"), col("day"), col("rev"),
+      coalesce(nth_value(col("rev"), 3).over(wGrow), lit(-1L))
+        .as("nv3"),
+      coalesce(first(col("rev_or_null"), ignoreNulls = true).over(wGrow),
+        lit(-1L)).as("first_nn"),
+      coalesce(last(col("rev_or_null"), ignoreNulls = true).over(wFull),
+        lit(-1L)).as("last_nn"),
+      percent_rank().over(wOrd).as("prk"),
+      cume_dist().over(wOrd).as("cd"))
+  }
+
+  val q388Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS rev
+      |  FROM events GROUP BY 1, 2),
+      |d2 AS (
+      |  SELECT *, CASE WHEN day % 3 = 0 THEN NULL ELSE rev END
+      |    AS rev_or_null
+      |  FROM daily)
+      |SELECT event_type, day, rev,
+      |  COALESCE(nth_value(rev, 3) OVER wg, -1) AS nv3,
+      |  COALESCE(first_value(rev_or_null IGNORE NULLS) OVER wg, -1)
+      |    AS first_nn,
+      |  COALESCE(last_value(rev_or_null IGNORE NULLS) OVER wf, -1)
+      |    AS last_nn,
+      |  percent_rank() OVER wo AS prk,
+      |  cume_dist() OVER wo AS cd
+      |FROM d2
+      |WINDOW
+      |  wg AS (PARTITION BY event_type ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  wf AS (PARTITION BY event_type ORDER BY day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+      |  wo AS (PARTITION BY event_type ORDER BY day)
+      |ORDER BY event_type, day""".stripMargin
+
   val q265Sql: String =
     """SELECT * FROM (
       |  SELECT o_orderpriority, o_orderkey,
@@ -780,6 +846,8 @@ object SqlSurface {
       |ORDER BY nation, c_custkey""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q388_window_extrema" ->
+      Gate.sorted(q388WindowExtrema _, "event_type", "day"),
     "q364_lateral_topn" ->
       Gate.sorted(q364LateralTopn _, "nation", "c_custkey"),
     "q305_map_surface" -> Gate.sorted(q305MapSurface _, "event_type", "wd"),
@@ -803,6 +871,7 @@ object SqlSurface {
     "q233_trailing_window" -> Gate.sorted(q233TrailingWindow _, "day"))
 
   val oracles: Map[String, String] = Map(
+    "q388_window_extrema" -> q388Sql,
     "q364_lateral_topn" -> q364Sql,
     "q305_map_surface" -> q305Sql,
     "q312_calendar_arith" -> q312Sql,

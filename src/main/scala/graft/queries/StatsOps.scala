@@ -3158,6 +3158,107 @@ object StatsOps {
       |    AS rl_micro
       |FROM mom""".stripMargin
 
+  /** q387 cluster-sample inclusion: a user (cluster) is sampled iff
+    * user_id % 10 < 3 — a deterministic 30% first-stage sample. */
+  val CLUSTER_MOD = 10L
+  val CLUSTER_KEEP = 3L
+
+  /** q387: CLUSTER-SAMPLE DESIGN EFFECT — sample whole USERS (then
+    * keep all their events: the two-stage design every event-log
+    * survey actually runs, because sampling rows breaks sessions),
+    * and report what that design COSTS: the intraclass correlation ρ
+    * (ANOVA estimator, unequal-size m₀ correction) and
+    * deff = 1 + (m̄−1)ρ — "how many times more rows this sample needs
+    * to match a simple random sample's variance". Complements q354
+    * (Neyman allocation = what stratification SAVES). Per-cluster
+    * s²/n terms are micro-quantized before the cross-cluster sums
+    * (the q369 rule, at |clusters| terms); everything else is exact
+    * BIGINT moments.
+    */
+  def q387ClusterDeff(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val g = Tables(spark, dir).events
+      .filter(col("user_id") % CLUSTER_MOD < CLUSTER_KEEP)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(cents).as("s"),
+        sum(cents * cents).as("ss"))
+    def d(c: Column) = c.cast("double")
+    val terms = g.select(col("n"), col("s"), col("ss"),
+      floor(d(col("s")) * d(col("s")) / d(col("n")) * lit(1e6) +
+        lit(0.5)).cast("long").as("aq"))
+    val tot = terms.agg(count(lit(1)).as("k"), sum("n").as("nn"),
+      sum("s").as("stot"), sum("ss").as("sstot"),
+      sum("aq").as("a_micro"), sum(col("n") * col("n")).as("snn"))
+    val kD = d(col("k")); val nD = d(col("nn"))
+    val aD = d(col("a_micro")) / lit(1e6)
+    val ssb = aD - d(col("stot")) * d(col("stot")) / nD
+    val ssw = d(col("sstot")) - aD
+    val msb = ssb / (kD - lit(1.0d))
+    val msw = ssw / (nD - kD)
+    val m0 = (nD - d(col("snn")) / nD) / (kD - lit(1.0d))
+    val rho = (msb - msw) / (msb + (m0 - lit(1.0d)) * msw)
+    val deff = lit(1.0d) + (nD / kD - lit(1.0d)) * rho
+    tot.select(col("k").as("k_clusters"), col("nn").as("n_rows"),
+      floor(m0 * lit(1e6) + lit(0.5)).cast("long").as("m0_micro"),
+      floor(rho * lit(1e6) + lit(0.5)).cast("long").as("icc_micro"),
+      floor(deff * lit(1e6) + lit(0.5)).cast("long").as("deff_micro"))
+  }
+
+  val q387Sql: String =
+    s"""WITH g AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS s,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) *
+      |             CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS ss
+      |  FROM events WHERE user_id % $CLUSTER_MOD < $CLUSTER_KEEP
+      |  GROUP BY 1),
+      |t AS (
+      |  SELECT n, s, ss,
+      |    CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+      |      CAST(n AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS aq
+      |  FROM g),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+      |    CAST(sum(s) AS BIGINT) AS stot, CAST(sum(ss) AS BIGINT) AS sstot,
+      |    CAST(sum(aq) AS BIGINT) AS a_micro,
+      |    CAST(sum(n * n) AS BIGINT) AS snn
+      |  FROM t)
+      |SELECT k AS k_clusters, nn AS n_rows,
+      |  CAST(floor((CAST(nn AS DOUBLE) - CAST(snn AS DOUBLE) /
+      |    CAST(nn AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0) * 1e6 + 0.5)
+      |    AS BIGINT) AS m0_micro,
+      |  CAST(floor(
+      |    ((CAST(a_micro AS DOUBLE) / 1e6 - CAST(stot AS DOUBLE) *
+      |        CAST(stot AS DOUBLE) / CAST(nn AS DOUBLE)) /
+      |      (CAST(k AS DOUBLE) - 1.0) -
+      |     (CAST(sstot AS DOUBLE) - CAST(a_micro AS DOUBLE) / 1e6) /
+      |      (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))) /
+      |    ((CAST(a_micro AS DOUBLE) / 1e6 - CAST(stot AS DOUBLE) *
+      |        CAST(stot AS DOUBLE) / CAST(nn AS DOUBLE)) /
+      |      (CAST(k AS DOUBLE) - 1.0) +
+      |     ((CAST(nn AS DOUBLE) - CAST(snn AS DOUBLE) /
+      |        CAST(nn AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0) - 1.0) *
+      |     (CAST(sstot AS DOUBLE) - CAST(a_micro AS DOUBLE) / 1e6) /
+      |      (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))) * 1e6 + 0.5)
+      |    AS BIGINT) AS icc_micro,
+      |  CAST(floor((1.0 + (CAST(nn AS DOUBLE) / CAST(k AS DOUBLE) - 1.0) *
+      |    ((CAST(a_micro AS DOUBLE) / 1e6 - CAST(stot AS DOUBLE) *
+      |        CAST(stot AS DOUBLE) / CAST(nn AS DOUBLE)) /
+      |      (CAST(k AS DOUBLE) - 1.0) -
+      |     (CAST(sstot AS DOUBLE) - CAST(a_micro AS DOUBLE) / 1e6) /
+      |      (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))) /
+      |    ((CAST(a_micro AS DOUBLE) / 1e6 - CAST(stot AS DOUBLE) *
+      |        CAST(stot AS DOUBLE) / CAST(nn AS DOUBLE)) /
+      |      (CAST(k AS DOUBLE) - 1.0) +
+      |     ((CAST(nn AS DOUBLE) - CAST(snn AS DOUBLE) /
+      |        CAST(nn AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0) - 1.0) *
+      |     (CAST(sstot AS DOUBLE) - CAST(a_micro AS DOUBLE) / 1e6) /
+      |      (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)))) * 1e6 + 0.5)
+      |    AS BIGINT) AS deff_micro
+      |FROM a""".stripMargin
+
   /** q368 order statistics in the Hill tail (top-k). */
   val HILL_K = 100
 
@@ -3235,6 +3336,7 @@ object StatsOps {
     "q377_cramer_theil" -> ((s, d) => q377CramerTheil(s, d)),
     "q378_cohen_kappa" -> ((s, d) => q378CohenKappa(s, d)),
     "q384_gumbel_fit" -> ((s, d) => q384GumbelFit(s, d)),
+    "q387_cluster_deff" -> ((s, d) => q387ClusterDeff(s, d)),
     "q346_jackknife_ratio" ->
       ((s, d) => q346JackknifeRatio(s, d)),
     "q343_brier_decomposition" ->
@@ -3282,6 +3384,7 @@ object StatsOps {
     "q377_cramer_theil" -> q377Sql,
     "q378_cohen_kappa" -> q378Sql,
     "q384_gumbel_fit" -> q384Sql,
+    "q387_cluster_deff" -> q387Sql,
     "q346_jackknife_ratio" -> q346Sql,
     "q343_brier_decomposition" -> q343Sql,
     "q333_isotonic_fit" -> q333Sql,

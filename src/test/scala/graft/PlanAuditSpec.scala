@@ -909,6 +909,29 @@ class PlanAuditSpec extends SparkSpec {
       "block maxima must combine map-side")
   }
 
+  test("q385-q388: PPR reuses the checkpointed edge partitioning; " +
+    "assortativity joins move only (node, degree); windows " +
+    "partition by key") {
+    val p385 = plan(
+      graft.queries.GraphOps.q385PersonalizedPagerank(spark, sfDir))
+    assert(!p385.contains("CartesianProduct"))
+    assert(p385.contains("Scan ExistingRDD"),
+      "the edge table must come from the eager checkpoint (built once)")
+    val p386 = plan(graft.queries.GraphOps.q386Assortativity(spark, sfDir))
+    assert(!p386.contains("CartesianProduct"))
+    assert(p386.contains("partial_"),
+      "moments must combine map-side")
+    val p387 = plan(graft.queries.StatsOps.q387ClusterDeff(spark, sfDir))
+    assert(p387.contains("partial_"),
+      "per-cluster moments must combine map-side")
+    val p388 = plan(graft.queries.SqlSurface.q388WindowExtrema(spark, sfDir))
+    val specs388 = "windowspecdefinition\\(([^,)]*)".r
+      .findAllMatchIn(p388).map(_.group(1)).toSeq
+    assert(specs388.nonEmpty &&
+      specs388.forall(_.startsWith("event_type")),
+      s"q388 windows must partition by event_type, got: $specs388")
+  }
+
   test("q325: the streaming state is a sketch aggregate, not a dedup") {
     // batch-side equivalent of the streaming plan: the aggregation
     // carries hll_sketch_agg, so state per group is one buffer
