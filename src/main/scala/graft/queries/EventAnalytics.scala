@@ -1805,7 +1805,163 @@ object EventAnalytics {
       |SELECT * FROM s UNION ALL SELECT * FROM p
       |ORDER BY stratum""".stripMargin
 
+  /** q391: FUNNEL SIGNIFICANCE ACROSS EXPERIMENT ARMS — does the
+    * click→purchase conversion (q73's exact rule) DIFFER between the
+    * two arms of a user-keyed A/B assignment (user_id parity — the
+    * deterministic stand-in for the hash-mod bucketing every
+    * experimentation platform uses)? Per arm: clicker count,
+    * converter count, conversion in exact ppm, and the Wilson
+    * interval (q197's formula); plus the '_z' row with the pooled
+    * two-proportion z — the question every funnel dashboard ends with
+    * ("is that arm gap real?"). One user-level pass (window
+    * partitioned by user), one 2-row rollup, arithmetic after. (A
+    * first-touch calendar cohort was the first draft; at the
+    * fixture's 67 events/user EVERY first touch lands on day 1, so
+    * the gate would compare a cohort against nothing — caught by the
+    * oracle run, kept as the assignment-design lesson.)
+    */
+  def q391FunnelCohortZ(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Tables(spark, dir).events
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", unix_micros(col("ts"))))
+          .over(byUser))
+      .withColumn("converted",
+        col("event_type") === "purchase" && col("last_click_us").isNotNull &&
+          unix_micros(col("ts")) - col("last_click_us") <=
+            FUNNEL_HOURS * 3600L * 1000000L)
+    val perUser = ev.groupBy("user_id").agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("n_clicks"),
+      sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+      .filter(col("n_clicks") > 0)
+      .select(
+        when(col("user_id") % 2 === 0, lit("arm_a"))
+          .otherwise(lit("arm_b")).as("cohort"),
+        when(col("n_converted") > 0, 1L).otherwise(0L).as("conv"))
+    val g = perUser.groupBy("cohort")
+      .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+    val z196 = lit(1.96d)
+    def dd(c: Column) = c.cast("double")
+    val nD = dd(col("n_users")); val kD = dd(col("n_conv"))
+    val pHat = kD / nD
+    val z2 = z196 * z196
+    val denom = lit(1.0d) + z2 / nD
+    val center = pHat + z2 / (lit(2.0d) * nD)
+    val spread = z196 * sqrt(pHat * (lit(1.0d) - pHat) / nD +
+      z2 / (lit(4.0d) * nD * nD))
+    val rows = g.select(col("cohort"), col("n_users"), col("n_conv"),
+      expr("n_conv * 1000000 div n_users").as("rate_ppm"),
+      floor((center - spread) / denom * lit(1e6) + lit(0.5)).cast("long")
+        .as("lo_micro"),
+      floor((center + spread) / denom * lit(1e6) + lit(0.5)).cast("long")
+        .as("hi_micro"),
+      lit(0L).as("z_micro"))
+    val tot = g.agg(
+      sum(when(col("cohort") === "arm_a", col("n_users"))).as("n1"),
+      sum(when(col("cohort") === "arm_a", col("n_conv"))).as("k1"),
+      sum(when(col("cohort") === "arm_b", col("n_users"))).as("n2"),
+      sum(when(col("cohort") === "arm_b", col("n_conv"))).as("k2"))
+    val p1 = dd(col("k1")) / dd(col("n1"))
+    val p2 = dd(col("k2")) / dd(col("n2"))
+    val pp = (dd(col("k1")) + dd(col("k2"))) /
+      (dd(col("n1")) + dd(col("n2")))
+    val zStat = (p1 - p2) / sqrt(pp * (lit(1.0d) - pp) *
+      (lit(1.0d) / dd(col("n1")) + lit(1.0d) / dd(col("n2"))))
+    val zRow = tot.select(lit("_z").as("cohort"),
+      (col("n1") + col("n2")).as("n_users"),
+      (col("k1") + col("k2")).as("n_conv"),
+      expr("(k1 + k2) * 1000000 div (n1 + n2)").as("rate_ppm"),
+      lit(0L).as("lo_micro"), lit(0L).as("hi_micro"),
+      floor(zStat * lit(1e6) + lit(0.5)).cast("long").as("z_micro"))
+    rows.unionByName(zRow)
+  }
+
+  val q391Sql: String = {
+    val winUs = FUNNEL_HOURS * 3600L * 1000000L
+    s"""WITH w AS (
+      |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
+      |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS last_click_us
+      |  FROM events),
+      |pu AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_clicks,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |        AND last_click_us IS NOT NULL
+      |        AND us - last_click_us <= $winUs THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_converted
+      |  FROM w GROUP BY 1
+      |  HAVING n_clicks > 0),
+      |pc AS (
+      |  SELECT CASE WHEN user_id % 2 = 0 THEN 'arm_a' ELSE 'arm_b' END
+      |    AS cohort,
+      |    CASE WHEN n_converted > 0 THEN 1 ELSE 0 END AS conv
+      |  FROM pu),
+      |g AS (
+      |  SELECT cohort, CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(conv) AS BIGINT) AS n_conv
+      |  FROM pc GROUP BY 1),
+      |rows_ AS (
+      |  SELECT cohort, n_users, n_conv,
+      |    CAST(n_conv * 1000000 // n_users AS BIGINT) AS rate_ppm,
+      |    CAST(floor((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+      |        + 1.96 * 1.96 / (2.0 * CAST(n_users AS DOUBLE))
+      |        - 1.96 * sqrt(CAST(n_conv AS DOUBLE) /
+      |            CAST(n_users AS DOUBLE) *
+      |            (1.0 - CAST(n_conv AS DOUBLE) /
+      |              CAST(n_users AS DOUBLE)) / CAST(n_users AS DOUBLE)
+      |          + 1.96 * 1.96 / (4.0 * CAST(n_users AS DOUBLE) *
+      |            CAST(n_users AS DOUBLE)))) /
+      |      (1.0 + 1.96 * 1.96 / CAST(n_users AS DOUBLE)) * 1e6 + 0.5)
+      |      AS BIGINT) AS lo_micro,
+      |    CAST(floor((CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)
+      |        + 1.96 * 1.96 / (2.0 * CAST(n_users AS DOUBLE))
+      |        + 1.96 * sqrt(CAST(n_conv AS DOUBLE) /
+      |            CAST(n_users AS DOUBLE) *
+      |            (1.0 - CAST(n_conv AS DOUBLE) /
+      |              CAST(n_users AS DOUBLE)) / CAST(n_users AS DOUBLE)
+      |          + 1.96 * 1.96 / (4.0 * CAST(n_users AS DOUBLE) *
+      |            CAST(n_users AS DOUBLE)))) /
+      |      (1.0 + 1.96 * 1.96 / CAST(n_users AS DOUBLE)) * 1e6 + 0.5)
+      |      AS BIGINT) AS hi_micro,
+      |    CAST(0 AS BIGINT) AS z_micro
+      |  FROM g),
+      |tot AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN cohort = 'arm_a' THEN n_users END)
+      |      AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN cohort = 'arm_a' THEN n_conv END)
+      |      AS BIGINT) AS k1,
+      |    CAST(sum(CASE WHEN cohort = 'arm_b' THEN n_users END)
+      |      AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN cohort = 'arm_b' THEN n_conv END)
+      |      AS BIGINT) AS k2
+      |  FROM g)
+      |SELECT * FROM rows_
+      |UNION ALL
+      |SELECT '_z', n1 + n2, k1 + k2,
+      |  CAST((k1 + k2) * 1000000 // (n1 + n2) AS BIGINT),
+      |  CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+      |  CAST(floor((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      - CAST(k2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
+      |    sqrt((CAST(k1 AS DOUBLE) + CAST(k2 AS DOUBLE)) /
+      |      (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) *
+      |      (1.0 - (CAST(k1 AS DOUBLE) + CAST(k2 AS DOUBLE)) /
+      |        (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) *
+      |      (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))
+      |    * 1e6 + 0.5) AS BIGINT)
+      |FROM tot
+      |ORDER BY cohort""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q391_funnel_cohort_z" ->
+      Gate.sorted(q391FunnelCohortZ _, "cohort"),
     "q361_post_strat_ate" -> Gate.sorted(q361PostStratAte _, "stratum"),
     "q347_log_rank" -> ((s, d) => q347LogRank(s, d)),
     "q348_nelson_aalen" -> Gate.sorted(q348NelsonAalen _, "dur_min"),
@@ -1838,6 +1994,7 @@ object EventAnalytics {
     "q75_rolling_features" -> Gate.sorted(q75RollingFeatures _, "user_id", "event_id"))
 
   val oracles: Map[String, String] = Map(
+    "q391_funnel_cohort_z" -> q391Sql,
     "q361_post_strat_ate" -> q361Sql,
     "q347_log_rank" -> q347Sql,
     "q348_nelson_aalen" -> q348Sql,

@@ -3259,6 +3259,195 @@ object StatsOps {
       |    AS BIGINT) AS deff_micro
       |FROM a""".stripMargin
 
+  /** q389 SPRT design: H0 p=0.15 vs H1 p=0.25 on the purchase share,
+    * α = β = 0.05. The per-event log-likelihood-ratio increments and
+    * the decision thresholds are DRIVER-precomputed micro constants
+    * (the q294 discount-table rule) so both engines sum identical
+    * integers. */
+  val SPRT_P0 = 0.15
+  val SPRT_P1 = 0.25
+  val SPRT_ALPHA = 0.05
+  /** floor(ln(p1/p0)·1e6 + 0.5): LLR micro-units per success. */
+  val SPRT_A_MICRO: Long =
+    math.floor(math.log(SPRT_P1 / SPRT_P0) * 1e6 + 0.5).toLong
+  /** floor(ln((1−p1)/(1−p0))·1e6 + 0.5): LLR micro-units per failure. */
+  val SPRT_B_MICRO: Long =
+    math.floor(math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0)) * 1e6 + 0.5)
+      .toLong
+  /** Upper/lower decision bounds: ±ln((1−α)/α) in micro-units. */
+  val SPRT_UPPER_MICRO: Long =
+    math.floor(math.log((1.0 - SPRT_ALPHA) / SPRT_ALPHA) * 1e6 + 0.5)
+      .toLong
+  val SPRT_LOWER_MICRO: Long = -SPRT_UPPER_MICRO
+
+  /** q389: SEQUENTIAL PROBABILITY RATIO TEST (Wald's SPRT) on the
+    * daily purchase share — the experimentation primitive that STOPS
+    * AS SOON AS THE DATA DECIDES, where q98/q350's fixed-horizon tests
+    * must wait out the horizon (and q353's CUSUM watches for change,
+    * SPRT chooses between two hypotheses). The log-likelihood ratio is
+    * LINEAR in the counts — LLR_day = A·k + B·m with driver-precomputed
+    * integer constants — so the whole sequential walk is one running
+    * sum over the ≤|days| rollup; the first boundary crossing is the
+    * decision (latched: later days report the crossing-day decision).
+    */
+  def q389Sprt(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("k"), count(lit(1)).as("n"))
+      .select(col("day"), col("k"), col("n"),
+        (lit(SPRT_A_MICRO) * col("k") +
+          lit(SPRT_B_MICRO) * (col("n") - col("k"))).as("llr_day"))
+    val byDay = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.withColumn("llr_micro", sum("llr_day").over(byDay))
+      .withColumn("crossed",
+        when(col("llr_micro") >= SPRT_UPPER_MICRO, 1L)
+          .when(col("llr_micro") <= SPRT_LOWER_MICRO, -1L)
+          .otherwise(0L))
+    val wAll = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum.withColumn("fcd",
+        min(when(col("crossed") =!= 0L, col("day"))).over(wAll))
+      .withColumn("dec_at",
+        when(col("crossed") =!= 0L && col("day") === col("fcd"),
+          col("crossed")))
+      .withColumn("decision", coalesce(max("dec_at").over(wAll), lit(0L)))
+      .select(col("day"), col("k"), col("n"), col("llr_micro"),
+        coalesce(col("fcd"), lit(-1L)).as("first_cross_day"),
+        col("decision"))
+  }
+
+  val q389Sql: String =
+    s"""WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS k,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |cum AS (
+      |  SELECT day, k, n,
+      |    CAST(sum($SPRT_A_MICRO * k + $SPRT_B_MICRO * (n - k))
+      |      OVER (ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS llr_micro
+      |  FROM daily),
+      |c2 AS (
+      |  SELECT *, CASE WHEN llr_micro >= $SPRT_UPPER_MICRO THEN 1
+      |    WHEN llr_micro <= $SPRT_LOWER_MICRO THEN -1 ELSE 0 END
+      |    AS crossed
+      |  FROM cum),
+      |c3 AS (
+      |  SELECT *,
+      |    CAST(min(CASE WHEN crossed != 0 THEN day END)
+      |      OVER (ORDER BY day
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS fcd
+      |  FROM c2)
+      |SELECT day, k, n, llr_micro,
+      |  COALESCE(fcd, -1) AS first_cross_day,
+      |  CAST(COALESCE(max(CASE WHEN crossed != 0 AND day = fcd
+      |      THEN crossed END)
+      |    OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+      |    AS BIGINT) AS decision
+      |FROM c3 ORDER BY day""".stripMargin
+
+  /** q390: JONCKHEERE–TERPSTRA ORDERED-ALTERNATIVE TEST — does
+    * l_quantity shift MONOTONICALLY with order priority (1-URGENT →
+    * 5-LOW)? q372's Kruskal–Wallis asks "different anywhere"; JT asks
+    * the sharper ordered question the priority scale implies. The
+    * O(N²) pairwise U-statistic never materializes: on the
+    * (priority × quantity) grid (≤ 5×50 cells), U_{a<b} decomposes as
+    * Σ_v [cnt_b(v)·cumBefore_a(v) + ½·cnt_a(v)·cnt_b(v)], so doubled
+    * JT2 is one pass of integer window sums over the 50-row value
+    * grid with the 10 group pairs as explicit column arithmetic.
+    * The null mean is exact integer; the null variance crosses 2^63
+    * at scale and is one double expression over exact BIGINTs.
+    */
+  def q390Jonckheere(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("v"))
+    val ord = Tables(spark, dir).orders
+      .select(col("o_orderkey"),
+        expr("CAST(substr(o_orderpriority, 1, 1) AS BIGINT)").as("g"))
+    val gAggs = (1 to 5).map(i =>
+      sum(when(col("g") === i, 1L).otherwise(0L)).as(s"g$i"))
+    val grid = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("v")
+      .agg(gAggs.head, gAggs.tail: _*)
+    val wV = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cums = (1 to 5).foldLeft(grid) { (df, i) =>
+      df.withColumn(s"c$i",
+        coalesce(sum(s"g$i").over(wV), lit(0L)))
+    }
+    val pairTerms = (for {
+      a <- 1 to 5; b <- (a + 1) to 5
+    } yield lit(2L) * col(s"g$b") * col(s"c$a") +
+      col(s"g$a") * col(s"g$b")).reduce(_ + _)
+    val agg = cums.agg(
+      sum(pairTerms).as("jt2"),
+      (1 to 5).map(i => sum(col(s"g$i")).as(s"n$i")): _*)
+    val nTot = (1 to 5).map(i => col(s"n$i")).reduce(_ + _)
+    val sumSq = (1 to 5).map(i => col(s"n$i") * col(s"n$i")).reduce(_ + _)
+    def d(c: Column) = c.cast("double")
+    val sumVar = (1 to 5).map(i =>
+      d(col(s"n$i")) * d(col(s"n$i")) *
+        (lit(2.0d) * d(col(s"n$i")) + lit(3.0d))).reduce(_ + _)
+    val varJt = (d(nTot) * d(nTot) * (lit(2.0d) * d(nTot) + lit(3.0d)) -
+      sumVar) / lit(72.0d)
+    // N² − Σn² = Σ_{a≠b} n_a·n_b is always even; the double division
+    // is exact to 2^53 (safe past sf1)
+    val e2 = ((nTot * nTot - sumSq) / lit(2L)).cast("long")
+    agg.select(nTot.as("n_rows"), col("jt2"), e2.as("e2"),
+      floor((d(col("jt2")) - d(e2)) / (lit(2.0d) * sqrt(varJt)) *
+        lit(1e6) + lit(0.5)).cast("long").as("z_micro"))
+  }
+
+  val q390Sql: String = {
+    val gcols = (1 to 5).map(i =>
+      s"CAST(sum(CASE WHEN g = $i THEN 1 ELSE 0 END) AS BIGINT) AS g$i")
+      .mkString(",\n      |    ")
+    val ccols = (1 to 5).map(i =>
+      s"""CAST(coalesce(sum(g$i) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS c$i""".stripMargin).mkString(",\n      |    ")
+    val pairTerms = (for {
+      a <- 1 to 5; b <- (a + 1) to 5
+    } yield s"2 * g$b * c$a + g$a * g$b").mkString(" + ")
+    val ns = (1 to 5).map(i =>
+      s"CAST(sum(g$i) AS BIGINT) AS n$i").mkString(", ")
+    val nTot = (1 to 5).map(i => s"n$i").mkString(" + ")
+    val sumSq = (1 to 5).map(i => s"n$i * n$i").mkString(" + ")
+    val sumVar = (1 to 5).map(i =>
+      s"CAST(n$i AS DOUBLE) * CAST(n$i AS DOUBLE) * " +
+        s"(2.0 * CAST(n$i AS DOUBLE) + 3.0)").mkString(" + ")
+    s"""WITH j AS (
+      |  SELECT CAST(l.l_quantity AS BIGINT) AS v,
+      |    CAST(substr(o.o_orderpriority, 1, 1) AS BIGINT) AS g
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |grid AS (
+      |  SELECT v,
+      |    $gcols
+      |  FROM j GROUP BY 1),
+      |cums AS (
+      |  SELECT *,
+      |    $ccols
+      |  FROM grid),
+      |a AS (
+      |  SELECT CAST(sum($pairTerms) AS BIGINT) AS jt2, $ns
+      |  FROM cums)
+      |SELECT CAST($nTot AS BIGINT) AS n_rows, jt2,
+      |  CAST((($nTot) * ($nTot) - ($sumSq)) // 2 AS BIGINT) AS e2,
+      |  CAST(floor((CAST(jt2 AS DOUBLE) -
+      |    CAST((($nTot) * ($nTot) - ($sumSq)) // 2 AS DOUBLE)) /
+      |    (2.0 * sqrt((CAST($nTot AS DOUBLE) * CAST($nTot AS DOUBLE) *
+      |        (2.0 * CAST($nTot AS DOUBLE) + 3.0) - ($sumVar)) / 72.0))
+      |    * 1e6 + 0.5) AS BIGINT) AS z_micro
+      |FROM a""".stripMargin
+  }
+
   /** q368 order statistics in the Hill tail (top-k). */
   val HILL_K = 100
 
@@ -3337,6 +3526,8 @@ object StatsOps {
     "q378_cohen_kappa" -> ((s, d) => q378CohenKappa(s, d)),
     "q384_gumbel_fit" -> ((s, d) => q384GumbelFit(s, d)),
     "q387_cluster_deff" -> ((s, d) => q387ClusterDeff(s, d)),
+    "q389_sprt" -> Gate.sorted(q389Sprt _, "day"),
+    "q390_jonckheere" -> ((s, d) => q390Jonckheere(s, d)),
     "q346_jackknife_ratio" ->
       ((s, d) => q346JackknifeRatio(s, d)),
     "q343_brier_decomposition" ->
@@ -3385,6 +3576,8 @@ object StatsOps {
     "q378_cohen_kappa" -> q378Sql,
     "q384_gumbel_fit" -> q384Sql,
     "q387_cluster_deff" -> q387Sql,
+    "q389_sprt" -> q389Sql,
+    "q390_jonckheere" -> q390Sql,
     "q346_jackknife_ratio" -> q346Sql,
     "q343_brier_decomposition" -> q343Sql,
     "q333_isotonic_fit" -> q333Sql,

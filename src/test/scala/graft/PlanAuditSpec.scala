@@ -932,6 +932,36 @@ class PlanAuditSpec extends SparkSpec {
       s"q388 windows must partition by event_type, got: $specs388")
   }
 
+  test("q389-q391: sequential/ordered tests run on bounded rollups; " +
+    "the user window partitions by user_id") {
+    // q389's sequential walk and q390's cumulative grid: windows may
+    // only consume aggregated (day / value-grid) series
+    Seq(
+      graft.queries.StatsOps.q389Sprt(spark, sfDir),
+      graft.queries.StatsOps.q390Jonckheere(spark, sfDir)
+    ).foreach { df =>
+      val opt = df.queryExecution.optimizedPlan
+      def check(n: org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan): Unit = n match {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          assert(w.collectFirst {
+            case a: org.apache.spark.sql.catalyst.plans.logical
+              .Aggregate => a
+          }.nonEmpty, "window must consume an aggregated series")
+          w.children.foreach(check)
+        case other => other.children.foreach(check)
+      }
+      check(opt)
+      assert(!plan(df).contains("CartesianProduct"))
+    }
+    val p391 = plan(
+      graft.queries.EventAnalytics.q391FunnelCohortZ(spark, sfDir))
+    val specs391 = "windowspecdefinition\\(([^,)]*)".r
+      .findAllMatchIn(p391).map(_.group(1)).toSeq
+    assert(specs391.nonEmpty && specs391.forall(_.startsWith("user_id")),
+      s"q391's funnel window must partition by user_id, got: $specs391")
+  }
+
   test("q325: the streaming state is a sketch aggregate, not a dedup") {
     // batch-side equivalent of the streaming plan: the aggregation
     // carries hll_sketch_agg, so state per group is one buffer
