@@ -1182,7 +1182,68 @@ object SessionOps {
       |FROM folded ORDER BY user_id, event_type, event_id""".stripMargin
   }
 
+  /** q392: STREAMING TOKEN BUCKET (21st stateful family) — burst-
+    * tolerant rate limiting; see [[graft.streaming.StreamTokenBucket]].
+    * Two integer longs of state per user with lossless full-bucket
+    * eviction; the oracle replays the identical fold in SQL with a
+    * flat BIGINT-list accumulator (slots 1-2 = state, tail =
+    * (id, tokens-left) pairs — the STRUCT-accumulator dodge q306
+    * documented for DuckDB 1.0).
+    */
+  def q392StreamTokenBucket(spark: SparkSession, dir: String): DataFrame =
+      withStreamParallelism(spark) {
+    import graft.streaming.{StreamAgg, StreamTokenBucket}
+    val stream = StreamAgg.parquetStream(spark, s"$dir/events.parquet")
+    val sinkName =
+      "q392_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = StreamTokenBucket.limit(stream)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(sinkName).orderBy("user_id", "event_id")
+  }
+
+  val q392Sql: String = {
+    import graft.streaming.StreamTokenBucket.{CAP_US, COST_US}
+    s"""WITH keyed AS (
+      |  SELECT user_id,
+      |    list_sort(list(struct_pack(ts_us := epoch_us(ts),
+      |                               event_id := event_id))) AS evs
+      |  FROM events GROUP BY 1),
+      |folded AS (
+      |  SELECT user_id, evs,
+      |    list_reduce(
+      |      list_prepend(CAST([$CAP_US, 0] AS BIGINT[]),
+      |        list_transform(range(1, len(evs) + 1),
+      |                       i -> [CAST(i AS BIGINT)])),
+      |      (acc, e) -> CASE
+      |        WHEN least($CAP_US, acc[1] +
+      |            (evs[CAST(e[1] AS INT)].ts_us - acc[2])) >= $COST_US
+      |        THEN list_concat(list_concat(
+      |          [least($CAP_US, acc[1] +
+      |             (evs[CAST(e[1] AS INT)].ts_us - acc[2])) - $COST_US,
+      |           evs[CAST(e[1] AS INT)].ts_us],
+      |          acc[3:]),
+      |          [evs[CAST(e[1] AS INT)].event_id,
+      |           least($CAP_US, acc[1] +
+      |             (evs[CAST(e[1] AS INT)].ts_us - acc[2])) - $COST_US])
+      |        ELSE list_concat(
+      |          [least($CAP_US, acc[1] +
+      |             (evs[CAST(e[1] AS INT)].ts_us - acc[2])),
+      |           evs[CAST(e[1] AS INT)].ts_us],
+      |          acc[3:]) END) AS acc
+      |  FROM keyed)
+      |SELECT user_id,
+      |  CAST(acc[CAST(2 * j + 1 AS INT)] AS BIGINT) AS event_id,
+      |  CAST(acc[CAST(2 * j + 2 AS INT)] AS BIGINT) AS tokens_left_us
+      |FROM folded,
+      |  unnest(generate_series(1, (len(acc) - 2) // 2)) AS t(j)
+      |ORDER BY user_id, event_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q392_stream_token_bucket" -> (q392StreamTokenBucket _),
     "q381_stream_debounce" -> (q381StreamDebounce _),
     "q353_stream_cusum" -> (q353StreamCusum _),
     "q146_session_window" -> Gate.sorted(q146SessionWindow _, "user_id", "start_us"),
@@ -1212,6 +1273,7 @@ object SessionOps {
     "q102_stream_dropdup_wm" -> (q102StreamDropdupWm _))
 
   val oracles: Map[String, String] = Map(
+    "q392_stream_token_bucket" -> q392Sql,
     "q381_stream_debounce" -> q381Sql,
     "q353_stream_cusum" -> q353Sql,
     "q146_session_window" -> q146Sql,

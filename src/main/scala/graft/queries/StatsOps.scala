@@ -3448,6 +3448,69 @@ object StatsOps {
       |FROM a""".stripMargin
   }
 
+  /** q393: QUANTILE TREATMENT EFFECTS — the A/B readout q98's mean
+    * difference hides: how the arms differ AT EACH QUANTILE of the
+    * outcome (a treatment can move the median down and the p75 up —
+    * a heavy-tail shift no mean test sees). Arms are the q391
+    * user-parity assignment; the per-arm p25/p50/p75 are DISCRETE
+    * order statistics (the ⌈p·n⌉-th value) read off one running sum
+    * over the per-arm cents grid — actual data values, so both
+    * engines agree exactly and QTE is pure BIGINT subtraction.
+    */
+  def q393Qte(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val grid = Tables(spark, dir).events
+      .groupBy((col("user_id") % 2).as("arm"), cents.as("v"))
+      .agg(count(lit(1)).as("t"))
+    val wcum = Window.partitionBy("arm").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("cum", sum("t").over(wcum))
+    val ns = grid.groupBy("arm").agg(sum("t").as("n"))
+    val ps = Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L))
+    val plist = ps.map { case (l, nu, de) =>
+      struct(lit(l).as("p_label"), lit(nu).as("nu"), lit(de).as("de"))
+    }
+    val quants = cum.join(broadcast(ns), "arm")
+      .crossJoin(broadcast(
+        Tables(spark, dir).events.sparkSession.range(1)
+          .select(explode(array(plist: _*)).as("p"))
+          .select(col("p.p_label"), col("p.nu"), col("p.de"))))
+      .filter(col("cum") * col("de") >= col("n") * col("nu"))
+      .groupBy("p_label", "arm").agg(min("v").as("q"))
+    quants.groupBy("p_label")
+      .agg(max(when(col("arm") === 0, col("q"))).as("q_a_cents"),
+        max(when(col("arm") === 1, col("q"))).as("q_b_cents"))
+      .select(col("p_label"), col("q_a_cents"), col("q_b_cents"),
+        (col("q_a_cents") - col("q_b_cents")).as("qte_cents"))
+  }
+
+  val q393Sql: String =
+    """WITH grid AS (
+      |  SELECT user_id % 2 AS arm,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS t
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT *, CAST(sum(t) OVER (PARTITION BY arm ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum
+      |  FROM grid),
+      |ns AS (SELECT arm, CAST(sum(t) AS BIGINT) AS n
+      |       FROM grid GROUP BY 1),
+      |ps AS (SELECT * FROM (VALUES ('p25', 1, 4), ('p50', 1, 2),
+      |        ('p75', 3, 4)) AS t(p_label, nu, de)),
+      |qq AS (
+      |  SELECT p.p_label, c.arm, CAST(min(c.v) AS BIGINT) AS q
+      |  FROM cum c JOIN ns ON ns.arm = c.arm, ps p
+      |  WHERE c.cum * p.de >= ns.n * p.nu
+      |  GROUP BY 1, 2)
+      |SELECT p_label,
+      |  CAST(max(CASE WHEN arm = 0 THEN q END) AS BIGINT) AS q_a_cents,
+      |  CAST(max(CASE WHEN arm = 1 THEN q END) AS BIGINT) AS q_b_cents,
+      |  CAST(max(CASE WHEN arm = 0 THEN q END)
+      |    - max(CASE WHEN arm = 1 THEN q END) AS BIGINT) AS qte_cents
+      |FROM qq GROUP BY 1 ORDER BY p_label""".stripMargin
+
   /** q368 order statistics in the Hill tail (top-k). */
   val HILL_K = 100
 
@@ -3528,6 +3591,7 @@ object StatsOps {
     "q387_cluster_deff" -> ((s, d) => q387ClusterDeff(s, d)),
     "q389_sprt" -> Gate.sorted(q389Sprt _, "day"),
     "q390_jonckheere" -> ((s, d) => q390Jonckheere(s, d)),
+    "q393_qte" -> Gate.sorted(q393Qte _, "p_label"),
     "q346_jackknife_ratio" ->
       ((s, d) => q346JackknifeRatio(s, d)),
     "q343_brier_decomposition" ->
@@ -3578,6 +3642,7 @@ object StatsOps {
     "q387_cluster_deff" -> q387Sql,
     "q389_sprt" -> q389Sql,
     "q390_jonckheere" -> q390Sql,
+    "q393_qte" -> q393Sql,
     "q346_jackknife_ratio" -> q346Sql,
     "q343_brier_decomposition" -> q343Sql,
     "q333_isotonic_fit" -> q333Sql,

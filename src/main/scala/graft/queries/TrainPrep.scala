@@ -974,6 +974,94 @@ object TrainPrep {
       |  (ord - 1) % $SHUFFLE_SHARD_DOCS AS offset_in_shard
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** q394 feature binning (n_chars div 100, capped) and weight clip. */
+  val IW_BIN_WIDTH = 100L
+  val IW_BIN_CAP = 10L
+  val IW_MAX_PPM = 5000000L
+
+  /** q394: COVARIATE-SHIFT IMPORTANCE WEIGHTS + EFFECTIVE SAMPLE
+    * SIZE — reweight the full corpus toward a target population (the
+    * English slice) by the binned density ratio w(x) = p_target(x) /
+    * p_source(x), the standard domain-adaptation recipe — then report
+    * what the reweighting COSTS: ESS = (Σw)²/Σw², the number every
+    * mixture designer checks before trusting reweighted statistics
+    * (ESS ≪ n means a few documents carry the corpus). Weights are
+    * exact integer ppm per bin — (t_b·n_s·10⁶) div (s_b·n_t), clipped
+    * at [[IW_MAX_PPM]] — and the ESS sums are exact BIGINTs over the
+    * ≤cap+1 bins; the final ratio is one double division. Output:
+    * per-bin rows (counts, weight, clipped flag) + the '_all' row
+    * (bin −1) carrying ESS and its ratio to n.
+    */
+  def q394ImportanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    val bin = least(expr(s"n_chars div $IW_BIN_WIDTH"), lit(IW_BIN_CAP))
+      .cast("long")
+    val hist = Tables(spark, dir).documents
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("s_b"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_b"))
+    val tot = hist.agg(sum("s_b").as("n_s"), sum("t_b").as("n_t"))
+    val w = hist.crossJoin(broadcast(tot))
+      .withColumn("w_raw_ppm",
+        expr("t_b * n_s * 1000000 div (s_b * n_t)"))
+      .withColumn("w_ppm",
+        least(col("w_raw_ppm"), lit(IW_MAX_PPM)))
+      .withColumn("clipped",
+        when(col("w_raw_ppm") > IW_MAX_PPM, 1L).otherwise(0L))
+    val bins = w.select(col("bin"), col("s_b").as("n_source"),
+      col("t_b").as("n_target"), col("w_ppm"), col("clipped"),
+      lit(0L).as("ess_micro"), lit(0L).as("ess_ratio_micro"))
+    def d(c: Column) = c.cast("double")
+    val allRow = w.agg(sum("s_b").as("ns"), sum("t_b").as("nt"),
+      sum(col("s_b") * col("w_ppm")).as("sw"),
+      sum(col("s_b") * col("w_ppm") * col("w_ppm")).as("sww"),
+      sum(col("clipped") * col("s_b")).as("nclip"))
+      .select(lit(-1L).as("bin"), col("ns").as("n_source"),
+        col("nt").as("n_target"), lit(0L).as("w_ppm"),
+        col("nclip").as("clipped"),
+        floor(d(col("sw")) * d(col("sw")) / d(col("sww")) * lit(1e6) +
+          lit(0.5)).cast("long").as("ess_micro"),
+        floor(d(col("sw")) * d(col("sw")) / d(col("sww")) / d(col("ns"))
+          * lit(1e6) + lit(0.5)).cast("long").as("ess_ratio_micro"))
+    bins.unionByName(allRow)
+  }
+
+  val q394Sql: String =
+    s"""WITH hist AS (
+      |  SELECT least(n_chars // $IW_BIN_WIDTH, $IW_BIN_CAP) AS bin,
+      |    CAST(count(*) AS BIGINT) AS s_b,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS t_b
+      |  FROM documents GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(s_b) AS BIGINT) AS n_s,
+      |    CAST(sum(t_b) AS BIGINT) AS n_t
+      |  FROM hist),
+      |w AS (
+      |  SELECT h.*, t.n_s, t.n_t,
+      |    CAST(t_b * n_s * 1000000 // (s_b * n_t) AS BIGINT) AS w_raw_ppm,
+      |    CAST(least(t_b * n_s * 1000000 // (s_b * n_t), $IW_MAX_PPM)
+      |      AS BIGINT) AS w_ppm,
+      |    CAST(CASE WHEN t_b * n_s * 1000000 // (s_b * n_t) > $IW_MAX_PPM
+      |      THEN 1 ELSE 0 END AS BIGINT) AS clipped
+      |  FROM hist h, tot t)
+      |SELECT bin, s_b AS n_source, t_b AS n_target, w_ppm, clipped,
+      |  CAST(0 AS BIGINT) AS ess_micro, CAST(0 AS BIGINT)
+      |    AS ess_ratio_micro
+      |FROM w
+      |UNION ALL
+      |SELECT -1, CAST(sum(s_b) AS BIGINT), CAST(sum(t_b) AS BIGINT),
+      |  CAST(0 AS BIGINT), CAST(sum(clipped * s_b) AS BIGINT),
+      |  CAST(floor(CAST(sum(s_b * w_ppm) AS DOUBLE) *
+      |      CAST(sum(s_b * w_ppm) AS DOUBLE) /
+      |      CAST(sum(s_b * w_ppm * w_ppm) AS DOUBLE) * 1e6 + 0.5)
+      |    AS BIGINT),
+      |  CAST(floor(CAST(sum(s_b * w_ppm) AS DOUBLE) *
+      |      CAST(sum(s_b * w_ppm) AS DOUBLE) /
+      |      CAST(sum(s_b * w_ppm * w_ppm) AS DOUBLE) /
+      |      CAST(sum(s_b) AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+      |FROM w
+      |ORDER BY bin""".stripMargin
+
   /** q383 sampling interval and starting offset (1-based rank r is
     * sampled iff r % K == C). */
   val SYS_K = 50L
@@ -1787,6 +1875,8 @@ object TrainPrep {
     "q109_global_shuffle" -> Gate.sorted(q109GlobalShuffle _, "doc_id"),
     "q383_systematic_sample" ->
       Gate.sorted(q383SystematicSample _, "o_orderkey"),
+    "q394_importance_weights" ->
+      Gate.sorted(q394ImportanceWeights _, "bin"),
     "q101_bigram_lm_score" -> Gate.sorted(q101BigramLmScore _, "doc_id"),
     "q86_word_coocc" -> Gate.sorted(q86WordCoocc _, "w1", "w2"),
     "q57_shard_manifest" -> Gate.sorted(q57ShardManifest _, "shard"),
@@ -1823,6 +1913,7 @@ object TrainPrep {
     "q108_weighted_sample" -> q108Sql,
     "q109_global_shuffle" -> q109Sql,
     "q383_systematic_sample" -> q383Sql,
+    "q394_importance_weights" -> q394Sql,
     "q101_bigram_lm_score" -> q101Sql,
     "q86_word_coocc" -> q86Sql,
     "q57_shard_manifest" -> q57Sql,

@@ -962,6 +962,23 @@ class PlanAuditSpec extends SparkSpec {
       s"q391's funnel window must partition by user_id, got: $specs391")
   }
 
+  test("q393/q394: quantile grids and histograms collapse map-side; " +
+    "cum windows partition by arm") {
+    val p393 = plan(graft.queries.StatsOps.q393Qte(spark, sfDir))
+    assert(!p393.contains("CartesianProduct"))
+    assert(p393.contains("partial_"),
+      "the fact must collapse to the per-arm value grid map-side")
+    val specs393 = "windowspecdefinition\\(([^,)]*)".r
+      .findAllMatchIn(p393).map(_.group(1)).toSeq
+    assert(specs393.nonEmpty && specs393.forall(_.startsWith("arm")),
+      s"q393 windows must partition by arm, got: $specs393")
+    val p394 = plan(
+      graft.queries.TrainPrep.q394ImportanceWeights(spark, sfDir))
+    assert(!p394.contains("CartesianProduct"))
+    assert(p394.contains("partial_"),
+      "the document scan must collapse to the bin histogram map-side")
+  }
+
   test("q325: the streaming state is a sketch aggregate, not a dedup") {
     // batch-side equivalent of the streaming plan: the aggregation
     // carries hll_sketch_agg, so state per group is one buffer
