@@ -624,12 +624,15 @@ object GraphOps {
     val pairs = coPurchaseEdges(spark, dir)
     val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
       .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+    // checkpoint the degree table FIRST: seeds and r0 both derive
+    // from it, and without the pin each would re-run the co-purchase
+    // self-join (measured: 15.0 s -> the q103 price at sf0.1)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     val edgesD = edges.join(deg, "src")
       .repartition(col("src")).localCheckpoint(true)
     val seeds = deg.select(col("src").as("node"))
       .filter(col("node") % 50 === PPR_SEED_MOD)
-      .localCheckpoint(true)
     var ranks = deg.select(col("src").as("node"),
       when(col("src") % 50 === PPR_SEED_MOD, lit(1000000000L))
         .otherwise(0L).as("rank"))

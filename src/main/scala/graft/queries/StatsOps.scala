@@ -2457,9 +2457,12 @@ object StatsOps {
     * C(k,2) Welch tests and BH-correcting, q350, loses power; ANOVA
     * is the front door). SSB = Σsₘ²/nₘ − S²/N and SSW = Σx² − Σsₘ²/nₘ
     * from exact BIGINT cents moments; the per-group sₘ²/nₘ terms are
-    * micro-quantized BEFORE the cross-group sum (the q139/q347 rule),
-    * Σx² stays a raw exact integer, and F is one double expression
-    * over those integers.
+    * quantized to the UNIT (cents²) grid BEFORE the cross-group sum —
+    * the q372 rule, not the micro grid: s²/n reaches ~5e13 cents² at
+    * sf1 and a micro grid overflows BIGINT (caught by the sf1 scale
+    * run). A 0.5 cents² error moves F by ~1e-13. Σx² stays a raw
+    * exact integer, and F is one double expression over those
+    * integers.
     *
     * Scale shape: one map-side-combined rollup to k rows; arithmetic
     * after.
@@ -2472,19 +2475,19 @@ object StatsOps {
         sum(cents * cents).as("ss"))
     val terms = g.select(col("n"), col("s"), col("ss"),
       floor(col("s").cast("double") * col("s").cast("double") /
-        col("n").cast("double") * lit(1e6) + lit(0.5)).cast("long")
+        col("n").cast("double") + lit(0.5)).cast("long")
         .as("aq"))
     val tot = terms.agg(sum("n").as("nn"), sum("s").as("stot"),
-      sum("ss").as("sstot"), sum("aq").as("a_micro"),
+      sum("ss").as("sstot"), sum("aq").as("a_unit"),
       count(lit(1)).as("k"))
     def d(c: String) = col(c).cast("double")
-    val bMicro = floor(d("stot") * d("stot") / d("nn") * lit(1e6) +
+    val bUnit = floor(d("stot") * d("stot") / d("nn") +
       lit(0.5)).cast("long")
     tot.select(col("nn").as("n_total"), col("k").as("k_groups"),
-      (col("a_micro") - bMicro).as("ssb_micro"),
-      floor(((d("a_micro") - bMicro.cast("double")) / lit(1e6) /
+      (col("a_unit") - bUnit).as("ssb_unit"),
+      floor(((d("a_unit") - bUnit.cast("double")) /
         (d("k") - lit(1.0d))) /
-        ((d("sstot") - d("a_micro") / lit(1e6)) /
+        ((d("sstot") - d("a_unit")) /
           (d("nn") - d("k"))) * lit(1e6) + lit(0.5)).cast("long")
         .as("f_micro"))
   }
@@ -2501,23 +2504,23 @@ object StatsOps {
       |t AS (
       |  SELECT n, s, ss,
       |    CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
-      |      CAST(n AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS aq
+      |      CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS aq
       |  FROM g),
       |a AS (
       |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS stot,
       |    CAST(sum(ss) AS BIGINT) AS sstot,
-      |    CAST(sum(aq) AS BIGINT) AS a_micro,
+      |    CAST(sum(aq) AS BIGINT) AS a_unit,
       |    CAST(count(*) AS BIGINT) AS k
       |  FROM t)
       |SELECT nn AS n_total, k AS k_groups,
-      |  a_micro - CAST(floor(CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) /
-      |    CAST(nn AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS ssb_micro,
+      |  a_unit - CAST(floor(CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) /
+      |    CAST(nn AS DOUBLE) + 0.5) AS BIGINT) AS ssb_unit,
       |  CAST(floor(
-      |    ((CAST(a_micro AS DOUBLE) -
+      |    ((CAST(a_unit AS DOUBLE) -
       |      CAST(CAST(floor(CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) /
-      |        CAST(nn AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS DOUBLE)) / 1e6 /
+      |        CAST(nn AS DOUBLE) + 0.5) AS BIGINT) AS DOUBLE)) /
       |     (CAST(k AS DOUBLE) - 1.0)) /
-      |    ((CAST(sstot AS DOUBLE) - CAST(a_micro AS DOUBLE) / 1e6) /
+      |    ((CAST(sstot AS DOUBLE) - CAST(a_unit AS DOUBLE)) /
       |     (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))) * 1e6 + 0.5)
       |    AS BIGINT) AS f_micro
       |FROM a""".stripMargin
@@ -2782,8 +2785,9 @@ object StatsOps {
     * statistic — an actual cents value, so both engines agree exactly)
     * from one running sum over the per-group cents grid; then the
     * classic one-way F on the absolute deviations z = |x − med|, all
-    * moments exact BIGINTs with the per-group s²/n terms
-    * micro-quantized before the cross-group sum (the q369 rule).
+    * moments exact BIGINTs with the per-group s²/n terms quantized to
+    * the UNIT grid before the cross-group sum (the q372 rule — a
+    * micro grid overflows BIGINT at sf1, caught by the scale run).
     * Output: one row per group (n, median, mean |dev|) plus the '_all'
     * row carrying the F statistic.
     *
@@ -2813,19 +2817,19 @@ object StatsOps {
         sum(col("t") * col("z") * col("z")).as("ss"))
     def d(c: String) = col(c).cast("double")
     val terms = g.withColumn("aq",
-      floor(d("s") * d("s") / d("n") * lit(1e6) + lit(0.5)).cast("long"))
+      floor(d("s") * d("s") / d("n") + lit(0.5)).cast("long"))
     val tot = terms.agg(sum("n").as("nn"), sum("s").as("stot"),
-      sum("ss").as("sstot"), sum("aq").as("a_micro"),
+      sum("ss").as("sstot"), sum("aq").as("a_unit"),
       count(lit(1)).as("k"))
-    val bMicro = floor(d("stot") * d("stot") / d("nn") * lit(1e6) +
+    val bUnit = floor(d("stot") * d("stot") / d("nn") +
       lit(0.5)).cast("long")
     val allRow = tot.select(lit("_all").as("event_type"),
       col("nn").as("n"), lit(0L).as("med_cents"),
       floor(d("stot") / d("nn") * lit(1e6) + lit(0.5)).cast("long")
         .as("mad_micro"),
-      floor(((d("a_micro") - bMicro.cast("double")) / lit(1e6) /
+      floor(((d("a_unit") - bUnit.cast("double")) /
         (d("k") - lit(1.0d))) /
-        ((d("sstot") - d("a_micro") / lit(1e6)) /
+        ((d("sstot") - d("a_unit")) /
           (d("nn") - d("k"))) * lit(1e6) + lit(0.5)).cast("long")
         .as("f_micro"))
     terms.select(col("event_type"), col("n"), col("med").as("med_cents"),
@@ -2861,12 +2865,12 @@ object StatsOps {
       |  GROUP BY 1),
       |terms AS (
       |  SELECT *, CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
-      |    CAST(n AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS aq
+      |    CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS aq
       |  FROM g),
       |tot AS (
       |  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS stot,
       |    CAST(sum(ss) AS BIGINT) AS sstot,
-      |    CAST(sum(aq) AS BIGINT) AS a_micro,
+      |    CAST(sum(aq) AS BIGINT) AS a_unit,
       |    CAST(count(*) AS BIGINT) AS k
       |  FROM terms)
       |SELECT event_type, n, med AS med_cents,
@@ -2879,11 +2883,11 @@ object StatsOps {
       |  CAST(floor(CAST(stot AS DOUBLE) / CAST(nn AS DOUBLE) * 1e6 + 0.5)
       |    AS BIGINT),
       |  CAST(floor(
-      |    ((CAST(a_micro AS DOUBLE) -
+      |    ((CAST(a_unit AS DOUBLE) -
       |      CAST(CAST(floor(CAST(stot AS DOUBLE) * CAST(stot AS DOUBLE) /
-      |        CAST(nn AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS DOUBLE)) / 1e6 /
+      |        CAST(nn AS DOUBLE) + 0.5) AS BIGINT) AS DOUBLE)) /
       |     (CAST(k AS DOUBLE) - 1.0)) /
-      |    ((CAST(sstot AS DOUBLE) - CAST(a_micro AS DOUBLE) / 1e6) /
+      |    ((CAST(sstot AS DOUBLE) - CAST(a_unit AS DOUBLE)) /
       |     (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE))) * 1e6 + 0.5)
       |    AS BIGINT)
       |FROM tot

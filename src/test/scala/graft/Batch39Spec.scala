@@ -21,14 +21,16 @@ class Batch39Spec extends SparkSpec {
     val stot = g.map(_._2).sum
     val sstot = g.map(_._3).sum
     val k = g.size.toLong
-    val aMicro = g.map { case (n, s, _) =>
-      math.floor(s.toDouble * s.toDouble / n.toDouble * 1e6 + 0.5).toLong
+    // UNIT (cents²) grid — the q372 rule; a micro grid overflows
+    // BIGINT at sf1 (caught by the round-7 scale run)
+    val aUnit = g.map { case (n, s, _) =>
+      math.floor(s.toDouble * s.toDouble / n.toDouble + 0.5).toLong
     }.sum
-    val bMicro = math.floor(stot.toDouble * stot.toDouble / nn.toDouble *
-      1e6 + 0.5).toLong
-    val f = ((aMicro.toDouble - bMicro.toDouble) / 1e6 / (k - 1.0)) /
-      ((sstot.toDouble - aMicro.toDouble / 1e6) / (nn.toDouble - k))
-    val want = (nn, k, aMicro - bMicro,
+    val bUnit = math.floor(stot.toDouble * stot.toDouble / nn.toDouble +
+      0.5).toLong
+    val f = ((aUnit.toDouble - bUnit.toDouble) / (k - 1.0)) /
+      ((sstot.toDouble - aUnit.toDouble) / (nn.toDouble - k))
+    val want = (nn, k, aUnit - bUnit,
       math.floor(f * 1e6 + 0.5).toLong)
     val got = graft.queries.StatsOps.q369AnovaF(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

@@ -76,16 +76,16 @@ class Batch41Spec extends SparkSpec {
     }
     val nn = g.map(_._2).sum
     val k = g.length.toLong
-    val aMicro = g.map { case (_, n, _, s, _) =>
-      math.floor(s.toDouble * s.toDouble / n.toDouble * 1e6 + 0.5).toLong
+    val aUnit = g.map { case (_, n, _, s, _) =>
+      math.floor(s.toDouble * s.toDouble / n.toDouble + 0.5).toLong
     }.sum
     val stot = g.map(_._4).sum.toLong
     val sstot = g.map(_._5).sum.toLong
-    val bMicro =
-      math.floor(stot.toDouble * stot.toDouble / nn.toDouble * 1e6 + 0.5)
+    val bUnit =
+      math.floor(stot.toDouble * stot.toDouble / nn.toDouble + 0.5)
         .toLong
-    val f = ((aMicro.toDouble - bMicro.toDouble) / 1e6 / (k - 1.0)) /
-      ((sstot.toDouble - aMicro.toDouble / 1e6) / (nn.toDouble - k))
+    val f = ((aUnit.toDouble - bUnit.toDouble) / (k - 1.0)) /
+      ((sstot.toDouble - aUnit.toDouble) / (nn.toDouble - k))
     val wantAll = ("_all", nn, 0L,
       math.floor(stot.toDouble / nn.toDouble * 1e6 + 0.5).toLong,
       math.floor(f * 1e6 + 0.5).toLong)
