@@ -169,6 +169,78 @@ object LlmText {
       | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q397: HEAPS'-LAW FIT — vocabulary growth V ≈ K·nᵝ estimated by
+    * log-log OLS over the per-source (tokens, distinct tokens) points
+    * (the q123 Zipf idiom, with sources as the sample instead of
+    * ranks). β is the corpus-linguistics dial a data mixer reads:
+    * natural text sits near β≈0.5-0.6, templated/duplicated corpora
+    * collapse toward 0, and token-soup noise runs toward 1. Per-source
+    * vocab is one explode + distinct rollup bounded by
+    * |sources × vocab|; the ln points are micro-quantized per source
+    * before the ≤|sources| OLS moment sums.
+    */
+  def q397HeapsFit(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val bySrc = toks.groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct("tok").as("n_vocab"))
+    val pts = bySrc.select(
+      floor(log(col("n_tokens").cast("double")) * lit(1e6) + lit(0.5))
+        .cast("long").as("x"),
+      floor(log(col("n_vocab").cast("double")) * lit(1e6) + lit(0.5))
+        .cast("long").as("y"))
+    val m = pts.agg(count(lit(1)).as("k"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    def d(c: String) = col(c).cast("double")
+    val beta = (d("k") * d("sxy") - d("sx") * d("sy")) /
+      (d("k") * d("sxx") - d("sx") * d("sx"))
+    val lnK = (d("sy") - beta * d("sx")) / d("k") / lit(1e6)
+    m.select(col("k").as("n_sources"),
+      floor(beta * lit(1e6) + lit(0.5)).cast("long").as("beta_micro"),
+      floor(exp(lnK) * lit(1e6) + lit(0.5)).cast("long").as("k_micro"))
+  }
+
+  val q397Sql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '\s+'), t -> t != ''))
+      |    AS tok
+      |  FROM documents),
+      |bysrc AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab
+      |  FROM toks GROUP BY 1),
+      |pts AS (
+      |  SELECT
+      |    CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+      |      AS x,
+      |    CAST(floor(ln(CAST(n_vocab AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+      |      AS y
+      |  FROM bysrc),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM pts)
+      |SELECT k AS n_sources,
+      |  CAST(floor((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1e6 + 0.5)
+      |    AS BIGINT) AS beta_micro,
+      |  CAST(floor(exp((CAST(sy AS DOUBLE)
+      |      - (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |        (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |        * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE) / 1e6) * 1e6
+      |    + 0.5) AS BIGINT) AS k_micro
+      |FROM m""".stripMargin
+
   /** q382 spectrum cap: word lengths above this collapse into one
     * overflow bin, so the rollup is bounded by |sources| × (cap+1)
     * regardless of corpus pathology (a 10 MB unbroken line must not
@@ -1323,6 +1395,7 @@ object LlmText {
     "q34_token_count" -> Gate.sorted(q34TokenCount _, "doc_id"),
     "q382_wordlen_spectrum" ->
       Gate.sorted(q382WordlenSpectrum _, "source", "len"),
+    "q397_heaps_fit" -> ((s, d) => q397HeapsFit(s, d)),
     "q35_doc_fingerprint" -> Gate.sorted(q35DocFingerprint _, "doc_id"),
     "q36_multimodal_meta" -> Gate.sorted(q36MultimodalMeta _, "doc_id"),
     "q54_text_normalize" -> Gate.sorted(q54TextNormalize _, "doc_id"),
@@ -1353,6 +1426,7 @@ object LlmText {
     "q33_text_quality" -> q33Sql,
     "q34_token_count" -> q34Sql,
     "q382_wordlen_spectrum" -> q382Sql,
+    "q397_heaps_fit" -> q397Sql,
     "q35_doc_fingerprint" -> q35Sql,
     "q36_multimodal_meta" -> q36Sql,
     "q54_text_normalize" -> q54Sql,

@@ -3515,6 +3515,191 @@ object StatsOps {
       |    - max(CASE WHEN arm = 1 THEN q END) AS BIGINT) AS qte_cents
       |FROM qq GROUP BY 1 ORDER BY p_label""".stripMargin
 
+  /** q395: CRAMÉR–VON MISES TWO-SAMPLE TEST — does the value
+    * distribution of 'click' events differ from 'view' events ACROSS
+    * THE WHOLE CDF? The integral complement of q210's KS (KS sees the
+    * single worst gap; CvM integrates every gap, so it catches broad
+    * mild shifts KS misses). On the pooled cents grid the statistic is
+    * T = (n₁n₂/N²)·Σ_v t_v·(F₁(v) − F₂(v))²: the CDF difference per
+    * grid value is the exact integer cross-product c₁n₂ − c₂n₁, the
+    * per-value terms t_v·(diff/(n₁n₂))² are pico-quantized before the
+    * cross-value sum (diff² crosses 2^63 at sf1 — the integer form is
+    * kept only inside the exact BIGINT diff), and T is one double
+    * expression over the integer sum.
+    */
+  val CVM_A = "click"
+  val CVM_B = "view"
+
+  def q395CramerVonMises(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val grid = Tables(spark, dir).events
+      .filter(col("event_type").isin(CVM_A, CVM_B))
+      .groupBy(cents.as("v"))
+      .agg(sum(when(col("event_type") === CVM_A, 1L).otherwise(0L))
+        .as("t1"),
+        sum(when(col("event_type") === CVM_B, 1L).otherwise(0L))
+          .as("t2"))
+    val wV = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("c1", sum("t1").over(wV))
+      .withColumn("c2", sum("t2").over(wV))
+    val ns = grid.agg(sum("t1").as("n1"), sum("t2").as("n2"))
+    def d(c: Column) = c.cast("double")
+    val terms = cum.crossJoin(broadcast(ns))
+      .select(col("n1"), col("n2"),
+        floor((col("t1") + col("t2")).cast("double") *
+          (d(col("c1") * col("n2") - col("c2") * col("n1")) /
+            (d(col("n1")) * d(col("n2")))) *
+          (d(col("c1") * col("n2") - col("c2") * col("n1")) /
+            (d(col("n1")) * d(col("n2")))) * lit(1e12) + lit(0.5))
+          .cast("long").as("term_pico"))
+    terms.agg(max("n1").as("n1"), max("n2").as("n2"),
+      sum("term_pico").as("sp"))
+      .select(col("n1"), col("n2"),
+        floor(d(col("sp")) / lit(1e12) *
+          d(col("n1")) * d(col("n2")) /
+          ((d(col("n1")) + d(col("n2"))) * (d(col("n1")) + d(col("n2"))))
+          * lit(1e6) + lit(0.5)).cast("long").as("t_micro"))
+  }
+
+  val q395Sql: String =
+    s"""WITH grid AS (
+      |  SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+      |    CAST(sum(CASE WHEN event_type = '$CVM_A' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS t1,
+      |    CAST(sum(CASE WHEN event_type = '$CVM_B' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS t2
+      |  FROM events WHERE event_type IN ('$CVM_A', '$CVM_B')
+      |  GROUP BY 1),
+      |cum AS (
+      |  SELECT *,
+      |    CAST(sum(t1) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS c1,
+      |    CAST(sum(t2) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS c2
+      |  FROM grid),
+      |ns AS (SELECT CAST(sum(t1) AS BIGINT) AS n1,
+      |         CAST(sum(t2) AS BIGINT) AS n2 FROM grid),
+      |terms AS (
+      |  SELECT ns.n1, ns.n2,
+      |    CAST(floor(CAST(t1 + t2 AS DOUBLE) *
+      |      (CAST(c1 * ns.n2 - c2 * ns.n1 AS DOUBLE) /
+      |        (CAST(ns.n1 AS DOUBLE) * CAST(ns.n2 AS DOUBLE))) *
+      |      (CAST(c1 * ns.n2 - c2 * ns.n1 AS DOUBLE) /
+      |        (CAST(ns.n1 AS DOUBLE) * CAST(ns.n2 AS DOUBLE))) * 1e12
+      |      + 0.5) AS BIGINT) AS term_pico
+      |  FROM cum, ns)
+      |SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+      |  CAST(floor(CAST(sum(term_pico) AS DOUBLE) / 1e12 *
+      |    CAST(max(n1) AS DOUBLE) * CAST(max(n2) AS DOUBLE) /
+      |    ((CAST(max(n1) AS DOUBLE) + CAST(max(n2) AS DOUBLE)) *
+      |     (CAST(max(n1) AS DOUBLE) + CAST(max(n2) AS DOUBLE))) * 1e6
+      |    + 0.5) AS BIGINT) AS t_micro
+      |FROM terms""".stripMargin
+
+  /** q396 design: K=4 weekly interims, O'Brien–Fleming two-sided
+    * z-boundaries for overall α=0.05 (O'Brien & Fleming 1979; the
+    * classic table values), null rate p0 = the q389 design's 0.20
+    * midpoint. Boundaries are VERBATIM micro literals in both
+    * engines. */
+  val OBF_BOUNDS_MICRO: Seq[Long] =
+    Seq(4048000L, 2862000L, 2337000L, 2024000L)
+  val OBF_P0 = 0.20
+
+  /** q396: GROUP-SEQUENTIAL INTERIM ANALYSIS (O'Brien–Fleming) — the
+    * regulated-trial cousin of q389's SPRT: look at the data K=4
+    * times (weekly), spend almost no α early (boundary 4.05σ at week
+    * 1) and retain full power at the end (2.02σ at week 4), so early
+    * stopping is possible WITHOUT inflating the false-positive rate
+    * the way repeated fixed-level peeking does. Per interim: the
+    * cumulative purchase-share z against p0 from exact BIGINT counts,
+    * the boundary literal, and the latched first-crossing decision.
+    */
+  def q396ObfInterims(spark: SparkSession, dir: String): DataFrame = {
+    val minDay = Tables(spark, dir).events
+      .agg(min(expr("unix_micros(ts) div 86400000000")).as("d0"))
+    val weekly = Tables(spark, dir).events
+      .crossJoin(broadcast(minDay))
+      .select(least(
+        expr("(unix_micros(ts) div 86400000000 - d0) div 7 + 1"),
+        lit(4L)).as("k"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("p"))
+      .groupBy("k").agg(count(lit(1)).as("dn"), sum("p").as("dk"))
+    val wK = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = weekly
+      .withColumn("n", sum("dn").over(wK))
+      .withColumn("x", sum("dk").over(wK))
+    val bound = (2 to 4).foldLeft(
+      when(col("k") === 1, lit(OBF_BOUNDS_MICRO.head))) {
+      (acc, i) => acc.when(col("k") === i, lit(OBF_BOUNDS_MICRO(i - 1)))
+    }
+    def d(c: Column) = c.cast("double")
+    val z = (d(col("x")) / d(col("n")) - lit(OBF_P0)) /
+      sqrt(lit(OBF_P0 * (1.0 - OBF_P0)) / d(col("n")))
+    val scored = cum.select(col("k"), col("n"), col("x"),
+      floor(z * lit(1e6) + lit(0.5)).cast("long").as("z_micro"),
+      bound.as("bound_micro"))
+      .withColumn("crossed",
+        when(abs(col("z_micro")) >= col("bound_micro"), 1L)
+          .otherwise(0L))
+    val wAll = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("first_cross_k",
+        coalesce(min(when(col("crossed") === 1L, col("k"))).over(wAll),
+          lit(-1L)))
+      .select(col("k"), col("n"), col("x"), col("z_micro"),
+        col("bound_micro"), col("crossed"), col("first_cross_k"))
+  }
+
+  val q396Sql: String = {
+    val bounds = OBF_BOUNDS_MICRO.zipWithIndex.map { case (b, i) =>
+      s"WHEN k = ${i + 1} THEN $b"
+    }.mkString(" ")
+    s"""WITH d0 AS (
+      |  SELECT CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) AS d0
+      |  FROM events),
+      |weekly AS (
+      |  SELECT least((epoch_us(ts) // 86400000000 - d0.d0) // 7 + 1, 4)
+      |    AS k,
+      |    CAST(count(*) AS BIGINT) AS dn,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS dk
+      |  FROM events, d0 GROUP BY 1),
+      |cum AS (
+      |  SELECT k,
+      |    CAST(sum(dn) OVER (ORDER BY k
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS n,
+      |    CAST(sum(dk) OVER (ORDER BY k
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS x
+      |  FROM weekly),
+      |scored AS (
+      |  SELECT k, n, x,
+      |    CAST(floor((CAST(x AS DOUBLE) / CAST(n AS DOUBLE) - $OBF_P0) /
+      |      sqrt(${OBF_P0 * (1.0 - OBF_P0)} / CAST(n AS DOUBLE)) * 1e6
+      |      + 0.5) AS BIGINT) AS z_micro,
+      |    CAST(CASE $bounds END AS BIGINT) AS bound_micro
+      |  FROM cum),
+      |s2 AS (
+      |  SELECT *, CASE WHEN abs(z_micro) >= bound_micro THEN 1 ELSE 0 END
+      |    AS crossed
+      |  FROM scored)
+      |SELECT k, n, x, z_micro, bound_micro, CAST(crossed AS BIGINT)
+      |    AS crossed,
+      |  CAST(COALESCE(min(CASE WHEN crossed = 1 THEN k END)
+      |    OVER (ORDER BY k
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+      |    AS BIGINT) AS first_cross_k
+      |FROM s2 ORDER BY k""".stripMargin
+  }
+
   /** q368 order statistics in the Hill tail (top-k). */
   val HILL_K = 100
 
@@ -3596,6 +3781,8 @@ object StatsOps {
     "q389_sprt" -> Gate.sorted(q389Sprt _, "day"),
     "q390_jonckheere" -> ((s, d) => q390Jonckheere(s, d)),
     "q393_qte" -> Gate.sorted(q393Qte _, "p_label"),
+    "q395_cvm_test" -> ((s, d) => q395CramerVonMises(s, d)),
+    "q396_obf_interims" -> Gate.sorted(q396ObfInterims _, "k"),
     "q346_jackknife_ratio" ->
       ((s, d) => q346JackknifeRatio(s, d)),
     "q343_brier_decomposition" ->
@@ -3647,6 +3834,8 @@ object StatsOps {
     "q389_sprt" -> q389Sql,
     "q390_jonckheere" -> q390Sql,
     "q393_qte" -> q393Sql,
+    "q395_cvm_test" -> q395Sql,
+    "q396_obf_interims" -> q396Sql,
     "q346_jackknife_ratio" -> q346Sql,
     "q343_brier_decomposition" -> q343Sql,
     "q333_isotonic_fit" -> q333Sql,

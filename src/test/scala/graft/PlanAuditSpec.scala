@@ -979,6 +979,32 @@ class PlanAuditSpec extends SparkSpec {
       "the document scan must collapse to the bin histogram map-side")
   }
 
+  test("q395-q397: CDF/interim walks consume aggregated series; the " +
+    "Heaps rollup collapses map-side") {
+    Seq(
+      graft.queries.StatsOps.q395CramerVonMises(spark, sfDir),
+      graft.queries.StatsOps.q396ObfInterims(spark, sfDir)
+    ).foreach { df =>
+      val opt = df.queryExecution.optimizedPlan
+      def check(n: org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan): Unit = n match {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          assert(w.collectFirst {
+            case a: org.apache.spark.sql.catalyst.plans.logical
+              .Aggregate => a
+          }.nonEmpty, "window must consume an aggregated series")
+          w.children.foreach(check)
+        case other => other.children.foreach(check)
+      }
+      check(opt)
+      assert(!plan(df).contains("CartesianProduct"))
+    }
+    val p397 = plan(graft.queries.LlmText.q397HeapsFit(spark, sfDir))
+    assert(!p397.contains("CartesianProduct"))
+    assert(p397.contains("partial_"),
+      "the token stream must collapse map-side to per-source points")
+  }
+
   test("q325: the streaming state is a sketch aggregate, not a dedup") {
     // batch-side equivalent of the streaming plan: the aggregation
     // carries hll_sketch_agg, so state per group is one buffer
