@@ -1959,7 +1959,76 @@ object EventAnalytics {
       |ORDER BY cohort""".stripMargin
   }
 
+  /** q398: CAPTURE–RECAPTURE POPULATION ESTIMATE — how many users
+    * exist, estimated from two overlapping observation windows (day
+    * 1 "marks" users, day 2 "recaptures" them — single days, because
+    * at the fixture's 2.2 events/user/day a WEEK window captures
+    * everyone and the estimator degenerates to m = n₁ = n₂; measured
+    * before landing): Chapman's
+    * bias-corrected Lincoln–Petersen N̂ = (n₁+1)(n₂+1)/(m+1) − 1.
+    * The estimator every analytics stack reaches for when the
+    * tracking surface is partial (log sampling, consent gaps) — and
+    * because the fixture logs EVERYONE, the query also reports the
+    * true two-week population and the estimator's signed error, making
+    * the gate a measured calibration check, not just arithmetic. One
+    * per-user rollup carrying two membership bits; everything after
+    * is integer.
+    */
+  def q398CaptureRecapture(spark: SparkSession, dir: String): DataFrame = {
+    val d0 = Tables(spark, dir).events
+      .agg(min(expr("unix_micros(ts) div 86400000000")).as("d0"))
+    val pu = Tables(spark, dir).events
+      .crossJoin(broadcast(d0))
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000 - d0").as("wk"))
+      .filter(col("wk").isin(0L, 1L))
+      .groupBy("user_id")
+      .agg(max(when(col("wk") === 0L, 1L).otherwise(0L)).as("in1"),
+        max(when(col("wk") === 1L, 1L).otherwise(0L)).as("in2"))
+    val m = pu.agg(sum("in1").as("n1"), sum("in2").as("n2"),
+      sum(col("in1") * col("in2")).as("m"),
+      count(lit(1)).as("n_true"))
+    def d(c: String) = col(c).cast("double")
+    val nHat = (d("n1") + lit(1.0d)) * (d("n2") + lit(1.0d)) /
+      (d("m") + lit(1.0d)) - lit(1.0d)
+    m.select(col("n1").as("n_day1"), col("n2").as("n_day2"),
+      col("m").as("n_both"), col("n_true"),
+      floor(nHat * lit(1e6) + lit(0.5)).cast("long").as("n_hat_micro"),
+      floor((nHat / d("n_true") - lit(1.0d)) * lit(1e6) + lit(0.5))
+        .cast("long").as("err_ppm"))
+  }
+
+  val q398Sql: String =
+    """WITH d0 AS (
+      |  SELECT CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) AS d0
+      |  FROM events),
+      |pu AS (
+      |  SELECT user_id,
+      |    CAST(max(CASE WHEN epoch_us(ts) // 86400000000 - d0.d0
+      |      = 0 THEN 1 ELSE 0 END) AS BIGINT) AS in1,
+      |    CAST(max(CASE WHEN epoch_us(ts) // 86400000000 - d0.d0
+      |      = 1 THEN 1 ELSE 0 END) AS BIGINT) AS in2
+      |  FROM events, d0
+      |  WHERE epoch_us(ts) // 86400000000 - d0.d0 IN (0, 1)
+      |  GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(sum(in1) AS BIGINT) AS n1,
+      |    CAST(sum(in2) AS BIGINT) AS n2,
+      |    CAST(sum(in1 * in2) AS BIGINT) AS m,
+      |    CAST(count(*) AS BIGINT) AS n_true
+      |  FROM pu)
+      |SELECT n1 AS n_day1, n2 AS n_day2, m AS n_both, n_true,
+      |  CAST(floor(((CAST(n1 AS DOUBLE) + 1.0) *
+      |    (CAST(n2 AS DOUBLE) + 1.0) / (CAST(m AS DOUBLE) + 1.0) - 1.0)
+      |    * 1e6 + 0.5) AS BIGINT) AS n_hat_micro,
+      |  CAST(floor((((CAST(n1 AS DOUBLE) + 1.0) *
+      |    (CAST(n2 AS DOUBLE) + 1.0) / (CAST(m AS DOUBLE) + 1.0) - 1.0)
+      |    / CAST(n_true AS DOUBLE) - 1.0) * 1e6 + 0.5) AS BIGINT)
+      |    AS err_ppm
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q398_capture_recapture" -> ((s, d) => q398CaptureRecapture(s, d)),
     "q391_funnel_cohort_z" ->
       Gate.sorted(q391FunnelCohortZ _, "cohort"),
     "q361_post_strat_ate" -> Gate.sorted(q361PostStratAte _, "stratum"),
@@ -1994,6 +2063,7 @@ object EventAnalytics {
     "q75_rolling_features" -> Gate.sorted(q75RollingFeatures _, "user_id", "event_id"))
 
   val oracles: Map[String, String] = Map(
+    "q398_capture_recapture" -> q398Sql,
     "q391_funnel_cohort_z" -> q391Sql,
     "q361_post_strat_ate" -> q361Sql,
     "q347_log_rank" -> q347Sql,

@@ -3700,6 +3700,198 @@ object StatsOps {
       |FROM s2 ORDER BY k""".stripMargin
   }
 
+  /** q399: DELTA-METHOD CI FOR A RATIO METRIC — revenue per click
+    * with a linearization standard error: the closed-form cousin of
+    * q346's delete-a-group jackknife (same estimand; the jackknife
+    * resamples, the delta method expands — production dashboards run
+    * this one because it's one scan). The residual sum of squares
+    * needs no second pass: Σ(yᵢ − r·xᵢ)² = Σy² − 2rΣxy + r²Σx² with
+    * every moment an exact per-user BIGINT; r, SE and the 1.96 CI are
+    * one double expression over those integers.
+    */
+  def q399DeltaRatio(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables(spark, dir).events
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+        .as("x"),
+        sum(when(col("event_type") === "purchase",
+          floor(col("value") * 100 + lit(0.5)).cast("long"))
+          .otherwise(0L)).as("y"))
+    val m = perUser.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val r = d("sy") / d("sx")
+    val rss = d("syy") - lit(2.0d) * r * d("sxy") + r * r * d("sxx")
+    val se = sqrt(d("n") / (d("n") - lit(1.0d)) * rss) / d("sx")
+    m.select(col("n").as("n_users"), col("sx").as("n_clicks"),
+      col("sy").as("rev_cents"),
+      floor(r * lit(1e6) + lit(0.5)).cast("long").as("ratio_micro"),
+      floor(se * lit(1e6) + lit(0.5)).cast("long").as("se_micro"),
+      floor((r - lit(1.96d) * se) * lit(1e6) + lit(0.5)).cast("long")
+        .as("lo_micro"),
+      floor((r + lit(1.96d) * se) * lit(1e6) + lit(0.5)).cast("long")
+        .as("hi_micro"))
+  }
+
+  val q399Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM pu)
+      |SELECT n AS n_users, sx AS n_clicks, sy AS rev_cents,
+      |  CAST(floor(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) * 1e6 + 0.5)
+      |    AS BIGINT) AS ratio_micro,
+      |  CAST(floor(sqrt(CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0) *
+      |    (CAST(syy AS DOUBLE)
+      |      - 2.0 * CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) *
+      |        CAST(sxy AS DOUBLE)
+      |      + CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) *
+      |        CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) *
+      |        CAST(sxx AS DOUBLE))) / CAST(sx AS DOUBLE) * 1e6 + 0.5)
+      |    AS BIGINT) AS se_micro,
+      |  CAST(floor((CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)
+      |    - 1.96 * sqrt(CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0) *
+      |      (CAST(syy AS DOUBLE)
+      |        - 2.0 * CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) *
+      |          CAST(sxy AS DOUBLE)
+      |        + CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) *
+      |          CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) *
+      |          CAST(sxx AS DOUBLE))) / CAST(sx AS DOUBLE)) * 1e6 + 0.5)
+      |    AS BIGINT) AS lo_micro,
+      |  CAST(floor((CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)
+      |    + 1.96 * sqrt(CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) - 1.0) *
+      |      (CAST(syy AS DOUBLE)
+      |        - 2.0 * CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) *
+      |          CAST(sxy AS DOUBLE)
+      |        + CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) *
+      |          CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE) *
+      |          CAST(sxx AS DOUBLE))) / CAST(sx AS DOUBLE)) * 1e6 + 0.5)
+      |    AS BIGINT) AS hi_micro
+      |FROM m""".stripMargin
+
+  /** q400 permutation count (pseudo-assignments 1..P from md5 — both
+    * engines share the hex, so the "randomization" replays exactly). */
+  val PERM_P = 32
+
+  /** q400: RANDOMIZATION (PERMUTATION) TEST — exact inference for the
+    * arm difference in per-user mean spend, no normality assumption:
+    * re-assign users to pseudo-arms P times by a deterministic hash
+    * (parity of the first md5 hex char — uniform over the 16 hex
+    * chars), recompute the mean difference under each, and report
+    * p = (1 + #{|diff_p| ≥ |diff_obs|})/(P + 1). All P re-assignments
+    * are conditional aggregates in ONE pass over the per-user rollup
+    * — the scan cost is independent of P. Output: one row per
+    * permutation plus the observed row (p = -1) carrying the p-value.
+    */
+  def q400PermutationTest(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables(spark, dir).events
+      .groupBy("user_id")
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .as("spend"))
+      .withColumn("obs_arm", (col("user_id") % 2).cast("long"))
+    val withBits = (1 to PERM_P).foldLeft(perUser) { (df, p) =>
+      df.withColumn(s"b$p",
+        (ascii(substring(md5(concat(lit(s"perm$p:"),
+          col("user_id").cast("string"))), 1, 1)) % 2).cast("long"))
+    }
+    def diffCols(arm: Column, tag: String) = Seq(
+      sum(when(arm === 0L, col("spend"))).as(s"s0_$tag"),
+      sum(when(arm === 0L, 1L).otherwise(0L)).as(s"n0_$tag"),
+      sum(when(arm === 1L, col("spend"))).as(s"s1_$tag"),
+      sum(when(arm === 1L, 1L).otherwise(0L)).as(s"n1_$tag"))
+    val aggs = diffCols(col("obs_arm"), "obs") ++
+      (1 to PERM_P).flatMap(p => diffCols(col(s"b$p"), s"p$p"))
+    val m = withBits.agg(aggs.head, aggs.tail: _*)
+    def d(c: String) = col(c).cast("double")
+    def diff(tag: String) =
+      d(s"s0_$tag") / d(s"n0_$tag") - d(s"s1_$tag") / d(s"n1_$tag")
+    def diffM(tag: String) =
+      floor(diff(tag) * lit(1e6) + lit(0.5)).cast("long")
+    val rows = (1 to PERM_P).map { p =>
+      struct(lit(p.toLong).as("p"), diffM(s"p$p").as("diff_micro"),
+        when(abs(diffM(s"p$p")) >= abs(diffM("obs")), 1L).otherwise(0L)
+          .as("extreme"), lit(0L).as("p_value_ppm"))
+    }
+    val nExtreme = (1 to PERM_P).map(p =>
+      when(abs(diffM(s"p$p")) >= abs(diffM("obs")), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val obsRow = struct(lit(-1L).as("p"), diffM("obs").as("diff_micro"),
+      lit(0L).as("extreme"),
+      expr(s"(1 + ${"__ne__"}) * 1000000 div ${PERM_P + 1}")
+        .as("p_value_ppm"))
+    m.withColumn("__ne__", nExtreme)
+      .select(explode(array(rows :+ obsRow: _*)).as("r"))
+      .select(col("r.p").as("p"), col("r.diff_micro").as("diff_micro"),
+        col("r.extreme").as("extreme"),
+        col("r.p_value_ppm").as("p_value_ppm"))
+  }
+
+  lazy val q400Sql: String = {
+    val bits = (1 to PERM_P).map(p =>
+      s"(ascii(substr(md5('perm$p:' || CAST(user_id AS VARCHAR)), 1, 1))"
+        + s" % 2) AS b$p").mkString(",\n      |    ")
+    val aggs = (Seq("obs") ++ (1 to PERM_P).map(p => s"p$p")).map { tag =>
+      val arm = if (tag == "obs") "obs_arm" else s"b${tag.drop(1)}"
+      s"""CAST(sum(CASE WHEN $arm = 0 THEN spend END) AS BIGINT)
+        |      AS s0_$tag,
+        |    CAST(sum(CASE WHEN $arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n0_$tag,
+        |    CAST(sum(CASE WHEN $arm = 1 THEN spend END) AS BIGINT)
+        |      AS s1_$tag,
+        |    CAST(sum(CASE WHEN $arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n1_$tag""".stripMargin
+    }.mkString(",\n      |    ")
+    def diffSql(tag: String) =
+      s"CAST(floor((CAST(s0_$tag AS DOUBLE) / CAST(n0_$tag AS DOUBLE) " +
+        s"- CAST(s1_$tag AS DOUBLE) / CAST(n1_$tag AS DOUBLE)) * 1e6 " +
+        s"+ 0.5) AS BIGINT)"
+    val permRows = (1 to PERM_P).map { p =>
+      s"""SELECT $p AS p, ${diffSql(s"p$p")} AS diff_micro,
+        |  CAST(CASE WHEN abs(${diffSql(s"p$p")})
+        |    >= abs(${diffSql("obs")}) THEN 1 ELSE 0 END AS BIGINT)
+        |    AS extreme,
+        |  CAST(0 AS BIGINT) AS p_value_ppm
+        |FROM m""".stripMargin
+    }.mkString("\n      |UNION ALL\n      |")
+    val ext = (1 to PERM_P).map(p =>
+      s"CASE WHEN abs(${diffSql(s"p$p")}) >= abs(${diffSql("obs")}) " +
+        "THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH pu AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS spend,
+      |    user_id % 2 AS obs_arm
+      |  FROM events GROUP BY 1),
+      |pb AS (
+      |  SELECT *,
+      |    $bits
+      |  FROM pu),
+      |m AS (
+      |  SELECT
+      |    $aggs
+      |  FROM pb)
+      |SELECT * FROM (
+      |$permRows
+      |UNION ALL
+      |SELECT -1, ${diffSql("obs")}, CAST(0 AS BIGINT),
+      |  CAST((1 + ($ext)) * 1000000 // ${PERM_P + 1} AS BIGINT)
+      |FROM m)
+      |ORDER BY p""".stripMargin
+  }
+
   /** q368 order statistics in the Hill tail (top-k). */
   val HILL_K = 100
 
@@ -3783,6 +3975,9 @@ object StatsOps {
     "q393_qte" -> Gate.sorted(q393Qte _, "p_label"),
     "q395_cvm_test" -> ((s, d) => q395CramerVonMises(s, d)),
     "q396_obf_interims" -> Gate.sorted(q396ObfInterims _, "k"),
+    "q399_delta_ratio" -> ((s, d) => q399DeltaRatio(s, d)),
+    "q400_permutation_test" ->
+      Gate.sorted(q400PermutationTest _, "p"),
     "q346_jackknife_ratio" ->
       ((s, d) => q346JackknifeRatio(s, d)),
     "q343_brier_decomposition" ->
@@ -3836,6 +4031,8 @@ object StatsOps {
     "q393_qte" -> q393Sql,
     "q395_cvm_test" -> q395Sql,
     "q396_obf_interims" -> q396Sql,
+    "q399_delta_ratio" -> q399Sql,
+    "q400_permutation_test" -> q400Sql,
     "q346_jackknife_ratio" -> q346Sql,
     "q343_brier_decomposition" -> q343Sql,
     "q333_isotonic_fit" -> q333Sql,

@@ -1005,6 +1005,26 @@ class PlanAuditSpec extends SparkSpec {
       "the token stream must collapse map-side to per-source points")
   }
 
+  test("q398-q400: per-user rollups collapse map-side; q400's P " +
+    "permutations cost ONE aggregate, not P scans") {
+    Seq(
+      graft.queries.EventAnalytics.q398CaptureRecapture(spark, sfDir),
+      graft.queries.StatsOps.q399DeltaRatio(spark, sfDir)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"))
+      assert(p.contains("partial_"), "expected map-side combine")
+    }
+    // the permutation test's defining scale property: one scan + one
+    // aggregate regardless of P — count the aggregate nodes
+    val opt = graft.queries.StatsOps.q400PermutationTest(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val nAgg = opt.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+    assert(nAgg <= 2, s"q400 must not fan out per permutation: $nAgg")
+  }
+
   test("q325: the streaming state is a sketch aggregate, not a dedup") {
     // batch-side equivalent of the streaming plan: the aggregation
     // carries hll_sketch_agg, so state per group is one buffer
