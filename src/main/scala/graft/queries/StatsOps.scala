@@ -3892,6 +3892,269 @@ object StatsOps {
       |ORDER BY p""".stripMargin
   }
 
+  /** q401: WINSORIZED WELCH TEST — the robust A/B mean test: clip
+    * both arms at the POOLED discrete p05/p95 cuts (actual data
+    * values from the cents grid, the q370/q376 idiom — so both
+    * engines clip identically), then Welch's t with the
+    * Welch–Satterthwaite df on the clipped values. This is the test
+    * teams actually ship when heavy spenders would otherwise hand the
+    * decision to three users; q98 is its fragile unclipped sibling.
+    * All moments are exact BIGINTs of clipped cents; t and df are one
+    * double expression.
+    */
+  def q401WinsorWelch(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val base = Tables(spark, dir).events
+      .select((col("user_id") % 2).as("arm"), cents.as("v"))
+    val grid = base.groupBy("v").agg(count(lit(1)).as("t"))
+    val wcum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("cum", sum("t").over(wcum))
+    val n = grid.agg(sum("t").as("n"))
+    val cuts = cum.crossJoin(broadcast(n))
+      .agg(min(when(col("cum") * 20 >= col("n"), col("v"))).as("lo"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("v"))).as("hi"))
+    val clipped = base.crossJoin(broadcast(cuts))
+      .select(col("arm"),
+        least(greatest(col("v"), col("lo")), col("hi")).as("w"),
+        col("lo"), col("hi"))
+    val m = clipped.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("w").as("s"),
+        sum(col("w") * col("w")).as("ss"),
+        max("lo").as("lo"), max("hi").as("hi"))
+    def d(c: Column) = c.cast("double")
+    val p = m.agg(
+      max(when(col("arm") === 0, col("n"))).as("n0"),
+      max(when(col("arm") === 0, col("s"))).as("s0"),
+      max(when(col("arm") === 0, col("ss"))).as("ss0"),
+      max(when(col("arm") === 1, col("n"))).as("n1"),
+      max(when(col("arm") === 1, col("s"))).as("s1"),
+      max(when(col("arm") === 1, col("ss"))).as("ss1"),
+      max("lo").as("lo_cut"), max("hi").as("hi_cut"))
+    def mean(s: String, nn: String) = d(col(s)) / d(col(nn))
+    def va(ss: String, s: String, nn: String) =
+      (d(col(ss)) - d(col(s)) * d(col(s)) / d(col(nn))) /
+        (d(col(nn)) - lit(1.0d))
+    val v0 = va("ss0", "s0", "n0"); val v1 = va("ss1", "s1", "n1")
+    val se2 = v0 / d(col("n0")) + v1 / d(col("n1"))
+    val t = (mean("s0", "n0") - mean("s1", "n1")) / sqrt(se2)
+    val df = se2 * se2 /
+      (v0 * v0 / (d(col("n0")) * d(col("n0")) * (d(col("n0")) - lit(1.0d))) +
+        v1 * v1 / (d(col("n1")) * d(col("n1")) * (d(col("n1")) - lit(1.0d))))
+    p.select(col("n0").as("n_a"), col("n1").as("n_b"),
+      col("lo_cut"), col("hi_cut"),
+      floor((mean("s0", "n0") - mean("s1", "n1")) * lit(1e6) + lit(0.5))
+        .cast("long").as("diff_micro"),
+      floor(t * lit(1e6) + lit(0.5)).cast("long").as("t_micro"),
+      floor(df * lit(1e6) + lit(0.5)).cast("long").as("df_micro"))
+  }
+
+  val q401Sql: String =
+    """WITH base AS (
+      |  SELECT user_id % 2 AS arm,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events),
+      |grid AS (SELECT v, CAST(count(*) AS BIGINT) AS t
+      |         FROM base GROUP BY 1),
+      |cum AS (
+      |  SELECT *, CAST(sum(t) OVER (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum
+      |  FROM grid),
+      |n AS (SELECT CAST(sum(t) AS BIGINT) AS n FROM grid),
+      |cuts AS (
+      |  SELECT CAST(min(CASE WHEN cum * 20 >= n.n THEN v END) AS BIGINT)
+      |      AS lo,
+      |    CAST(min(CASE WHEN cum * 20 >= n.n * 19 THEN v END) AS BIGINT)
+      |      AS hi
+      |  FROM cum, n),
+      |clipped AS (
+      |  SELECT arm, least(greatest(v, cuts.lo), cuts.hi) AS w,
+      |    cuts.lo, cuts.hi
+      |  FROM base, cuts),
+      |m AS (
+      |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(w) AS BIGINT) AS s, CAST(sum(w * w) AS BIGINT) AS ss,
+      |    CAST(max(lo) AS BIGINT) AS lo, CAST(max(hi) AS BIGINT) AS hi
+      |  FROM clipped GROUP BY 1),
+      |p AS (
+      |  SELECT
+      |    CAST(max(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+      |    CAST(max(CASE WHEN arm = 0 THEN s END) AS BIGINT) AS s0,
+      |    CAST(max(CASE WHEN arm = 0 THEN ss END) AS BIGINT) AS ss0,
+      |    CAST(max(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+      |    CAST(max(CASE WHEN arm = 1 THEN s END) AS BIGINT) AS s1,
+      |    CAST(max(CASE WHEN arm = 1 THEN ss END) AS BIGINT) AS ss1,
+      |    CAST(max(lo) AS BIGINT) AS lo_cut,
+      |    CAST(max(hi) AS BIGINT) AS hi_cut
+      |  FROM m)
+      |SELECT n0 AS n_a, n1 AS n_b, lo_cut, hi_cut,
+      |  CAST(floor((CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+      |    - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) * 1e6 + 0.5)
+      |    AS BIGINT) AS diff_micro,
+      |  CAST(floor((CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+      |    - CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+      |    sqrt((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) *
+      |        CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) /
+      |      (CAST(n0 AS DOUBLE) - 1.0) / CAST(n0 AS DOUBLE) +
+      |      (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+      |        CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+      |      (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)) * 1e6 + 0.5)
+      |    AS BIGINT) AS t_micro,
+      |  CAST(floor(
+      |    ((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) *
+      |        CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) /
+      |      (CAST(n0 AS DOUBLE) - 1.0) / CAST(n0 AS DOUBLE) +
+      |     (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+      |        CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+      |      (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)) *
+      |    ((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) *
+      |        CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) /
+      |      (CAST(n0 AS DOUBLE) - 1.0) / CAST(n0 AS DOUBLE) +
+      |     (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+      |        CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+      |      (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)) /
+      |    ((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) *
+      |        CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) /
+      |      (CAST(n0 AS DOUBLE) - 1.0) / CAST(n0 AS DOUBLE) *
+      |     ((CAST(ss0 AS DOUBLE) - CAST(s0 AS DOUBLE) *
+      |        CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) /
+      |      (CAST(n0 AS DOUBLE) - 1.0) / CAST(n0 AS DOUBLE)) /
+      |      (CAST(n0 AS DOUBLE) - 1.0) +
+      |     (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+      |        CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+      |      (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE) *
+      |     ((CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+      |        CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) /
+      |      (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE)) /
+      |      (CAST(n1 AS DOUBLE) - 1.0)) * 1e6 + 0.5) AS BIGINT)
+      |    AS df_micro
+      |FROM p""".stripMargin
+
+  /** q403 report cut: the shrinkage table reports the K highest-n
+    * users (TakeOrdered — never a global sort). */
+  val JS_TOP_K = 20
+
+  /** q403: EMPIRICAL-BAYES (JAMES–STEIN) SHRINKAGE of per-user mean
+    * spend — the smoothing every ranking/CTR system applies before
+    * trusting a small-n mean: the normal-normal model shrinks each
+    * user's mean toward the grand mean with λ_u = τ²/(τ² + σ²/n_u),
+    * where σ² is the pooled WITHIN-user variance and τ² the
+    * method-of-moments BETWEEN-user variance (clamped at 0). Both
+    * hyperparameters come from exact BIGINT moments (per-user s²/n
+    * quantized to the unit grid — the q372/q369 rule); the output is
+    * the '_hyper' row plus the [[JS_TOP_K]] highest-n users with raw
+    * mean, λ, and the shrunken estimate.
+    */
+  def q403JamesStein(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val g = Tables(spark, dir).events
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(cents).as("s"),
+        sum(cents * cents).as("ss"))
+    def d(c: Column) = c.cast("double")
+    // per-user terms quantized BEFORE any cross-user sum (the
+    // q372/q369 rule): s²/n to the unit grid, the user mean to whole
+    // cents, 1/n to the pico grid — no cross-row double sum exists
+    val terms = g.select(col("user_id"), col("n"), col("s"), col("ss"),
+      floor(d(col("s")) * d(col("s")) / d(col("n")) + lit(0.5))
+        .cast("long").as("aq"),
+      floor(d(col("s")) / d(col("n")) + lit(0.5)).cast("long").as("xbu"),
+      floor(lit(1e12) / d(col("n")) + lit(0.5)).cast("long").as("hq"))
+      .localCheckpoint(true)
+    val tot = terms.agg(count(lit(1)).as("m"), sum("n").as("nn"),
+      sum("ss").as("sstot"), sum("aq").as("a_unit"),
+      sum("hq").as("hp12"), sum("xbu").as("sxb"),
+      sum(col("xbu") * col("xbu")).as("sxb2"))
+    val sig2 = (d(col("sstot")) - d(col("a_unit"))) /
+      (d(col("nn")) - d(col("m")))
+    val sB = (d(col("sxb2")) - d(col("sxb")) * d(col("sxb")) /
+      d(col("m"))) / (d(col("m")) - lit(1.0d))
+    val tau2 = greatest(lit(0.0d),
+      sB - sig2 * (d(col("hp12")) / lit(1e12)) / d(col("m")))
+    val hp = tot.select(col("m"), sig2.as("sig2"),
+      (d(col("sxb")) / d(col("m"))).as("gmean"), tau2.as("tau2"))
+    val topUsers = terms.orderBy(col("n").desc, col("user_id"))
+      .limit(JS_TOP_K)
+    val rows = topUsers.crossJoin(broadcast(hp))
+      .select(col("user_id"), col("n"),
+        floor(d(col("s")) / d(col("n")) * lit(1e6) + lit(0.5))
+          .cast("long").as("mean_micro"),
+        floor(col("tau2") / (col("tau2") + col("sig2") / d(col("n"))) *
+          lit(1e6) + lit(0.5)).cast("long").as("lambda_micro"),
+        floor((col("tau2") / (col("tau2") + col("sig2") / d(col("n"))) *
+          (d(col("s")) / d(col("n"))) +
+          (lit(1.0d) - col("tau2") /
+            (col("tau2") + col("sig2") / d(col("n")))) * col("gmean")) *
+          lit(1e6) + lit(0.5)).cast("long").as("shrunk_micro"))
+    val hyperRow = hp.select(lit(-1L).as("user_id"),
+      col("m").as("n"),
+      floor(col("gmean") * lit(1e6) + lit(0.5)).cast("long")
+        .as("mean_micro"),
+      floor(col("sig2") + lit(0.5)).cast("long").as("lambda_micro"),
+      floor(col("tau2") + lit(0.5)).cast("long").as("shrunk_micro"))
+    rows.unionByName(hyperRow)
+  }
+
+  lazy val q403Sql: String =
+    s"""WITH g AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS s,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT) *
+      |             CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS ss
+      |  FROM events GROUP BY 1),
+      |terms AS (
+      |  SELECT *,
+      |    CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+      |      CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS aq,
+      |    CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) + 0.5)
+      |      AS BIGINT) AS xbu,
+      |    CAST(floor(1e12 / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS hq
+      |  FROM g),
+      |tot AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS m,
+      |    CAST(sum(n) AS BIGINT) AS nn,
+      |    CAST(sum(ss) AS BIGINT) AS sstot,
+      |    CAST(sum(aq) AS BIGINT) AS a_unit,
+      |    CAST(sum(hq) AS BIGINT) AS hp12,
+      |    CAST(sum(xbu) AS BIGINT) AS sxb,
+      |    CAST(sum(xbu * xbu) AS BIGINT) AS sxb2
+      |  FROM terms),
+      |hp AS (
+      |  SELECT m,
+      |    (CAST(sstot AS DOUBLE) - CAST(a_unit AS DOUBLE)) /
+      |      (CAST(nn AS DOUBLE) - CAST(m AS DOUBLE)) AS sig2,
+      |    CAST(sxb AS DOUBLE) / CAST(m AS DOUBLE) AS gmean,
+      |    greatest(0.0, (CAST(sxb2 AS DOUBLE) - CAST(sxb AS DOUBLE) *
+      |        CAST(sxb AS DOUBLE) / CAST(m AS DOUBLE)) /
+      |      (CAST(m AS DOUBLE) - 1.0) -
+      |      (CAST(sstot AS DOUBLE) - CAST(a_unit AS DOUBLE)) /
+      |        (CAST(nn AS DOUBLE) - CAST(m AS DOUBLE)) *
+      |        (CAST(hp12 AS DOUBLE) / 1e12) / CAST(m AS DOUBLE))
+      |      AS tau2
+      |  FROM tot),
+      |top AS (
+      |  SELECT * FROM terms ORDER BY n DESC, user_id LIMIT $JS_TOP_K)
+      |SELECT t.user_id, t.n,
+      |  CAST(floor(CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE) * 1e6
+      |    + 0.5) AS BIGINT) AS mean_micro,
+      |  CAST(floor(hp.tau2 / (hp.tau2 + hp.sig2 / CAST(t.n AS DOUBLE))
+      |    * 1e6 + 0.5) AS BIGINT) AS lambda_micro,
+      |  CAST(floor((hp.tau2 / (hp.tau2 + hp.sig2 / CAST(t.n AS DOUBLE))
+      |      * (CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE))
+      |    + (1.0 - hp.tau2 / (hp.tau2 + hp.sig2 / CAST(t.n AS DOUBLE)))
+      |      * hp.gmean) * 1e6 + 0.5) AS BIGINT) AS shrunk_micro
+      |FROM top t, hp
+      |UNION ALL
+      |SELECT -1, m,
+      |  CAST(floor(gmean * 1e6 + 0.5) AS BIGINT),
+      |  CAST(floor(sig2 + 0.5) AS BIGINT),
+      |  CAST(floor(tau2 + 0.5) AS BIGINT)
+      |FROM hp
+      |ORDER BY user_id""".stripMargin
+
   /** q368 order statistics in the Hill tail (top-k). */
   val HILL_K = 100
 
@@ -3978,6 +4241,8 @@ object StatsOps {
     "q399_delta_ratio" -> ((s, d) => q399DeltaRatio(s, d)),
     "q400_permutation_test" ->
       Gate.sorted(q400PermutationTest _, "p"),
+    "q401_winsor_welch" -> ((s, d) => q401WinsorWelch(s, d)),
+    "q403_james_stein" -> Gate.sorted(q403JamesStein _, "user_id"),
     "q346_jackknife_ratio" ->
       ((s, d) => q346JackknifeRatio(s, d)),
     "q343_brier_decomposition" ->
@@ -4033,6 +4298,8 @@ object StatsOps {
     "q396_obf_interims" -> q396Sql,
     "q399_delta_ratio" -> q399Sql,
     "q400_permutation_test" -> q400Sql,
+    "q401_winsor_welch" -> q401Sql,
+    "q403_james_stein" -> q403Sql,
     "q346_jackknife_ratio" -> q346Sql,
     "q343_brier_decomposition" -> q343Sql,
     "q333_isotonic_fit" -> q333Sql,

@@ -1087,7 +1087,58 @@ object TemporalOps {
       |    AS z_micro
       |FROM r""".stripMargin
 
+  /** q402: MASE FORECAST EVAL — the scale-free forecast-accuracy
+    * metric (Hyndman & Koehler): the seasonal-naive forecast
+    * ŷ_d = y_{d−7} scored against the one-step naive baseline on the
+    * same evaluation window, MASE = Σ|y−y_{d−7}| / Σ|y−y_{d−1}|.
+    * MASE < 1 means weekly seasonality carries real signal; > 1 means
+    * "yesterday" already beats "same day last week". Complements
+    * q236's backtest (which scores a trend model) with the
+    * standardized denominator the forecasting literature compares on.
+    * Everything is exact BIGINT cents on the ≤|days| rollup; the
+    * ratio is one double division.
+    */
+  def q402MaseEval(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .as("y"))
+    val byDay = Window.orderBy("d")
+    val lagged = daily
+      .withColumn("l7", lag("y", 7).over(byDay))
+      .withColumn("l1", lag("y", 1).over(byDay))
+      .filter(col("l7").isNotNull)
+    val m = lagged.agg(count(lit(1)).as("n_eval"),
+      sum(abs(col("y") - col("l7"))).as("sae7"),
+      sum(abs(col("y") - col("l1"))).as("sae1"))
+    def d(c: String) = col(c).cast("double")
+    m.select(col("n_eval"), col("sae7"), col("sae1"),
+      floor(d("sae7") / d("sae1") * lit(1e6) + lit(0.5)).cast("long")
+        .as("mase_micro"))
+  }
+
+  val q402Sql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS d,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS y
+      |  FROM events GROUP BY 1),
+      |lagged AS (
+      |  SELECT y, lag(y, 7) OVER (ORDER BY d) AS l7,
+      |    lag(y, 1) OVER (ORDER BY d) AS l1
+      |  FROM daily),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+      |    CAST(sum(abs(y - l7)) AS BIGINT) AS sae7,
+      |    CAST(sum(abs(y - l1)) AS BIGINT) AS sae1
+      |  FROM lagged WHERE l7 IS NOT NULL)
+      |SELECT n_eval, sae7, sae1,
+      |  CAST(floor(CAST(sae7 AS DOUBLE) / CAST(sae1 AS DOUBLE) * 1e6
+      |    + 0.5) AS BIGINT) AS mase_micro
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q402_mase_eval" -> ((s, d) => q402MaseEval(s, d)),
     "q379_durbin_watson" -> ((s, d) => q379DurbinWatson(s, d)),
     "q380_runs_test" -> ((s, d) => q380RunsTest(s, d)),
     "q344_crosscorr" -> Gate.sorted(q344CrossCorr _, "lag"),
@@ -1114,6 +1165,7 @@ object TemporalOps {
     "q164_abandoned_clicks" -> Gate.sorted(q164AbandonedClicks _, "user_id"))
 
   val oracles: Map[String, String] = Map(
+    "q402_mase_eval" -> q402Sql,
     "q379_durbin_watson" -> q379Sql,
     "q380_runs_test" -> q380Sql,
     "q344_crosscorr" -> q344Sql,

@@ -1025,6 +1025,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(nAgg <= 2, s"q400 must not fan out per permutation: $nAgg")
   }
 
+  test("q401-q403: clip/lag/shrink shapes — grid windows on rollups, " +
+    "top-K via TakeOrdered, map-side combines") {
+    val p401 = plan(graft.queries.StatsOps.q401WinsorWelch(spark, sfDir))
+    assert(!p401.contains("CartesianProduct"))
+    assert(p401.contains("partial_"), "moments must combine map-side")
+    val p402 = plan(graft.queries.TemporalOps.q402MaseEval(spark, sfDir))
+    val opt402 = graft.queries.TemporalOps.q402MaseEval(spark, sfDir)
+      .queryExecution.optimizedPlan
+    opt402.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        assert(w.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical
+            .Aggregate => a
+        }.nonEmpty, "the lag window must consume the day rollup")
+    }
+    assert(p402.contains("partial_"))
+    val p403 = plan(graft.queries.StatsOps.q403JamesStein(spark, sfDir))
+    assert(p403.contains("TakeOrdered"),
+      "the top-K user cut must be TakeOrderedAndProject, not a sort")
+    assert(!p403.contains("CartesianProduct"))
+  }
+
   test("q325: the streaming state is a sketch aggregate, not a dedup") {
     // batch-side equivalent of the streaming plan: the aggregation
     // carries hll_sketch_agg, so state per group is one buffer
