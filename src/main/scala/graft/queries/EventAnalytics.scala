@@ -2027,7 +2027,56 @@ object EventAnalytics {
       |    AS err_ppm
       |FROM m""".stripMargin
 
+  /** q406: DAU/WAU STICKINESS — the product-health ratio (what share
+    * of the weekly audience shows up on a given day). WAU per anchor
+    * day is |∪ of 7 day-sets|, which no per-day count can aggregate
+    * to — so the user-day DISTINCT rollup fans out to the ≤7 anchor
+    * days each activity day can serve (bounded ×7, the q88 interval
+    * idiom) and a distinct count per anchor does the union exactly.
+    * Anchors keep only days with a FULL trailing week so the ratio is
+    * never inflated by a short window.
+    */
+  def q406Stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables(spark, dir).events
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val bounds = ud.agg(min("day").as("d0"), max("day").as("d1"))
+    val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val anchors = ud
+      .select(col("user_id"), explode(sequence(col("day"),
+        col("day") + lit(6L))).as("anchor"))
+      .distinct()
+      .groupBy("anchor").agg(countDistinct("user_id").as("wau"))
+    dau.join(anchors, dau("day") === anchors("anchor"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("day") >= col("d0") + 6L && col("day") <= col("d1"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 1000000 div wau").as("stickiness_ppm"))
+  }
+
+  val q406Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |bounds AS (SELECT CAST(min(day) AS BIGINT) AS d0,
+      |             CAST(max(day) AS BIGINT) AS d1 FROM ud),
+      |dau AS (
+      |  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      |  FROM ud GROUP BY 1),
+      |anchors AS (
+      |  SELECT anchor, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      |  FROM (SELECT DISTINCT ud.user_id, ud.day + t.a AS anchor
+      |        FROM ud, unnest(generate_series(0, 6)) AS t(a))
+      |  GROUP BY 1)
+      |SELECT d.day, d.dau, a.wau,
+      |  CAST(d.dau * 1000000 // a.wau AS BIGINT) AS stickiness_ppm
+      |FROM dau d JOIN anchors a ON a.anchor = d.day, bounds b
+      |WHERE d.day >= b.d0 + 6 AND d.day <= b.d1
+      |ORDER BY d.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q406_stickiness" -> Gate.sorted(q406Stickiness _, "day"),
     "q398_capture_recapture" -> ((s, d) => q398CaptureRecapture(s, d)),
     "q391_funnel_cohort_z" ->
       Gate.sorted(q391FunnelCohortZ _, "cohort"),
@@ -2063,6 +2112,7 @@ object EventAnalytics {
     "q75_rolling_features" -> Gate.sorted(q75RollingFeatures _, "user_id", "event_id"))
 
   val oracles: Map[String, String] = Map(
+    "q406_stickiness" -> q406Sql,
     "q398_capture_recapture" -> q398Sql,
     "q391_funnel_cohort_z" -> q391Sql,
     "q361_post_strat_ate" -> q361Sql,

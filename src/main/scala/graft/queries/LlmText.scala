@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -240,6 +240,99 @@ object LlmText {
       |        * CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE) / 1e6) * 1e6
       |    + 0.5) AS BIGINT) AS k_micro
       |FROM m""".stripMargin
+
+  /** q405 prior mass and report depth for the keyness table. */
+  val KEY_ALPHA0 = 100.0
+  val KEY_TOP = 3
+
+  /** q405: LOG-ODDS KEYNESS (Monroe et al.'s "Fightin' Words") — the
+    * tokens most DISTINCTIVE of each source vs the rest of the
+    * corpus, by the z-scored log-odds difference with an informative
+    * Dirichlet prior (α_w ∝ the global token rate, total mass
+    * [[KEY_ALPHA0]]). This is the corpus-comparison tool that
+    * replaces raw TF-IDF ranking when sources share a vocabulary:
+    * the prior shrinks rare-token noise, the z-score makes scores
+    * comparable across frequency bands. All inputs are exact BIGINT
+    * counts on the ≤|sources×vocab| rollup; δ, σ² and z are per-ROW
+    * double expressions (no cross-row float sum exists), and the
+    * report is the top-[[KEY_TOP]] per source via a window over the
+    * bounded rollup.
+    */
+  def q405LogOddsKeyness(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir).documents
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val sw = toks.groupBy("source", "tok").agg(count(lit(1)).as("y_sw"))
+    val w = sw.groupBy("tok").agg(sum("y_sw").as("y_w"))
+    val s = sw.groupBy("source").agg(sum("y_sw").as("n_s"))
+    val tot = w.agg(sum("y_w").as("n"))
+    def d(c: Column) = c.cast("double")
+    val j = sw.join(broadcast(w), "tok").join(broadcast(s), "source")
+      .crossJoin(broadcast(tot))
+    val alphaW = lit(KEY_ALPHA0) * d(col("y_w")) / d(col("n"))
+    val dlt =
+      log((d(col("y_sw")) + alphaW) /
+        (d(col("n_s")) + lit(KEY_ALPHA0) - d(col("y_sw")) - alphaW)) -
+        log((d(col("y_w")) - d(col("y_sw")) + alphaW) /
+          (d(col("n")) - d(col("n_s")) + lit(KEY_ALPHA0) -
+            (d(col("y_w")) - d(col("y_sw"))) - alphaW))
+    val sig2 = lit(1.0d) / (d(col("y_sw")) + alphaW) +
+      lit(1.0d) / (d(col("y_w")) - d(col("y_sw")) + alphaW)
+    val scored = j.select(col("source"), col("tok"), col("y_sw"),
+      floor(dlt / sqrt(sig2) * lit(1e6) + lit(0.5)).cast("long")
+        .as("z_micro"))
+    val wRank = Window.partitionBy("source")
+      .orderBy(col("z_micro").desc, col("tok"))
+    scored.withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= KEY_TOP)
+  }
+
+  val q405Sql: String =
+    s"""WITH toks AS (
+      |  SELECT source, unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '\\s+'), t -> t != ''))
+      |    AS tok
+      |  FROM documents),
+      |sw AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS y_sw
+      |       FROM toks GROUP BY 1, 2),
+      |w AS (SELECT tok, CAST(sum(y_sw) AS BIGINT) AS y_w
+      |      FROM sw GROUP BY 1),
+      |s AS (SELECT source, CAST(sum(y_sw) AS BIGINT) AS n_s
+      |      FROM sw GROUP BY 1),
+      |tot AS (SELECT CAST(sum(y_w) AS BIGINT) AS n FROM w),
+      |scored AS (
+      |  SELECT sw.source, sw.tok, sw.y_sw,
+      |    CAST(floor((
+      |      ln((CAST(sw.y_sw AS DOUBLE)
+      |          + $KEY_ALPHA0 * CAST(w.y_w AS DOUBLE) /
+      |            CAST(tot.n AS DOUBLE)) /
+      |        (CAST(s.n_s AS DOUBLE) + $KEY_ALPHA0
+      |          - CAST(sw.y_sw AS DOUBLE)
+      |          - $KEY_ALPHA0 * CAST(w.y_w AS DOUBLE) /
+      |            CAST(tot.n AS DOUBLE))) -
+      |      ln((CAST(w.y_w AS DOUBLE) - CAST(sw.y_sw AS DOUBLE)
+      |          + $KEY_ALPHA0 * CAST(w.y_w AS DOUBLE) /
+      |            CAST(tot.n AS DOUBLE)) /
+      |        (CAST(tot.n AS DOUBLE) - CAST(s.n_s AS DOUBLE)
+      |          + $KEY_ALPHA0
+      |          - (CAST(w.y_w AS DOUBLE) - CAST(sw.y_sw AS DOUBLE))
+      |          - $KEY_ALPHA0 * CAST(w.y_w AS DOUBLE) /
+      |            CAST(tot.n AS DOUBLE)))) /
+      |      sqrt(1.0 / (CAST(sw.y_sw AS DOUBLE)
+      |          + $KEY_ALPHA0 * CAST(w.y_w AS DOUBLE) /
+      |            CAST(tot.n AS DOUBLE))
+      |        + 1.0 / (CAST(w.y_w AS DOUBLE) - CAST(sw.y_sw AS DOUBLE)
+      |          + $KEY_ALPHA0 * CAST(w.y_w AS DOUBLE) /
+      |            CAST(tot.n AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)
+      |      AS z_micro
+      |  FROM sw JOIN w ON w.tok = sw.tok
+      |    JOIN s ON s.source = sw.source, tot),
+      |ranked AS (
+      |  SELECT *, CAST(row_number() OVER (PARTITION BY source
+      |    ORDER BY z_micro DESC, tok) AS BIGINT) AS rank
+      |  FROM scored)
+      |SELECT source, tok, y_sw, z_micro, rank
+      |FROM ranked WHERE rank <= $KEY_TOP
+      |ORDER BY source, rank""".stripMargin
 
   /** q382 spectrum cap: word lengths above this collapse into one
     * overflow bin, so the rollup is bounded by |sources| × (cap+1)
@@ -1396,6 +1489,8 @@ object LlmText {
     "q382_wordlen_spectrum" ->
       Gate.sorted(q382WordlenSpectrum _, "source", "len"),
     "q397_heaps_fit" -> ((s, d) => q397HeapsFit(s, d)),
+    "q405_logodds_keyness" ->
+      Gate.sorted(q405LogOddsKeyness _, "source", "rank"),
     "q35_doc_fingerprint" -> Gate.sorted(q35DocFingerprint _, "doc_id"),
     "q36_multimodal_meta" -> Gate.sorted(q36MultimodalMeta _, "doc_id"),
     "q54_text_normalize" -> Gate.sorted(q54TextNormalize _, "doc_id"),
@@ -1427,6 +1522,7 @@ object LlmText {
     "q34_token_count" -> q34Sql,
     "q382_wordlen_spectrum" -> q382Sql,
     "q397_heaps_fit" -> q397Sql,
+    "q405_logodds_keyness" -> q405Sql,
     "q35_doc_fingerprint" -> q35Sql,
     "q36_multimodal_meta" -> q36Sql,
     "q54_text_normalize" -> q54Sql,

@@ -4155,6 +4155,64 @@ object StatsOps {
       |FROM hp
       |ORDER BY user_id""".stripMargin
 
+  /** q404: McNEMAR'S PAIRED TEST — q378's kappa asks "do the two
+    * quality raters AGREE"; McNemar asks the sharper question a model
+    * comparison needs: "when they disagree, is one SYSTEMATICALLY
+    * stricter?" — only the discordant cells matter, χ² = (b−c)²/(b+c)
+    * (with the continuity correction as a second column). This is THE
+    * test for comparing two classifiers on the same examples; four
+    * BIGINT cells from one scan, χ² one double expression.
+    */
+  def q404McNemar(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(
+        when(col("n_chars") >= KAPPA_LEN_CUT, 1L).otherwise(0L).as("a"),
+        when(size(TextFunctions.tokens(col("text"))) >= KAPPA_TOK_CUT, 1L)
+          .otherwise(0L).as("b"))
+    val cnt = docs.agg(count(lit(1)).as("n"),
+      sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L))
+        .as("b_only"),
+      sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L))
+        .as("c_only"))
+    def d(c: String) = col(c).cast("double")
+    val chi = (d("b_only") - d("c_only")) * (d("b_only") - d("c_only")) /
+      (d("b_only") + d("c_only"))
+    val chiCc = (abs(d("b_only") - d("c_only")) - lit(1.0d)) *
+      (abs(d("b_only") - d("c_only")) - lit(1.0d)) /
+      (d("b_only") + d("c_only"))
+    cnt.select(col("n").as("n_docs"), col("b_only"), col("c_only"),
+      floor(chi * lit(1e6) + lit(0.5)).cast("long").as("chi2_micro"),
+      floor(chiCc * lit(1e6) + lit(0.5)).cast("long")
+        .as("chi2_cc_micro"))
+  }
+
+  val q404Sql: String =
+    s"""WITH r AS (
+      |  SELECT
+      |    CASE WHEN n_chars >= $KAPPA_LEN_CUT THEN 1 ELSE 0 END AS a,
+      |    CASE WHEN len(list_filter(regexp_split_to_array(lower(text),
+      |      '\\s+'), t -> t != '')) >= $KAPPA_TOK_CUT THEN 1 ELSE 0 END
+      |      AS b
+      |  FROM documents),
+      |c AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b_only,
+      |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c_only
+      |  FROM r)
+      |SELECT n AS n_docs, b_only, c_only,
+      |  CAST(floor((CAST(b_only AS DOUBLE) - CAST(c_only AS DOUBLE)) *
+      |    (CAST(b_only AS DOUBLE) - CAST(c_only AS DOUBLE)) /
+      |    (CAST(b_only AS DOUBLE) + CAST(c_only AS DOUBLE)) * 1e6 + 0.5)
+      |    AS BIGINT) AS chi2_micro,
+      |  CAST(floor((abs(CAST(b_only AS DOUBLE) - CAST(c_only AS DOUBLE))
+      |      - 1.0) *
+      |    (abs(CAST(b_only AS DOUBLE) - CAST(c_only AS DOUBLE)) - 1.0) /
+      |    (CAST(b_only AS DOUBLE) + CAST(c_only AS DOUBLE)) * 1e6 + 0.5)
+      |    AS BIGINT) AS chi2_cc_micro
+      |FROM c""".stripMargin
+
   /** q368 order statistics in the Hill tail (top-k). */
   val HILL_K = 100
 
@@ -4243,6 +4301,7 @@ object StatsOps {
       Gate.sorted(q400PermutationTest _, "p"),
     "q401_winsor_welch" -> ((s, d) => q401WinsorWelch(s, d)),
     "q403_james_stein" -> Gate.sorted(q403JamesStein _, "user_id"),
+    "q404_mcnemar" -> ((s, d) => q404McNemar(s, d)),
     "q346_jackknife_ratio" ->
       ((s, d) => q346JackknifeRatio(s, d)),
     "q343_brier_decomposition" ->
@@ -4300,6 +4359,7 @@ object StatsOps {
     "q400_permutation_test" -> q400Sql,
     "q401_winsor_welch" -> q401Sql,
     "q403_james_stein" -> q403Sql,
+    "q404_mcnemar" -> q404Sql,
     "q346_jackknife_ratio" -> q346Sql,
     "q343_brier_decomposition" -> q343Sql,
     "q333_isotonic_fit" -> q333Sql,

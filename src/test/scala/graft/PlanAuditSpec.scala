@@ -1047,6 +1047,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p403.contains("CartesianProduct"))
   }
 
+  test("q404-q406: one-scan cells, keyness windows partition by " +
+    "source over the bounded rollup, bounded x7 anchor fanout") {
+    val p404 = plan(graft.queries.StatsOps.q404McNemar(spark, sfDir))
+    assert(p404.contains("partial_") && !p404.contains("CartesianProduct"))
+    val p405 = plan(graft.queries.LlmText.q405LogOddsKeyness(spark, sfDir))
+    val specs405 = "windowspecdefinition\\(([^,)]*)".r
+      .findAllMatchIn(p405).map(_.group(1)).toSeq
+    assert(specs405.nonEmpty && specs405.forall(_.startsWith("source")),
+      s"q405 windows must partition by source, got: $specs405")
+    assert(p405.contains("BroadcastHashJoin"),
+      "vocab/source margins must broadcast onto the rollup")
+    val p406 = plan(graft.queries.EventAnalytics.q406Stickiness(spark, sfDir))
+    assert(!p406.contains("CartesianProduct"))
+    assert(p406.contains("Expand") || p406.contains("Generate"),
+      "the x7 anchor fanout must be a Generate, never a range join")
+  }
+
   test("q325: the streaming state is a sketch aggregate, not a dedup") {
     // batch-side equivalent of the streaming plan: the aggregation
     // carries hll_sketch_agg, so state per group is one buffer
