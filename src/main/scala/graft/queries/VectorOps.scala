@@ -126,8 +126,9 @@ object VectorOps {
       |FROM ranked WHERE rank <= $TOP_K
       |ORDER BY query_id, rank""".stripMargin
 
-  /** q63 coarse cells (same deterministic seed centroids as q41) and
-    * the semantic near-duplicate threshold.
+  /** Fixed coarse cell count for the q313 control and q69's k-means
+    * step (same deterministic seed centroids as q41), and the semantic
+    * near-duplicate threshold shared by every SemDeDup variant.
     */
   val SEM_CELLS = 8
   val SEM_MIN_SIM = 0.42
@@ -150,15 +151,13 @@ object VectorOps {
         col("embedding"))
   }
 
-  /** q63: semantic dedup — within-cell cosine >= SEM_MIN_SIM pairs,
-    * connected components, one canonical survivor (min vec_id) per
-    * cluster. Output is the per-vector keep/drop decision table.
+  /** Shared SemDeDup tail: within-cell cosine >= SEM_MIN_SIM pairs over
+    * a pinned (vec_id, cell, embedding) assignment, connected
+    * components, one canonical survivor (min vec_id) per cluster.
+    * Output is the per-vector keep/drop decision table.
     */
-  def q63SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    // pin the assignment: the pair self-join references it twice, and
-    // recomputing means two corpus scans + two broadcast assignments
-    // (production persists the assigned table next to the index)
-    val assigned = assignCells(spark, dir).localCheckpoint(true)
+  private def semDedupResolve(assigned: DataFrame,
+      universe: DataFrame): DataFrame = {
     val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("sim", cosine(col("a.embedding"), col("b.embedding")))
@@ -167,7 +166,7 @@ object VectorOps {
     val comp = graft.operators.ConnectedComponents
       .components(pairs, "vec_a", "vec_b")
       .withColumnRenamed("node", "vec_id")
-    val labeled = Tables(spark, dir).embeddings.select("vec_id")
+    val labeled = universe.select("vec_id")
       .join(comp, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("comp"), col("vec_id")).as("cluster_id"))
@@ -178,7 +177,49 @@ object VectorOps {
         (col("vec_id") === col("cluster_id")).as("keep"))
   }
 
-  val q63Sql: String =
+  /** q63: SEMANTIC DEDUP (production default) — coarse-quantize into
+    * IVF cells, verify cosine >= SEM_MIN_SIM only within a cell,
+    * resolve the pair graph, keep one canonical survivor per cluster.
+    *
+    * The quantizer is SIZED TO THE CORPUS: cells = the smallest power
+    * of two with cells x [[SEM_TARGET_POP]] >= N, computed
+    * integer-exact in both engines (a min over a 31-row powers-of-two
+    * relation joined to the broadcast 1-row count — no float log2
+    * whose boundary could drift between engines). Constant per-cell
+    * population means within-cell pairs are ~N x POP/2 — LINEAR in N.
+    * The round-7 sf0.1->sf1 ladder measured the alternatives: a FIXED
+    * 8-cell quantizer (kept as the explicitly-named control, q313) ran
+    * 16.5x on 10x data because in-cell pairs grow quadratically; this
+    * sizing rule ran 1.95x. The default entry is therefore the sized
+    * rule — the fixed-cell shape must be asked for by name.
+    */
+  def q63SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val n = emb.agg(count(lit(1)).as("n"))
+    val cellsDf = spark.range(0, 31)
+      .select(expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").as("p"))
+      .crossJoin(broadcast(n))
+      .filter(col("p") * SEM_TARGET_POP >= col("n"))
+      .agg(min(col("p")).as("n_cells"))
+    val cents = emb.crossJoin(broadcast(cellsDf))
+      .filter(col("vec_id") < col("n_cells"))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    // pin the assignment: the pair self-join references it twice, and
+    // recomputing means two corpus scans + two broadcast assignments
+    // (production persists the assigned table next to the index)
+    val assigned = emb.join(broadcast(cents))
+      .withColumn("sim_c", cosine(col("c_emb"), col("embedding")))
+      .groupBy("vec_id")
+      .agg(
+        max(struct(col("sim_c"), (-col("cent_id")).as("neg_cent"))).as("best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), (-col("best.neg_cent")).cast("long").as("cell"),
+        col("embedding"))
+      .localCheckpoint(true)
+    semDedupResolve(assigned, emb)
+  }
+
+  val q313Sql: String =
     s"""WITH RECURSIVE cents AS (
       |  SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
       |  WHERE vec_id < $SEM_CELLS),
@@ -225,67 +266,44 @@ object VectorOps {
       |FROM lab l JOIN sz s USING (cluster_id)
       |ORDER BY l.vec_id""".stripMargin
 
-  /** q313 target per-cell population: cells are sized so the expected
+  /** q63 target per-cell population: cells are sized so the expected
     * cell holds ~this many vectors regardless of corpus size.
     */
   val SEM_TARGET_POP = 64L
 
-  /** q313: SIZED SEMANTIC DEDUP — q63 with the quantizer sized to the
-    * corpus instead of fixed. The sf0.1→sf1 scaling run measured the
-    * fixed-cell q63 at 18× on 10× data (SURVEY §8j): with CELLS
-    * constant, per-cell population grows ∝N and the within-cell verify
-    * grows ∝N². The production rule is to grow the cell count with the
-    * corpus so per-cell population stays ~constant; then within-cell
-    * pairs are N×POP/2 — LINEAR in N. Here cells = the smallest power
-    * of two with cells × [[SEM_TARGET_POP]] ≥ N, computed integer-exact
-    * in both engines (a min over a 31-row powers-of-two relation joined
-    * to the broadcast 1-row count — no float log2 whose boundary could
-    * drift between engines). Everything downstream (argmax-cosine
-    * assignment, within-cell verify, connected components, canonical
-    * survivor) is the q63 contract under the sized quantizer.
+  /** Per-cell population bound for the fixed-cell control (q313): the
+    * control exists to be MEASURED against the sizing rule, so it must
+    * stay runnable at the ladder's sf1, but a genuinely growing corpus
+    * must fail fast instead of going quadratic. 100k per cell keeps the
+    * within-cell verify under ~5e9 cosine pairs per cell — hours, not
+    * forever — and the sf1 ladder (≈3.2k vectors/cell) passes with two
+    * orders of magnitude of headroom.
     */
-  def q313SizedSemdedup(spark: SparkSession, dir: String): DataFrame = {
+  val SEM_FIXED_MAX_POP = 100000L
+
+  /** q313: FIXED-CELL CONTROL — q63's SemDeDup contract under a FIXED
+    * 8-cell quantizer. This is deliberately the quadratic shape: with
+    * CELLS constant, per-cell population grows ∝N and the within-cell
+    * verify grows ∝N² — the round-7 sf0.1→sf1 ladder measured it at
+    * 16.5× on 10× data vs 1.95× for the sized rule now under the
+    * `semantic_dedup` name (q63). It is kept, explicitly named, as the
+    * measured contrast for the IVF sizing rule and as the
+    * oracle-replayable fixed-literal instance; a capacity guard
+    * ([[SEM_FIXED_MAX_POP]]) makes it refuse corpora where the
+    * quadratic cell work would run away, rather than degrade silently.
+    */
+  def q313FixedcellControl(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val n = emb.agg(count(lit(1)).as("n"))
-    val cellsDf = spark.range(0, 31)
-      .select(expr("shiftleft(CAST(1 AS BIGINT), CAST(id AS INT))").as("p"))
-      .crossJoin(broadcast(n))
-      .filter(col("p") * SEM_TARGET_POP >= col("n"))
-      .agg(min(col("p")).as("n_cells"))
-    val cents = emb.crossJoin(broadcast(cellsDf))
-      .filter(col("vec_id") < col("n_cells"))
-      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
-    // same pinning rationale as q63's assignCells: the pair self-join
-    // reads the assignment twice
-    val assigned = emb.join(broadcast(cents))
-      .withColumn("sim_c", cosine(col("c_emb"), col("embedding")))
-      .groupBy("vec_id")
-      .agg(
-        max(struct(col("sim_c"), (-col("cent_id")).as("neg_cent"))).as("best"),
-        first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), (-col("best.neg_cent")).cast("long").as("cell"),
-        col("embedding"))
-      .localCheckpoint(true)
-    val pairs = assigned.as("a").join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", cosine(col("a.embedding"), col("b.embedding")))
-      .filter(col("sim") >= SEM_MIN_SIM)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-    val comp = graft.operators.ConnectedComponents
-      .components(pairs, "vec_a", "vec_b")
-      .withColumnRenamed("node", "vec_id")
-    val labeled = emb.select("vec_id")
-      .join(comp, Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        coalesce(col("comp"), col("vec_id")).as("cluster_id"))
-    val sizes = labeled.groupBy("cluster_id")
-      .agg(count(lit(1)).as("cluster_size"))
-    labeled.join(sizes, "cluster_id")
-      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
-        (col("vec_id") === col("cluster_id")).as("keep"))
+    val n = emb.count()
+    require(n <= SEM_CELLS * SEM_FIXED_MAX_POP,
+      s"fixed-cell control: $n vectors over $SEM_CELLS cells exceeds " +
+        s"the $SEM_FIXED_MAX_POP per-cell capacity bound — use the " +
+        "sized quantizer (q63SemanticDedup) on growing corpora")
+    val assigned = assignCells(spark, dir).localCheckpoint(true)
+    semDedupResolve(assigned, emb)
   }
 
-  val q313Sql: String =
+  val q63Sql: String =
     s"""WITH RECURSIVE nc AS (
       |  SELECT min(p) AS n_cells
       |  FROM (SELECT (CAST(1 AS BIGINT) << g) AS p
@@ -1406,7 +1424,7 @@ object VectorOps {
       Gate.sorted(q355CentroidEval _, "label", "assigned"),
     "q345_whitening_report" -> Gate.sorted(q345WhiteningReport _, "d"),
     "q326_als_step" -> Gate.sorted(q326AlsStep _, "c_custkey"),
-    "q313_sized_semdedup" -> Gate.sorted(q313SizedSemdedup _, "vec_id"),
+    "q313_fixedcell_control" -> Gate.sorted(q313FixedcellControl _, "vec_id"),
     "q303_recall_curve" -> Gate.sorted(q303RecallCurve _, "k"),
     "q375_map_eval" -> Gate.sorted(q375MapEval _, "query_id"),
     "q294_ndcg_eval" -> Gate.sorted(q294NdcgEval _, "query_id"),
@@ -1426,7 +1444,7 @@ object VectorOps {
     "q355_centroid_eval" -> q355Sql,
     "q345_whitening_report" -> q345Sql,
     "q326_als_step" -> q326Sql,
-    "q313_sized_semdedup" -> q313Sql,
+    "q313_fixedcell_control" -> q313Sql,
     "q303_recall_curve" -> q303Sql,
     "q375_map_eval" -> q375Sql,
     "q294_ndcg_eval" -> q294Sql,

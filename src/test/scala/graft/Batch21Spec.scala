@@ -20,26 +20,20 @@ class Batch21Spec extends SparkSpec {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  test("q313 equals a driver-side sized-quantizer dedup recompute") {
-    import graft.queries.VectorOps.{SEM_MIN_SIM, SEM_TARGET_POP}
-    val got = graft.queries.VectorOps.q313SizedSemdedup(spark, sfDir)
-      .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+  /** Driver-side SemDeDup recompute under an arbitrary cell count —
+    * shared by the q63 (sized) and q313 (fixed-cell control) specs.
+    */
+  private def semDedupRecompute(cells: Long): Map[Long, (Long, Long, Boolean)] = {
+    import graft.queries.VectorOps.SEM_MIN_SIM
     val embs = Tables(spark, sfDir).embeddings
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
       .sortBy(_._1)
-    val n = embs.length.toLong
-    val cells = Iterator.iterate(1L)(_ * 2)
-      .find(p => p * SEM_TARGET_POP >= n).get
-    // the quantizer must actually size with the corpus
-    assert(cells * SEM_TARGET_POP >= n && cells <= n.max(1))
     val cents = embs.filter(_._1 < cells)
     val assigned = embs.map { case (v, e) =>
       v -> cents.map { case (c, ce) => (c, cosine(ce, e)) }
         .maxBy { case (c, s) => (s, -c) }._1
     }.toMap
-    val byId = embs.toMap
     val pairs = for {
       (a, ea) <- embs; (b, eb) <- embs
       if a < b && assigned(a) == assigned(b) && cosine(ea, eb) >= SEM_MIN_SIM
@@ -56,10 +50,30 @@ class Batch21Spec extends SparkSpec {
       v -> embs.collect { case (u, _) if find(u) == find(v) => u }.min
     }.toMap
     val sizes = cluster.values.groupBy(identity).view.mapValues(_.size.toLong)
-    val want = embs.map { case (v, _) =>
+    embs.map { case (v, _) =>
       v -> ((cluster(v), sizes(cluster(v)), v == cluster(v)))
     }.toMap
-    assert(got === want)
+  }
+
+  test("q63 equals a driver-side sized-quantizer dedup recompute") {
+    import graft.queries.VectorOps.SEM_TARGET_POP
+    val got = graft.queries.VectorOps.q63SemanticDedup(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val n = Tables(spark, sfDir).embeddings.count()
+    val cells = Iterator.iterate(1L)(_ * 2)
+      .find(p => p * SEM_TARGET_POP >= n).get
+    // the quantizer must actually size with the corpus
+    assert(cells * SEM_TARGET_POP >= n && cells <= n.max(1))
+    assert(got === semDedupRecompute(cells))
+  }
+
+  test("q313 control equals the same recompute under fixed cells") {
+    import graft.queries.VectorOps.SEM_CELLS
+    val got = graft.queries.VectorOps.q313FixedcellControl(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got === semDedupRecompute(SEM_CELLS.toLong))
   }
 
   test("q314 equals a codepoint-exact driver-side FIM recompute") {

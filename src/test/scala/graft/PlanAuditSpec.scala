@@ -568,13 +568,18 @@ class PlanAuditSpec extends SparkSpec {
       "expected HLL sketch aggregates in the plan")
   }
 
-  test("q313: no cartesian anywhere (assignment is checkpointed upstream)") {
+  test("q63/q313: no cartesian anywhere (assignment is checkpointed upstream)") {
     // the broadcast centroid assignment materializes inside the eager
     // localCheckpoint, so the returned frame's plan shows only the
     // CC-side joins — assert the keyed-join property on those
-    val p = plan(graft.queries.VectorOps.q313SizedSemdedup(spark, sfDir))
-    assert(!p.contains("CartesianProduct"),
-      "cluster labeling must join on keys")
+    Seq(
+      graft.queries.VectorOps.q63SemanticDedup(spark, sfDir),
+      graft.queries.VectorOps.q313FixedcellControl(spark, sfDir)
+    ).foreach { df =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"),
+        "cluster labeling must join on keys")
+    }
   }
 
   test("q314: the FIM transform is a pure scan — zero exchanges") {
