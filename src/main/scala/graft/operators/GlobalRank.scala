@@ -89,24 +89,54 @@ object GlobalRank {
     * associative addition.
     */
   def withRunningSum(df: DataFrame, outCol: String, value: Column,
-      keys: Column*): DataFrame = {
+      keys: Column*): DataFrame =
+    withRunningSums(df, Seq(outCol -> value), inclusive = true, keys: _*)
+
+  /** Adds one column per (outCol, value) pair: the global running sum
+    * of each LONG `value` in `keys` order — inclusive (`... AND
+    * CURRENT ROW`) when `inclusive`, else the exclusive prefix
+    * (`... AND 1 PRECEDING`, 0 on the first row). One range
+    * repartition + one checkpoint + one offsets broadcast serves every
+    * column, so multi-series CDF/midrank rollups (q372/q390/q395) pay
+    * the distributed-rank machinery once, not per series.
+    */
+  def withRunningSums(df: DataFrame, outs: Seq[(String, Column)],
+      inclusive: Boolean, keys: Column*): DataFrame = {
+    require(outs.nonEmpty, "withRunningSums needs at least one column")
     val spark = df.sparkSession
-    import spark.implicits._
-    val ranged = df
-      .repartitionByRange(keys: _*)
-      .sortWithinPartitions(keys: _*)
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__v", value.cast("long"))
-      .localCheckpoint(true)
-    val sums = ranged.groupBy("__pid").agg(sum("__v").as("s"))
-      .as[(Int, Long)].collect().sortBy(_._1)
-    val offsets = sums.map(_._1)
-      .zip(sums.map(_._2).scanLeft(0L)(_ + _))
-      .toSeq.toDF("__pid", "__offset")
+    val vcols = outs.indices.map(i => s"__v$i")
+    val ranged = outs.zip(vcols).foldLeft(
+        df.repartitionByRange(keys: _*)
+          .sortWithinPartitions(keys: _*)
+          .withColumn("__pid", spark_partition_id())) {
+        case (d, ((_, v), vc)) => d.withColumn(vc, v.cast("long"))
+      }.localCheckpoint(true)
+    val aggs = vcols.map(c => sum(col(c)).as(c))
+    val perPart = ranged.groupBy("__pid").agg(aggs.head, aggs.tail: _*)
+      .collect().sortBy(_.getInt(0))
+    val offsetsByCol = vcols.indices.map { i =>
+      perPart.map(_.getLong(i + 1)).scanLeft(0L)(_ + _)
+    }
+    val offRows = perPart.indices.map { j =>
+      org.apache.spark.sql.Row.fromSeq(
+        perPart(j).getInt(0) +: vcols.indices.map(i => offsetsByCol(i)(j)))
+    }
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType) +:
+        vcols.indices.map(i => org.apache.spark.sql.types.StructField(
+          s"__off$i", org.apache.spark.sql.types.LongType)))
+    val offDf = spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*), offSchema)
     val w = Window.partitionBy("__pid").orderBy(keys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(offsets), "__pid")
-      .withColumn(outCol, sum(col("__v")).over(w) + col("__offset"))
-      .drop("__pid", "__offset", "__v")
+    val withSums = outs.zipWithIndex.foldLeft(
+        ranged.join(broadcast(offDf), "__pid")) {
+      case (d, ((out, _), i)) =>
+        val incl = sum(col(s"__v$i")).over(w) + col(s"__off$i")
+        d.withColumn(out, if (inclusive) incl else incl - col(s"__v$i"))
+    }
+    withSums.drop(
+      "__pid" +: (vcols ++ vcols.indices.map(i => s"__off$i")): _*)
   }
 }

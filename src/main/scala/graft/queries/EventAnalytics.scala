@@ -1969,10 +1969,12 @@ object EventAnalytics {
     * The estimator every analytics stack reaches for when the
     * tracking surface is partial (log sampling, consent gaps) — and
     * because the fixture logs EVERYONE, the query also reports the
-    * true two-week population and the estimator's signed error, making
-    * the gate a measured calibration check, not just arithmetic. One
-    * per-user rollup carrying two membership bits; everything after
-    * is integer.
+    * OBSERVED DAY-0/DAY-1 UNION (n_true = users seen on either of the
+    * two capture days — the population the two samples actually draw
+    * from, which is what Lincoln–Petersen estimates) and the
+    * estimator's signed error against it, making the gate a measured
+    * calibration check, not just arithmetic. One per-user rollup
+    * carrying two membership bits; everything after is integer.
     */
   def q398CaptureRecapture(spark: SparkSession, dir: String): DataFrame = {
     val d0 = Tables(spark, dir).events

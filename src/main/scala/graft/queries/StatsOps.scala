@@ -1447,9 +1447,6 @@ object StatsOps {
     * population comparison.
     */
   def q211MannWhitney(spark: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        -1)
     val roll = Tables(spark, dir).events
       .filter(col("event_type").isin(MW_GROUP_A, MW_GROUP_B))
       .select(floor(col("value") * 100 + lit(0.5)).cast("long").as("v"),
@@ -1457,8 +1454,11 @@ object StatsOps {
       .groupBy("v")
       .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("cb"))
-    val terms = roll
-      .withColumn("cb_below", coalesce(sum("cb").over(w), lit(0L)))
+    // distributed exclusive prefix over the cents grid (|distinct
+    // cents| scales with the data — no ORDER-BY-only window)
+    val terms = graft.operators.GlobalRank
+      .withRunningSums(roll, Seq("cb_below" -> col("cb")),
+        inclusive = false, col("v"))
       .select(
         (col("ca") * (col("cb_below") * 2 + col("cb"))).as("u2_term"),
         col("ca"), col("cb"),
@@ -2548,11 +2548,14 @@ object StatsOps {
           .as("g2"),
         sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("g3"),
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("g4"))
-    val wV = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = grid
-      .withColumn("mr2",
-        lit(2L) * coalesce(sum("t").over(wV), lit(0L)) + col("t") + 1L)
+    // exclusive prefix over the value grid via the distributed
+    // running sum — the grid is |distinct cents| rows, which for a
+    // continuous value column scales with the data, so no
+    // ORDER-BY-only window (round-7 verdict item 3)
+    val ranked = graft.operators.GlobalRank
+      .withRunningSums(grid, Seq("below" -> col("t")),
+        inclusive = false, col("v"))
+      .withColumn("mr2", lit(2L) * col("below") + col("t") + 1L)
     val agg = ranked.agg(
       sum("t").as("nn"), sum(col("t") * col("t") * col("t") - col("t"))
         .as("ties"),
@@ -2636,10 +2639,14 @@ object StatsOps {
     val cells = li.groupBy("q", "p").agg(count(lit(1)).as("c"))
     def mr2(keyCol: String): DataFrame = {
       val m = cells.groupBy(keyCol).agg(sum("c").as("t"))
-      val w = Window.orderBy(keyCol)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      m.withColumn(s"mr2_$keyCol",
-        lit(2L) * coalesce(sum("t").over(w), lit(0L)) + col("t") + 1L)
+      // distributed exclusive prefix (no ORDER-BY-only window): these
+      // grids are schema-bounded today (50 quantities / 11 ticks) but
+      // the midrank identity must not depend on that
+      graft.operators.GlobalRank
+        .withRunningSums(m, Seq("below" -> col("t")),
+          inclusive = false, col(keyCol))
+        .withColumn(s"mr2_$keyCol",
+          lit(2L) * col("below") + col("t") + 1L)
         .select(col(keyCol), col(s"mr2_$keyCol"))
     }
     val joined = cells
@@ -2905,6 +2912,15 @@ object StatsOps {
     * then integer sums); H(event_type) from the row margins the same
     * way. Scale shape: one map-side-combined rollup, two windows over
     * the tiny grid, arithmetic after.
+    *
+    * Definition note: χ² (and hence V) is computed over OBSERVED
+    * contingency cells only — an (event_type, weekday) cell with
+    * count 0 would contribute rx·cy/n to the textbook statistic but
+    * is absent from the rollup. Both engines agree exactly (the
+    * oracle makes the same choice); on this data every type occurs on
+    * every weekday so the distinction is empty, but on a sparse table
+    * V here is a lower bound on the textbook V. MI/U are unaffected
+    * (empty cells contribute exactly 0 to MI).
     */
   def q377CramerTheil(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables(spark, dir).events
@@ -3380,12 +3396,12 @@ object StatsOps {
     val grid = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .groupBy("v")
       .agg(gAggs.head, gAggs.tail: _*)
-    val wV = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cums = (1 to 5).foldLeft(grid) { (df, i) =>
-      df.withColumn(s"c$i",
-        coalesce(sum(s"g$i").over(wV), lit(0L)))
-    }
+    // all five groups' exclusive prefixes from ONE distributed
+    // running-sum pass (the quantity grid is schema-bounded today, but
+    // the trend statistic must not rely on that)
+    val cums = graft.operators.GlobalRank.withRunningSums(
+      grid, (1 to 5).map(i => s"c$i" -> col(s"g$i")),
+      inclusive = false, col("v"))
     val pairTerms = (for {
       a <- 1 to 5; b <- (a + 1) to 5
     } yield lit(2L) * col(s"g$b") * col(s"c$a") +
@@ -3539,11 +3555,12 @@ object StatsOps {
         .as("t1"),
         sum(when(col("event_type") === CVM_B, 1L).otherwise(0L))
           .as("t2"))
-    val wV = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = grid
-      .withColumn("c1", sum("t1").over(wV))
-      .withColumn("c2", sum("t2").over(wV))
+    // both empirical CDFs from ONE distributed running-sum pass over
+    // the cents grid (|distinct cents| scales with the data — no
+    // ORDER-BY-only window, round-7 verdict item 3)
+    val cum = graft.operators.GlobalRank.withRunningSums(
+      grid, Seq("c1" -> col("t1"), "c2" -> col("t2")),
+      inclusive = true, col("v"))
     val ns = grid.agg(sum("t1").as("n1"), sum("t2").as("n2"))
     def d(c: Column) = c.cast("double")
     val terms = cum.crossJoin(broadcast(ns))
@@ -3907,9 +3924,10 @@ object StatsOps {
     val base = Tables(spark, dir).events
       .select((col("user_id") % 2).as("arm"), cents.as("v"))
     val grid = base.groupBy("v").agg(count(lit(1)).as("t"))
-    val wcum = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = grid.withColumn("cum", sum("t").over(wcum))
+    // distributed running sum over the cents grid (|distinct cents|
+    // scales with the data — no ORDER-BY-only window)
+    val cum = graft.operators.GlobalRank
+      .withRunningSum(grid, "cum", col("t"), col("v"))
     val n = grid.agg(sum("t").as("n"))
     val cuts = cum.crossJoin(broadcast(n))
       .agg(min(when(col("cum") * 20 >= col("n"), col("v"))).as("lo"),

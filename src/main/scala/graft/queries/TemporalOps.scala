@@ -939,10 +939,19 @@ object TemporalOps {
     * only window is a lag over that bounded series.
     */
   def q379DurbinWatson(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables(spark, dir).events
+    val daily0 = Tables(spark, dir).events
       .select(expr("unix_micros(ts) div 86400000000").as("x"),
         floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
       .groupBy("x").agg(sum("cents").as("y"))
+    // rebase x to x - min(x): num, den, and every residual R_d are
+    // shift-invariant in x, but with absolute epoch days the n·num·x
+    // term reaches ~5e17 at sf1 and would overflow BIGINT around
+    // sf10-sf100 — rebasing shrinks the intermediates by ~3 orders of
+    // magnitude without changing a single output value (both engines
+    // rebase identically)
+    val x0 = daily0.agg(min("x").as("x0"))
+    val daily = daily0.crossJoin(broadcast(x0))
+      .select((col("x") - col("x0")).as("x"), col("y"))
     val m = daily.agg(count(lit(1)).as("n"), sum("x").as("sx"),
       sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
       sum(col("x") * col("x")).as("sxx"))
@@ -972,11 +981,13 @@ object TemporalOps {
   }
 
   val q379Sql: String =
-    """WITH daily AS (
+    """WITH daily0 AS (
       |  SELECT epoch_us(ts) // 86400000000 AS x,
       |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
       |      AS y
       |  FROM events GROUP BY 1),
+      |daily AS (
+      |  SELECT x - (SELECT min(x) FROM daily0) AS x, y FROM daily0),
       |m AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
       |    CAST(sum(y) AS BIGINT) AS sy,
@@ -1026,17 +1037,21 @@ object TemporalOps {
       .select(expr("unix_micros(ts) div 86400000000").as("x"),
         floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
       .groupBy("x").agg(sum("cents").as("y"))
-    val byY = Window.orderBy("y", "x")
-    val withRn = daily.withColumn("rn", row_number().over(byY))
-    val nRows = withRn.agg(count(lit(1)).as("n"))
-    val med = withRn.crossJoin(broadcast(nRows))
-      .filter(col("rn") === expr("(n + 1) div 2"))
+    // the daily rollup is time-bounded, but both orderings route
+    // through the distributed rank anyway (round-7 verdict item 3:
+    // zero ORDER-BY-only windows over data-derived grids)
+    val (withRn, nTot) = graft.operators.GlobalRank
+      .withRowNumberAndCount(daily, "rn", col("y"), col("x"))
+    val med = withRn.filter(col("rn") === lit((nTot + 1) / 2))
       .select(col("y").as("med"))
     val s = daily.crossJoin(broadcast(med))
       .select(col("x"), when(col("y") > col("med"), 1L).otherwise(0L)
         .as("s"))
-    val byX = Window.orderBy("x")
-    val runs = s.withColumn("sp", lag("s", 1).over(byX))
+    // lag-by-time via a rank self-join: sign changes compare each
+    // day's sign with its predecessor's without a one-task window
+    val sr = graft.operators.GlobalRank.withRowNumber(s, "i", col("x"))
+    val prev = sr.select((col("i") + 1L).as("i"), col("s").as("sp"))
+    val runs = sr.join(prev, Seq("i"), "left")
       .agg(count(lit(1)).as("n"), sum("s").as("n1"),
         (sum(when(col("sp").isNotNull && col("s") =!= col("sp"), 1L)
           .otherwise(0L)) + lit(1L)).as("r"))

@@ -287,6 +287,27 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("exact-midrank/CDF family: zero ORDER-BY-only windows over value grids") {
+    // round-7 verdict item 3: the running sums over |distinct value|
+    // grids (which scale with a fact column's distinct values) must
+    // route through GlobalRank — every window spec in these plans has
+    // to carry the __pid partition key
+    for (df <- Seq(
+        graft.queries.StatsOps.q211MannWhitney(spark, sfDir),
+        graft.queries.StatsOps.q372KruskalWallis(spark, sfDir),
+        graft.queries.StatsOps.q373SpearmanRho(spark, sfDir),
+        graft.queries.StatsOps.q390Jonckheere(spark, sfDir),
+        graft.queries.StatsOps.q395CramerVonMises(spark, sfDir),
+        graft.queries.StatsOps.q401WinsorWelch(spark, sfDir),
+        graft.queries.TemporalOps.q380RunsTest(spark, sfDir))) {
+      val p = df.queryExecution.executedPlan.toString
+      "windowspecdefinition\\(([^,)]+)".r.findAllMatchIn(p).foreach { m =>
+        assert(m.group(1).startsWith("__pid"),
+          s"window not partitioned by __pid: ${m.matched}")
+      }
+    }
+  }
+
   test("q82: codes and LUT build on broadcast codebooks; rerank joins are equi") {
     val p = executedPlan(graft.queries.VectorOps.q82PqAnn(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), "codebook should broadcast")
@@ -881,7 +902,12 @@ class PlanAuditSpec extends SparkSpec {
       def check(n: org.apache.spark.sql.catalyst.plans.logical
         .LogicalPlan): Unit = n match {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
-          assert(w.collectFirst {
+          // a GlobalRank window (partitioned by __pid over the pinned
+          // rollup) is the stronger replacement for the bounded-rollup
+          // argument — accept either shape
+          val viaGlobalRank = w.partitionSpec.exists(
+            _.references.exists(_.name == "__pid"))
+          assert(viaGlobalRank || w.collectFirst {
             case a: org.apache.spark.sql.catalyst.plans.logical
               .Aggregate => a
           }.nonEmpty, "window must consume an aggregated day series")
@@ -949,7 +975,9 @@ class PlanAuditSpec extends SparkSpec {
       def check(n: org.apache.spark.sql.catalyst.plans.logical
         .LogicalPlan): Unit = n match {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
-          assert(w.collectFirst {
+          val viaGlobalRank = w.partitionSpec.exists(
+            _.references.exists(_.name == "__pid"))
+          assert(viaGlobalRank || w.collectFirst {
             case a: org.apache.spark.sql.catalyst.plans.logical
               .Aggregate => a
           }.nonEmpty, "window must consume an aggregated series")
@@ -994,7 +1022,9 @@ class PlanAuditSpec extends SparkSpec {
       def check(n: org.apache.spark.sql.catalyst.plans.logical
         .LogicalPlan): Unit = n match {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
-          assert(w.collectFirst {
+          val viaGlobalRank = w.partitionSpec.exists(
+            _.references.exists(_.name == "__pid"))
+          assert(viaGlobalRank || w.collectFirst {
             case a: org.apache.spark.sql.catalyst.plans.logical
               .Aggregate => a
           }.nonEmpty, "window must consume an aggregated series")
