@@ -23,6 +23,12 @@ object GraftSession {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // SPARK_GRAFT_ANSI=true hard-errors on arithmetic overflow /
+      // invalid casts instead of wrapping — the scale-gate switch
+      // (round-7 verdict item 1: the q361/q369/q376 BIGINT-grid
+      // overflows wrapped silently at sf1 under the default).
+      .config("spark.sql.ansi.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ANSI", "false"))
       // The driver's events table carries parquet TIMESTAMP(NANOS),
       // which Spark 4's vectorized reader rejects; read nanos as long
       // session-wide (Tables.events truncates to microseconds). Set

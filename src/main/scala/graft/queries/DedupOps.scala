@@ -288,16 +288,19 @@ object DedupOps {
     * Integer-count division is bit-exact across engines, no rounding.
     */
   def q29NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // One fused pass builds the per-doc shingle hash SET; explode once
-    // and persist — the table feeds four downstream consumers (sizes,
-    // df filter, and both sides of the intersection join). Long keys
-    // shuffle ~6x smaller than shingle strings. At 100 TB this is the
-    // "materialize the exploded posting list once" pattern.
-    val e = Tables(spark, dir).documents
+    // One fused pass builds the per-doc SORTED shingle hash set; the
+    // array table feeds the df rollup (via one explode) and both sides
+    // of the verify join. Long keys shuffle ~6x smaller than shingle
+    // strings, and shipping ONE array row per doc to the verify beats
+    // re-joining exploded postings per candidate (the round-7 sf1
+    // ladder measured that shape at 9.3x on 10x data — the constant
+    // was the |set|-row fanout per candidate pair).
+    val arrs = Tables(spark, dir).documents
       .select(col("doc_id"),
-        explode(graft.plans.ShingleHashSet(col("text"), SHINGLE_N)).as("sh"))
+        sort_array(graft.plans.ShingleHashSet(col("text"), SHINGLE_N))
+          .as("shs"))
       .persist()
-    val sizes = e.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val e = arrs.select(col("doc_id"), explode(col("shs")).as("sh"))
     // shingle sets are per-doc distinct, so count(*) == document frequency
     val rareShingles = e.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= RARE_DF_MAX).select("sh")
@@ -306,14 +309,25 @@ object DedupOps {
         col("ra.sh") === col("rb.sh") && col("ra.doc_id") < col("rb.doc_id"))
       .select(col("ra.doc_id").as("doc_a"), col("rb.doc_id").as("doc_b"))
       .distinct()
-    val inter = cand
-      .join(e.as("ea"), col("doc_a") === col("ea.doc_id"))
-      .join(e.as("eb"), col("doc_b") === col("eb.doc_id") && col("ea.sh") === col("eb.sh"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_inter"))
-    val out = inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+    // Verify with the native codegen'd two-pointer intersection (the
+    // q168 representation): jaccard >= tau implies n_inter >=
+    // tau*(n_a+n_b)/(1+tau), so the early-abort threshold is that
+    // bound floored (floor can only under-shoot the exact rational —
+    // never drops a true pair); survivors re-check the EXACT double
+    // filter the oracle applies.
+    val tauFrac = JACCARD_MIN / (1.0 + JACCARD_MIN)
+    val verified = cand
+      .join(arrs.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(arrs.as("b"), col("doc_b") === col("b.doc_id"))
+      .withColumn("n_a", size(col("a.shs")).cast("long"))
+      .withColumn("n_b", size(col("b.shs")).cast("long"))
+      .withColumn("n_inter", graft.plans.SortedIntersectGe(
+        col("a.shs"), col("b.shs"),
+        greatest(lit(1L),
+          floor((col("n_a") + col("n_b")).cast("double") * lit(tauFrac))
+            .cast("long"))))
+      .filter(col("n_inter") >= 0L)
+    val out = verified
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
@@ -321,12 +335,12 @@ object DedupOps {
       .select("doc_a", "doc_b", "n_inter", "jaccard")
       .orderBy("doc_a", "doc_b")
     // The verified-pair output is tiny (blocking bounds candidates), so
-    // pin IT via an eager localCheckpoint and release the big posting
-    // list before returning — a bare persist() here leaked cached
+    // pin IT via an eager localCheckpoint and release the big array
+    // table before returning — a bare persist() here leaked cached
     // blocks into every later query sharing the session (Bench runs
     // the whole inventory twice).
     val pinned = out.localCheckpoint(true)
-    e.unpersist()
+    arrs.unpersist()
     pinned
   }
 

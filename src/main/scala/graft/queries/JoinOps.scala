@@ -56,23 +56,50 @@ object JoinOps {
     * then aggregated per interval. The per-interval rollup is the
     * realistic consumer shape AND keeps the gate dump O(|intervals|)
     * instead of materializing every matched pair.
+    *
+    * Two scale moves (round-7 verdict item 4 — the sf1 ladder
+    * measured the fixed-cell, raw-point shape at 9.3x on 10x data):
+    *
+    *  1. AGGREGATE PUSHDOWN. The consumer is a per-interval
+    *     count/sum, so points collapse to the |distinct price| grid
+    *     (count + exact DECIMAL price sum per value) BEFORE the range
+    *     join — matched-pair enumeration then costs O(grid x density),
+    *     not O(points x density), and replicated corpora (identical
+    *     price distributions) pay ~nothing extra. Decimal sums are
+    *     associative, so regrouping preserves [[Exact.sumExact]]
+    *     bit-for-bit.
+    *  2. STATS-DERIVED CELL WIDTH. Candidates cost ~G*Ni*(W+c)/R and
+    *     the interval build costs ~Ni*(W/c+1); the sum is minimized at
+    *     c* = sqrt(W*R/G). One ANALYZE-style stats pass (count/min/max
+    *     of the grid — the numbers a table catalog already has)
+    *     replaces the old fixed 250.0 literal, so the cell narrows as
+    *     the value grid densifies instead of letting per-cell
+    *     populations grow.
     */
-  val RANGE_CELL = 250.0
   val RANGE_WIDTH = 500.0
 
   def q45RangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val points = t.lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice")
+    val grid = t.lineitem
+      .groupBy(col("l_extendedprice"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).as("dsum"))
+    val st = grid.agg(count(lit(1)).as("g"),
+      min("l_extendedprice").as("vlo"), max("l_extendedprice").as("vhi"))
+      .collect()(0)
+    val range = math.max(st.getDouble(2) - st.getDouble(1), 1e-6)
+    val cell = math.max(1e-6,
+      math.sqrt(RANGE_WIDTH * range / math.max(st.getLong(0), 1L).toDouble))
     val intervals = t.supplier.select(
       col("s_suppkey"),
       ((col("s_acctbal") + 1000.0) * 5.0).as("lo"),
       ((col("s_acctbal") + 1000.0) * 5.0 + RANGE_WIDTH).as("hi"))
-    RangeJoin.pointInInterval(points, "l_extendedprice",
-        intervals, "lo", "hi", RANGE_CELL)
+    RangeJoin.pointInInterval(grid, "l_extendedprice",
+        intervals, "lo", "hi", cell)
       .groupBy("s_suppkey")
       .agg(
-        count(lit(1)).as("n_points"),
-        Exact.sumExact(col("l_extendedprice")).as("sum_price"))
+        sum("n").as("n_points"),
+        sum("dsum").cast("double").as("sum_price"))
   }
 
   val q45Sql: String =
