@@ -85,10 +85,27 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
 
+    // Jitter control (round-7 verdict item 6): allocation-heavy slots
+    // (imageio codecs, localCheckpoint slots) show 3-5x pass spreads
+    // with clean minimums — pure measurement noise that poisons a
+    // 3-pass median. Any query whose spread exceeds SPREAD_LIMIT gets
+    // EXTRA_PASSES more runs (GC'd between) and reports the median of
+    // all its passes; the raw passes and a `resampled` flag stay in
+    // the artifact so the spread is visible, not hidden.
+    val SPREAD_LIMIT = 2.0
+    val EXTRA_PASSES = 2
+    val byName = ordered.toMap
     val ok = samples.collect {
       case (name, rs) if rs.forall(_.isRight) =>
-        val ts = rs.collect { case Right(t) => t }
-        (name, median(ts), ts.min, ts)
+        val ts0 = rs.collect { case Right(t) => t }
+        val spread = ts0.max / math.max(ts0.min, 1e-9)
+        val ts =
+          if (spread <= SPREAD_LIMIT) ts0
+          else ts0 ++ (1 to EXTRA_PASSES).flatMap { _ =>
+            val r = once(byName(name)); releaseBlocks(); System.gc()
+            r.toOption
+          }
+        (name, median(ts), ts.min, ts, ts.size > ts0.size)
     }
     val failed = samples.collect {
       case (name, rs) if rs.exists(_.isLeft) =>
@@ -121,7 +138,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","passes":$PASSES,"sf":"$sfDir","failed":$failedJson,"queries":{
-${ok.map(t => s"""  "${t._1}": {"median": ${r3(t._2)}, "min": ${r3(t._3)}, "passes": [${t._4.map(r3).mkString(", ")}]}""").mkString(",\n")}
+${ok.map(t => s"""  "${t._1}": {"median": ${r3(t._2)}, "min": ${r3(t._3)}, "resampled": ${t._5}, "passes": [${t._4.map(r3).mkString(", ")}]}""").mkString(",\n")}
 }}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(

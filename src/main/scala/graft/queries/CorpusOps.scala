@@ -990,6 +990,48 @@ object CorpusOps {
       |FROM documents WHERE source != 'src0'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q407: AVRO ROUNDTRIP — completes the interchange matrix (q256
+    * JSONL + corrupt quarantine, q289 CSV + RFC-4180 quoting, q359
+    * ORC + stripe-pruned read): write the corpus to Avro — the
+    * row-oriented, schema-carrying format Kafka-era ingest hands a
+    * pipeline — read it back through the Avro reader with a source
+    * predicate, and gate an exact per-(source, lang) rollup against
+    * the original table. Avro is row-major, so unlike q359's ORC read
+    * there are no column stripes to prune; the read still pushes the
+    * source predicate into the scan (record-level skip) and projects
+    * only the rollup columns — the honest trade-off this row of the
+    * matrix documents: Avro for write-heavy interchange and schema
+    * evolution, columnar formats for scans. Determinism: Avro
+    * roundtrips int64 and UTF-8 byte-exactly, so integer counts and
+    * codepoint sums cannot drift.
+    */
+  /** Avro provider by implementation class: this distribution ships
+    * the full V1 AvroFileFormat inside spark-sql but not the external
+    * spark-avro module whose ServiceLoader entry registers the "avro"
+    * shortname — the FQCN resolves the same reader/writer without it.
+    */
+  val AVRO_FMT = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def q407AvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Scratch.dir("avro_rt")
+    Tables(spark, dir).documents
+      .write.mode("overwrite").option("compression", "snappy")
+      .format(AVRO_FMT).save(s"$tmp/corpus")
+    spark.read.format(AVRO_FMT).load(s"$tmp/corpus")
+      .filter(col("source") =!= "src1")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+  }
+
+  val q407Sql: String =
+    """SELECT source, lang, count(*) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+      |FROM documents WHERE source != 'src1'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** q367: HLL CUBE MARGINS — the mergeability property that makes
     * sketches the 100 TB answer, exercised ACROSS a cube: distinct
     * users per (type, day) cell sketched ONCE, then every margin —
@@ -1052,6 +1094,8 @@ object CorpusOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q367_hll_cube" -> Gate.sorted(q367HllCubeMargins _, "margin"),
     "q359_orc_roundtrip" -> Gate.sorted(q359OrcRoundtrip _, "source"),
+    "q407_avro_roundtrip" ->
+      Gate.sorted(q407AvroRoundtrip _, "source", "lang"),
     "q338_fs_em_step" -> Gate.sorted(q338FsEmStep _, "field"),
     "q332_cms_eval" -> Gate.sorted(q332CmsEval _, "token"),
     "q331_dup_spans" -> Gate.sorted(q331DupSpans _, "doc_id"),
@@ -1074,6 +1118,7 @@ object CorpusOps {
   val oracles: Map[String, String] = Map(
     "q367_hll_cube" -> q367Sql,
     "q359_orc_roundtrip" -> q359Sql,
+    "q407_avro_roundtrip" -> q407Sql,
     "q338_fs_em_step" -> q338Sql,
     "q332_cms_eval" -> q332Sql,
     "q331_dup_spans" -> q331Sql,

@@ -12,6 +12,7 @@ tolerance + rounded-repr hash like the driver).
 import json
 import math
 import sys
+import time
 from pathlib import Path
 
 import duckdb
@@ -103,6 +104,7 @@ def main(out_dir, sf_dir):
 
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        t0 = time.time()
         pdir = out_dir / name
         if not pdir.exists():
             print(f"FAIL {name}: no spark output")
@@ -162,7 +164,8 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: {kind}, first diffs: {bad}")
             n_fail += 1
             continue
-        print(f"PASS {name} ({len(got_rows)} rows)")
+        print(f"PASS {name} ({len(got_rows)} rows, {time.time()-t0:.1f}s)",
+              flush=True)
         n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
