@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions.udaf
   * items, promoting them to level L+1 (each survivor now stands for
   * twice as many rows). Compaction here is DETERMINISTIC (keep the
   * even-indexed items of the sorted buffer) rather than the textbook
-  * coin flip: reproducible runs and tests outweigh the constant-factor
-  * error improvement randomization buys, and the worst-case rank drift
-  * per compaction is still <= half the promoted weight, giving the
-  * ~|levels|·2^L/2 cumulative bound asserted in the spec.
+  * coin flip: reproducible runs and tests outweigh the error
+  * improvement randomization buys. The price of determinism is that
+  * per-compaction drifts ADD instead of cancelling: the worst-case
+  * rank error is |levels|·n/k + |levels| ([[rankErrorBound]]), not
+  * the randomized compactor's O(n/k) — the bound the spec and the
+  * q251/q339 gates assert.
   *
   * Merge concatenates per-level buffers, then re-compacts overflowing
   * levels — associative in the bound (NOT bit-identical under
@@ -110,6 +112,22 @@ object QuantileSketch {
   }
 
   def empty(k: Int = DEFAULT_K): Sketch = Sketch(k, 0L, Seq(Seq.empty))
+
+  /** Worst-case rank-error bound of the DETERMINISTIC compactor:
+    * each compaction at level l shifts any rank by at most 2^l, and
+    * level l sees at most ~n/2^l items so it compacts at most
+    * n/(k·2^l) times — n/k error PER LEVEL, which (unlike the
+    * randomized textbook compactor, whose per-level errors cancel in
+    * expectation to O(n/k) total) ADDS across levels:
+    * |levels|·n/k + |levels|. The round-8 sf0.1 gate caught the
+    * earlier 3n/k + |levels| claim dropping the |levels| factor: at
+    * sf0.01 (n/k≈100) the drift sits far inside either formula, but
+    * q251's group-N sketch at n≈200k exceeded the 3n/k claim (~3013)
+    * and flipped its ok_p50 gate flag; the per-level-additive bound
+    * (11007 there) is the one the deterministic analysis supports.
+    */
+  def rankErrorBound(s: Sketch): Long =
+    s.levels.length.toLong * s.n / s.k + s.levels.length + 1
 
   /** Spark aggregation: one-pass sketch of a double column, usable in
     * groupBy().agg(...). Buffers merge across partitions with the

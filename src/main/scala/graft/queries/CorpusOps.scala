@@ -161,7 +161,7 @@ object CorpusOps {
           .map(_.toSeq).toSeq
         val sk = QuantileSketch.Sketch(
           row.getAs[Int]("k"), row.getAs[Long]("n"), levels)
-        val bound = 3L * sk.n / sk.k + sk.levels.length
+        val bound = QuantileSketch.rankErrorBound(sk)
         (g, sk.quantile(0.5), sk.quantile(0.9), sk.n, bound)
       }
     import spark.implicits._

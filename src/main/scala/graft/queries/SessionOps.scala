@@ -590,7 +590,7 @@ object SessionOps {
     val ests = spark.table(sinkName).collect().map { r =>
       val sk = QuantileSketch.fromRow(r.getStruct(2))
       (r.getString(0), r.getString(1), sk.quantile(0.5), sk.n,
-        3L * sk.n / sk.k + sk.levels.length)
+        QuantileSketch.rankErrorBound(sk))
     }
     import spark.implicits._
     val estDf = spark.createDataset(ests.toSeq)

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * Two-batch time-ordered replay; every closed window must emit
   * exactly once, the merged sketch's weight must equal the window's
   * exact population, and its p50 estimate's EXACT rank must sit
-  * inside the sketch's own bound (3n/k + |levels|).
+  * inside the sketch's own bound (rankErrorBound).
   */
 class StreamQuantileSpec extends SparkSpec {
 
@@ -70,7 +70,7 @@ class StreamQuantileSpec extends SparkSpec {
         s"merged sketch weight ${sk.n} != window population ${vals.length}")
       val est = sk.quantile(0.5)
       val rank = vals.count(_ <= est).toLong
-      val bound = 3L * sk.n / sk.k + sk.levels.length
+      val bound = graft.operators.QuantileSketch.rankErrorBound(sk)
       assert(math.abs(rank - math.ceil(vals.length * 0.5).toLong) <= bound,
         s"p50 rank error out of bound for $k")
     }
