@@ -111,6 +111,109 @@ object JoinOps {
       |GROUP BY s_suppkey
       |ORDER BY s_suppkey""".stripMargin
 
+  /** q408 watchlist: sessions of every (user_id % this == 0) account
+    * form the bounded probe side — the realistic consumer shape
+    * (flagged-account concurrency audit), and what keeps the output
+    * O(|watchlist|) instead of O(|concurrent pairs|).
+    */
+  val OVERLAP_WATCH_MOD = 25L
+
+  /** q408 session activity window: each gap-based session is padded by
+    * the sessionization gap itself (a user is "active" until the gap
+    * that would have closed the session), giving intervals with real
+    * extent — raw min/max-ts sessions are near-points on sparse data.
+    */
+  val OVERLAP_PAD_US: Long = SessionOps.GAP_MINUTES * 60L * 1000000L
+
+  /** q408: INTERVAL-OVERLAP JOIN — which sessions run CONCURRENTLY
+    * with a watchlist account's sessions. The interval-interval
+    * sibling of q45's point-in-interval shape, with two properties
+    * that survive 100 TB:
+    *
+    *  1. Grid-cell equi-ization on BOTH sides — each interval explodes
+    *     to its covered cells (cell width = the average interval width
+    *     from an ANALYZE-style stats pass, q45's sizing discipline, so
+    *     replication stays ~2-3 rows/interval while a cell's
+    *     population stays at the true concurrency level) and the join
+    *     runs on the cell key. Never a nested-loop inequality join.
+    *  2. DEDUP-FREE EMISSION — an overlapping pair shares every cell
+    *     in the overlap, so candidates would multiply-match; instead
+    *     of a distinct() shuffle, a pair is emitted ONLY in the cell
+    *     containing max(lo_a, lo_b) (always inside both intervals when
+    *     they overlap) — exactly-once by construction.
+    *
+    * Sessions are q37's gap-based islands padded by [[OVERLAP_PAD_US]];
+    * the rollup reports, per watchlist user: concurrent-session count,
+    * distinct concurrent users, and total overlap duration.
+    */
+  def q408IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = SessionOps.GAP_MINUTES * 60L * 1000000L
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = byUser.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val sessions = Tables(spark, dir).events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag("us", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_idx", sum("new_sess").over(cum))
+      .groupBy("user_id", "sess_idx")
+      .agg(min("us").as("lo"), (max("us") + OVERLAP_PAD_US).as("hi"))
+    val st = sessions.agg(avg(col("hi") - col("lo")).as("w")).collect()(0)
+    val cell = math.max(1000000.0, st.getDouble(0))
+    def toCells(df: DataFrame, prefix: String) = df.select(
+      col("user_id").as(s"${prefix}_user"), col("lo").as(s"${prefix}_lo"),
+      col("hi").as(s"${prefix}_hi"),
+      explode(sequence(floor(col("lo") / cell).cast("long"),
+        floor(col("hi") / cell).cast("long"))).as("__cell"))
+    val watch = toCells(
+      sessions.filter(col("user_id") % OVERLAP_WATCH_MOD === 0L), "a")
+    val others = toCells(sessions, "b")
+    watch.join(others,
+        watch("__cell") === others("__cell") &&
+          col("a_user") =!= col("b_user") &&
+          greatest(col("a_lo"), col("b_lo")) <=
+            least(col("a_hi"), col("b_hi")) &&
+          watch("__cell") ===
+            floor(greatest(col("a_lo"), col("b_lo")) / cell).cast("long"))
+      .groupBy(col("a_user").as("user_id"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        countDistinct(col("b_user")).as("n_users"),
+        sum(least(col("a_hi"), col("b_hi")) -
+          greatest(col("a_lo"), col("b_lo"))).as("sum_overlap_us"))
+  }
+
+  val q408Sql: String =
+    s"""WITH f AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+      |              > ${SessionOps.GAP_MINUTES * 60L * 1000000L}
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx,
+      |    us
+      |  FROM f),
+      |iv AS (
+      |  SELECT user_id, min(us) AS lo, max(us) + $OVERLAP_PAD_US AS hi
+      |  FROM s GROUP BY user_id, sess_idx)
+      |SELECT a.user_id, count(*) AS n_overlaps,
+      |  count(DISTINCT b.user_id) AS n_users,
+      |  CAST(sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS BIGINT)
+      |    AS sum_overlap_us
+      |FROM iv a JOIN iv b
+      |  ON a.user_id % $OVERLAP_WATCH_MOD = 0
+      |  AND a.user_id != b.user_id
+      |  AND greatest(a.lo, b.lo) <= least(a.hi, b.hi)
+      |GROUP BY a.user_id
+      |ORDER BY a.user_id""".stripMargin
+
   /** q100 bounded query set: stars of orders with key <= this constant
     * — O(K) regardless of corpus size (same boundedness contract as
     * the ANN query sets, VERDICT r1 #2).
@@ -497,6 +600,8 @@ object JoinOps {
     "q127_bloom_semi" -> Gate.sorted(q127BloomSemi _, "l_suppkey"),
     "q44_asof_enrich" -> Gate.sorted(q44AsofEnrich _, "user_id", "event_id"),
     "q45_range_join" -> Gate.sorted(q45RangeJoin _, "s_suppkey"),
+    "q408_interval_overlap" ->
+      Gate.sorted(q408IntervalOverlap _, "user_id"),
     "q100_radius_neighbors" ->
       Gate.sorted(q100RadiusNeighbors _, "q_orderkey", "q_linenumber"),
     "q116_fuzzy_join" -> Gate.sorted(q116FuzzyJoin _, "name_a", "name_b"),
@@ -510,6 +615,7 @@ object JoinOps {
     "q127_bloom_semi" -> q127Sql,
     "q44_asof_enrich" -> q44Sql,
     "q45_range_join" -> q45Sql,
+    "q408_interval_overlap" -> q408Sql,
     "q100_radius_neighbors" -> q100Sql,
     "q116_fuzzy_join" -> q116Sql,
     "q120_salted_join" -> q120Sql)

@@ -30,6 +30,52 @@ class Batch50Spec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q408 equals a driver-side brute-force interval-overlap recompute") {
+    import graft.queries.JoinOps.{OVERLAP_PAD_US, OVERLAP_WATCH_MOD}
+    val gapUs = graft.queries.SessionOps.GAP_MINUTES * 60L * 1000000L
+    val got = graft.queries.JoinOps.q408IntervalOverlap(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // re-derive sessions with a plain fold (no windows), then pair by
+    // brute force — independent of both the grid cells and the
+    // emission-dedup trick
+    val evs = Tables(spark, sfDir).events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = evs.groupBy(_._1).toSeq.flatMap { case (u, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._3)).map(_._2)
+      val ivs = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      var lo = sorted.head; var hi = sorted.head
+      sorted.tail.foreach { us =>
+        if (us - hi > gapUs) { ivs += ((lo, hi)); lo = us }
+        hi = us
+      }
+      ivs += ((lo, hi))
+      ivs.map { case (l, h) => (u, l, h + OVERLAP_PAD_US) }
+    }
+    val want = sessions.filter(_._1 % OVERLAP_WATCH_MOD == 0L)
+      .flatMap { case (ua, la, ha) =>
+        sessions.collect {
+          case (ub, lb, hb)
+            if ub != ua && math.max(la, lb) <= math.min(ha, hb) =>
+            (ua, ub, math.min(ha, hb) - math.max(la, lb))
+        }
+      }.groupBy(_._1).map { case (u, ps) =>
+        u -> ((ps.size.toLong, ps.map(_._2).distinct.size.toLong,
+          ps.map(_._3).sum))
+      }
+    assert(got === want)
+  }
+
+  test("q408 plan: cell equi-join only — no cartesian, no nested loop") {
+    val p = graft.queries.JoinOps.q408IntervalOverlap(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap degraded to a non-equi join:\n$p")
+  }
+
   test("q407 roundtrip is lossless and the avro scan pushes the filter") {
     import graft.queries.Scratch
     val docs = Tables(spark, sfDir).documents
