@@ -227,6 +227,89 @@ object StatsOps {
       |FROM w WHERE n >= $K_ANON
       |ORDER BY event_type, day""".stripMargin
 
+  /** q409 randomized-response coin probabilities, in percent: with
+    * probability RR_TRUTH_PCT the respondent answers truthfully,
+    * otherwise a second coin forces "yes" with RR_YES_PCT. Warner's
+    * classic local-DP mechanism at p=q=1/2.
+    */
+  val RR_TRUTH_PCT = 50L
+  val RR_YES_PCT = 50L
+
+  /** q409: RANDOMIZED RESPONSE — the LOCAL privacy mechanism
+    * complementing q125's central one (there the curator adds Laplace
+    * noise to a trusted rollup; here each USER's bit is perturbed
+    * before aggregation, so the collector never holds a truthful
+    * row). Each user's binary attribute (ever purchased) passes
+    * through Warner's mechanism — truth with probability p, else a
+    * forced coin — and the population rate is recovered by the
+    * standard debias π̂ = (ŷ − (1−p)·q)/p. The fixture logs the truth,
+    * so the gate reports BOTH the debiased estimate and its signed
+    * error against the true rate — a measured calibration check.
+    *
+    * Coins are md5-derived per user (the q125/q25 convention):
+    * deterministic coins make the mechanism oracle-replayable — in
+    * production local DP the coin is true client randomness; what this
+    * operator exercises is the aggregation-side debias arithmetic,
+    * which is identical either way. One per-user rollup (map-side
+    * combined), one 1-row aggregate; everything else is scan-stage.
+    */
+  def q409RandomizedResponse(spark: SparkSession, dir: String): DataFrame = {
+    def coin(salt: String): Column =
+      pmod(conv(substring(
+        md5(concat(lit(salt), col("user_id").cast("string"))), 1, 6),
+        16, 10).cast("long"), lit(100L))
+    val truth = Tables(spark, dir).events
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("t"))
+    val reported = truth.select(col("t"),
+      when(coin("rr1:") < RR_TRUTH_PCT, col("t"))
+        .otherwise(when(coin("rr2:") < RR_YES_PCT, 1L).otherwise(0L))
+        .as("r"))
+    def d(c: Column) = c.cast("double")
+    val agg = reported.agg(count(lit(1)).as("n_users"),
+      sum("t").as("n_true"), sum("r").as("n_yes"))
+    val p = RR_TRUTH_PCT / 100.0
+    val q = RR_YES_PCT / 100.0
+    val piHat = (d(col("n_yes")) / d(col("n_users")) - lit((1.0 - p) * q)) /
+      lit(p)
+    agg.select(col("n_users"), col("n_true"), col("n_yes"),
+      floor(piHat * lit(1e6) + lit(0.5)).cast("long").as("pi_hat_micro"),
+      floor((piHat - d(col("n_true")) / d(col("n_users"))) * lit(1e6) +
+        lit(0.5)).cast("long").as("err_micro"))
+  }
+
+  val q409Sql: String = {
+    val p = RR_TRUTH_PCT / 100.0
+    val q = RR_YES_PCT / 100.0
+    s"""WITH truth AS (
+      |  SELECT user_id,
+      |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS t
+      |  FROM events GROUP BY 1),
+      |rep AS (
+      |  SELECT t,
+      |    CASE WHEN CAST('0x' || substr(md5('rr1:' || CAST(user_id AS VARCHAR)), 1, 6)
+      |               AS BIGINT) % 100 < $RR_TRUTH_PCT THEN t
+      |         WHEN CAST('0x' || substr(md5('rr2:' || CAST(user_id AS VARCHAR)), 1, 6)
+      |               AS BIGINT) % 100 < $RR_YES_PCT THEN 1
+      |         ELSE 0 END AS r
+      |  FROM truth),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(t) AS BIGINT) AS n_true,
+      |    CAST(sum(r) AS BIGINT) AS n_yes
+      |  FROM rep)
+      |SELECT n_users, n_true, n_yes,
+      |  CAST(floor((CAST(n_yes AS DOUBLE) / CAST(n_users AS DOUBLE)
+      |    - ${(1.0 - p) * q}) / $p * 1e6 + 0.5) AS BIGINT) AS pi_hat_micro,
+      |  CAST(floor(((CAST(n_yes AS DOUBLE) / CAST(n_users AS DOUBLE)
+      |    - ${(1.0 - p) * q}) / $p
+      |    - CAST(n_true AS DOUBLE) / CAST(n_users AS DOUBLE)) * 1e6 + 0.5)
+      |    AS BIGINT) AS err_micro
+      |FROM a""".stripMargin
+  }
+
   /** q279 quasi-identifier coarsening: account-balance band width. */
   val ANON_BAND = 2000.0
 
@@ -4347,6 +4430,8 @@ object StatsOps {
     "q121_corr_matrix" -> Gate.sorted(q121CorrMatrix _, "col_a", "col_b"),
     "q123_zipf_slope" -> ((s, d) => q123ZipfSlope(s, d)),
     "q125_private_release" -> Gate.sorted(q125PrivateRelease _, "event_type", "day"),
+    "q409_randomized_response" ->
+      Gate.sorted(q409RandomizedResponse _, "n_users"),
     "q279_k_anonymity" -> Gate.sorted(q279KAnonymity _, "nation"),
     "q299_l_diversity" -> Gate.sorted(q299LDiversity _, "nation", "segment"),
     "q301_trend_test" -> Gate.sorted(q301TrendTest _, "prio"),
@@ -4403,6 +4488,7 @@ object StatsOps {
     "q121_corr_matrix" -> q121Sql,
     "q123_zipf_slope" -> q123Sql,
     "q125_private_release" -> q125Sql,
+    "q409_randomized_response" -> q409Sql,
     "q279_k_anonymity" -> q279Sql,
     "q299_l_diversity" -> q299Sql,
     "q301_trend_test" -> q301Sql,

@@ -76,6 +76,40 @@ class Batch50Spec extends SparkSpec {
       s"interval overlap degraded to a non-equi join:\n$p")
   }
 
+  test("q409 equals a driver-side MD5-coin randomized-response recompute") {
+    import graft.queries.StatsOps.{RR_TRUTH_PCT, RR_YES_PCT}
+    val got = graft.queries.StatsOps.q409RandomizedResponse(spark, sfDir)
+      .collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def coin(salt: String, u: Long): Long = {
+      val hex = md.digest(s"$salt$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val truth = Tables(spark, sfDir).events
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (u, rs) =>
+        u -> (if (rs.exists(_._2 == "purchase")) 1L else 0L)
+      }
+    val reported = truth.map { case (u, t) =>
+      if (coin("rr1:", u) < RR_TRUTH_PCT) t
+      else if (coin("rr2:", u) < RR_YES_PCT) 1L else 0L
+    }
+    val n = truth.size.toLong
+    val nTrue = truth.values.sum
+    val nYes = reported.sum
+    val p = RR_TRUTH_PCT / 100.0; val q = RR_YES_PCT / 100.0
+    val piHat = (nYes.toDouble / n - (1.0 - p) * q) / p
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ===
+      ((n, nTrue, nYes)))
+    assert(got.getLong(3) === math.floor(piHat * 1e6 + 0.5).toLong)
+    assert(got.getLong(4) ===
+      math.floor((piHat - nTrue.toDouble / n) * 1e6 + 0.5).toLong)
+    // the mechanism must actually perturb: some reports differ from truth
+    assert(truth.values.toSeq.sum != nYes || n < 10)
+  }
+
   test("q407 roundtrip is lossless and the avro scan pushes the filter") {
     import graft.queries.Scratch
     val docs = Tables(spark, sfDir).documents
