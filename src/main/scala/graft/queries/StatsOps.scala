@@ -1615,13 +1615,20 @@ object StatsOps {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    // num/den in 128-bit integers (DECIMAL(38,0) here, HUGEINT in the
+    // oracle): the row-level BIGINT sums fit at any realistic SF, but
+    // n*sxy with absolute epoch days crosses 2^63 at sf1 — caught by
+    // the round-8 ANSI sf1 gate; widening the PRODUCTS keeps the
+    // identity exact to 1e38 instead of rebasing-and-hoping
+    def w(c: Column) = c.cast("decimal(38,0)")
+    val num = (w(col("n")) * w(col("sxy")) - w(col("sx")) * w(col("sy")))
+      .cast("double")
+    val den = (w(col("n")) * w(col("sxx")) - w(col("sx")) * w(col("sx")))
+      .cast("double")
     m.select(col("event_type"), col("n"),
-      floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-        (col("n") * col("sxx") - col("sx") * col("sx")) * lit(1e6) + lit(0.5))
+      floor(num / den * lit(1e6) + lit(0.5))
         .cast("long").as("slope_micro_c_per_day"),
-      floor((col("sy").cast("double") -
-        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+      floor((col("sy").cast("double") - num / den * col("sx")) /
         col("n") + lit(0.5)).cast("long").as("intercept_c"))
   }
 
@@ -1635,15 +1642,20 @@ object StatsOps {
       |    SELECT event_type, epoch_us(ts) // 86400000000 AS x,
       |      CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
       |    FROM events)
-      |  GROUP BY 1)
+      |  GROUP BY 1),
+      |d AS (
+      |  SELECT *,
+      |    CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+      |      AS DOUBLE) AS num,
+      |    CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+      |      AS DOUBLE) AS den
+      |  FROM m)
       |SELECT event_type, n,
-      |  CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) /
-      |    (n * sxx - sx * sx) * 1e6 + 0.5) AS BIGINT)
+      |  CAST(floor(num / den * 1e6 + 0.5) AS BIGINT)
       |    AS slope_micro_c_per_day,
-      |  CAST(floor((CAST(sy AS DOUBLE) -
-      |    CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) * sx) / n
+      |  CAST(floor((CAST(sy AS DOUBLE) - num / den * sx) / n
       |    + 0.5) AS BIGINT) AS intercept_c
-      |FROM m ORDER BY event_type""".stripMargin
+      |FROM d ORDER BY event_type""".stripMargin
 
   /** q320/q321 histogram resolution. */
   val SPLIT_B = 16
@@ -2710,10 +2722,14 @@ object StatsOps {
     * grids (50 quantities × 11 discount ticks), so the joint rollup
     * is ≤550 cells and no global rank sort exists. Twice-the-midranks
     * are exact BIGINTs; the five weighted moments are per-cell double
-    * products quantized to the unit grid before the cross-cell
-    * integer sum (they pass 2^53 at sf1 — identical doubles both
-    * engines, and a 0.5 unit error is ~1e-17 relative); ρ is one
-    * double expression over those integers.
+    * products quantized to the unit grid (identical IEEE sequences
+    * both engines; the 0.5 unit error is ~1e-17 relative), summed and
+    * cross-multiplied in 128-bit integers — the plain BIGINT sum is
+    * ~4n³ and crossed 2^63 at sf1 (round-8 ANSI gate catch); ρ is one
+    * double expression over those exact wide integers. Remaining
+    * headroom bound: the per-cell quantized product c·(2n)² must fit
+    * BIGINT — good to roughly sf5 on this fixture; past that the
+    * per-cell quantization itself must widen.
     */
   def q373SpearmanRho(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir).lineitem
@@ -2736,7 +2752,13 @@ object StatsOps {
       .join(broadcast(mr2("q")), "q")
       .join(broadcast(mr2("p")), "p")
     def d(c: Column) = c.cast("double")
-    def quant(x: Column) = floor(x + lit(0.5)).cast("long")
+    // per-cell quantized products stay BIGINT (max c*(2n)^2 ~ 3.6e17
+    // at sf1, inside 2^63 to ~sf5); the cross-cell SUMS and the
+    // num/den PRODUCTS run in 128-bit integers (DECIMAL(38,0) /
+    // HUGEINT) — the plain BIGINT sum crossed 2^63 at sf1 (~8e20) and
+    // was caught by the round-8 ANSI sf1 gate
+    def quant(x: Column) =
+      floor(x + lit(0.5)).cast("long").cast("decimal(38,0)")
     val moments = joined.agg(
       sum("c").as("nn"),
       sum(quant(d(col("c")) * d(col("mr2_q")))).as("sx"),
@@ -2744,10 +2766,10 @@ object StatsOps {
       sum(quant(d(col("c")) * d(col("mr2_q")) * d(col("mr2_q")))).as("sxx"),
       sum(quant(d(col("c")) * d(col("mr2_q")) * d(col("mr2_p")))).as("sxy"),
       sum(quant(d(col("c")) * d(col("mr2_p")) * d(col("mr2_p")))).as("syy"))
-    def m(c: String) = col(c).cast("double")
-    val num = m("nn") * m("sxy") - m("sx") * m("sy")
-    val den = sqrt((m("nn") * m("sxx") - m("sx") * m("sx")) *
-      (m("nn") * m("syy") - m("sy") * m("sy")))
+    def w(c: String) = col(c).cast("decimal(38,0)")
+    val num = (w("nn") * w("sxy") - w("sx") * w("sy")).cast("double")
+    val den = sqrt((w("nn") * w("sxx") - w("sx") * w("sx")).cast("double") *
+      (w("nn") * w("syy") - w("sy") * w("sy")).cast("double"))
     moments.select(col("nn").as("n_rows"),
       floor(num / den * lit(1e6) + lit(0.5)).cast("long").as("rho_micro"))
   }
@@ -2775,23 +2797,21 @@ object StatsOps {
       |a AS (
       |  SELECT CAST(sum(c) AS BIGINT) AS nn,
       |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) * CAST(mr2_q AS DOUBLE)
-      |      + 0.5) AS BIGINT)) AS BIGINT) AS sx,
+      |      + 0.5) AS BIGINT)) AS HUGEINT) AS sx,
       |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) * CAST(mr2_p AS DOUBLE)
-      |      + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+      |      + 0.5) AS BIGINT)) AS HUGEINT) AS sy,
       |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) * CAST(mr2_q AS DOUBLE) *
-      |      CAST(mr2_q AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS sxx,
+      |      CAST(mr2_q AS DOUBLE) + 0.5) AS BIGINT)) AS HUGEINT) AS sxx,
       |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) * CAST(mr2_q AS DOUBLE) *
-      |      CAST(mr2_p AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+      |      CAST(mr2_p AS DOUBLE) + 0.5) AS BIGINT)) AS HUGEINT) AS sxy,
       |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) * CAST(mr2_p AS DOUBLE) *
-      |      CAST(mr2_p AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS syy
+      |      CAST(mr2_p AS DOUBLE) + 0.5) AS BIGINT)) AS HUGEINT) AS syy
       |  FROM j)
       |SELECT nn AS n_rows,
-      |  CAST(floor((CAST(nn AS DOUBLE) * CAST(sxy AS DOUBLE)
-      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
-      |    sqrt((CAST(nn AS DOUBLE) * CAST(sxx AS DOUBLE)
-      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-      |      (CAST(nn AS DOUBLE) * CAST(syy AS DOUBLE)
-      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) * 1e6 + 0.5)
+      |  CAST(floor(CAST(CAST(nn AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+      |    sqrt(CAST(CAST(nn AS HUGEINT) * sxx - sx * sx AS DOUBLE) *
+      |      CAST(CAST(nn AS HUGEINT) * syy - sy * sy AS DOUBLE))
+      |    * 1e6 + 0.5)
       |    AS BIGINT) AS rho_micro
       |FROM a""".stripMargin
 

@@ -11,7 +11,9 @@ tolerance + rounded-repr hash like the driver).
 """
 import json
 import math
+import os
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -93,18 +95,37 @@ def rows_equal(g, e):
         for a, b in zip(g, e))
 
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, only=None):
     out_dir = Path(out_dir)
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     con = duckdb.connect()
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
-        if p.exists():
+        if p.is_dir():
+            # Spark-written table (e.g. ScaleGen sf1 output): a
+            # directory of part files, not a single parquet file
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    # At sf >= 0.1 a few oracle FORMULATIONS are super-linear even when
+    # the Spark side is fine (e.g. q322's transitive-closure CTE over a
+    # dense neighbor graph). Interrupt any oracle past the budget and
+    # record it as a timeout — a scale statement about the ORACLE, not
+    # a correctness verdict on the query (the sf0.01 driver gate stays
+    # authoritative for those rows).
+    budget = float(os.environ.get("ORACLE_TIMEOUT_SEC", "0") or 0)
 
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         t0 = time.time()
+        timer = None
+        if budget > 0:
+            timer = threading.Timer(budget, con.interrupt)
+            timer.start()
         pdir = out_dir / name
         if not pdir.exists():
             print(f"FAIL {name}: no spark output")
@@ -133,9 +154,19 @@ def main(out_dir, sf_dir):
                 if c in spark_df.columns
                 and spark_df[c].dtype.kind != duck_df[c].dtype.kind]
         except Exception as e:
-            print(f"FAIL {name}: {e}")
+            if timer is not None:
+                timer.cancel()
+            if isinstance(e, duckdb.InterruptException) or \
+                    "INTERRUPT" in str(e).upper():
+                print(f"TIMEOUT {name}: oracle exceeded {budget:.0f}s "
+                      f"budget (oracle-formulation scale limit)", flush=True)
+            else:
+                print(f"FAIL {name}: {e}", flush=True)
             n_fail += 1
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         if sorted(got_cols) != sorted(exp_cols):
             print(f"FAIL {name}: schema {sorted(got_cols)} != {sorted(exp_cols)}")
             n_fail += 1
@@ -172,4 +203,5 @@ def main(out_dir, sf_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None))
