@@ -77,6 +77,62 @@ object ImageCodec {
       (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' &&
       bytes(3) == 'G'
 
+  /** PNG container metadata from a chunk walk — NO pixel decode.
+    * The inventory pass a 100 TB image corpus runs before deciding
+    * what to decode at all: dimensions and format from IHDR, payload
+    * volume from the IDAT lengths, integrity from per-chunk CRC32,
+    * well-formedness from the signature + IHDR-first/IEND-last rule.
+    */
+  final case class PngMeta(
+      doc_id: Long, n_chunks: Int, width: Int, height: Int,
+      bit_depth: Int, color_type: Int, idat_bytes: Long,
+      crc_ok: Boolean, well_formed: Boolean)
+
+  implicit val pngMetaEncoder: Encoder[PngMeta] = Encoders.product[PngMeta]
+
+  /** Walk the PNG chunk stream: 8-byte signature, then
+    * [len:4][type:4][data:len][crc:4] until IEND. CRC32 covers
+    * type+data (RFC 2083). Truncated or mis-signed input yields
+    * well_formed=false with zeroed fields rather than an exception —
+    * a bad blob is a flagged row, not a dead job.
+    */
+  def pngChunkWalk(docId: Long, bytes: Array[Byte]): PngMeta = {
+    def fail = PngMeta(docId, 0, 0, 0, 0, 0, 0L, crc_ok = false,
+      well_formed = false)
+    if (!isPng(bytes) || bytes.length < 8) return fail
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    bb.position(8)
+    var nChunks = 0
+    var w = 0; var h = 0; var depth = 0; var color = 0
+    var idat = 0L
+    var crcOk = true
+    var sawIhdrFirst = false
+    var sawIend = false
+    val crc = new java.util.zip.CRC32
+    while (!sawIend && bb.remaining >= 12) {
+      val len = bb.getInt
+      if (len < 0 || bb.remaining < len + 8) return fail
+      val typeAndData = new Array[Byte](4 + len)
+      bb.get(typeAndData)
+      val stored = bb.getInt
+      crc.reset()
+      crc.update(typeAndData)
+      if (crc.getValue.toInt != stored) crcOk = false
+      val ctype = new String(typeAndData, 0, 4, "US-ASCII")
+      if (nChunks == 0 && ctype == "IHDR") {
+        sawIhdrFirst = true
+        val d = java.nio.ByteBuffer.wrap(typeAndData, 4, len)
+        w = d.getInt; h = d.getInt
+        depth = d.get() & 0xff; color = d.get() & 0xff
+      }
+      if (ctype == "IDAT") idat += len
+      if (ctype == "IEND") sawIend = true
+      nChunks += 1
+    }
+    PngMeta(docId, nChunks, w, h, depth, color, idat, crcOk,
+      well_formed = sawIhdrFirst && sawIend && bb.remaining == 0)
+  }
+
   /** The deterministic test-image pixel formula, shared with the
     * DuckDB oracle: pixel(x, y) = (seed*31 + x*7 + y*13) mod 256.
     * Any change here must change the oracle SQL in lockstep.

@@ -702,6 +702,44 @@ object LlmText {
       |  CAST(max(p) AS INT) AS px_max
       |FROM px GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q410: PNG CHUNK WALK — container metadata WITHOUT pixel decode:
+    * the inventory pass a 100 TB image corpus runs before deciding
+    * what to decode at all. Dimensions/format come from IHDR, payload
+    * volume from IDAT lengths, integrity from per-chunk CRC32, and
+    * well-formedness from signature + IHDR-first/IEND-last — all from
+    * a byte walk that reads container framing, never inflates a
+    * scanline (q94 is the decode; this is the audit that scales to
+    * blobs decode can't afford). Blobs are the q94 ingest simulation
+    * (real javax.imageio PNGs of the deterministic formula); the gate
+    * pins the IHDR fields against the synthesis geometry and both
+    * integrity flags TRUE — a mis-parsed length field or CRC slip
+    * flips the gate. n_chunks/idat_bytes are encoder-dependent, so
+    * the spec (not the SQL oracle) pins their invariants.
+    */
+  def q410PngChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 13 + 4).toInt
+          val h = (id % 7 + 3).toInt
+          graft.operators.ImageCodec.pngChunkWalk(
+            id, graft.operators.ImageCodec.synthGrayPng(id, w, h))
+        }
+      }
+      .select("doc_id", "width", "height", "bit_depth", "color_type",
+        "crc_ok", "well_formed")
+  }
+
+  val q410Sql: String =
+    """SELECT doc_id,
+      |  CAST(doc_id % 13 + 4 AS INT) AS width,
+      |  CAST(doc_id % 7 + 3 AS INT) AS height,
+      |  CAST(8 AS INT) AS bit_depth, CAST(0 AS INT) AS color_type,
+      |  TRUE AS crc_ok, TRUE AS well_formed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** q290: REAL IMAGE RESIZE — the thumbnail/preprocessing stage of
     * the multimodal path: each PNG blob is decoded, nearest-neighbor
     * 2x-downsampled, RE-ENCODED to a new PNG, and the re-encoded
@@ -1475,6 +1513,7 @@ object LlmText {
     "q129_feature_hash" -> Gate.sorted(q129FeatureHash _, "doc_id", "bucket"),
     "q111_media_frames" -> Gate.sorted(q111MediaFrames _, "doc_id", "frame_idx"),
     "q94_media_decode" -> Gate.sorted(q94MediaDecode _, "doc_id"),
+    "q410_png_chunks" -> Gate.sorted(q410PngChunks _, "doc_id"),
     "q297_jpeg_decode" -> Gate.sorted(q297JpegDecode _, "doc_id"),
     "q61_vocab_encode" -> Gate.sorted(q61VocabEncode _, "doc_id"),
     "q60_sketch_topk" -> (q60SketchTopk _),
@@ -1510,6 +1549,7 @@ object LlmText {
     "q129_feature_hash" -> q129Sql,
     "q111_media_frames" -> q111Sql,
     "q94_media_decode" -> q94Sql,
+    "q410_png_chunks" -> q410Sql,
     "q297_jpeg_decode" -> q297Sql,
     "q61_vocab_encode" -> q61Sql,
     "q60_sketch_topk" -> q60Sql,

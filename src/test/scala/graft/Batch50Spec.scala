@@ -110,6 +110,32 @@ class Batch50Spec extends SparkSpec {
     assert(truth.values.toSeq.sum != nYes || n < 10)
   }
 
+  test("q410 chunk walk: invariants the encoder-dependent fields obey, " +
+    "and corruption detection the oracle can't see") {
+    import graft.operators.ImageCodec
+    // every synthesized PNG walks clean with >= 3 chunks (IHDR, >= 1
+    // IDAT, IEND) and a positive compressed payload
+    (0L until 40L).foreach { id =>
+      val w = (id % 13 + 4).toInt; val h = (id % 7 + 3).toInt
+      val m = ImageCodec.pngChunkWalk(id, ImageCodec.synthGrayPng(id, w, h))
+      assert(m.well_formed && m.crc_ok && m.n_chunks >= 3 &&
+        m.idat_bytes > 0 && m.width == w && m.height == h &&
+        m.bit_depth == 8 && m.color_type == 0, s"id=$id: $m")
+    }
+    // a flipped payload byte must trip CRC but not well-formedness;
+    // a truncated stream must trip well-formedness
+    val bytes = ImageCodec.synthGrayPng(7L, 9, 5)
+    val flipped = bytes.clone()
+    flipped(40) = (flipped(40) ^ 0x5a).toByte
+    val fm = ImageCodec.pngChunkWalk(7L, flipped)
+    assert(!fm.crc_ok, "payload corruption must fail the CRC audit")
+    val tm = ImageCodec.pngChunkWalk(7L, bytes.take(bytes.length - 5))
+    assert(!tm.well_formed, "truncation must fail well-formedness")
+    // non-PNG bytes are a flagged row, not an exception
+    val nm = ImageCodec.pngChunkWalk(1L, Array[Byte](1, 2, 3))
+    assert(!nm.well_formed && !nm.crc_ok)
+  }
+
   test("q407 roundtrip is lossless and the avro scan pushes the filter") {
     import graft.queries.Scratch
     val docs = Tables(spark, sfDir).documents
