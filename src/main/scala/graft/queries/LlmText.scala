@@ -92,6 +92,121 @@ object LlmText {
       |    AS BIGINT) AS row_frac_micro
       |FROM m ORDER BY actual_lang, pred_lang""".stripMargin
 
+  /** q411: MULTI-CLASS EVAL REPORT — per-class precision/recall/F1
+    * over q222's confusion rollup plus the two standard summary rows:
+    * `__macro` (unweighted mean of the per-class scores over classes
+    * with support — the number that exposes minority-class failure)
+    * and `__micro` (pooled accuracy — the number class imbalance
+    * inflates). Reporting both is the point: a classifier can hold
+    * 90% micro while a rare class sits at 0 F1. All ratios are
+    * micro-quantized integers from exact counts; the macro means are
+    * integer means OF the quantized per-class scores, so no double is
+    * ever summed across rows. Everything runs on the ≤|langs|² rollup.
+    */
+  def q411MacroF1(spark: SparkSession, dir: String): DataFrame = {
+    val conf = q32LangId(spark, dir)
+      .groupBy("actual_lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val act = conf.groupBy(col("actual_lang").as("cls"))
+      .agg(sum("n").as("n_act"))
+    val pred = conf.groupBy(col("pred_lang").as("cls"))
+      .agg(sum("n").as("n_pred"))
+    val tp = conf.filter(col("actual_lang") === col("pred_lang"))
+      .select(col("actual_lang").as("cls"), col("n").as("tp"))
+    def micro(num: Column, den: Column): Column =
+      when(den > 0, floor(num.cast("double") * lit(1e6) / den.cast("double")
+        + lit(0.5)).cast("long")).otherwise(0L)
+    val perClass = act.join(pred, Seq("cls"), "full")
+      .join(tp, Seq("cls"), "left")
+      .select(col("cls"), coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_act"), lit(0L)).as("n_act"))
+      .withColumn("prec_micro", micro(col("tp"), col("n_pred")))
+      .withColumn("rec_micro", micro(col("tp"), col("n_act")))
+      .withColumn("f1_micro",
+        micro(lit(2L) * col("prec_micro") * col("rec_micro"),
+          (col("prec_micro") + col("rec_micro")) * lit(1000000L)))
+      .localCheckpoint(true)
+    val macroRow = perClass.filter(col("n_act") > 0)
+      .agg(sum("tp").as("tp"), sum("n_pred").as("n_pred"),
+        sum("n_act").as("n_act"),
+        floor(sum("prec_micro") / count(lit(1)) + lit(0.5)).cast("long")
+          .as("prec_micro"),
+        floor(sum("rec_micro") / count(lit(1)) + lit(0.5)).cast("long")
+          .as("rec_micro"),
+        floor(sum("f1_micro") / count(lit(1)) + lit(0.5)).cast("long")
+          .as("f1_micro"))
+      .select(lit("__macro").as("cls"), col("tp"), col("n_pred"),
+        col("n_act"), col("prec_micro"), col("rec_micro"), col("f1_micro"))
+    val microRow = perClass
+      .agg(sum("tp").as("tp"), sum("n_pred").as("n_pred"),
+        sum("n_act").as("n_act"))
+      .withColumn("prec_micro", micro(col("tp"), col("n_act")))
+      .select(lit("__micro").as("cls"), col("tp"), col("n_pred"),
+        col("n_act"), col("prec_micro"),
+        col("prec_micro").as("rec_micro"), col("prec_micro").as("f1_micro"))
+    perClass.unionByName(macroRow).unionByName(microRow)
+  }
+
+  lazy val q411Sql: String =
+    s"""WITH p AS (${q32Sql.replace("ORDER BY doc_id", "")}),
+      |conf AS (
+      |  SELECT actual_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+      |  FROM p GROUP BY 1, 2),
+      |act AS (SELECT actual_lang AS cls, CAST(sum(n) AS BIGINT) AS n_act
+      |        FROM conf GROUP BY 1),
+      |prd AS (SELECT pred_lang AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+      |        FROM conf GROUP BY 1),
+      |tp AS (SELECT actual_lang AS cls, n AS tp FROM conf
+      |       WHERE actual_lang = pred_lang),
+      |pc AS (
+      |  SELECT coalesce(act.cls, prd.cls) AS cls,
+      |    coalesce(tp.tp, 0) AS tp,
+      |    coalesce(n_pred, 0) AS n_pred, coalesce(n_act, 0) AS n_act
+      |  FROM act FULL JOIN prd ON act.cls = prd.cls
+      |  LEFT JOIN tp ON tp.cls = coalesce(act.cls, prd.cls)),
+      |pcm AS (
+      |  SELECT *,
+      |    CASE WHEN n_pred > 0 THEN CAST(floor(CAST(tp AS DOUBLE) * 1e6
+      |      / CAST(n_pred AS DOUBLE) + 0.5) AS BIGINT) ELSE 0 END
+      |      AS prec_micro,
+      |    CASE WHEN n_act > 0 THEN CAST(floor(CAST(tp AS DOUBLE) * 1e6
+      |      / CAST(n_act AS DOUBLE) + 0.5) AS BIGINT) ELSE 0 END
+      |      AS rec_micro
+      |  FROM pc),
+      |pcf AS (
+      |  SELECT *,
+      |    CASE WHEN prec_micro + rec_micro > 0
+      |      THEN CAST(floor(CAST(2 * prec_micro * rec_micro AS DOUBLE) * 1e6
+      |        / CAST((prec_micro + rec_micro) * 1000000 AS DOUBLE) + 0.5)
+      |        AS BIGINT)
+      |      ELSE 0 END AS f1_micro
+      |  FROM pcm),
+      |mac AS (
+      |  SELECT '__macro' AS cls, CAST(sum(tp) AS BIGINT) AS tp,
+      |    CAST(sum(n_pred) AS BIGINT) AS n_pred,
+      |    CAST(sum(n_act) AS BIGINT) AS n_act,
+      |    CAST(floor(CAST(sum(prec_micro) AS DOUBLE) / count(*) + 0.5)
+      |      AS BIGINT) AS prec_micro,
+      |    CAST(floor(CAST(sum(rec_micro) AS DOUBLE) / count(*) + 0.5)
+      |      AS BIGINT) AS rec_micro,
+      |    CAST(floor(CAST(sum(f1_micro) AS DOUBLE) / count(*) + 0.5)
+      |      AS BIGINT) AS f1_micro
+      |  FROM pcf WHERE n_act > 0),
+      |mic AS (
+      |  SELECT '__micro' AS cls, CAST(sum(tp) AS BIGINT) AS tp,
+      |    CAST(sum(n_pred) AS BIGINT) AS n_pred,
+      |    CAST(sum(n_act) AS BIGINT) AS n_act,
+      |    CAST(floor(CAST(sum(tp) AS DOUBLE) * 1e6
+      |      / CAST(sum(n_act) AS DOUBLE) + 0.5) AS BIGINT) AS prec_micro,
+      |    CAST(floor(CAST(sum(tp) AS DOUBLE) * 1e6
+      |      / CAST(sum(n_act) AS DOUBLE) + 0.5) AS BIGINT) AS rec_micro,
+      |    CAST(floor(CAST(sum(tp) AS DOUBLE) * 1e6
+      |      / CAST(sum(n_act) AS DOUBLE) + 0.5) AS BIGINT) AS f1_micro
+      |  FROM pcf)
+      |SELECT * FROM pcf UNION ALL SELECT * FROM mac UNION ALL
+      |SELECT * FROM mic ORDER BY cls""".stripMargin
+
   val q32Sql: String = {
     def hits(l: String, words: Seq[String]) =
       s"len(list_filter(toks, t -> t IN (${inList(words)}))) AS s_$l"
@@ -1514,6 +1629,7 @@ object LlmText {
     "q111_media_frames" -> Gate.sorted(q111MediaFrames _, "doc_id", "frame_idx"),
     "q94_media_decode" -> Gate.sorted(q94MediaDecode _, "doc_id"),
     "q410_png_chunks" -> Gate.sorted(q410PngChunks _, "doc_id"),
+    "q411_macro_f1" -> Gate.sorted(q411MacroF1 _, "cls"),
     "q297_jpeg_decode" -> Gate.sorted(q297JpegDecode _, "doc_id"),
     "q61_vocab_encode" -> Gate.sorted(q61VocabEncode _, "doc_id"),
     "q60_sketch_topk" -> (q60SketchTopk _),
@@ -1550,6 +1666,7 @@ object LlmText {
     "q111_media_frames" -> q111Sql,
     "q94_media_decode" -> q94Sql,
     "q410_png_chunks" -> q410Sql,
+    "q411_macro_f1" -> q411Sql,
     "q297_jpeg_decode" -> q297Sql,
     "q61_vocab_encode" -> q61Sql,
     "q60_sketch_topk" -> q60Sql,

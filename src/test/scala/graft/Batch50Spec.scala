@@ -136,6 +136,41 @@ class Batch50Spec extends SparkSpec {
     assert(!nm.well_formed && !nm.crc_ok)
   }
 
+  test("q411 equals a driver-side confusion-matrix metric recompute") {
+    val got = graft.queries.LlmText.q411MacroF1(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    val pairs = graft.queries.LlmText.q32LangId(spark, sfDir)
+      .select("actual_lang", "pred_lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val classes = (pairs.map(_._1) ++ pairs.map(_._2)).distinct
+    def micro(num: Long, den: Long): Long =
+      if (den > 0) math.floor(num.toDouble * 1e6 / den.toDouble + 0.5).toLong
+      else 0L
+    val per = classes.map { c =>
+      val tp = pairs.count(p => p._1 == c && p._2 == c).toLong
+      val np = pairs.count(_._2 == c).toLong
+      val na = pairs.count(_._1 == c).toLong
+      val pm = micro(tp, np); val rm = micro(tp, na)
+      val f1 = micro(2L * pm * rm, (pm + rm) * 1000000L)
+      c -> ((tp, np, na, pm, rm, f1))
+    }.toMap
+    per.foreach { case (c, v) => assert(got(c) === v, s"class $c") }
+    val sup = per.values.filter(_._3 > 0).toSeq
+    def m(f: ((Long, Long, Long, Long, Long, Long)) => Long): Long =
+      math.floor(sup.map(f).sum.toDouble / sup.size + 0.5).toLong
+    assert(got("__macro")._4 === m(_._4))
+    assert(got("__macro")._5 === m(_._5))
+    assert(got("__macro")._6 === m(_._6))
+    val tpAll = per.values.map(_._1).sum
+    val nAll = pairs.length.toLong
+    assert(got("__micro")._6 === micro(tpAll, nAll))
+    // macro must genuinely differ from micro on imbalanced data (the
+    // reason both rows exist); equality would suggest a wiring bug
+    assert(got("__macro")._6 != got("__micro")._6 || sup.size <= 1)
+  }
+
   test("q407 roundtrip is lossless and the avro scan pushes the filter") {
     import graft.queries.Scratch
     val docs = Tables(spark, sfDir).documents
