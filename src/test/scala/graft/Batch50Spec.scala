@@ -31,7 +31,7 @@ class Batch50Spec extends SparkSpec {
   }
 
   test("q408 equals a driver-side brute-force interval-overlap recompute") {
-    import graft.queries.JoinOps.{OVERLAP_PAD_US, OVERLAP_WATCH_MOD}
+    import graft.queries.JoinOps.{OVERLAP_PAD_US, OVERLAP_WATCH_MAX}
     val gapUs = graft.queries.SessionOps.GAP_MINUTES * 60L * 1000000L
     val got = graft.queries.JoinOps.q408IntervalOverlap(spark, sfDir)
       .collect().map(r => r.getLong(0) ->
@@ -54,7 +54,7 @@ class Batch50Spec extends SparkSpec {
       ivs += ((lo, hi))
       ivs.map { case (l, h) => (u, l, h + OVERLAP_PAD_US) }
     }
-    val want = sessions.filter(_._1 % OVERLAP_WATCH_MOD == 0L)
+    val want = sessions.filter(_._1 < OVERLAP_WATCH_MAX)
       .flatMap { case (ua, la, ha) =>
         sessions.collect {
           case (ub, lb, hb)
