@@ -29,8 +29,36 @@ object EmbeddingOps {
     * query table here.
     */
   val NUM_QUERIES = 20
-  val NUM_PLANES = 4          // hyperplanes per hash table (bucket bits)
+  val NUM_PLANES = 4          // hyperplanes for the FIXED control (q412) only
   val NUM_TABLES = 8          // independent hash tables (candidate union)
+
+  /** Sized-LSH target bucket population: the hyperplane count is chosen
+    * per corpus so the EXPECTED bucket holds ~this many vectors
+    * regardless of corpus size (the q63 sizing rule applied to the LSH
+    * code length). With planes fixed (the round-8 shape, NUM_PLANES=4)
+    * bucket population grows ∝N and the q40 self-join's candidate
+    * pairs grow ∝N² — measured 12.0× on 10× data; with the sized rule
+    * pairs are ~N × POP/2 — linear. q31/q243's per-query candidate
+    * fraction likewise stays ~POP instead of ∝N.
+    */
+  val LSH_TARGET_POP = 32L
+
+  /** Upper bound on the sized plane count — 2^30 × POP covers 3e10
+    * vectors; also the oracle's generate_series bound, so both engines
+    * agree on the sizing domain.
+    */
+  val MAX_LSH_PLANES = 30
+
+  /** Smallest p ≥ 1 with 2^p × [[LSH_TARGET_POP]] ≥ n — integer-exact,
+    * replayed verbatim by the oracles' `nplanes` CTE (min over a
+    * generate_series of shifts — no float log2 whose boundary could
+    * drift between engines).
+    */
+  def sizedPlanes(n: Long): Int = {
+    var g = 1
+    while (g < MAX_LSH_PLANES && (1L << g) * LSH_TARGET_POP < n) g += 1
+    g
+  }
 
   /** Cosine similarity between two array<float> columns: the native
     * codegen'd Catalyst expression (graft.plans.CosineSimilarity).
@@ -100,29 +128,62 @@ object EmbeddingOps {
   /** All table buckets in one fused native pass (tables x planes
     * separate HOF folds are interpreted per element; the weight matrix
     * is driver-materialized and shipped once with the expression).
+    * `planes` is the SIZED code length ([[sizedPlanes]]) for the
+    * default entries, [[NUM_PLANES]] for the fixed control.
     */
-  private def allBuckets(emb: Column): Column = {
-    val weights = Array.tabulate(NUM_TABLES * NUM_PLANES) { i =>
-      planeWeights(i / NUM_PLANES, i % NUM_PLANES).toArray
+  private def allBuckets(emb: Column, planes: Int): Column = {
+    val weights = Array.tabulate(NUM_TABLES * planes) { i =>
+      planeWeights(i / planes, i % planes).toArray
     }
-    graft.plans.HyperplaneBuckets(emb, weights, NUM_TABLES, NUM_PLANES)
+    graft.plans.HyperplaneBuckets(emb, weights, NUM_TABLES, planes)
   }
+
+  /** Oracle CTE pair replaying the SIZED plane configuration: `nplanes`
+    * re-derives [[sizedPlanes]] from count(*) integer-exact, and
+    * `planes` regenerates the md5-derived weights IN SQL — the same
+    * first-3-digest-bytes construction as [[planeWeights]] (md5 hex is
+    * engine-independent; the hex→int cast was verified to match the
+    * byte arithmetic bit-for-bit), so the oracle follows the sized code
+    * length at ANY scale factor without literal tables.
+    */
+  private def sizedPlanesSql: String =
+    s"""nplanes AS (
+      |  SELECT min(g) AS pl
+      |  FROM generate_series(1, $MAX_LSH_PLANES) t(g),
+      |       (SELECT count(*) AS n FROM embeddings) c
+      |  WHERE (CAST(1 AS BIGINT) << g) * $LSH_TARGET_POP >= c.n),
+      |planes AS (
+      |  SELECT tt.t AS table_id, pp.p AS plane,
+      |    list_transform(generate_series(0, ${EMB_DIM - 1}), d ->
+      |      (CAST(concat('0x', substr(md5(concat('t', tt.t, 'p', pp.p, ':', d)), 1, 6)) AS BIGINT)
+      |       % 2000 - 1000) / 1000.0) AS wts
+      |  FROM generate_series(0, ${NUM_TABLES - 1}) tt(t),
+      |       generate_series(0, ${MAX_LSH_PLANES - 1}) pp(p), nplanes
+      |  WHERE pp.p < nplanes.pl)""".stripMargin
 
   /** q31: multi-table random-hyperplane LSH ANN — NUM_TABLES
     * independent bucket ids per vector (array -> posexplode), queries
     * join candidates per (table, bucket), the candidate union is scored
     * once, top-k per query. On near-uniform vectors one table has poor
     * recall; the table union trades candidate-set size for recall
-    * (~0.8 recall scanning ~40% here; tighter on clustered real data).
+    * (with the sized code the scanned fraction stays ~TABLES×POP/N —
+    * recall decays slowly with N at FIXED table count; the production
+    * recall knobs are more tables or q243's multi-probe, not a longer
+    * scan).
     * Scale: the (table, bucket) key is the shuffle key — uniform by
     * construction; candidate dedup keys on (query, vec), never O(N^2).
-    * Oracle: q31Sql replicates the deterministic hyperplanes as SQL
-    * literals (full hash gate); the spec additionally pins recall
-    * against exact q30.
+    * The code length is SIZED to the corpus ([[sizedPlanes]]): expected
+    * bucket population stays ~[[LSH_TARGET_POP]] at any N, so each
+    * query's candidate set is ~TABLES × POP — constant per query —
+    * instead of the ∝N fraction a fixed code length degrades to.
+    * Oracle: q31Sql re-derives the sized plane count from count(*) and
+    * regenerates the md5 hyperplanes in SQL (full hash gate); the spec
+    * additionally pins recall against exact q30.
     */
   def q31LshAnn(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(spark, dir).embeddings
-      .withColumn("buckets", allBuckets(col("embedding")))
+    val base = Tables(spark, dir).embeddings
+    val planes = sizedPlanes(base.count())
+    val emb = base.withColumn("buckets", allBuckets(col("embedding"), planes))
     val banded = emb.select(col("vec_id"), col("embedding"),
       posexplode(col("buckets")).as(Seq("table_id", "bucket")))
     val queries = banded.filter(col("vec_id") < NUM_QUERIES)
@@ -145,27 +206,19 @@ object EmbeddingOps {
       .orderBy("query_id", "rank")
   }
 
-  /** q31 DuckDB oracle: the hyperplanes are deterministic md5-derived
-    * LITERALS (planeWeights), so the whole LSH pipeline is
-    * SQL-expressible — embed the 32x64 weight matrix as a VALUES table,
-    * recompute each vector's per-table sign bits, bucket-join, and
-    * exact-score the candidate union. The bucket id formula need not
-    * match the native bit packing — only the PARTITION matters (two
-    * vectors collide iff all plane signs match), and `sum(bit <<
-    * plane)` induces the same partition as the native `|= 1L << p`.
-    * Sign parity holds because both engines fold the dot product
-    * left-to-right in double (same reason q30's cosine matches).
+  /** q31 DuckDB oracle: the hyperplanes are deterministic md5-derived,
+    * so the whole LSH pipeline is SQL-expressible — regenerate the
+    * sized weight matrix in SQL ([[sizedPlanesSql]]), recompute each
+    * vector's per-table sign bits, bucket-join, and exact-score the
+    * candidate union. The bucket id formula need not match the native
+    * bit packing — only the PARTITION matters (two vectors collide iff
+    * all plane signs match), and `sum(bit << plane)` induces the same
+    * partition as the native `|= 1L << p`. Sign parity holds because
+    * both engines fold the dot product left-to-right in double (same
+    * reason q30's cosine matches).
     */
   val q31Sql: String = {
-    val planeRows = (for {
-      t <- 0 until NUM_TABLES
-      p <- 0 until NUM_PLANES
-    } yield {
-      val wts = planeWeights(t, p).map(_.toString).mkString("[", ", ", "]")
-      s"($t, $p, $wts)"
-    }).mkString(",\n|    ")
-    s"""WITH planes(table_id, plane, wts) AS (
-      |  VALUES $planeRows),
+    s"""WITH $sizedPlanesSql,
       |bits AS (
       |  SELECT e.vec_id, p.table_id, p.plane,
       |    CASE WHEN list_sum(list_transform(generate_series(1, len(e.embedding)),
@@ -209,17 +262,14 @@ object EmbeddingOps {
   val IVF_CELLS = 8
   val IVF_PROBES = 2
 
-  /** q40: embedding-cosine NEAR-DUP pairs — the fifth dedup family
-    * (exact/minhash/simhash/ngram are q26-q29): candidate pairs from
-    * the shared hyperplane LSH buckets, exact cosine verification at
-    * NEARDUP_MIN_SIM. The (table, bucket) self-join is an equi-join on
-    * a uniform key — never all-pairs — and verification touches only
-    * bucket-colliding pairs, so the plan survives corpus x corpus at
-    * 100 TB where a threshold scan cannot.
+  /** Shared near-dup tail for q40 (sized planes) and q412 (fixed
+    * control): band on the (table, bucket) LSH key, self-join for
+    * candidate pairs, exact-cosine verify at [[NEARDUP_MIN_SIM]].
     */
-  def q40EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+  private def neardupPairs(spark: SparkSession, dir: String,
+      planes: Int): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-      .withColumn("buckets", allBuckets(col("embedding")))
+      .withColumn("buckets", allBuckets(col("embedding"), planes))
     val banded = emb.select(col("vec_id"),
       posexplode(col("buckets")).as(Seq("table_id", "bucket")))
     val cand = banded.as("a").join(banded.as("b"),
@@ -238,18 +288,35 @@ object EmbeddingOps {
       .select("vec_a", "vec_b", "sim")
   }
 
-  /** q40 oracle: same bucket partition replicated from the literal
-    * hyperplanes (see q31Sql), exact cosine verify — candidate-set
-    * parity by construction.
+  /** q40: embedding-cosine NEAR-DUP pairs — the fifth dedup family
+    * (exact/minhash/simhash/ngram are q26-q29): candidate pairs from
+    * the shared hyperplane LSH buckets, exact cosine verification at
+    * NEARDUP_MIN_SIM. The (table, bucket) self-join is an equi-join on
+    * a uniform key — never all-pairs — and verification touches only
+    * bucket-colliding pairs. The code length is SIZED to the corpus
+    * ([[sizedPlanes]]): constant expected bucket population makes the
+    * self-join's pairs ~N × POP/2 — LINEAR in N — where the round-8
+    * fixed 4-plane shape (kept as the named control, q412) measured
+    * 12.0× on 10× data because pairs grow ∝N². Same cure as q63's
+    * sized quantizer vs the q313 fixed-cell control.
     */
-  val q40Sql: String = {
-    val planeRows = (for {
-      t <- 0 until NUM_TABLES
-      p <- 0 until NUM_PLANES
-    } yield s"($t, $p, ${planeWeights(t, p).map(_.toString).mkString("[", ", ", "]")})")
-      .mkString(",\n|    ")
-    s"""WITH planes(table_id, plane, wts) AS (
-      |  VALUES $planeRows),
+  def q40EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val planes = sizedPlanes(Tables(spark, dir).embeddings.count())
+    neardupPairs(spark, dir, planes)
+  }
+
+  /** Near-dup oracle tail shared by q40Sql/q412Sql: per-vector norms
+    * are materialized ONCE (`en`) and each candidate pair costs ONE
+    * interpreted dot fold — sim = dot / (nrm_a × nrm_b) is the same
+    * IEEE sequence as the native CosineSimilarity (sqrt each side,
+    * then multiply).
+    */
+  private def neardupTailSql: String =
+    s"""en AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
       |bits AS (
       |  SELECT e.vec_id, p.table_id, p.plane,
       |    CASE WHEN list_sum(list_transform(generate_series(1, len(e.embedding)),
@@ -263,20 +330,70 @@ object EmbeddingOps {
       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       |  FROM buckets a
       |  JOIN buckets b ON a.table_id = b.table_id AND a.bucket = b.bucket
-      |                AND a.vec_id < b.vec_id)
-      |SELECT vec_a, vec_b,
-      |  list_sum(list_transform(generate_series(1, len(ea.embedding)),
-      |    i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
-      |  / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-      |     * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
-      |FROM cand
-      |JOIN embeddings ea ON ea.vec_id = cand.vec_a
-      |JOIN embeddings eb ON eb.vec_id = cand.vec_b
-      |WHERE list_sum(list_transform(generate_series(1, len(ea.embedding)),
-      |    i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
-      |  / (sqrt(list_sum(list_transform(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-      |     * sqrt(list_sum(list_transform(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= $NEARDUP_MIN_SIM
+      |                AND a.vec_id < b.vec_id),
+      |sims AS (
+      |  SELECT cand.vec_a, cand.vec_b,
+      |    list_sum(list_transform(generate_series(1, len(ea.embedding)),
+      |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+      |    / (ea.nrm * eb.nrm) AS sim
+      |  FROM cand
+      |  JOIN en ea ON ea.vec_id = cand.vec_a
+      |  JOIN en eb ON eb.vec_id = cand.vec_b)
+      |SELECT vec_a, vec_b, sim FROM sims
+      |WHERE sim >= $NEARDUP_MIN_SIM
       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** q40 oracle: sized bucket partition replayed from count(*) (see
+    * [[sizedPlanesSql]]), exact cosine verify — candidate-set parity
+    * by construction.
+    */
+  val q40Sql: String =
+    s"""WITH $sizedPlanesSql,
+      |$neardupTailSql""".stripMargin
+
+  /** Per-bucket population bound for the fixed-plane control (q412):
+    * the control exists to be MEASURED against the sizing rule (it is
+    * deliberately the quadratic shape), so it must stay runnable on
+    * the scale ladder, but a genuinely growing corpus must fail fast
+    * instead of going quadratic silently. 20k expected per bucket
+    * bounds the verify at ~2^planes × 2e8 cosine pairs — hours, not
+    * forever — and the sf1 ladder (~1.25k per bucket) passes with an
+    * order of magnitude of headroom.
+    */
+  val NEARDUP_FIXED_MAX_POP = 20000L
+
+  /** q412: FIXED-PLANE CONTROL — q40's near-dup contract under the
+    * round-8 FIXED 4-plane code ([[NUM_PLANES]]). With the code length
+    * constant, bucket population grows ∝N and the within-bucket verify
+    * grows ∝N² — measured 12.0× on 10× data vs the sized rule now
+    * under the `embedding_neardup` name (q40). Kept, explicitly named,
+    * as the measured contrast for the LSH sizing rule (mirroring
+    * q313's fixed-cell control for q63), with a capacity guard
+    * ([[NEARDUP_FIXED_MAX_POP]]) that refuses corpora where the
+    * quadratic bucket work would run away.
+    */
+  def q412FixedplaneControl(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables(spark, dir).embeddings.count()
+    require(n <= (1L << NUM_PLANES) * NEARDUP_FIXED_MAX_POP,
+      s"fixed-plane control: $n vectors over ${1 << NUM_PLANES} buckets " +
+        s"exceeds the $NEARDUP_FIXED_MAX_POP per-bucket capacity bound — " +
+        "use the sized code length (q40EmbeddingNeardup) on growing corpora")
+    neardupPairs(spark, dir, NUM_PLANES)
+  }
+
+  /** q412 oracle: the FIXED 4-plane weight matrix as literals (the
+    * oracle-replayable fixed instance), same norm-precomputed verify
+    * tail as q40Sql.
+    */
+  val q412Sql: String = {
+    val planeRows = (for {
+      t <- 0 until NUM_TABLES
+      p <- 0 until NUM_PLANES
+    } yield s"($t, $p, ${planeWeights(t, p).map(_.toString).mkString("[", ", ", "]")})")
+      .mkString(",\n|    ")
+    s"""WITH planes(table_id, plane, wts) AS (
+      |  VALUES $planeRows),
+      |$neardupTailSql""".stripMargin
   }
 
   /** q41: IVF approximate NN — the coarse-quantizer scale path beside
@@ -444,20 +561,23 @@ object EmbeddingOps {
     * ALSO probing every Hamming-distance-1 bucket (one hyperplane sign
     * flipped): the classic recall-vs-memory trade (Lv et al.) — more
     * candidates per table instead of more tables, for the SAME index.
-    * Only the query side fans out (NUM_PLANES+1 probes per query x
+    * Only the query side fans out (planes+1 probes per query x
     * table — a bounded broadcast, the corpus is untouched), candidates
     * dedup before scoring, and the exact-rerank tail is q31's.
     * Perturbation is pure bit arithmetic on the bucket id, identical
-    * in both engines.
+    * in both engines. The code length is the SIZED one ([[sizedPlanes]]
+    * — shared with q31/q40), so the probe fan-out grows only
+    * logarithmically with the corpus.
     */
   def q243MultiProbe(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(spark, dir).embeddings
-      .withColumn("buckets", allBuckets(col("embedding")))
+    val base = Tables(spark, dir).embeddings
+    val planes = sizedPlanes(base.count())
+    val emb = base.withColumn("buckets", allBuckets(col("embedding"), planes))
     val banded = emb.select(col("vec_id"), col("embedding"),
       posexplode(col("buckets")).as(Seq("table_id", "bucket")))
     val probes = banded.filter(col("vec_id") < NUM_QUERIES)
       .select(col("vec_id").as("query_id"), col("table_id").as("q_table"),
-        explode(array((lit(-1) +: (0 until NUM_PLANES).map(lit(_))): _*))
+        explode(array((lit(-1) +: (0 until planes).map(lit(_))): _*))
           .as("flip"), col("bucket"))
       .select(col("query_id"), col("q_table"),
         when(col("flip") < 0, col("bucket"))
@@ -482,17 +602,7 @@ object EmbeddingOps {
   }
 
   val q243Sql: String = {
-    val planeRows = (for {
-      t <- 0 until NUM_TABLES
-      p <- 0 until NUM_PLANES
-    } yield {
-      val wts = planeWeights(t, p).map(_.toString).mkString("[", ", ", "]")
-      s"($t, $p, $wts)"
-    }).mkString(",\n|    ")
-    val flips = (Seq(-1) ++ (0 until NUM_PLANES)).map(f => s"($f)")
-      .mkString(", ")
-    s"""WITH planes(table_id, plane, wts) AS (
-      |  VALUES $planeRows),
+    s"""WITH $sizedPlanesSql,
       |bits AS (
       |  SELECT e.vec_id, p.table_id, p.plane,
       |    CASE WHEN list_sum(list_transform(generate_series(1, len(e.embedding)),
@@ -502,7 +612,9 @@ object EmbeddingOps {
       |buckets AS (
       |  SELECT vec_id, table_id, sum(bit << plane) AS bucket
       |  FROM bits GROUP BY vec_id, table_id),
-      |flips(f) AS (VALUES $flips),
+      |flips AS (
+      |  SELECT f FROM generate_series(-1, ${MAX_LSH_PLANES - 1}) t(f),
+      |       nplanes WHERE f < nplanes.pl),
       |probes AS (
       |  SELECT DISTINCT vec_id AS query_id, table_id,
       |    CASE WHEN f < 0 THEN bucket ELSE xor(bucket, 1 << f) END AS q_bucket
@@ -961,6 +1073,8 @@ object EmbeddingOps {
     "q31_lsh_ann" -> (q31LshAnn _),
     "q243_multi_probe" -> Gate.sorted(q243MultiProbe _, "query_id", "rank"),
     "q40_embedding_neardup" -> Gate.sorted(q40EmbeddingNeardup _, "vec_a", "vec_b"),
+    "q412_fixedplane_control" ->
+      Gate.sorted(q412FixedplaneControl _, "vec_a", "vec_b"),
     "q41_ivf_ann" -> Gate.sorted(q41IvfAnn _, "query_id", "rank"))
 
   val oracles: Map[String, String] = Map(
@@ -973,5 +1087,6 @@ object EmbeddingOps {
     "q31_lsh_ann" -> q31Sql,
     "q243_multi_probe" -> q243Sql,
     "q40_embedding_neardup" -> q40Sql,
+    "q412_fixedplane_control" -> q412Sql,
     "q41_ivf_ann" -> q41Sql)
 }

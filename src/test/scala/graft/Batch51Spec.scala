@@ -1,0 +1,89 @@
+package graft
+
+/** Round-9 batch-51 specs: the SIZED LSH code length (q40 default +
+  * q412 fixed-plane control) — independent driver-side re-derivations
+  * on sf0.001, mirroring Batch21's q63/q313 pair.
+  */
+class Batch51Spec extends SparkSpec {
+
+  import graft.queries.EmbeddingOps.{
+    EMB_DIM, LSH_TARGET_POP, NEARDUP_MIN_SIM, NUM_PLANES, NUM_TABLES,
+    sizedPlanes}
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Independent md5 plane-weight recompute (same public construction
+    * as EmbeddingOps.planeWeights, re-derived here from scratch).
+    */
+  private def weight(table: Int, plane: Int, d: Int): Double = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"t${table}p$plane:$d".getBytes("UTF-8"))
+    val v = ((dig(0) & 0xffL) << 16) | ((dig(1) & 0xffL) << 8) | (dig(2) & 0xffL)
+    ((v % 2000) - 1000).toDouble / 1000.0
+  }
+
+  /** Driver-side near-dup recompute under an arbitrary plane count —
+    * shared by the q40 (sized) and q412 (fixed-plane control) specs.
+    */
+  private def neardupRecompute(planes: Int): Set[(Long, Long)] = {
+    val embs = Tables(spark, sfDir).embeddings
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    def buckets(e: Array[Float]): Seq[(Int, Long)] =
+      (0 until NUM_TABLES).map { t =>
+        var b = 0L
+        for (p <- 0 until planes) {
+          var dot = 0.0
+          for (d <- 0 until EMB_DIM) dot += e(d) * weight(t, p, d)
+          if (dot >= 0.0) b |= 1L << p
+        }
+        t -> b
+      }
+    val bk = embs.map { case (v, e) => v -> buckets(e).toSet }.toMap
+    (for {
+      (a, ea) <- embs; (b, eb) <- embs
+      if a < b && (bk(a) & bk(b)).nonEmpty && cosine(ea, eb) >= NEARDUP_MIN_SIM
+    } yield (a, b)).toSet
+  }
+
+  test("sizedPlanes: integer-exact boundaries of the 2^p x POP rule") {
+    assert(LSH_TARGET_POP == 32L)
+    assert(sizedPlanes(1L) == 1)
+    assert(sizedPlanes(64L) == 1)
+    assert(sizedPlanes(65L) == 2)
+    assert(sizedPlanes(512L) == 4)   // sf0.001/sf0.01 corpora land here
+    assert(sizedPlanes(513L) == 5)
+    assert(sizedPlanes(2000L) == 6)  // sf0.1
+    assert(sizedPlanes(20000L) == 10) // sf1
+    // monotone non-decreasing and always within the oracle's domain
+    assert(sizedPlanes(3L * 1000 * 1000 * 1000) <= 30)
+  }
+
+  test("q40 equals a driver-side sized-code near-dup recompute") {
+    val n = Tables(spark, sfDir).embeddings.count()
+    val planes = sizedPlanes(n)
+    // the code must actually size with the corpus
+    assert((1L << planes) * LSH_TARGET_POP >= n)
+    assert(planes == 1 || (1L << (planes - 1)) * LSH_TARGET_POP < n)
+    val got = graft.queries.EmbeddingOps.q40EmbeddingNeardup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === neardupRecompute(planes))
+  }
+
+  test("q412 control equals the same recompute under fixed planes") {
+    val got = graft.queries.EmbeddingOps.q412FixedplaneControl(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === neardupRecompute(NUM_PLANES))
+  }
+}
