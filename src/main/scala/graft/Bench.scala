@@ -103,6 +103,11 @@ object Bench {
           if (spread <= SPREAD_LIMIT) ts0
           else ts0 ++ (1 to EXTRA_PASSES).flatMap { _ =>
             val r = once(byName(name)); releaseBlocks(); System.gc()
+            // a resample pass that CRASHES must not vanish silently —
+            // the main passes already succeeded, so keep the query ok,
+            // but put the failure on stderr like the failed collector
+            r.left.foreach(e =>
+              System.err.println(s"[bench] $name resample pass failed: $e"))
             r.toOption
           }
         (name, median(ts), ts.min, ts, ts.size > ts0.size)

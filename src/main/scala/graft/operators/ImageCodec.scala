@@ -111,7 +111,10 @@ object ImageCodec {
     val crc = new java.util.zip.CRC32
     while (!sawIend && bb.remaining >= 12) {
       val len = bb.getInt
-      if (len < 0 || bb.remaining < len + 8) return fail
+      // long arithmetic: a crafted len near Int.MaxValue overflows
+      // `len + 8` (and `4 + len` below) in int, slipping past this
+      // bounds check and throwing instead of flagging the row
+      if (len < 0 || bb.remaining.toLong < len.toLong + 8L) return fail
       val typeAndData = new Array[Byte](4 + len)
       bb.get(typeAndData)
       val stored = bb.getInt
@@ -120,6 +123,10 @@ object ImageCodec {
       if (crc.getValue.toInt != stored) crcOk = false
       val ctype = new String(typeAndData, 0, 4, "US-ASCII")
       if (nChunks == 0 && ctype == "IHDR") {
+        // a declared IHDR shorter than the 13-byte spec payload passes
+        // the CRC stage but underflows the field reads — malformed
+        // container, flagged not thrown
+        if (len < 13) return fail
         sawIhdrFirst = true
         val d = java.nio.ByteBuffer.wrap(typeAndData, 4, len)
         w = d.getInt; h = d.getInt

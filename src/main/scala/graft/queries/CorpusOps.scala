@@ -135,8 +135,11 @@ object CorpusOps {
     * of l_extendedprice is built distributed (udaf, buffers merged
     * across partitions), its p50/p90 estimates' EXACT ranks are then
     * measured with one more aggregate, and the gated output asserts
-    * the rank error sits within the sketch's own additive bound
-    * (3n/k + |levels| — the spec's engineering bound). The exact p50
+    * the rank error sits within the sketch's own additive bound —
+    * QuantileSketch.rankErrorBound, the per-level-additive
+    * deterministic-compactor bound (|levels|·n/k + |levels| + 1;
+    * round 8 replaced the old 3n/k engineering bound after the sf1
+    * gate caught a violation). The exact p50
     * rides along so the gate also pins real values, not just booleans.
     *
     * The per-group collect is |groups|-bounded (3 rows — the

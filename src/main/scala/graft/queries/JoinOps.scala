@@ -189,7 +189,7 @@ object JoinOps {
 
   val q408Sql: String =
     s"""WITH f AS (
-      |  SELECT user_id, epoch_us(ts) AS us,
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
       |              > ${SessionOps.GAP_MINUTES * 60L * 1000000L}
@@ -198,7 +198,10 @@ object JoinOps {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |s AS (
       |  SELECT user_id,
-      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+      |    -- order by (us, event_id) — the same total order as f's
+      |    -- window and the Spark side; us alone is nondeterministic
+      |    -- on duplicate timestamps at a session boundary
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx,
       |    us
       |  FROM f),

@@ -134,6 +134,21 @@ class Batch50Spec extends SparkSpec {
     // non-PNG bytes are a flagged row, not an exception
     val nm = ImageCodec.pngChunkWalk(1L, Array[Byte](1, 2, 3))
     assert(!nm.well_formed && !nm.crc_ok)
+    // crafted chunk length near Int.MaxValue: int overflow in the
+    // bounds check must not bypass it into NegativeArraySizeException
+    val sig = bytes.take(8)
+    val huge = java.nio.ByteBuffer.allocate(20)
+    huge.put(sig).putInt(Int.MaxValue - 3).put("IDAT".getBytes("US-ASCII"))
+      .putInt(0)
+    val hm = ImageCodec.pngChunkWalk(2L, huge.array())
+    assert(!hm.well_formed && !hm.crc_ok)
+    // IHDR declaring len < 13 passes CRC but must flag, not underflow
+    val shortIhdr = java.nio.ByteBuffer.allocate(8 + 4 + 4 + 4 + 4)
+    val td = "IHDR".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3, 4)
+    val crc = new java.util.zip.CRC32; crc.update(td)
+    shortIhdr.put(sig).putInt(4).put(td).putInt(crc.getValue.toInt)
+    val sm = ImageCodec.pngChunkWalk(3L, shortIhdr.array())
+    assert(!sm.well_formed && !sm.crc_ok)
   }
 
   test("q411 equals a driver-side confusion-matrix metric recompute") {

@@ -122,15 +122,20 @@ def main(out_dir, sf_dir, only=None):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         t0 = time.time()
-        timer = None
-        if budget > 0:
-            timer = threading.Timer(budget, con.interrupt)
-            timer.start()
         pdir = out_dir / name
         if not pdir.exists():
             print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
+        # start the interrupt timer only once we are committed to
+        # executing the oracle — starting it before the output check
+        # leaked a live timer on the no-output path, and its later
+        # con.interrupt() fired DURING a subsequent query's oracle,
+        # spuriously recording a passing query as TIMEOUT
+        timer = None
+        if budget > 0:
+            timer = threading.Timer(budget, con.interrupt)
+            timer.start()
         try:
             spark_tbl = pq.read_table(pdir)
             got_cols = spark_tbl.column_names
