@@ -131,7 +131,7 @@ object DedupOps {
   // lazy: defined textually before pairCtes, which it embeds
   lazy val q293Sql: String =
     s"""WITH RECURSIVE $pairCtes,
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT doc_a AS a, doc_b AS b FROM pairs
       |  UNION
       |  SELECT doc_b AS a, doc_a AS b FROM pairs),
@@ -184,7 +184,7 @@ object DedupOps {
         .mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band_idx, md5($cc) AS band_hash FROM sig"
     }.mkString("\n  UNION ALL\n  ")
-    s"""sh AS (
+    s"""sh AS MATERIALIZED (
       |  SELECT doc_id,
       |    list_transform(generate_series(1, length(text) - ${SHINGLE_N - 1}),
       |      i -> list_reduce(
@@ -192,7 +192,7 @@ object DedupOps {
       |                            j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
       |             (a, c) -> a * 31 + c) % $MINHASH_P) AS hs
       |  FROM documents),
-      |sig AS (
+      |sig AS MATERIALIZED (
       |  SELECT doc_id,
       |    $sigDefs
       |  FROM sh),
@@ -202,7 +202,7 @@ object DedupOps {
 
   private val pairCtes: String = {
     s"""$bandCtes,
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b
       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -222,7 +222,7 @@ object DedupOps {
     */
   val q53Sql: String =
     s"""WITH RECURSIVE $pairCtes,
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT doc_a AS a, doc_b AS b FROM pairs
       |  UNION
       |  SELECT doc_b AS a, doc_a AS b FROM pairs),
@@ -691,7 +691,7 @@ object DedupOps {
     */
   val q119Sql: String =
     s"""WITH RECURSIVE $pairCtes,
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT doc_a AS a, doc_b AS b FROM pairs
       |  UNION
       |  SELECT doc_b AS a, doc_a AS b FROM pairs),
@@ -1128,7 +1128,7 @@ object DedupOps {
 
   val q225Sql: String =
     s"""WITH RECURSIVE $pairCtes,
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT doc_a AS a, doc_b AS b FROM pairs
       |  UNION
       |  SELECT doc_b AS a, doc_a AS b FROM pairs),
@@ -1193,7 +1193,7 @@ object DedupOps {
 
   val q230Sql: String =
     s"""WITH RECURSIVE $pairCtes,
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT doc_a AS a, doc_b AS b FROM pairs
       |  UNION
       |  SELECT doc_b AS a, doc_a AS b FROM pairs),
@@ -1297,7 +1297,7 @@ object DedupOps {
       |  -- signature) — drop them, mirroring the Spark-side filter
       |  WHERE length(substr(text, i * $CHUNK_ND_STRIDE + 1, $CHUNK_ND_SIZE))
       |    >= $SHINGLE_N),
-      |csh AS (
+      |csh AS MATERIALIZED (
       |  SELECT doc_id, chunk_idx,
       |    list_transform(generate_series(1, length(chunk) - ${SHINGLE_N - 1}),
       |      i -> list_reduce(
@@ -1305,7 +1305,7 @@ object DedupOps {
       |                            j -> CAST(ascii(substr(chunk, j, 1)) AS BIGINT)),
       |             (a, c) -> a * 31 + c) % $MINHASH_P) AS hs
       |  FROM ch),
-      |csig AS (
+      |csig AS MATERIALIZED (
       |  SELECT doc_id, chunk_idx,
       |    $sigDefs
       |  FROM csh),

@@ -230,20 +230,20 @@ object VectorOps {
       |    / (sqrt(list_sum(list_transform(c.c_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
       |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim_c
       |  FROM embeddings e CROSS JOIN cents c),
-      |assigned AS (
+      |assigned AS MATERIALIZED (
       |  SELECT vec_id, cent_id AS cell FROM (
       |    SELECT vec_id, cent_id,
       |      row_number() OVER (PARTITION BY vec_id
       |                         ORDER BY sim_c DESC, cent_id ASC) AS rn
       |    FROM scored_cells) WHERE rn = 1),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
       |  FROM assigned a
       |  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
       |  WHERE ${cosSql("ea", "eb")} >= $SEM_MIN_SIM),
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT vec_a AS a, vec_b AS b FROM pairs
       |  UNION
       |  SELECT vec_b AS a, vec_a AS b FROM pairs),
@@ -320,20 +320,20 @@ object VectorOps {
       |    / (sqrt(list_sum(list_transform(c.c_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
       |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim_c
       |  FROM embeddings e CROSS JOIN cents c),
-      |assigned AS (
+      |assigned AS MATERIALIZED (
       |  SELECT vec_id, cent_id AS cell FROM (
       |    SELECT vec_id, cent_id,
       |      row_number() OVER (PARTITION BY vec_id
       |                         ORDER BY sim_c DESC, cent_id ASC) AS rn
       |    FROM scored_cells) WHERE rn = 1),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
       |  FROM assigned a
       |  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
       |  JOIN embeddings eb ON eb.vec_id = b.vec_id
       |  WHERE ${cosSql("ea", "eb")} >= $SEM_MIN_SIM),
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT vec_a AS a, vec_b AS b FROM pairs
       |  UNION
       |  SELECT vec_b AS a, vec_a AS b FROM pairs),
@@ -393,7 +393,7 @@ object VectorOps {
       |    / (sqrt(list_sum(list_transform(c.c_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
       |       * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim_c
       |  FROM embeddings e CROSS JOIN cents c),
-      |assigned AS (
+      |assigned AS MATERIALIZED (
       |  SELECT vec_id, cent_id AS cell FROM (
       |    SELECT vec_id, cent_id,
       |      row_number() OVER (PARTITION BY vec_id
