@@ -1261,6 +1261,22 @@ object EventAnalytics {
   val DBSCAN_MIN_PTS = 4L
   val DBSCAN_SAMPLE = 20
 
+  /** Density contract for q322: fixed-eps DBSCAN on a DENSIFYING
+    * corpus is semantically quadratic — the (value, hour) plane
+    * saturates at ~263 eps-cells on this workload, so every new point
+    * lands in an existing eps-ball and pairwise work grows ∝N² (the
+    * sf0.1→sf1 ladder measured 20.5×). There is no sizing rule to
+    * apply (eps IS the semantics), so the guard mirrors q313's
+    * SEM_FIXED_MAX_POP instead: one grid-histogram aggregate bounds
+    * the MEAN eps-cell population before the neighbor join, refusing
+    * corpora past it rather than degrading silently. 4000 per cell
+    * (~2e9 in-cell pairs worst case — hours, not forever) passes the
+    * sf1 gate at 190 and a sf10 ladder probe at ~1.9k with headroom;
+    * a genuinely growing stream must re-sample (DBSCAN_SAMPLE) or
+    * re-scale eps to stay under it.
+    */
+  val DBSCAN_MAX_MEAN_CELL_POP = 4000.0
+
   /** q322: DBSCAN DENSITY CLUSTERING over the (value, hour-of-day)
     * event plane — the density-based clusterer (noise-robust, no k to
     * pick) that q63/q313's centroid cells cannot express. Classic
@@ -1286,6 +1302,16 @@ object EventAnalytics {
         expr("CAST((unix_micros(ts) div 3600000000) % 24 AS DOUBLE)")
           .as("py"), lit(0.0).as("pz"))
       .localCheckpoint(true)
+    // density guard (see DBSCAN_MAX_MEAN_CELL_POP): one tiny agg over
+    // the checkpointed sample — the grid histogram SpatialNeighbors
+    // would build anyway — refuses the quadratic regime fail-fast
+    val meanPop = pts
+      .groupBy(floor(col("px") / DBSCAN_EPS), floor(col("py") / DBSCAN_EPS))
+      .count().agg(coalesce(avg("count"), lit(0.0))).head.getDouble(0)
+    require(meanPop <= DBSCAN_MAX_MEAN_CELL_POP,
+      f"q322 density guard: mean eps-cell population $meanPop%.0f exceeds " +
+        f"$DBSCAN_MAX_MEAN_CELL_POP%.0f — fixed-eps DBSCAN is quadratic in " +
+        "cell population; thin the sample or re-scale eps for this corpus")
     val nbr = SpatialNeighbors.withinRadius(
       pts.select(col("pid").as("a"), col("px").as("ax"),
         col("py").as("ay"), col("pz").as("az")), "ax", "ay", "az",

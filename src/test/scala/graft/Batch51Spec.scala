@@ -86,4 +86,27 @@ class Batch51Spec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === neardupRecompute(NUM_PLANES))
   }
+
+  test("q322 density guard refuses a corpus past the mean-cell bound") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.EventAnalytics.{
+      DBSCAN_MAX_MEAN_CELL_POP, DBSCAN_SAMPLE}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dense").toString
+    // every event sampled (id % SAMPLE == 0) and co-located in ONE
+    // eps-cell: mean population = n, far past the bound
+    val n = (DBSCAN_MAX_MEAN_CELL_POP * 1.2).toLong
+    spark.range(n)
+      .select((col("id") * DBSCAN_SAMPLE).as("event_id"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
+        col("id").as("user_id"), lit("click").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.queries.EventAnalytics.q322Dbscan(spark, tmp)
+    }
+    assert(e.getMessage.contains("density guard"))
+    // the real test corpus stays under the bound — gates unchanged
+    assert(graft.queries.EventAnalytics.q322Dbscan(spark, sfDir)
+      .limit(1).count() == 1)
+  }
 }
