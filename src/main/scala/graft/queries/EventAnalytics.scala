@@ -2103,7 +2103,113 @@ object EventAnalytics {
       |WHERE d.day >= b.d0 + 6 AND d.day <= b.d1
       |ORDER BY d.day""".stripMargin
 
+  /** q413 BH level in micro units (α = 0.1): the step-up threshold
+    * i·α/m is then an integer floor-division — no float boundary.
+    */
+  val BH_ALPHA_MICRO = 100000L
+
+  /** q413: BENJAMINI–HOCHBERG FDR CONTROL — the multiple-testing step
+    * every segment-sliced experiment readout needs (q98 reports ONE
+    * t per type; slice it by weekday and 35 hypotheses at α=0.05 each
+    * expect false positives): per (event_type, weekday) segment a
+    * Welch t between the deterministic variants (q98's exact-sum
+    * construction), a DISTRIBUTION-FREE Chebyshev pseudo-p
+    * p = 1/(1+t²) (conservative upper bound on P(|T|≥t); a pure
+    * rational function, so no transcendental CDF whose libm could
+    * drift between engines — and BH only consumes p through its
+    * ORDER and an integer threshold compare), then the step-up rule:
+    * sort p ascending, k* = max{i : p(i) ≤ i·α/m}, reject ranks ≤ k*.
+    *
+    * Scale shape: the log collapses to m = |types × 7| rows in ONE
+    * map-side-combined aggregate; every window after that runs on the
+    * bounded rollup (the q319/q320 audit contract), never the log.
+    * All gate columns are integers (micro-quantized t and p, ranks,
+    * thresholds, the reject flag).
+    */
+  def q413BhFdr(spark: SparkSession, dir: String): DataFrame = {
+    val isB = col("user_id") % 2 === 1
+    def cnt(v: Boolean) = sum(when(if (v) isB else !isB, 1L).otherwise(0L))
+    def s1(v: Boolean) =
+      sum(when(if (v) isB else !isB, Exact.dec(col("value")))).cast("double")
+    def s2(v: Boolean) =
+      sum(when(if (v) isB else !isB, Exact.dec(col("value") * col("value"))))
+        .cast("double")
+    val seg = Tables(spark, dir).events
+      // calendar-convention-free weekday: day number mod 7 (q198's
+      // convention), identical integer arithmetic in both engines
+      .withColumn("dow", expr("datediff(to_date(ts), date'1970-01-01') % 7"))
+      .groupBy("event_type", "dow")
+      .agg(cnt(false).as("n_a"), cnt(true).as("n_b"),
+        s1(false).as("_s1a"), s1(true).as("_s1b"),
+        s2(false).as("_s2a"), s2(true).as("_s2b"))
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+    val t = (col("_s1a") / col("n_a") - col("_s1b") / col("n_b")) /
+      sqrt(
+        (col("_s2a") - col("_s1a") * col("_s1a") / col("n_a")) /
+          (col("n_a") - 1) / col("n_a") +
+        (col("_s2b") - col("_s1b") * col("_s1b") / col("n_b")) /
+          (col("n_b") - 1) / col("n_b"))
+    seg.withColumn("_t", t)
+      .withColumn("t_micro", floor(col("_t") * 1e6 + lit(0.5)).cast("long"))
+      .withColumn("p_micro",
+        floor(lit(1e6) / (lit(1.0) + col("_t") * col("_t")) + lit(0.5))
+          .cast("long"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("p_micro").asc, col("event_type").asc,
+          col("dow").asc)).cast("long"))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("thr_micro", expr(s"(rnk * $BH_ALPHA_MICRO) div m"))
+      .withColumn("kstar", max(when(col("p_micro") <= col("thr_micro"),
+        col("rnk"))).over(Window.partitionBy(lit(1))))
+      .select(col("event_type"), col("dow").cast("long").as("dow"),
+        col("n_a"), col("n_b"), col("t_micro"), col("p_micro"), col("rnk"),
+        col("thr_micro"),
+        (col("rnk") <= coalesce(col("kstar"), lit(0L))).as("rejected"))
+  }
+
+  val q413Sql: String =
+    s"""WITH s AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS dow,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS s1a,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE) AS s1b,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN CAST(value * value AS DECIMAL(18,4)) END) AS DOUBLE) AS s2a,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN CAST(value * value AS DECIMAL(18,4)) END) AS DOUBLE) AS s2b
+      |  FROM events GROUP BY 1, 2),
+      |tt AS (
+      |  SELECT event_type, dow, n_a, n_b,
+      |    (s1a / n_a - s1b / n_b) /
+      |      sqrt((s2a - s1a * s1a / n_a) / (n_a - 1) / n_a
+      |         + (s2b - s1b * s1b / n_b) / (n_b - 1) / n_b) AS t
+      |  FROM s WHERE n_a > 1 AND n_b > 1),
+      |q AS (
+      |  SELECT event_type, dow, n_a, n_b,
+      |    CAST(floor(t * 1e6 + 0.5) AS BIGINT) AS t_micro,
+      |    CAST(floor(1e6 / (1.0 + t * t) + 0.5) AS BIGINT) AS p_micro
+      |  FROM tt),
+      |r AS (
+      |  SELECT *,
+      |    CAST(row_number() OVER (ORDER BY p_micro ASC, event_type ASC,
+      |      dow ASC) AS BIGINT) AS rnk,
+      |    count(*) OVER () AS m
+      |  FROM q),
+      |thr AS (
+      |  SELECT *, CAST((rnk * $BH_ALPHA_MICRO) // m AS BIGINT) AS thr_micro
+      |  FROM r),
+      |k AS (
+      |  SELECT *, max(CASE WHEN p_micro <= thr_micro THEN rnk END)
+      |    OVER () AS kstar
+      |  FROM thr)
+      |SELECT event_type, CAST(dow AS BIGINT) AS dow, n_a, n_b, t_micro,
+      |  p_micro, rnk, thr_micro,
+      |  rnk <= coalesce(kstar, 0) AS rejected
+      |FROM k ORDER BY event_type, dow""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q413_bh_fdr" -> Gate.sorted(q413BhFdr _, "event_type", "dow"),
     "q406_stickiness" -> Gate.sorted(q406Stickiness _, "day"),
     "q398_capture_recapture" -> ((s, d) => q398CaptureRecapture(s, d)),
     "q391_funnel_cohort_z" ->
@@ -2140,6 +2246,7 @@ object EventAnalytics {
     "q75_rolling_features" -> Gate.sorted(q75RollingFeatures _, "user_id", "event_id"))
 
   val oracles: Map[String, String] = Map(
+    "q413_bh_fdr" -> q413Sql,
     "q406_stickiness" -> q406Sql,
     "q398_capture_recapture" -> q398Sql,
     "q391_funnel_cohort_z" -> q391Sql,

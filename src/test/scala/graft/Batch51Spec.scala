@@ -87,6 +87,77 @@ class Batch51Spec extends SparkSpec {
     assert(got === neardupRecompute(NUM_PLANES))
   }
 
+  test("q413 equals a driver-side BH step-up recompute") {
+    import graft.queries.EventAnalytics.BH_ALPHA_MICRO
+    val got = graft.queries.EventAnalytics.q413BhFdr(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getBoolean(8)))).toMap
+    // recompute from the raw events with exact decimal sums
+    val rows = Tables(spark, sfDir).events
+      .select("event_type", "ts", "user_id", "value").collect()
+    val segs = rows.groupBy { r =>
+      val days = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.of(1970, 1, 1),
+        r.getTimestamp(1).toLocalDateTime.toLocalDate)
+      (r.getString(0), days % 7)
+    }
+    val stats = segs.view.mapValues { rs =>
+      def arm(b: Boolean) = rs.filter(_.getLong(2) % 2 == (if (b) 1 else 0))
+      def s(b: Boolean, f: Double => Double) = arm(b)
+        .map(r => BigDecimal(f(r.getDouble(3))).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      (arm(false).size.toLong, arm(true).size.toLong,
+        s(false, identity), s(true, identity),
+        s(false, x => x * x), s(true, x => x * x))
+    }.toMap.filter { case (_, (na, nb, _, _, _, _)) => na > 1 && nb > 1 }
+    val ps = stats.map { case (k, (na, nb, s1a, s1b, s2a, s2b)) =>
+      val t = (s1a / na - s1b / nb) /
+        math.sqrt((s2a - s1a * s1a / na) / (na - 1) / na +
+          (s2b - s1b * s1b / nb) / (nb - 1) / nb)
+      k -> (math.floor(t * 1e6 + 0.5).toLong,
+        math.floor(1e6 / (1.0 + t * t) + 0.5).toLong)
+    }
+    val m = ps.size
+    val ranked = ps.toSeq.sortBy { case ((et, dow), (_, p)) => (p, et, dow) }
+      .zipWithIndex.map { case ((k, (t, p)), i) => (k, t, p, i + 1L) }
+    val kstar = ranked.collect {
+      case (_, _, p, rnk) if p <= rnk * BH_ALPHA_MICRO / m => rnk
+    }.maxOption.getOrElse(0L)
+    val want = ranked.map { case (k, t, p, rnk) =>
+      k -> ((stats(k)._1, stats(k)._2, t, p, rnk,
+        rnk * BH_ALPHA_MICRO / m, rnk <= kstar))
+    }.toMap
+    assert(got === want)
+  }
+
+  test("q413 rejects planted effects and spares null segments") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bh").toString
+    // event_type "shifted": variant B (odd users) has value +50 — a
+    // real effect every segment should reject; "null" has none
+    spark.range(4000)
+      .select(col("id").as("event_id"),
+        expr("timestampadd(HOUR, CAST(id % 168 AS INT), " +
+          "timestamp'2024-01-01 00:00:00')").as("ts"),
+        col("id").as("user_id"),
+        // type by id mod 4 < 2 so BOTH user parities land in each type
+        when(col("id") % 4 < 2, "shifted").otherwise("nulltype")
+          .as("event_type"),
+        // base noise = week index mod 7: constant across an hour
+        // block's arms (168 ≡ 0 mod 7 would make id%7 parity-biased)
+        (expr("CAST((id div 168) % 7 AS DOUBLE)") +
+          when(col("id") % 4 === 1, 50.0).otherwise(0.0)).as("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = graft.queries.EventAnalytics.q413BhFdr(spark, tmp).collect()
+    val byType = out.groupBy(_.getString(0))
+    // every shifted segment rejected (huge t), no null segment rejected
+    assert(byType("shifted").forall(_.getBoolean(8)))
+    assert(byType("nulltype").forall(!_.getBoolean(8)))
+  }
+
   test("q322 density guard refuses a corpus past the mean-cell bound") {
     import org.apache.spark.sql.functions._
     import graft.queries.EventAnalytics.{
