@@ -1152,7 +1152,99 @@ object TemporalOps {
       |    + 0.5) AS BIGINT) AS mase_micro
       |FROM m""".stripMargin
 
+  /** q414: WEEKLY SEASONAL DECOMPOSITION — the classic additive
+    * trend/seasonal/remainder split (the moving-average core of
+    * STL-style decomposition) of each event type's daily count
+    * series: trend = centered 7-day moving average (defined only on
+    * full windows — only such interior days are emitted), seasonal =
+    * the per-weekday mean of the detrended interior, remainder =
+    * count − trend − seasonal. Complements the
+    * family's autocorrelation (q163), backtests (q236/q336/q402) and
+    * anomaly scans (q99) with the decomposition they all implicitly
+    * condition on.
+    *
+    * Scale + determinism shape: the log collapses to the
+    * |types × days| rollup in ONE map-side-combined count; every
+    * window after that is partitioned per type over the bounded
+    * rollup. All intermediates stay INTEGER (trend×7 is a sum of
+    * counts; detrended×7 = 7n − trend7; the seasonal numerator sums
+    * those integers), so cross-engine agreement never rests on float
+    * summation order — each output is one fixed IEEE division
+    * sequence off exact integers, micro-quantized. Weekday is the
+    * epoch-day mod 7 (q198's calendar-free convention). Missing days
+    * make the ROWS frame span calendar gaps; both engines use the
+    * same frame, so the gate is unaffected.
+    */
+  def q414SeasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir).events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", expr("datediff(day, date'1970-01-01') % 7"))
+    val w7 = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("win_n", count(lit(1)).over(w7))
+      .withColumn("t7", when(col("win_n") === 7, sum("n").over(w7)))
+    val seas = t.filter(col("t7").isNotNull)
+      .groupBy("event_type", "dow")
+      .agg(sum(col("n") * 7 - col("t7")).as("s_sum"),
+        count(lit(1)).as("s_n"))
+    // interior days only: every emitted row is fully decomposed, so
+    // the gate columns are NON-NULL integers (nullable int columns
+    // round-trip as float64 in pandas and would dtype-mismatch)
+    t.filter(col("t7").isNotNull)
+      .join(seas, Seq("event_type", "dow"))
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("n").as("n_events"),
+        floor(col("t7").cast("double") / 7.0 * 1e6 + lit(0.5)).cast("long")
+          .as("trend_micro"),
+        floor(col("s_sum").cast("double") /
+          (col("s_n") * 7).cast("double") * 1e6 + lit(0.5)).cast("long")
+          .as("seasonal_micro"),
+        floor((col("n").cast("double") -
+          col("t7").cast("double") / 7.0 -
+          col("s_sum").cast("double") / (col("s_n") * 7).cast("double"))
+          * 1e6 + lit(0.5)).cast("long").as("remainder_micro"))
+  }
+
+  val q414Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |dd AS (
+      |  SELECT *,
+      |    date_diff('day', DATE '1970-01-01', day) % 7 AS dow
+      |  FROM daily),
+      |t AS (
+      |  SELECT *,
+      |    CASE WHEN count(*) OVER w = 7 THEN sum(n) OVER w END AS t7
+      |  FROM dd
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |seas AS (
+      |  SELECT event_type, dow,
+      |    CAST(sum(n * 7 - t7) AS BIGINT) AS s_sum,
+      |    CAST(count(*) AS BIGINT) AS s_n
+      |  FROM t WHERE t7 IS NOT NULL GROUP BY 1, 2)
+      |SELECT t.event_type, CAST(t.day AS VARCHAR) AS day, t.n AS n_events,
+      |  CAST(floor(CAST(t.t7 AS DOUBLE) / 7.0 * 1e6 + 0.5) AS BIGINT)
+      |    AS trend_micro,
+      |  CAST(floor(CAST(s.s_sum AS DOUBLE) /
+      |    CAST(s.s_n * 7 AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+      |    AS seasonal_micro,
+      |  CAST(floor((CAST(t.n AS DOUBLE) -
+      |    CAST(t.t7 AS DOUBLE) / 7.0 -
+      |    CAST(s.s_sum AS DOUBLE) / CAST(s.s_n * 7 AS DOUBLE))
+      |    * 1e6 + 0.5) AS BIGINT) AS remainder_micro
+      |FROM t JOIN seas s
+      |  ON s.event_type = t.event_type AND s.dow = t.dow
+      |WHERE t.t7 IS NOT NULL
+      |ORDER BY t.event_type, t.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q414_seasonal_decompose" ->
+      Gate.sorted(q414SeasonalDecompose _, "event_type", "day"),
     "q402_mase_eval" -> ((s, d) => q402MaseEval(s, d)),
     "q379_durbin_watson" -> ((s, d) => q379DurbinWatson(s, d)),
     "q380_runs_test" -> ((s, d) => q380RunsTest(s, d)),
@@ -1180,6 +1272,7 @@ object TemporalOps {
     "q164_abandoned_clicks" -> Gate.sorted(q164AbandonedClicks _, "user_id"))
 
   val oracles: Map[String, String] = Map(
+    "q414_seasonal_decompose" -> q414Sql,
     "q402_mase_eval" -> q402Sql,
     "q379_durbin_watson" -> q379Sql,
     "q380_runs_test" -> q380Sql,

@@ -158,6 +158,44 @@ class Batch51Spec extends SparkSpec {
     assert(byType("nulltype").forall(!_.getBoolean(8)))
   }
 
+  test("q414 equals a driver-side seasonal-decomposition recompute") {
+    val got = graft.queries.TemporalOps.q414SeasonalDecompose(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val daily = Tables(spark, sfDir).events
+      .selectExpr("event_type", "CAST(to_date(ts) AS STRING) AS day")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = daily.keys.groupBy(_._1).flatMap { case (et, ks) =>
+      val series = ks.map(_._2).toSeq.sorted.map(d => d -> daily((et, d)))
+      val interior = series.zipWithIndex.collect {
+        case ((d, n), i) if i >= 3 && i < series.size - 3 =>
+          (d, n, series.slice(i - 3, i + 4).map(_._2).sum)
+      }
+      val byDow = interior.groupBy { case (d, _, _) =>
+        java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.of(1970, 1, 1), java.time.LocalDate.parse(d)) % 7
+      }.view.mapValues { rs =>
+        (rs.map { case (_, n, t7) => 7 * n - t7 }.sum, rs.size.toLong)
+      }.toMap
+      interior.map { case (d, n, t7) =>
+        val dow = java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.of(1970, 1, 1), java.time.LocalDate.parse(d)) % 7
+        val (sSum, sN) = byDow(dow)
+        (et, d) -> ((n,
+          math.floor(t7.toDouble / 7.0 * 1e6 + 0.5).toLong,
+          math.floor(sSum.toDouble / (sN * 7).toDouble * 1e6 + 0.5).toLong,
+          math.floor((n.toDouble - t7.toDouble / 7.0 -
+            sSum.toDouble / (sN * 7).toDouble) * 1e6 + 0.5).toLong))
+      }
+    }
+    assert(got === want)
+    // decomposition identity: trend + seasonal + remainder ~ n (to 1µ)
+    got.values.foreach { case (n, t, s, r) =>
+      assert(math.abs(n * 1000000L - (t + s + r)) <= 2L)
+    }
+  }
+
   test("q322 density guard refuses a corpus past the mean-cell bound") {
     import org.apache.spark.sql.functions._
     import graft.queries.EventAnalytics.{
