@@ -748,7 +748,131 @@ object GraphOps {
       |    AS BIGINT) AS r_micro
       |FROM m""".stripMargin
 
+  /** q415 unrolled hop count and bounded probe set (the q30 bounded-
+    * anchor convention: the sketch iteration runs over the WHOLE
+    * graph — that is the scale path — but the gated exact comparison
+    * touches only the probes, keeping the oracle linear at any SF).
+    */
+  val ANF_HOPS = 3
+  val ANF_PROBE_MAX = 64
+
+  /** q415: ANF / HYPERBALL REACH — the approximate neighborhood
+    * function (Palmer et al.'s ANF; Boldi–Vigna's HyperBall): per
+    * node, an HLL sketch of its distance-≤h ball, iterated by
+    * unioning neighbor sketches for h = 1..[[ANF_HOPS]]. THE
+    * scale-out way to ask "how much of the graph is within h hops"
+    * (effective diameter, centrality screening) when exact per-node
+    * BFS (q271) is quadratic in reach: each round shuffles |E|
+    * fixed-size sketches — independent of ball sizes — and the union
+    * is associative, so rounds are plain map-side-combinable
+    * aggregates over the edge list.
+    *
+    * Self-loops make balls monotone (each round unions the node's own
+    * previous sketch). Gate shape is q260/q295's: the [[ANF_PROBE_MAX]]
+    * smallest node ids emit (node, hop, exact reach, within-bound
+    * flag); the float estimate never enters the hash, the exact side
+    * is a 3-step unrolled join from the bounded probe set, and the
+    * oracle asserts the error contract (TRUE) so an estimator
+    * regression turns the gate red.
+    */
+  def q415AnfReach(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.DistinctSketch
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_partkey"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= TRIANGLE_MIN_SUPPORT)
+      .select("u", "v")
+      .localCheckpoint(true)
+    val nodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node"))).distinct()
+    val und = edges.select(col("u").as("node"), col("v").as("nb"))
+      .union(edges.select(col("v").as("node"), col("u").as("nb")))
+      .union(nodes.select(col("node"), col("node").as("nb")))
+      .localCheckpoint(true)
+    // ball sketches, one union round per hop over the whole graph
+    val lgK = lit(graft.operators.DistinctSketch.LG_K)
+    var ball = und.groupBy("node")
+      .agg(hll_sketch_agg(col("nb"), lgK).as("sk"))
+    val balls = scala.collection.mutable.ArrayBuffer(
+      ball.withColumn("hop", lit(1)))
+    for (h <- 2 to ANF_HOPS) {
+      ball = und.join(ball.withColumnRenamed("node", "nb"), "nb")
+        .groupBy("node")
+        .agg(hll_union_agg(col("sk"), lit(true)).as("sk"))
+      balls += ball.withColumn("hop", lit(h))
+    }
+    val probes = nodes.orderBy("node").limit(ANF_PROBE_MAX)
+      .localCheckpoint(true)
+    val est = balls.reduce(_ unionByName _)
+      .join(broadcast(probes), "node")
+      .select(col("node"), col("hop"),
+        hll_sketch_estimate(col("sk")).as("est"))
+    // exact balls from the bounded probe set only
+    var exact = und.join(broadcast(probes), "node")
+      .select(col("node"), col("nb")).distinct()
+    val exacts = scala.collection.mutable.ArrayBuffer(
+      exact.withColumn("hop", lit(1)))
+    for (h <- 2 to ANF_HOPS) {
+      exact = exact
+        .join(und.select(col("node").as("mid"), col("nb").as("nxt")),
+          col("nb") === col("mid"))
+        .select(col("node"), col("nxt").as("nb")).distinct()
+      exacts += exact.withColumn("hop", lit(h))
+    }
+    val nEx = exacts.reduce(_ unionByName _)
+      .groupBy("node", "hop").agg(count(lit(1)).as("n_reach"))
+    val se3 = 3.0 * 1.04 /
+      math.sqrt(math.pow(2.0, graft.operators.DistinctSketch.LG_K))
+    est.join(nEx, Seq("node", "hop"))
+      .select(col("node"), col("hop").cast("long").as("hop"),
+        col("n_reach"),
+        (abs(col("est") - col("n_reach")) <=
+          greatest(lit(se3) * col("n_reach"), lit(4.0)))
+          .as("within_bound"))
+  }
+
+  val q415Sql: String = {
+    def hopCte(h: Int): String =
+      s"""b$h AS (
+        |  SELECT DISTINCT p.node, u.nb
+        |  FROM b${h - 1} p JOIN und u ON u.node = p.nb)"""
+        .stripMargin
+    s"""WITH e0 AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |edges AS MATERIALIZED (
+      |  SELECT u, v FROM e0 GROUP BY u, v
+      |  HAVING count(*) >= $TRIANGLE_MIN_SUPPORT),
+      |nodes AS (
+      |  SELECT u AS node FROM edges UNION SELECT v FROM edges),
+      |und AS MATERIALIZED (
+      |  SELECT u AS node, v AS nb FROM edges
+      |  UNION SELECT v, u FROM edges
+      |  UNION SELECT node, node FROM nodes),
+      |probes AS (
+      |  SELECT node FROM nodes ORDER BY node LIMIT $ANF_PROBE_MAX),
+      |b1 AS (
+      |  SELECT DISTINCT u.node, u.nb
+      |  FROM und u JOIN probes p ON p.node = u.node),
+      |${(2 to ANF_HOPS).map(hopCte).mkString(",\n")},
+      |${(1 to ANF_HOPS).map(h =>
+        s"""c$h AS (
+        |  SELECT node, CAST($h AS BIGINT) AS hop,
+        |    CAST(count(*) AS BIGINT) AS n_reach
+        |  FROM b$h GROUP BY node)""".stripMargin).mkString(",\n")}
+      |SELECT node, hop, n_reach, TRUE AS within_bound
+      |FROM (${(1 to ANF_HOPS).map(h => s"SELECT * FROM c$h")
+        .mkString("\n  UNION ALL ")})
+      |ORDER BY node, hop""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q415_anf_reach" -> Gate.sorted(q415AnfReach _, "node", "hop"),
     "q385_personalized_pagerank" ->
       Gate.sorted(q385PersonalizedPagerank _, "part"),
     "q386_assortativity" -> ((s, d) => q386Assortativity(s, d)),
@@ -763,6 +887,7 @@ object GraphOps {
     "q271_bfs_hops" -> Gate.sorted(q271BfsHops _, "p_partkey"))
 
   val oracles: Map[String, String] = Map(
+    "q415_anf_reach" -> q415Sql,
     "q385_personalized_pagerank" -> q385Sql,
     "q386_assortativity" -> q386Sql,
     "q365_harmonic_centrality" -> q365Sql,

@@ -196,6 +196,44 @@ class Batch51Spec extends SparkSpec {
     }
   }
 
+  test("q415 exact reach equals a driver-side BFS and the sketch " +
+    "estimate holds its bound") {
+    import graft.queries.GraphOps.{ANF_HOPS, ANF_PROBE_MAX,
+      TRIANGLE_MIN_SUPPORT}
+    val got = graft.queries.GraphOps.q415AnfReach(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
+    // driver-side graph + BFS
+    val li = Tables(spark, sfDir).lineitem
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairCount = li.groupBy(_._1).values.toSeq.flatMap { ls =>
+      for { (_, a) <- ls.toSeq; (_, b) <- ls.toSeq; if a < b } yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size)
+    val edges = pairCount.collect {
+      case ((a, b), n) if n >= TRIANGLE_MIN_SUPPORT => (a, b)
+    }.toSeq
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keySet
+    val probes = nodes.toSeq.sorted.take(ANF_PROBE_MAX)
+    val want = probes.flatMap { p =>
+      var ball = Set(p)
+      (1 to ANF_HOPS).map { h =>
+        ball = ball ++ ball.flatMap(n => adj.getOrElse(n, Set.empty))
+        (p, h.toLong) -> ball.size.toLong
+      }
+    }.toMap
+    assert(got.view.mapValues(_._1).toMap === want)
+    // the HLL estimate stayed inside its 3-SE contract everywhere,
+    // and balls are monotone in hop
+    assert(got.values.forall(_._2))
+    probes.foreach { p =>
+      val seq = (1 to ANF_HOPS).map(h => got((p, h.toLong))._1)
+      assert(seq == seq.sorted, s"ball not monotone for $p: $seq")
+    }
+  }
+
   test("q322 density guard refuses a corpus past the mean-cell bound") {
     import org.apache.spark.sql.functions._
     import graft.queries.EventAnalytics.{
