@@ -2208,7 +2208,96 @@ object EventAnalytics {
       |  rnk <= coalesce(kstar, 0) AS rejected
       |FROM k ORDER BY event_type, dow""".stripMargin
 
+  /** q416: SIMPSON'S-PARADOX AUDIT — does the pooled A/B effect
+    * direction survive weekday segmentation? The classic aggregation
+    * trap (unequal arm allocation across segments can reverse the
+    * pooled sign even when every segment agrees), audited per event
+    * type: the pooled mean difference (B−A) next to the per-(dow)
+    * segment differences, their sign tally, and the paradox flag —
+    * every segment agrees on one direction AND the pooled difference
+    * points the other way. The experimentation-hygiene complement to
+    * q98 (one pooled t) and q413 (segment-level FDR).
+    *
+    * Determinism: all means are exact-decimal sums over counts, each
+    * difference is two IEEE divisions and a subtract on bit-identical
+    * inputs, and every DECISION (sign, flag) is taken on the
+    * micro-quantized INTEGER image — the same integers both engines
+    * hash. The log collapses to |types × 7| rows in one
+    * map-side-combined aggregate; the paradox fold runs on that
+    * bounded rollup.
+    */
+  def q416SimpsonAudit(spark: SparkSession, dir: String): DataFrame = {
+    val isB = col("user_id") % 2 === 1
+    def cnt(v: Boolean) = sum(when(if (v) isB else !isB, 1L).otherwise(0L))
+    def s1(v: Boolean) =
+      sum(when(if (v) isB else !isB, Exact.dec(col("value")))).cast("double")
+    val seg = Tables(spark, dir).events
+      .withColumn("dow", expr("datediff(to_date(ts), date'1970-01-01') % 7"))
+      .groupBy("event_type", "dow")
+      .agg(cnt(false).as("na"), cnt(true).as("nb"),
+        sum(when(!isB, Exact.dec(col("value")))).as("sa"),
+        sum(when(isB, Exact.dec(col("value")))).as("sb"))
+      .filter(col("na") > 0 && col("nb") > 0)
+    val segDiff = seg.withColumn("d_micro",
+      floor((col("sb").cast("double") / col("nb") -
+        col("sa").cast("double") / col("na")) * 1e6 + lit(0.5)).cast("long"))
+    // pooled arms re-aggregate the SAME decimal sums (order-free)
+    val pooled = seg.groupBy("event_type")
+      .agg(sum("na").as("pna"), sum("nb").as("pnb"),
+        sum("sa").as("psa"), sum("sb").as("psb"))
+      .select(col("event_type"),
+        floor((col("psb").cast("double") / col("pnb") -
+          col("psa").cast("double") / col("pna")) * 1e6 + lit(0.5))
+          .cast("long").as("pooled_micro"))
+    segDiff.groupBy("event_type")
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when(col("d_micro") > 0, 1L).otherwise(0L)).as("n_seg_pos"),
+        sum(when(col("d_micro") < 0, 1L).otherwise(0L)).as("n_seg_neg"))
+      .join(pooled, "event_type")
+      .select(col("event_type"), col("n_seg"), col("n_seg_pos"),
+        col("n_seg_neg"), col("pooled_micro"),
+        ((col("n_seg_pos") === col("n_seg") && col("pooled_micro") < 0) ||
+          (col("n_seg_neg") === col("n_seg") && col("pooled_micro") > 0))
+          .as("simpson_flag"))
+  }
+
+  val q416Sql: String =
+    """WITH seg AS (
+      |  SELECT event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS dow,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+      |    sum(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,4)) END) AS sa,
+      |    sum(CASE WHEN user_id % 2 = 1 THEN CAST(value AS DECIMAL(18,4)) END) AS sb
+      |  FROM events GROUP BY 1, 2
+      |  HAVING na > 0 AND nb > 0),
+      |sd AS (
+      |  SELECT event_type,
+      |    CAST(floor((CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na)
+      |      * 1e6 + 0.5) AS BIGINT) AS d_micro
+      |  FROM seg),
+      |pooled AS (
+      |  SELECT event_type,
+      |    CAST(floor((CAST(sum(sb) AS DOUBLE) / sum(nb)
+      |      - CAST(sum(sa) AS DOUBLE) / sum(na)) * 1e6 + 0.5) AS BIGINT)
+      |      AS pooled_micro
+      |  FROM seg GROUP BY 1),
+      |tally AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_seg,
+      |    CAST(sum(CASE WHEN d_micro > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_seg_pos,
+      |    CAST(sum(CASE WHEN d_micro < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_seg_neg
+      |  FROM sd GROUP BY 1)
+      |SELECT t.event_type, t.n_seg, t.n_seg_pos, t.n_seg_neg,
+      |  p.pooled_micro,
+      |  (t.n_seg_pos = t.n_seg AND p.pooled_micro < 0) OR
+      |  (t.n_seg_neg = t.n_seg AND p.pooled_micro > 0) AS simpson_flag
+      |FROM tally t JOIN pooled p USING (event_type)
+      |ORDER BY t.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q416_simpson_audit" -> Gate.sorted(q416SimpsonAudit _, "event_type"),
     "q413_bh_fdr" -> Gate.sorted(q413BhFdr _, "event_type", "dow"),
     "q406_stickiness" -> Gate.sorted(q406Stickiness _, "day"),
     "q398_capture_recapture" -> ((s, d) => q398CaptureRecapture(s, d)),
@@ -2246,6 +2335,7 @@ object EventAnalytics {
     "q75_rolling_features" -> Gate.sorted(q75RollingFeatures _, "user_id", "event_id"))
 
   val oracles: Map[String, String] = Map(
+    "q416_simpson_audit" -> q416Sql,
     "q413_bh_fdr" -> q413Sql,
     "q406_stickiness" -> q406Sql,
     "q398_capture_recapture" -> q398Sql,

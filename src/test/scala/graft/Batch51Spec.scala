@@ -234,6 +234,65 @@ class Batch51Spec extends SparkSpec {
     }
   }
 
+  test("q416 equals a driver-side Simpson-audit recompute") {
+    val got = graft.queries.EventAnalytics.q416SimpsonAudit(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    val rows = Tables(spark, sfDir).events
+      .select("event_type", "ts", "user_id", "value").collect()
+    def dsum(xs: Seq[Double]) = xs.map(BigDecimal(_)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+    val want = rows.groupBy(_.getString(0)).map { case (et, rs) =>
+      val segs = rs.groupBy { r =>
+        java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.of(1970, 1, 1),
+          r.getTimestamp(1).toLocalDateTime.toLocalDate) % 7
+      }.values.toSeq.map { seg =>
+        val (a, b) = seg.partition(_.getLong(2) % 2 == 0)
+        (a.size.toLong, b.size.toLong,
+          dsum(a.map(_.getDouble(3))), dsum(b.map(_.getDouble(3))))
+      }.filter(s => s._1 > 0 && s._2 > 0)
+      val ds = segs.map { case (na, nb, sa, sb) =>
+        math.floor((sb.toDouble / nb - sa.toDouble / na) * 1e6 + 0.5).toLong
+      }
+      val pooled = math.floor(
+        (segs.map(_._4).sum.toDouble / segs.map(_._2).sum -
+          segs.map(_._3).sum.toDouble / segs.map(_._1).sum) * 1e6 + 0.5)
+        .toLong
+      val (pos, neg) = (ds.count(_ > 0).toLong, ds.count(_ < 0).toLong)
+      et -> ((segs.size.toLong, pos, neg, pooled,
+        (pos == segs.size && pooled < 0) || (neg == segs.size && pooled > 0)))
+    }
+    assert(got === want)
+  }
+
+  test("q416 flags a planted Simpson reversal") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-simpson")
+      .toString
+    // classic construction: B beats A inside BOTH segments, but B's
+    // mass sits in the low-value segment, so the pooled sign reverses
+    val rows =
+      Seq((0L, "2024-01-01", 0.0)) ++                       // L: 1 A @ 0
+      (1 to 10).map(i => (2L * i + 1, "2024-01-01", 1.0)) ++ // L: 10 B @ 1
+      (1 to 10).map(i => (2L * i, "2024-01-02", 100.0)) ++   // H: 10 A @ 100
+      Seq((1L, "2024-01-02", 101.0))                        // H: 1 B @ 101
+    import spark.implicits._
+    rows.toDF("user_id", "day", "value")
+      .select(monotonically_increasing_id().as("event_id"),
+        to_timestamp(col("day")).as("ts"), col("user_id"),
+        lit("para").as("event_type"), col("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = graft.queries.EventAnalytics.q416SimpsonAudit(spark, tmp)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 2 && r.getLong(2) == 2 && r.getLong(3) == 0)
+    assert(r.getLong(4) < 0 && r.getBoolean(5),
+      s"expected pooled reversal, got $r")
+  }
+
   test("q322 density guard refuses a corpus past the mean-cell bound") {
     import org.apache.spark.sql.functions._
     import graft.queries.EventAnalytics.{
