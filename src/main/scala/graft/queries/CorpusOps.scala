@@ -242,10 +242,15 @@ object CorpusOps {
   def q258SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     val tmp = Scratch.dir("schevo")
     val d = Tables(spark, dir).documents
-    d.filter(col("doc_id") % 2 === 0)
+    // the legacy shard holds only ids that FIT its narrow INT schema —
+    // the realistic evolution story (the v1 pipeline died when ids
+    // outgrew it), and the reason the sf1 gate caught an ANSI
+    // CAST_OVERFLOW here: ScaleGen ids exceed 2^31, and a simulation
+    // that narrows them unconditionally breaks its own premise
+    d.filter(col("doc_id") % 2 === 0 && col("doc_id") <= Int.MaxValue)
       .select(col("doc_id").cast("int").as("doc_id"), col("text"))
       .write.mode("overwrite").parquet(s"$tmp/v1")
-    d.filter(col("doc_id") % 2 === 1)
+    d.filter(col("doc_id") % 2 === 1 || col("doc_id") > Int.MaxValue)
       .select(col("doc_id"), col("text"), col("lang"))
       .write.mode("overwrite").parquet(s"$tmp/v2")
     graft.sources.SchemaEvolution.readEvolved(spark, tmp,
@@ -256,8 +261,8 @@ object CorpusOps {
   }
 
   val q258Sql: String =
-    """SELECT CASE WHEN doc_id % 2 = 0 THEN '_pre_evolution' ELSE lang END
-      |    AS lang,
+    """SELECT CASE WHEN doc_id % 2 = 0 AND doc_id <= 2147483647
+      |    THEN '_pre_evolution' ELSE lang END AS lang,
       |  count(*) AS n_docs,
       |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
       |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
