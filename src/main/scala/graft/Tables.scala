@@ -75,6 +75,31 @@ final case class Tables(spark: SparkSession, dir: String) {
 
 object Tables {
 
+  /** Unsplittable-input mitigation (optimization guide §2.5, round 9).
+    *
+    * The driver's test parquet is written as ONE row group per file,
+    * so every scan stage runs as a single task no matter how many
+    * byte-splits the reader plans — and any CPU-heavy projection
+    * sitting on the scan (codec decode, shingling, unpivot) runs
+    * serially while the other cores idle. The guide's remedy for
+    * unsplittable inputs is a repartition immediately after the read;
+    * this helper applies it ONLY when the scan actually under-splits
+    * (fewer scan partitions than the session's parallelism), so on a
+    * production table with normally-split files it is a provable
+    * no-op — never an accidental extra exchange at scale. The hash
+    * keys keep row placement deterministic under task retries (the
+    * round-robin repartition hazard, guide §2.5).
+    *
+    * Call it on RAW SCANS ONLY: probing partition count builds the
+    * plan's RDD, which is free for a scan but would materialize query
+    * stages through an AQE plan with exchanges.
+    */
+  def fanOut(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df
+    else df.repartition(p, keys: _*)
+  }
+
   /** Normalize an event-stream `ts` column to a session-TZ timestamp
     * regardless of the file's physical encoding. Works on batch AND
     * streaming DataFrames (schema-only dispatch, no data inspection):

@@ -48,8 +48,12 @@ object AstroQueries {
     */
   def q11DescriptiveStats(spark: SparkSession, dir: String): DataFrame =
     graft.operators.DistributedQuantile.describe(
-      Tables(spark, dir).lineitem
-        .select(col("l_returnflag"), col("l_extendedprice").as("v")),
+      // fanOut: the quantile operator's histogram passes ran on the
+      // scan's single-row-group splits — Tables.fanOut, guide §2.5
+      Tables.fanOut(Tables(spark, dir).lineitem
+        .select(col("l_returnflag"), col("l_extendedprice").as("v"),
+          col("l_orderkey")), col("l_orderkey"))
+        .select("l_returnflag", "v"),
       Seq("l_returnflag"), "v",
       Seq("q1" -> 0.25, "median" -> 0.5, "q3" -> 0.75))
       .select(col("l_returnflag"), col("n"), col("mean"),
@@ -448,8 +452,10 @@ object AstroQueries {
     * bounded.
     */
   def q257DensityCenter(spark: SparkSession, dir: String): DataFrame = {
-    val stars = Tables(spark, dir).lineitem
-      .filter(col("l_orderkey") % DC_MOD === 0)
+    // fanOut: the grid-key build ran on the scan's single-row-group
+    // splits (2.9 s of 3.8 s at sf0.1) — Tables.fanOut, guide §2.5
+    val stars = Tables.fanOut(Tables(spark, dir).lineitem
+        .filter(col("l_orderkey") % DC_MOD === 0), col("l_orderkey"))
       .select(col("l_returnflag"),
         floor(col("l_quantity") * 100 + lit(0.5)).as("px"),
         floor(col("l_extendedprice") / 100 + lit(0.5)).as("py"),

@@ -586,7 +586,10 @@ object CorpusOps {
     */
   def q323GreedyCover(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark; import spark2.implicits._
-    val e = Tables(spark, dir).documents
+    // fanOut: shingle explode ran on the 1-task docs scan (1.5 s at
+    // sf0.1) — Tables.fanOut, guide §2.5
+    val e = Tables.fanOut(Tables(spark, dir).documents
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), explode(graft.plans.ShingleHashSet(
         col("text"), DedupOps.SHINGLE_N)).as("w"))
       .localCheckpoint(true)
@@ -676,7 +679,10 @@ object CorpusOps {
   def q331DupSpans(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = DUPSPAN_W
-    val docs = Tables(spark, dir).documents
+    // fanOut: the window-hash explode ran on the 1-task docs scan —
+    // Tables.fanOut, guide §2.5
+    val docs = Tables.fanOut(Tables(spark, dir).documents
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val wins = docs.filter(size(col("toks")) >= w)
       .select(col("doc_id"), posexplode(expr(
@@ -1059,7 +1065,9 @@ object CorpusOps {
     */
   def q367HllCubeMargins(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.DistinctSketch
-    val ev = Tables(spark, dir).events
+    // fanOut: the sketch/exact margin aggregates each ran their
+    // partial side on the 1-task events scan — Tables.fanOut, §2.5
+    val ev = Tables.fanOut(Tables(spark, dir).events, col("event_id"))
       .withColumn("day", expr("unix_micros(ts) div 86400000000"))
     val cells = DistinctSketch.sketchBy(ev, "user_id", "event_type", "day")
     def m(df: DataFrame, key: Column) = df.select(key.as("margin"),

@@ -53,7 +53,13 @@ object DedupOps {
   }
 
   def candidatePairs(docs: DataFrame): DataFrame = {
-    val bands = bandTable(docs)
+    // round 9 (guide §1.2/§2.3): checkpoint the band table BEFORE the
+    // self-join — without the pin both join sides evaluate the full
+    // MinHash signature pass over the corpus text (the plan showed
+    // minhash_signature on the stream AND broadcast sides), doubling
+    // the query's dominant CPU cost. The pinned table is 4 small rows
+    // per doc (id, band, 16-byte hash); text is read once.
+    val bands = bandTable(docs).localCheckpoint(true)
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b,
@@ -446,7 +452,9 @@ object DedupOps {
     // sized action; a real pipeline splits by ingest batch id instead
     val maxId = docs.agg(max("doc_id")).head.getLong(0)
     val cut = math.floor(maxId * INGEST_FRACTION).toLong
-    val bands = bandTable(docs)
+    // single signature pass (round 9): both probe sides split from the
+    // same pinned band table instead of re-running MinHash per side
+    val bands = bandTable(docs).localCheckpoint(true)
     val corpusIdx = bands.filter(col("doc_id") < cut)
       .select(col("doc_id").as("old_doc_id"), col("band_idx"), col("band_hash"))
     val newBands = bands.filter(col("doc_id") >= cut)
@@ -484,8 +492,11 @@ object DedupOps {
     */
   def q72MinhashEstimate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
+    // pinned (round 9): the signature table feeds BOTH pair sides —
+    // without the pin each join side re-ran the MinHash pass
     val sigs = docs.select(col("doc_id"),
       graft.plans.MinHashSignature(col("text"), SHINGLE_N, NUM_HASHES).as("sig"))
+      .localCheckpoint(true)
     candidatePairs(docs)
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
@@ -1239,7 +1250,10 @@ object DedupOps {
     * len/stride, and the band join carries (ids, hashes) only.
     */
   def q238ChunkNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = Tables(spark, dir).documents
+    // fanOut: per-chunk MinHash ran on the 1-task docs scan —
+    // Tables.fanOut, guide §2.5
+    val chunks = Tables.fanOut(Tables(spark, dir).documents
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"),
         explode(expr(s"sequence(0, cast(greatest(ceil(length(text) / " +
           s"$CHUNK_ND_STRIDE.0), 1) as int) - 1)")).as("chunk_idx"),

@@ -37,18 +37,11 @@ object GraphOps {
     * identical.
     */
   def q117TriangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir).lineitem.select(col("l_orderkey"), col("l_partkey"))
     // undirected edge set, bounded by basket size per order (the q93
-    // within-order self-join), thinned by min support; checkpointed —
-    // it feeds degrees, orientation, and the closing-edge probe
-    val edges = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= TRIANGLE_MIN_SUPPORT)
-      .select("u", "v")
-      .localCheckpoint(true)
+    // within-order basket explode), thinned by min support;
+    // checkpointed — it feeds degrees, orientation, and the
+    // closing-edge probe
+    val edges = coPurchaseEdges(spark, dir).localCheckpoint(true)
     val deg = edges.select(col("u").as("n"))
       .union(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -96,15 +89,33 @@ object GraphOps {
 
   /** Shared co-purchase edge set (the q117 graph): undirected edges
     * between parts co-occurring in >= [[TRIANGLE_MIN_SUPPORT]] orders.
+    *
+    * Round-9 shape (guide §2.3/§2.4): the within-order pair fanout is
+    * generated from per-order part BASKETS (one groupBy of lineitem on
+    * l_orderkey, pairs exploded inside the basket array) instead of the
+    * lineitem⋈lineitem self-join on l_orderkey. Same pair multiset —
+    * the basket keeps duplicate partkeys and the sorted-array explode
+    * emits each (u<v) line pair exactly as the join's a.partkey <
+    * b.partkey predicate did — but lineitem crosses the wire ONCE
+    * (was: both join sides exchanged + two SMJ sorts), and the pair
+    * stream feeds the (u,v) rollup's map-side partial agg directly.
+    * Basket size is bounded by lines-per-order, so the per-row explode
+    * is O(basket²) with single-digit baskets — the same fanout budget
+    * the join paid, minus a full shuffle + two sorts of lineitem.
     */
   private def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir).lineitem
-      .select(col("l_orderkey"), col("l_partkey"))
-    li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .agg(count(lit(1)).as("sup"))
+    // fanOut BY THE GROUP KEY: the basket aggregate reuses the
+    // repartition's hash partitioning (no second exchange), and the
+    // collect step runs at full parallelism instead of on the scan's
+    // single-row-group split (guide §2.5; collect_list has no
+    // reducing partial side, so nothing is lost map-side)
+    val li = Tables.fanOut(Tables(spark, dir).lineitem
+      .select(col("l_orderkey"), col("l_partkey")), col("l_orderkey"))
+    li.groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_partkey"))).as("parts"))
+      .select(graft.operators.Baskets.pairs(col("parts")).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= TRIANGLE_MIN_SUPPORT)
       .select("u", "v")
   }
@@ -777,16 +788,7 @@ object GraphOps {
     */
   def q415AnfReach(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.DistinctSketch
-    val li = Tables(spark, dir).lineitem
-      .select(col("l_orderkey"), col("l_partkey"))
-    val edges = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-      .agg(count(lit(1)).as("sup"))
-      .filter(col("sup") >= TRIANGLE_MIN_SUPPORT)
-      .select("u", "v")
-      .localCheckpoint(true)
+    val edges = coPurchaseEdges(spark, dir).localCheckpoint(true)
     val nodes = edges.select(col("u").as("node"))
       .union(edges.select(col("v").as("node"))).distinct()
     val und = edges.select(col("u").as("node"), col("v").as("nb"))

@@ -80,7 +80,11 @@ object JoinOps {
 
   def q45RangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val grid = t.lineitem
+    // fanOut by the group key: the high-cardinality value-grid
+    // partial agg ran on the scan's splits; the groupBy reuses the
+    // fan's partitioning (Tables.fanOut, guide §2.5)
+    val grid = Tables.fanOut(t.lineitem
+        .select("l_extendedprice"), col("l_extendedprice"))
       .groupBy(col("l_extendedprice"))
       .agg(count(lit(1)).as("n"),
         sum(col("l_extendedprice").cast("decimal(18,4)")).as("dsum"))

@@ -176,7 +176,10 @@ object LayoutOps {
       .partitionBy("col_name", "l_orderkey").orderBy("l_linenumber", "val")
     val stackExpr = RUN_COLS.map(c => s"'$c', $c").mkString(
       s"stack(${RUN_COLS.size}, ", ", ", ")")
-    val compressed = Tables(spark, dir).lineitem
+    // fanOut: the stack unpivot ran in a 3-task scan stage (1.1 s at
+    // sf0.1) — see Tables.fanOut (guide §2.5)
+    val compressed = Tables.fanOut(
+        Tables(spark, dir).lineitem, col("l_orderkey"))
       .select(col("l_orderkey"), col("l_linenumber"),
         expr(s"$stackExpr as (col_name, val)"))
       .groupBy("col_name", "l_orderkey", "l_linenumber", "val")
@@ -265,7 +268,11 @@ object LayoutOps {
     val w = W.partitionBy("col_name", "l_orderkey").orderBy("l_linenumber", "val")
     val stackExpr = ENC_COLS.map { case (n, e) => s"'$n', $e" }
       .mkString(s"stack(${ENC_COLS.size}, ", ", ", ")")
-    val compressed = Tables(spark, dir).lineitem
+    // fanOut: the 4-column stack unpivot + string rendering ran as a
+    // 3-task scan stage (3.5 s of the query's 5.6 s at sf0.1) — see
+    // Tables.fanOut (guide §2.5)
+    val compressed = Tables.fanOut(
+        Tables(spark, dir).lineitem, col("l_orderkey"))
       .select(col("l_orderkey"), col("l_linenumber"),
         expr(s"$stackExpr as (col_name, val)"))
       .groupBy("col_name", "l_orderkey", "l_linenumber", "val")

@@ -782,8 +782,10 @@ object LlmText {
     */
   def q94MediaDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = Tables(spark, dir).documents
-      .select(col("doc_id")).as[Long]
+    val media = Tables.fanOut(Tables(spark, dir).documents
+        .select(col("doc_id")), col("doc_id")).as[Long]
+      // ^ fanOut: synth-encode + codec decode ran as a 1-task scan
+      //   stage (~1.2 s each at sf0.1) — Tables.fanOut, guide §2.5
       .mapPartitions { it =>
         // ingest simulation: blobs arrive as already-encoded PNGs
         it.map { id =>
@@ -833,8 +835,10 @@ object LlmText {
     */
   def q410PngChunks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables(spark, dir).documents
-      .select(col("doc_id")).as[Long]
+    Tables.fanOut(Tables(spark, dir).documents
+        .select(col("doc_id")), col("doc_id")).as[Long]
+      // ^ fanOut: synth-encode + codec decode ran as a 1-task scan
+      //   stage (~1.2 s each at sf0.1) — Tables.fanOut, guide §2.5
       .mapPartitions { it =>
         it.map { id =>
           val w = (id % 13 + 4).toInt
@@ -867,8 +871,10 @@ object LlmText {
     */
   def q290ImageResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = Tables(spark, dir).documents
-      .select(col("doc_id")).as[Long]
+    val media = Tables.fanOut(Tables(spark, dir).documents
+        .select(col("doc_id")), col("doc_id")).as[Long]
+      // ^ fanOut: synth-encode + codec decode ran as a 1-task scan
+      //   stage (~1.2 s each at sf0.1) — Tables.fanOut, guide §2.5
       .mapPartitions { it =>
         it.map { id =>
           val w = (id % 13 + 4).toInt
@@ -924,8 +930,10 @@ object LlmText {
     */
   def q297JpegDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = Tables(spark, dir).documents
-      .select(col("doc_id")).as[Long]
+    val media = Tables.fanOut(Tables(spark, dir).documents
+        .select(col("doc_id")), col("doc_id")).as[Long]
+      // ^ fanOut: synth-encode + codec decode ran as a 1-task scan
+      //   stage (~1.2 s each at sf0.1) — Tables.fanOut, guide §2.5
       .mapPartitions { it =>
         it.map { id =>
           val w = (id % 9 + 8).toInt
@@ -962,8 +970,10 @@ object LlmText {
     */
   def q111MediaFrames(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = Tables(spark, dir).documents
-      .select(col("doc_id")).as[Long]
+    val media = Tables.fanOut(Tables(spark, dir).documents
+        .select(col("doc_id")), col("doc_id")).as[Long]
+      // ^ fanOut: synth-encode + codec decode ran as a 1-task scan
+      //   stage (~1.2 s each at sf0.1) — Tables.fanOut, guide §2.5
       .mapPartitions { it =>
         it.map { id =>
           val n = (id % 5 + 1).toInt
@@ -1066,7 +1076,10 @@ object LlmText {
     * joins back to text. Hashes are md5 substrings (engine-portable).
     */
   def q149NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val shingled = Tables(spark, dir).documents
+    // fanOut: stride-shingle md5 ran on the 1-task docs scan —
+    // Tables.fanOut, guide §2.5
+    val shingled = Tables.fanOut(Tables(spark, dir).documents
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"),
         explode(expr(
           s"sequence(0, cast(greatest(ceil((length(text) - $NOVEL_K + 1) / $NOVEL_STRIDE.0), 1) as int) - 1)"))
@@ -1120,7 +1133,10 @@ object LlmText {
     * summed exactly.
     */
   def q156CharEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val chars = Tables(spark, dir).documents
+    // fanOut: the per-char explode + partial agg ran as a 1-task scan
+    // stage (1.9 s at sf0.1) — Tables.fanOut, guide §2.5
+    val chars = Tables.fanOut(Tables(spark, dir).documents
+        .select(col("doc_id"), col("text")), col("doc_id"))
       .select(col("doc_id"),
         explode(expr(
           "transform(sequence(1, greatest(length(text), 1)), i -> substring(text, i, 1))"))
@@ -1177,8 +1193,10 @@ object LlmText {
     */
   def q277AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val wav = Tables(spark, dir).documents
-      .select(col("doc_id")).as[Long]
+    val wav = Tables.fanOut(Tables(spark, dir).documents
+        .select(col("doc_id")), col("doc_id")).as[Long]
+      // ^ fanOut: synth-encode + codec decode ran as a 1-task scan
+      //   stage (~1.2 s each at sf0.1) — Tables.fanOut, guide §2.5
       .mapPartitions { it =>
         // ingest simulation: blobs arrive as already-encoded WAVs
         it.map { id =>
@@ -1561,7 +1579,12 @@ object LlmText {
     * integer sum; one final division by N.
     */
   def q371BigramCondEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val bigrams = Tables(spark, dir).documents
+    // fanOut: the bigram explode + partial agg ran as a 1-task scan
+    // stage (2.0 s at sf0.1) — Tables.fanOut, guide §2.5. Keyed on
+    // doc_id, NOT source: source has a handful of distinct values and
+    // would hash to a handful of partitions (guide §2.5 skew note).
+    val bigrams = Tables.fanOut(Tables(spark, dir).documents
+        .select(col("source"), col("text"), col("doc_id")), col("doc_id"))
       .select(col("source"),
         explode(expr("transform(sequence(1, greatest(length(text) - 1, 1))," +
           " i -> substring(text, i, 2))")).as("bg"))

@@ -27,8 +27,12 @@ object Relational {
     * reduces shuffle to |groups| x |partitions| rows.
     */
   def q01AggSummary(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).lineitem
-      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    // fanOut: the exact-decimal partial aggregate ran on the scan's
+    // single-row-group splits (2.2 s of 6.5 s serial at sf0.1) —
+    // Tables.fanOut, guide §2.5
+    Tables.fanOut(Tables(spark, dir).lineitem
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")),
+        col("l_orderkey"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         Exact.sumExact(col("l_quantity")).as("sum_qty"),
@@ -184,7 +188,11 @@ object Relational {
     * assembler.py:130). countDistinct expands to a two-phase aggregate.
     */
   def q08DistinctCount(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).lineitem
+    // fanOut: the distinct-expand partial aggregate ran on the scan's
+    // single-row-group splits — Tables.fanOut, guide §2.5
+    Tables.fanOut(Tables(spark, dir).lineitem
+        .select("l_returnflag", "l_partkey", "l_suppkey", "l_orderkey"),
+        col("l_orderkey"))
       .groupBy("l_returnflag")
       .agg(
         countDistinct(col("l_partkey")).as("n_parts"),
@@ -235,7 +243,11 @@ object Relational {
     * the lattice with a single shuffle).
     */
   def q10RollupStats(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).lineitem
+    // fanOut: the rollup-expand partial aggregate ran on the scan's
+    // single-row-group splits — Tables.fanOut, guide §2.5
+    Tables.fanOut(Tables(spark, dir).lineitem
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey"),
+        col("l_orderkey"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(
         count(lit(1)).as("n"),
@@ -444,12 +456,16 @@ object Relational {
     * oracle's unrolled-CTE formulation.
     */
   def q103PartPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir).lineitem
-      .select("l_orderkey", "l_partkey").distinct()
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+    // basket-shaped pair generation (round 9, guide §2.3): one groupBy
+    // of lineitem on the order key + in-row pair explode replaces the
+    // self-join (one exchange instead of two + two SMJ sorts);
+    // collect_set reproduces the old distinct() exactly
+    val pairs = Tables.fanOut(Tables(spark, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey")), col("l_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(graft.operators.Baskets.pairs(col("parts")).as("p"))
+      .groupBy(col("p.u").as("part_a"), col("p.v").as("part_b"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= Q93_MIN_SUPPORT)
     val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"))
@@ -514,14 +530,23 @@ object Relational {
     */
   def q93BasketAffinity(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val li = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    // basket-shaped (round 9, guide §2.3): one groupBy on the order
+    // key feeds BOTH per-part support (basket explode) and the pair
+    // fanout (in-row ordered-pair explode) — the old li.distinct()
+    // self-join exchanged lineitem three times (distinct + both join
+    // sides); the checkpointed basket table is built once
+    val baskets = Tables.fanOut(t.lineitem
+        .select(col("l_orderkey"), col("l_partkey")), col("l_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .localCheckpoint(true)
     val nOrders = broadcast(
       t.orders.agg(count(lit(1)).as("n_orders")))
-    val supp = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+    val supp = baskets.select(explode(col("parts")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("supp"))
+    val pairs = baskets
+      .select(graft.operators.Baskets.pairs(col("parts")).as("p"))
+      .groupBy(col("p.u").as("part_a"), col("p.v").as("part_b"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= Q93_MIN_SUPPORT)
     pairs
@@ -770,36 +795,37 @@ object Relational {
     * reused for all three probes.
     */
   def q219FrequentTriples(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables(spark, dir).lineitem
-      .select("l_orderkey", "l_partkey").distinct()
+    // basket-shaped (round 9, guide §2.3): the old shape exchanged the
+    // distinct (order, part) table FIVE times (distinct + two pair-join
+    // sides + two more triple-join sides). One basket groupBy now feeds
+    // both the frequent-pair rollup and the in-row triple explode; the
+    // anti-monotonicity semi-join prune is unchanged and still runs
+    // BEFORE the counting shuffle.
+    val baskets = Tables.fanOut(Tables(spark, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey")), col("l_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       .localCheckpoint(true)
-    val f2 = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
+    val f2 = baskets
+      .select(graft.operators.Baskets.pairs(col("parts")).as("p"))
+      .groupBy(col("p.u").as("x"), col("p.v").as("y"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= Q93_MIN_SUPPORT)
       .select("x", "y")
       .localCheckpoint(true)
-    val triples = li.as("a")
-      .join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
+    baskets
+      .select(graft.operators.Baskets.triples(col("parts")).as("t"))
       .join(f2.as("pab"),
-        col("a.l_partkey") === col("pab.x") &&
-          col("b.l_partkey") === col("pab.y"), "left_semi")
-      .join(li.as("c"),
-        col("a.l_orderkey") === col("c.l_orderkey") &&
-          col("b.l_partkey") < col("c.l_partkey"))
+        col("t.u") === col("pab.x") &&
+          col("t.v") === col("pab.y"), "left_semi")
       .join(f2.as("pbc"),
-        col("b.l_partkey") === col("pbc.x") &&
-          col("c.l_partkey") === col("pbc.y"), "left_semi")
+        col("t.v") === col("pbc.x") &&
+          col("t.w") === col("pbc.y"), "left_semi")
       .join(f2.as("pac"),
-        col("a.l_partkey") === col("pac.x") &&
-          col("c.l_partkey") === col("pac.y"), "left_semi")
-    triples
-      .groupBy(col("a.l_partkey").as("part_a"),
-        col("b.l_partkey").as("part_b"), col("c.l_partkey").as("part_c"))
+        col("t.u") === col("pac.x") &&
+          col("t.w") === col("pac.y"), "left_semi")
+      .groupBy(col("t.u").as("part_a"),
+        col("t.v").as("part_b"), col("t.w").as("part_c"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= Q93_MIN_SUPPORT)
   }

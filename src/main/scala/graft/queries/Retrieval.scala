@@ -127,15 +127,24 @@ object Retrieval {
   def q115TfidfPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val n = TFIDF_SHINGLE_N
-    val grams = docs.select(col("doc_id"), explode(expr(
+    // fanOut: the shingle explode + tf partial aggregate ran as a
+    // 1-task scan stage (2.8 s of the query at sf0.1) — guide §2.5
+    val grams = Tables.fanOut(docs, col("doc_id"))
+      .select(col("doc_id"), explode(expr(
       s"transform(sequence(1, greatest(length(text) - ${n - 1}, 1)), i -> substring(text, i, $n))"))
       .as("g"))
     val tf = grams.groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
-    val dfTab = tf.groupBy("g").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     // integer weight w = tf * floor(ln(N/df)*1e6 + 0.5); pinned — it
-    // feeds the norm pass, the candidate join (x2) and the dot (x2)
-    val w = tf.join(dfTab, "g").crossJoin(broadcast(nDocs))
+    // feeds the norm pass, the candidate join (x2) and the dot (x2).
+    // df comes from a count-over-g window on tf (round 9, guide §2.4):
+    // the old shape aggregated a separate df table and joined it back,
+    // re-exchanging tf by g TWICE (once under the df aggregate, once
+    // for the join); the window needs the g exchange ONCE and no join.
+    val w = tf
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")))
+      .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("g"), col("df"),
         (col("tf") * floor(log(col("n_docs").cast("double") / col("df")) * lit(1e6) + lit(0.5))
           .cast("long")).as("w"))
