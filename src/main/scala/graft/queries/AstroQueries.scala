@@ -48,12 +48,8 @@ object AstroQueries {
     */
   def q11DescriptiveStats(spark: SparkSession, dir: String): DataFrame =
     graft.operators.DistributedQuantile.describe(
-      // fanOut: the quantile operator's histogram passes ran on the
-      // scan's single-row-group splits — Tables.fanOut, guide §2.5
-      Tables.fanOut(Tables(spark, dir).lineitem
-        .select(col("l_returnflag"), col("l_extendedprice").as("v"),
-          col("l_orderkey")), col("l_orderkey"))
-        .select("l_returnflag", "v"),
+      Tables(spark, dir).lineitem
+        .select(col("l_returnflag"), col("l_extendedprice").as("v")),
       Seq("l_returnflag"), "v",
       Seq("q1" -> 0.25, "median" -> 0.5, "q3" -> 0.75))
       .select(col("l_returnflag"), col("n"), col("mean"),

@@ -1065,9 +1065,7 @@ object CorpusOps {
     */
   def q367HllCubeMargins(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.DistinctSketch
-    // fanOut: the sketch/exact margin aggregates each ran their
-    // partial side on the 1-task events scan — Tables.fanOut, §2.5
-    val ev = Tables.fanOut(Tables(spark, dir).events, col("event_id"))
+    val ev = Tables(spark, dir).events
       .withColumn("day", expr("unix_micros(ts) div 86400000000"))
     val cells = DistinctSketch.sketchBy(ev, "user_id", "event_type", "day")
     def m(df: DataFrame, key: Column) = df.select(key.as("margin"),

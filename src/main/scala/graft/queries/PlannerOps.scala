@@ -408,13 +408,8 @@ object PlannerOps {
     */
   def q264CboEstimate(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    def one(name: String, a0: DataFrame, ka: String,
-            b0: DataFrame, kb: String): DataFrame = {
-      // fanOut by the join key: the distinct-count partials ran on the
-      // 1-task scans, and the join reuses the same hash partitioning
-      // (Tables.fanOut, guide §2.5)
-      val a = Tables.fanOut(a0, col(ka))
-      val b = Tables.fanOut(b0, col(kb))
+    def one(name: String, a: DataFrame, ka: String,
+            b: DataFrame, kb: String): DataFrame = {
       val sa = a.agg(count(lit(1)).as("rows_a"),
         countDistinct(col(ka)).as("d_a"))
       val sb = b.agg(count(lit(1)).as("rows_b"),

@@ -425,11 +425,7 @@ object StatsOps {
     * at 100 TB the only fact-sized work is the first rollup.
     */
   def q301TrendTest(spark: SparkSession, dir: String): DataFrame = {
-    // fanOut: the daily rollup's partial agg ran on the 1-task orders
-    // scan (1.5 s at sf0.1) — Tables.fanOut, guide §2.5
-    val daily = Tables.fanOut(Tables(spark, dir).orders
-        .select("o_orderpriority", "o_orderdate", "o_totalprice", "o_orderkey"),
-        col("o_orderkey"))
+    val daily = Tables(spark, dir).orders
       .select(col("o_orderpriority").as("prio"),
         expr("unix_micros(o_orderdate) div 86400000000").as("day"),
         floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v_c"))

@@ -857,10 +857,7 @@ object TrainPrep {
     // and the unigram counts, and the bigram table feeds both the
     // count build and the occurrence join — without the checkpoints
     // the documents scan + tokenize would run five times
-    // fanOut: tokenize+explode ran on the 1-task docs scan (1.7 s at
-    // sf0.1) — Tables.fanOut, guide §2.5
-    val toks = Tables.fanOut(Tables(spark, dir).documents
-        .select(col("doc_id"), col("text")), col("doc_id"))
+    val toks = Tables(spark, dir).documents
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
       .localCheckpoint(true)
     val bigrams = toks
