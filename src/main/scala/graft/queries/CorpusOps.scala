@@ -101,14 +101,22 @@ object CorpusOps {
         col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"),
         date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
         floor(col("o_totalprice") / LINK_BAND).as("band"))
-    o.as("a").join(o.as("b"),
-        col("a.o_custkey") === col("b.o_custkey") &&
-          col("a.o_orderkey") < col("b.o_orderkey"))
+    // basket-shaped within-customer pair fanout (round 9, guide
+    // §2.3): one fanned groupBy on the customer key + in-row ordered-
+    // pair explode replaces the orders self-join (one exchange instead
+    // of two + two SMJ sorts). The struct sorts on o_orderkey first
+    // (unique), so struct order == the old a.o_orderkey < b.o_orderkey
+    // orientation and the pair multiset is identical.
+    Tables.fanOut(o, col("o_custkey"))
+      .groupBy("o_custkey")
+      .agg(sort_array(collect_list(struct(col("o_orderkey"), col("st"),
+        col("pr"), col("mon"), col("band")))).as("os"))
+      .select(graft.operators.Baskets.pairs(col("os")).as("p"))
       .select(
-        (col("a.st") === col("b.st")).as("agree_status"),
-        (col("a.pr") === col("b.pr")).as("agree_priority"),
-        (col("a.mon") === col("b.mon")).as("agree_month"),
-        (col("a.band") === col("b.band")).as("agree_band"))
+        (col("p.u.st") === col("p.v.st")).as("agree_status"),
+        (col("p.u.pr") === col("p.v.pr")).as("agree_priority"),
+        (col("p.u.mon") === col("p.v.mon")).as("agree_month"),
+        (col("p.u.band") === col("p.v.band")).as("agree_band"))
       .groupBy("agree_status", "agree_priority", "agree_month", "agree_band")
       .agg(count(lit(1)).as("n_pairs"))
   }

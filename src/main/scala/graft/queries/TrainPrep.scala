@@ -429,7 +429,10 @@ object TrainPrep {
     * the rank window runs AFTER the top-50 cut, over 50 rows.
     */
   def q64BpePairs(spark: SparkSession, dir: String): DataFrame = {
-    val words = BpeTrainer.wordTable(Tables(spark, dir).documents, "text")
+    // fanOut: tokenize ran on the 1-task docs scan — guide §2.5
+    val words = BpeTrainer.wordTable(Tables.fanOut(
+      Tables(spark, dir).documents.select("doc_id", "text"),
+      col("doc_id")), "text")
     val top = BpeTrainer.pairCounts(BpeTrainer.toSymbols(words))
       .withColumnRenamed("left", "sym_left")
       .withColumnRenamed("right", "sym_right")
@@ -499,7 +502,9 @@ object TrainPrep {
   def q296BpeEncode(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.BpeTrainer
     val words = BpeTrainer
-      .wordTable(Tables(spark, dir).documents, "text")
+      .wordTable(Tables.fanOut(
+        Tables(spark, dir).documents.select("doc_id", "text"),
+        col("doc_id")), "text")
       .filter(col("word").rlike("^[a-z0-9]+$"))
     words
       .select(explode(BpeTrainer.encode(col("word"), BPE_FIXED_MERGES))
