@@ -30,15 +30,23 @@ object SpatialNeighbors {
     * Column names must be disjoint across the two inputs (rename on
     * the query side). Pairs are NOT deduplicated or self-filtered —
     * callers exclude identity rows with their own key predicate.
+    *
+    * `dims = 2` (round 10): when the caller's space is a plane (the z
+    * columns are a constant), the dz = ±1 exploded cells can never
+    * match the right side's single z cell — they are pure shuffle
+    * waste, 3x the exploded rows for zero extra pairs. Passing 2 skips
+    * them; the match set is provably identical.
     */
   def withinRadius(
       left: DataFrame, lx: String, ly: String, lz: String,
       right: DataFrame, rx: String, ry: String, rz: String,
-      radius: Double, keys: Seq[String] = Nil): DataFrame = {
+      radius: Double, keys: Seq[String] = Nil, dims: Int = 3): DataFrame = {
     require(radius > 0, "radius must be positive")
+    require(dims == 2 || dims == 3, "dims must be 2 or 3")
     def cell(c: Column): Column = floor(c / radius).cast("long")
+    val zOffsets = if (dims == 3) -1 to 1 else 0 to 0
     val offsets = for {
-      dx <- -1 to 1; dy <- -1 to 1; dz <- -1 to 1
+      dx <- -1 to 1; dy <- -1 to 1; dz <- zOffsets
     } yield struct(lit(dx).as("dx"), lit(dy).as("dy"), lit(dz).as("dz"))
     val l = left
       .withColumn("__o", explode(array(offsets: _*)))

@@ -1312,17 +1312,24 @@ object EventAnalytics {
       f"q322 density guard: mean eps-cell population $meanPop%.0f exceeds " +
         f"$DBSCAN_MAX_MEAN_CELL_POP%.0f — fixed-eps DBSCAN is quadratic in " +
         "cell population; thin the sample or re-scale eps for this corpus")
+    // dims = 2: the event plane is (value, hour) with pz pinned to 0 —
+    // the 3-D grid's dz = ±1 cells matched nothing and tripled the
+    // exploded probe rows (round 10)
     val nbr = SpatialNeighbors.withinRadius(
       pts.select(col("pid").as("a"), col("px").as("ax"),
         col("py").as("ay"), col("pz").as("az")), "ax", "ay", "az",
       pts.select(col("pid").as("b"), col("px").as("bx"),
         col("py").as("by"), col("pz").as("bz")), "bx", "by", "bz",
-      DBSCAN_EPS)
+      DBSCAN_EPS, dims = 2)
       .select("a", "b")
       .localCheckpoint(true)
+    // pin the (tiny) core set: it feeds both sides of the core-edge
+    // join AND the label attach — unpinned, each evaluation re-ran the
+    // degree rollup over the 688k-row neighbor table (round 10)
     val core = nbr.groupBy("a").agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= DBSCAN_MIN_PTS)
       .select(col("a").as("pid"))
+      .localCheckpoint(true)
     val coreEdges = nbr
       .join(core.select(col("pid").as("a")), "a")
       .join(core.select(col("pid").as("b")), "b")

@@ -36,12 +36,18 @@ object GraphOps {
     * both enumerate the same triangle set, so the per-node counts are
     * identical.
     */
-  def q117TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+  def q117TriangleCount(spark: SparkSession, dir: String): DataFrame =
     // undirected edge set, bounded by basket size per order (the q93
     // within-order basket explode), thinned by min support;
     // checkpointed — it feeds degrees, orientation, and the
     // closing-edge probe
-    val edges = coPurchaseEdges(spark, dir).localCheckpoint(true)
+    triangleCounts(coPurchaseEdges(spark, dir).localCheckpoint(true))
+
+  /** Per-node triangle counts over a PINNED edge list — shared by q117
+    * and q316 so q316 builds the co-purchase edges once, not twice
+    * (round 10, guide §1.2: don't compute things twice).
+    */
+  private def triangleCounts(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("u").as("n"))
       .union(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -293,10 +299,11 @@ object GraphOps {
     * engines enumerate identical (node, dist) sets.
     */
   def q271BfsHops(spark: SparkSession, dir: String): DataFrame = {
-    val e0 = coPurchaseEdges(spark, dir)
     // undirected: probe both directions with one symmetric edge table
-    val edges = e0.select(col("u"), col("v"))
-      .union(e0.select(col("v").as("u"), col("u").as("v")))
+    // (round 10: one-pass symmetrize — the union evaluated e0 twice)
+    val edges = graft.operators.ConnectedComponents
+      .symmetric(coPurchaseEdges(spark, dir), "u", "v")
+      .select(col("a").as("u"), col("b").as("v"))
       .localCheckpoint(true)
     var visited = edges.select(col("u").as("n")).distinct()
       .filter(col("n") % BFS_SEED_MOD === 0)
@@ -430,8 +437,10 @@ object GraphOps {
     * an exact unrolled-CTE replica.
     */
   def q281LabelProp(spark: SparkSession, dir: String): DataFrame = {
-    val e0 = coPurchaseEdges(spark, dir)
-    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    // round 10: one-pass symmetrize — the union evaluated e0 twice
+    val edges = graft.operators.ConnectedComponents
+      .symmetric(coPurchaseEdges(spark, dir), "u", "v")
+      .select(col("a").as("u"), col("b").as("v"))
       .localCheckpoint(true)
     var labels = edges.select(col("u").as("n")).distinct()
       .withColumn("lbl", col("n"))
@@ -488,8 +497,11 @@ object GraphOps {
     * undefined) report 0 by the d≥2 guard.
     */
   def q316ClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
-    val tri = q117TriangleCount(spark, dir)
-    val edges = coPurchaseEdges(spark, dir)
+    // round 10: ONE pinned edge list feeds both the triangle corners
+    // and the degree table (was: q117 built + pinned its own edges and
+    // this query built the whole co-purchase rollup a second time)
+    val edges = coPurchaseEdges(spark, dir).localCheckpoint(true)
+    val tri = triangleCounts(edges)
     val deg = edges.select(col("u").as("n"))
       .union(edges.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -553,9 +565,10 @@ object GraphOps {
     * shuffles; the count rollup is |seeds|×3.
     */
   def q365HarmonicCentrality(spark: SparkSession, dir: String): DataFrame = {
-    val e0 = coPurchaseEdges(spark, dir)
-    val edges = e0.select(col("u"), col("v"))
-      .union(e0.select(col("v").as("u"), col("u").as("v")))
+    // round 10: one-pass symmetrize — the union evaluated e0 twice
+    val edges = graft.operators.ConnectedComponents
+      .symmetric(coPurchaseEdges(spark, dir), "u", "v")
+      .select(col("a").as("u"), col("b").as("v"))
       .localCheckpoint(true)
     var visited = edges.select(col("u").as("n")).distinct()
       .filter(col("n") % BFS_SEED_MOD === 0)
@@ -632,9 +645,13 @@ object GraphOps {
     */
   def q385PersonalizedPagerank(spark: SparkSession, dir: String)
       : DataFrame = {
-    val pairs = coPurchaseEdges(spark, dir)
-    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
-      .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+    // round 10: pin the pair rollup, then symmetrize in ONE pass —
+    // union(pairs, pairs.swapped) evaluated the basket build twice
+    // per referencing job (deg checkpoint AND edgesD checkpoint)
+    val pairs = coPurchaseEdges(spark, dir).localCheckpoint(true)
+    val edges = graft.operators.ConnectedComponents
+      .symmetric(pairs, "u", "v")
+      .select(col("a").as("src"), col("b").as("dst"))
     // checkpoint the degree table FIRST: seeds and r0 both derive
     // from it, and without the pin each would re-run the co-purchase
     // self-join (measured: 15.0 s -> the q103 price at sf0.1)
@@ -704,10 +721,15 @@ object GraphOps {
     * expression.
     */
   def q386Assortativity(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = coPurchaseEdges(spark, dir)
-    val dirEdges = pairs.select(col("u"), col("v"))
-      .union(pairs.select(col("v").as("u"), col("u").as("v")))
+    // round 10: pin + one-pass symmetrize (was: 4 evaluations of the
+    // basket rollup — dirEdges union'd it twice, deg and ep each
+    // evaluated dirEdges); deg pins too, it feeds two ep joins
+    val pairs = coPurchaseEdges(spark, dir).localCheckpoint(true)
+    val dirEdges = graft.operators.ConnectedComponents
+      .symmetric(pairs, "u", "v")
+      .select(col("a").as("u"), col("b").as("v"))
     val deg = dirEdges.groupBy("u").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
     val ep = dirEdges
       .join(deg.select(col("u"), col("d").as("du")), "u")
       .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")

@@ -460,6 +460,11 @@ object Relational {
     // of lineitem on the order key + in-row pair explode replaces the
     // self-join (one exchange instead of two + two SMJ sorts);
     // collect_set reproduces the old distinct() exactly
+    // round 10: pin the pair rollup BEFORE fanning both directions —
+    // the old union(pairs, pairs.swapped) evaluated the whole basket
+    // build once per reference (4x through deg + edgesD); the explode
+    // symmetrization (ConnectedComponents.symmetric) reads the pinned
+    // pairs ONCE, and deg (|nodes| rows) pins too so r0 is free
     val pairs = Tables.fanOut(Tables(spark, dir).lineitem
         .select(col("l_orderkey"), col("l_partkey")), col("l_orderkey"))
       .groupBy("l_orderkey")
@@ -468,9 +473,12 @@ object Relational {
       .groupBy(col("p.u").as("part_a"), col("p.v").as("part_b"))
       .agg(count(lit(1)).as("n_both"))
       .filter(col("n_both") >= Q93_MIN_SUPPORT)
-    val edges = pairs.select(col("part_a").as("src"), col("part_b").as("dst"))
-      .union(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
+      .localCheckpoint(true)
+    val edges = graft.operators.ConnectedComponents
+      .symmetric(pairs, "part_a", "part_b")
+      .select(col("a").as("src"), col("b").as("dst"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     // hash-partition on src BEFORE the eager checkpoint: LogicalRDD
     // keeps the partitioning, so every iteration's ranks join reuses
     // it and only the |nodes|-sized ranks side shuffles per round
