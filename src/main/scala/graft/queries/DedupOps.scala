@@ -41,6 +41,11 @@ object DedupOps {
     * persisted corpus index).
     */
   def bandTable(docs: DataFrame): DataFrame = {
+    // round 10: fanning the docs scan before the MinHash pass was
+    // MEASURED SLOWER at sf0.1 (candidate_pairs 0.5 -> 1.2 s — the
+    // text exchange costs more than parallel hashing saves on a small
+    // corpus) and reverted; at production doc counts the scan splits
+    // wide on its own
     val sigs = docs
       .select(col("doc_id"),
         graft.plans.MinHashSignature(col("text"), SHINGLE_N, NUM_HASHES).as("sig"))
@@ -787,9 +792,15 @@ object DedupOps {
     * persisted dictionary/bitmap tables via `cleanup`).
     */
   def q168Plan(spark: SparkSession, dir: String): (DataFrame, () => Unit) = {
-    val e = Tables(spark, dir).documents
-      .select(col("doc_id"),
-        explode(graft.plans.ShingleHashSet(col("text"), SHINGLE_N)).as("sh"))
+    // round 10 (guide §1.2): pin the shingle postings — the dictionary
+    // build and the per-doc id-list build each evaluated the explode,
+    // running the rolling-hash shingling over the corpus text twice
+    // (fanning the scan first was measured slower and reverted — the
+    // text exchange outweighs parallel shingling on a small corpus)
+    val (e, releaseE) = graft.operators.Pins.pinWithRelease(
+      Tables(spark, dir).documents
+        .select(col("doc_id"),
+          explode(graft.plans.ShingleHashSet(col("text"), SHINGLE_N)).as("sh")))
     // dense rarest-first dictionary: id order == (df, sh) order.
     // The vocabulary GROWS with the corpus (20k at sf1, 10^8+ at
     // 100 TB), so the global numbering goes through GlobalRank's
@@ -877,7 +888,7 @@ object DedupOps {
         floor(col("n_inter") * lit(1e6) /
           (col("n_a1") + col("n_b1") - col("n_inter")) + lit(0.5))
           .cast("long").as("jac_micro"))
-    (out, () => { docs.unpersist(); dict.unpersist(); () })
+    (out, () => { docs.unpersist(); dict.unpersist(); releaseE(); () })
   }
 
   val q168Sql: String =

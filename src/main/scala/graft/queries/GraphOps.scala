@@ -219,7 +219,8 @@ object GraphOps {
     * exactly). Emits each surviving node with its in-core degree.
     */
   def q223KCore(spark: SparkSession, dir: String): DataFrame = {
-    var edges = coPurchaseEdges(spark, dir).localCheckpoint(true)
+    var (edges, releaseEdges) = graft.operators.Pins.pinWithRelease(
+      coPurchaseEdges(spark, dir))
     var n = edges.count()
     var rounds = 0
     var converged = false
@@ -229,14 +230,14 @@ object GraphOps {
         .groupBy("n").agg(count(lit(1)).as("d"))
         .filter(col("d") >= KCORE_K)
         .select("n")
-      val pruned = edges
+      val (pruned, releasePruned) = graft.operators.Pins.pinWithRelease(edges
         .join(keep.select(col("n").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("n").as("v")), Seq("v"), "left_semi")
-        .select("u", "v")
-        .localCheckpoint(true)
+        .select("u", "v"))
       val m = pruned.count()
       converged = m == n
-      edges = pruned; n = m; rounds += 1
+      releaseEdges()                 // superseded round's pin (guide §5)
+      edges = pruned; releaseEdges = releasePruned; n = m; rounds += 1
     }
     edges.select(col("u").as("p_partkey"))
       .union(edges.select(col("v").as("p_partkey")))
@@ -317,7 +318,11 @@ object GraphOps {
         .join(visited.select("n"), Seq("n"), "left_anti")
         .withColumn("dist", lit(hop.toLong))
         .localCheckpoint(true)
-      visited = visited.union(next).localCheckpoint(true)
+      // visited stays a LAZY union of the pinned hop frames (round 10,
+      // guide §5): re-checkpointing the union per hop copied every
+      // prior hop's rows again — one extra materialization job per hop
+      // for data already in the block store
+      visited = visited.union(next)
       frontier = next.select("n")
       hop += 1
     }
@@ -444,16 +449,19 @@ object GraphOps {
       .localCheckpoint(true)
     var labels = edges.select(col("u").as("n")).distinct()
       .withColumn("lbl", col("n"))
+    var releaseLabels: () => Unit = () => ()
     (1 to LPA_ROUNDS).foreach { _ =>
       val gathered = edges
         .join(labels.withColumnRenamed("n", "v"), "v")  // v's label -> u
         .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
       val w = Window.partitionBy("u")
         .orderBy(col("c").desc, col("lbl").asc)
-      labels = gathered.withColumn("_rk", row_number().over(w))
-        .filter(col("_rk") === 1)
-        .select(col("u").as("n"), col("lbl"))
-        .localCheckpoint(true)
+      val (next, releaseNext) = graft.operators.Pins.pinWithRelease(
+        gathered.withColumn("_rk", row_number().over(w))
+          .filter(col("_rk") === 1)
+          .select(col("u").as("n"), col("lbl")))
+      releaseLabels()                // superseded round's pin (guide §5)
+      labels = next; releaseLabels = releaseNext
     }
     labels.select(col("n").as("p_partkey"), col("lbl").as("community"))
   }
@@ -583,7 +591,8 @@ object GraphOps {
         .join(visited.select("seed", "n"), Seq("seed", "n"), "left_anti")
         .withColumn("dist", lit(hop))
         .localCheckpoint(true)
-      visited = visited.union(next).localCheckpoint(true)
+      // lazy union of pinned hop frames — see q271 (round 10)
+      visited = visited.union(next)
       frontier = next.select("seed", "n")
       hop += 1
     }

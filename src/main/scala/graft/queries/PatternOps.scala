@@ -88,9 +88,13 @@ object PatternOps {
     val med = DistributedQuantile.quantiles(
       ev, Seq("event_type"), "value", Seq("med" -> 0.5))
       .localCheckpoint(true)
+    // round 10: pin dev too — the MAD quantile's three bucket-prune
+    // passes AND the final outlier aggregate each re-ran the scan +
+    // med join (4 evaluations of the fact scan; one with the pin)
     val dev = ev.join(broadcast(med), "event_type")
       .select(col("event_type"), col("value"),
         abs(col("value") - col("med")).as("adev"))
+      .localCheckpoint(true)
     val mad = DistributedQuantile.quantiles(
       dev, Seq("event_type"), "adev", Seq("mad" -> 0.5))
       .localCheckpoint(true)

@@ -425,12 +425,16 @@ object StatsOps {
     * at 100 TB the only fact-sized work is the first rollup.
     */
   def q301TrendTest(spark: SparkSession, dir: String): DataFrame = {
+    // round 10: pin the |days|-bounded daily series — both self-join
+    // sides read it, and unpinned each side re-ran the fact-table
+    // rollup (guide §1.2: the only fact-sized work should happen once)
     val daily = Tables(spark, dir).orders
       .select(col("o_orderpriority").as("prio"),
         expr("unix_micros(o_orderdate) div 86400000000").as("day"),
         floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("v_c"))
       .filter(col("day") >= MK_DAY_LO && col("day") < MK_DAY_HI)
       .groupBy("prio", "day").agg(sum("v_c").as("rev_c"))
+      .localCheckpoint(true)
     val a = daily.select(col("prio"), col("day").as("d1"), col("rev_c").as("v1"))
     val b = daily.select(col("prio"), col("day").as("d2"), col("rev_c").as("v2"))
     a.join(b, Seq("prio")).filter(col("d1") < col("d2"))
