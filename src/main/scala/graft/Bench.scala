@@ -55,6 +55,11 @@ object Bench {
     // garbage of 25+ multi-second queries accumulates across the whole
     // pass and inflates later slots monotonically (observed: q168
     // pass1 4.5 s -> pass3 8.3 s on identical code with no GC fired).
+    // Round 10: a per-slot System.gc() variant was MEASURED WORSE on a
+    // 36-query subset (q278 0.80x, q176 0.79x, q220 0.83x on identical
+    // code — forced full GCs evict JIT/codegen state, costing more
+    // than the collection debt they clear) and reverted; the
+    // conditional policy below stands.
     val GC_EVERY = 32
     val GC_HEAVY_SEC = 2.0
     def gcTick(i: Int, elapsed: Double): Unit =

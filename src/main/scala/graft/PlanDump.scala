@@ -2,8 +2,14 @@ package graft
 
 /** Plan capture: write explain("formatted") for the named queries to
   * <outDir>/<name>.txt — the before/after plan evidence for
-  * optimization rounds (plans/r09/...). Dumping is plan-only (no job
-  * runs), so the whole suite takes seconds.
+  * optimization rounds (plans/r09/..., plans/r10/...). Mostly
+  * plan-only, but NOT job-free (ADVICE r09): building a query frame
+  * that contains an eager localCheckpoint(true) runs the checkpointed
+  * sub-plan for real, and Tables.fanOut's partition probe forces
+  * physical planning of the scan — so checkpointed queries dump a
+  * post-checkpoint RDD scan in place of the replaced lineage. When the
+  * interesting change is upstream of a checkpoint, dump the
+  * pre-checkpoint sub-frame from a probe (ProbeR10) instead.
   *
   * Usage: PlanDump <sfDir> <outDir> [comma-separated query names|all]
   */

@@ -92,9 +92,18 @@ object Tables {
     *
     * Call it on RAW SCANS ONLY: probing partition count builds the
     * plan's RDD, which is free for a scan but would materialize query
-    * stages through an AQE plan with exchanges.
+    * stages through an AQE plan with exchanges. Round 10 (ADVICE r09):
+    * the contract is now asserted — a plan that already contains an
+    * exchange or an aggregate fails fast instead of silently running
+    * query stages at DataFrame-build time.
     */
   def fanOut(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    require(!df.queryExecution.logical.exists(p =>
+      p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation] ||
+        p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate] ||
+        p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+      "fanOut is for raw scans: probing a plan with exchanges/aggregates/joins " +
+        "would materialize query stages at build time")
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= p) df
     else df.repartition(p, keys: _*)
