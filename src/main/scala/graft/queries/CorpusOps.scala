@@ -594,10 +594,11 @@ object CorpusOps {
     */
   def q323GreedyCover(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark; import spark2.implicits._
-    // fanOut: shingle explode ran on the 1-task docs scan (1.5 s at
-    // sf0.1) — Tables.fanOut, guide §2.5
-    val e = Tables.fanOut(Tables(spark, dir).documents
-        .select(col("doc_id"), col("text")), col("doc_id"))
+    // round 10: the r09 fanOut REVERTED pending re-measure (VERDICT
+    // r09 #4: matched-heap medians regressed 2.26 -> 3.45 s and the
+    // committed plan pair was identical) — A/B at the driver's config
+    // decides; see OPTIMIZATION_r10.md for the numbers
+    val e = Tables(spark, dir).documents
       .select(col("doc_id"), explode(graft.plans.ShingleHashSet(
         col("text"), DedupOps.SHINGLE_N)).as("w"))
       .localCheckpoint(true)

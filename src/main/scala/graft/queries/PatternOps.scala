@@ -88,13 +88,15 @@ object PatternOps {
     val med = DistributedQuantile.quantiles(
       ev, Seq("event_type"), "value", Seq("med" -> 0.5))
       .localCheckpoint(true)
-    // round 10: pin dev too — the MAD quantile's three bucket-prune
-    // passes AND the final outlier aggregate each re-ran the scan +
-    // med join (4 evaluations of the fact scan; one with the pin)
+    // round 10: pinning dev was tried and REVERTED — measured flat at
+    // sf0.1 (4.3 s isolated both ways: the re-evaluated scan+broadcast
+    // join is as cheap as the cache read), and at scale materializing
+    // an events-sized frame is exactly the wrong trade; the tiny
+    // med/mad pins below are what matters (r09 measurement: 18.8 s ->
+    // 2 s without/with them)
     val dev = ev.join(broadcast(med), "event_type")
       .select(col("event_type"), col("value"),
         abs(col("value") - col("med")).as("adev"))
-      .localCheckpoint(true)
     val mad = DistributedQuantile.quantiles(
       dev, Seq("event_type"), "adev", Seq("mad" -> 0.5))
       .localCheckpoint(true)

@@ -337,6 +337,13 @@ object SessionOps {
   def q278StreamOuterJoin(spark: SparkSession, dir: String): DataFrame =
       withStreamParallelism(spark) {
     import graft.streaming.{StreamAgg, StreamJoin}
+    // round 10: the flush protocol below is explicitly no-data-batch
+    // free ("no reliance on no-data batches"), but the session-level
+    // flag is toggled by OTHER streaming queries — inheriting `true`
+    // adds no-data micro-batches whose only effect here is extra
+    // state-store commit rounds (8 partitions x 4 join stores each).
+    // Pin it off for this query, deterministically.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val bound = graft.Tables(spark, dir).events
       .agg(max(col("ts")) - expr(s"INTERVAL ${ATTRIB_HOURS + 1} HOURS"))
       .collect()(0).getTimestamp(0)
@@ -370,8 +377,12 @@ object SessionOps {
       //     a SECOND flush batch performs the eviction that emits the
       //     outer rows. processAllAvailable after each write makes the
       //     sequence deterministic (no reliance on no-data batches).
+      // one row read once, reused by both flush batches (round 10:
+      // was a fresh scan-and-limit job per flush)
+      val baseRow = spark.read.parquet(s"$dir/events.parquet").limit(1)
+        .localCheckpoint(true)
       def writeFlush(year: Int, tag: String): Unit = {
-        val base = spark.read.parquet(s"$dir/events.parquet").limit(1)
+        val base = baseRow
         val farUs = java.sql.Timestamp.valueOf(s"$year-01-01 00:00:00")
         val stamped = base.schema("ts").dataType match {
           case org.apache.spark.sql.types.LongType =>

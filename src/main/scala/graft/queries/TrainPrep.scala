@@ -429,10 +429,13 @@ object TrainPrep {
     * the rank window runs AFTER the top-50 cut, over 50 rows.
     */
   def q64BpePairs(spark: SparkSession, dir: String): DataFrame = {
-    // fanOut: tokenize ran on the 1-task docs scan — guide §2.5
-    val words = BpeTrainer.wordTable(Tables.fanOut(
-      Tables(spark, dir).documents.select("doc_id", "text"),
-      col("doc_id")), "text")
+    // round 10: the r09 fanOut before tokenize REVERTED — the driver's
+    // bench measured it 0.80 -> 1.21 s at 32c/16g (VERDICT r09 #3):
+    // the docs exchange costs more than parallel tokenizing saves on a
+    // small corpus, and the word rollup partial-aggregates map-side
+    // anyway; at production doc counts the scan splits wide on its own
+    val words = BpeTrainer.wordTable(
+      Tables(spark, dir).documents.select("doc_id", "text"), "text")
     val top = BpeTrainer.pairCounts(BpeTrainer.toSymbols(words))
       .withColumnRenamed("left", "sym_left")
       .withColumnRenamed("right", "sym_right")
@@ -502,9 +505,9 @@ object TrainPrep {
   def q296BpeEncode(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.BpeTrainer
     val words = BpeTrainer
-      .wordTable(Tables.fanOut(
-        Tables(spark, dir).documents.select("doc_id", "text"),
-        col("doc_id")), "text")
+      // round 10: fanOut reverted, same measurement as q64 (the word
+      // table is vocabulary-sized; the exchange dominated)
+      .wordTable(Tables(spark, dir).documents.select("doc_id", "text"), "text")
       .filter(col("word").rlike("^[a-z0-9]+$"))
     words
       .select(explode(BpeTrainer.encode(col("word"), BPE_FIXED_MERGES))
