@@ -1330,15 +1330,35 @@ object EventAnalytics {
       .filter(col("deg") >= DBSCAN_MIN_PTS)
       .select(col("a").as("pid"))
       .localCheckpoint(true)
-    val coreEdges = nbr
-      .join(core.select(col("pid").as("a")), "a")
-      .join(core.select(col("pid").as("b")), "b")
-      .filter(col("a") < col("b"))
-      .select(col("a").as("u"), col("b").as("v"))
-    val comp = ConnectedComponents.components(coreEdges, "u", "v")
-      .withColumnRenamed("node", "pid")
-    val coreLab = core.join(comp, Seq("pid"), "left")
-      .select(col("pid"), coalesce(col("comp"), col("pid")).as("cluster_id"))
+    // Round 10 (guide §2.3: shuffle a lightweight proxy, not the full
+    // pair set): EXACT cell contraction before the CC. Two core points
+    // in the same square cell of side eps*0.707 are at most
+    // eps*0.707*sqrt(2) < eps apart — a clique in the core-core graph —
+    // so contracting each cell to its MIN core pid (supernode) and
+    // running CC on the cross-cell quotient edges yields identical
+    // clusters: the component minimum is itself a core pid, and its
+    // own cell's supernode equals it. The CC input shrinks from every
+    // core-core pair (341 k edges at sf0.1) to the distinct supernode
+    // pairs (cell-adjacency bounded), and isolated supernodes fall
+    // back to themselves exactly as isolated cores did. 0.707 is
+    // strictly below 1/sqrt(2) so the clique bound holds with margin
+    // against FP rounding.
+    val cellSide = DBSCAN_EPS * 0.707
+    val coreC = core.join(pts, "pid")
+      .select(col("pid"), floor(col("px") / cellSide).as("cx"),
+        floor(col("py") / cellSide).as("cy"))
+    val superT = coreC.groupBy("cx", "cy").agg(min("pid").as("super"))
+    val coreSuper = coreC.join(superT, Seq("cx", "cy"))
+      .select(col("pid"), col("super"))
+      .localCheckpoint(true)
+    val superEdges = nbr
+      .join(coreSuper.select(col("pid").as("a"), col("super").as("sa")), "a")
+      .join(coreSuper.select(col("pid").as("b"), col("super").as("sb")), "b")
+      .filter(col("sa") =!= col("sb"))
+      .select(col("sa").as("u"), col("sb").as("v"))
+    val comp = ConnectedComponents.components(superEdges, "u", "v")
+    val coreLab = coreSuper.join(comp, col("super") === col("node"), "left")
+      .select(col("pid"), coalesce(col("comp"), col("super")).as("cluster_id"))
     val borderLab = nbr
       .filter(col("a") =!= col("b"))
       .join(coreLab.select(col("pid").as("b"), col("cluster_id")), "b")
