@@ -28,6 +28,37 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Round 10 (VERDICT r09 #7): the serial test run takes ~40 min — past
+// the driver's budget (round 9's run was truncated mid-suite). Suites
+// already share one session per JVM; the remaining lever is ACROSS
+// JVMs: split the suites into 4 deterministic groups, each a forked
+// JVM with its own SparkSession, run concurrently. sf0.001 suites are
+// latency- not CPU-bound, so 4 overlapping local[32] sessions
+// back-fill each other's idle cores (optimization guide §2.6);
+// 4 x 8g heaps fit the sandbox comfortably.
+Test / javaOptions := jdk17AddOpens ++ Seq(
+  "-Dspark.ui.enabled=false",
+  "-Dspark.sql.session.timeZone=UTC",
+  "-Xmx8g",
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
+)
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  val envs = (Test / envVars).value
+  tests.groupBy(t => math.abs(t.name.hashCode) % 4).map { case (i, ts) =>
+    Tests.Group(s"g$i", ts, Tests.SubProcess(
+      ForkOptions().withRunJVMOptions(opts).withEnvVars(envs)))
+  }.toSeq
+}
+// sbt's DEFAULT restrictions include Tags.limit(ForkedTestGroup, 1);
+// appending a higher limit does not lift it (all limits apply), so
+// replace the set wholesale.
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(8),
+  Tags.limit(Tags.ForkedTestGroup, 4),
+  Tags.exclusiveGroup(Tags.Clean))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

@@ -826,16 +826,22 @@ object GraphOps {
       .union(edges.select(col("v").as("node"), col("u").as("nb")))
       .union(nodes.select(col("node"), col("node").as("nb")))
       .localCheckpoint(true)
-    // ball sketches, one union round per hop over the whole graph
+    // ball sketches, one union round per hop over the whole graph.
+    // Round 10: each hop's ball table is PINNED — hop h's plan nests
+    // hop h-1's, so the final unionByName of the three hops evaluated
+    // hop 1 three times and hop 2 twice (guide §1.2); with the pins
+    // each sketch round runs exactly once
     val lgK = lit(graft.operators.DistinctSketch.LG_K)
     var ball = und.groupBy("node")
       .agg(hll_sketch_agg(col("nb"), lgK).as("sk"))
+      .localCheckpoint(true)
     val balls = scala.collection.mutable.ArrayBuffer(
       ball.withColumn("hop", lit(1)))
     for (h <- 2 to ANF_HOPS) {
       ball = und.join(ball.withColumnRenamed("node", "nb"), "nb")
         .groupBy("node")
         .agg(hll_union_agg(col("sk"), lit(true)).as("sk"))
+        .localCheckpoint(true)
       balls += ball.withColumn("hop", lit(h))
     }
     val probes = nodes.orderBy("node").limit(ANF_PROBE_MAX)
@@ -844,9 +850,11 @@ object GraphOps {
       .join(broadcast(probes), "node")
       .select(col("node"), col("hop"),
         hll_sketch_estimate(col("sk")).as("est"))
-    // exact balls from the bounded probe set only
+    // exact balls from the bounded probe set only (hops pinned for the
+    // same single-evaluation reason as the sketch rounds above)
     var exact = und.join(broadcast(probes), "node")
       .select(col("node"), col("nb")).distinct()
+      .localCheckpoint(true)
     val exacts = scala.collection.mutable.ArrayBuffer(
       exact.withColumn("hop", lit(1)))
     for (h <- 2 to ANF_HOPS) {
@@ -854,6 +862,7 @@ object GraphOps {
         .join(und.select(col("node").as("mid"), col("nb").as("nxt")),
           col("nb") === col("mid"))
         .select(col("node"), col("nxt").as("nb")).distinct()
+        .localCheckpoint(true)
       exacts += exact.withColumn("hop", lit(h))
     }
     val nEx = exacts.reduce(_ unionByName _)
