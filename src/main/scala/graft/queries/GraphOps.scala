@@ -827,21 +827,21 @@ object GraphOps {
       .union(nodes.select(col("node"), col("node").as("nb")))
       .localCheckpoint(true)
     // ball sketches, one union round per hop over the whole graph.
-    // Round 10: each hop's ball table is PINNED — hop h's plan nests
-    // hop h-1's, so the final unionByName of the three hops evaluated
-    // hop 1 three times and hop 2 twice (guide §1.2); with the pins
-    // each sketch round runs exactly once
+    // Round 10: pinning each hop's ball table (hop h's plan nests hop
+    // h-1's, so the union re-evaluates earlier hops) was tried and
+    // MEASURED SLOWER — isolated A/B at driver config 2.92 -> 3.54 s:
+    // materializing the binary sketch rows costs more than the saved
+    // re-aggregations at this SF — and reverted (the Spark-side
+    // hll_sketch_agg rounds are map-side-combined and cheap to replay).
     val lgK = lit(graft.operators.DistinctSketch.LG_K)
     var ball = und.groupBy("node")
       .agg(hll_sketch_agg(col("nb"), lgK).as("sk"))
-      .localCheckpoint(true)
     val balls = scala.collection.mutable.ArrayBuffer(
       ball.withColumn("hop", lit(1)))
     for (h <- 2 to ANF_HOPS) {
       ball = und.join(ball.withColumnRenamed("node", "nb"), "nb")
         .groupBy("node")
         .agg(hll_union_agg(col("sk"), lit(true)).as("sk"))
-        .localCheckpoint(true)
       balls += ball.withColumn("hop", lit(h))
     }
     val probes = nodes.orderBy("node").limit(ANF_PROBE_MAX)
@@ -850,11 +850,10 @@ object GraphOps {
       .join(broadcast(probes), "node")
       .select(col("node"), col("hop"),
         hll_sketch_estimate(col("sk")).as("est"))
-    // exact balls from the bounded probe set only (hops pinned for the
-    // same single-evaluation reason as the sketch rounds above)
+    // exact balls from the bounded probe set only (per-hop pins tried
+    // and reverted with the sketch-side measurement above)
     var exact = und.join(broadcast(probes), "node")
       .select(col("node"), col("nb")).distinct()
-      .localCheckpoint(true)
     val exacts = scala.collection.mutable.ArrayBuffer(
       exact.withColumn("hop", lit(1)))
     for (h <- 2 to ANF_HOPS) {
@@ -862,7 +861,6 @@ object GraphOps {
         .join(und.select(col("node").as("mid"), col("nb").as("nxt")),
           col("nb") === col("mid"))
         .select(col("node"), col("nxt").as("nb")).distinct()
-        .localCheckpoint(true)
       exacts += exact.withColumn("hop", lit(h))
     }
     val nEx = exacts.reduce(_ unionByName _)

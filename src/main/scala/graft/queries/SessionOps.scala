@@ -342,8 +342,13 @@ object SessionOps {
     // flag is toggled by OTHER streaming queries — inheriting `true`
     // adds no-data micro-batches whose only effect here is extra
     // state-store commit rounds (8 partitions x 4 join stores each).
-    // Pin it off for this query, deterministically.
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // Pin it off for THIS query and restore on exit (leaking `false`
+    // into the session would couple every later query's behavior to
+    // this one's — the exact inheritance hazard being fixed).
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrev = spark.conf.get(ndKey)
+    spark.conf.set(ndKey, "false")
+    try {
     val bound = graft.Tables(spark, dir).events
       .agg(max(col("ts")) - expr(s"INTERVAL ${ATTRIB_HOURS + 1} HOURS"))
       .collect()(0).getTimestamp(0)
@@ -407,6 +412,7 @@ object SessionOps {
       q.processAllAvailable()
     } finally q.stop()
     spark.table(sinkName).orderBy("user_id", "click_id", "purchase_id")
+    } finally spark.conf.set(ndKey, ndPrev)
   }
 
   val q278Sql: String =
